@@ -1,0 +1,56 @@
+"""Operator registry: every driver-visible query in one place.
+
+``registry()`` returns {name: callable(spark, sf_dir) -> DataFrame}, the
+backing store for ``__spark_entry__.queries()``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational, rollups, windows
+
+_MODULES = [rollups, relational, windows]
+
+_NAMES = {
+    rollups: [
+        "hourly_category_rollup",
+        "daily_region_rollup",
+        "global_totals",
+        "category_revenue_share",
+        "region_revenue_sorted",
+        "hourly_trend",
+    ],
+    relational: [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_supplier_volume",
+        "market_segment_totals",
+        "customers_with_orders",
+        "customers_without_orders",
+        "top_customers_by_revenue",
+        "distinct_customers_per_nation",
+        "repeat_customers_both_years",
+        "one_year_only_customers",
+        "priority_status_rollup",
+        "status_pivot",
+        "part_type_stats",
+    ],
+    windows: [
+        "top_parts_per_brand",
+        "moving_avg_daily_revenue",
+        "cumulative_daily_revenue",
+        "order_gaps_per_customer",
+        "customer_order_rank",
+    ],
+}
+
+
+def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod, names in _NAMES.items():
+        for n in names:
+            out[n] = getattr(mod, n)
+    return out

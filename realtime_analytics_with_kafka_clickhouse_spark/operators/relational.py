@@ -1,0 +1,202 @@
+"""Relational breadth on the driver star schema (SURVEY.md §2.4/§2.5/§7-M3).
+
+The reference has **no joins** (dimensions are denormalized at generation,
+/root/reference/producers/sales_producer.py:118-133) and no window/set ops;
+these operators give the engine the general relational surface a user would
+expect, expressed so Catalyst picks the right physical plan:
+
+- Dimension joins (`region`/`nation`/`supplier`/`part`, and `customer` at
+  small SF) sit under Spark's broadcast threshold -> BroadcastHashJoin, no
+  shuffle of the fact table.  ``F.broadcast`` hints are added where the
+  dimension is guaranteed small even at 100 TB (region: 5 rows, nation: 25).
+- Fact-fact joins (orders |x| lineitem) shuffle on the join key once; the
+  grouped aggregates that follow reuse that partitioning where possible.
+- All money sums go through ``dsum`` (decimal-exact, order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import davg, dsum
+from ..sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (scan -> filter -> agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open orders by pending revenue.
+
+    customer (filtered segment) -> broadcast into orders; orders |x| lineitem
+    is the only large shuffle.  TakeOrderedAndProject caps the result.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where supplier and customer share the
+    nation; 6-way join with all dimensions broadcast."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def market_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders |x| customer grouped by market segment (broadcast dim join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("o_totalprice").alias("total_revenue"),
+            davg("o_totalprice").alias("avg_order_value"),
+        )
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers that placed at least one order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by order revenue (agg -> broadcast dim join -> top-k)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"), dsum("o_totalprice").alias("revenue")
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "order_count", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def distinct_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation through a join: distinct ordering customers per
+    nation (orders -> customer -> nation, dims broadcast)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+def repeat_customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers active in 1996 INTERSECT active in 1997."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.intersect(y97).select(F.col("o_custkey").alias("custkey"))
+
+
+def one_year_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers active in 1996 EXCEPT active in 1997."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return y96.distinct().exceptAll(y97.distinct()).select(F.col("o_custkey").alias("custkey"))
+
+
+def priority_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping set over (priority, status) — multi-level totals in one
+    pass (Spark expands to a single Expand + hash-agg, no re-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("order_count"), dsum("o_totalprice").alias("total_revenue"))
+    )
+
+
+def status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-style): per priority, order counts by
+    status as columns — sum(CASE WHEN ...) pattern."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = lambda s: F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"cnt_{s.lower()}")
+    return orders.groupBy("o_orderpriority").agg(cnt("O"), cnt("F"), cnt("P"))
+
+
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth: string manipulation + math over part."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_partkey"),
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring(F.col("p_type"), 1, 6).alias("type_prefix"),
+            F.length(F.col("p_name")).cast("long").alias("name_len"),
+            F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+            F.round(F.log(F.col("p_retailprice") + 1), 6).alias("log_price"),
+            (F.col("p_size") % 5).alias("size_mod5"),
+        )
+    )

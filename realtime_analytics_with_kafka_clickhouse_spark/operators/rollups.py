@@ -1,0 +1,112 @@
+"""Reference-parity rollups + dashboard aggregations (SURVEY.md §2.3 A1-A8).
+
+The reference declares two incremental rollups over the sales-order stream
+(/root/reference/clickhouse/init/01_init.sql:63-74 hourly-by-category,
+:77-87 daily-by-region, both filtered to completed orders) and five dashboard
+aggregates on top (Sample_Dashboard.png / README.md:89-92).
+
+The driver testdata maps sales orders onto ``events``
+(FIXTURES.md §3: ts -> order_timestamp, event_type -> status/category key,
+value -> total_amount, props.k -> quantity-like measure, user_id -> customer).
+All aggregations use ``dsum`` (decimal-exact sums — functions.scalars) so the
+results are bit-stable at any parallelism.
+
+Scale notes (100 TB): each rollup is a single hash-aggregate with map-side
+partial aggregation; grouping keys are low-cardinality (hours x 5 types,
+days x 7 buckets) so the shuffle carries only partial aggregates — bytes
+shuffled is O(partitions x groups), independent of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..functions.scalars import dsum, to_start_of_hour
+from ..sources.tables import load_table
+
+
+# "valid event" predicate — the F1 analog of WHERE order_status = 'completed'
+# (/root/reference/clickhouse/init/01_init.sql:73,86).  Lazy because Column
+# construction needs an active session in classic PySpark.
+def _completed():
+    return F.col("event_type") == "purchase"
+
+
+def hourly_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: hourly rollup by category (event_type), completed-analog filter dropped
+    to keep all categories — the per-category MV shape of 01_init.sql:63-74."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(
+            to_start_of_hour("ts").alias("hour"),
+            F.col("event_type").alias("category"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("value").alias("total_revenue"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("total_quantity"),
+        )
+    )
+
+
+def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: daily rollup by region (user_id bucket), completed only
+    (01_init.sql:77-87)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(_completed())
+        .groupBy(
+            F.to_date("ts").alias("date"),
+            F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias("region"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("value").alias("total_revenue"),
+        )
+    )
+
+
+def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: dashboard single-value cards — total orders / total revenue."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(_completed()).agg(
+        F.count("*").alias("total_orders"),
+        dsum("value").alias("total_revenue"),
+    )
+
+
+def category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: revenue share by category (the dashboard donut) — per-category
+    revenue over grand total via an empty-frame window."""
+    ev = load_table(spark, sf_dir, "events")
+    per_cat = ev.groupBy(F.col("event_type").alias("category")).agg(
+        dsum("value").alias("revenue")
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return per_cat.select(
+        "category",
+        "revenue",
+        F.round(F.col("revenue") / total * 100, 4).alias("revenue_share_pct"),
+    )
+
+
+def region_revenue_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: revenue by region, sorted descending (the dashboard bar chart)."""
+    return daily_region_rollup(spark, sf_dir).groupBy("region").agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+    ).orderBy(F.desc("total_revenue"))
+
+
+def hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: hourly orders + revenue trend (dual-axis time series) — A1
+    re-aggregated across categories, demonstrating rollup-as-accelerator
+    (reads the A1 rollup, not the raw events)."""
+    a1 = hourly_category_rollup(spark, sf_dir)
+    return a1.groupBy("hour").agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+    )

@@ -1,0 +1,93 @@
+"""Window-function operators (SURVEY.md §2.5 — absent in reference, [EXT]).
+
+Every ordering includes a unique tiebreak column so results are fully
+deterministic (required for oracle hash-matching, and good practice anyway:
+``row_number`` over a non-total order is a latent flake at any scale).
+
+Scale notes: window partitions here are bounded (per-brand, per-customer,
+per-day) so state per partition is small; a window over an unbounded
+partition (e.g. ORDER BY over the whole table) is avoided except for the
+daily series, whose cardinality is O(days), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..sources.tables import load_table
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (row_number + filter)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rank_in_brand", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank_in_brand")
+    )
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        dsum("o_totalprice").alias("daily_revenue")
+    )
+
+
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average of daily revenue.
+
+    The inner sum is decimal-exact; the moving frame re-sums decimals and the
+    average divides as doubles at the end, so the whole thing is
+    order-independent.
+    """
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    frame_sum = F.sum(F.col("daily_revenue").cast("decimal(25,6)")).over(w).cast("double")
+    frame_cnt = F.count("*").over(w)
+    return daily.select(
+        "order_date",
+        "daily_revenue",
+        F.round(frame_sum / frame_cnt, 6).alias("revenue_ma7"),
+    )
+
+
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of daily revenue (unbounded-preceding frame)."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        "daily_revenue",
+        F.sum(F.col("daily_revenue").cast("decimal(25,6)")).over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+def order_gaps_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+def customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank + ntile over order value within each priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    ).filter(F.col("price_rank") <= 50)

@@ -1,0 +1,260 @@
+"""DuckDB oracle SQL for every driver-visible query.
+
+Each entry is ANSI-ish SQL in DuckDB's dialect, equivalent to the Spark
+DataFrame program of the same name in ``__spark_entry__.queries()``.  Column
+aliases match the Spark side exactly (driver compares by sorted column name).
+
+Money sums use the same decimal-exact trick as the Spark side
+(``functions.scalars.dsum``):  CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+— bit-identical to Spark's decimal sum regardless of execution order.
+"""
+
+from __future__ import annotations
+
+DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _dsum(x: str) -> str:
+    return DSUM.format(x=x)
+
+
+def _davg(x: str) -> str:
+    return f"{_dsum(x)} / COUNT({x})"
+
+
+ORACLE: dict[str, str] = {}
+
+# ---------------------------------------------------------------- rollups
+ORACLE["hourly_category_rollup"] = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       event_type AS category,
+       count(*) AS order_count,
+       {_dsum('value')} AS total_revenue,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_quantity
+FROM events
+WHERE event_type <> 'error'
+GROUP BY 1, 2
+"""
+
+ORACLE["daily_region_rollup"] = f"""
+SELECT CAST(ts AS DATE) AS date,
+       'region_' || CAST(user_id % 7 AS VARCHAR) AS region,
+       count(*) AS order_count,
+       {_dsum('value')} AS total_revenue
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+ORACLE["global_totals"] = f"""
+SELECT count(*) AS total_orders, {_dsum('value')} AS total_revenue
+FROM events WHERE event_type = 'purchase'
+"""
+
+ORACLE["category_revenue_share"] = f"""
+WITH per_cat AS (
+  SELECT event_type AS category, {_dsum('value')} AS revenue
+  FROM events GROUP BY 1
+)
+SELECT category, revenue,
+       round(revenue / sum(revenue) OVER () * 100, 4) AS revenue_share_pct
+FROM per_cat
+"""
+
+ORACLE["region_revenue_sorted"] = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         'region_' || CAST(user_id % 7 AS VARCHAR) AS region,
+         count(*) AS order_count,
+         {_dsum('value')} AS total_revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT region, CAST(sum(order_count) AS BIGINT) AS order_count,
+       {_dsum('total_revenue')} AS total_revenue
+FROM daily GROUP BY 1 ORDER BY total_revenue DESC
+"""
+
+ORACLE["hourly_trend"] = f"""
+WITH a1 AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type AS category,
+         count(*) AS order_count, {_dsum('value')} AS total_revenue
+  FROM events WHERE event_type <> 'error' GROUP BY 1, 2
+)
+SELECT hour, CAST(sum(order_count) AS BIGINT) AS order_count,
+       {_dsum('total_revenue')} AS total_revenue
+FROM a1 GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- relational
+ORACLE["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_davg('l_quantity')} AS avg_qty,
+       {_davg('l_extendedprice')} AS avg_price,
+       {_davg('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+ORACLE["q3_shipping_priority"] = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLE["q5_region_supplier_volume"] = f"""
+SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+ORACLE["market_segment_totals"] = f"""
+SELECT c_mktsegment,
+       count(*) AS order_count,
+       {_dsum('o_totalprice')} AS total_revenue,
+       {_davg('o_totalprice')} AS avg_order_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+ORACLE["customers_with_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLE["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+ORACLE["top_customers_by_revenue"] = f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS order_count, {_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, c_name, order_count, revenue
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE["distinct_customers_per_nation"] = """
+SELECT n_name,
+       count(DISTINCT o_custkey) AS distinct_customers,
+       count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+ORACLE["repeat_customers_both_years"] = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+ORACLE["one_year_only_customers"] = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+ORACLE["priority_status_rollup"] = f"""
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS order_count, {_dsum('o_totalprice')} AS total_revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+ORACLE["status_pivot"] = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+FROM orders GROUP BY 1
+"""
+
+ORACLE["part_type_stats"] = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_type, 1, 6) AS type_prefix,
+       length(p_name) AS name_len,
+       round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+       round(ln(p_retailprice + 1), 6) AS log_price,
+       p_size % 5 AS size_mod5
+FROM part
+"""
+
+# ---------------------------------------------------------------- windows
+ORACLE["top_parts_per_brand"] = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rank_in_brand FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rank_in_brand
+  FROM part
+) WHERE rank_in_brand <= 3
+"""
+
+_DAILY_REV = f"""
+  SELECT CAST(o_orderdate AS DATE) AS order_date, {_dsum('o_totalprice')} AS daily_revenue
+  FROM orders GROUP BY 1
+"""
+
+ORACLE["moving_avg_daily_revenue"] = f"""
+WITH daily AS ({_DAILY_REV})
+SELECT order_date, daily_revenue,
+       round(
+         CAST(sum(CAST(daily_revenue AS DECIMAL(25,6)))
+              OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         6) AS revenue_ma7
+FROM daily
+"""
+
+ORACLE["cumulative_daily_revenue"] = f"""
+WITH daily AS ({_DAILY_REV})
+SELECT order_date, daily_revenue,
+       CAST(sum(CAST(daily_revenue AS DECIMAL(25,6)))
+            OVER (ORDER BY order_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS cum_revenue
+FROM daily
+"""
+
+ORACLE["order_gaps_per_customer"] = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev
+FROM orders
+"""
+
+ORACLE["customer_order_rank"] = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank()       OVER w AS price_rank,
+         dense_rank() OVER w AS price_dense_rank,
+         ntile(4)     OVER w AS price_quartile
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE price_rank <= 50
+"""

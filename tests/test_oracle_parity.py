@@ -1,0 +1,41 @@
+"""Driver-gate replica: every queries() entry with an oracle must match
+DuckDB exactly at sf0.01 (same comparison the driver runs, but stricter)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle_check import compare, duck_con
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(SF_DIR_ORACLE)
+
+
+def _cases():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    return sorted(q.keys()), q, o
+
+
+NAMES, QUERIES, ORACLES = _cases()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, con, name):
+    df = QUERIES[name](spark, SF_DIR_ORACLE)
+    if name not in ORACLES:
+        assert df.count() >= 0  # rows-only check, mirrors driver's weak path
+        return
+    problems = compare(df, con, ORACLES[name], name)
+    assert not problems, "\n".join(problems)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 2
