@@ -10,9 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational, rollups, windows
-
-_MODULES = [rollups, relational, windows]
+from . import dedup, relational, rollups, similarity, text, windows
 
 _NAMES = {
     rollups: [
@@ -44,6 +42,22 @@ _NAMES = {
         "cumulative_daily_revenue",
         "order_gaps_per_customer",
         "customer_order_rank",
+    ],
+    dedup: [
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "minhash_near_dup",
+        "simhash_fingerprints",
+    ],
+    text: [
+        "token_stats",
+        "quality_score",
+        "language_id",
+        "doc_fingerprint",
+    ],
+    similarity: [
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
     ],
 }
 

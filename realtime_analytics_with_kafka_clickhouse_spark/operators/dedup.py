@@ -1,0 +1,189 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.9 [EXT]).
+
+Implementations are pure DataFrame/higher-order-function programs — no
+Python UDFs — so they run JVM-side with whole-stage codegen and scale by
+partitioning:
+
+- exact dedup: hash group-by on the full text (at 100 TB: group on a
+  64-bit content hash first, rehash-confirm within groups).
+- n-gram Jaccard: shingle -> explode -> equi-join on shingle.  The join is
+  the scalable near-dup pattern (no O(n^2) cross join); a document-frequency
+  cap drops ubiquitous shingles, which is both a quality filter and the skew
+  guard that keeps the shingle join balanced at scale.
+- MinHash LSH: seeded-hash minima per (doc, seed) -> banded signatures ->
+  bucket join for candidates -> exact Jaccard verify.  State per doc is
+  k minhashes; candidate generation touches only same-bucket pairs.
+- SimHash: 32-bit fingerprints from word-hash sign sums.
+
+Hashes are md5-derived (functions.hashing) so the DuckDB oracle reproduces
+them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64, word_hash_expr
+from ..sources.tables import load_table
+
+# Shingle width for near-dup detection.
+NGRAM = 3
+# Skew/quality guard: ignore shingles present in more than this many docs.
+MAX_SHINGLE_DOC_FREQ = 100
+# MinHash family: 12 hash functions in 4 bands of 3 rows.
+MINHASH_K = 12
+MINHASH_BAND_ROWS = 3
+# Verified-near-dup threshold.
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("dup_count"),
+    ).select("keep_doc_id", "dup_count")
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct — word 3-grams via higher-order functions."""
+    words = F.split(F.col("text"), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return (
+        docs.filter(F.size(words) >= NGRAM)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
+    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    keep = doc_freq.filter(F.col("df") <= MAX_SHINGLE_DOC_FREQ).select("shingle")
+    return sh.join(F.broadcast(keep), "shingle")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard >= 0.5 (shingle equi-join, no cross
+    join)."""
+    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): banded minhash signatures.
+
+    Minima are computed per (doc, seed) after exploding a seed sequence —
+    one shuffle keyed on (doc, seed); signature assembly is a sorted
+    collect_list within (doc, band), deterministic because entries are
+    prefixed with the zero-padded seed index.
+    """
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed"),
+        "shingle",
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(
+        F.min(word_hash_expr("shingle", F.col("seed"))).alias("mh")
+    )
+    return (
+        minh.withColumn("band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.format_string("%02d:%d", F.col("seed"), F.col("mh")))
+                ),
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: banded signatures -> bucket join ->
+    exact-Jaccard verification (>= 0.5).  Output: (doc_a, doc_b, jaccard)."""
+    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
+    sig = _minhash_signatures(sh)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    candidates = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        ia.join(ib, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    verified = (
+        candidates.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from word-occurrence hash sign sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    tok = tok.withColumn("h", stable_hash64(F.col("word")))
+    bits = tok.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    # shiftleft/shiftright need expr() for a column shift amount.
+    per_bit = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )

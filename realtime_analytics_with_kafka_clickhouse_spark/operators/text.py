@@ -1,0 +1,114 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.9 [EXT]).
+
+All pure Column-expression / higher-order-function programs (JVM-side, no
+Python UDFs): token statistics, quality scoring, corpus-driven language
+identification, and rolling-hash fingerprints.
+
+Scale notes: token_stats/quality/fingerprint are embarrassingly parallel
+map-only plans (no shuffle at all).  language_id shuffles twice on
+low-cardinality keys (word, then doc) — the (word x lang) vocabulary table
+it builds is bounded by vocabulary size, not corpus size, so it broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..sources.tables import load_table
+
+_FP_MOD = 1_000_000_007
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (map-only, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    chars_no_space = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
+        (chars_no_space.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, lexical diversity, token
+    shape — the length/ratio scoring family used in LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n
+    avg_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (F.size(words) >= 5).alias("passes_min_length"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vote language ID (no external model, fully relational):
+
+    1. token -> majority language by document frequency (ties: lang asc);
+    2. document -> majority vote of its distinct tokens' languages
+       (ties: lang asc).
+
+    Output includes the ground-truth ``lang`` so accuracy is inspectable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    )
+    word_lang = tok.groupBy("word", "lang").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("word").orderBy(F.desc("df"), F.asc("lang"))
+    word_top = (
+        word_lang.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("word", F.col("lang").alias("word_lang"))
+    )
+    votes = (
+        tok.select("doc_id", "word")
+        .join(F.broadcast(word_top), "word")
+        .groupBy("doc_id", "word_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    v_rank = Window.partitionBy("doc_id").orderBy(F.desc("votes"), F.asc("word_lang"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(v_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word_lang").alias("predicted_lang"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "predicted_lang",
+            (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+        )
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint: left fold of
+    (acc*31 + h(word)) mod 1e9+7 over the token sequence (map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    hashes = F.transform(words, lambda w: stable_hash64(w))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

@@ -258,3 +258,188 @@ SELECT * FROM (
   WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
 ) WHERE price_rank <= 50
 """
+
+# ---------------------------------------------------------------- dedup [EXT]
+
+_H = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _h(x: str) -> str:
+    return _H.format(x=x)
+
+
+# Shared CTE: distinct word-3-gram shingles per doc, with the same
+# document-frequency cap as operators.dedup (MAX_SHINGLE_DOC_FREQ=100).
+_SHINGLES = """
+words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle) WHERE df <= 100),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+"""
+
+ORACLE["dedup_exact"] = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+ORACLE["ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLES}
+SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+ORACLE["minhash_near_dup"] = f"""
+WITH {_SHINGLES},
+seeded AS (
+  SELECT doc_id, t.seed, shingle FROM sh, UNNEST(range(0, 12)) AS t(seed)),
+minh AS (
+  SELECT doc_id, seed,
+         min({_h("concat_ws(chr(1), CAST(seed AS VARCHAR), shingle)")}) AS mh
+  FROM seeded GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+         array_to_string(list_sort(list(printf('%02d:%d', seed, mh))), ',') AS sig
+  FROM minh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+FROM cand
+JOIN inter USING (doc_a, doc_b)
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter / (sa.n + sb.n - inter) >= 0.5
+"""
+
+ORACLE["simhash_fingerprints"] = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+th AS (SELECT doc_id, {_h('word')} AS h FROM tok),
+bits AS (SELECT doc_id, h, b FROM th, UNNEST(range(0, 32)) AS t(b)),
+per_bit AS (
+  SELECT doc_id, b,
+         CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- text [EXT]
+
+ORACLE["token_stats"] = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+ORACLE["quality_score"] = """
+SELECT doc_id,
+       round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+           + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0),
+           6) AS quality_score,
+       len(string_split(text, ' ')) >= 5 AS passes_min_length
+FROM documents
+"""
+
+ORACLE["language_id"] = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+word_lang AS (SELECT word, lang, count(*) AS df FROM tok GROUP BY 1, 2),
+word_top AS (
+  SELECT word, lang AS word_lang FROM (
+    SELECT word, lang, row_number() OVER (PARTITION BY word ORDER BY df DESC, lang ASC) AS rn
+    FROM word_lang) WHERE rn = 1),
+votes AS (
+  SELECT doc_id, word_lang, count(*) AS votes
+  FROM tok JOIN word_top USING (word) GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, word_lang AS predicted_lang FROM (
+    SELECT doc_id, word_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, word_lang ASC) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT d.doc_id, d.lang, p.predicted_lang, d.lang = p.predicted_lang AS correct
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+"""
+
+ORACLE["doc_fingerprint"] = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ' '), w -> {_h('w')})),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+# ------------------------------------------------------------ similarity [EXT]
+
+_DOT_AB = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+  list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))),
+  (acc, x) -> acc + x)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_AB.format(a=a, b=b)
+
+
+_NORMED_V = f"""
+v AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings)
+"""
+
+ORACLE["ann_cosine_topk"] = f"""
+WITH {_NORMED_V},
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
+_PLANE_COMP = (
+    "(CASE WHEN " + _H.format(x="CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    + " % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+)
+
+ORACLE["ann_lsh_bucketed"] = f"""
+WITH {_NORMED_V},
+sv AS (
+  SELECT vec_id, embedding, nrm,
+         CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(0, 8), p ->
+             CASE WHEN
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 65), j ->
+                   {_PLANE_COMP} * CAST(embedding[j] AS DOUBLE))),
+                 (acc, x) -> acc + x) > 0
+             THEN pow(2.0, CAST(p AS DOUBLE)) ELSE 0.0 END)),
+           (acc, x) -> acc + x) AS BIGINT) AS sig
+  FROM v)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id
+"""
