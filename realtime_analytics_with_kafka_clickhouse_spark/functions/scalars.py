@@ -64,6 +64,8 @@ def parse_iso_ts_with_fallback(ts_str: Column, fallback: Column | None = None) -
     explicit fallback column so batch re-runs stay deterministic when one is
     provided).
     """
-    parsed = F.to_timestamp(F.regexp_replace(ts_str, "Z$", ""))
+    # try_to_timestamp: malformed input -> NULL (not an ANSI-mode error),
+    # mirroring the consumer's try/except ValueError fallback.
+    parsed = F.try_to_timestamp(F.regexp_replace(ts_str, "Z$", ""))
     fb = fallback if fallback is not None else F.current_timestamp()
     return F.coalesce(parsed, fb)

@@ -10,7 +10,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, relational, rollups, similarity, text, windows
+from . import dedup, multimodal, relational, rollups, similarity, text, windows
+from ..streaming import pipeline as _streaming_pipeline
 
 _NAMES = {
     rollups: [
@@ -58,6 +59,13 @@ _NAMES = {
     similarity: [
         "ann_cosine_topk",
         "ann_lsh_bucketed",
+    ],
+    multimodal: [
+        "media_metadata_stats",
+        "decode_features",
+    ],
+    _streaming_pipeline: [
+        "incremental_hourly_rollup",
     ],
 }
 

@@ -1,0 +1,113 @@
+"""Multimodal column conventions (SURVEY.md §2.9 [EXT]).
+
+Media is carried as an opaque ``binary`` column plus a typed metadata
+struct — the schema contract a 100 TB training-data pipeline needs:
+
+    content: binary, media: struct<format:string, width:int, height:int>
+
+The driver testdata has no real image/audio bytes, so ``media_table``
+derives deterministic binary content from ``documents.text`` (UTF-8 bytes);
+the *plumbing* — schema, Arrow batching, ``mapInPandas`` shape — is real
+and is exactly what a real decoder would ride on.
+
+``decode_features`` is the decode/feature-extract stage: an Arrow-batched
+``mapInPandas`` over the binary column.  Real image decoding (PIL/ffmpeg)
+is not available in this environment, so the decoder is a clearly-marked
+deterministic stub computing byte-level features; swap ``_decode_stub`` for
+a real decoder without touching the Spark plumbing.
+
+Scale notes: mapInPandas streams Arrow record batches (no per-row Python),
+binary columns stay off the shuffle path (map-only plan), and feature
+extraction parallelizes per file split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+_FORMATS = ["png", "jpeg", "wav"]
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("byte_histogram8", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> multimodal layout: binary content + metadata struct."""
+    docs = load_table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _FORMATS]), (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            fmt.alias("format"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) * 160 + 320).cast("int").alias("width"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) * 120 + 240).cast("int").alias("height"),
+        ).alias("media"),
+    )
+
+
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata/projection over the multimodal table — binary length,
+    format, aspect class — all JVM-side (no decode)."""
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+        F.col("media.format").alias("format"),
+        (F.col("media.format") != "wav").alias("is_image"),
+        (F.col("media.width").cast("double") / F.col("media.height").cast("double")).alias("aspect_ratio"),
+    )
+
+
+def _decode_stub(content: bytes) -> tuple[int, int, list[int]]:
+    """STUB decoder: deterministic byte-level features in place of a real
+    image/audio decode (decode libs unavailable in this environment).
+    Returns (n_bytes, checksum, 8-bin byte histogram)."""
+    checksum = 0
+    hist = [0] * 8
+    for b in content:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+        hist[b >> 5] += 1
+    return len(content), checksum, hist
+
+
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column."""
+    m = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, checksums, hists = [], [], []
+            for content in pdf["content"]:
+                n, c, h = _decode_stub(bytes(content))
+                n_bytes.append(n)
+                checksums.append(c)
+                hists.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m["format"] for m in pdf["media"]],
+                    "n_bytes": n_bytes,
+                    "checksum": checksums,
+                    "byte_histogram8": hists,
+                }
+            )
+
+    return m.mapInPandas(extract, schema=FEATURE_SCHEMA)

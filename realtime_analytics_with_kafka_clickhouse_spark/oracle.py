@@ -443,3 +443,32 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
 FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id
 """
+
+# ------------------------------------------------------- multimodal [EXT]
+
+ORACLE["media_metadata_stats"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+       (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] <> 'wav' AS is_image,
+       CAST((doc_id % 4) * 160 + 320 AS DOUBLE)
+         / CAST((doc_id % 3) * 120 + 240 AS DOUBLE) AS aspect_ratio
+FROM documents
+"""
+# NOTE: decode_features (mapInPandas binary decode) intentionally has no
+# oracle — byte-level decode is not SQL-expressible; driver records the
+# rows-only check.
+
+# ------------------------------------------------------- streaming parity
+
+# Incremental-equals-batch invariant: the MERGE-maintained rollup must equal
+# the one-shot aggregation, late/out-of-order batches included.
+ORACLE["incremental_hourly_rollup"] = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       event_type AS category,
+       count(*) AS order_count,
+       {_dsum('value')} AS total_revenue
+FROM events
+WHERE event_type <> 'error'
+GROUP BY 1, 2
+"""

@@ -1,0 +1,3 @@
+from .layout import expire_ttl, read_orders_table, write_orders_table
+
+__all__ = ["expire_ttl", "read_orders_table", "write_orders_table"]

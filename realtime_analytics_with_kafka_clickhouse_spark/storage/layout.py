@@ -1,0 +1,75 @@
+"""Raw-table storage layout + retention (SURVEY.md §1.2, §7-M4).
+
+ClickHouse DDL -> Spark physical layout:
+
+- ``PARTITION BY toYYYYMM(order_timestamp)``
+  (/root/reference/clickhouse/init/01_init.sql:28) -> parquet
+  ``partitionBy(order_month)`` — partition pruning for month predicates.
+- ``ORDER BY (order_timestamp, order_id)`` (:29) ->
+  ``sortWithinPartitions`` before write — parquet row-group min/max stats
+  then give the same data-skipping as ClickHouse's sparse PK index.
+- ``TTL order_timestamp + INTERVAL 365 DAY`` (:30) -> ``expire_ttl``:
+  whole-month partition drops (cheap, metadata-only at scale) + an exact
+  boundary-month rewrite.
+
+At 100 TB: monthly partitions keep file counts sane; within a month the
+sort gives ~sequential scans for time-range queries, and writers should
+additionally split by a bucket column if a single month exceeds a few TB.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.normalize import with_partition_month
+
+
+def write_orders_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write orders as month-partitioned, time-sorted parquet."""
+    (
+        with_partition_month(df)
+        .repartition("order_month")
+        .sortWithinPartitions("order_timestamp", "order_id")
+        .write.mode(mode)
+        .partitionBy("order_month")
+        .parquet(path)
+    )
+
+
+def read_orders_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
+    """Apply the 365-day-style TTL: drop expired month partitions, rewrite
+    the boundary month exactly.  Returns the dropped/rewritten partitions.
+
+    ``cutoff_ts``: ISO timestamp; rows with order_timestamp < cutoff are
+    expired (matches DELETE WHERE semantics of the ClickHouse TTL).
+    """
+    root = Path(path)
+    cutoff = spark.sql(f"SELECT CAST('{cutoff_ts}' AS TIMESTAMP) c").collect()[0]["c"]
+    cutoff_month = cutoff.year * 100 + cutoff.month
+    touched: list[str] = []
+    for part_dir in sorted(root.glob("order_month=*")):
+        month = int(part_dir.name.split("=", 1)[1])
+        if month < cutoff_month:
+            shutil.rmtree(part_dir)  # whole partition expired: metadata-cheap drop
+            touched.append(f"dropped:{part_dir.name}")
+        elif month == cutoff_month:
+            # Boundary month: exact rewrite of the surviving suffix.
+            surviving = (
+                spark.read.parquet(str(part_dir))
+                .filter(F.col("order_timestamp") >= F.lit(cutoff_ts).cast("timestamp"))
+                .sortWithinPartitions("order_timestamp", "order_id")
+            )
+            tmp = str(part_dir) + ".ttl_tmp"
+            surviving.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part_dir)
+            Path(tmp).rename(part_dir)
+            touched.append(f"rewrote:{part_dir.name}")
+    return touched

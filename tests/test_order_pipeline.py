@@ -1,0 +1,81 @@
+"""Order wire-format pipeline: generator -> JSON wire -> parse -> normalize
+(SURVEY.md §5.2 edge semantics: Z-suffix fallback, defaults, money
+invariant, Unicode fidelity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+    normalize_orders,
+    parse_wire,
+    recompute_total,
+    with_partition_month,
+)
+from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+    generate_orders,
+    to_wire,
+)
+
+
+def test_generator_deterministic_and_distributed(spark):
+    a = generate_orders(spark, 500, seed=7).collect()
+    b = generate_orders(spark, 500, seed=7).collect()
+    assert a == b
+    c = generate_orders(spark, 500, seed=8).collect()
+    assert a != c
+
+
+def test_wire_roundtrip_preserves_unicode_and_values(spark):
+    orders = generate_orders(spark, 300, seed=42)
+    wire = to_wire(orders)
+    parsed = normalize_orders(parse_wire(wire))
+    src = orders.orderBy("order_id", "order_timestamp", "customer_id").collect()
+    out = parsed.orderBy("order_id", "order_timestamp", "customer_id").collect()
+    assert len(src) == len(out)
+    thai_seen = False
+    for s, o in zip(src, out):
+        assert o["product_name"] == s["product_name"]  # Unicode-clean end-to-end
+        assert o["total_amount"] == s["total_amount"]
+        assert o["order_timestamp"] == s["order_timestamp"]
+        thai_seen = thai_seen or any("฀" <= ch <= "๿" for ch in s["product_name"])
+    assert thai_seen, "catalog must exercise Thai text"
+
+
+def test_malformed_timestamp_falls_back(spark):
+    orders = generate_orders(spark, 200, seed=1)
+    wire = to_wire(orders, malform_every=5)
+    fallback = F.lit("2030-01-01 00:00:00").cast("timestamp")
+    parsed = normalize_orders(parse_wire(wire), fallback_ts=fallback)
+    n_fallback = parsed.filter(F.col("order_timestamp") == fallback).count()
+    assert n_fallback > 0  # some rows malformed -> pinned fallback applied
+    assert parsed.filter(F.col("order_timestamp").isNull()).count() == 0
+
+
+def test_missing_fields_get_defaults(spark):
+    raw = spark.createDataFrame(
+        [('{"order_id": "ORD-2026-00001"}',), ("not json at all",)], ["value"]
+    )
+    parsed = normalize_orders(parse_wire(raw), fallback_ts=F.lit("2030-01-01").cast("timestamp"))
+    rows = parsed.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r["order_id"] == "ORD-2026-00001"][0]
+    assert good["customer_id"] == ""
+    assert good["quantity"] == 1
+    assert good["unit_price"] == 0.0
+    bad = [r for r in rows if r["order_id"] == ""][0]  # unparseable -> all defaults
+    assert bad["total_amount"] == 0.0
+
+
+def test_total_amount_invariant(spark):
+    orders = generate_orders(spark, 400, seed=42)
+    checked = recompute_total(orders)
+    assert checked.filter(~F.col("total_consistent")).count() == 0
+
+
+def test_partition_month_key(spark):
+    orders = generate_orders(spark, 100, seed=42)
+    m = with_partition_month(orders).select("order_month").distinct().collect()
+    months = sorted(r["order_month"] for r in m)
+    assert months and all(202601 <= x <= 202603 for x in months)
+    assert len(months) >= 2  # span exercises partition pruning
