@@ -1,0 +1,84 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties —
+pushdown, pruning, broadcast, shuffle minimality — asserted as plan facts.
+A failure here is a would-be cluster meltdown caught at test time."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+    count_shuffles,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_q1_filter_pushed_to_scan(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "LessThanOrEqual" in pushed
+
+
+def test_q1_column_pruning(spark, queries):
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    (cols,) = read_schema_columns(df)
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }  # 7 of 11 columns: projection must prune the scan
+
+
+def test_dim_joins_broadcast(spark, queries):
+    for name in (
+        "q3_shipping_priority",
+        "q5_region_supplier_volume",
+        "market_segment_totals",
+        "top_customers_by_revenue",
+    ):
+        df = queries[name](spark, SF_DIR)
+        assert has_broadcast_join(df), f"{name}: dimension join must broadcast"
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" not in plan, f"{name}: no sort-merge for dims at this SF"
+
+
+def test_rollup_single_shuffle(spark, queries):
+    # One aggregation = exactly one shuffle (partial -> exchange -> final).
+    df = queries["daily_region_rollup"](spark, SF_DIR)
+    assert count_shuffles(df) == 1
+
+
+def test_rollup_has_partial_aggregation(spark, queries):
+    # Map-side combine: two HashAggregate rounds around the exchange.
+    plan = formatted_plan(queries["daily_region_rollup"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_scan_filter_pushdown_events(spark, queries):
+    df = queries["daily_region_rollup"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed and "purchase" in pushed
+
+
+def test_maponly_text_ops_no_shuffle(spark, queries):
+    for name in ("token_stats", "quality_score", "doc_fingerprint", "part_type_stats"):
+        df = queries[name](spark, SF_DIR)
+        assert count_shuffles(df) == 0, f"{name}: map-only operator must not shuffle"
+
+
+def test_wholestage_codegen_in_hot_path(spark, queries):
+    # simple-mode plan marks codegen stages with '*(n)'; AQE finalizes the
+    # plan only on execution, so run the query first.
+    df = queries["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan and "*(" in plan
