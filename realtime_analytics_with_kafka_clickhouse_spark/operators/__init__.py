@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, rollups, similarity, text, windows
+from . import dedup, multimodal, relational, rollups, similarity, text, timeseries, windows
 from ..streaming import pipeline as _streaming_pipeline
 
 _NAMES = {
@@ -36,6 +36,17 @@ _NAMES = {
         "priority_status_rollup",
         "status_pivot",
         "part_type_stats",
+        "price_band_join",
+        "priority_status_cube",
+    ],
+    timeseries: [
+        "user_sessionization",
+        "last_purchase_asof",
+        "value_percentiles",
+        "value_dispersion",
+        "events_props_normalize",
+        "revenue_union_ledger",
+        "approx_distinct_users",
     ],
     windows: [
         "top_parts_per_brand",

@@ -200,3 +200,34 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_size") % 5).alias("size_mod5"),
         )
     )
+
+
+def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts bucketed into literal price bands — the
+    small side broadcasts, so the range predicate evaluates map-side (a
+    BroadcastNestedLoopJoin at worst, never a shuffled cross join)."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1500.0), ("premium", 1500.0, 10_000_000.0)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            davg("p_retailprice").alias("avg_price"),
+        )
+    )
+
+
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping set over (priority, status): all 4 grouping levels in
+    one Expand + single aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("order_count"), dsum("o_totalprice").alias("total_revenue")
+    )

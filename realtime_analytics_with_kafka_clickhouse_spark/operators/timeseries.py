@@ -1,0 +1,150 @@
+"""Time-series operators over the events stream (SURVEY.md §2.5/§2.7 [EXT]):
+sessionization, as-of lookup, percentiles, dispersion — the analytics a
+real-time events pipeline needs beyond fixed-window rollups.
+
+Scale notes: everything here windows by ``user_id`` — bounded per-user
+state, shuffled once on the partition key.  ``value_dispersion`` computes
+variance from decimal-exact power sums instead of streaming M2 so the
+result is independent of partial-merge order (bit-stable at any
+parallelism, unlike built-in stddev/variance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dsum
+from ..sources.tables import load_table
+
+SESSION_GAP_SEC = 1800
+
+
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): running session ids via
+    lag + cumulative sum, then per-session aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | ((F.unix_micros(F.col("ts")) - prev_us) > SESSION_GAP_SEC * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("session_id", F.sum(is_new).over(run).cast("long"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("session_revenue"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0
+        ).alias("duration_sec"),
+    )
+
+
+def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: for every event, the user's most recent strictly-prior
+    purchase timestamp (last-ignore-nulls over an unbounded-preceding frame
+    — the composition-of-built-ins as-of join, SURVEY.md §2.4)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        last_purchase.alias("last_purchase_ts"),
+        F.when(
+            last_purchase.isNotNull(),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(last_purchase)) / 1_000_000.0,
+        ).alias("secs_since_purchase"),
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance/stddev from decimal-exact power sums — deterministic
+    under any partial-aggregation order, unlike streaming-M2 stddev."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+    )
+
+
+def events_props_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-parity on the events stream: JSON field extraction with defaults,
+    casts, and derived buckets (get_json_object + coalesce + cast)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    missing = F.get_json_object("props", "$.missing")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.alias("k"),
+        F.coalesce(missing, F.lit("n/a")).alias("missing_field"),
+        (k % 10).alias("k_bucket"),
+        (F.col("value") * k.cast("double")).alias("weighted_value"),
+    )
+
+
+def revenue_union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op breadth: one ledger from two revenue sources (orders +
+    purchase events) via unionByName on a conformed schema."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("source"),
+        F.col("o_orderkey").alias("ref_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.lit("events").alias("source"),
+        F.col("event_id").alias("ref_id"),
+        F.col("ts"),
+        F.col("value").alias("amount"),
+    )
+    return orders.unionByName(purchases)
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type — sketch aggregation
+    for 100 TB cardinality estimation.  No SQL oracle: HLL implementations
+    differ across engines; the exact companion is
+    ``distinct_customers_per_nation``."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -472,3 +472,98 @@ FROM events
 WHERE event_type <> 'error'
 GROUP BY 1, 2
 """
+
+# ------------------------------------------------------- timeseries [EXT]
+
+ORACLE["user_sessionization"] = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       {_dsum('value')} AS session_revenue,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+FROM sess GROUP BY 1, 2
+"""
+
+ORACLE["last_purchase_asof"] = """
+SELECT event_id, user_id, ts, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts,
+       CASE WHEN last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NOT NULL
+            THEN (epoch_us(ts) - epoch_us(
+                   last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))) / 1000000.0
+       END AS secs_since_purchase
+FROM events
+"""
+
+ORACLE["value_percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY 1
+"""
+
+ORACLE["value_dispersion"] = """
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1)
+SELECT event_type, n,
+       round(s1 / n, 6) AS mean_value,
+       round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_value,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_value
+FROM agg
+"""
+
+ORACLE["events_props_normalize"] = """
+SELECT event_id, event_type,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+       coalesce(json_extract_string(props, '$.missing'), 'n/a') AS missing_field,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) % 10 AS k_bucket,
+       value * CAST(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS DOUBLE)
+         AS weighted_value
+FROM events
+"""
+
+ORACLE["revenue_union_ledger"] = """
+SELECT 'orders' AS source, o_orderkey AS ref_id, o_orderdate AS ts, o_totalprice AS amount
+FROM orders
+UNION ALL
+SELECT 'events' AS source, event_id AS ref_id, ts, value AS amount
+FROM events WHERE event_type = 'purchase'
+"""
+
+# approx_distinct_users: HLL sketches differ across engines -> rows-only.
+
+ORACLE["price_band_join"] = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1500.0), ('premium', 1500.0, 10000000.0))
+SELECT band, count(*) AS n_parts, {_davg('p_retailprice')} AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY 1
+"""
+
+ORACLE["priority_status_cube"] = f"""
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS order_count, {_dsum('o_totalprice')} AS total_revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
