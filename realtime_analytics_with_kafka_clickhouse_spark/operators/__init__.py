@@ -70,6 +70,7 @@ _NAMES = {
     similarity: [
         "ann_cosine_topk",
         "ann_lsh_bucketed",
+        "label_centroids",
     ],
     multimodal: [
         "media_metadata_stats",

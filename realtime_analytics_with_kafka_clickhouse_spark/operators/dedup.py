@@ -68,7 +68,10 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     keep = doc_freq.filter(F.col("df") <= MAX_SHINGLE_DOC_FREQ).select("shingle")
-    return sh.join(F.broadcast(keep), "shingle")
+    # cache(): the shingle set feeds 3+ downstream branches (sizes,
+    # intersection join both sides, minhash) — without it Spark re-derives
+    # the explode per branch.
+    return sh.join(F.broadcast(keep), "shingle").cache()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

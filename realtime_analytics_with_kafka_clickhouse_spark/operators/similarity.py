@@ -22,10 +22,9 @@ the plane matrix once and broadcast it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import stable_hash64
 from ..sources.tables import load_table
 
 DIM = 64
@@ -52,28 +51,52 @@ def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors per vector (brute-force baseline)."""
-    v = _normed_vectors(spark, sf_dir)
-    a = v.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id", cos.alias("cos_sim"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+    """Exact top-5 cosine neighbors per vector — blocked matmul.
+
+    The candidate matrix is broadcast once; each Arrow batch of query
+    vectors computes cosines against ALL candidates in a single float64
+    matmul and emits only its top-k — O(k) output per row, never an O(n^2)
+    materialized pair table.  At 100 TB the same shape applies with the
+    candidate side blocked/IVF-partitioned (see ``ann_lsh_bucketed``).
+
+    Cosines round to 6 decimals BEFORE ranking, with neighbor-id tiebreak,
+    so ranking is deterministic and matches the fold-order-exact SQL oracle
+    (matmul-vs-fold float error ~1e-15 is absorbed by the rounding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    cand_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    cand = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cand_unit = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cand_ids, cand_unit))
+
+    def topk(batches):
+        ids_b, unit_b = bc.value
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            q_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cos = np.round(q_unit @ unit_b.T, 6)
+            out_vec, out_nbr, out_cos, out_rank = [], [], [], []
+            for qi, vid in enumerate(pdf["vec_id"]):
+                row = cos[qi]
+                mask = ids_b != vid
+                order = np.lexsort((ids_b[mask], -row[mask]))[:TOP_K]
+                sel_ids = ids_b[mask][order]
+                sel_cos = row[mask][order]
+                out_vec.extend([vid] * len(order))
+                out_nbr.extend(sel_ids.tolist())
+                out_cos.extend(sel_cos.tolist())
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"vec_id": out_vec, "neighbor_id": out_nbr,
+                 "cos_sim": out_cos, "rank": out_rank}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        topk, schema="vec_id long, neighbor_id long, cos_sim double, rank long"
     )
 
 
@@ -84,22 +107,37 @@ def _signature_col(e: Column) -> Column:
     (incl. the oracle); a production deployment precomputes the plane matrix
     once and broadcasts it instead of hashing per row.
     """
-    def plane_comp(p, j):
-        h = stable_hash64(F.concat_ws(":", p.cast("string"), j.cast("string")))
-        return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    planes = _plane_matrix()  # precomputed once, embedded as literals
 
-    def plane_dot(p):
-        prods = F.transform(
-            F.sequence(F.lit(1), F.lit(DIM)),
-            lambda j: plane_comp(p, j) * F.element_at(e, j).cast("double"),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    def _prod_fn(lp):
+        # closure factory: keeps the Spark HOF lambda single-argument
+        return lambda j: F.element_at(lp, j) * F.element_at(e, j).cast("double")
 
-    bit_vals = F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
-        lambda p: F.when(plane_dot(p) > 0, F.pow(F.lit(2.0), p.cast("double"))).otherwise(F.lit(0.0)),
-    )
-    return F.aggregate(bit_vals, F.lit(0.0), lambda acc, x: acc + x).cast("long")
+    bit_vals = []
+    for p in range(LSH_PLANES):
+        lit_plane = F.array(*[F.lit(x) for x in planes[p]])
+        prods = F.transform(F.sequence(F.lit(1), F.lit(DIM)), _prod_fn(lit_plane))
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bit_vals.append(F.when(dot > 0, F.lit(float(1 << p))).otherwise(F.lit(0.0)))
+    sig = bit_vals[0]
+    for b in bit_vals[1:]:
+        sig = sig + b
+    return sig.cast("long")
+
+
+def _plane_matrix() -> list[list[float]]:
+    """±1 hyperplane components, identical to the oracle's md5 derivation
+    (plane_p[j] = +1 iff md5-hash of "p:j" is odd) but computed once on the
+    driver instead of per row."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1.0 if h(f"{p}:{j}") % 2 == 1 else -1.0 for j in range(1, DIM + 1)]
+        for p in range(LSH_PLANES)
+    ]
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,3 +160,34 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
+
+
+LABEL_CENTROID_SCHEMA = "label int, dim int, centroid double"
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF surface (SURVEY.md §2.8): per-label embedding
+    centroids via ``applyInPandas`` — Arrow-batched numpy math per group.
+
+    Rows are sorted by vec_id inside the UDF so the float accumulation
+    order is deterministic; results are rounded to 6 decimals to absorb
+    the (deterministic-but-different) summation-tree vs the SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        mean = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(1, mean.shape[0] + 1, dtype=np.int32),
+                "centroid": np.round(mean, 6),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(centroid, schema=LABEL_CENTROID_SCHEMA)

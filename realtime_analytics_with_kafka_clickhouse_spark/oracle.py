@@ -567,3 +567,12 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
+
+ORACLE["label_centroids"] = """
+WITH ed AS (
+  SELECT label, vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, 65)) AS t(i))
+SELECT label, CAST(dim AS INT) AS dim,
+       round(CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6) AS centroid
+FROM ed GROUP BY 1, 2
+"""

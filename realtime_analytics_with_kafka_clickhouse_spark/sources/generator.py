@@ -74,7 +74,20 @@ def _weighted(seed: int, salt: str, cum_pct: list[int], values: list) -> Column:
 
 def generate_orders(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """n synthetic orders with reference-like distributions, multi-day span."""
-    base = spark.range(n)  # column `id`
+    return orders_projection(spark.range(n), seed)
+
+
+def rate_orders_stream(spark: SparkSession, rows_per_second: int = 50, seed: int = 42) -> DataFrame:
+    """S3 live mode: rate source -> order projection — the streaming analog
+    of the reference producer's paced loop
+    (/root/reference/producers/sales_producer.py:196,205-221), defaulting to
+    its documented 50 orders/sec (README.md:71-72)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return orders_projection(rate.select(F.col("value").alias("id")), seed)
+
+
+def orders_projection(base: DataFrame, seed: int = 42) -> DataFrame:
+    """Project an `id` column into full order rows (works on range or rate)."""
     cat = F.array(*[F.struct(F.lit(p).alias("pid"), F.lit(nm).alias("pname"),
                              F.lit(c).alias("cat"), F.lit(pr).alias("price"))
                     for p, nm, c, pr in CATALOG])

@@ -124,3 +124,40 @@ def run_file_stream_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def with_observed_metrics(df: DataFrame, observation=None, name: str = "ingest_metrics") -> DataFrame:
+    """A4 parity: the producer/consumer live counters
+    (/root/reference/producers/sales_producer.py:150-153,181-186;
+    /root/reference/consumers/kafka_to_clickhouse.py:36-41,140-147) as
+    ``observe`` metrics — per-epoch row count / revenue sum / avg order
+    value, surfaced through QueryProgress or ``Observation`` without a
+    second pass over the data."""
+    return df.observe(
+        observation if observation is not None else name,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("value").alias("revenue"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+def windowed_stateful_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The *alternative* MV strategy: engine-state tumbling-window
+    aggregation with a watermark.  Late events beyond the watermark are
+    DROPPED — a semantic divergence from the reference's
+    unbounded-lateness MVs (SURVEY.md §2.7), which is why the MERGE path
+    (merge_rollup) is the default; this exists for pipelines that prefer
+    bounded engine state over table-side merge."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type").alias("category"))
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("value").alias("total_revenue"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "category", "order_count", "total_revenue"
+        )
+    )

@@ -83,3 +83,59 @@ def test_file_stream_incremental_equals_batch(spark):
         want = hourly_rollup_aggregate(events)
         diff = got.exceptAll(want).count() + want.exceptAll(got).count()
         assert diff == 0
+
+
+def test_observed_metrics_single_pass(spark):
+    """A4 parity: observe() metrics piggyback the batch without a second scan."""
+    from pyspark.sql import Observation
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        with_observed_metrics,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    obs = Observation("ingest_metrics")
+    df = with_observed_metrics(events, observation=obs)
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == events.count()
+    assert abs(got["revenue"] - events.agg(F.sum("value")).collect()[0][0]) < 1e-6
+
+
+def test_windowed_stateful_rollup_equals_batch_when_no_late_data(spark):
+    """The watermark alternative agrees with the MERGE path when nothing is
+    late (single epoch); its late-drop divergence is documented behavior."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        hourly_rollup_aggregate,
+        windowed_stateful_rollup,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/incoming"
+        events.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = windowed_stateful_rollup(stream.filter(F.col("event_type") != "error"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_rollup")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT * FROM win_rollup")
+        want = hourly_rollup_aggregate(events)
+        assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_rate_orders_stream_shape(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+        generate_orders,
+        rate_orders_stream,
+    )
+
+    live = rate_orders_stream(spark, rows_per_second=50)
+    assert live.isStreaming
+    assert live.schema == generate_orders(spark, 1).schema
