@@ -2,8 +2,10 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.  Each query is timed as a full
-execute-and-drain (count() materializes every partition) after a small
-warm-up action that pays one-time JVM/codegen costs.
+execute-and-drain through the noop sink — every output column of every row
+is produced and shipped to the writer, so Catalyst cannot prune unreferenced
+projections the way a bare count() would (map-only queries are measured for
+real).  A small warm-up action pays one-time JVM/codegen costs first.
 """
 
 from __future__ import annotations
@@ -40,9 +42,14 @@ def main() -> None:
         n for n in sorted(queries) if n not in HEADLINE
     ]
 
+    def materialize(df) -> None:
+        # Full materialization: the noop sink consumes every column of every
+        # row (unlike count(), which lets Catalyst drop the projections).
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm-up: JVM classloading + codegen paths, not counted.
     spark.range(1000).selectExpr("sum(id)").collect()
-    queries[names[0]](spark, SF_DIR).count()
+    materialize(queries[names[0]](spark, SF_DIR))
 
     # Two iterations per query, report the best: the first run of a plan pays
     # one-time whole-stage-codegen compilation (seconds), which on a real
@@ -52,7 +59,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            queries[name](spark, SF_DIR).count()
+            materialize(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

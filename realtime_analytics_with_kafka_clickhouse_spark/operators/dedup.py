@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import stable_hash64, word_hash_expr
+from ..functions.hashing import word_hash_expr
 from ..sources.tables import load_table
 
 # Shingle width for near-dup detection.
@@ -144,49 +144,69 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ia = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    ib = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        ia.join(ib, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # Candidate-only verification — the whole point of LSH.  Shingle sets are
+    # materialized ONLY for docs that appear in some candidate pair (semi-join
+    # against the candidate doc ids), then exact Jaccard is computed per
+    # candidate pair via array_intersect.  Verify cost is O(|candidates| *
+    # avg_shingles), never the full co-shingle self-join the brute-force
+    # ngram_jaccard_pairs path does.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    verified = (
-        candidates.join(inter, ["doc_a", "doc_b"])
-        .join(sa, "doc_a")
+    doc_sets = (
+        sh.join(cand_docs, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"), F.col("n").alias("na")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
+    return (
+        candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return verified
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document from word-occurrence hash sign sums."""
+    """32-bit SimHash per document from word-occurrence hash sign sums.
+
+    Map-only: the whole fingerprint folds per row with higher-order
+    functions — token hashes accumulate into a 32-slot bit-sum array
+    (one pass over the tokens), then the signs pack into the final
+    integer.  Zero shuffles, zero explodes; at 100 TB this is a pure
+    scan+project stage (pinned by tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
-    tok = tok.withColumn("h", stable_hash64(F.col("word")))
-    bits = tok.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(text, ' '),
+                        w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)),
+              array_repeat(CAST(0 AS BIGINT), 32),
+              (acc, h) -> zip_with(acc, sequence(0, 31),
+                                   (a, b) -> a + CASE WHEN (shiftright(h, b) & 1) = 1
+                                                 THEN 1 ELSE -1 END)
+            ),
+            sequence(0, 31),
+            (s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)
+                      ELSE CAST(0 AS BIGINT) END
+          ),
+          CAST(0 AS BIGINT),
+          (acc, x) -> acc + x
+        )
+        """
     )
-    # shiftleft/shiftright need expr() for a column shift amount.
-    per_bit = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
-    )
+    return docs.select("doc_id", simhash.alias("simhash"))

@@ -36,13 +36,11 @@ from ..sources.tables import load_table
 _FORMATS = ["png", "jpeg", "wav"]
 
 FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("format", T.StringType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("checksum", T.LongType()),
-        T.StructField("byte_histogram8", T.ArrayType(T.LongType())),
-    ]
+    [T.StructField("doc_id", T.LongType()), T.StructField("format", T.StringType())]
+    + [T.StructField("n_bytes", T.LongType()), T.StructField("checksum", T.LongType())]
+    # 8-bin byte histogram as scalar columns (hist_0..hist_7): flat scalars
+    # keep the output sortable/hashable for any downstream consumer.
+    + [T.StructField(f"hist_{i}", T.LongType()) for i in range(8)]
 )
 
 
@@ -100,14 +98,14 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bytes.append(n)
                 checksums.append(c)
                 hists.append(h)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "format": [m["format"] for m in pdf["media"]],
-                    "n_bytes": n_bytes,
-                    "checksum": checksums,
-                    "byte_histogram8": hists,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "format": [m["format"] for m in pdf["media"]],
+                "n_bytes": n_bytes,
+                "checksum": checksums,
+            }
+            for i in range(8):
+                out[f"hist_{i}"] = [h[i] for h in hists]
+            yield pd.DataFrame(out)
 
     return m.mapInPandas(extract, schema=FEATURE_SCHEMA)

@@ -30,24 +30,38 @@ from ..sources.tables import load_table
 # "valid event" predicate — the F1 analog of WHERE order_status = 'completed'
 # (/root/reference/clickhouse/init/01_init.sql:73,86).  Lazy because Column
 # construction needs an active session in classic PySpark.
-def _completed():
+def completed():
     return F.col("event_type") == "purchase"
 
 
+def quantity_key():
+    """Quantity-like measure: props.k (FIXTURES.md §3), defaulted to 0."""
+    return F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+
+
+def category_key():
+    """Category dimension independent of the status column — a props-derived
+    bucket (cat_0..cat_4), the analog of A2's user-bucket region.  Keeping
+    category separate from event_type lets A1 carry the reference MV's real
+    WHERE order_status = 'completed' filter (01_init.sql:73)."""
+    return F.concat(F.lit("cat_"), (quantity_key() % 5).cast("string"))
+
+
 def hourly_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: hourly rollup by category (event_type), completed-analog filter dropped
-    to keep all categories — the per-category MV shape of 01_init.sql:63-74."""
+    """A1: hourly rollup by category over completed orders only — the MV of
+    01_init.sql:63-74 (toStartOfHour x category -> count/revenue/quantity,
+    WHERE order_status = 'completed')."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.filter(F.col("event_type") != "error")
+        ev.filter(completed())
         .groupBy(
             to_start_of_hour("ts").alias("hour"),
-            F.col("event_type").alias("category"),
+            category_key().alias("category"),
         )
         .agg(
             F.count("*").alias("order_count"),
             dsum("value").alias("total_revenue"),
-            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("total_quantity"),
+            F.sum(quantity_key()).alias("total_quantity"),
         )
     )
 
@@ -57,7 +71,7 @@ def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (01_init.sql:77-87)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.filter(_completed())
+        ev.filter(completed())
         .groupBy(
             F.to_date("ts").alias("date"),
             F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias("region"),
@@ -72,7 +86,7 @@ def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: dashboard single-value cards — total orders / total revenue."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.filter(_completed()).agg(
+    return ev.filter(completed()).agg(
         F.count("*").alias("total_orders"),
         dsum("value").alias("total_revenue"),
     )
@@ -80,9 +94,10 @@ def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def category_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: revenue share by category (the dashboard donut) — per-category
-    revenue over grand total via an empty-frame window."""
+    revenue over grand total via an empty-frame window, completed orders
+    only (the dashboard reads the A1 rollup)."""
     ev = load_table(spark, sf_dir, "events")
-    per_cat = ev.groupBy(F.col("event_type").alias("category")).agg(
+    per_cat = ev.filter(completed()).groupBy(category_key().alias("category")).agg(
         dsum("value").alias("revenue")
     )
     total = F.sum("revenue").over(Window.partitionBy())

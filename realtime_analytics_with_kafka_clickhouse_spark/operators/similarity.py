@@ -22,6 +22,8 @@ the plane matrix once and broadcast it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,28 +55,34 @@ def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors per vector — blocked matmul.
 
-    The candidate matrix is broadcast once; each Arrow batch of query
-    vectors computes cosines against ALL candidates in a single float64
-    matmul and emits only its top-k — O(k) output per row, never an O(n^2)
-    materialized pair table.  At 100 TB the same shape applies with the
-    candidate side blocked/IVF-partitioned (see ``ann_lsh_bucketed``).
+    Each ``mapInPandas`` task loads the (bounded) candidate matrix straight
+    from storage — the driver never materializes or ships the table, so
+    there is no ``collect()`` anywhere in the lineage and no driver-memory
+    ceiling.  Arrow batches of query vectors compute cosines against all
+    candidates in one float64 matmul and emit only their top-k — O(k)
+    output per row, never an O(n^2) materialized pair table.  At 100 TB
+    the candidate side would be blocked/IVF-partitioned with a final
+    per-query top-k merge (see ``ann_lsh_bucketed`` for the LSH variant).
 
     Cosines round to 6 decimals BEFORE ranking, with neighbor-id tiebreak,
     so ranking is deterministic and matches the fold-order-exact SQL oracle
     (matmul-vs-fold float error ~1e-15 is absorbed by the rounding).
     """
     import numpy as np
-    import pandas as pd
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()
-    cand_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    cand = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    cand_unit = cand / np.linalg.norm(cand, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((cand_ids, cand_unit))
+    cand_path = os.path.join(sf_dir, "embeddings.parquet")
 
     def topk(batches):
-        ids_b, unit_b = bc.value
+        # Executor-side candidate load: one read per task, amortized over
+        # every Arrow batch the task processes.
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(cand_path, columns=["vec_id", "embedding"])
+        ids_b = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        cand = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        unit_b = cand / np.linalg.norm(cand, axis=1, keepdims=True)
         for pdf in batches:
             q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             q_unit = q / np.linalg.norm(q, axis=1, keepdims=True)

@@ -140,11 +140,22 @@ def revenue_union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type — sketch aggregation
-    for 100 TB cardinality estimation.  No SQL oracle: HLL implementations
-    differ across engines; the exact companion is
-    ``distinct_customers_per_nation``."""
+    for 100 TB cardinality estimation.
+
+    HLL sketch values differ across engines, so the driver-visible output
+    carries the exact count plus a boolean asserting the sketch landed
+    within 10x its configured relative error (rsd=0.01) — the oracle emits
+    the same exact count and a literal TRUE, which makes sketch quality
+    itself part of the hash-checked contract.  The raw approximate value is
+    tolerance-tested in the pytest suite."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= 0.1).alias("approx_within_10x_rsd"),
     )

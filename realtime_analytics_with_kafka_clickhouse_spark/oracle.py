@@ -25,16 +25,25 @@ def _davg(x: str) -> str:
 ORACLE: dict[str, str] = {}
 
 # ---------------------------------------------------------------- rollups
-ORACLE["hourly_category_rollup"] = f"""
+
+# A1's category dimension: a props-derived bucket independent of the status
+# column (event_type), so the MV's WHERE order_status='completed' filter is
+# carried faithfully.  Matches operators.rollups.category_key/quantity_key.
+_QTY = "coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)"
+_CAT = f"'cat_' || CAST({_QTY} % 5 AS VARCHAR)"
+
+_A1 = f"""
 SELECT date_trunc('hour', ts) AS hour,
-       event_type AS category,
+       {_CAT} AS category,
        count(*) AS order_count,
        {_dsum('value')} AS total_revenue,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_quantity
+       CAST(sum({_QTY}) AS BIGINT) AS total_quantity
 FROM events
-WHERE event_type <> 'error'
+WHERE event_type = 'purchase'
 GROUP BY 1, 2
 """
+
+ORACLE["hourly_category_rollup"] = _A1
 
 ORACLE["daily_region_rollup"] = f"""
 SELECT CAST(ts AS DATE) AS date,
@@ -53,8 +62,8 @@ FROM events WHERE event_type = 'purchase'
 
 ORACLE["category_revenue_share"] = f"""
 WITH per_cat AS (
-  SELECT event_type AS category, {_dsum('value')} AS revenue
-  FROM events GROUP BY 1
+  SELECT {_CAT} AS category, {_dsum('value')} AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
 )
 SELECT category, revenue,
        round(revenue / sum(revenue) OVER () * 100, 4) AS revenue_share_pct
@@ -75,11 +84,7 @@ FROM daily GROUP BY 1 ORDER BY total_revenue DESC
 """
 
 ORACLE["hourly_trend"] = f"""
-WITH a1 AS (
-  SELECT date_trunc('hour', ts) AS hour, event_type AS category,
-         count(*) AS order_count, {_dsum('value')} AS total_revenue
-  FROM events WHERE event_type <> 'error' GROUP BY 1, 2
-)
+WITH a1 AS ({_A1})
 SELECT hour, CAST(sum(order_count) AS BIGINT) AS order_count,
        {_dsum('total_revenue')} AS total_revenue
 FROM a1 GROUP BY 1
@@ -455,23 +460,34 @@ SELECT doc_id,
          / CAST((doc_id % 3) * 120 + 240 AS DOUBLE) AS aspect_ratio
 FROM documents
 """
-# NOTE: decode_features (mapInPandas binary decode) intentionally has no
-# oracle — byte-level decode is not SQL-expressible; driver records the
-# rows-only check.
+# decode_features: the stub decoder is plain integer arithmetic over the
+# UTF-8 bytes (rolling checksum + 8-bin histogram), so the oracle re-derives
+# it from hex pairs of encode(text).  A real image decoder would not be
+# SQL-expressible and would fall back to the rows-only check.
+_HIST = ",\n       ".join(
+    f"CAST(len(list_filter(bytes, x -> (x >> 5) = {i})) AS BIGINT) AS hist_{i}"
+    for i in range(8)
+)
+
+ORACLE["decode_features"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents)
+SELECT doc_id, format,
+       CAST(len(bytes) AS BIGINT) AS n_bytes,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a, x) -> (a * 131 + x) % 1000000007) AS checksum,
+       {_HIST}
+FROM b
+"""
 
 # ------------------------------------------------------- streaming parity
 
 # Incremental-equals-batch invariant: the MERGE-maintained rollup must equal
-# the one-shot aggregation, late/out-of-order batches included.
-ORACLE["incremental_hourly_rollup"] = f"""
-SELECT date_trunc('hour', ts) AS hour,
-       event_type AS category,
-       count(*) AS order_count,
-       {_dsum('value')} AS total_revenue
-FROM events
-WHERE event_type <> 'error'
-GROUP BY 1, 2
-"""
+# the one-shot aggregation (A1), late/out-of-order batches included.
+ORACLE["incremental_hourly_rollup"] = _A1
 
 # ------------------------------------------------------- timeseries [EXT]
 
@@ -551,7 +567,15 @@ SELECT 'events' AS source, event_id AS ref_id, ts, value AS amount
 FROM events WHERE event_type = 'purchase'
 """
 
-# approx_distinct_users: HLL sketches differ across engines -> rows-only.
+# approx_distinct_users: the sketch value itself differs across engines, so
+# the contract is (exact count, sketch-within-tolerance boolean); the oracle
+# asserts the tolerance holds by emitting TRUE.
+ORACLE["approx_distinct_users"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_10x_rsd
+FROM events GROUP BY 1
+"""
 
 ORACLE["price_band_join"] = f"""
 WITH bands(band, lo, hi) AS (

@@ -38,16 +38,20 @@ ROLLUP_KEYS = ["hour", "category"]
 
 def hourly_rollup_aggregate(batch: DataFrame) -> DataFrame:
     """The A1 rollup aggregation over one micro-batch of events
-    (hour x category -> count/revenue), matching operators.rollups."""
+    (hour x category -> count/revenue/quantity over completed orders),
+    identical semantics to operators.rollups.hourly_category_rollup."""
+    from ..operators.rollups import category_key, completed, quantity_key
+
     return (
-        batch.filter(F.col("event_type") != "error")
+        batch.filter(completed())
         .groupBy(
             to_start_of_hour("ts").alias("hour"),
-            F.col("event_type").alias("category"),
+            category_key().alias("category"),
         )
         .agg(
             F.count("*").alias("order_count"),
             dsum("value").alias("total_revenue"),
+            F.sum(quantity_key()).alias("total_quantity"),
         )
     )
 
@@ -64,6 +68,7 @@ def merge_rollup(spark: SparkSession, rollup_dir: str, batch_partials: DataFrame
     merged = unioned.groupBy(*ROLLUP_KEYS).agg(
         F.sum("order_count").alias("order_count"),
         dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
     )
     tmp = f"{rollup_dir}.swap-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
@@ -150,14 +155,22 @@ def windowed_stateful_rollup(
     unbounded-lateness MVs (SURVEY.md §2.7), which is why the MERGE path
     (merge_rollup) is the default; this exists for pipelines that prefer
     bounded engine state over table-side merge."""
+    from ..operators.rollups import category_key, completed, quantity_key
+
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type").alias("category"))
+        .filter(completed())
+        .groupBy(F.window("ts", "1 hour").alias("win"), category_key().alias("category"))
         .agg(
             F.count("*").alias("order_count"),
             dsum("value").alias("total_revenue"),
+            F.sum(quantity_key()).alias("total_quantity"),
         )
         .select(
-            F.col("win.start").alias("hour"), "category", "order_count", "total_revenue"
+            F.col("win.start").alias("hour"),
+            "category",
+            "order_count",
+            "total_revenue",
+            "total_quantity",
         )
     )

@@ -70,7 +70,15 @@ def test_scan_filter_pushdown_events(spark, queries):
 
 
 def test_maponly_text_ops_no_shuffle(spark, queries):
-    for name in ("token_stats", "quality_score", "doc_fingerprint", "part_type_stats"):
+    # simhash_fingerprints included: the whole fingerprint folds per row
+    # (HOF aggregate), so it must plan as a pure scan+project stage.
+    for name in (
+        "token_stats",
+        "quality_score",
+        "doc_fingerprint",
+        "part_type_stats",
+        "simhash_fingerprints",
+    ):
         df = queries[name](spark, SF_DIR)
         assert count_shuffles(df) == 0, f"{name}: map-only operator must not shuffle"
 
