@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.scalars import money_round, parse_iso_ts_with_fallback, to_yyyymm
 from ..schemas import ORDER_WIRE_SCHEMA
@@ -42,6 +43,39 @@ def parse_wire(raw: DataFrame, value_col: str = "value") -> DataFrame:
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), ORDER_WIRE_SCHEMA).alias("o")
     ).select("o.*")
+
+
+def parse_wire_with_dlq(raw: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """P1 with a dead-letter path: (parsed, quarantined).
+
+    ``from_json`` in PERMISSIVE mode captures unparseable input in a
+    corrupt-record column; those rows keep their raw payload and go to the
+    quarantine side instead of being silently defaulted to empty-string
+    rows (the reference consumer drops failed batches on the floor after
+    retries — /root/reference/consumers/kafka_to_clickhouse.py:127-129; a
+    corrupt record in an ingest engine must stay inspectable, not vanish).
+
+    Both sides derive from one projection, so in a streaming foreachBatch
+    the batch is scanned once (persist) and split by the corrupt test.
+    """
+    corrupt = "_corrupt_record"
+    schema = T.StructType(ORDER_WIRE_SCHEMA.fields + [T.StructField(corrupt, T.StringType())])
+    tagged = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    is_corrupt = F.col(f"_parsed.{corrupt}").isNotNull() | F.col("_parsed").isNull()
+    parsed = tagged.filter(~is_corrupt).select("_parsed.*").drop(corrupt)
+    quarantined = tagged.filter(is_corrupt).select(
+        F.col(value_col).cast("string").alias("raw_payload"),
+        F.lit("json_parse_failed").alias("error"),
+        F.current_timestamp().alias("_quarantined_at"),
+    )
+    return parsed, quarantined
 
 
 def normalize_orders(parsed: DataFrame, fallback_ts: Column | None = None) -> DataFrame:

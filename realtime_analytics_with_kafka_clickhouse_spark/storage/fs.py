@@ -1,0 +1,78 @@
+"""Hadoop FileSystem operations for table maintenance.
+
+Storage maintenance (partition drops, atomic-ish directory swaps, merge
+markers) must work wherever the table lives — HDFS, S3A, GCS, local — so
+everything goes through the Hadoop FileSystem API of the active session's
+JVM rather than POSIX ``shutil``/``pathlib`` (which silently do nothing
+against an object store).
+
+Caveat, stated rather than hidden: directory rename is atomic on HDFS and
+POSIX but copy+delete on S3A.  The merge protocol therefore also records a
+batch-id marker *inside* the swapped directory (state and data travel
+together), and replayed batches are skipped by id — so a crash mid-swap is
+repaired by replaying the batch, not by trusting rename atomicity.  A
+production deployment on object storage would use a transactional table
+format (Delta/Iceberg) for the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.exists(p)
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.delete(p, recursive)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, src_p = _fs(spark, src)
+    _, dst_p = _fs(spark, dst)
+    return fs.rename(src_p, dst_p)
+
+
+def list_dir(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if missing."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(p))
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Small-file read (markers); None if missing."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        out = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            out.append(b)
+        return out.decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Small-file overwrite-write (markers)."""
+    fs, p = _fs(spark, path)
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()

@@ -19,12 +19,10 @@ additionally split by a bucket column if a single month exceeds a few TB.
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs
 from ..operators.normalize import with_partition_month
 
 
@@ -50,26 +48,31 @@ def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
 
     ``cutoff_ts``: ISO timestamp; rows with order_timestamp < cutoff are
     expired (matches DELETE WHERE semantics of the ClickHouse TTL).
+
+    All directory operations go through the Hadoop FileSystem API
+    (storage.fs) so the job behaves identically on HDFS/S3A/local.
     """
-    root = Path(path)
     cutoff = spark.sql(f"SELECT CAST('{cutoff_ts}' AS TIMESTAMP) c").collect()[0]["c"]
     cutoff_month = cutoff.year * 100 + cutoff.month
     touched: list[str] = []
-    for part_dir in sorted(root.glob("order_month=*")):
-        month = int(part_dir.name.split("=", 1)[1])
+    for name in fs.list_dir(spark, path):
+        if not name.startswith("order_month="):
+            continue
+        month = int(name.split("=", 1)[1])
+        part_dir = f"{path}/{name}"
         if month < cutoff_month:
-            shutil.rmtree(part_dir)  # whole partition expired: metadata-cheap drop
-            touched.append(f"dropped:{part_dir.name}")
+            fs.delete(spark, part_dir)  # whole partition expired: metadata-cheap drop
+            touched.append(f"dropped:{name}")
         elif month == cutoff_month:
             # Boundary month: exact rewrite of the surviving suffix.
             surviving = (
-                spark.read.parquet(str(part_dir))
+                spark.read.parquet(part_dir)
                 .filter(F.col("order_timestamp") >= F.lit(cutoff_ts).cast("timestamp"))
                 .sortWithinPartitions("order_timestamp", "order_id")
             )
-            tmp = str(part_dir) + ".ttl_tmp"
+            tmp = part_dir + ".ttl_tmp"
             surviving.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(part_dir)
-            Path(tmp).rename(part_dir)
-            touched.append(f"rewrote:{part_dir.name}")
+            fs.delete(spark, part_dir)
+            fs.rename(spark, tmp, part_dir)
+            touched.append(f"rewrote:{name}")
     return touched

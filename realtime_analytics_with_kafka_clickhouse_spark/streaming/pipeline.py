@@ -22,18 +22,22 @@ key-bounded) rollup table and atomically swap directories.
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalars import dsum, to_start_of_hour
 from ..sources.tables import load_table
+from ..storage import fs
 
 ROLLUP_KEYS = ["hour", "category"]
+
+# Marker file recorded inside the rollup directory after each merged batch:
+# makes foreachBatch replay (post-crash re-delivery of the same epoch)
+# idempotent — an already-merged batch id is skipped instead of re-summed.
+MERGE_MARKER = "_LAST_MERGED_BATCH"
 
 
 def hourly_rollup_aggregate(batch: DataFrame) -> DataFrame:
@@ -56,11 +60,31 @@ def hourly_rollup_aggregate(batch: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup(spark: SparkSession, rollup_dir: str, batch_partials: DataFrame) -> None:
+def last_merged_batch(spark: SparkSession, rollup_dir: str) -> int | None:
+    """Highest batch id already folded into the rollup (None if fresh)."""
+    text = fs.read_text(spark, f"{rollup_dir}/{MERGE_MARKER}")
+    return int(text) if text else None
+
+
+def merge_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    batch_partials: DataFrame,
+    batch_id: int | None = None,
+) -> bool:
     """MERGE batch partials into the stored rollup (SummingMergeTree fold):
-    equal-key rows re-sum; new keys append.  Atomic directory swap."""
-    root = Path(rollup_dir)
-    if root.exists():
+    equal-key rows re-sum; new keys append.  Directory swap through the
+    Hadoop FileSystem API (HDFS/S3A/local alike), with the merged batch id
+    recorded INSIDE the new directory — data and dedup state swap together,
+    so replaying an epoch after a crash is a skip, not a double-count.
+
+    Returns True if the batch was merged, False if skipped as a replay.
+    """
+    if batch_id is not None:
+        seen = last_merged_batch(spark, rollup_dir)
+        if seen is not None and batch_id <= seen:
+            return False
+    if fs.exists(spark, rollup_dir):
         current = spark.read.parquet(rollup_dir)
         unioned = current.unionByName(batch_partials)
     else:
@@ -72,9 +96,12 @@ def merge_rollup(spark: SparkSession, rollup_dir: str, batch_partials: DataFrame
     )
     tmp = f"{rollup_dir}.swap-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    if root.exists():
-        shutil.rmtree(root)
-    Path(tmp).rename(root)
+    if batch_id is not None:
+        # Underscore-prefixed: invisible to parquet file discovery.
+        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
+    fs.delete(spark, rollup_dir)
+    fs.rename(spark, tmp, rollup_dir)
+    return True
 
 
 def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,18 +111,45 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then return the final rollup.  The oracle is the one-shot GROUP BY: the
     invariant IS the query."""
     events = load_table(spark, sf_dir, "events")
+    # Driver-local scratch space (not table storage): tempfile/shutil are
+    # appropriate here; table maintenance itself goes through storage.fs.
+    import shutil
+
     workdir = tempfile.mkdtemp(prefix="rollup_inc_")
-    rollup_dir = str(Path(workdir) / "sales_by_category_hourly")
+    rollup_dir = f"{workdir}/sales_by_category_hourly"
     try:
         for i in range(4):
             chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk))
+            merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk), batch_id=i)
         final = spark.read.parquet(rollup_dir)
         # Materialize before the workdir disappears.
         out = spark.createDataFrame(final.collect(), schema=final.schema)
         return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def process_ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    raw_dir: str,
+    rollup_dir: str,
+) -> None:
+    """One foreachBatch epoch, idempotent under replay:
+
+    (a) the raw append targets ``raw_dir/ingest_epoch=<batch_id>`` with
+        overwrite — a replayed epoch rewrites its own directory instead of
+        appending duplicates (the epoch id doubles as a partition column);
+    (b) the rollup MERGE carries the batch id and is skipped if that id is
+        already recorded in the rollup's marker (see ``merge_rollup``).
+    """
+    batch_df.persist()
+    try:
+        batch_df.write.mode("overwrite").parquet(f"{raw_dir}/ingest_epoch={batch_id}")
+        merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(batch_df), batch_id=batch_id)
+    finally:
+        batch_df.unpersist()
 
 
 def run_file_stream_pipeline(
@@ -108,16 +162,13 @@ def run_file_stream_pipeline(
 ) -> None:
     """True Structured Streaming path: file-stream source (Kafka stand-in for
     tests — identical sink logic), availableNow trigger, foreachBatch
-    appending raw + MERGE-ing the rollup.  Exactly-once per epoch via
-    checkpointing + idempotent merge."""
+    appending raw + MERGE-ing the rollup.  Exactly-once per epoch:
+    checkpointing fixes the batch contents, and ``process_ingest_batch`` is
+    idempotent per batch id (raw writes land in an epoch directory that
+    replays overwrite; the merge skips already-recorded batch ids)."""
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            batch_df.write.mode("append").parquet(raw_dir)
-            merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(batch_df))
-        finally:
-            batch_df.unpersist()
+        process_ingest_batch(spark, batch_df, batch_id, raw_dir, rollup_dir)
 
     q = (
         spark.readStream.schema(schema)
@@ -129,6 +180,20 @@ def run_file_stream_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_orders_stream(orders: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup (SURVEY.md §2.9): drop re-delivered order ids
+    within the watermark horizon via ``dropDuplicatesWithinWatermark`` —
+    the at-least-once-to-effectively-once repair for the wire path (the
+    generator's 90k order-id space plants real collisions, FIXTURES.md §1).
+
+    Scale note: state is keyed by order_id but EXPIRES with the watermark,
+    unlike ``dropDuplicates`` whose state grows without bound on a stream —
+    at 100 TB/day that difference is the job surviving the week."""
+    return orders.withWatermark("order_timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["order_id"]
+    )
 
 
 def with_observed_metrics(df: DataFrame, observation=None, name: str = "ingest_metrics") -> DataFrame:

@@ -1,0 +1,78 @@
+"""Kafka ops parity (S7 topic DDL, F2 system-topic filter) against a fake
+admin client — no broker exists in this environment — plus a builder smoke
+test for the source/sink option plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_analytics_with_kafka_clickhouse_spark.sources.admin import (
+    DEFAULT_TOPICS,
+    TopicExistsError,
+    ensure_topics,
+    list_user_topics,
+)
+
+
+class FakeAdmin:
+    def __init__(self, existing=()):
+        self.topics = set(existing)
+        self.created = []
+
+    def create_topics(self, names_partitions_rf):
+        for name, p, r in names_partitions_rf:
+            if name in self.topics:
+                raise TopicExistsError(name)
+            self.topics.add(name)
+            self.created.append((name, p, r))
+
+    def list_topics(self):
+        return list(self.topics)
+
+
+def test_ensure_topics_creates_with_reference_config():
+    admin = FakeAdmin()
+    results = ensure_topics(admin)
+    assert [(r.name, r.partitions, r.status) for r in results] == [
+        ("sales_orders", 3, "created")
+    ]
+    assert admin.created == list(DEFAULT_TOPICS)  # 3 partitions, RF 1
+
+
+def test_ensure_topics_tolerates_existing():
+    admin = FakeAdmin(existing={"sales_orders"})
+    results = ensure_topics(admin)
+    assert results[0].status == "exists"
+    assert admin.created == []
+
+
+def test_ensure_topics_records_errors():
+    class BrokenAdmin(FakeAdmin):
+        def create_topics(self, names_partitions_rf):
+            raise RuntimeError("boom")
+
+    results = ensure_topics(BrokenAdmin(), [("t", 1, 1)])
+    assert results[0].status.startswith("error:")
+
+
+def test_list_user_topics_filters_system_topics():
+    admin = FakeAdmin(existing={"__consumer_offsets", "_schemas", "sales_orders", "audit"})
+    assert list_user_topics(admin) == ["audit", "sales_orders"]
+
+
+def test_kafka_reader_builder_options(spark):
+    """S1 smoke: the reader builder must at least produce a streaming
+    DataFrame with the kafka wire schema when the connector is available;
+    without the connector jar the builder itself must still compose."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.kafka import (
+        read_orders_stream,
+    )
+
+    try:
+        df = read_orders_stream(spark, bootstrap_servers="localhost:19092")
+    except Exception as e:  # connector jar not shipped with plain pyspark
+        msg = str(e)
+        assert "kafka" in msg.lower()
+        pytest.skip("kafka connector not available in sandbox")
+    assert df.isStreaming
+    assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)

@@ -67,6 +67,56 @@ def test_missing_fields_get_defaults(spark):
     assert bad["total_amount"] == 0.0
 
 
+def test_corrupt_records_quarantined_with_payload(spark):
+    """Dead-letter path: unparseable records keep their raw payload in the
+    quarantine side instead of becoming all-default rows."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        parse_wire_with_dlq,
+    )
+
+    good = to_wire(generate_orders(spark, 50, seed=9))
+    bad = spark.createDataFrame(
+        [("not json at all",), ('{"order_id": truncated',), ("12345",)], ["value"]
+    )
+    ok, dlq = parse_wire_with_dlq(good.union(bad))
+    assert ok.count() == 50
+    dlq_rows = dlq.collect()
+    assert {r["raw_payload"] for r in dlq_rows} == {
+        "not json at all",
+        '{"order_id": truncated',
+        "12345",
+    }  # payloads preserved verbatim
+    assert {r["error"] for r in dlq_rows} == {"json_parse_failed"}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """FIXTURES.md §1 duplicate order_ids: re-delivered records are dropped
+    by dropDuplicatesWithinWatermark keyed on order_id."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        dedup_orders_stream,
+    )
+
+    orders = generate_orders(spark, 300, seed=3).dropDuplicates(["order_id"])
+    n_unique = orders.count()
+    dup = orders.limit(60)  # re-deliveries: same order_id, same event time
+    src = str(tmp_path / "wire")
+    orders.union(dup).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    q = (
+        dedup_orders_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM dedup_out")
+    assert got.count() == n_unique
+    assert got.select("order_id").distinct().count() == n_unique
+
+
 def test_total_amount_invariant(spark):
     orders = generate_orders(spark, 400, seed=42)
     checked = recompute_total(orders)

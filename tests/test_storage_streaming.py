@@ -85,6 +85,32 @@ def test_file_stream_incremental_equals_batch(spark):
         assert diff == 0
 
 
+def test_ingest_batch_replay_is_idempotent(spark):
+    """Crash-replay semantics: re-delivering the same epoch must not
+    double-count — the raw epoch directory overwrites itself and the merge
+    skips already-recorded batch ids."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        last_merged_batch,
+        process_ingest_batch,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(1000)
+    with tempfile.TemporaryDirectory() as d:
+        raw, rollup = f"{d}/raw", f"{d}/rollup"
+        process_ingest_batch(spark, events, 0, raw, rollup)
+        first_raw = spark.read.parquet(raw).count()
+        first_rollup = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+        # Replay the SAME epoch (what foreachBatch does after a crash).
+        process_ingest_batch(spark, events, 0, raw, rollup)
+        assert spark.read.parquet(raw).count() == first_raw
+        assert sorted(map(tuple, spark.read.parquet(rollup).collect())) == first_rollup
+        assert last_merged_batch(spark, rollup) == 0
+        # The next epoch still merges.
+        process_ingest_batch(spark, events, 1, raw, rollup)
+        assert spark.read.parquet(raw).count() == 2 * first_raw
+        assert last_merged_batch(spark, rollup) == 1
+
+
 def test_observed_metrics_single_pass(spark):
     """A4 parity: observe() metrics piggyback the batch without a second scan."""
     from pyspark.sql import Observation
