@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import word_hash_expr
 from ..sources.tables import load_table
 
 # Shingle width for near-dup detection.
@@ -34,6 +33,27 @@ MAX_SHINGLE_DOC_FREQ = 100
 # MinHash family: 12 hash functions in 4 bands of 3 rows.
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 3
+# Universal-hash modulus for the derived family (31-bit prime).
+MINHASH_MOD = 2147483647
+
+
+def _minhash_coeffs(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """(a_i, b_i) for the derived hash family h_i(x) = (a_i*x + b_i) mod p.
+
+    One md5 per shingle (the 28-bit base) plus k cheap linear combinations
+    replaces k md5 evaluations per shingle.  Coefficients are md5-derived
+    constants so both engines embed identical literals; a_i stays odd and
+    all products stay < 2^57 (no 64-bit overflow on either engine).
+    """
+    import hashlib
+
+    def h7(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    return [(h7(f"a:{i}") * 2 + 1, h7(f"b:{i}")) for i in range(k)]
+
+
+MINHASH_COEFFS = _minhash_coeffs()
 # Verified-near-dup threshold.
 JACCARD_THRESHOLD = 0.5
 
@@ -104,30 +124,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): banded minhash signatures.
 
-    Minima are computed per (doc, seed) after exploding a seed sequence —
-    one shuffle keyed on (doc, seed); signature assembly is a sorted
-    collect_list within (doc, band), deterministic because entries are
-    prefixed with the zero-padded seed index.
+    One md5 per (doc, shingle) row yields a 28-bit base; the k family
+    members are linear combinations of it (MINHASH_COEFFS), folded as k
+    ``min`` aggregate columns in a SINGLE groupBy(doc_id) — one shuffle of
+    k longs per doc, no seed explosion (the previous shape shuffled k x the
+    shingle volume and ran k md5s per shingle).  Band signatures then
+    assemble map-side from the k columns.
     """
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("seed"),
-        "shingle",
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint")
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
     )
-    minh = seeded.groupBy("doc_id", "seed").agg(
-        F.min(word_hash_expr("shingle", F.col("seed"))).alias("mh")
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.format_string("%02d:%d", F.lit(i), F.col(f"mh_{i}"))
+                        for i in range(
+                            band * MINHASH_BAND_ROWS, (band + 1) * MINHASH_BAND_ROWS
+                        )
+                    ],
+                ).alias("sig"),
+            )
+            for band in range(n_bands)
+        ]
     )
-    return (
-        minh.withColumn("band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(F.format_string("%02d:%d", F.col("seed"), F.col("mh")))
-                ),
-            ).alias("sig")
-        )
+    return minh.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
@@ -138,11 +168,15 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(sh)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # cache(): the candidate pair set (tiny — LSH's whole job is keeping it
+    # small) feeds three downstream branches (the verify join and both sides
+    # of cand_docs); without it the bucket self-join re-executes per branch.
     candidates = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .cache()
     )
     # Candidate-only verification — the whole point of LSH.  Shingle sets are
     # materialized ONLY for docs that appear in some candidate pair (semi-join

@@ -305,18 +305,44 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
+# MinHash hash family: identical literal coefficients as the Spark side
+# (operators.dedup.MINHASH_COEFFS) over the same 28-bit md5 base.
+from .operators.dedup import (  # noqa: E402
+    MINHASH_BAND_ROWS,
+    MINHASH_COEFFS,
+    MINHASH_K,
+    MINHASH_MOD,
+)
+
+_MH_COLS = ",\n         ".join(
+    f"min(({a} * base + {b}) % {MINHASH_MOD}) AS mh_{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+
+def _band_sig(band: int) -> str:
+    parts = [
+        f"printf('%02d:%d', {i}, mh_{i})"
+        for i in range(band * MINHASH_BAND_ROWS, (band + 1) * MINHASH_BAND_ROWS)
+    ]
+    return " || ',' || ".join(parts)
+
+
+_SIGS_UNION = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {band} AS band, {_band_sig(band)} AS sig FROM minh"
+    for band in range(MINHASH_K // MINHASH_BAND_ROWS)
+)
+
 ORACLE["minhash_near_dup"] = f"""
 WITH {_SHINGLES},
-seeded AS (
-  SELECT doc_id, t.seed, shingle FROM sh, UNNEST(range(0, 12)) AS t(seed)),
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS base FROM sh),
 minh AS (
-  SELECT doc_id, seed,
-         min({_h("concat_ws(chr(1), CAST(seed AS VARCHAR), shingle)")}) AS mh
-  FROM seeded GROUP BY 1, 2),
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hashes GROUP BY 1),
 sigs AS (
-  SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-         array_to_string(list_sort(list(printf('%02d:%d', seed, mh))), ',') AS sig
-  FROM minh GROUP BY 1, 2),
+  {_SIGS_UNION}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
