@@ -26,6 +26,11 @@ _NAMES = {
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q18_large_volume_customers",
+        "q19_bracket_predicates",
         "market_segment_totals",
         "customers_with_orders",
         "customers_without_orders",
@@ -41,6 +46,7 @@ _NAMES = {
     ],
     timeseries: [
         "user_sessionization",
+        "session_window_rollup",
         "last_purchase_asof",
         "value_percentiles",
         "value_dispersion",
@@ -70,6 +76,8 @@ _NAMES = {
     similarity: [
         "ann_cosine_topk",
         "ann_lsh_bucketed",
+        "ann_ivf_topk",
+        "embedding_near_dup",
         "label_centroids",
     ],
     multimodal: [

@@ -170,6 +170,65 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup cosine threshold.  The driver fixture plants no true embedding
+# duplicates (max pairwise cosine ~0.51), so the demo threshold sits where
+# the fixture has signal; a production dedup pass would use ~0.95+.
+EMB_NEAR_DUP_THRESHOLD = 0.3
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (dedup family, SURVEY.md §2.9): LSH-bucketed
+    candidate pairs filtered to cosine >= threshold.  The bucket join keeps
+    candidate generation ~linear; the threshold is the dedup decision.
+    Output: (vec_a, vec_b, cos_sim)."""
+    return ann_lsh_bucketed(spark, sf_dir).filter(
+        F.col("cos_sim") >= EMB_NEAR_DUP_THRESHOLD
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the scale path next to brute force): the ``label``
+    column acts as the coarse quantizer cell (probe=1), and exact top-k runs
+    only WITHIN each cell as a grouped-map matmul — candidate count per
+    query drops from n to n/cells, and each cell block fits executor memory
+    by construction.  A trained IVF would assign cells by nearest centroid;
+    the fixture's label IS that assignment, so the Spark plumbing (grouped
+    Arrow blocks, per-block matmul, per-row top-k) is the real thing.
+
+    Cosines round to 6 decimals before ranking with neighbor-id tiebreak —
+    deterministic, oracle-reproducible (same trick as ann_cosine_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(unit @ unit.T, 6)
+        out_vec, out_nbr, out_cos, out_rank = [], [], [], []
+        for qi, vid in enumerate(ids):
+            row = cos[qi]
+            mask = ids != vid
+            order = np.lexsort((ids[mask], -row[mask]))[:TOP_K]
+            sel_ids = ids[mask][order]
+            sel_cos = row[mask][order]
+            out_vec.extend([vid] * len(order))
+            out_nbr.extend(sel_ids.tolist())
+            out_cos.extend(sel_cos.tolist())
+            out_rank.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {"vec_id": out_vec, "neighbor_id": out_nbr,
+             "cos_sim": out_cos, "rank": out_rank}
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        cell_topk, schema="vec_id long, neighbor_id long, cos_sim double, rank long"
+    )
+
+
 LABEL_CENTROID_SCHEMA = "label int, dim int, centroid double"
 
 

@@ -46,6 +46,35 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation (SURVEY.md §2.7 [EXT]): the
+    streaming-capable session operator, here in batch — merges events into
+    sessions while consecutive gaps stay under 30 minutes.
+
+    Semantics pinned: a gap of EXACTLY the gap duration starts a NEW
+    session (session_window's window is [start, last+gap)), and the
+    reported session_end is last_event_ts + gap, both mirrored in the
+    oracle.  ``user_sessionization`` is the lag/cumsum formulation of the
+    same operator with closed-boundary semantics; this one state-merges,
+    which is what ``withWatermark`` + append mode needs on a live stream."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), f"{SESSION_GAP_SEC} seconds")
+    return (
+        ev.groupBy("user_id", win.alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_revenue"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_revenue",
+        )
+    )
+
+
 def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of lookup: for every event, the user's most recent strictly-prior
     purchase timestamp (last-ignore-nulls over an unbounded-preceding frame

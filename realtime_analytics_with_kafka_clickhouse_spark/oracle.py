@@ -131,6 +131,59 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY 1
 """
 
+ORACLE["q6_forecast_revenue"] = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE["q10_returned_items"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE["q14_promo_revenue"] = f"""
+SELECT round(100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_dsum('l_extendedprice * (1 - l_discount)')}, 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+ORACLE["q18_large_volume_customers"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING {_dsum('l_quantity')} > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+ORACLE["q19_bracket_predicates"] = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+"""
+
 ORACLE["market_segment_totals"] = f"""
 SELECT c_mktsegment,
        count(*) AS order_count,
@@ -475,6 +528,26 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id
 """
 
+ORACLE["embedding_near_dup"] = f"""
+SELECT * FROM ({ORACLE['ann_lsh_bucketed']}) WHERE cos_sim >= 0.3
+"""
+
+ORACLE["ann_ivf_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
 # ------------------------------------------------------- multimodal [EXT]
 
 ORACLE["media_metadata_stats"] = """
@@ -536,6 +609,28 @@ SELECT user_id, session_id,
        {_dsum('value')} AS session_revenue,
        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
 FROM sess GROUP BY 1, 2
+"""
+
+# session_window semantics: a gap of EXACTLY the gap duration opens a NEW
+# session (window is [start, last+gap)), and session_end = last event + gap.
+ORACLE["session_window_rollup"] = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {_dsum('value')} AS session_revenue
+FROM sess GROUP BY user_id, sid
 """
 
 ORACLE["last_purchase_asof"] = """
