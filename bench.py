@@ -63,6 +63,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # Ingest-path throughput (BASELINE.md parity row: the reference consumer
+    # caps out near 100 msg/s per consumer; the target is >= 50 orders/s).
+    # Measures the full wire path: synthesize -> JSON-encode -> parse with
+    # dead-letter split -> normalize -> materialize.
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        normalize_orders,
+        parse_wire_with_dlq,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+        generate_orders,
+        to_wire,
+    )
+
+    n_ingest = 200_000
+    wire = to_wire(generate_orders(spark, n_ingest))
+    t0 = time.perf_counter()
+    ok, _dlq = parse_wire_with_dlq(wire)
+    materialize(normalize_orders(ok))
+    ingest_rate = round(n_ingest / (time.perf_counter() - t0), 1)
+
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -74,6 +94,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "ingest_orders_per_sec": ingest_rate,
                 "sf": sf,
             }
         )

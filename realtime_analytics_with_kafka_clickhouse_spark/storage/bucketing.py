@@ -1,0 +1,78 @@
+"""Bucketed tables and skew-salted joins — the two shuffle-elimination
+levers for fact-fact joins at 100 TB (SURVEY.md §4 / the north-star scale
+contract).
+
+Bucketing: writing both fact tables bucketed-and-sorted by the join key
+means a later equi-join reads co-located buckets and plans a SortMergeJoin
+with ZERO Exchange on either side — the shuffle is paid once at write time
+and amortized over every subsequent join.  This is the Spark analog of
+co-partitioned storage in distributed warehouses.
+
+Salting: when one join key is pathologically hot, AQE's skew-join split
+handles moderate skew, but the deliberate fix is salting — spread the hot
+key across ``n_salts`` sub-keys on the large side and replicate the small
+side's matching rows across all salts.  The join result is IDENTICAL; the
+hot partition becomes ``n_salts`` average ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_key: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed+sorted table (saveAsTable — bucket metadata
+    lives in the catalog; plain .parquet() cannot carry it).  ``path`` makes
+    it external (data at an explicit location instead of the warehouse)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    writer = writer.sortBy(sort_key or bucket_key)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key_l: str, key_r: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys.  With matching
+    bucket counts Catalyst plans SortMergeJoin with no Exchange on either
+    side — assert via plans.inspect.count_shuffles == 0."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, lt[key_l] == rt[key_r])
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key_l: str,
+    key_r: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the large side's hot keys spread over ``n_salts``
+    sub-partitions.
+
+    large rows get salt = hash(row identity) mod n_salts (deterministic,
+    no RNG — derived from all columns so equal keys still spread);
+    small rows replicate across every salt.  Joining on (key, salt) yields
+    exactly the rows of the plain equi-join while the shuffle distributes
+    the hot key over n_salts reducers.
+    """
+    lcols = [F.col(c) for c in large.columns]
+    salted_l = large.withColumn("_salt", F.pmod(F.xxhash64(*lcols), F.lit(n_salts)))
+    salted_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted_l.join(
+        salted_r,
+        (salted_l[key_l] == salted_r[key_r]) & (salted_l["_salt"] == salted_r["_salt"]),
+    )
+    return out.select(
+        *[salted_l[c] for c in large.columns], *[salted_r[c] for c in small.columns]
+    )
