@@ -49,6 +49,7 @@ _NAMES = {
         "session_window_rollup",
         "last_purchase_asof",
         "value_percentiles",
+        "approx_value_percentiles",
         "value_dispersion",
         "events_props_normalize",
         "revenue_union_ledger",

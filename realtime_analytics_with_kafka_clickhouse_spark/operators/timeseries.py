@@ -111,6 +111,31 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch aggregation (``percentile_approx``, Greenwald-Khanna)
+    next to the exact interpolated percentiles — at 100 TB the exact
+    variant needs a full per-group sort, the sketch is single-pass mergeable
+    state.  Same verification contract as ``approx_distinct_users``: the
+    driver-checked output carries the exact values plus a boolean asserting
+    the sketch landed within 10% relative error (the oracle emits TRUE)."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("exact"),
+    )
+
+    def _ok(i: int):
+        a, e = F.element_at("approx", i), F.element_at("exact", i)
+        return F.abs(a - e) / F.abs(e) <= 0.1
+
+    return agg.select(
+        "event_type",
+        F.element_at("exact", 1).alias("p50"),
+        F.element_at("exact", 2).alias("p95"),
+        (_ok(1) & _ok(2)).alias("sketch_within_10pct"),
+    )
+
+
 def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/stddev from decimal-exact power sums — deterministic
     under any partial-aggregation order, unlike streaming-M2 stddev."""

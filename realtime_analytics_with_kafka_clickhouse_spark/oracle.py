@@ -657,6 +657,14 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+ORACLE["approx_value_percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       TRUE AS sketch_within_10pct
+FROM events GROUP BY 1
+"""
+
 ORACLE["value_dispersion"] = """
 WITH agg AS (
   SELECT event_type, count(*) AS n,

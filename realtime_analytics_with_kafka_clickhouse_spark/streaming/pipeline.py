@@ -182,6 +182,76 @@ def run_file_stream_pipeline(
     q.awaitTermination()
 
 
+def orders_hourly_rollup_aggregate(batch: DataFrame) -> DataFrame:
+    """The reference A1 MV on the actual order schema
+    (/root/reference/clickhouse/init/01_init.sql:63-74): hour x category ->
+    count / revenue / quantity over completed orders.  Same output shape as
+    ``hourly_rollup_aggregate`` so ``merge_rollup`` serves both."""
+    return (
+        batch.filter(F.col("order_status") == "completed")
+        .groupBy(
+            to_start_of_hour("order_timestamp").alias("hour"),
+            F.col("category").alias("category"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("total_amount").alias("total_revenue"),
+            F.sum("quantity").cast("long").alias("total_quantity"),
+        )
+    )
+
+
+def run_wire_stream_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    raw_dir: str,
+    rollup_dir: str,
+    dlq_dir: str,
+    checkpoint_root: str,
+) -> None:
+    """The reference ingest path (SURVEY.md §3.2) end-to-end on the wire
+    format: JSON lines stream -> parse with dead-letter split -> normalize
+    -> streaming exact dedup -> foreachBatch (raw epoch append + rollup
+    MERGE), with the quarantine side written by its own streaming query.
+
+    Two queries, two checkpoints — the standard shape for a stream that
+    splits into sinks with different semantics (stateful dedup on the main
+    path; plain append on the DLQ).  File-stream source stands in for the
+    Kafka reader (sources.kafka) with identical downstream logic.
+    """
+    from ..operators.normalize import normalize_orders, parse_wire_with_dlq
+
+    raw_stream = spark.readStream.option("maxFilesPerTrigger", 1).text(source_dir)
+    ok, dlq = parse_wire_with_dlq(raw_stream)
+    deduped = dedup_orders_stream(normalize_orders(ok))
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(f"{raw_dir}/ingest_epoch={batch_id}")
+            merge_rollup(
+                spark, rollup_dir, orders_hourly_rollup_aggregate(batch_df), batch_id=batch_id
+            )
+        finally:
+            batch_df.unpersist()
+
+    main_q = (
+        deduped.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", f"{checkpoint_root}/main")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dlq_q = (
+        dlq.writeStream.format("parquet")
+        .option("path", dlq_dir)
+        .option("checkpointLocation", f"{checkpoint_root}/dlq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    main_q.awaitTermination()
+    dlq_q.awaitTermination()
+
+
 def dedup_orders_stream(orders: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup (SURVEY.md §2.9): drop re-delivered order ids
     within the watermark horizon via ``dropDuplicatesWithinWatermark`` —

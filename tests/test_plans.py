@@ -51,6 +51,23 @@ def test_dim_joins_broadcast(spark, queries):
         assert "SortMergeJoin" not in plan, f"{name}: no sort-merge for dims at this SF"
 
 
+def test_q6_predicates_pushed_and_pruned(spark, queries):
+    # Q6 is the minimal-scan shape: every predicate at the scan, only the
+    # 4 referenced columns read.
+    df = queries["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} must push to the scan"
+    (cols,) = read_schema_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_new_fact_dim_joins_broadcast(spark, queries):
+    for name in ("q10_returned_items", "q18_large_volume_customers"):
+        df = queries[name](spark, SF_DIR)
+        assert has_broadcast_join(df), f"{name}: dimension join must broadcast"
+
+
 def test_rollup_single_shuffle(spark, queries):
     # One aggregation = exactly one shuffle (partial -> exchange -> final).
     df = queries["daily_region_rollup"](spark, SF_DIR)

@@ -111,6 +111,53 @@ def test_ingest_batch_replay_is_idempotent(spark):
         assert last_merged_batch(spark, rollup) == 1
 
 
+def test_wire_stream_pipeline_end_to_end(spark, tmp_path):
+    """The full reference ingest analog (SURVEY.md §3.2): wire JSON ->
+    parse+DLQ -> normalize -> streaming dedup -> raw epochs + rollup MERGE.
+    Conservation: stored == unique parseable orders; corrupt payloads land
+    in the DLQ; the rollup equals the one-shot A1 aggregate."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        normalize_orders,
+        parse_wire,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+        generate_orders,
+        to_wire,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        orders_hourly_rollup_aggregate,
+        run_wire_stream_pipeline,
+    )
+
+    orders = generate_orders(spark, 400, seed=11).dropDuplicates(["order_id"])
+    n_unique = orders.count()
+    src = str(tmp_path / "wire")
+    # File 1: unique orders.  File 2: 50 re-deliveries + 2 corrupt payloads
+    # (separate micro-batch => exercises cross-batch dedup state).
+    to_wire(orders).coalesce(1).write.mode("append").text(src)
+    bad = spark.createDataFrame([("corrupt {",), ("99",)], ["value"])
+    to_wire(orders.limit(50)).union(bad).coalesce(1).write.mode("append").text(src)
+
+    run_wire_stream_pipeline(
+        spark,
+        source_dir=src,
+        raw_dir=f"{tmp_path}/raw",
+        rollup_dir=f"{tmp_path}/rollup",
+        dlq_dir=f"{tmp_path}/dlq",
+        checkpoint_root=f"{tmp_path}/ckpt",
+    )
+    raw = spark.read.parquet(f"{tmp_path}/raw")
+    assert raw.count() == n_unique  # dedup dropped all 50 re-deliveries
+    assert raw.select("order_id").distinct().count() == n_unique
+    dlq = spark.read.parquet(f"{tmp_path}/dlq")
+    assert sorted(r["raw_payload"] for r in dlq.collect()) == ["99", "corrupt {"]
+    got = spark.read.parquet(f"{tmp_path}/rollup").select(
+        "hour", "category", "order_count", "total_revenue", "total_quantity"
+    )
+    want = orders_hourly_rollup_aggregate(normalize_orders(parse_wire(to_wire(orders))))
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
 def test_observed_metrics_single_pass(spark):
     """A4 parity: observe() metrics piggyback the batch without a second scan."""
     from pyspark.sql import Observation
