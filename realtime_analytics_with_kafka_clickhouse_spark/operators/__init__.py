@@ -47,6 +47,9 @@ _NAMES = {
     timeseries: [
         "user_sessionization",
         "session_window_rollup",
+        "sliding_hourly_trend",
+        "median_value_grouped_udf",
+        "dashboard_cards_sql",
         "last_purchase_asof",
         "value_percentiles",
         "approx_value_percentiles",

@@ -11,6 +11,8 @@ parallelism, unlike built-in stddev/variance).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -75,6 +77,27 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (SURVEY.md §2.7 [EXT] — absent in the
+    reference, which has tumbling buckets only): 2-hour windows sliding by
+    1 hour via the built-in ``window()``, streaming-capable as-is.  Each
+    event lands in exactly two windows; the oracle mirrors that by
+    replicating each event to its two containing window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(win.alias("win"))
+        .agg(F.count("*").alias("order_count"), dsum("value").alias("total_revenue"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "order_count",
+            "total_revenue",
+        )
+    )
+
+
 def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of lookup: for every event, the user's most recent strictly-prior
     purchase timestamp (last-ignore-nulls over an unbounded-preceding frame
@@ -108,6 +131,50 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+def median_value_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (SURVEY.md §2.8 — the third UDF shape
+    next to grouped-map ``label_centroids`` and ``mapInPandas``
+    ``decode_features``): per-type median event value.  Median is an order
+    statistic, so the result is independent of Arrow batch/partition order —
+    safe for exact cross-engine comparison (numpy and DuckDB interpolate
+    the even-n midpoint identically)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_udf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg(), so the row count is a second pandas aggregate.
+    @pandas_udf("long")
+    def count_udf(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_udf("value").alias("median_value"),
+        count_udf("value").alias("n"),
+    )
+
+
+def dashboard_cards_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI entry path (SURVEY.md §3.3): Metabase-style SQL over a
+    registered view — ``spark.sql`` text goes through the full Catalyst
+    lifecycle (parse -> analyze -> optimize -> codegen), same engine as the
+    DataFrame API.  Query = the A5 dashboard cards."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT count(*) AS total_orders,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+               CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_order_value
+        FROM events_v
+        WHERE event_type = 'purchase'
+        """
     )
 
 

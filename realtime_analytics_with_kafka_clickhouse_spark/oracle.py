@@ -633,6 +633,31 @@ SELECT user_id,
 FROM sess GROUP BY user_id, sid
 """
 
+# Each event is in exactly two 2h/1h sliding windows: starts at
+# trunc(ts, hour) and trunc(ts, hour) - 1h (Spark windows are epoch-aligned).
+ORACLE["sliding_hourly_trend"] = f"""
+WITH starts AS (
+  SELECT value, date_trunc('hour', ts) AS ws FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT value, date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws
+  FROM events WHERE event_type = 'purchase')
+SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+       count(*) AS order_count, {_dsum('value')} AS total_revenue
+FROM starts GROUP BY 1, 2
+"""
+
+ORACLE["median_value_grouped_udf"] = """
+SELECT event_type, quantile_cont(value, 0.5) AS median_value, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+ORACLE["dashboard_cards_sql"] = f"""
+SELECT count(*) AS total_orders,
+       {_dsum('value')} AS total_revenue,
+       {_dsum('value')} / count(*) AS avg_order_value
+FROM events WHERE event_type = 'purchase'
+"""
+
 ORACLE["last_purchase_asof"] = """
 SELECT event_id, user_id, ts, event_type,
        last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
