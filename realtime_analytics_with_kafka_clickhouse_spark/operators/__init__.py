@@ -87,6 +87,7 @@ _NAMES = {
     multimodal: [
         "media_metadata_stats",
         "decode_features",
+        "frame_sample_features",
     ],
     _streaming_pipeline: [
         "incremental_hourly_rollup",

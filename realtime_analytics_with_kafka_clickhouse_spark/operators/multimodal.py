@@ -109,3 +109,48 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (the video/audio analog of decode): split the
+    binary payload into fixed-size frames, keep every ``FRAME_STRIDE``-th,
+    emit one row per sampled frame with a per-frame feature (mean byte
+    value via the stub; a real pipeline would decode the frame here).
+
+    This is the 1->N mapInPandas shape (unlike decode's 1->1): a single
+    media row fans out to its sampled frames, Arrow-batched, still
+    embarrassingly parallel — no shuffle until someone aggregates frames.
+    """
+    m = media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, sizes, means = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                n_frames = -(-len(data) // FRAME_BYTES)  # ceil
+                for f in range(0, n_frames, FRAME_STRIDE):
+                    fb = data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(f)
+                    sizes.append(len(fb))
+                    means.append(sum(fb) / len(fb))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs,
+                 "frame_bytes": sizes, "frame_mean": means}
+            )
+
+    return m.select("doc_id", "content").mapInPandas(sample, schema=FRAME_SCHEMA)

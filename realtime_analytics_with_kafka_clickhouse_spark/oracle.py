@@ -582,6 +582,24 @@ SELECT doc_id, format,
 FROM b
 """
 
+ORACLE["frame_sample_features"] = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+fr AS (
+  SELECT doc_id, t.f AS frame_idx, bytes[(t.f*64+1):(t.f*64+64)] AS fb
+  FROM b, UNNEST(range(0, CAST(ceil(len(bytes) / 64.0) AS BIGINT))) AS t(f)
+  WHERE t.f % 2 = 0)
+SELECT doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(len(fb) AS BIGINT) AS frame_bytes,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), fb), (a, x) -> a + x)
+         / CAST(len(fb) AS DOUBLE) AS frame_mean
+FROM fr
+"""
+
 # ------------------------------------------------------- streaming parity
 
 # Incremental-equals-batch invariant: the MERGE-maintained rollup must equal

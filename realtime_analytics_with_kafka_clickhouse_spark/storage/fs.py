@@ -50,6 +50,19 @@ def list_dir(spark: SparkSession, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
+def dir_size(spark: SparkSession, path: str) -> int:
+    """Total bytes of data files under a directory (recursive), ignoring
+    hidden/marker files."""
+    fs_, p = _fs(spark, path)
+    it = fs_.listFiles(p, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        if not st.getPath().getName().startswith(("_", ".")):
+            total += st.getLen()
+    return total
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Small-file read (markers); None if missing."""
     fs, p = _fs(spark, path)

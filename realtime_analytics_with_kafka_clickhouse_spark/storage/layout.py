@@ -42,6 +42,36 @@ def read_orders_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a directory's parquet into
+    ~``target_file_bytes`` files (epoch-per-directory streaming ingest and
+    frequent MERGE swaps both accumulate small files; at 100 TB unmanaged
+    small files dominate scan overhead and NameNode/listing pressure).
+
+    Returns the output file count.  Sorting before write restores row-group
+    min/max locality (the ClickHouse ORDER BY analog) that interleaved
+    epoch appends destroy.  Swap goes through the Hadoop FS API.
+
+    Operates on LEAF directories (a single partition / epoch dir) — for a
+    partitioned table, run per partition so the directory layout survives.
+    """
+    df = spark.read.parquet(path)
+    n_files = max(1, round(fs.dir_size(spark, path) / target_file_bytes))
+    out = df.coalesce(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path + ".compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    fs.delete(spark, path)
+    fs.rename(spark, tmp, path)
+    return n_files
+
+
 def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
     """Apply the 365-day-style TTL: drop expired month partitions, rewrite
     the boundary month exactly.  Returns the dropped/rewritten partitions.

@@ -57,6 +57,26 @@ def test_ttl_expiry_partition_drop_and_boundary_rewrite(spark):
         assert survived.count() == kept_expected < total
 
 
+def test_compact_dir_merges_small_files(spark, tmp_path):
+    """Maintenance parity with MergeTree background merges: many small
+    epoch files -> few target-size files, same rows, sorted within files."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.layout import compact_dir
+
+    orders = generate_orders(spark, 5000, seed=5)
+    path = str(tmp_path / "frag")
+    # Fragment: 20 separate small appends (the streaming-epoch pattern).
+    for i in range(20):
+        orders.filter(F.pmod(F.xxhash64("order_id"), F.lit(20)) == i).coalesce(
+            2
+        ).write.mode("append").parquet(path)
+    n_before = len([p for p in Path(path).glob("*.parquet")])
+    total = spark.read.parquet(path).count()
+    n_out = compact_dir(spark, path, target_file_bytes=64 * 1024 * 1024, sort_cols=["order_timestamp"])
+    n_after = len([p for p in Path(path).glob("*.parquet")])
+    assert spark.read.parquet(path).count() == total
+    assert n_after == n_out < n_before
+
+
 def test_file_stream_incremental_equals_batch(spark):
     """The M5 pin: N micro-batches through foreachBatch MERGE == one-shot
     batch aggregation, with out-of-order event times across batches."""
