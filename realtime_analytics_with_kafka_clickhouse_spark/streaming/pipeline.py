@@ -281,6 +281,88 @@ def with_observed_metrics(df: DataFrame, observation=None, name: str = "ingest_m
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, session_revenue double"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, revenue double"
+SESSION_GAP_SEC = 1800
+
+
+def streaming_sessionize(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.7 — the (flat)MapGroupsWithState slot): gap-based
+    sessionization with per-user state and event-time timeouts.
+
+    State per user is one open session (start, last, n, revenue) — O(1)
+    per key, expired by the watermark clock, which is what keeps state
+    bounded on an unbounded stream (the whole reason this beats collecting
+    per-user event lists).  A session closes and emits when (a) a new event
+    arrives past the gap, or (b) the event-time timeout fires because the
+    watermark passed last_ts + gap.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    us = 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, revenue = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "session_revenue": [revenue],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start, last, n, revenue = state.get
+        else:
+            start = last = None
+        out = []
+        for t, v in zip(ts_us, vals):
+            if start is None:
+                start, last, n, revenue = int(t), int(t), 1, float(v)
+            elif t - last > SESSION_GAP_SEC * us:
+                out.append((start, last, n, revenue))
+                start, last, n, revenue = int(t), int(t), 1, float(v)
+            else:
+                last, n, revenue = int(t), n + 1, revenue + float(v)
+        state.update((start, last, n, revenue))
+        state.setTimeoutTimestamp((last // 1000) + SESSION_GAP_SEC * 1000)  # ms
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in out],
+                    "n_events": [n_ for _, _, n_, _ in out],
+                    "session_revenue": [r for _, _, _, r in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_stateful_rollup(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -223,6 +223,47 @@ def test_windowed_stateful_rollup_equals_batch_when_no_late_data(spark):
         assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close on gap arrival
+    and on event-time timeout as the watermark passes last+gap."""
+    import datetime as dt
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        streaming_sessionize,
+    )
+
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(1, T(10, 0), 1, 5.0), (2, T(10, 10), 1, 7.0)],   # S1 open
+        [(3, T(13, 0), 1, 2.0)],                            # gap -> S1 emits, S2 opens
+        [(4, T(20, 0), 2, 1.0)],                            # advance watermark
+        [(5, T(23, 0), 2, 1.0)],                            # wm passes S2 timeout
+    ]
+    src = str(tmp_path / "events")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_revenue"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert (1, T(10, 0), T(10, 10), 2, 12.0) in got  # closed by gap arrival
+    assert (1, T(13, 0), T(13, 0), 1, 2.0) in got    # closed by event-time timeout
+
+
 def test_rate_orders_stream_shape(spark):
     from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
         generate_orders,
