@@ -31,6 +31,9 @@ _NAMES = {
         "q14_promo_revenue",
         "q18_large_volume_customers",
         "q19_bracket_predicates",
+        "q13_customer_order_distribution",
+        "q17_small_quantity_revenue",
+        "q22_idle_rich_customers",
         "market_segment_totals",
         "customers_with_orders",
         "customers_without_orders",

@@ -194,6 +194,57 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: histogram of customers by order count — LEFT OUTER
+    join so zero-order customers keep a 0 bucket, then a second aggregation
+    over the first (two cheap shuffles on shrinking data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from small-quantity orders of each part —
+    the correlated scalar subquery (per-part avg quantity) decorrelated into
+    an aggregate + self-join, which is exactly what Catalyst's subquery
+    rewrite produces; expressed directly so the plan is explicit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.avg_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average balance and no orders
+    — scalar aggregate subquery (global avg as a cross-joined 1-row frame,
+    broadcast) + anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
 def market_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders |x| customer grouped by market segment (broadcast dim join)."""
     cust = load_table(spark, sf_dir, "customer")

@@ -184,6 +184,34 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
 """
 
+ORACLE["q13_customer_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS order_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT order_count, count(*) AS n_customers
+FROM per_cust GROUP BY 1
+"""
+
+ORACLE["q17_small_quantity_revenue"] = f"""
+WITH per_part AS (
+  SELECT l_partkey AS avg_partkey, {_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT round({_dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN per_part ON l_partkey = avg_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ORACLE["q22_idle_rich_customers"] = f"""
+WITH avg_bal AS (
+  SELECT {_davg('c_acctbal')} AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+SELECT c_mktsegment, count(*) AS n_customers, {_dsum('c_acctbal')} AS total_balance
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
 ORACLE["market_segment_totals"] = f"""
 SELECT c_mktsegment,
        count(*) AS order_count,
