@@ -189,8 +189,11 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Candidate side is bounded-small by LSH design -> broadcast both the
+    # doc-id semi-join and the pair joins below (the static planner sees no
+    # stats for the cached set and would fall back to sort-merge).
     doc_sets = (
-        sh.join(cand_docs, "doc_id")
+        sh.join(F.broadcast(cand_docs), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
     )
@@ -202,7 +205,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     return (
-        candidates.join(sa, "doc_a")
+        F.broadcast(candidates).join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
