@@ -76,6 +76,7 @@ _NAMES = {
     ],
     text: [
         "token_stats",
+        "bpe_token_stats",
         "quality_score",
         "language_id",
         "doc_fingerprint",
@@ -91,6 +92,7 @@ _NAMES = {
         "media_metadata_stats",
         "decode_features",
         "frame_sample_features",
+        "resize_thumbnail",
     ],
     _streaming_pipeline: [
         "incremental_hourly_rollup",

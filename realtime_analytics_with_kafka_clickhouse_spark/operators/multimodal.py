@@ -154,3 +154,38 @@ def frame_sample_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.select("doc_id", "content").mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+THUMB_CELLS = 16  # 4x4 grid
+
+THUMB_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"t_{i}", T.DoubleType()) for i in range(THUMB_CELLS)]
+)
+
+
+def resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (image-thumbnail analog): downsample the binary payload
+    to a fixed 4x4 grid of block means — every input, whatever its size,
+    maps to the same 16-cell shape, which is exactly what a resize-to-
+    fixed-resolution step does before feature extraction.  Stub arithmetic
+    (byte-block means) with the real decode swappable in; fixed-width
+    scalar output keeps the column schema stable for downstream training
+    pipelines."""
+    m = media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            cells: list[list[float]] = [[] for _ in range(THUMB_CELLS)]
+            for content in pdf["content"]:
+                data = bytes(content)
+                n = len(data)
+                for i in range(THUMB_CELLS):
+                    blk = data[i * n // THUMB_CELLS : (i + 1) * n // THUMB_CELLS]
+                    cells[i].append(sum(blk) / len(blk) if blk else 0.0)
+            for i in range(THUMB_CELLS):
+                out[f"t_{i}"] = cells[i]
+            yield pd.DataFrame(out)
+
+    return m.select("doc_id", "content").mapInPandas(resize, schema=THUMB_SCHEMA)

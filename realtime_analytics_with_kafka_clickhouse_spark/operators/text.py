@@ -104,6 +104,36 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-ish pretokenizer classes: alpha runs, digit runs, single symbols.
+# Both engines' regex dialects (Java / RE2) agree on this subset.
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex tokenization (the pretokenizer pass of a subword
+    tokenizer — SURVEY.md §2.9 token counting beyond whitespace): token
+    counts by class plus mean token length, all JVM-side regexp HOFs (the
+    shape a 100 TB token-budget accounting job needs — map-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    words = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+    numbers = F.regexp_extract_all("text", F.lit("[0-9]+"), 0)
+    n = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.size(words).cast("long").alias("n_word_tokens"),
+        F.size(numbers).cast("long").alias("n_number_tokens"),
+        (n - F.size(words) - F.size(numbers)).cast("long").alias("n_symbol_tokens"),
+        (total_chars.cast("double") / n.cast("double")).alias("avg_bpe_token_len"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint: left fold of
     (acc*31 + h(word)) mod 1e9+7 over the token sequence (map-only)."""

@@ -492,6 +492,26 @@ SELECT d.doc_id, d.lang, p.predicted_lang, d.lang = p.predicted_lang AS correct
 FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 """
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ORACLE["bpe_token_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_RE}') AS toks,
+         regexp_extract_all(text, '[A-Za-z]+') AS words,
+         regexp_extract_all(text, '[0-9]+') AS numbers
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(words) AS BIGINT) AS n_word_tokens,
+       CAST(len(numbers) AS BIGINT) AS n_number_tokens,
+       CAST(len(toks) - len(words) - len(numbers) AS BIGINT) AS n_symbol_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS avg_bpe_token_len
+FROM t
+"""
+
 ORACLE["doc_fingerprint"] = f"""
 SELECT doc_id,
        list_reduce(
@@ -626,6 +646,31 @@ SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT), fb), (a, x) -> a + x)
          / CAST(len(fb) AS DOUBLE) AS frame_mean
 FROM fr
+"""
+
+def _thumb_cell(i: int) -> str:
+    s = f"(({i} * n) // 16 + 1)"
+    e = f"((({i} + 1) * n) // 16)"
+    blk = f"bytes[{s}:{e}]"
+    return (
+        f"CASE WHEN {e} >= {s} THEN "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {blk}), (a, x) -> a + x)"
+        f" / CAST(len({blk}) AS DOUBLE) ELSE 0.0 END AS t_{i}"
+    )
+
+
+_THUMB_CELLS_SQL = ",\n       ".join(_thumb_cell(i) for i in range(16))
+
+ORACLE["resize_thumbnail"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes,
+         octet_length(encode(text)) AS n
+  FROM documents)
+SELECT doc_id,
+       {_THUMB_CELLS_SQL}
+FROM b
 """
 
 # ------------------------------------------------------- streaming parity
