@@ -60,6 +60,28 @@ def test_list_user_topics_filters_system_topics():
     assert list_user_topics(admin) == ["audit", "sales_orders"]
 
 
+def test_external_batch_writer_appends_epoch(spark):
+    """S4 sink factory: epoch-stamped append through an arbitrary format
+    (driven through parquet so the stamp is observable)."""
+    import tempfile
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.sinks import (
+        external_batch_writer,
+        jdbc_batch_writer,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        writer = external_batch_writer("parquet", {"path": f"{d}/out"})
+        df = spark.range(10).withColumnRenamed("id", "v")
+        writer(df, 3)
+        writer(df, 4)
+        back = spark.read.parquet(f"{d}/out")
+        assert back.count() == 20
+        assert {r["ingest_epoch"] for r in back.select("ingest_epoch").distinct().collect()} == {3, 4}
+    # JDBC flavor composes the same handler (no DB in sandbox to execute).
+    assert callable(jdbc_batch_writer("jdbc:postgresql://x/y", "t"))
+
+
 def test_kafka_reader_builder_options(spark):
     """S1 smoke: the reader builder must at least produce a streaming
     DataFrame with the kafka wire schema when the connector is available;
