@@ -281,6 +281,46 @@ def with_observed_metrics(df: DataFrame, observation=None, name: str = "ingest_m
     )
 
 
+def join_orders_with_acks(
+    orders: DataFrame,
+    acks: DataFrame,
+    max_ack_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (SURVEY.md §2.7 [EXT] — the reference has
+    no stream joins): orders matched to their acknowledgement events by key
+    within a bounded event-time range.
+
+    The time-range predicate + watermarks are what make this scale: state
+    for each side is purged once the watermark passes the join window, so
+    join state is O(rate x window), not O(stream).  An unbounded-condition
+    stream-stream join would accumulate state forever — Spark rejects it in
+    append mode for exactly that reason.
+    """
+    o = orders.select(
+        F.col("order_id").alias("o_order_id"),
+        F.col("order_timestamp"),
+        F.col("total_amount"),
+    ).withWatermark("order_timestamp", watermark)
+    a = acks.select(
+        F.col("order_id").alias("a_order_id"),
+        F.col("ack_timestamp"),
+        F.col("ack_status"),
+    ).withWatermark("ack_timestamp", watermark)
+    cond = (
+        (F.col("o_order_id") == F.col("a_order_id"))
+        & (F.col("ack_timestamp") >= F.col("order_timestamp"))
+        & (F.col("ack_timestamp") <= F.col("order_timestamp") + F.expr(f"INTERVAL {max_ack_delay}"))
+    )
+    return o.join(a, cond).select(
+        F.col("o_order_id").alias("order_id"),
+        "order_timestamp",
+        "ack_timestamp",
+        "ack_status",
+        "total_amount",
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, session_revenue double"

@@ -223,6 +223,45 @@ def test_windowed_stateful_rollup_equals_batch_when_no_late_data(spark):
         assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
 
 
+def test_stream_stream_join_orders_acks(spark, tmp_path):
+    """Stream-stream join within an event-time range: every order with an
+    ack inside the window joins exactly once; acks outside never join."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        join_orders_with_acks,
+    )
+
+    orders = generate_orders(spark, 300, seed=21).dropDuplicates(["order_id"])
+    n = orders.count()
+    # Acks: half within 10 minutes (join), half 3 hours late (outside window).
+    acks = orders.select(
+        "order_id",
+        F.when(F.pmod(F.xxhash64("order_id"), F.lit(2)) == 0,
+               F.col("order_timestamp") + F.expr("INTERVAL 10 MINUTES"))
+         .otherwise(F.col("order_timestamp") + F.expr("INTERVAL 3 HOURS"))
+         .alias("ack_timestamp"),
+        F.lit("ok").alias("ack_status"),
+    )
+    n_in_window = orders.filter(F.pmod(F.xxhash64("order_id"), F.lit(2)) == 0).count()
+    o_src, a_src = str(tmp_path / "orders"), str(tmp_path / "acks")
+    orders.coalesce(1).write.parquet(o_src)
+    acks.coalesce(1).write.parquet(a_src)
+    o_stream = spark.readStream.schema(orders.schema).parquet(o_src)
+    a_stream = spark.readStream.schema(acks.schema).parquet(a_src)
+    q = (
+        join_orders_with_acks(o_stream, a_stream)
+        .writeStream.format("memory")
+        .queryName("acked")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM acked")
+    assert got.count() == n_in_window
+    assert 0 < n_in_window < n
+
+
 def test_streaming_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions close on gap arrival
     and on event-time timeout as the watermark passes last+gap."""
