@@ -96,6 +96,7 @@ _NAMES = {
     ],
     _streaming_pipeline: [
         "incremental_hourly_rollup",
+        "incremental_daily_region_rollup",
     ],
 }
 

@@ -66,12 +66,11 @@ def hourly_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: daily rollup by region (user_id bucket), completed only
-    (01_init.sql:77-87)."""
-    ev = load_table(spark, sf_dir, "events")
+def daily_region_rollup_aggregate(batch: DataFrame) -> DataFrame:
+    """The A2 aggregation over any events batch (also the per-micro-batch
+    partial for the incremental MERGE path)."""
     return (
-        ev.filter(completed())
+        batch.filter(completed())
         .groupBy(
             F.to_date("ts").alias("date"),
             F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias("region"),
@@ -81,6 +80,12 @@ def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_revenue"),
         )
     )
+
+
+def daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: daily rollup by region (user_id bucket), completed only
+    (01_init.sql:77-87)."""
+    return daily_region_rollup_aggregate(load_table(spark, sf_dir, "events"))
 
 
 def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

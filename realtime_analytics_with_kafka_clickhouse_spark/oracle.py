@@ -679,6 +679,8 @@ FROM b
 # the one-shot aggregation (A1), late/out-of-order batches included.
 ORACLE["incremental_hourly_rollup"] = _A1
 
+ORACLE["incremental_daily_region_rollup"] = ORACLE["daily_region_rollup"]
+
 # ------------------------------------------------------- timeseries [EXT]
 
 ORACLE["user_sessionization"] = f"""

@@ -71,6 +71,8 @@ def merge_rollup(
     rollup_dir: str,
     batch_partials: DataFrame,
     batch_id: int | None = None,
+    keys: list[str] | None = None,
+    sums: list[tuple[str, str]] | None = None,
 ) -> bool:
     """MERGE batch partials into the stored rollup (SummingMergeTree fold):
     equal-key rows re-sum; new keys append.  Directory swap through the
@@ -78,8 +80,18 @@ def merge_rollup(
     recorded INSIDE the new directory — data and dedup state swap together,
     so replaying an epoch after a crash is a skip, not a double-count.
 
+    ``keys``/``sums`` generalize over rollup shapes (the reference has TWO
+    SummingMergeTree targets — hourly/category and daily/region); ``sums``
+    maps column -> 'long'|'money' fold type.  Defaults = the A1 shape.
+
     Returns True if the batch was merged, False if skipped as a replay.
     """
+    keys = keys or ROLLUP_KEYS
+    sums = sums or [
+        ("order_count", "long"),
+        ("total_revenue", "money"),
+        ("total_quantity", "long"),
+    ]
     if batch_id is not None:
         seen = last_merged_batch(spark, rollup_dir)
         if seen is not None and batch_id <= seen:
@@ -89,10 +101,11 @@ def merge_rollup(
         unioned = current.unionByName(batch_partials)
     else:
         unioned = batch_partials
-    merged = unioned.groupBy(*ROLLUP_KEYS).agg(
-        F.sum("order_count").alias("order_count"),
-        dsum("total_revenue").alias("total_revenue"),
-        F.sum("total_quantity").alias("total_quantity"),
+    merged = unioned.groupBy(*keys).agg(
+        *[
+            (dsum(c) if kind == "money" else F.sum(c)).alias(c)
+            for c, kind in sums
+        ]
     )
     tmp = f"{rollup_dir}.swap-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
@@ -123,6 +136,37 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk), batch_id=i)
         final = spark.read.parquet(rollup_dir)
         # Materialize before the workdir disappears.
+        out = spark.createDataFrame(final.collect(), schema=final.schema)
+        return out
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def incremental_daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND MV (daily x region, 01_init.sql:77-87)
+    maintained incrementally through the same MERGE machinery — replayed as
+    4 out-of-time-order micro-batches; oracle = the one-shot A2 GROUP BY."""
+    from ..operators.rollups import daily_region_rollup_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    import shutil
+
+    workdir = tempfile.mkdtemp(prefix="rollup_inc_a2_")
+    rollup_dir = f"{workdir}/sales_by_region_daily"
+    keys = ["date", "region"]
+    sums = [("order_count", "long"), ("total_revenue", "money")]
+    try:
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            merge_rollup(
+                spark,
+                rollup_dir,
+                daily_region_rollup_aggregate(chunk),
+                batch_id=i,
+                keys=keys,
+                sums=sums,
+            )
+        final = spark.read.parquet(rollup_dir)
         out = spark.createDataFrame(final.collect(), schema=final.schema)
         return out
     finally:

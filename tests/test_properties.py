@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): the determinism and equivalence
+invariants the engine's correctness story rests on, checked over random
+inputs rather than fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_with_kafka_clickhouse_spark.functions.scalars import dsum
+from realtime_analytics_with_kafka_clickhouse_spark.storage.bucketing import salted_join
+
+MONEY = st.decimals(
+    min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"), places=2
+).map(float)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(MONEY, min_size=1, max_size=60), st.sampled_from([1, 3, 7]))
+def test_dsum_is_partition_order_invariant(spark, values, nparts):
+    """dsum == exact Decimal sum regardless of how rows are partitioned —
+    the invariant that makes 32-core Spark hash-match a serial oracle."""
+    df = spark.createDataFrame([(v,) for v in values], ["v"]).repartition(nparts)
+    got = df.agg(dsum("v").alias("s")).collect()[0]["s"]
+    want = float(sum(Decimal(f"{v:.2f}") for v in values))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=10),
+    st.sampled_from([2, 4, 8]),
+)
+def test_salted_join_equals_plain_join(spark, left_rows, right_rows, n_salts):
+    """Salting is a physical rewrite only: result multiset identical."""
+    left = spark.createDataFrame(left_rows or [(99, 0)], ["k", "a"])
+    right = spark.createDataFrame(right_rows or [(98, 0)], ["k2", "b"])
+    plain = left.join(right, left.k == right.k2).select("k", "a", "k2", "b")
+    salted = salted_join(left, right, "k", "k2", n_salts=n_salts).select("k", "a", "k2", "b")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def _sessions_reference(ts_list, gap_sec):
+    """Brute-force session splitter: sorted event times -> session sizes."""
+    out, cur = [], []
+    for t in sorted(ts_list):
+        if cur and (t - cur[-1]).total_seconds() > gap_sec:
+            out.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        out.append(cur)
+    return sorted((min(s), max(s), len(s)) for s in out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 6 * 3600).map(lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_sessionization_matches_reference_splitter(spark, ts_list):
+    """The lag/cumsum sessionization equals the brute-force gap splitter
+    for a single user over arbitrary event times (gap = 30 min)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        SESSION_GAP_SEC,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, t, 1, 1.0) for i, t in enumerate(ts_list)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > SESSION_GAP_SEC * 1_000_000), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = df.withColumn("sid", F.sum(is_new).over(run))
+    got = sorted(
+        (r["mn"], r["mx"], r["n"])
+        for r in sess.groupBy("sid")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == _sessions_reference(ts_list, SESSION_GAP_SEC)
