@@ -56,6 +56,7 @@ _NAMES = {
         "last_purchase_asof",
         "value_percentiles",
         "approx_value_percentiles",
+        "top_event_types_sketch",
         "value_dispersion",
         "events_props_normalize",
         "revenue_union_ledger",

@@ -203,6 +203,40 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_event_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters sketch (``approx_top_k``) with the exact-plus-tolerance
+    contract: output is the EXACT top-3 event types by count
+    (deterministic count-desc/key-asc order), plus a boolean asserting the
+    sketch recovered the same ranked list.  At fixture cardinality (5 keys,
+    sketch capacity 10k) the sketch is lossless, so the boolean is a hard
+    invariant, not a flake."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(3)
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("event_type"))
+        ).cast("long"))
+    )
+    sketch = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk")).select(
+        F.posexplode("tk").alias("pos", "entry")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("entry.item").alias("sk_item"),
+        F.col("entry.count").alias("sk_cnt"),
+    )
+    return exact.join(sketch, "rank").select(
+        "rank",
+        "event_type",
+        "cnt",
+        ((F.col("sk_item") == F.col("event_type")) & (F.col("sk_cnt") == F.col("cnt"))).alias(
+            "sketch_exact"
+        ),
+    )
+
+
 def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean/variance/stddev from decimal-exact power sums — deterministic
     under any partial-aggregation order, unlike streaming-M2 stddev."""

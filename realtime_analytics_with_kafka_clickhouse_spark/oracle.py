@@ -783,6 +783,14 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+ORACLE["top_event_types_sketch"] = """
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS rank,
+         event_type, cnt, TRUE AS sketch_exact
+  FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1))
+WHERE rank <= 3
+"""
+
 ORACLE["value_dispersion"] = """
 WITH agg AS (
   SELECT event_type, count(*) AS n,

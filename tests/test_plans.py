@@ -91,10 +91,15 @@ def test_maponly_text_ops_no_shuffle(spark, queries):
     # (HOF aggregate), so it must plan as a pure scan+project stage.
     for name in (
         "token_stats",
+        "bpe_token_stats",
         "quality_score",
         "doc_fingerprint",
         "part_type_stats",
         "simhash_fingerprints",
+        "frame_sample_features",
+        "resize_thumbnail",
+        "media_metadata_stats",
+        "decode_features",
     ):
         df = queries[name](spark, SF_DIR)
         assert count_shuffles(df) == 0, f"{name}: map-only operator must not shuffle"
