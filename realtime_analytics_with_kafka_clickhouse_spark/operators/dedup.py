@@ -28,8 +28,14 @@ from ..sources.tables import load_table
 
 # Shingle width for near-dup detection.
 NGRAM = 3
-# Skew/quality guard: ignore shingles present in more than this many docs.
+# Skew/quality guard: ignore shingles present in more than
+# max(MAX_SHINGLE_DOC_FREQ, MAX_SHINGLE_DOC_RATIO * n_docs) documents.
+# The absolute floor keeps small corpora stable; the relative term is what
+# holds at 100 TB (an absolute cap would eventually prune nothing useful
+# while a boilerplate shingle shared by 0.1% of a billion docs still
+# explodes the join).
 MAX_SHINGLE_DOC_FREQ = 100
+MAX_SHINGLE_DOC_RATIO = 0.01
 # MinHash family: 12 hash functions in 4 bands of 3 rows.
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 3
@@ -86,8 +92,20 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
+    # Corpus-relative cap via a scalar subquery over the shingle table's
+    # own doc count — no driver-side action, and the DuckDB oracle computes
+    # the identical expression.
+    n_docs = sh.select("doc_id").distinct().agg(F.count("*").alias("n"))
     doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    keep = doc_freq.filter(F.col("df") <= MAX_SHINGLE_DOC_FREQ).select("shingle")
+    cap = F.greatest(
+        F.lit(MAX_SHINGLE_DOC_FREQ).cast("double"),
+        F.lit(MAX_SHINGLE_DOC_RATIO) * F.col("n").cast("double"),
+    )
+    keep = (
+        doc_freq.join(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("shingle")
+    )
     # cache(): the shingle set feeds 3+ downstream branches (sizes,
     # intersection join both sides, minhash) — without it Spark re-derives
     # the explode per branch.
