@@ -50,6 +50,53 @@ def list_dir(spark: SparkSession, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
+SWAP_SUFFIX = ".swap-"
+
+
+def recover_latest_swap(spark: SparkSession, path: str) -> bool:
+    """Crash repair for the delete-then-rename swap: if ``path`` is missing
+    but an orphaned ``path.swap-*`` sibling exists (crash landed between
+    delete and rename), promote the most recently modified one.  Returns
+    True if a recovery happened."""
+    if exists(spark, path):
+        return False
+    fs_, p = _fs(spark, path)
+    parent = p.getParent()
+    if parent is None or not fs_.exists(parent):
+        return False
+    base = p.getName() + SWAP_SUFFIX
+    candidates = [
+        st
+        for st in fs_.listStatus(parent)
+        if st.isDirectory() and st.getPath().getName().startswith(base)
+    ]
+    if not candidates:
+        return False
+    latest = max(candidates, key=lambda st: st.getModificationTime())
+    fs_.rename(latest.getPath(), p)
+    # Any older orphans are stale partial writes — drop them.
+    for st in candidates:
+        if st.getPath().getName() != latest.getPath().getName() and fs_.exists(st.getPath()):
+            fs_.delete(st.getPath(), True)
+    return True
+
+
+def cleanup_swaps(spark: SparkSession, path: str) -> int:
+    """Delete stale ``path.swap-*`` siblings (partial writes from crashed
+    attempts).  Only call when ``path`` itself is intact."""
+    fs_, p = _fs(spark, path)
+    parent = p.getParent()
+    if parent is None or not fs_.exists(parent):
+        return 0
+    base = p.getName() + SWAP_SUFFIX
+    n = 0
+    for st in fs_.listStatus(parent):
+        if st.getPath().getName().startswith(base):
+            fs_.delete(st.getPath(), True)
+            n += 1
+    return n
+
+
 def dir_size(spark: SparkSession, path: str) -> int:
     """Total bytes of data files under a directory (recursive), ignoring
     hidden/marker files."""

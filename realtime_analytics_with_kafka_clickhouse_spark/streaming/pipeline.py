@@ -92,6 +92,10 @@ def merge_rollup(
         ("total_revenue", "money"),
         ("total_quantity", "long"),
     ]
+    # Crash repair first: a crash between delete and rename leaves the only
+    # copy of the rollup in an orphaned .swap-* dir — promote it before
+    # reading state, or the merge would silently restart from empty.
+    fs.recover_latest_swap(spark, rollup_dir)
     if batch_id is not None:
         seen = last_merged_batch(spark, rollup_dir)
         if seen is not None and batch_id <= seen:
@@ -114,6 +118,7 @@ def merge_rollup(
         fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
     fs.delete(spark, rollup_dir)
     fs.rename(spark, tmp, rollup_dir)
+    fs.cleanup_swaps(spark, rollup_dir)  # stale partials from crashed attempts
     return True
 
 

@@ -178,6 +178,34 @@ def test_wire_stream_pipeline_end_to_end(spark, tmp_path):
     assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
 
 
+def test_merge_recovers_from_crash_between_delete_and_rename(spark, tmp_path):
+    """The swap's crash window: rollup dir deleted, rename not yet done —
+    the only copy of the state lives in the orphaned .swap-* dir.  The next
+    merge must promote it, not silently restart from empty."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        hourly_rollup_aggregate,
+        last_merged_batch,
+        merge_rollup,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    b0 = events.filter(F.pmod("event_id", F.lit(2)) == 0)
+    b1 = events.filter(F.pmod("event_id", F.lit(2)) == 1)
+    rollup = f"{tmp_path}/rollup"
+    merge_rollup(spark, rollup, hourly_rollup_aggregate(b0), batch_id=0)
+    # Simulate the crash: the swapped-in dir gets orphaned back to a swap name.
+    fs.rename(spark, rollup, f"{rollup}.swap-crashed1")
+    assert not fs.exists(spark, rollup)
+    merge_rollup(spark, rollup, hourly_rollup_aggregate(b1), batch_id=1)
+    got = spark.read.parquet(rollup)
+    want = hourly_rollup_aggregate(events)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0  # batch 0 NOT lost
+    assert last_merged_batch(spark, rollup) == 1
+    # Stale swap dirs were cleaned up after the successful merge.
+    assert not fs.exists(spark, f"{rollup}.swap-crashed1")
+
+
 def test_observed_metrics_single_pass(spark):
     """A4 parity: observe() metrics piggyback the batch without a second scan."""
     from pyspark.sql import Observation
