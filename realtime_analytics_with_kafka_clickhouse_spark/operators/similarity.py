@@ -150,22 +150,27 @@ def _plane_matrix() -> list[list[float]]:
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed candidate pairs with exact cosine (>= no threshold;
-    bucket membership is the filter).  Output: (vec_a, vec_b, cos_sim)."""
-    v = _normed_vectors(spark, sf_dir).withColumn(
-        "sig", _signature_col(F.col("embedding"))
-    )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"), "sig",
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"), "sig",
-    )
+    bucket membership is the filter).  Output: (vec_a, vec_b, cos_sim).
+
+    Shuffle discipline for 100 TB: only the (vec_id, sig) projection rides
+    the bucket self-join shuffle — never the 64-float vectors.  The
+    candidate pair set that comes out is LSH-small, so the vector fetch for
+    both sides is a broadcast join against the (unshuffled) embeddings
+    scan.  Plane count is a parameter of ``_signature_col`` via
+    ``LSH_PLANES``; at larger n raise it so expected bucket occupancy
+    (n / 2^planes) stays O(1)."""
+    v = _normed_vectors(spark, sf_dir)
+    sigs = v.select("vec_id", _signature_col(F.col("embedding")).alias("sig"))
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    with_a = F.broadcast(pairs).join(va, "vec_a")
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, "sig")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        F.broadcast(with_a)
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
 
