@@ -73,6 +73,7 @@ _NAMES = {
         "dedup_exact",
         "ngram_jaccard_pairs",
         "minhash_near_dup",
+        "near_dup_clusters",
         "simhash_fingerprints",
     ],
     text: [

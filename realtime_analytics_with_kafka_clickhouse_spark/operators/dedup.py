@@ -234,6 +234,56 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs — the step a
+    real dedup pipeline runs after pair generation, so each duplicate
+    GROUP gets one representative (cluster_id = min doc_id in component).
+
+    Iterative min-label propagation on DataFrames: each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds.  This is the small-star/large-star family
+    (CC in MapReduce) in its simplest form — each round is one equi-join +
+    one aggregate, all shuffle-partitioned by node, nothing driver-side
+    except the convergence check (a count, not a collect).  Output:
+    (doc_id, cluster_id) for every doc in at least one near-dup pair.
+    """
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            # Cut lineage each round: without this the plan doubles per
+            # iteration and the driver spends its time in the optimizer.
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from word-occurrence hash sign sums.
 

@@ -438,6 +438,22 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
+# Connected components over the verified near-dup pairs via a recursive
+# transitive-closure CTE (tractable because the pair set is LSH-small).
+ORACLE["near_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({ORACLE['minhash_near_dup']})),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
 ORACLE["simhash_fingerprints"] = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 th AS (SELECT doc_id, {_h('word')} AS h FROM tok),
