@@ -82,6 +82,8 @@ _NAMES = {
         "quality_score",
         "language_id",
         "doc_fingerprint",
+        "deterministic_sample",
+        "stratified_sample",
     ],
     similarity: [
         "ann_cosine_topk",

@@ -134,6 +134,37 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 10  # deterministic_sample keep-rate (percent)
+STRATUM_K = 5  # stratified_sample docs kept per language
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible downsampling pass a
+    training-data pipeline needs (same subset on every run/engine, no RNG
+    state): keep a doc iff md5-hash(doc_id) mod 100 < SAMPLE_PCT.
+    Map-only; composes with any upstream filter without reshuffling."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(stable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return docs.filter(bucket < SAMPLE_PCT).select("doc_id", "lang", "source", "n_chars")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: at most STRATUM_K docs per
+    language, chosen by hash order (hash-asc, doc_id tiebreak) — the
+    per-domain/per-language quota capping step of corpus curation, as a
+    single window pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = stable_hash64(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= STRATUM_K)
+        .select("doc_id", "lang", "pick_rank")
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint: left fold of
     (acc*31 + h(word)) mod 1e9+7 over the token sequence (map-only)."""

@@ -531,6 +531,20 @@ SELECT doc_id,
 FROM t
 """
 
+ORACLE["deterministic_sample"] = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_h('CAST(doc_id AS VARCHAR)')} % 100 < 10
+"""
+
+ORACLE["stratified_sample"] = f"""
+SELECT doc_id, lang, pick_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY {_h('CAST(doc_id AS VARCHAR)')} ASC, doc_id ASC) AS BIGINT) AS pick_rank
+  FROM documents)
+WHERE pick_rank <= 5
+"""
+
 ORACLE["doc_fingerprint"] = f"""
 SELECT doc_id,
        list_reduce(
