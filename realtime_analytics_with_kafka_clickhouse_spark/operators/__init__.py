@@ -44,6 +44,8 @@ _NAMES = {
         "priority_status_rollup",
         "status_pivot",
         "part_type_stats",
+        "customer_name_features",
+        "order_date_features",
         "price_band_join",
         "priority_status_cube",
     ],
@@ -68,6 +70,7 @@ _NAMES = {
         "cumulative_daily_revenue",
         "order_gaps_per_customer",
         "customer_order_rank",
+        "order_value_distribution",
     ],
     dedup: [
         "dedup_exact",

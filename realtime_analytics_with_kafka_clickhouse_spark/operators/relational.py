@@ -360,6 +360,42 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth #2 (beyond part_type_stats): case
+    mapping, padding, translate, reverse, split-index, edit distance,
+    multi-arg concat — all engine built-ins, map-only."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.initcap(F.lower("c_name")).alias("name_initcap"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.translate("c_name", "#", "-").alias("name_translated"),
+        F.reverse(F.col("c_name")).alias("name_reversed"),
+        F.split("c_name", "#").getItem(1).alias("name_number"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("seg_edit_dist"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar datetime-function breadth: calendar fields, month boundaries,
+    date arithmetic — the date dimension a BI layer derives on the fly."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.to_date(d).alias("order_date"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_two_months"),
+        F.date_add(d, 30).alias("plus_30_days"),
+        F.trunc(d, "month").alias("month_start"),
+    )
+
+
 def price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join: parts bucketed into literal price bands — the
     small side broadcasts, so the range predicate evaluates map-side (a

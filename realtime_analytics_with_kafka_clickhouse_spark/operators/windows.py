@@ -91,3 +91,27 @@ def customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
         F.ntile(4).over(w).cast("long").alias("price_quartile"),
     ).filter(F.col("price_rank") <= 50)
+
+
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank, cume_dist, first/last
+    value over an explicit frame, nth_value — per priority class, limited
+    to each class's top-100 orders so the output stays inspectable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_totalprice").over(full).alias("max_in_class"),
+            F.last("o_totalprice").over(full).alias("min_in_class"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_in_class"),
+        )
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )

@@ -290,6 +290,52 @@ SELECT p_partkey,
 FROM part
 """
 
+ORACLE["customer_name_features"] = """
+SELECT c_custkey,
+       array_to_string(list_transform(string_split(lower(c_name), ' '),
+                       w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS name_initcap,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       translate(c_name, '#', '-') AS name_translated,
+       reverse(c_name) AS name_reversed,
+       string_split(c_name, '#')[2] AS name_number,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS seg_edit_dist,
+       concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+FROM customer
+"""
+
+# dayofweek: Spark is 1=Sunday, DuckDB 0=Sunday -> +1.
+ORACLE["order_date_features"] = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_two_months,
+       CAST(o_orderdate AS DATE) + 30 AS plus_30_days,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+"""
+
+ORACLE["order_value_distribution"] = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, pct_rank, cume,
+       max_in_class, min_in_class, second_in_class
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER w AS rn,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         first_value(o_totalprice) OVER wf AS max_in_class,
+         last_value(o_totalprice) OVER wf AS min_in_class,
+         nth_value(o_totalprice, 2) OVER wf AS second_in_class
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC),
+         wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+WHERE rn <= 100
+"""
+
 # ---------------------------------------------------------------- windows
 ORACLE["top_parts_per_brand"] = """
 SELECT p_brand, p_partkey, p_name, p_retailprice, rank_in_brand FROM (
