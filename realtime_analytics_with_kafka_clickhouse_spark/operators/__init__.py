@@ -61,6 +61,7 @@ _NAMES = {
         "top_event_types_sketch",
         "value_dispersion",
         "events_props_normalize",
+        "event_feature_map",
         "revenue_union_ledger",
         "approx_distinct_users",
     ],

@@ -273,6 +273,29 @@ def events_props_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function breadth (SURVEY.md §2.6 extension): JSON -> map,
+    map construction, map_concat, map_keys/contains/element_at — the
+    feature-bag shape ML pipelines carry per event.  The oracle verifies
+    the scalar values the map ops must produce."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    props_map = F.from_json("props", "map<string,string>")
+    built = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("bucket"), (k % 10).cast("string"),
+    )
+    merged = F.map_concat(built, props_map)
+    return ev.select(
+        "event_id",
+        F.size(merged).cast("long").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(merged)), ",").alias("keys_sorted"),
+        F.element_at(merged, F.lit("type")).alias("type_val"),
+        F.element_at(merged, F.lit("k")).cast("long").alias("k_val"),
+        F.map_contains_key(merged, F.lit("missing")).alias("has_missing"),
+    )
+
+
 def revenue_union_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op breadth: one ledger from two revenue sources (orders +
     purchase events) via unionByName on a conformed schema."""

@@ -893,6 +893,18 @@ SELECT event_id, event_type,
 FROM events
 """
 
+# The map is an intermediate; the oracle asserts the scalar values the map
+# operations must yield (keys are 'type','bucket' + props' 'k').
+ORACLE["event_feature_map"] = """
+SELECT event_id,
+       CAST(3 AS BIGINT) AS n_keys,
+       'bucket,k,type' AS keys_sorted,
+       event_type AS type_val,
+       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_val,
+       FALSE AS has_missing
+FROM events
+"""
+
 ORACLE["revenue_union_ledger"] = """
 SELECT 'orders' AS source, o_orderkey AS ref_id, o_orderdate AS ts, o_totalprice AS amount
 FROM orders
