@@ -117,6 +117,28 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got.select("order_id").distinct().count() == n_unique
 
 
+def test_wire_schema_evolution_tolerated(spark):
+    """Schema evolution on the wire: producers adding fields must not break
+    the consumer (unknown JSON keys are ignored), and consumers upgraded
+    before producers see defaults for not-yet-sent fields — the reference's
+    .get(key, default) behavior, held by from_json + normalize."""
+    newer_producer = spark.createDataFrame(
+        [('{"order_id": "ORD-2026-00001", "quantity": 2, "NEW_FIELD": "x", "nested_new": {"a": 1}}',)],
+        ["value"],
+    )
+    rows = normalize_orders(
+        parse_wire(newer_producer), fallback_ts=F.lit("2030-01-01").cast("timestamp")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["order_id"] == "ORD-2026-00001"
+    assert rows[0]["quantity"] == 2
+    assert "NEW_FIELD" not in rows[0].asDict()  # unknown keys ignored
+    # Older producer: fields the current schema knows but the payload lacks
+    # get their declared defaults (the upgraded-consumer side of evolution).
+    assert rows[0]["region"] == ""
+    assert rows[0]["discount_percent"] == 0.0
+
+
 def test_total_amount_invariant(spark):
     orders = generate_orders(spark, 400, seed=42)
     checked = recompute_total(orders)
