@@ -152,7 +152,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: at most STRATUM_K docs per
     language, chosen by hash order (hash-asc, doc_id tiebreak) — the
     per-domain/per-language quota capping step of corpus curation, as a
-    single window pass."""
+    single window pass.
+
+    Scale note: few huge strata would bottleneck the per-stratum window
+    sort; the scalable form is storage.bucketing.salted_topk_per_group
+    (two-phase salted top-k, identical output)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

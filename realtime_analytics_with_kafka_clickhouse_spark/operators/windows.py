@@ -96,7 +96,12 @@ def customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: percent_rank, cume_dist, first/last
     value over an explicit frame, nth_value — per priority class, limited
-    to each class's top-100 orders so the output stays inspectable."""
+    to each class's top-100 orders so the output stays inspectable.
+
+    Scale note: 5 priority classes = 5 window reducers; exact distribution
+    ranks inherently sort each class.  At 100 TB use the two-phase salted
+    pattern for plain top-k (storage.bucketing.salted_topk_per_group) or
+    approx sketches for ranks — this query is the exact/BI form."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -48,6 +48,47 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key_l:
     return lt.join(rt, lt[key_l] == rt[key_r])
 
 
+def salted_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    n_salts: int = 16,
+    descending: bool = True,
+) -> DataFrame:
+    """Scalable top-k per group — the fix for the single-reducer window.
+
+    ``row_number() OVER (PARTITION BY group ...)`` sorts each group's ENTIRE
+    row set on one reducer; with few/huge groups that reducer is the job.
+    Two phases instead: (1) top-k within (group, salt) — n_salts parallel
+    partial sorts of 1/n_salts the data each; (2) top-k of the n_salts*k
+    survivors per group — a trivially small final sort.  Identical result
+    to the windowed form (each group's true top-k survives its salt).
+    """
+    from pyspark.sql import Window
+
+    def ordering():
+        o = F.col(order_col).desc() if descending else F.col(order_col).asc()
+        return [o, F.col(tiebreak_col).asc()]
+
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*ordering())
+    partial = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*ordering())
+    return (
+        partial.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .withColumn("rank_in_group", F.col("_rn").cast("long"))
+        .drop("_rn", "_salt")
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -41,6 +41,29 @@ def test_bucketed_join_has_no_shuffle(spark):
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_salted_topk_equals_windowed_topk(spark):
+    """Two-phase salted top-k returns exactly the windowed top-k (per brand,
+    by price desc with partkey tiebreak), while never sorting a whole group
+    on one reducer."""
+    from pyspark.sql import Window
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.bucketing import (
+        salted_topk_per_group,
+    )
+
+    part = load_table(spark, SF_DIR, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    want = (
+        part.withColumn("rank_in_group", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_in_group") <= 3)
+        .select("p_brand", "p_partkey", "rank_in_group")
+    )
+    got = salted_topk_per_group(
+        part, ["p_brand"], "p_retailprice", 3, tiebreak_col="p_partkey", n_salts=8
+    ).select("p_brand", "p_partkey", "rank_in_group")
+    assert sorted(map(tuple, want.collect())) == sorted(map(tuple, got.collect()))
+
+
 def test_salted_join_matches_plain_join(spark):
     orders = load_table(spark, SF_DIR, "orders")
     cust = load_table(spark, SF_DIR, "customer")
