@@ -13,16 +13,57 @@ from pyspark.sql import DataFrame, SparkSession
 from . import dedup, multimodal, relational, rollups, similarity, text, timeseries, windows
 from ..streaming import pipeline as _streaming_pipeline
 
-_NAMES = {
-    rollups: [
+# Ordered (module, names) blocks.  ORDER MATTERS: the driver's correctness
+# gate checks the first 50 registry entries, so the LLM-pipeline families
+# (dedup / text / similarity / multimodal / streaming MVs) lead — they were
+# starved of driver rows in round 2 when the relational block consumed the
+# budget — followed by anything new this round, then the long-green tail.
+_NAMES = [
+    (dedup, [
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "minhash_near_dup",
+        "near_dup_clusters",
+        "simhash_fingerprints",
+    ]),
+    (text, [
+        "token_stats",
+        "bpe_token_stats",
+        "quality_score",
+        "language_id",
+        "doc_fingerprint",
+        "deterministic_sample",
+        "stratified_sample",
+    ]),
+    (similarity, [
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "label_centroids",
+    ]),
+    (multimodal, [
+        "media_metadata_stats",
+        "decode_features",
+        "frame_sample_features",
+        "resize_thumbnail",
+    ]),
+    (_streaming_pipeline, [
+        "incremental_hourly_rollup",
+        "incremental_daily_region_rollup",
+    ]),
+    (windows, [
+        "order_value_distribution",
+    ]),
+    (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",
         "global_totals",
         "category_revenue_share",
         "region_revenue_sorted",
         "hourly_trend",
-    ],
-    relational: [
+    ]),
+    (relational, [
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_region_supplier_volume",
@@ -48,8 +89,8 @@ _NAMES = {
         "order_date_features",
         "price_band_join",
         "priority_status_cube",
-    ],
-    timeseries: [
+    ]),
+    (timeseries, [
         "user_sessionization",
         "session_window_rollup",
         "sliding_hourly_trend",
@@ -64,54 +105,21 @@ _NAMES = {
         "event_feature_map",
         "revenue_union_ledger",
         "approx_distinct_users",
-    ],
-    windows: [
+    ]),
+    (windows, [
         "top_parts_per_brand",
         "moving_avg_daily_revenue",
         "cumulative_daily_revenue",
         "order_gaps_per_customer",
         "customer_order_rank",
-        "order_value_distribution",
-    ],
-    dedup: [
-        "dedup_exact",
-        "ngram_jaccard_pairs",
-        "minhash_near_dup",
-        "near_dup_clusters",
-        "simhash_fingerprints",
-    ],
-    text: [
-        "token_stats",
-        "bpe_token_stats",
-        "quality_score",
-        "language_id",
-        "doc_fingerprint",
-        "deterministic_sample",
-        "stratified_sample",
-    ],
-    similarity: [
-        "ann_cosine_topk",
-        "ann_lsh_bucketed",
-        "ann_ivf_topk",
-        "embedding_near_dup",
-        "label_centroids",
-    ],
-    multimodal: [
-        "media_metadata_stats",
-        "decode_features",
-        "frame_sample_features",
-        "resize_thumbnail",
-    ],
-    _streaming_pipeline: [
-        "incremental_hourly_rollup",
-        "incremental_daily_region_rollup",
-    ],
-}
+    ]),
+]
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod, names in _NAMES.items():
+    for mod, names in _NAMES:
         for n in names:
+            assert n not in out, f"duplicate registry entry: {n}"
             out[n] = getattr(mod, n)
     return out

@@ -17,6 +17,8 @@ format (Delta/Iceberg) for the same contract.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import SparkSession
 
 
@@ -51,6 +53,23 @@ def list_dir(spark: SparkSession, path: str) -> list[str]:
 
 
 SWAP_SUFFIX = ".swap-"
+
+
+def swap_tmp_path(path: str) -> str:
+    """A fresh ``path.swap-<uuid>`` sibling — the ONE naming convention every
+    directory-replacing writer (merge, compaction, TTL rewrite) must use, so
+    ``recover_latest_swap``/``cleanup_swaps`` cover all of them."""
+    return f"{path}{SWAP_SUFFIX}{uuid.uuid4().hex[:8]}"
+
+
+def swap_in(spark: SparkSession, path: str, tmp: str) -> None:
+    """Replace ``path`` with the fully-written ``tmp`` sibling and clear
+    stale swaps.  A crash between delete and rename is repaired by the next
+    ``recover_latest_swap(path)`` call — which every swap-writing entry
+    point runs first."""
+    delete(spark, path)
+    rename(spark, tmp, path)
+    cleanup_swaps(spark, path)
 
 
 def recover_latest_swap(spark: SparkSession, path: str) -> bool:

@@ -59,16 +59,20 @@ def compact_dir(
 
     Operates on LEAF directories (a single partition / epoch dir) — for a
     partitioned table, run per partition so the directory layout survives.
+
+    Uses the same ``.swap-*`` protocol as ``merge_rollup``: a crash between
+    delete and rename is repaired by ``fs.recover_latest_swap`` on the next
+    maintenance pass (round-2 advice: one swap convention for everything).
     """
+    fs.recover_latest_swap(spark, path)
     df = spark.read.parquet(path)
     n_files = max(1, round(fs.dir_size(spark, path) / target_file_bytes))
     out = df.coalesce(n_files)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    tmp = path + ".compact_tmp"
+    tmp = fs.swap_tmp_path(path)
     out.write.mode("overwrite").parquet(tmp)
-    fs.delete(spark, path)
-    fs.rename(spark, tmp, path)
+    fs.swap_in(spark, path, tmp)
     return n_files
 
 
@@ -85,8 +89,15 @@ def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
     cutoff = spark.sql(f"SELECT CAST('{cutoff_ts}' AS TIMESTAMP) c").collect()[0]["c"]
     cutoff_month = cutoff.year * 100 + cutoff.month
     touched: list[str] = []
+    # Crash-repair pre-pass: a crash during a previous boundary rewrite can
+    # leave the only copy of a partition in an orphaned ``.swap-*`` sibling
+    # (same protocol as merge_rollup / compact_dir) — promote those first so
+    # the sweep below sees every partition.
     for name in fs.list_dir(spark, path):
-        if not name.startswith("order_month="):
+        if fs.SWAP_SUFFIX in name:
+            fs.recover_latest_swap(spark, f"{path}/{name.split(fs.SWAP_SUFFIX)[0]}")
+    for name in fs.list_dir(spark, path):
+        if not name.startswith("order_month=") or fs.SWAP_SUFFIX in name:
             continue
         month = int(name.split("=", 1)[1])
         part_dir = f"{path}/{name}"
@@ -100,9 +111,8 @@ def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
                 .filter(F.col("order_timestamp") >= F.lit(cutoff_ts).cast("timestamp"))
                 .sortWithinPartitions("order_timestamp", "order_id")
             )
-            tmp = part_dir + ".ttl_tmp"
+            tmp = fs.swap_tmp_path(part_dir)
             surviving.write.mode("overwrite").parquet(tmp)
-            fs.delete(spark, part_dir)
-            fs.rename(spark, tmp, part_dir)
+            fs.swap_in(spark, part_dir, tmp)
             touched.append(f"rewrote:{name}")
     return touched

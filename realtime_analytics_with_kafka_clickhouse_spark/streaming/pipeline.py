@@ -22,6 +22,9 @@ key-bounded) rollup table and atomically swap directories.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -111,15 +114,32 @@ def merge_rollup(
             for c, kind in sums
         ]
     )
-    tmp = f"{rollup_dir}.swap-{uuid.uuid4().hex[:8]}"
+    tmp = fs.swap_tmp_path(rollup_dir)
     merged.write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
         # Underscore-prefixed: invisible to parquet file discovery.
         fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-    fs.delete(spark, rollup_dir)
-    fs.rename(spark, tmp, rollup_dir)
-    fs.cleanup_swaps(spark, rollup_dir)  # stale partials from crashed attempts
+    fs.swap_in(spark, rollup_dir, tmp)
     return True
+
+
+# Session-lifetime scratch root for the incremental-rollup demo queries.
+# Each invocation materializes its rollup under a fresh uuid subdirectory
+# that OUTLIVES the function call, so the returned DataFrame stays a lazy
+# ``spark.read.parquet`` — no driver-side collect() in the query lineage
+# (round-2 verdict #3).  The whole root is swept once at process exit.
+_INC_ROLLUP_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_inc_rollups")
+
+
+@atexit.register
+def _sweep_inc_rollup_root() -> None:
+    shutil.rmtree(_INC_ROLLUP_ROOT, ignore_errors=True)
+
+
+def _fresh_rollup_dir(name: str) -> str:
+    d = os.path.join(_INC_ROLLUP_ROOT, f"{name}-{uuid.uuid4().hex[:8]}", name)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
 
 
 def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,22 +149,11 @@ def incremental_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then return the final rollup.  The oracle is the one-shot GROUP BY: the
     invariant IS the query."""
     events = load_table(spark, sf_dir, "events")
-    # Driver-local scratch space (not table storage): tempfile/shutil are
-    # appropriate here; table maintenance itself goes through storage.fs.
-    import shutil
-
-    workdir = tempfile.mkdtemp(prefix="rollup_inc_")
-    rollup_dir = f"{workdir}/sales_by_category_hourly"
-    try:
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk), batch_id=i)
-        final = spark.read.parquet(rollup_dir)
-        # Materialize before the workdir disappears.
-        out = spark.createDataFrame(final.collect(), schema=final.schema)
-        return out
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    rollup_dir = _fresh_rollup_dir("sales_by_category_hourly")
+    for i in range(4):
+        chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk), batch_id=i)
+    return spark.read.parquet(rollup_dir)
 
 
 def incremental_daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,28 +163,20 @@ def incremental_daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     from ..operators.rollups import daily_region_rollup_aggregate
 
     events = load_table(spark, sf_dir, "events")
-    import shutil
-
-    workdir = tempfile.mkdtemp(prefix="rollup_inc_a2_")
-    rollup_dir = f"{workdir}/sales_by_region_daily"
+    rollup_dir = _fresh_rollup_dir("sales_by_region_daily")
     keys = ["date", "region"]
     sums = [("order_count", "long"), ("total_revenue", "money")]
-    try:
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            merge_rollup(
-                spark,
-                rollup_dir,
-                daily_region_rollup_aggregate(chunk),
-                batch_id=i,
-                keys=keys,
-                sums=sums,
-            )
-        final = spark.read.parquet(rollup_dir)
-        out = spark.createDataFrame(final.collect(), schema=final.schema)
-        return out
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    for i in range(4):
+        chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        merge_rollup(
+            spark,
+            rollup_dir,
+            daily_region_rollup_aggregate(chunk),
+            batch_id=i,
+            keys=keys,
+            sums=sums,
+        )
+    return spark.read.parquet(rollup_dir)
 
 
 def process_ingest_batch(
@@ -425,9 +426,20 @@ def streaming_sessionize(events: DataFrame, watermark: str = "30 minutes") -> Da
                 out.append((start, last, n, revenue))
                 start, last, n, revenue = int(t), int(t), 1, float(v)
             else:
-                last, n, revenue = int(t), n + 1, revenue + float(v)
+                # Cross-batch late arrival may have t <= state's last (the
+                # batch is sorted, the stream is not): fold it in but never
+                # move the session end BACKWARDS — a receding `last` could
+                # place the timeout at/below the current watermark, which
+                # Spark rejects at runtime.  An early straggler may still
+                # widen the session start.
+                start = min(start, int(t))
+                last, n, revenue = max(last, int(t)), n + 1, revenue + float(v)
         state.update((start, last, n, revenue))
-        state.setTimeoutTimestamp((last // 1000) + SESSION_GAP_SEC * 1000)  # ms
+        # Timeout strictly above the current watermark (Spark requirement);
+        # a session whose gap horizon is already past fires next epoch.
+        timeout_ms = (last // 1000) + SESSION_GAP_SEC * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if out:
             yield pd.DataFrame(
                 {

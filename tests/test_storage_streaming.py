@@ -206,6 +206,41 @@ def test_merge_recovers_from_crash_between_delete_and_rename(spark, tmp_path):
     assert not fs.exists(spark, f"{rollup}.swap-crashed1")
 
 
+def test_maintenance_swaps_recover_from_crash(spark, tmp_path):
+    """Compaction and the TTL boundary rewrite share merge_rollup's .swap-*
+    protocol: a crash between delete and rename (the partition's only copy
+    stranded under a swap name) is repaired by the next maintenance pass."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.layout import compact_dir
+
+    # --- compact_dir: orphaned swap promoted before compacting ---
+    frag = f"{tmp_path}/frag"
+    orders = generate_orders(spark, 1000, seed=9)
+    orders.coalesce(4).write.parquet(frag)
+    total = spark.read.parquet(frag).count()
+    fs.rename(spark, frag, f"{frag}.swap-crashed")  # crash window state
+    assert not fs.exists(spark, frag)
+    compact_dir(spark, frag, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(frag).count() == total
+    assert not fs.exists(spark, f"{frag}.swap-crashed")
+
+    # --- expire_ttl: boundary partition stranded mid-rewrite, then swept ---
+    table = f"{tmp_path}/orders_table"
+    write_orders_table(orders, table)
+    cutoff = "2026-02-10 00:00:00"
+    boundary = f"{table}/order_month=202602"
+    assert fs.exists(spark, boundary)
+    fs.rename(spark, boundary, f"{boundary}.swap-crashed")
+    touched = expire_ttl(spark, table, cutoff)
+    assert f"rewrote:order_month=202602" in touched  # recovered AND rewritten
+    survived = read_orders_table(spark, table)
+    assert survived.filter(
+        F.col("order_timestamp") < F.lit(cutoff).cast("timestamp")
+    ).count() == 0
+    kept = orders.filter(F.col("order_timestamp") >= F.lit(cutoff).cast("timestamp")).count()
+    assert survived.count() == kept
+
+
 def test_observed_metrics_single_pass(spark):
     """A4 parity: observe() metrics piggyback the batch without a second scan."""
     from pyspark.sql import Observation
@@ -329,6 +364,50 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     }
     assert (1, T(10, 0), T(10, 10), 2, 12.0) in got  # closed by gap arrival
     assert (1, T(13, 0), T(13, 0), 1, 2.0) in got    # closed by event-time timeout
+
+
+def test_streaming_sessionize_survives_cross_batch_late_events(spark, tmp_path):
+    """A late event older than the session's current end (even below the
+    watermark — applyInPandasWithState delivers those) must fold into the
+    session WITHOUT moving its end backwards: a receding `last` would place
+    the event-time timeout at/below the watermark, which Spark rejects at
+    runtime, killing the query."""
+    import datetime as dt
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        streaming_sessionize,
+    )
+
+    T = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batches = [
+        [(1, T(10, 0), 1, 5.0)],   # S1 open; wm -> 09:30
+        [(2, T(8, 0), 1, 1.0)],    # LATE (< wm): folds in, end stays 10:00
+        [(3, T(20, 0), 2, 1.0)],   # wm -> 19:30, past S1's 10:30 timeout
+        [(4, T(23, 0), 2, 1.0)],   # next epoch: S1 timeout fires
+    ]
+    src = str(tmp_path / "events")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["session_revenue"])
+        for r in spark.sql("SELECT * FROM sess_late").collect()
+    }
+    # Late event widened the start, did not recede the end; revenue counted.
+    assert (1, T(8, 0), T(10, 0), 2, 6.0) in got
 
 
 def test_rate_orders_stream_shape(spark):
