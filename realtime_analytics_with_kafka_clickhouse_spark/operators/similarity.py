@@ -22,6 +22,7 @@ the plane matrix once and broadcast it.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -31,7 +32,45 @@ from ..sources.tables import load_table
 
 DIM = 64
 TOP_K = 5
-LSH_PLANES = 8
+# LSH planes scale with candidate count so expected bucket occupancy
+# (n / 2^planes) stays O(TARGET_BUCKET_OCCUPANCY) — a fixed plane count
+# would make buckets (and the candidate pair set) grow linearly with n.
+# Floor of 8 keeps the small-fixture behavior; the DuckDB oracle derives
+# the same count from COUNT(*) so both sides stay in lockstep at every sf.
+MIN_LSH_PLANES = 8
+TARGET_BUCKET_OCCUPANCY = 4
+
+
+def n_lsh_planes(n_vectors: int) -> int:
+    if n_vectors <= TARGET_BUCKET_OCCUPANCY:
+        return MIN_LSH_PLANES
+    return max(MIN_LSH_PLANES, math.ceil(math.log2(n_vectors / TARGET_BUCKET_OCCUPANCY)))
+
+
+# Executor-side memo for the ANN candidate matrix: one load + normalize per
+# python worker process (workers are reused across tasks), not one per task.
+# Single-entry on purpose — bounds executor memory to one candidate matrix.
+_CAND_CACHE: dict = {}
+
+
+def _load_candidate_matrix(path: str):
+    hit = _CAND_CACHE.get(path)
+    if hit is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        # FileSystem.from_uri resolves local paths AND object-store URIs
+        # (s3://, hdfs://, gs://) — executor-side reads must not assume a
+        # POSIX mount (round-2 advice).
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        tbl = pq.read_table(fs_path, filesystem=filesystem, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        cand = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        unit = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+        _CAND_CACHE.clear()
+        _CAND_CACHE[path] = hit = (ids, unit)
+    return hit
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -55,10 +94,11 @@ def _normed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors per vector — blocked matmul.
 
-    Each ``mapInPandas`` task loads the (bounded) candidate matrix straight
-    from storage — the driver never materializes or ships the table, so
-    there is no ``collect()`` anywhere in the lineage and no driver-memory
-    ceiling.  Arrow batches of query vectors compute cosines against all
+    Each executor loads the (bounded) candidate matrix straight from
+    storage, once per worker process (memoized; pyarrow.fs handles local
+    and object-store paths alike) — the driver never materializes or ships
+    the table, so there is no ``collect()`` anywhere in the lineage and no
+    driver-memory ceiling.  Arrow batches of query vectors compute cosines against all
     candidates in one float64 matmul and emit only their top-k — O(k)
     output per row, never an O(n^2) materialized pair table.  At 100 TB
     the candidate side would be blocked/IVF-partitioned with a final
@@ -75,14 +115,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_path = os.path.join(sf_dir, "embeddings.parquet")
 
     def topk(batches):
-        # Executor-side candidate load: one read per task, amortized over
-        # every Arrow batch the task processes.
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(cand_path, columns=["vec_id", "embedding"])
-        ids_b = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-        cand = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-        unit_b = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+        # Executor-side candidate load: memoized per worker process (see
+        # _load_candidate_matrix) — one read/normalize per executor, not
+        # per task, and filesystem-agnostic via pyarrow.fs.
+        ids_b, unit_b = _load_candidate_matrix(cand_path)
         for pdf in batches:
             q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             q_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -108,21 +144,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signature_col(e: Column) -> Column:
+def _signature_col(e: Column, n_planes: int) -> Column:
     """Random-hyperplane signature: sum over p of (dot_p(v) > 0) * 2^p.
 
     plane_p[j] = +1 if md5-hash("p:j") is odd else -1 — rederivable anywhere
     (incl. the oracle); a production deployment precomputes the plane matrix
     once and broadcasts it instead of hashing per row.
     """
-    planes = _plane_matrix()  # precomputed once, embedded as literals
+    planes = _plane_matrix(n_planes)  # precomputed once, embedded as literals
 
     def _prod_fn(lp):
         # closure factory: keeps the Spark HOF lambda single-argument
         return lambda j: F.element_at(lp, j) * F.element_at(e, j).cast("double")
 
     bit_vals = []
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         lit_plane = F.array(*[F.lit(x) for x in planes[p]])
         prods = F.transform(F.sequence(F.lit(1), F.lit(DIM)), _prod_fn(lit_plane))
         dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -133,7 +169,7 @@ def _signature_col(e: Column) -> Column:
     return sig.cast("long")
 
 
-def _plane_matrix() -> list[list[float]]:
+def _plane_matrix(n_planes: int) -> list[list[float]]:
     """±1 hyperplane components, identical to the oracle's md5 derivation
     (plane_p[j] = +1 iff md5-hash of "p:j" is odd) but computed once on the
     driver instead of per row."""
@@ -144,7 +180,7 @@ def _plane_matrix() -> list[list[float]]:
 
     return [
         [1.0 if h(f"{p}:{j}") % 2 == 1 else -1.0 for j in range(1, DIM + 1)]
-        for p in range(LSH_PLANES)
+        for p in range(n_planes)
     ]
 
 
@@ -156,11 +192,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket self-join shuffle — never the 64-float vectors.  The
     candidate pair set that comes out is LSH-small, so the vector fetch for
     both sides is a broadcast join against the (unshuffled) embeddings
-    scan.  Plane count is a parameter of ``_signature_col`` via
-    ``LSH_PLANES``; at larger n raise it so expected bucket occupancy
-    (n / 2^planes) stays O(1)."""
+    scan.  Plane count derives from n (``n_lsh_planes``) so expected bucket
+    occupancy n / 2^planes stays O(1) at every scale; the count() that
+    sizes it is a parquet-metadata-only job."""
     v = _normed_vectors(spark, sf_dir)
-    sigs = v.select("vec_id", _signature_col(F.col("embedding")).alias("sig"))
+    planes = n_lsh_planes(load_table(spark, sf_dir, "embeddings").count())
+    sigs = v.select("vec_id", _signature_col(F.col("embedding"), planes).alias("sig"))
     a = sigs.select(F.col("vec_id").alias("vec_a"), "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "sig")
     pairs = a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")

@@ -280,12 +280,20 @@ def event_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalar values the map ops must produce."""
     ev = load_table(spark, sf_dir, "events")
     k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
-    props_map = F.from_json("props", "map<string,string>")
+    props_map = F.coalesce(
+        F.from_json("props", "map<string,string>"),
+        F.create_map().cast("map<string,string>"),
+    )
     built = F.create_map(
         F.lit("type"), F.col("event_type"),
         F.lit("bucket"), (k % 10).cast("string"),
     )
-    merged = F.map_concat(built, props_map)
+    # map_concat runs under spark.sql.mapKeyDedupPolicy=EXCEPTION by
+    # default: a props bag that happens to carry a 'type'/'bucket' key would
+    # kill the whole query at runtime.  Filter the built keys out of props
+    # first — schema-independent, no session-conf coupling.
+    safe_props = F.map_filter(props_map, lambda mk, _v: ~mk.isin("type", "bucket"))
+    merged = F.map_concat(built, safe_props)
     return ev.select(
         "event_id",
         F.size(merged).cast("long").alias("n_keys"),

@@ -636,12 +636,19 @@ _PLANE_COMP = (
     + " % 2 = 1 THEN 1.0 ELSE -1.0 END)"
 )
 
+# Plane count derives from n exactly like similarity.n_lsh_planes:
+# max(8, ceil(log2(n / 4))) — the Spark side and the oracle stay in
+# lockstep at every scale factor.
+_N_PLANES = (
+    "(SELECT GREATEST(8, CAST(ceil(log2(count(*) / 4.0)) AS BIGINT)) FROM embeddings)"
+)
+
 ORACLE["ann_lsh_bucketed"] = f"""
 WITH {_NORMED_V},
 sv AS (
   SELECT vec_id, embedding, nrm,
          CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           list_transform(range(0, 8), p ->
+           list_transform(range(0, {_N_PLANES}), p ->
              CASE WHEN
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list_transform(range(1, 65), j ->
@@ -895,14 +902,23 @@ FROM events
 
 # The map is an intermediate; the oracle asserts the scalar values the map
 # operations must yield (keys are 'type','bucket' + props' 'k').
+# Derived from props (not fixture-shape literals): n_keys / keys_sorted /
+# has_missing all come from json_keys(props) with the built keys
+# ('type','bucket') excluded, mirroring the Spark side's map_filter.
 ORACLE["event_feature_map"] = """
+WITH pk AS (
+  SELECT event_id, event_type, props,
+         coalesce(list_filter(json_keys(props), kk -> kk NOT IN ('type', 'bucket')),
+                  []) AS prop_keys
+  FROM events)
 SELECT event_id,
-       CAST(3 AS BIGINT) AS n_keys,
-       'bucket,k,type' AS keys_sorted,
+       CAST(2 + length(prop_keys) AS BIGINT) AS n_keys,
+       array_to_string(list_sort(list_concat(['bucket', 'type'], prop_keys)), ',')
+         AS keys_sorted,
        event_type AS type_val,
-       coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_val,
-       FALSE AS has_missing
-FROM events
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       list_contains(prop_keys, 'missing') AS has_missing
+FROM pk
 """
 
 ORACLE["revenue_union_ledger"] = """
