@@ -55,6 +55,11 @@ _NAMES = [
     (windows, [
         "order_value_distribution",
     ]),
+    # New this round — keep inside the gate's 50-entry budget.
+    (_streaming_pipeline, [
+        "incremental_rollup_txlog",
+        "hourly_trend_from_rollup",
+    ]),
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",

@@ -767,6 +767,14 @@ ORACLE["incremental_hourly_rollup"] = _A1
 
 ORACLE["incremental_daily_region_rollup"] = ORACLE["daily_region_rollup"]
 
+# Same invariant through the transactional table format: atomic-commit
+# MERGE must land on the identical one-shot aggregation.
+ORACLE["incremental_rollup_txlog"] = _A1
+
+# Rollup-as-accelerator: the trend served from the STORED incremental
+# rollup must equal the raw-events A8 aggregation.
+ORACLE["hourly_trend_from_rollup"] = ORACLE["hourly_trend"]
+
 # ------------------------------------------------------- timeseries [EXT]
 
 ORACLE["user_sessionization"] = f"""

@@ -155,3 +155,28 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         stream.write(bytearray(content.encode("utf-8")))
     finally:
         stream.close()
+
+
+def create_exclusive(spark: SparkSession, path: str, content: str) -> bool:
+    """Atomic create-if-absent (the transaction-log commit primitive):
+    returns False if ``path`` already exists — the caller lost the commit
+    race and must re-read table state and retry.
+
+    Atomic on HDFS and POSIX.  On S3A this maps to a conditional PUT
+    (If-None-Match, supported by S3 since 2024 / Hadoop's S3A in recent
+    releases); older object stores need an external commit coordinator for
+    this one primitive — the same requirement Delta's LogStore has.
+    """
+    fs, p = _fs(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    try:
+        stream = fs.create(p, False)
+    except Exception:
+        return False
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+    return True

@@ -179,6 +179,38 @@ def incremental_daily_region_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(rollup_dir)
 
 
+def incremental_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 incremental MERGE through the TRANSACTIONAL table format
+    (storage.txlog): same 4 out-of-time-order micro-batches, but each merge
+    commits atomically via the transaction log — no swap directories, no
+    crash-repair pass, snapshot-isolated readers.  Oracle = the one-shot A1
+    GROUP BY, same invariant as ``incremental_hourly_rollup``."""
+    from ..storage import txlog
+
+    events = load_table(spark, sf_dir, "events")
+    table = _fresh_rollup_dir("sales_by_category_hourly_tx")
+    for i in range(4):
+        chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+    txlog.vacuum(spark, table, keep_versions=1)
+    out = txlog.read_table(spark, table)
+    assert out is not None
+    return out
+
+
+def hourly_trend_from_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-as-accelerator routing (SURVEY.md §4): the A8 dashboard trend
+    answered from the STORED incremental rollup table — sum across
+    categories of the MERGE-maintained A1 state — never touching raw
+    events at read time.  The oracle is the raw-events A8 aggregation, so
+    the driver proves accelerator == base table every round."""
+    stored = incremental_rollup_txlog(spark, sf_dir)
+    return stored.groupBy("hour").agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+    )
+
+
 def process_ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -1,0 +1,104 @@
+"""Transaction-log table format (storage.txlog): snapshot atomicity,
+replay idempotency, commit-race handling, vacuum — the Delta-style contract
+the parquet-swap path approximates (SURVEY.md §2.7 delivery guarantees)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+from realtime_analytics_with_kafka_clickhouse_spark.storage import fs, txlog
+from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+    hourly_rollup_aggregate,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_txlog_incremental_equals_batch(spark, tmp_path):
+    """4 out-of-time-order micro-batches MERGEd transactionally == the
+    one-shot aggregation (same invariant as the swap path)."""
+    events = load_table(spark, SF_DIR, "events")
+    table = str(tmp_path / "rollup_tx")
+    for i in range(4):
+        chunk = events.filter(F.pmod("event_id", F.lit(4)) == i)
+        assert txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+    got = txlog.read_table(spark, table)
+    want = hourly_rollup_aggregate(events)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+    assert txlog.latest_version(spark, table) == 4
+
+
+def test_txlog_replay_skips_merged_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").limit(1000)
+    table = str(tmp_path / "rollup_tx")
+    assert txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(events), batch_id=0)
+    v1 = txlog.latest_version(spark, table)
+    rows1 = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+    # Replay the SAME epoch: skipped, no new version, no double-count.
+    assert not txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(events), batch_id=0)
+    assert txlog.latest_version(spark, table) == v1
+    assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == rows1
+
+
+def test_txlog_uncommitted_data_invisible(spark, tmp_path):
+    """A data directory with no commit naming it (crash between data write
+    and commit) never reaches readers, and a later merge is unaffected."""
+    events = load_table(spark, SF_DIR, "events").limit(1000)
+    table = str(tmp_path / "rollup_tx")
+    txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(events), batch_id=0)
+    before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+    # Simulate the crash: orphan data dir, no commit file.
+    orphan = txlog.write_data_dir(hourly_rollup_aggregate(events), table)
+    assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == before
+    # Vacuum collects it.
+    deleted = txlog.vacuum(spark, table)
+    assert orphan in deleted
+    assert not fs.exists(spark, f"{table}/{orphan}")
+    assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == before
+
+
+def test_txlog_commit_race_loser_retries(spark, tmp_path):
+    """If the target version is taken between snapshot and commit, the
+    merge retries against the new state instead of clobbering it."""
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    b0 = events.filter(F.pmod("event_id", F.lit(2)) == 0)
+    b1 = events.filter(F.pmod("event_id", F.lit(2)) == 1)
+    table = str(tmp_path / "rollup_tx")
+    txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(b0), batch_id=0)
+    # A competing writer steals version 2.
+    stolen = txlog.write_data_dir(hourly_rollup_aggregate(b0), table)
+    assert txlog.try_commit(spark, table, 2, [stolen], 1)
+    # Our merge (batch 2) must retry onto version 3 and still fold correctly.
+    assert txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(b1), batch_id=2)
+    assert txlog.latest_version(spark, table) == 3
+    got = txlog.read_table(spark, table)
+    want = hourly_rollup_aggregate(events)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_txlog_vacuum_keeps_current_snapshot(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    table = str(tmp_path / "rollup_tx")
+    for i in range(4):
+        chunk = events.filter(F.pmod("event_id", F.lit(4)) == i)
+        txlog.merge_rollup_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+    before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+    deleted = txlog.vacuum(spark, table, keep_versions=1)
+    assert len(deleted) == 3 + 3  # 3 old data dirs + 3 old commit files
+    assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == before
+    data_dirs = fs.list_dir(spark, f"{table}/{txlog.DATA_DIR}")
+    assert len(data_dirs) == 1
+
+
+def test_hourly_trend_from_rollup_equals_raw_aggregation(spark):
+    """Accelerator routing: the trend served from the stored MERGE-maintained
+    rollup equals the raw-events A8 aggregation."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.rollups import hourly_trend
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        hourly_trend_from_rollup,
+    )
+
+    got = hourly_trend_from_rollup(spark, SF_DIR)
+    want = hourly_trend(spark, SF_DIR)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
