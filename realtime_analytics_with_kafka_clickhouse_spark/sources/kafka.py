@@ -3,9 +3,12 @@
 Mirrors the reference's consumer/producer configuration
 (/root/reference/consumers/kafka_to_clickhouse.py:50-58,
  /root/reference/producers/sales_producer.py:157-165) as Structured
-Streaming options.  No broker exists in the test environment, so these are
-builders only — the file-stream pipeline (streaming.pipeline) exercises the
-identical downstream logic in tests.
+Streaming options.  No broker or spark-sql-kafka jar exists in the test
+environment, so option construction is factored into pure functions
+(``reader_options``/``writer_options``) that tests pin WITHOUT the
+connector; the builders themselves apply those options verbatim, and the
+file-stream pipeline (streaming.pipeline) exercises the identical
+downstream logic in tests.
 
 Divergences from the reference, by design (SURVEY.md §2.7):
 - exactly-once via checkpointing + idempotent sink instead of
@@ -20,6 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TOPIC = "sales_orders"
+SINK_FLUSH_INTERVAL = "5 seconds"  # the reference consumer's flush cadence
+
+
+def reader_options(
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = TOPIC,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 5000,
+) -> dict[str, str]:
+    """The kafka-source option map, as one pure, testable unit."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def writer_options(
+    bootstrap_servers: str = "localhost:9092",
+    topic: str = TOPIC,
+    checkpoint_dir: str = "/tmp/kafka_sink_checkpoint",
+) -> dict[str, str]:
+    """The kafka-sink option map, as one pure, testable unit."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
 
 
 def read_orders_stream(
@@ -30,15 +64,21 @@ def read_orders_stream(
     max_offsets_per_trigger: int | None = 5000,
 ) -> DataFrame:
     """readStream from the orders topic; value stays binary for parse_wire."""
-    reader = (
+    return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(
+            **reader_options(
+                bootstrap_servers, topic, starting_offsets, max_offsets_per_trigger
+            )
+        )
+        .load()
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
+
+
+def to_wire_payload(df: DataFrame) -> DataFrame:
+    """S2 wire encoding: every column folded into one JSON value column —
+    pure DataFrame transform, testable without any connector."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
 
 
 def write_orders_stream(
@@ -48,11 +88,9 @@ def write_orders_stream(
     checkpoint_dir: str = "/tmp/kafka_sink_checkpoint",
 ):
     """writeStream of order rows to Kafka as JSON (S2: to_json(struct(*)))."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime="5 seconds")  # the consumer's 5s flush cadence
+        to_wire_payload(df)
+        .writeStream.format("kafka")
+        .options(**writer_options(bootstrap_servers, topic, checkpoint_dir))
+        .trigger(processingTime=SINK_FLUSH_INTERVAL)
     )

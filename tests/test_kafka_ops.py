@@ -82,6 +82,52 @@ def test_external_batch_writer_appends_epoch(spark):
     assert callable(jdbc_batch_writer("jdbc:postgresql://x/y", "t"))
 
 
+def test_kafka_option_maps_pin_reference_config():
+    """S1/S2 option plumbing, pinned WITHOUT the connector jar: the pure
+    option builders carry the reference consumer/producer config
+    (bootstrap servers, topic subscribe, offset reset, bounded batches)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.kafka import (
+        reader_options,
+        writer_options,
+    )
+
+    r = reader_options()
+    assert r == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "sales_orders",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    assert "maxOffsetsPerTrigger" not in reader_options(max_offsets_per_trigger=None)
+    w = writer_options(checkpoint_dir="/ckpt")
+    assert w == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "topic": "sales_orders",
+        "checkpointLocation": "/ckpt",
+    }
+
+
+def test_kafka_wire_payload_roundtrip(spark):
+    """S2 encode: every column folds into one JSON value column that
+    parse-side schemas can recover — pure transform, no broker needed."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        parse_wire_with_dlq,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+        generate_orders,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.kafka import (
+        to_wire_payload,
+    )
+
+    orders = generate_orders(spark, 50, seed=3)
+    payload = to_wire_payload(orders)
+    assert payload.columns == ["value"]
+    ok, dlq = parse_wire_with_dlq(payload)
+    assert dlq.count() == 0
+    assert ok.count() == 50
+
+
 def test_kafka_reader_builder_options(spark):
     """S1 smoke: the reader builder must at least produce a streaming
     DataFrame with the kafka wire schema when the connector is available;
