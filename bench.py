@@ -54,6 +54,8 @@ def main() -> None:
     # Two iterations per query, report the best: the first run of a plan pays
     # one-time whole-stage-codegen compilation (seconds), which on a real
     # cluster amortizes to zero; steady-state is the honest throughput number.
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -62,6 +64,12 @@ def main() -> None:
             materialize(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Isolation between queries: drop cached/checkpointed blocks the
+        # query built (their build cost was inside the timing; letting 76
+        # queries' blocks accumulate distorts the later ones via memory
+        # pressure and eviction churn).
+        spark.catalog.clearCache()
+        gc.collect()
 
     # Ingest-path throughput (BASELINE.md parity row: the reference consumer
     # caps out near 100 msg/s per consumer; the target is >= 50 orders/s).

@@ -281,6 +281,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is checkpointed (materialized) — the edge cache is dead weight
+    # from here on; release it instead of letting it pin executor memory
+    # until the next GC/clearCache.
+    edges.unpersist(blocking=False)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
