@@ -60,6 +60,18 @@ _NAMES = [
         "incremental_rollup_txlog",
         "hourly_trend_from_rollup",
     ]),
+    (dedup, [
+        "simhash_near_dup",
+    ]),
+    (text, [
+        "tfidf_top_terms",
+        "quality_filter_pipeline",
+    ]),
+    (relational, [
+        "q4_late_shipment_priority",
+        "q7_nation_volume_shipping",
+        "q8_market_share",
+    ]),
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",

@@ -169,6 +169,84 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top terms — the keyword-extraction /
+    representation step of corpus analysis, fully relational:
+
+    tf(doc, word) counts from one explode; df(word) from a word-keyed
+    aggregate (bounded by vocabulary, not corpus — the same scaling
+    argument as language_id); idf = (N+1)/(df+1) — the RATIONAL idf
+    variant, chosen over ln() deliberately: IEEE division is correctly
+    rounded on every engine while libm ln() may differ in the last ulp,
+    and cross-engine bit-stability is this repo's verification contract;
+    top-3 per doc by score with (score desc, word asc) determinism.
+
+    Scale note: the window ranks within doc_id — partition-by-document,
+    never a global sort; a salted two-phase top-k (storage.bucketing)
+    drops in if some documents are gigantic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
+        .select("doc_id", "word", F.col("tf").cast("long").alias("tf"), "tfidf", "term_rank")
+    )
+
+
+QUALITY_FILTER_MIN_SCORE = 0.5
+
+
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data admission filter — the step everything
+    else in this family exists for, as ONE declarative plan:
+
+    keep a document iff (a) it passes the min-length gate, (b) its quality
+    score clears the threshold, and (c) it is the exact-dedup
+    representative of its text (min doc_id per distinct text).
+
+    Composition stays relational end-to-end: the quality predicate is a
+    map-side filter, the dedup-representative check is an aggregate
+    semi-join on the text hash — Catalyst fuses (a)+(b) into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n
+    avg_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n
+    score = F.round(
+        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * F.least(avg_len / F.lit(8.0), F.lit(1.0)),
+        6,
+    )
+    representatives = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        docs.join(representatives.select("doc_id"), "doc_id", "left_semi")
+        .filter((F.size(words) >= 5) & (score >= QUALITY_FILTER_MIN_SCORE))
+        .select("doc_id", "lang", score.alias("quality_score"))
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint: left fold of
     (acc*31 + h(word)) mod 1e9+7 over the token sequence (map-only)."""

@@ -212,6 +212,53 @@ WHERE c_acctbal > avg_bal
 GROUP BY 1
 """
 
+ORACLE["q4_late_shipment_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+ORACLE["q7_nation_volume_shipping"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+_Q8_VOLUME = "l_extendedprice * (1 - l_discount)"
+_Q8_TARGET = f"CASE WHEN n2.n_name = 'NATION_3' THEN {_Q8_VOLUME} ELSE 0.0 END"
+
+ORACLE["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       round({_dsum(_Q8_TARGET)} / {_dsum(_Q8_VOLUME)}, 6) AS mkt_share,
+       {_dsum(_Q8_VOLUME)} AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
 ORACLE["market_segment_totals"] = f"""
 SELECT c_mktsegment,
        count(*) AS order_count,
@@ -500,7 +547,7 @@ reach(a, b) AS (
 SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
 """
 
-ORACLE["simhash_fingerprints"] = f"""
+_SIMHASH_SQL = f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
 th AS (SELECT doc_id, {_h('word')} AS h FROM tok),
 bits AS (SELECT doc_id, h, b FROM th, UNNEST(range(0, 32)) AS t(b)),
@@ -513,7 +560,63 @@ SELECT doc_id,
 FROM per_bit GROUP BY 1
 """
 
+ORACLE["simhash_fingerprints"] = _SIMHASH_SQL
+
+# SimHash banding: 4 bands of 8 bits; Hamming <= 3 pairs agree on >= 1 band
+# (pigeonhole), so banded candidates are exact for the threshold.
+ORACLE["simhash_near_dup"] = f"""
+WITH sh AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (8 * b)) & 255 AS val
+  FROM sh, UNNEST(range(0, 4)) AS t(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
 # ---------------------------------------------------------------- text [EXT]
+
+# Rational idf (N+1)/(df+1), not ln(): IEEE division is correctly rounded on
+# both engines, libm ln() is not guaranteed to agree in the last ulp.
+ORACLE["tfidf_top_terms"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf,
+         round(CAST(tf AS DOUBLE)
+               * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (word), n)
+SELECT doc_id, word, tf, tfidf, term_rank FROM (
+  SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word ASC) AS BIGINT) AS term_rank
+  FROM scored)
+WHERE term_rank <= 3
+"""
+
+_QUALITY_EXPR = """round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+           + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+           + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                          / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0),
+           6)"""
+
+ORACLE["quality_filter_pipeline"] = f"""
+WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (
+  SELECT doc_id, lang, {_QUALITY_EXPR} AS quality_score,
+         len(string_split(text, ' ')) >= 5 AS passes
+  FROM documents)
+SELECT doc_id, lang, quality_score
+FROM q JOIN reps USING (doc_id)
+WHERE passes AND quality_score >= 0.5
+"""
 
 ORACLE["token_stats"] = """
 SELECT doc_id, lang,
