@@ -66,6 +66,11 @@ _NAMES = [
     (text, [
         "tfidf_top_terms",
         "quality_filter_pipeline",
+        "chunk_documents",
+        "best_doc_per_source",
+    ]),
+    (similarity, [
+        "embedding_quantize_int8",
     ]),
     (relational, [
         "q4_late_shipment_priority",

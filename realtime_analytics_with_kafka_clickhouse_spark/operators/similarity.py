@@ -271,6 +271,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the memory
+    lever that makes billion-vector ANN fit executor RAM (4x smaller than
+    float32, 8x than float64; IVF/LSH candidate verify then runs on int8
+    dot products rescaled by the per-vector scale).
+
+    Map-only HOF program.  Rounding is floor(x + 0.5) written explicitly
+    instead of round(): half-away vs half-even conventions differ across
+    engines, floor does not — the same cross-engine-determinism discipline
+    as the rational idf in text.tfidf_top_terms.  Output keeps the scale
+    and the worst-dimension reconstruction error so the quality cost is
+    inspectable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    max_abs = F.aggregate(
+        F.transform(e, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    # Zero-vector guard: an all-zero embedding quantizes to zeros with a
+    # tiny positive scale instead of dividing by zero.
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(
+        e,
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            e,
+            q,
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * scale),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        q.alias("quant"),
+        F.round(recon_err, 6).alias("max_abs_err"),
+    )
+
+
 LABEL_CENTROID_SCHEMA = "label int, dim int, centroid double"
 
 

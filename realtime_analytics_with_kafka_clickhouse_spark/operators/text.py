@@ -247,6 +247,63 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # window stride -> 16-token overlap
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window segmentation
+    step of LLM data prep (fixed token windows, overlapping stride), as a
+    pure HOF program: starts = sequence(1, n, stride); each chunk is a
+    slice of the token array.  Map-only with one explode — no shuffle, no
+    UDF; at 100 TB chunking is a scan-stage transform that composes with
+    any downstream filter without repartitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    chunk = F.explode(starts).alias("start")
+    out = docs.select("doc_id", words.alias("words"), chunk)
+    piece = F.slice(F.col("words"), F.col("start"), CHUNK_SIZE)
+    return out.select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("long")).alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def best_doc_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source representative selection — the keep-best-of-domain pass
+    of corpus curation: highest quality score per source, doc_id tiebreak.
+
+    argmax as min(struct(-score, doc_id, ...)): ONE hash aggregate with
+    map-side combine — no window sort, so a source with a billion docs
+    costs the same shuffle bytes as one with ten (the pattern this repo
+    uses for every bounded-key argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n
+    avg_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n
+    score = F.round(
+        F.lit(0.4) * F.least(n / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * F.least(avg_len / F.lit(8.0), F.lit(1.0)),
+        6,
+    )
+    return (
+        docs.select("source", "doc_id", score.alias("q"))
+        .groupBy("source")
+        .agg(F.min(F.struct((-F.col("q")).alias("neg_q"), F.col("doc_id"))).alias("top"))
+        .select(
+            "source",
+            F.col("top.doc_id").alias("doc_id"),
+            (-F.col("top.neg_q")).alias("quality_score"),
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint: left fold of
     (acc*31 + h(word)) mod 1e9+7 over the token sequence (map-only)."""

@@ -600,6 +600,38 @@ SELECT doc_id, word, tf, tfidf, term_rank FROM (
 WHERE term_rank <= 3
 """
 
+# Sliding-window chunking: starts 1, 1+stride, ... while start <= n
+# (DuckDB range(1, n+1, stride) == Spark sequence(1, n, stride)); chunks are
+# 1-based inclusive list slices, truncated at the end of the document.
+ORACLE["chunk_documents"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, words,
+             unnest(range(1, len(words) + 1, 48)) AS start
+      FROM w)
+SELECT doc_id,
+       CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+       CAST(least(start + 63, len(words)) - start + 1 AS BIGINT) AS n_chunk_tokens,
+       array_to_string(words[start : least(start + 63, len(words))], ' ') AS chunk_text
+FROM s
+"""
+
+ORACLE["best_doc_per_source"] = """
+WITH q AS (
+  SELECT source, doc_id,
+         round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+             + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+             + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0, 1.0),
+             6) AS quality_score
+  FROM documents)
+SELECT source, doc_id, quality_score FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM q)
+WHERE rn = 1
+"""
+
 _QUALITY_EXPR = """round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
            + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                     / CAST(len(string_split(text, ' ')) AS DOUBLE))
@@ -767,6 +799,30 @@ FROM sv a JOIN sv b ON a.sig = b.sig AND a.vec_id < b.vec_id
 
 ORACLE["embedding_near_dup"] = f"""
 SELECT * FROM ({ORACLE['ann_lsh_bucketed']}) WHERE cos_sim >= 0.3
+"""
+
+# Symmetric int8 quantization.  floor(x + 0.5) instead of round(): half-away
+# vs half-even conventions differ across engines, floor does not.  The
+# unrounded scale feeds quantization and the error bound; only the OUTPUT
+# scale is rounded for display.
+ORACLE["embedding_quantize_int8"] = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS quant
+  FROM s)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       quant,
+       round(list_max(list_transform(range(1, len(embedding) + 1),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+                      - CAST(quant[i] AS DOUBLE) * scale))), 6) AS max_abs_err
+FROM q
 """
 
 ORACLE["ann_ivf_topk"] = f"""

@@ -105,6 +105,43 @@ def test_maponly_text_ops_no_shuffle(spark, queries):
         assert count_shuffles(df) == 0, f"{name}: map-only operator must not shuffle"
 
 
+def test_round3_dim_joins_broadcast(spark, queries):
+    # q7/q8: nation (25 rows) and the other dims must broadcast; the only
+    # sort-merge-eligible shuffles are fact|x|fact.
+    for name in ("q7_nation_volume_shipping", "q8_market_share"):
+        df = queries[name](spark, SF_DIR)
+        assert has_broadcast_join(df), f"{name}: dimension joins must broadcast"
+
+
+def test_q4_semi_join_not_inner(spark, queries):
+    # The EXISTS must plan as a semi join (one output row per order),
+    # never an inner join + dedup.
+    plan = formatted_plan(queries["q4_late_shipment_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    df = queries["q4_late_shipment_priority"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed  # quarter filter reaches the orders scan
+
+
+def test_simhash_near_dup_no_text_in_join_schema(spark, queries):
+    # Shuffle discipline: the band join carries (band, byte, fingerprint),
+    # never the document text — text must not appear in any exchange.
+    plan = formatted_plan(queries["simhash_near_dup"](spark, SF_DIR))
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), "document text must not ride the shuffle"
+
+
+def test_quality_filter_predicates_reach_scan(spark, queries):
+    # The min-length + quality predicates are map-side: they must evaluate
+    # in the scan stage (Filter directly over FileScan), not post-join.
+    df = queries["quality_filter_pipeline"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan  # representative check is a semi join
+    assert count_shuffles(df) <= 2  # text-hash agg + the semi join, nothing more
+
+
 def test_wholestage_codegen_in_hot_path(spark, queries):
     # simple-mode plan marks codegen stages with '*(n)'; AQE finalizes the
     # plan only on execution, so run the query first.
