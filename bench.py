@@ -51,6 +51,29 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     materialize(queries[names[0]](spark, SF_DIR))
 
+    # Ingest-path throughput (BASELINE.md parity row: the reference consumer
+    # caps out near 100 msg/s per consumer; the target is >= 50 orders/s).
+    # Measured BEFORE the query loop so the number is comparable across
+    # rounds regardless of how many queries precede it (round 2 measured it
+    # first; running it after 85 queries costs ~2x in accumulated JVM
+    # pressure).  Full wire path: synthesize -> JSON-encode -> parse with
+    # dead-letter split -> normalize -> materialize.
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        normalize_orders,
+        parse_wire_with_dlq,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
+        generate_orders,
+        to_wire,
+    )
+
+    n_ingest = 200_000
+    wire = to_wire(generate_orders(spark, n_ingest))
+    t0 = time.perf_counter()
+    ok, _dlq = parse_wire_with_dlq(wire)
+    materialize(normalize_orders(ok))
+    ingest_rate = round(n_ingest / (time.perf_counter() - t0), 1)
+
     # Two iterations per query, report the best: the first run of a plan pays
     # one-time whole-stage-codegen compilation (seconds), which on a real
     # cluster amortizes to zero; steady-state is the honest throughput number.
@@ -70,26 +93,6 @@ def main() -> None:
         # pressure and eviction churn).
         spark.catalog.clearCache()
         gc.collect()
-
-    # Ingest-path throughput (BASELINE.md parity row: the reference consumer
-    # caps out near 100 msg/s per consumer; the target is >= 50 orders/s).
-    # Measures the full wire path: synthesize -> JSON-encode -> parse with
-    # dead-letter split -> normalize -> materialize.
-    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
-        normalize_orders,
-        parse_wire_with_dlq,
-    )
-    from realtime_analytics_with_kafka_clickhouse_spark.sources.generator import (
-        generate_orders,
-        to_wire,
-    )
-
-    n_ingest = 200_000
-    wire = to_wire(generate_orders(spark, n_ingest))
-    t0 = time.perf_counter()
-    ok, _dlq = parse_wire_with_dlq(wire)
-    materialize(normalize_orders(ok))
-    ingest_rate = round(n_ingest / (time.perf_counter() - t0), 1)
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

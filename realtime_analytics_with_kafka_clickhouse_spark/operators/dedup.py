@@ -337,8 +337,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle discipline: each row contributes 4 (band, byte) keys plus its
     64-bit fingerprint — constant bytes per doc ride the shuffle, never
-    text.  Output: (doc_a, doc_b, hamming)."""
-    sigs = simhash_fingerprints(spark, sf_dir)
+    text.  Output: (doc_a, doc_b, hamming).
+
+    The signature frame is localCheckpoint-ed before the self-join: the
+    md5 fold (the expensive scan-stage work) runs ONCE instead of once per
+    join side, and the checkpointed (doc_id, simhash) rows — 16 bytes/doc
+    — are repartitioned across the cluster so the pairing stage gets full
+    parallelism even when the source parquet has few splits.  The raw text
+    column never rides an exchange (pinned by tests/test_plans.py)."""
+    sigs = (
+        simhash_fingerprints(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     width = SIMHASH_BITS // SIMHASH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -363,14 +374,14 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "val"
     )
-    pairs = (
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    # Hamming verify BEFORE the dedup: hamming is a pure function of the
+    # pair, so filtering first is equivalent — and the distinct's shuffle
+    # then carries only true near-dups, not every band collision.
+    return (
         a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
-    return (
-        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
     )
