@@ -68,6 +68,9 @@ _NAMES = [
         "quality_filter_pipeline",
         "chunk_documents",
         "best_doc_per_source",
+        "pii_scrub",
+        "contamination_check",
+        "repetition_score",
     ]),
     (similarity, [
         "embedding_quantize_int8",
@@ -76,6 +79,14 @@ _NAMES = [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",
         "q8_market_share",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_parts",
+        "q12_ship_channel_priority",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q20_promotion_suppliers",
+        "q21_waiting_suppliers",
     ]),
     (rollups, [
         "hourly_category_rollup",

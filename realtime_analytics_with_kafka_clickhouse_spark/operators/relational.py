@@ -533,3 +533,247 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("order_count"), dsum("o_totalprice").alias("total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs q2/q9/q11/q12/q15/q16/q20/q21, adapted to the fixture star
+# schema (no partsupp table, no commit/receipt dates): "supply cost" is the
+# minimum observed unit price in lineitem, "lateness" is shipdate lagging
+# orderdate.  Shapes preserved: decorrelated min-subqueries, nested
+# aggregates, EXISTS/NOT EXISTS double correlation, conditional aggregation.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier.  Supply cost per (part,
+    supplier) is the minimum unit price observed in lineitem among EUROPE
+    suppliers; the correlated MIN subquery is decorrelated into a per-part
+    aggregate joined back on equality (exact: min of IEEE divisions is
+    deterministic on both engines).
+
+    Scale shape: lineitem shuffles ONCE on (partkey, suppkey); every later
+    frame is aggregate-shrunk (|parts| rows) and the dimension joins are
+    broadcast.  supplier x nation x region prunes to the EUROPE subset
+    before touching the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == min_cost.mc_partkey) & (cost.cost == min_cost.min_cost),
+        )
+        .join(part, cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit by supplier nation and order year for 'red'
+    parts.  Cost proxy (no partsupp): 60% of the part's retail price per
+    unit.  One joined frame, one aggregation — part/supplier/nation all
+    broadcast, the only large shuffle is lineitem |x| orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part value (price x quantity)
+    from NATION_1 suppliers, kept when above 0.1% of the nation's total —
+    the global-total scalar subquery broadcast into the HAVING filter.
+
+    Both the per-part values and the total go through the decimal-exact
+    dsum, so the threshold comparison is bit-identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    n1_rows = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = n1_rows.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        dsum(value).alias("part_value")
+    )
+    total = n1_rows.agg(dsum(value).alias("nation_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("nation_total") * 0.001)
+        .select("partkey", "part_value")
+    )
+
+
+def q12_ship_channel_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-channel priority check.  The fixture has no
+    l_shipmode, so the channel is derived from the ship lag (days between
+    order and ship date): <=7 FAST, <=30 REGULAR, else SLOW.  Conditional
+    aggregation splits urgent (1-URGENT/2-HIGH) from other priorities —
+    one fact-fact shuffle, one aggregation over 3 groups."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    channel = (
+        F.when(lag <= 7, "FAST").when(lag <= 30, "REGULAR").otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(channel.alias("ship_channel"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: revenue per supplier over 1997Q1, then
+    the supplier(s) matching the maximum — the view + scalar-subquery pair
+    decorrelated into agg -> broadcast max -> equality filter (exact:
+    dsum revenues are decimal-identical, so float equality is safe)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("rev_suppkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("rev_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier counts per part attribute.  The
+    part-supplier relation is the distinct (partkey, suppkey) projection of
+    lineitem; suppliers in deficit (negative balance) are excluded by
+    anti-join (the complaint-comment filter analog); Brand#1 / PROMO parts
+    excluded; count(DISTINCT suppkey) per (brand, type, size)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style promotion-part suppliers: suppliers that shipped
+    more than half of their all-time volume of a 'red' part during 1997
+    (and at least 50 units lifetime) — the nested correlated aggregate
+    computed as ONE grouped pass (conditional sum for the year slice),
+    then a semi-join back to supplier.
+
+    Scale shape: single shuffle on (suppkey, partkey); the filter runs on
+    the aggregate (|pairs| rows), and supplier receives a semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    in_1997 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            dsum("l_quantity").alias("qty_all"),
+            dsum(F.when(in_1997, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("qty_1997"),
+        )
+    )
+    hot = per_pair.filter(
+        (F.col("qty_1997") > 0.5 * F.col("qty_all")) & (F.col("qty_all") >= 50)
+    )
+    return (
+        supp.join(hot, supp.s_suppkey == hot.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: in finished
+    multi-supplier orders, the supplier whose shipment was late (> 60 days
+    after the order date) while every OTHER supplier shipped on time.
+
+    The double correlated EXISTS / NOT EXISTS is decorrelated into one
+    per-order aggregate — n_supps and n_late_supps via two countDistincts
+    in a single pass — joined to the distinct late (order, supplier)
+    pairs.  Two shuffles total (orderkey, then suppkey), no self-joins of
+    the fact table."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = joined.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    late_pairs = (
+        joined.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        late_pairs.join(per_order, late_pairs.l_orderkey == per_order.po_orderkey)
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(supp), late_pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

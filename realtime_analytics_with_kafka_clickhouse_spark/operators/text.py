@@ -316,3 +316,132 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % F.lit(_FP_MOD),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing, benchmark-contamination detection, repetition scoring —
+# the remaining text-hygiene passes of an LLM data pipeline.
+
+PII_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PII_CARD = r"[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails / card numbers / phone numbers).
+
+    The fixture documents are synthetic word-salad with no natural PII, so
+    the contact text is synthesized deterministically from ``customer``
+    (name-derived email, custkey-derived phone and card) — the redaction
+    logic itself is the thing under test, and it runs over real strings.
+
+    Card is scrubbed BEFORE phone: the two patterns share the digit-group
+    shape and redaction must not leave a partially-masked card.  Map-only:
+    three regexp_replace passes fused into one projection, no shuffle —
+    at 100 TB this is a scan-stage transform like any other filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    digits3 = F.lpad((key % 1000).cast("string"), 3, "0")
+    digits4 = F.lpad((key % 10000).cast("string"), 4, "0")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))), F.lit("@example.com")
+    )
+    phone = F.concat(F.lit("555-"), digits3, F.lit("-"), digits4)
+    card = F.concat(F.lit("4111-"), digits4, F.lit("-"), digits4, F.lit("-"), digits4)
+    text = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" at "), email,
+        F.lit(" or call "), phone, F.lit(" (card "), card, F.lit(")."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "[EMAIL]"), PII_CARD, "[CARD]"
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    return cust.select(
+        key.alias("custkey"),
+        scrubbed.alias("scrubbed_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_CARD)).cast("long").alias("n_cards"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )
+
+
+CONTAM_BENCH_MOD = 7  # doc_id % MOD == 0 -> held-out benchmark set
+CONTAM_NGRAM = 4  # word n-gram width for the overlap check
+
+
+def _word_ngrams(words, n: int):
+    """Column expr: array of space-joined word n-grams (empty if < n words)."""
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which training documents share a
+    word 4-gram with the held-out benchmark slice (doc_id % 7 == 0)?
+
+    The canonical eval-leakage scan of LLM data prep.  Shape: the
+    benchmark side collapses to its DISTINCT n-grams — bounded by the
+    benchmark corpus (millions of grams), not the training corpus
+    (trillions) — and the training side explodes grams and semi-aggregates
+    against it.  The join key is the gram string; at 100 TB the benchmark
+    side is broadcast and the scan never shuffles the documents
+    themselves, only (doc_id, gram) pairs that survive the join."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _word_ngrams(F.split(F.col("text"), " "), CONTAM_NGRAM)
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    bench = (
+        exploded.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = exploded.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+REPETITION_DUP3_MAX = 0.1  # dup-trigram ratio above which a doc is flagged
+
+
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the boilerplate/loop detector of
+    LLM data quality filtering:
+
+    - dup_trigram_ratio: 1 - distinct/total word trigrams (repeated
+      phrases inflate it);
+    - top_token_ratio: frequency of the most common token / total tokens
+      (degenerate repetition inflates it).
+
+    Pure HOF program, map-only, zero shuffle.  top_token_ratio is
+    O(distinct x n) per row — CPU within the scan stage, which is the
+    right trade at scale (no explode, no aggregation, no state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    tri = _word_ngrams(words, 3)
+    dup_ratio = F.when(
+        F.size(tri) > 0,
+        F.round(
+            1 - F.size(F.array_distinct(tri)).cast("double") / F.size(tri).cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_ratio.alias("dup_trigram_ratio"),
+        F.round(top_count.cast("double") / n.cast("double"), 6).alias("top_token_ratio"),
+        (dup_ratio > REPETITION_DUP3_MAX).alias("is_repetitive"),
+    )

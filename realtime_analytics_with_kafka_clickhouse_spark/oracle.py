@@ -289,6 +289,133 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
+ORACLE["q2_min_cost_supplier"] = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), mc AS (
+  SELECT l_partkey AS mc_partkey, min(cost) AS min_cost FROM cost GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+FROM cost
+JOIN mc ON cost.l_partkey = mc_partkey AND cost.cost = min_cost
+JOIN part ON cost.l_partkey = p_partkey
+JOIN eu_supp ON cost.l_suppkey = eu_supp.s_suppkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLE["q9_product_type_profit"] = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_dsum('l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2
+"""
+
+ORACLE["q11_important_parts"] = f"""
+WITH n1_rows AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+), per_part AS (
+  SELECT l_partkey AS partkey, {_dsum('val')} AS part_value FROM n1_rows GROUP BY 1
+), total AS (
+  SELECT {_dsum('val')} AS nation_total FROM n1_rows
+)
+SELECT partkey, part_value FROM per_part, total
+WHERE part_value > nation_total * 0.001
+"""
+
+ORACLE["q12_ship_channel_priority"] = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 7 THEN 'FAST'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'REGULAR'
+            ELSE 'SLOW' END AS ship_channel,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+ORACLE["q15_top_supplier"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+ORACLE["q16_supplier_part_counts"] = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["q20_promotion_suppliers"] = f"""
+WITH per_pair AS (
+  SELECT l_suppkey, l_partkey,
+         {_dsum('l_quantity')} AS qty_all,
+         {_dsum("CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' THEN l_quantity ELSE 0.0 END")} AS qty_1997
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM per_pair
+              WHERE l_suppkey = s_suppkey
+                AND qty_1997 > 0.5 * qty_all AND qty_all >= 50)
+ORDER BY s_suppkey
+"""
+
+ORACLE["q21_waiting_suppliers"] = """
+WITH joined AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS po_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supps
+  FROM joined GROUP BY 1
+), late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM joined WHERE is_late
+)
+SELECT s_name, count(*) AS numwait
+FROM late_pairs
+JOIN per_order ON l_orderkey = po_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supps > 1 AND n_late_supps = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
 ORACLE["distinct_customers_per_nation"] = """
 SELECT n_name,
        count(DISTINCT o_custkey) AS distinct_customers,
@@ -630,6 +757,64 @@ SELECT source, doc_id, quality_score FROM (
                                ORDER BY quality_score DESC, doc_id ASC) AS rn
   FROM q)
 WHERE rn = 1
+"""
+
+_PII_TEXT = """'Contact ' || c_name || ' at ' || lower(replace(c_name, '#', '.')) || '@example.com'
+  || ' or call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+  || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+  || ' (card 4111-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+  || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+  || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ').'"""
+
+_PII_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PII_CARD = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+ORACLE["pii_scrub"] = f"""
+WITH built AS (SELECT c_custkey AS custkey, {_PII_TEXT} AS text FROM customer)
+SELECT custkey,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_CARD}', '[CARD]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS scrubbed_text,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_CARD}')) AS BIGINT) AS n_cards,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones
+FROM built
+"""
+
+# Word n-grams as 1-based inclusive list slices; generate_series(1, 0) is
+# empty, so short documents contribute no grams (mirrors the Spark guard).
+_GRAMS4 = """list_transform(generate_series(1, len(string_split(text, ' ')) - 3),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' '))"""
+
+ORACLE["contamination_check"] = f"""
+WITH g AS (SELECT doc_id, unnest({_GRAMS4}) AS gram FROM documents),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+FROM g
+WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bench)
+GROUP BY 1
+"""
+
+ORACLE["repetition_score"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) AS tri
+  FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CASE WHEN len(tri) > 0
+            THEN round(1 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_trigram_ratio,
+       round(CAST(list_max(list_transform(list_distinct(words),
+                  t -> len(list_filter(words, x -> x = t)))) AS DOUBLE)
+             / CAST(len(words) AS DOUBLE), 6) AS top_token_ratio,
+       CASE WHEN len(tri) > 0
+            THEN round(1 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE), 6)
+            ELSE 0.0 END > 0.1 AS is_repetitive
+FROM w
 """
 
 _QUALITY_EXPR = """round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)

@@ -149,3 +149,45 @@ def test_wholestage_codegen_in_hot_path(spark, queries):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan and "*(" in plan
+
+
+def test_tpch_round3_analogs_broadcast_dims(spark, queries):
+    # q2/q9/q21: every dimension (part/supplier/nation/region) broadcasts;
+    # the only shuffle-eligible joins are fact-fact or aggregate-aggregate.
+    for name in ("q2_min_cost_supplier", "q9_product_type_profit", "q21_waiting_suppliers"):
+        df = queries[name](spark, SF_DIR)
+        assert has_broadcast_join(df), f"{name}: dimension joins must broadcast"
+
+
+def test_q16_anti_join_planned(spark, queries):
+    # The deficit-supplier exclusion must plan as an anti join, never a
+    # NOT IN subquery materialization.
+    plan = formatted_plan(queries["q16_supplier_part_counts"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_planned(spark, queries):
+    plan = formatted_plan(queries["q20_promotion_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_q12_single_join_single_agg(spark, queries):
+    # One fact-fact join + one aggregation: at most 3 exchanges (two join
+    # sides + the 3-group aggregate), with map-side partial aggregation.
+    df = queries["q12_ship_channel_priority"](spark, SF_DIR)
+    assert count_shuffles(df) <= 3
+    assert formatted_plan(df).count("HashAggregate") >= 2
+
+
+def test_pii_and_repetition_map_only(spark, queries):
+    # Text-hygiene passes are scan-stage transforms: zero shuffles.
+    for name in ("pii_scrub", "repetition_score"):
+        df = queries[name](spark, SF_DIR)
+        assert count_shuffles(df) == 0, f"{name}: map-only operator must not shuffle"
+
+
+def test_contamination_bench_side_broadcast(spark, queries):
+    # The benchmark gram set must broadcast — the training corpus must
+    # never shuffle on the gram key at scale.
+    df = queries["contamination_check"](spark, SF_DIR)
+    assert has_broadcast_join(df)
