@@ -234,6 +234,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_EDGES_PER_PARTITION = 2_000_000  # target edges per task in the CC loop
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pairs — the step a
     real dedup pipeline runs after pair generation, so each duplicate
@@ -242,49 +245,67 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative min-label propagation on DataFrames: each round every node
     takes the min label among itself and its neighbors; converges in
     O(component diameter) rounds.  This is the small-star/large-star family
-    (CC in MapReduce) in its simplest form — each round is one equi-join +
-    one aggregate, all shuffle-partitioned by node, nothing driver-side
-    except the convergence check (a count, not a collect).  Output:
-    (doc_id, cluster_id) for every doc in at least one near-dup pair.
+    (CC in MapReduce) in its simplest form, with two cost cuts per round:
+
+    - **self-loops** in the (cached, symmetrized) edge set make
+      "min over self and neighbors" a single equi-join + aggregate —
+      no second join to fold the node's own label back in;
+    - **sum-based convergence**: labels only ever decrease, so the label
+      sum is strictly decreasing until the fixed point — one decimal-exact
+      aggregate replaces the old/new join + inequality count.
+
+    Everything is shuffle-partitioned by node; nothing driver-side except
+    the one-row convergence aggregate.  Output: (doc_id, cluster_id) for
+    every doc in at least one near-dup pair.
     """
-    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
-    labels = (
-        edges.select(F.col("doc_a").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+    # Materialize the (expensive) pair pipeline exactly once: the edge
+    # frame references it three times (both directions + self-loops), and
+    # un-cached union branches would re-run the whole MinHash-LSH plan per
+    # branch.  count() populates the cache before the fan-out.
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+    n_pairs = pairs.count()
+    # Size the iteration's partitioning from the measured edge count, not
+    # the global shuffle default: the CC working set (near-dup pairs) is
+    # orders of magnitude smaller than the corpus, and right-sizing here
+    # is what keeps each round's task count proportional to the graph.
+    n_parts = max(1, min(2048, (3 * n_pairs) // _CC_EDGES_PER_PARTITION + 1))
+    nodes = (
+        pairs.select(F.col("doc_a").alias("src"))
+        .union(pairs.select("doc_b"))
+        .distinct()
     )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .union(nodes.select("src", F.col("src").alias("dst")))
+        .repartition(n_parts, "dst")
+        .cache()
+    )
+    labels = nodes.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).localCheckpoint()
+    # Decimal sum: exact and overflow-free even when node ids and node
+    # counts are both ~1e12 (long sums could wrap at 100 TB scale).
+    _sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_sum).collect()[0][0]
     while True:
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.doc_a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
-            )
-            # Cut lineage each round: without this the plan doubles per
-            # iteration and the driver spends its time in the optimizer.
+        # Cut lineage each round (localCheckpoint): without this the plan
+        # doubles per iteration and the driver lives in the optimizer.
+        labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(_sum).collect()[0][0]
+        if cur_sum == prev_sum:
             break
-    # labels is checkpointed (materialized) — the edge cache is dead weight
-    # from here on; release it instead of letting it pin executor memory
-    # until the next GC/clearCache.
+        prev_sum = cur_sum
+    # labels is checkpointed (materialized) — the pair/edge caches are dead
+    # weight from here on; release them instead of letting them pin
+    # executor memory until the next GC/clearCache.
     edges.unpersist(blocking=False)
+    pairs.unpersist(blocking=False)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
