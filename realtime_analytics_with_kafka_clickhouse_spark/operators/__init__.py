@@ -10,7 +10,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, rollups, similarity, text, timeseries, windows
+from . import (
+    curation,
+    dedup,
+    multimodal,
+    relational,
+    rollups,
+    similarity,
+    text,
+    timeseries,
+    windows,
+)
 from ..streaming import pipeline as _streaming_pipeline
 
 # Ordered (module, names) blocks.  ORDER MATTERS: the driver's correctness
@@ -74,6 +84,11 @@ _NAMES = [
     ]),
     (similarity, [
         "embedding_quantize_int8",
+    ]),
+    (curation, [
+        "pack_training_shards",
+        "dedup_keep_best",
+        "lang_balance_resample",
     ]),
     (relational, [
         "q4_late_shipment_priority",

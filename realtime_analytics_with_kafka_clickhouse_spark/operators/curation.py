@@ -1,0 +1,136 @@
+"""Corpus-curation operators (SURVEY.md §2.9 [EXT]): the steps between
+"filtered documents" and "training shards" in an LLM data pipeline.
+
+- ``pack_training_shards``: sequential token-budget packing via a
+  distributed prefix sum — NOT a single global window (which would funnel
+  100 TB through one task).
+- ``dedup_keep_best``: canonical-document selection per near-duplicate
+  cluster (argmax quality, doc_id tiebreak), untouched docs pass through.
+- ``lang_balance_resample``: deterministic hash-threshold downsampling to
+  the minority-language count — the domain/language rebalancing pass.
+
+All three verify value-exactly against DuckDB oracles: sampling thresholds
+are pure integer arithmetic, packing is integer prefix sums, and keep-best
+reuses the engine-portable quality expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import word_hash_expr
+from ..sources.tables import load_table
+from .dedup import near_dup_clusters
+from .text import quality_score
+
+SHARD_TOKEN_BUDGET = 4096  # tokens per training shard
+MIX_SAMPLE_MOD = 1_000_000  # hash-threshold resolution for resampling
+_PACK_DOCS_PER_PART = 250_000  # target docs per prefix-sum bucket
+_PACK_MAX_PARTS = 2048
+
+
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into ~SHARD_TOKEN_BUDGET-token
+    training shards: shard_id = floor(preceding-token-count / budget).
+
+    This is a GLOBAL running sum, and the naive formulation — one
+    unpartitioned window — serializes the corpus through a single task.
+    The scalable shape is the classic distributed prefix sum:
+
+    1. bucket by doc_id range (bucket i's ids all precede bucket i+1's)
+       — EXPLICIT integer bucketing from one min/max/count aggregate, not
+       ``spark_partition_id`` after a range shuffle, because this frame is
+       referenced twice and two exchange instances need not agree on
+       physical partition ids;
+    2. per-bucket token totals -> one tiny frame (|buckets| rows);
+    3. exclusive-prefix-sum that frame (bounded window, broadcast back);
+    4. per-bucket running sum + bucket offset = global running sum.
+
+    Only step 3 is single-threaded, over one row per bucket.  The result
+    is invariant to where the bucket boundaries land (id skew cannot
+    perturb values, only balance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo, hi, n = docs.agg(
+        F.min("doc_id"), F.max("doc_id"), F.count("*")
+    ).collect()[0]
+    n_parts = min(_PACK_MAX_PARTS, max(1, int(n) // _PACK_DOCS_PER_PART + 1))
+    bucket_width = (int(hi) - int(lo)) // n_parts + 1
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.expr(f"(doc_id - {int(lo)}) DIV {bucket_width}").alias("pid"),
+    )
+    per_part = base.groupBy("pid").agg(F.sum("n_tokens").alias("part_tokens"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "pid", F.coalesce(F.sum("part_tokens").over(off_w), F.lit(0)).alias("offset")
+    )
+    cum_w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.sum("n_tokens").over(cum_w) + F.col("offset")).alias("cum_tokens")
+    return (
+        base.join(F.broadcast(offsets), "pid")
+        .select("doc_id", "n_tokens", cum)
+        .withColumn(
+            "shard_id",
+            F.expr(f"(cum_tokens - n_tokens) DIV {SHARD_TOKEN_BUDGET}"),
+        )
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate resolution: keep ONE document per near-dup cluster —
+    the highest quality_score, doc_id as tiebreak — and pass every
+    unclustered document through untouched (cluster_id = own doc_id).
+
+    Scale shape: the cluster assignment is orders of magnitude smaller
+    than the corpus (only docs in >= 1 near-dup pair), so both the member
+    join and the survivor anti-join broadcast it; the argmax window runs
+    over cluster members only, never the whole corpus."""
+    clusters = near_dup_clusters(spark, sf_dir)  # (doc_id, cluster_id), small
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    members = quality.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    best = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality_score")
+    )
+    loners = quality.join(
+        F.broadcast(clusters.select("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"), "quality_score")
+    return best.unionByName(loners)
+
+
+def lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward uniform language representation:
+    downsample every language to ~the minority language's count with a
+    deterministic hash threshold (no RNG state, same subset on any engine
+    or run):  keep doc iff  h('mix', doc_id) mod 1e6  <  1e6 * min_count /
+    count(lang).
+
+    The threshold is exact bigint arithmetic (multiply-then-DIV), so the
+    DuckDB oracle reproduces the selection bit-for-bit.  Per-language
+    counts and the global min are two tiny broadcast frames; the filter
+    itself is map-side — no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    min_docs = counts.agg(F.min("lang_docs").alias("min_docs"))
+    thr = F.least(
+        F.lit(MIX_SAMPLE_MOD).cast("long"),
+        F.expr(f"min_docs * {MIX_SAMPLE_MOD} DIV lang_docs"),
+    )
+    bucket = F.pmod(
+        word_hash_expr(F.col("doc_id").cast("string"), F.lit("mix")),
+        F.lit(MIX_SAMPLE_MOD),
+    )
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .join(F.broadcast(min_docs))
+        .filter(bucket < thr)
+        .select("doc_id", "lang", "source")
+    )

@@ -1314,3 +1314,49 @@ SELECT label, CAST(dim AS INT) AS dim,
        round(CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6) AS centroid
 FROM ed GROUP BY 1, 2
 """
+
+# ------------------------------------------------------- curation [EXT]
+
+from .operators.curation import (  # noqa: E402
+    MIX_SAMPLE_MOD as _MIX_MOD,
+    SHARD_TOKEN_BUDGET as _SHARD_BUDGET,
+)
+
+ORACLE["pack_training_shards"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM c
+"""
+
+ORACLE["dedup_keep_best"] = f"""
+WITH clusters AS ({ORACLE['near_dup_clusters']}),
+q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents),
+m AS (
+  SELECT q.doc_id, c.cluster_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, q.doc_id) AS rn
+  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+SELECT doc_id, cluster_id, quality_score FROM m WHERE rn = 1
+UNION ALL
+SELECT q.doc_id, q.doc_id AS cluster_id, q.quality_score
+FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+WHERE c.doc_id IS NULL
+"""
+
+ORACLE["lang_balance_resample"] = f"""
+WITH counts AS (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY 1),
+m AS (SELECT min(lang_docs) AS min_docs FROM counts)
+SELECT doc_id, lang, source
+FROM documents JOIN counts USING (lang), m
+WHERE {_h("concat_ws(chr(1), 'mix', CAST(doc_id AS VARCHAR))")} % {_MIX_MOD}
+      < least({_MIX_MOD}, min_docs * {_MIX_MOD} // lang_docs)
+"""

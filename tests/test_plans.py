@@ -191,3 +191,24 @@ def test_contamination_bench_side_broadcast(spark, queries):
     # never shuffle on the gram key at scale.
     df = queries["contamination_check"](spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+def test_lang_balance_broadcast_no_corpus_shuffle(spark, queries):
+    # The per-lang counts and global min are tiny aggregates; the corpus
+    # side must receive them by broadcast and never shuffle itself.
+    df = queries["lang_balance_resample"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    # Only bounded-key aggregates shuffle (the per-lang count subtree is
+    # instantiated twice: broadcast side + under the global min).
+    assert count_shuffles(df) <= 3
+
+
+def test_pack_training_shards_no_global_corpus_window(spark, queries):
+    # The corpus-wide running sum must be bucket-partitioned; the only
+    # unpartitioned window runs over the |buckets|-row offsets frame.
+    plan = formatted_plan(queries["pack_training_shards"](spark, SF_DIR))
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in plan"
+    partitioned = [s for s in specs if s.strip().startswith("pid")]
+    assert partitioned, f"corpus window must partition by pid: {specs}"
