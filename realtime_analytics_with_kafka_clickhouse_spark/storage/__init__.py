@@ -1,4 +1,4 @@
 from . import fs
-from .layout import expire_ttl, read_orders_table, write_orders_table
+from .layout import delete_rows, expire_ttl, read_orders_table, write_orders_table
 
-__all__ = ["expire_ttl", "fs", "read_orders_table", "write_orders_table"]
+__all__ = ["delete_rows", "expire_ttl", "fs", "read_orders_table", "write_orders_table"]

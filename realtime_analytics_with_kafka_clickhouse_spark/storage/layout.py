@@ -76,6 +76,57 @@ def compact_dir(
     return n_files
 
 
+def delete_rows(spark: SparkSession, path: str, predicate: str) -> list[str]:
+    """Targeted row deletion — the ``ALTER TABLE ... DELETE WHERE``
+    mutation of the reference's ClickHouse tables
+    (/root/reference/clickhouse/init/01_init.sql), and the GDPR /
+    opt-out removal pass an LLM training corpus needs.
+
+    Mutation model mirrors ClickHouse's: find the partitions that contain
+    matching rows (predicate pushed to the parquet scan — row-group stats
+    skip untouched months), rewrite ONLY those partitions without the
+    matching rows, drop a partition outright when nothing survives.  At
+    100 TB a keyed delete rewrites a handful of month directories, never
+    the table.
+
+    ``predicate`` is a SQL boolean over DATA columns (the partition
+    column is directory-encoded and not visible to the per-partition
+    rewrite).  Rows where the predicate is NULL survive, matching SQL
+    DELETE semantics.  Rewrites go through the shared ``.swap-*`` crash
+    protocol.  Returns the touched partitions.
+    """
+    for name in fs.list_dir(spark, path):
+        if fs.SWAP_SUFFIX in name:
+            fs.recover_latest_swap(spark, f"{path}/{name.split(fs.SWAP_SUFFIX)[0]}")
+    pred = F.expr(predicate)
+    affected = [
+        r["order_month"]
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("order_month")
+        .distinct()
+        .collect()
+    ]
+    keep = ~F.coalesce(pred, F.lit(False))  # NULL predicate -> row survives
+    touched: list[str] = []
+    for month in sorted(affected):
+        part_dir = f"{path}/order_month={month}"
+        surviving = spark.read.parquet(part_dir).filter(keep)
+        if surviving.count() == 0:
+            fs.delete(spark, part_dir)
+            touched.append(f"dropped:order_month={month}")
+            continue
+        tmp = fs.swap_tmp_path(part_dir)
+        (
+            surviving.sortWithinPartitions("order_timestamp", "order_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.swap_in(spark, part_dir, tmp)
+        touched.append(f"rewrote:order_month={month}")
+    return touched
+
+
 def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
     """Apply the 365-day-style TTL: drop expired month partitions, rewrite
     the boundary month exactly.  Returns the dropped/rewritten partitions.

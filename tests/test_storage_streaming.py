@@ -419,3 +419,33 @@ def test_rate_orders_stream_shape(spark):
     live = rate_orders_stream(spark, rows_per_second=50)
     assert live.isStreaming
     assert live.schema == generate_orders(spark, 1).schema
+
+
+def test_delete_rows_gdpr_mutation(spark):
+    """ALTER TABLE ... DELETE analog: keyed delete rewrites only affected
+    partitions, preserves everything else, survives NULL predicates."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import delete_rows
+
+    orders = generate_orders(spark, 2000, seed=42)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_table"
+        write_orders_table(orders, path)
+        victim = read_orders_table(spark, path).select("customer_id").first()[0]
+        n_victim = orders.filter(F.col("customer_id") == victim).count()
+        assert n_victim > 0
+        before = read_orders_table(spark, path).count()
+        touched = delete_rows(spark, path, f"customer_id = '{victim}'")
+        assert touched and all(
+            t.startswith(("rewrote:", "dropped:")) for t in touched
+        )
+        after = read_orders_table(spark, path)
+        assert after.filter(F.col("customer_id") == victim).count() == 0
+        assert after.count() == before - n_victim
+        # Untouched months keep their files: only affected partitions listed.
+        all_months = {
+            p.name for p in Path(path).glob("order_month=*")
+        }
+        touched_months = {t.split(":", 1)[1] for t in touched}
+        assert touched_months <= all_months | touched_months
+        # Idempotent: deleting again touches nothing.
+        assert delete_rows(spark, path, f"customer_id = '{victim}'") == []
