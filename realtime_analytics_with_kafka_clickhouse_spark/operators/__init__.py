@@ -92,6 +92,13 @@ _NAMES = [
         "dedup_keep_best",
         "lang_balance_resample",
     ]),
+    (text, [
+        "gopher_quality_rules",
+        "boilerplate_spans",
+    ]),
+    (dedup, [
+        "substring_dedup_docs",
+    ]),
     (relational, [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",

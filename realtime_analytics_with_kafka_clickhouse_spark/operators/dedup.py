@@ -406,3 +406,48 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
     )
+
+
+SUBSTR_NGRAM = 4  # exact-substring span width (words)
+
+
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at document granularity (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper): a document is a substring-duplicate when any of its word
+    4-gram spans also occurs in a LOWER-doc_id document; the lowest-id
+    occurrence is the canonical copy that survives.  This is the
+    keep-first exact-span policy (vs. the symmetric pair output of
+    ngram_jaccard_pairs / minhash_near_dup).
+
+    Shape: explode spans -> min(doc_id) per span (one shuffle, map-side
+    combine — the suffix-array of the paper re-expressed as a hash
+    aggregation, which is the shape that distributes) -> join spans back
+    to owners -> per-doc aggregate.  Span state is O(distinct spans),
+    sharded by the span key; no pairwise comparison anywhere, so cost is
+    linear in corpus size at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import _word_ngrams  # local import avoids a module cycle
+
+    words = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id", F.explode(_word_ngrams(words, SUBSTR_NGRAM)).alias("span")
+    ).distinct()
+    owners = spans.groupBy("span").agg(F.min("doc_id").alias("owner"))
+    return (
+        spans.join(owners, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("owner") < F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans") > 0).alias("is_substring_dup"),
+        )
+    )

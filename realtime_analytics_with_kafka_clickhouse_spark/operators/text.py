@@ -469,6 +469,121 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that")
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, §A1.1 —
+    public paper): word-count bounds, mean-word-length band, minimum
+    stopword count, alphabetic-word fraction, and symbol-to-word ratio,
+    plus the combined pass flag.  The standard rule-based pre-filter that
+    fronts every LLM data pipeline.
+
+    Map-only plan — every rule is a higher-order function over the split
+    word array, no shuffle, embarrassingly parallel at any scale.  (The
+    line-shape rules from the paper — bullet/ellipsis line ratios — are
+    omitted: this corpus is single-line by construction.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n
+    )
+    stopword_count = F.size(
+        F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    symbol_ratio = (
+        (
+            F.regexp_count(F.col("text"), F.lit("#"))
+            + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+        ).cast("double")
+        / n
+    )
+    passes = (
+        F.size(words).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (stopword_count >= GOPHER_MIN_STOPWORDS)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        stopword_count.alias("stopword_count"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        passes.alias("passes_gopher"),
+    )
+
+
+BOILER_SPAN_N = 3  # word n-gram width for the corpus-frequency span scan
+BOILER_MIN_FRACTION = 0.005  # span is boilerplate if in >= 0.5% of docs...
+BOILER_MIN_DOCS = 3  # ...with an absolute floor of 3 docs
+BOILER_DOC_RATIO = 0.5  # doc is boilerplate if > half its spans are
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection, re-based from lines to word
+    spans (this corpus is single-line): a span (word 3-gram) is
+    boilerplate when it appears in >= max(3, 0.5% of corpus) DISTINCT
+    documents; a document is boilerplate when more than half its spans
+    are.  The corpus-frequency dedup-of-repeated-content pass (navigation
+    chrome, license headers, templated text) of web-scale pipelines.
+
+    Shape: per-doc DISTINCT spans -> groupBy span == document frequency
+    (one shuffle on the span key, map-side combine); join positions back
+    to frequencies (second shuffle, AQE-handled skew); per-doc aggregate.
+    The threshold is corpus-relative (like the shingle doc-freq cap in
+    dedup.py) so the rule holds at any scale without retuning."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    spans = docs.select(
+        "doc_id", F.explode(_word_ngrams(words, BOILER_SPAN_N)).alias("span")
+    )
+    # document frequency: distinct (doc, span) first, then count per span
+    doc_freq = (
+        spans.distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.select(
+        F.greatest(
+            F.lit(BOILER_MIN_DOCS),
+            F.ceil(F.count("*") * BOILER_MIN_FRACTION),
+        ).alias("df_min")
+    )
+    per_doc = (
+        spans.join(doc_freq, "span")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= F.col("df_min"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_spans"),
+        )
+    )
+    ratio = F.col("n_boiler_spans").cast("double") / F.col("n_spans").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_boiler_spans",
+        F.round(ratio, 6).alias("boiler_ratio"),
+        (ratio > BOILER_DOC_RATIO).alias("is_boilerplate"),
+    )
+
+
 def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language-model fluency proxy: score each document by the
     average corpus frequency of its word bigrams (the KenLM-style "does

@@ -1399,3 +1399,65 @@ SELECT e.doc_id, count(*) AS n_bigrams,
 FROM e JOIN c USING (bigram)
 GROUP BY 1
 """
+
+# Gopher rule pass flags compare the RAW (unrounded) ratios, mirroring the
+# Spark side; every ratio is an exact-integer division so IEEE doubles agree.
+ORACLE["gopher_quality_rules"] = r"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mwl,
+         len(list_filter(words,
+             x -> x IN ('the','a','and','of','to','in','is','that'))) AS stops,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) AS alpha,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) AS sym
+  FROM w)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       CAST(stops AS BIGINT) AS stopword_count,
+       round(alpha, 6) AS alpha_word_ratio,
+       round(sym, 6) AS symbol_ratio,
+       (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         AND stops >= 2 AND alpha >= 0.8 AND sym <= 0.1 AS passes_gopher
+FROM m
+"""
+
+_GRAMS3 = """list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"""
+
+ORACLE["boilerplate_spans"] = f"""
+WITH g AS (SELECT doc_id, unnest({_GRAMS3}) AS span FROM documents),
+df AS (SELECT span, count(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+n AS (SELECT greatest(3, CAST(ceil(count(*) * 0.005) AS BIGINT)) AS df_min
+      FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN df >= df_min THEN 1 ELSE 0 END) AS n_boiler
+  FROM g JOIN df USING (span), n
+  GROUP BY 1)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_boiler AS BIGINT) AS n_boiler_spans,
+       round(CAST(n_boiler AS DOUBLE) / CAST(n_spans AS DOUBLE), 6) AS boiler_ratio,
+       CAST(n_boiler AS DOUBLE) / CAST(n_spans AS DOUBLE) > 0.5 AS is_boilerplate
+FROM agg
+"""
+
+ORACLE["substring_dedup_docs"] = f"""
+WITH g AS (SELECT DISTINCT doc_id, unnest({_GRAMS4}) AS span FROM documents),
+own AS (SELECT span, min(doc_id) AS owner FROM g GROUP BY 1),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS n_dup
+  FROM g JOIN own USING (span)
+  GROUP BY 1)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_dup AS BIGINT) AS n_dup_spans,
+       n_dup > 0 AS is_substring_dup
+FROM agg
+"""
