@@ -99,6 +99,9 @@ _NAMES = [
     (dedup, [
         "substring_dedup_docs",
     ]),
+    (similarity, [
+        "kmeans_train",
+    ]),
     (relational, [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",

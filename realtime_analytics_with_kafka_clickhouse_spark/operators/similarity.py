@@ -25,7 +25,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -417,3 +417,84 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         topk, schema="vec_id long, neighbor_id long, qdot double, rank long"
     )
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 2
+
+
+def _sq_dist(vec: Column, centroid: Column) -> Column:
+    """Squared L2 distance as a sequential left fold over the dimension
+    index — the same association order as the oracle's unrolled `t1 + t2 +
+    ... + t64` chain, so IEEE doubles agree bit-for-bit."""
+    terms = F.zip_with(vec, centroid, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    training step an IVF index needs for its coarse quantizer (vs.
+    ann_ivf_topk, which borrows the label column as pre-trained cells).
+
+    Deterministic contract (oracle-verifiable, like everything else):
+    init centroids are the K lowest vec_ids; each round assigns by
+    squared-L2 argmin (distance rounded to 6, cluster id tiebreak) and
+    recomputes centroid means with the decimal-sum convention (exact
+    per-dimension sums, one correctly-rounded double divide) so the 32-way
+    parallel sums equal DuckDB's serial ones exactly.
+
+    Scale shape: each round is one K-way crossJoin against a BROADCAST
+    centroid frame (K*dim doubles — tiny at any corpus size) + a map-side
+    partial aggregate of 64 decimal sums per cluster; only (vec_id, dist)
+    pairs ride the argmin shuffle, and the driver ever holds K*dim
+    doubles.  Rounds are a fixed constant (KMEANS_ITERS) — the plan does
+    not grow with data volume.  Output: final assignment + distance."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    init = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+            "embedding",
+        )
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    centroids = init
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            F.struct(d6.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+        )
+        best = scored.groupBy("vec_id").agg(F.min("dc").alias("dc"))
+        return emb.join(best, "vec_id").select(
+            "vec_id",
+            "embedding",
+            F.col("dc.c").alias("cluster"),
+            F.col("dc.d").alias("dist"),
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(centroids)
+        mean_cols = [
+            (
+                F.sum(F.col("embedding").getItem(i).cast("double").cast("decimal(38,15)"))
+                .cast("double")
+                / F.count("*")
+            ).alias(f"m{i}")
+            for i in range(DIM)
+        ]
+        updated = assigned.groupBy("cluster").agg(*mean_cols)
+        rows = updated.collect()  # K rows of K*dim doubles — driver-bounded
+        centroids = spark.createDataFrame(
+            [(int(r["cluster"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in rows],
+            "cluster int, centroid array<double>",
+        )
+
+    return assign(centroids).select("vec_id", "cluster", F.col("dist").alias("dist_sq"))

@@ -1461,3 +1461,54 @@ SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
        n_dup > 0 AS is_substring_dup
 FROM agg
 """
+
+
+def _kmeans_sql(k: int = 10, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations.  The distance chain is explicit `t1 + t2
+    + ... + t64` (left-assoc, same IEEE order as the Spark fold); centroid
+    means are exact decimal sums + one double divide (dsum convention)."""
+    chain = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    means = ", ".join(
+        f"CAST(SUM(CAST(CAST(e.embedding[{i}] AS DOUBLE) AS DECIMAL(38,15)))"
+        f" AS DOUBLE) / COUNT(*) AS m{i}"
+        for i in range(1, dim + 1)
+    )
+    clist = "[" + ", ".join(f"m{i}" for i in range(1, dim + 1)) + "]"
+
+    def assign(n: int, prev: str) -> str:
+        return f"""a{n} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
+          FROM embeddings e CROSS JOIN {prev} c))
+  WHERE rn = 1)"""
+
+    def update(n: int) -> str:
+        return f"""c{n} AS (
+  SELECT cluster, {clist} AS centroid FROM (
+    SELECT a.cluster, {means}
+    FROM a{n} a JOIN embeddings e USING (vec_id)
+    GROUP BY a.cluster))"""
+
+    parts = [
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(assign(it, f"c{it - 1}"))
+        parts.append(update(it))
+    parts.append(assign(iters + 1, f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, cluster, dist AS dist_sq FROM a{iters + 1}"
+    )
+
+
+ORACLE["kmeans_train"] = _kmeans_sql()
