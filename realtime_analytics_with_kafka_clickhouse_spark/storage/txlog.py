@@ -66,13 +66,78 @@ def snapshot(spark: SparkSession, table: str) -> tuple[int, dict | None]:
     return (v, read_commit(spark, table, v)) if v > 0 else (0, None)
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame | None:
+def _ranges_overlap(stats: dict | None, prune: dict | None) -> bool:
+    """Conservative zone-map check: a directory is skippable only when its
+    recorded [min, max] for some pruned column is disjoint from the
+    requested range.  Missing stats (or a column absent from them) always
+    keep the directory — pruning is an optimization, never a filter."""
+    if not prune or not stats:
+        return True
+    for col, (lo, hi) in prune.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        if (hi is not None and rng[0] is not None and rng[0] > hi) or (
+            lo is not None and rng[1] is not None and rng[1] < lo
+        ):
+            return False
+    return True
+
+
+def read_table(
+    spark: SparkSession, table: str, prune: dict | None = None
+) -> DataFrame | None:
     """The current snapshot as a DataFrame (None if no commits): reads
-    exactly the directories the latest commit names."""
+    exactly the directories the latest commit names.
+
+    ``prune`` — optional {col: (lo, hi)} inclusive ranges — skips every
+    data directory whose commit-recorded zone map is disjoint from the
+    request (Delta/Iceberg data skipping: the planner never even lists the
+    pruned directories, so a time-range query over an append table touches
+    O(matching dirs), not O(table)).  Callers still apply the real filter;
+    pruning only shrinks the scan set and never changes results."""
     _, commit = snapshot(spark, table)
     if commit is None:
         return None
-    return spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+    stats = commit.get("stats", {})
+    dirs = [d for d in commit["dirs"] if _ranges_overlap(stats.get(d), prune)]
+    if not dirs:
+        return spark.read.parquet(f"{table}/{commit['dirs'][0]}").limit(0)
+    return spark.read.parquet(*[f"{table}/{d}" for d in dirs])
+
+
+def _jsonable(v):
+    return v if isinstance(v, (int, float, str)) or v is None else None
+
+
+def dir_zone_map(table: str, rel: str, cols: list[str]) -> dict:
+    """{col: [min, max]} for one data directory, folded across parquet
+    row-group footers — metadata-only, no data scan (object-store safe via
+    pyarrow's filesystem resolver, same as the ANN candidate loader)."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    filesystem, fs_path = pafs.FileSystem.from_uri(f"{table}/{rel}")
+    out: dict[str, list] = {}
+    for info in filesystem.get_file_info(pafs.FileSelector(fs_path, recursive=True)):
+        if not info.path.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(info.path, filesystem=filesystem)
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if name not in cols or st is None or not st.has_min_max:
+                    continue
+                lo, hi = _jsonable(st.min), _jsonable(st.max)
+                if lo is None or hi is None:
+                    continue
+                cur = out.get(name)
+                out[name] = (
+                    [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+                )
+    return out
 
 
 def write_data_dir(df: DataFrame, table: str) -> str:
@@ -89,13 +154,59 @@ def try_commit(
     version: int,
     dirs: list[str],
     last_merged_batch: int | None,
+    stats: dict | None = None,
 ) -> bool:
     """Publish ``dirs`` as table version ``version``.  False = lost the
     race (that version exists); caller re-reads state and retries."""
     payload = json.dumps(
-        {"version": version, "dirs": dirs, "last_merged_batch": last_merged_batch}
+        {
+            "version": version,
+            "dirs": dirs,
+            "last_merged_batch": last_merged_batch,
+            "stats": stats or {},
+        }
     )
     return fs.create_exclusive(spark, _commit_path(table, version), payload)
+
+
+def append_tx(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """Transactional APPEND: the add-file commit shape (vs. the full-
+    snapshot rewrite of ``merge_rollup_tx``) — the new directory joins the
+    previous snapshot's directory list, so commit cost is O(1) in table
+    size.  ``stats_cols`` records a zone map for the new directory from
+    parquet footers, which ``read_table(prune=...)`` uses for data
+    skipping.  Replayed ``batch_id``s skip, same idempotency contract as
+    the MERGE paths.  Returns True if appended, False if skipped."""
+    new_dir: str | None = None
+    for _ in range(max_attempts):
+        version, commit = snapshot(spark, table)
+        if (
+            batch_id is not None
+            and commit is not None
+            and commit.get("last_merged_batch") is not None
+            and batch_id <= commit["last_merged_batch"]
+        ):
+            if new_dir is not None:
+                fs.delete(spark, f"{table}/{new_dir}")
+            return False
+        if new_dir is None:  # write once, retry only the commit
+            new_dir = write_data_dir(df, table)
+            zone = dir_zone_map(table, new_dir, stats_cols) if stats_cols else {}
+        dirs = (commit["dirs"] if commit else []) + [new_dir]
+        stats = dict(commit.get("stats", {})) if commit else {}
+        if zone:
+            stats[new_dir] = zone
+        if try_commit(spark, table, version + 1, dirs, batch_id, stats):
+            return True
+    fs.delete(spark, f"{table}/{new_dir}")
+    raise RuntimeError(f"append_tx: gave up after {max_attempts} commit races on {table}")
 
 
 def vacuum(spark: SparkSession, table: str, keep_versions: int = 2) -> list[str]:

@@ -102,3 +102,53 @@ def test_hourly_trend_from_rollup_equals_raw_aggregation(spark):
     got = hourly_trend_from_rollup(spark, SF_DIR)
     want = hourly_trend(spark, SF_DIR)
     assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_append_tx_zone_map_prunes(spark, tmp_path):
+    """Append 4 hour-ranged batches with zone maps; a pruned read touches
+    only the matching directory's files and equals filter-after-full-read."""
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "hour_bucket", F.hour("ts").cast("long")
+    )
+    table = str(tmp_path / "events_tx")
+    for i, (lo, hi) in enumerate([(0, 5), (6, 11), (12, 17), (18, 23)]):
+        chunk = events.filter(F.col("hour_bucket").between(lo, hi))
+        assert txlog.append_tx(
+            spark, table, chunk, batch_id=i, stats_cols=["hour_bucket"]
+        )
+    commit = txlog.read_commit(spark, table, txlog.latest_version(spark, table))
+    assert len(commit["dirs"]) == 4
+    assert all(d in commit["stats"] for d in commit["dirs"])
+
+    pruned = txlog.read_table(spark, table, prune={"hour_bucket": (6, 11)})
+    full = txlog.read_table(spark, table)
+    # data skipping: only 1 of 4 directories' files reach the scan
+    pruned_dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    full_dirs = {f.rsplit("/", 2)[-2] for f in full.inputFiles()}
+    assert len(pruned_dirs) == 1 and len(full_dirs) == 4
+    # pruning never changes results (callers still apply the real filter)
+    got = pruned.filter(F.col("hour_bucket").between(6, 11))
+    want = full.filter(F.col("hour_bucket").between(6, 11))
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+
+
+def test_append_tx_replay_and_missing_stats_conservative(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").limit(500)
+    table = str(tmp_path / "events_tx")
+    assert txlog.append_tx(spark, table, events, batch_id=0)  # no stats_cols
+    assert not txlog.append_tx(spark, table, events, batch_id=0)  # replay skips
+    assert txlog.latest_version(spark, table) == 1
+    # no zone map recorded -> pruned read keeps the dir (conservative)
+    df = txlog.read_table(spark, table, prune={"value": (-1.0, -0.5)})
+    assert df.count() == 500
+
+
+def test_append_tx_all_pruned_keeps_schema(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").limit(100).withColumn(
+        "hour_bucket", F.hour("ts").cast("long")
+    )
+    table = str(tmp_path / "events_tx")
+    assert txlog.append_tx(spark, table, events, batch_id=0, stats_cols=["hour_bucket"])
+    df = txlog.read_table(spark, table, prune={"hour_bucket": (99, 100)})
+    assert df.count() == 0
+    assert df.columns == txlog.read_table(spark, table).columns
