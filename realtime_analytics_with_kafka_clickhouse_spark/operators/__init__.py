@@ -95,6 +95,7 @@ _NAMES = [
     (text, [
         "gopher_quality_rules",
         "boilerplate_spans",
+        "dsir_importance",
     ]),
     (dedup, [
         "substring_dedup_docs",

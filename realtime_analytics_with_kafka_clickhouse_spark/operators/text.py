@@ -616,3 +616,57 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("cnt") / F.count("*")).alias("avg_bigram_freq"),
         )
     )
+
+
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public paper):
+    score every document by how much its unigram distribution looks like a
+    TARGET slice (here lang = 'en') vs. the full corpus, for importance
+    resampling toward the target domain.
+
+    Determinism contract: instead of summed log-probabilities (libm log is
+    not cross-engine exact), each token's weight is the Laplace-smoothed
+    probability RATIO as one rational expression — integer products (exact
+    in doubles at this vocabulary scale; at 100 TB promote the products to
+    decimal) and a single correctly-rounded divide — rounded to 6 before
+    the exact decimal-sum mean.
+
+    Shape: one conditional aggregation builds the (word, target-count,
+    corpus-count) vocabulary table — vocabulary-bounded, NOT corpus-
+    bounded; token positions join back to it (shuffle on the word key,
+    AQE-salted under head-word skew) and fold to a per-doc mean."""
+    from ..functions.scalars import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    is_tgt = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    vocab = tok.groupBy("word").agg(
+        F.count("*").alias("c_all"), F.sum(is_tgt).alias("c_tgt")
+    )
+    totals = vocab.agg(
+        F.sum("c_all").alias("tot_all"),
+        F.sum("c_tgt").alias("tot_tgt"),
+        F.count("*").alias("v"),
+    )
+    ratio = (
+        (F.col("c_tgt") + 1).cast("double") * (F.col("tot_all") + F.col("v")).cast("double")
+    ) / (
+        (F.col("c_all") + 1).cast("double") * (F.col("tot_tgt") + F.col("v")).cast("double")
+    )
+    scored = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.round(ratio, 6).alias("r"))
+    )
+    avg = dsum("r") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(avg, 6).alias("avg_importance"),
+        (avg > 1.0).alias("is_target_like"),
+    )

@@ -1512,3 +1512,23 @@ def _kmeans_sql(k: int = 10, iters: int = 2, dim: int = 64) -> str:
 
 
 ORACLE["kmeans_train"] = _kmeans_sql()
+
+ORACLE["dsir_importance"] = """
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+vocab AS (SELECT word, count(*) AS c_all,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+          FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all,
+               CAST(sum(c_tgt) AS BIGINT) AS tot_tgt,
+               count(*) AS v
+        FROM vocab),
+scored AS (
+  SELECT doc_id,
+         round((CAST(c_tgt + 1 AS DOUBLE) * CAST(tot_all + v AS DOUBLE))
+               / (CAST(c_all + 1 AS DOUBLE) * CAST(tot_tgt + v AS DOUBLE)), 6) AS r
+  FROM tok JOIN vocab USING (word), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_importance,
+       CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*) > 1.0 AS is_target_like
+FROM scored GROUP BY 1
+"""
