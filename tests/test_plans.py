@@ -212,3 +212,31 @@ def test_pack_training_shards_no_global_corpus_window(spark, queries):
     assert specs, "expected window specs in plan"
     partitioned = [s for s in specs if s.strip().startswith("pid")]
     assert partitioned, f"corpus window must partition by pid: {specs}"
+
+
+def test_gopher_rules_map_only(spark, queries):
+    df = queries["gopher_quality_rules"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, "gopher rules are pure scan+project"
+
+
+def test_boilerplate_and_substring_no_text_in_exchange(spark, queries):
+    # Corpus-frequency ops shuffle span keys and counts — never the raw
+    # document text (an exchange carrying `text` would move the whole
+    # corpus per round at 100 TB).
+    for name in ("boilerplate_spans", "substring_dedup_docs"):
+        plan = formatted_plan(queries[name](spark, SF_DIR))
+        assert "text#" not in " ".join(
+            line for line in plan.splitlines() if "Exchange" in line
+        ), f"{name}: raw text must not ride an exchange"
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, queries):
+    df = queries["kmeans_train"](spark, SF_DIR)
+    assert has_broadcast_join(df), "centroid side must broadcast"
+
+
+def test_dsir_vocab_join_no_cartesian(spark, queries):
+    plan = formatted_plan(queries["dsir_importance"](spark, SF_DIR))
+    # the totals crossJoin is a broadcast of ONE row; the vocab join must
+    # be a real equi-join (no cartesian product of token x vocab)
+    assert "CartesianProduct" not in plan
