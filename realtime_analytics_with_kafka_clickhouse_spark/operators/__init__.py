@@ -102,6 +102,7 @@ _NAMES = [
     ]),
     (similarity, [
         "kmeans_train",
+        "ann_ivf_kmeans",
     ]),
     (relational, [
         "q4_late_shipment_priority",

@@ -431,6 +431,59 @@ def _sq_dist(vec: Column, centroid: Column) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
 
+def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Argmin-cell assignment: K-way crossJoin against broadcast centroids,
+    min(struct(dist6, cluster)) per vector — only (vec_id, dist, cluster)
+    rides the shuffle."""
+    d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.struct(d6.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+    )
+    best = scored.groupBy("vec_id").agg(F.min("dc").alias("dc"))
+    return emb.join(best, "vec_id").select(
+        "vec_id",
+        "embedding",
+        F.col("dc.c").alias("cluster"),
+        F.col("dc.d").alias("dist"),
+    )
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS Lloyd rounds; returns the fitted (cluster, centroid)
+    frame — K*dim doubles, broadcastable at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
+            "embedding",
+        )
+        .select(
+            (F.col("rn") - 1).cast("int").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(emb, centroids)
+        mean_cols = [
+            (
+                F.sum(F.col("embedding").getItem(i).cast("double").cast("decimal(38,15)"))
+                .cast("double")
+                / F.count("*")
+            ).alias(f"m{i}")
+            for i in range(DIM)
+        ]
+        updated = assigned.groupBy("cluster").agg(*mean_cols)
+        rows = updated.collect()  # K rows of K*dim doubles — driver-bounded
+        centroids = spark.createDataFrame(
+            [(int(r["cluster"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in rows],
+            "cluster int, centroid array<double>",
+        )
+    return centroids
+
+
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column — the
     training step an IVF index needs for its coarse quantizer (vs.
@@ -450,51 +503,68 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles.  Rounds are a fixed constant (KMEANS_ITERS) — the plan does
     not grow with data volume.  Output: final assignment + distance."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    init = (
-        emb.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
-            "embedding",
-        )
-        .select(
-            (F.col("rn") - 1).cast("int").alias("cluster"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-        )
+    centroids = _kmeans_fit(spark, sf_dir)
+    return _kmeans_assign(emb, centroids).select(
+        "vec_id", "cluster", F.col("dist").alias("dist_sq")
     )
-    centroids = init
 
-    def assign(cents: DataFrame) -> DataFrame:
-        d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "embedding",
-            F.struct(d6.alias("d"), F.col("cluster").alias("c")).alias("dc"),
-        )
-        best = scored.groupBy("vec_id").agg(F.min("dc").alias("dc"))
-        return emb.join(best, "vec_id").select(
-            "vec_id",
-            "embedding",
-            F.col("dc.c").alias("cluster"),
-            F.col("dc.d").alias("dist"),
-        )
 
-    for _ in range(KMEANS_ITERS):
-        assigned = assign(centroids)
-        mean_cols = [
-            (
-                F.sum(F.col("embedding").getItem(i).cast("double").cast("decimal(38,15)"))
-                .cast("double")
-                / F.count("*")
-            ).alias(f"m{i}")
-            for i in range(DIM)
-        ]
-        updated = assigned.groupBy("cluster").agg(*mean_cols)
-        rows = updated.collect()  # K rows of K*dim doubles — driver-bounded
-        centroids = spark.createDataFrame(
-            [(int(r["cluster"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in rows],
-            "cluster int, centroid array<double>",
-        )
+IVF_PROBE = 2
 
-    return assign(centroids).select("vec_id", "cluster", F.col("dist").alias("dist_sq"))
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (the production shape;
+    ann_ivf_topk borrows the label column instead): vectors index into
+    their argmin k-means cell, queries probe their IVF_PROBE nearest cells,
+    and exact cosine top-k runs only within probed cells.
+
+    Probe > 1 is what buys recall back at scale: a query near a cell
+    boundary still sees its true neighbors in the adjacent cell, at
+    2x candidate cost instead of n.  Candidate count per query is
+    probe * n / K; the cell equi-join shuffles (vec_id, cell) pairs plus
+    the embeddings needed for the verify — the same candidate-only verify
+    discipline as MinHash-LSH.
+
+    Determinism: distances and cosines round to 6 before ranking, cluster
+    and neighbor ids break ties — bit-stable vs. the unrolled-CTE oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _kmeans_fit(spark, sf_dir)
+    d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cluster", d6.alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    cells = scored.select(
+        "vec_id", "cluster", F.row_number().over(w).alias("cell_rank")
+    ).filter(F.col("cell_rank") <= IVF_PROBE)
+    v = _normed_vectors(spark, sf_dir)
+    index = cells.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    probes = cells.select("vec_id", "cluster")
+    va = v.select(
+        "vec_id", F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos6 = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
+    pairs = (
+        probes.join(index, "cluster")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .join(va, "vec_id")
+        .join(vb, "neighbor_id")
+        .select("vec_id", "neighbor_id", cos6.alias("cos_sim"))
+    )
+    rw = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "vec_id", "neighbor_id", "cos_sim",
+            F.row_number().over(rw).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

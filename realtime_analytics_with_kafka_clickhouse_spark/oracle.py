@@ -1463,10 +1463,11 @@ FROM agg
 """
 
 
-def _kmeans_sql(k: int = 10, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations.  The distance chain is explicit `t1 + t2
-    + ... + t64` (left-assoc, same IEEE order as the Spark fold); centroid
-    means are exact decimal sums + one double divide (dsum convention)."""
+def _kmeans_parts(k: int = 10, iters: int = 2, dim: int = 64) -> tuple[list[str], str]:
+    """Unrolled Lloyd-iteration CTEs; returns (parts, final_centroid_cte).
+    The distance chain is explicit `t1 + t2 + ... + t64` (left-assoc, same
+    IEEE order as the Spark fold); centroid means are exact decimal sums +
+    one double divide (dsum convention)."""
     chain = " + ".join(
         f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
         f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
@@ -1505,13 +1506,66 @@ def _kmeans_sql(k: int = 10, iters: int = 2, dim: int = 64) -> str:
         parts.append(assign(it, f"c{it - 1}"))
         parts.append(update(it))
     parts.append(assign(iters + 1, f"c{iters}"))
+    return parts, f"c{iters}"
+
+
+def _kmeans_sql() -> str:
+    parts, _ = _kmeans_parts()
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT vec_id, cluster, dist AS dist_sq FROM a{iters + 1}"
+        + f"\nSELECT vec_id, cluster, dist AS dist_sq FROM a{2 + 1}"
     )
 
 
 ORACLE["kmeans_train"] = _kmeans_sql()
+
+
+def _ivf_kmeans_sql(dim: int = 64, probe: int = 2, top_k: int = 5) -> str:
+    """IVF search over the trained quantizer: index cells = argmin
+    assignment (the kmeans CTEs' final a3), probe cells = top-`probe`
+    nearest centroids per query, exact cosine within probed cells."""
+    parts, final_c = _kmeans_parts(dim=dim)
+    chain = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    parts.append(
+        f"""s AS (
+  SELECT vec_id, cluster, rn FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
+          FROM embeddings e CROSS JOIN {final_c} c))
+  WHERE rn <= {probe})"""
+    )
+    parts.append(
+        f"""v AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings)"""
+    )
+    parts.append(
+        f"""p AS (
+  SELECT q.vec_id AS vec_id, i.vec_id AS neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM (SELECT vec_id, cluster FROM s WHERE rn <= {probe}) q
+  JOIN (SELECT vec_id, cluster FROM s WHERE rn = 1) i
+    ON q.cluster = i.cluster AND q.vec_id <> i.vec_id
+  JOIN v a ON a.vec_id = q.vec_id
+  JOIN v b ON b.vec_id = i.vec_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= {top_k}"""
+    )
+
+
+ORACLE["ann_ivf_kmeans"] = _ivf_kmeans_sql()
 
 ORACLE["dsir_importance"] = """
 WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
