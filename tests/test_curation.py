@@ -74,3 +74,43 @@ def test_lang_balance_moves_toward_uniform(spark):
     # The dominant language was actually reduced.
     dominant = max(before, key=before.get)
     assert after[dominant] < before[dominant] * 0.55
+
+
+def test_ann_recall_vs_exact_baseline(spark):
+    """Quality contract for the approximate ANN family: recall@5 against
+    the exact brute-force baseline.
+
+    The fixture embeddings are near-ISOTROPIC (measured: every k-means
+    cell contains all 10 labels, and label-cell IVF recall is ~0.10 —
+    there is no geometric cluster structure to exploit), so any
+    partition-based index is bounded near probe/K on this data.  The
+    contract is therefore relative, not absolute: the TRAINED quantizer
+    with probe=2 must (a) clear the probe/K floor with headroom — i.e.
+    the learned cells beat random partitioning — and (b) beat the
+    label-cell probe-1 index.  On a corpus with real cluster structure
+    the same index recalls far higher; this pins that the machinery
+    works, on the hardest distribution."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import similarity
+
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.ann_cosine_topk(spark, SF_DIR_ORACLE).collect()
+    }
+    ivf = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_kmeans(spark, SF_DIR_ORACLE).collect()
+    }
+    lab = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(spark, SF_DIR_ORACLE).collect()
+    }
+    recall_ivf = len(exact & ivf) / len(exact)
+    recall_lab = len(exact & lab) / len(exact)
+    floor = 2.0 / similarity.KMEANS_K  # probe/K — random-partition expectation
+    assert recall_ivf >= floor + 0.1, (
+        f"trained IVF no better than random cells: {recall_ivf:.3f}"
+    )
+    assert recall_ivf > recall_lab, (
+        f"trained quantizer ({recall_ivf:.3f}) must beat "
+        f"label cells ({recall_lab:.3f})"
+    )

