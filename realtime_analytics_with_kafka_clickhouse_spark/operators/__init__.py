@@ -104,6 +104,12 @@ _NAMES = [
         "kmeans_train",
         "ann_ivf_kmeans",
     ]),
+    (text, [
+        "bpe_merge_topk",
+    ]),
+    (multimodal, [
+        "media_phash",
+    ]),
     (relational, [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",

@@ -189,3 +189,32 @@ def resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return m.select("doc_id", "content").mapInPandas(resize, schema=THUMB_SCHEMA)
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media (aHash family: bit i =
+    "bin i above the mean", here over the 8-bin byte histogram the stub
+    decoder emits; a real image pipeline swaps the stub for DCT/resize and
+    keeps everything downstream unchanged).
+
+    The mean-compare is written as the integer cross-multiplication
+    ``hist_i * 8 > total`` — no division anywhere, so the bit pattern is
+    exact on every engine.  Docs sharing a phash are duplicate candidates;
+    the count join mirrors exact-dedup's hash-groupBy shape (the phash is
+    8 bits here, 64 for DCT — either way a scalar key, so the shuffle
+    carries (doc_id, phash) only and skew is impossible to manufacture)."""
+    feats = decode_features(spark, sf_dir)
+    total = sum((F.col(f"hist_{i}") for i in range(1, 8)), F.col("hist_0"))
+    phash = sum(
+        (
+            F.when(F.col(f"hist_{i}") * 8 > total, F.lit(1 << i)).otherwise(0)
+            for i in range(1, 8)
+        ),
+        F.when(F.col("hist_0") * 8 > total, F.lit(1)).otherwise(0),
+    )
+    hashed = feats.select("doc_id", phash.cast("long").alias("phash"))
+    counts = hashed.groupBy("phash").agg(F.count("*").alias("n_same_hash"))
+    return (
+        hashed.join(counts, "phash")
+        .select("doc_id", "phash", "n_same_hash", (F.col("n_same_hash") > 1).alias("is_dup_candidate"))
+    )

@@ -670,3 +670,38 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg, 6).alias("avg_importance"),
         (avg > 1.0).alias("is_target_like"),
     )
+
+
+BPE_MERGE_TOP_K = 20
+
+
+def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic of one BPE tokenizer-training merge step (Sennrich et
+    al. 2016, public): corpus-wide frequencies of adjacent symbol pairs
+    within words, ranked — the argmax pair is what BPE would merge first.
+    Real training iterates this; the per-step shape (and cost) is exactly
+    this job, so it is the one to get right distributed.
+
+    Shape: explode words -> explode in-word adjacent char pairs (map-side
+    HOF, positions via Column.substr with a column offset) -> one count
+    aggregate on the pair key (map-side combine; the pair-vocabulary is
+    alphabet^2-bounded, so the shuffle is tiny regardless of corpus
+    size) -> global top-k via a single bounded sort of the count table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    word = F.explode(F.split(F.col("text"), " ")).alias("word")
+    words = docs.select(word).filter(F.length("word") >= 2)
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    pairs = words.select(F.explode(pair_arr).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.select(
+            "pair", "cnt", F.row_number().over(w).cast("long").alias("merge_rank")
+        )
+        .filter(F.col("merge_rank") <= BPE_MERGE_TOP_K)
+    )

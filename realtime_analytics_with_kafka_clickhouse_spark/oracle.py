@@ -1586,3 +1586,36 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*) > 1.0 AS is_target_like
 FROM scored GROUP BY 1
 """
+
+ORACLE["bpe_merge_topk"] = """
+WITH w AS (
+  SELECT word FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair
+  FROM w),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt, merge_rank FROM (
+  SELECT pair, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS merge_rank
+  FROM c)
+WHERE merge_rank <= 20
+"""
+
+ORACLE["media_phash"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+h AS (SELECT doc_id, {_HIST} FROM b),
+ph AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN hist_{i} * 8 > ({' + '.join(f'hist_{j}' for j in range(8))}) THEN {1 << i} ELSE 0 END)" for i in range(8))} AS BIGINT) AS phash
+  FROM h),
+c AS (SELECT phash, count(*) AS n FROM ph GROUP BY 1)
+SELECT doc_id, phash, CAST(n AS BIGINT) AS n_same_hash, n > 1 AS is_dup_candidate
+FROM ph JOIN c USING (phash)
+"""
