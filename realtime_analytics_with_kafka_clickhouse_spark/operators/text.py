@@ -542,10 +542,13 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     chrome, license headers, templated text) of web-scale pipelines.
 
     Shape: per-doc DISTINCT spans -> groupBy span == document frequency
-    (one shuffle on the span key, map-side combine); join positions back
-    to frequencies (second shuffle, AQE-handled skew); per-doc aggregate.
-    The threshold is corpus-relative (like the shingle doc-freq cap in
-    dedup.py) so the rule holds at any scale without retuning."""
+    (one shuffle on the span key, map-side combine); THRESHOLD FIRST, then
+    a semi-join of positions against only the surviving boilerplate-span
+    set — that set is ubiquitous-content-bounded (tiny by definition), so
+    AQE broadcasts it and the full position stream never rides a span-key
+    exchange; the per-doc span total is computed map-side from the word
+    count.  The threshold is corpus-relative (like the shingle doc-freq
+    cap in dedup.py) so the rule holds at any scale without retuning."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     spans = docs.select(
@@ -563,16 +566,22 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.count("*") * BOILER_MIN_FRACTION),
         ).alias("df_min")
     )
-    per_doc = (
-        spans.join(doc_freq, "span")
-        .crossJoin(F.broadcast(n_docs))
+    boiler_set = (
+        doc_freq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") >= F.col("df_min"))
+        .select("span")
+    )
+    n_boiler = (
+        spans.join(boiler_set, "span", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("df") >= F.col("df_min"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_boiler_spans"),
-        )
+        .agg(F.count("*").cast("long").alias("n_boiler_spans"))
+    )
+    n_spans = F.greatest(F.size(words) - (BOILER_SPAN_N - 1), F.lit(0)).cast("long")
+    base = docs.select("doc_id", n_spans.alias("n_spans")).filter(
+        F.col("n_spans") > 0
+    )
+    per_doc = base.join(n_boiler, "doc_id", "left").fillna(
+        {"n_boiler_spans": 0}
     )
     ratio = F.col("n_boiler_spans").cast("double") / F.col("n_spans").cast("double")
     return per_doc.select(
