@@ -24,97 +24,21 @@ from . import (
 from ..streaming import pipeline as _streaming_pipeline
 
 # Ordered (module, names) blocks.  ORDER MATTERS: the driver's correctness
-# gate checks the first 50 registry entries, so the LLM-pipeline families
-# (dedup / text / similarity / multimodal / streaming MVs) lead — they were
-# starved of driver rows in round 2 when the relational block consumed the
-# budget — followed by anything new this round, then the long-green tail.
+# gate checks the first 50 registry entries, so the order is a ROTATION
+# LEDGER — entries sorted by staleness of their last green driver row:
+#
+#   1. never driver-checked (or red last round)   ← always lead
+#   2. new this round                             ← need their first row
+#   3. last green in round 1/2 (oldest evidence)  ← fill the gate
+#   4. green in round 3 (freshest)                ← tail; rotate back next round
+#
+# Each round: move the sections that just got green rows to the tail and
+# promote the stalest, so no entry goes 2 rounds unchecked.
 _NAMES = [
-    (dedup, [
-        "dedup_exact",
-        "ngram_jaccard_pairs",
-        "minhash_near_dup",
-        "near_dup_clusters",
-        "simhash_fingerprints",
-    ]),
-    (text, [
-        "token_stats",
-        "bpe_token_stats",
-        "quality_score",
-        "language_id",
-        "doc_fingerprint",
-        "deterministic_sample",
-        "stratified_sample",
-    ]),
-    (similarity, [
-        "ann_cosine_topk",
-        "ann_lsh_bucketed",
-        "ann_ivf_topk",
-        "embedding_near_dup",
-        "label_centroids",
-    ]),
-    (multimodal, [
-        "media_metadata_stats",
-        "decode_features",
-        "frame_sample_features",
-        "resize_thumbnail",
-    ]),
-    (_streaming_pipeline, [
-        "incremental_hourly_rollup",
-        "incremental_daily_region_rollup",
-    ]),
-    (windows, [
-        "order_value_distribution",
-    ]),
-    # New this round — keep inside the gate's 50-entry budget.
-    (_streaming_pipeline, [
-        "incremental_rollup_txlog",
-        "hourly_trend_from_rollup",
-    ]),
-    (dedup, [
-        "simhash_near_dup",
-    ]),
-    (text, [
-        "tfidf_top_terms",
-        "quality_filter_pipeline",
-        "chunk_documents",
-        "best_doc_per_source",
-        "pii_scrub",
-        "contamination_check",
-        "repetition_score",
-        "bigram_fluency",
-    ]),
-    (similarity, [
-        "embedding_quantize_int8",
-        "ann_quantized_topk",
-    ]),
-    (curation, [
-        "pack_training_shards",
-        "dedup_keep_best",
-        "lang_balance_resample",
-    ]),
-    (text, [
-        "gopher_quality_rules",
-        "boilerplate_spans",
-        "dsir_importance",
-    ]),
-    (dedup, [
-        "substring_dedup_docs",
-    ]),
-    (similarity, [
-        "kmeans_train",
-        "ann_ivf_kmeans",
-    ]),
-    (text, [
-        "bpe_merge_topk",
-    ]),
-    (multimodal, [
-        "media_phash",
-    ]),
+    # -- 1. never checked in any round's gate (registry slots 51-59 in r03) --
     (relational, [
-        "q4_late_shipment_priority",
-        "q7_nation_volume_shipping",
-        "q8_market_share",
         "q2_min_cost_supplier",
+        "q8_market_share",
         "q9_product_type_profit",
         "q11_important_parts",
         "q12_ship_channel_priority",
@@ -123,6 +47,18 @@ _NAMES = [
         "q20_promotion_suppliers",
         "q21_waiting_suppliers",
     ]),
+    # -- red in r03 (array<int> output; reshaped to quant_csv this round) --
+    (similarity, [
+        "embedding_quantize_int8",
+    ]),
+    # -- 2. new in round 4 --
+    (multimodal, [
+        "media_phash_near_dup",
+    ]),
+    (_streaming_pipeline, [
+        "compacted_rollup_txlog",
+    ]),
+    # -- 3. last green in round 1/2 — stalest evidence, fill the gate --
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",
@@ -180,6 +116,72 @@ _NAMES = [
         "cumulative_daily_revenue",
         "order_gaps_per_customer",
         "customer_order_rank",
+    ]),
+    (relational, [
+        "q4_late_shipment_priority",
+        "q7_nation_volume_shipping",
+    ]),
+    # -- 4. green in round 3 — freshest evidence, promoted again in r05 --
+    (dedup, [
+        "dedup_exact",
+        "ngram_jaccard_pairs",
+        "minhash_near_dup",
+        "near_dup_clusters",
+        "simhash_fingerprints",
+        "simhash_near_dup",
+        "substring_dedup_docs",
+    ]),
+    (text, [
+        "token_stats",
+        "bpe_token_stats",
+        "quality_score",
+        "language_id",
+        "doc_fingerprint",
+        "deterministic_sample",
+        "stratified_sample",
+        "tfidf_top_terms",
+        "quality_filter_pipeline",
+        "chunk_documents",
+        "best_doc_per_source",
+        "pii_scrub",
+        "contamination_check",
+        "repetition_score",
+        "bigram_fluency",
+        "gopher_quality_rules",
+        "boilerplate_spans",
+        "dsir_importance",
+        "bpe_merge_topk",
+    ]),
+    (similarity, [
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "label_centroids",
+        "ann_quantized_topk",
+        "kmeans_train",
+        "ann_ivf_kmeans",
+    ]),
+    (multimodal, [
+        "media_metadata_stats",
+        "decode_features",
+        "frame_sample_features",
+        "resize_thumbnail",
+        "media_phash",
+    ]),
+    (curation, [
+        "pack_training_shards",
+        "dedup_keep_best",
+        "lang_balance_resample",
+    ]),
+    (_streaming_pipeline, [
+        "incremental_hourly_rollup",
+        "incremental_daily_region_rollup",
+        "incremental_rollup_txlog",
+        "hourly_trend_from_rollup",
+    ]),
+    (windows, [
+        "order_value_distribution",
     ]),
 ]
 

@@ -218,3 +218,101 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.join(counts, "phash")
         .select("doc_id", "phash", "n_same_hash", (F.col("n_same_hash") > 1).alias("is_dup_candidate"))
     )
+
+
+# 64-bit perceptual hash: aHash over an 8x8 downsample — bit i says "block i
+# of a 64-block split is brighter than the whole payload".  64 bits in 8
+# bands of 8: any pair within Hamming distance 7 differs in at most 7 bands,
+# so by pigeonhole it agrees on at least one band — banded candidate
+# generation is EXACT for the <= 7-bit threshold (same argument as
+# dedup.simhash_near_dup, dedup.py:345).
+PHASH64_BITS = 64
+PHASH64_BANDS = 8
+PHASH64_HAMMING_MAX = PHASH64_BANDS - 1
+
+
+def _ahash64(data: bytes) -> int:
+    """64-bit aHash of a binary payload: split into 64 contiguous blocks
+    (the stub stand-in for an 8x8 pixel downsample), bit i = block i's mean
+    byte exceeds the global mean.  The compare is the integer
+    cross-multiplication ``blk_sum * n > total * blk_len`` — no division,
+    so the bit pattern is exact on every engine.  Returned as a SIGNED
+    64-bit value (two's complement) so it round-trips a LongType column."""
+    n = len(data)
+    total = sum(data)
+    ph = 0
+    for i in range(PHASH64_BITS):
+        lo, hi = i * n // PHASH64_BITS, (i + 1) * n // PHASH64_BITS
+        blk = data[lo:hi]
+        if sum(blk) * n > total * (hi - lo):
+            ph |= 1 << i
+    return ph - (1 << 64) if ph >= (1 << 63) else ph
+
+
+def media_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash64) fingerprints — Arrow-batched map-only pass over the
+    binary column, the wide-hash upgrade of ``media_phash``'s 8-bit aHash."""
+    m = media_table(spark, sf_dir).select("doc_id", "content")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash64": [_ahash64(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return m.mapInPandas(hash_batches, schema="doc_id long, phash64 long")
+
+
+def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming media near-dup (the real perceptual dedup;
+    ``media_phash`` only groups exact hash equality): 64-bit aHash -> 8-band
+    bucket join -> exact Hamming verify <= 7.  Output (doc_a, doc_b,
+    hamming).
+
+    Shuffle discipline mirrors ``dedup.simhash_near_dup``: each row ships 8
+    (band, byte) keys plus its 64-bit fingerprint — constant bytes per doc,
+    the binary payload never rides an exchange.  The fingerprint frame is
+    localCheckpoint-ed so the Python hashing pass runs once, not once per
+    self-join side, and repartitioned so pairing gets full parallelism.
+    Banding is pigeonhole-exact for the <= 7 threshold, so the oracle's
+    identical band join loses no recall."""
+    sigs = (
+        media_phash64(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    width = PHASH64_BITS // PHASH64_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "phash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash64", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(PHASH64_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash64", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash64").alias("ph_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash64").alias("ph_b"), "band", "val"
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
+        .distinct()
+    )

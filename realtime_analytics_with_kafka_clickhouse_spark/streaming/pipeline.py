@@ -218,6 +218,39 @@ def incremental_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def compacted_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse SummingMergeTree lifecycle end-to-end on the txlog
+    format: 4 out-of-order micro-batches APPEND their partial aggregates as
+    separate O(1) add-file commits (insert creates a part), then
+    ``compact_tx`` with the re-summing fold is ``OPTIMIZE TABLE ... FINAL``
+    — N part directories rewrite into one, committed atomically, partials
+    merged by key.  Oracle = the one-shot A1 GROUP BY, so the driver proves
+    append-then-OPTIMIZE == batch aggregation."""
+    from ..storage import txlog
+
+    def resum(df: DataFrame) -> DataFrame:
+        return df.groupBy(*ROLLUP_KEYS).agg(
+            F.sum("order_count").alias("order_count"),
+            dsum("total_revenue").alias("total_revenue"),
+            F.sum("total_quantity").alias("total_quantity"),
+        )
+
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        table = _fresh_rollup_dir("sales_by_category_hourly_opt")
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+        compacted = txlog.compact_tx(spark, table, agg=resum)
+        assert compacted, "4 appended epochs must leave >1 dir to compact"
+        txlog.vacuum(spark, table, keep_versions=1)
+        out = txlog.read_table(spark, table)
+        assert out is not None
+        return out
+    finally:
+        events.unpersist(blocking=False)
+
+
 # Stored-MV memo for accelerator reads: maintenance happens ONCE on the
 # write path (first call); dashboard reads then hit the stored table only —
 # that separation IS the accelerator semantics (a dashboard query does not
