@@ -20,13 +20,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # this runtime conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong=true it surfaces as a long of
-    # epoch-nanos.  Truncate to micros (matching DuckDB's ns->us read) and
-    # restore TimestampType so downstream date_trunc/to_date work unchanged.
+    # events.ts has drifted across driver fixture generations:
+    #   * TIMESTAMP(NANOS) → (with nanosAsLong=true) a long of epoch-nanos;
+    #   * timestamp[us] with no tz → Spark 4 reads TIMESTAMP_NTZ, which
+    #     unix_micros / withWatermark / window() reject.
+    # Normalize both to session-local TimestampType in this one choke point
+    # so every downstream date_trunc/to_date/watermark call site is stable.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.to_timestamp(F.col("ts")))
     return df
 
 

@@ -197,13 +197,13 @@ def create_exclusive(spark: SparkSession, path: str, content: str) -> bool:
         fs.mkdirs(parent)
     jvm = spark._jvm
     if fs.getScheme() == "file":
-        nio_path = jvm.java.nio.file.Paths.get(p.toUri().getPath())
-        try:
-            jvm.java.nio.file.Files.createFile(nio_path)  # O_EXCL
-        except Exception as e:
-            if _is_already_exists_error(e):
-                return False
-            raise
+        # java.nio Paths.get / Files.createFile are Java varargs overloads
+        # Py4J cannot resolve; java.io.File.createNewFile() is
+        # overload-unambiguous and atomically creates-if-absent (O_EXCL on
+        # POSIX), returning False when the file already exists.
+        jfile = jvm.java.io.File(p.toUri().getPath())
+        if not jfile.createNewFile():
+            return False
         stream = fs.create(p, True)  # we own the (empty) file now
     else:
         try:

@@ -51,8 +51,12 @@ def test_txlog_uncommitted_data_invisible(spark, tmp_path):
     # Simulate the crash: orphan data dir, no commit file.
     orphan = txlog.write_data_dir(hourly_rollup_aggregate(events), table)
     assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == before
-    # Vacuum collects it.
-    deleted = txlog.vacuum(spark, table)
+    # A default vacuum leaves a fresh orphan alone (retention window —
+    # it could be an in-flight writer's uncommitted output)...
+    assert orphan not in txlog.vacuum(spark, table)
+    assert fs.exists(spark, f"{table}/{orphan}")
+    # ...but once stale it is collected.
+    deleted = txlog.vacuum(spark, table, retention_ms=0)
     assert orphan in deleted
     assert not fs.exists(spark, f"{table}/{orphan}")
     assert sorted(map(tuple, txlog.read_table(spark, table).collect())) == before
