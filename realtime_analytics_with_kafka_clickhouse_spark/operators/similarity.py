@@ -110,11 +110,15 @@ def _load_candidate_matrix(path: str):
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product over dims 1..64 (double math)."""
-    prods = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
-    )
+    """Sequential left-fold dot product over dims 1..64 (double math).
+
+    zip_with + fold: the products and the left-to-right summation order
+    are bit-identical to an unrolled `p1 + p2 + ... + p64` chain (what the
+    oracles spell out), but with one positional array walk instead of the
+    old sequence(1,64) + two element_at probes per dimension — the dot is
+    the inner loop of every ANN verify, so constant factors here are the
+    whole game."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -470,57 +474,69 @@ def _sq_dist(vec: Column, centroid: Column) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
 
 
-def _kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Argmin-cell assignment: K-way crossJoin against broadcast centroids,
-    min(struct(dist6, cluster)) per vector — only (vec_id, dist, cluster)
-    rides the shuffle."""
-    d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        F.struct(d6.alias("d"), F.col("cluster").alias("c")).alias("dc"),
+def _with_ranked_cells(
+    emb: DataFrame, cent_rows: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Adds ``ranked``: an ``array<struct<d,c>>`` of (round-6 sq-dist,
+    cluster id) sorted ascending by (d, c) — the full argmin/probe ranking
+    computed MAP-SIDE.  The quantizer (K*dim doubles — tiny at any corpus
+    size) rides in as ONE broadcast row, so the "join" is a
+    BroadcastNestedLoopJoin with no row multiplication, no per-vector
+    argmin shuffle, and no join-back — the sort is over K in-row structs,
+    not rows.  Keeping the centroids as data (not plan literals) also
+    keeps the generated code identical across Lloyd rounds, so the
+    whole-stage-codegen JIT cache hits on every round after the first.
+    Struct ordering is lexicographic (d first, then c), identical to a
+    ``min(struct(d, c))`` tiebreak."""
+    qrow = emb.sparkSession.createDataFrame(
+        [([c for c, _ in cent_rows], [v for _, v in cent_rows])],
+        "cell_ids array<int>, cell_centroids array<array<double>>",
     )
-    best = scored.groupBy("vec_id").agg(F.min("dc").alias("dc"))
-    return emb.join(best, "vec_id").select(
-        "vec_id",
-        "embedding",
-        F.col("dc.c").alias("cluster"),
-        F.col("dc.d").alias("dist"),
+    dc = F.zip_with(
+        F.col("cell_centroids"),
+        F.col("cell_ids"),
+        lambda cent, cid: F.struct(
+            F.round(_sq_dist(F.col("embedding"), cent), 6).alias("d"),
+            cid.alias("c"),
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(qrow))
+        .withColumn("ranked", F.array_sort(dc))
+        .drop("cell_ids", "cell_centroids")
     )
 
 
-def _kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_fit(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
     """KMEANS_ITERS Lloyd rounds; returns the fitted (cluster, centroid)
-    frame — K*dim doubles, broadcastable at any corpus size."""
+    rows — K*dim doubles, literal-foldable at any corpus size.  Each round
+    is one map-side assignment + one grouped decimal-mean aggregate; the
+    driver only ever holds the K*dim quantizer."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("rn"),
-            "embedding",
-        )
-        .select(
-            (F.col("rn") - 1).cast("int").alias("cluster"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
-        )
+    init = sorted(
+        emb.orderBy("vec_id").limit(KMEANS_K).collect(), key=lambda r: r["vec_id"]
     )
+    cent_rows = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(init)]
+    mean_cols = [
+        (
+            F.sum(F.col("embedding").getItem(i).cast("double").cast("decimal(38,15)"))
+            .cast("double")
+            / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(DIM)
+    ]
     for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(emb, centroids)
-        mean_cols = [
-            (
-                F.sum(F.col("embedding").getItem(i).cast("double").cast("decimal(38,15)"))
-                .cast("double")
-                / F.count("*")
-            ).alias(f"m{i}")
-            for i in range(DIM)
-        ]
-        updated = assigned.groupBy("cluster").agg(*mean_cols)
-        rows = updated.collect()  # K rows of K*dim doubles — driver-bounded
-        centroids = spark.createDataFrame(
-            [(int(r["cluster"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in rows],
-            "cluster int, centroid array<double>",
+        rows = (
+            _with_ranked_cells(emb, cent_rows)
+            .select(F.element_at("ranked", 1)["c"].alias("cluster"), "embedding")
+            .groupBy("cluster")
+            .agg(*mean_cols)
+            .collect()  # K rows of K*dim doubles — driver-bounded
         )
-    return centroids
+        cent_rows = sorted(
+            (int(r["cluster"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in rows
+        )
+    return cent_rows
 
 
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,16 +551,16 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension sums, one correctly-rounded double divide) so the 32-way
     parallel sums equal DuckDB's serial ones exactly.
 
-    Scale shape: each round is one K-way crossJoin against a BROADCAST
-    centroid frame (K*dim doubles — tiny at any corpus size) + a map-side
-    partial aggregate of 64 decimal sums per cluster; only (vec_id, dist)
-    pairs ride the argmin shuffle, and the driver ever holds K*dim
-    doubles.  Rounds are a fixed constant (KMEANS_ITERS) — the plan does
-    not grow with data volume.  Output: final assignment + distance."""
+    Scale shape: each round assigns MAP-SIDE against the K*dim-double
+    quantizer folded into the plan as literals (no crossJoin, no argmin
+    shuffle — the only exchange is the 64-decimal-sum partial aggregate),
+    and the driver ever holds K*dim doubles.  Rounds are a fixed constant
+    (KMEANS_ITERS) — the plan does not grow with data volume.  Output:
+    final assignment + distance, also fully map-side (zero shuffles)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    centroids = _kmeans_fit(spark, sf_dir)
-    return _kmeans_assign(emb, centroids).select(
-        "vec_id", "cluster", F.col("dist").alias("dist_sq")
+    best = F.element_at("ranked", 1)
+    return _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id", best["c"].alias("cluster"), best["d"].alias("dist_sq")
     )
 
 
@@ -565,40 +581,57 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as MinHash-LSH.
 
     Determinism: distances and cosines round to 6 before ranking, cluster
-    and neighbor ids break ties — bit-stable vs. the unrolled-CTE oracle."""
+    and neighbor ids break ties — the float64 matmul then round-6 agrees
+    with the oracle's unrolled fold at every observed value (the same
+    accepted equivalence as ann_ivf_topk, which has been oracle-green on
+    this formulation since round 1)."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _kmeans_fit(spark, sf_dir)
-    d6 = F.round(_sq_dist(F.col("embedding"), F.col("centroid")), 6)
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cluster", d6.alias("d")
+    with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
+    # Both the index assignment (nearest cell, probe rank 1) and the probe
+    # set (nearest IVF_PROBE cells) come out of the same map-side ranking —
+    # no crossJoin row multiplication and no per-vector window shuffle.
+    # Each vector is exploded to (cluster, is_member) rows: within a
+    # cluster, is_member marks the vectors INDEXED there (their argmin
+    # cell); every exploded row is a query probing that cluster.  The
+    # verify is then one grouped-cell matmul per cluster (the
+    # ann_ivf_topk shape — Arrow blocks, float64 BLAS, candidate-only),
+    # instead of an 800k-row join + per-pair HOF fold.
+    probes = with_cells.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.transform(F.slice("ranked", 1, IVF_PROBE), lambda s: s["c"])
+        ).alias("probe_rank", "cluster"),
+    ).select(
+        "cluster", "vec_id", "embedding", (F.col("probe_rank") == 0).alias("is_member")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
-    cells = scored.select(
-        "vec_id", "cluster", F.row_number().over(w).alias("cell_rank")
-    ).filter(F.col("cell_rank") <= IVF_PROBE)
-    v = _normed_vectors(spark, sf_dir)
-    index = cells.filter(F.col("cell_rank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cluster"
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        member = pdf["is_member"].to_numpy()
+        m_ids = ids[member]
+        cos = np.round(unit @ unit[member].T, 6)
+        qi, mi = np.nonzero(ids[:, None] != m_ids[None, :])
+        return pd.DataFrame(
+            {
+                "vec_id": ids[qi],
+                "neighbor_id": m_ids[mi],
+                "cos_sim": cos[qi, mi],
+            }
+        )
+
+    pairs = probes.groupBy("cluster").applyInPandas(
+        cell_pairs, schema="vec_id long, neighbor_id long, cos_sim double"
     )
-    probes = cells.select("vec_id", "cluster")
-    va = v.select(
-        "vec_id", F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
-    )
-    vb = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos6 = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
-    )
-    pairs = (
-        probes.join(index, "cluster")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .join(va, "vec_id")
-        .join(vb, "neighbor_id")
-        .select("vec_id", "neighbor_id", cos6.alias("cos_sim"))
-    )
+    # Top-k must be GLOBAL per query across its IVF_PROBE cells, so the
+    # rank runs after the cells union — one shuffle of (id, id, cos)
+    # triples, never of embeddings.
     rw = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.select(

@@ -231,8 +231,16 @@ def test_boilerplate_and_substring_no_text_in_exchange(spark, queries):
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark, queries):
-    df = queries["kmeans_train"](spark, SF_DIR)
-    assert has_broadcast_join(df), "centroid side must broadcast"
+    # The quantizer rides in as ONE broadcast row (BroadcastNestedLoopJoin
+    # with no row multiplication) and the argmin is computed map-side —
+    # the assignment must be exchange-free apart from that broadcast.
+    plan = formatted_plan(queries["kmeans_train"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "centroid side must broadcast"
+    )
+    assert "Exchange hashpartitioning" not in plan, (
+        "map-side assignment must not shuffle"
+    )
 
 
 def test_dsir_vocab_join_no_cartesian(spark, queries):
