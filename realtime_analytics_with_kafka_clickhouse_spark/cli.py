@@ -6,9 +6,15 @@
     python -m realtime_analytics_with_kafka_clickhouse_spark.cli q1_pricing_summary
     python -m realtime_analytics_with_kafka_clickhouse_spark.cli hourly_trend --explain
     python -m realtime_analytics_with_kafka_clickhouse_spark.cli --sql "SELECT count(*) FROM events"
+    python -m realtime_analytics_with_kafka_clickhouse_spark.cli --maintain /data/orders \
+        --kind partitioned --ttl-cutoff "2025-01-01 00:00:00"
 
 ``--sql`` registers every testdata table as a temp view first, so raw SQL
-works like the Metabase path (SURVEY.md §3.3).
+works like the Metabase path (SURVEY.md §3.3).  ``--maintain`` runs one
+scheduled-maintenance pass (storage.maintenance: swap repair + TTL +
+compaction, or txlog OPTIMIZE + VACUUM) — the runnable analog of the
+reference's declarative TTL/merge settings
+(/root/reference/clickhouse/init/01_init.sql:28-31).
 """
 
 from __future__ import annotations
@@ -24,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--explain", action="store_true", help="print the formatted plan instead of rows")
     p.add_argument("--sql", help="run raw SQL over the registered testdata views")
     p.add_argument("--limit", type=int, default=20, help="max rows to show")
+    m = p.add_argument_group("maintenance (storage.maintenance.run_maintenance)")
+    m.add_argument("--maintain", metavar="TABLE_PATH", help="run one maintenance pass over a table")
+    m.add_argument("--kind", choices=["partitioned", "txlog"], default="partitioned")
+    m.add_argument("--ttl-cutoff", help="ISO timestamp; rows older than this expire (partitioned)")
+    m.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
+    m.add_argument("--sort-cols", help="comma-separated sort columns for compaction locality")
+    m.add_argument("--keep-versions", type=int, default=2, help="txlog versions vacuum keeps")
     return p
 
 
@@ -43,6 +56,22 @@ def main(argv: list[str] | None = None) -> int:
     from .schemas import TESTDATA_TABLES
 
     spark = get_spark("cli")
+    if args.maintain:
+        import json
+
+        from .storage.maintenance import run_maintenance
+
+        report = run_maintenance(
+            spark,
+            args.maintain,
+            kind=args.kind,
+            ttl_cutoff=args.ttl_cutoff,
+            target_file_bytes=args.target_file_bytes,
+            sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
+            keep_versions=args.keep_versions,
+        )
+        print(json.dumps(report))
+        return 0
     if args.sql:
         for t in TESTDATA_TABLES:
             load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)

@@ -229,6 +229,12 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH64_BITS = 64
 PHASH64_BANDS = 8
 PHASH64_HAMMING_MAX = PHASH64_BANDS - 1
+# Recall canaries (see media_phash_near_dup): every MOD-th fingerprint is
+# re-emitted under doc_id + OFFSET with 3 bits flipped — bits 0, 17, 42
+# land in bands 0, 2, 5, so >= 5 bands still collide (pigeonhole recovery).
+PHASH64_CANARY_MOD = 100
+PHASH64_CANARY_OFFSET = 1_000_000_000
+PHASH64_CANARY_XOR = (1 << 0) | (1 << 17) | (1 << 42)
 
 
 def _ahash64(data: bytes) -> int:
@@ -278,12 +284,26 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-ed so the Python hashing pass runs once, not once per
     self-join side, and repartitioned so pairing gets full parallelism.
     Banding is pigeonhole-exact for the <= 7 threshold, so the oracle's
-    identical band join loses no recall."""
+    identical band join loses no recall.
+
+    **Recall canaries**: the fixture corpus has no organic near-dup media,
+    so a trivially-empty (and therefore unfalsifiable) result would still
+    "match" the oracle.  Every CANARY_MOD-th fingerprint is therefore
+    re-emitted under doc_id + CANARY_OFFSET with exactly 3 bits flipped
+    (PHASH64_CANARY_XOR) — a planted Hamming-3 neighbor the banded join
+    MUST recover (3 flipped bits touch <= 3 of the 8 bands; >= 5 collide).
+    The oracle derives the identical canaries, so the rows carry positive
+    recall evidence instead of 0 == 0."""
     sigs = (
         media_phash64(spark, sf_dir)
         .localCheckpoint(eager=True)
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    canaries = sigs.filter(F.pmod("doc_id", F.lit(PHASH64_CANARY_MOD)) == 0).select(
+        (F.col("doc_id") + F.lit(PHASH64_CANARY_OFFSET)).alias("doc_id"),
+        F.col("phash64").bitwiseXOR(F.lit(PHASH64_CANARY_XOR)).alias("phash64"),
+    )
+    sigs = sigs.unionByName(canaries)
     width = PHASH64_BITS // PHASH64_BANDS
     bands = sigs.select(
         "doc_id",

@@ -1660,9 +1660,18 @@ h AS (
   SELECT doc_id, bytes, len(bytes) AS n,
          coalesce(list_sum(bytes), 0) AS total
   FROM b),
-ph AS (
+ph0 AS (
   SELECT doc_id, CAST({{BITS}} AS BIGINT) AS phash64
   FROM h),
+-- recall canaries: every 100th fingerprint re-emitted under
+-- doc_id + 1e9 with bits 0/17/42 flipped (a planted Hamming-3 neighbor
+-- the banded join must recover) — identical derivation on the Spark side
+ph AS (
+  SELECT doc_id, phash64 FROM ph0
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         CAST(xor(phash64, CAST(4398046642177 AS BIGINT)) AS BIGINT)
+  FROM ph0 WHERE doc_id % 100 = 0),
 bands AS (
   SELECT doc_id, phash64, bnd AS band, (phash64 >> (8 * bnd)) & 255 AS val
   FROM ph, UNNEST(range(0, 8)) AS t(bnd)),
