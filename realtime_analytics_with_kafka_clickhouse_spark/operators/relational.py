@@ -230,10 +230,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style: customers with above-average balance and no orders
-    — scalar aggregate subquery (global avg as a cross-joined 1-row frame,
-    broadcast) + anti join."""
+    since the recency cutoff — scalar aggregate subquery (global avg as a
+    cross-joined 1-row frame, broadcast) + anti join.  The recency window
+    (vs. Q22's "no orders ever", empty on this fixture) keeps the result
+    non-empty and falsifiable at every scale factor; the date predicate
+    pushes down to the orders scan."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(ANTI_JOIN_RECENCY_CUTOFF).cast("timestamp")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal").alias("avg_bal")
     )
@@ -377,11 +382,22 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANTI_JOIN_RECENCY_CUTOFF = "1999-01-01"
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders."""
+    """Left-anti join: customers with no orders since the recency cutoff.
+
+    The date predicate sits on the ANTI side before the join — it pushes
+    down to the orders scan (partition/row-group pruning at scale) and,
+    unlike an unfiltered "no orders ever" (empty on this fixture, where
+    every customer has at least one order), yields a non-empty,
+    falsifiable result at every scale factor."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(ANTI_JOIN_RECENCY_CUTOFF).cast("timestamp")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 

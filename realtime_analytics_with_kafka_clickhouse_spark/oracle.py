@@ -208,7 +208,8 @@ WITH avg_bal AS (
 SELECT c_mktsegment, count(*) AS n_customers, {_dsum('c_acctbal')} AS total_balance
 FROM customer, avg_bal
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY 1
 """
 
@@ -275,7 +276,8 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 ORACLE["customers_without_orders"] = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
 """
 
 ORACLE["top_customers_by_revenue"] = f"""
