@@ -33,9 +33,15 @@ def planted_tables(spark):
         "c_custkey long, c_name string, c_mktsegment string, c_acctbal double",
     )
     orders = spark.createDataFrame(
-        [(100, 1, 10.0), (101, 1, 20.0), (102, 6, 30.0)],
-        "o_orderkey long, o_custkey long, o_totalprice double",
-    )
+        [
+            # c1: recent orders; c6: only a PRE-cutoff order (idle under the
+            # 1999-01-01 recency window, but still "with orders" ever)
+            (100, 1, 10.0, "2000-01-01 00:00:00"),
+            (101, 1, 20.0, "2000-06-01 00:00:00"),
+            (102, 6, 30.0, "1996-01-01 00:00:00"),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
     tables = {"customer": cust, "orders": orders}
     return lambda _spark, _sf, name: tables[name]
 
@@ -54,7 +60,8 @@ def test_q22_idle_rich_customers_non_vacuous(spark, planted_tables, monkeypatch)
 def test_customers_without_orders_non_vacuous(spark, planted_tables, monkeypatch):
     monkeypatch.setattr(relational, "load_table", planted_tables)
     got = {r["c_custkey"] for r in relational.customers_without_orders(spark, "x").collect()}
-    assert got == {2, 3, 4, 5}
+    # c6's only order predates the recency cutoff -> idle under the window
+    assert got == {2, 3, 4, 5, 6}
     with_orders = {r["c_custkey"] for r in relational.customers_with_orders(spark, "x").collect()}
     assert with_orders == {1, 6}
 
