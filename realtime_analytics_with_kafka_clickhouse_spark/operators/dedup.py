@@ -235,6 +235,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_EDGES_PER_PARTITION = 2_000_000  # target edges per task in the CC loop
+# Below this measured edge count the CC solves driver-side (union-find):
+# ~100k edges is a few MB — far under any driver's memory — while the
+# distributed loop's per-round scheduler cost would dominate.
+CC_DRIVER_MAX_EDGES = 100_000
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,10 +246,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     real dedup pipeline runs after pair generation, so each duplicate
     GROUP gets one representative (cluster_id = min doc_id in component).
 
-    Iterative min-label propagation on DataFrames: each round every node
-    takes the min label among itself and its neighbors; converges in
-    O(component diameter) rounds.  This is the small-star/large-star family
-    (CC in MapReduce) in its simplest form, with two cost cuts per round:
+    Hybrid execution, chosen on the MEASURED pair count: small graphs
+    (<= CC_DRIVER_MAX_EDGES) solve driver-side with a path-compressed
+    union-find; larger graphs run iterative min-label propagation on
+    DataFrames: each round every node takes the min label among itself and
+    its neighbors; converges in O(component diameter) rounds.  That loop is
+    the small-star/large-star family (CC in MapReduce) in its simplest
+    form, with two cost cuts per round:
 
     - **self-loops** in the (cached, symmetrized) edge set make
       "min over self and neighbors" a single equi-join + aggregate —
@@ -264,6 +271,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch.  count() populates the cache before the fan-out.
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
     n_pairs = pairs.count()
+    # Adaptive strategy (the AQE move, decided on the MEASURED edge count):
+    # the near-dup graph is orders of magnitude smaller than the corpus,
+    # and when it fits comfortably on the driver a union-find beats a
+    # multi-round distributed loop by the whole scheduler overhead (each
+    # distributed round is a join + agg + checkpoint + convergence job).
+    # The bound is edges, not corpus size — a 100 TB corpus whose LSH pairs
+    # exceed it takes the iterative path below unchanged.
+    if n_pairs <= CC_DRIVER_MAX_EDGES:
+        edge_rows = pairs.collect()  # bounded: <= CC_DRIVER_MAX_EDGES rows
+        pairs.unpersist(blocking=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            a, b = row["doc_a"], row["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-label roots for free
+        labels_local = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
     # Size the iteration's partitioning from the measured edge count, not
     # the global shuffle default: the CC working set (near-dup pairs) is
     # orders of magnitude smaller than the corpus, and right-sizing here

@@ -114,3 +114,19 @@ def test_ann_recall_vs_exact_baseline(spark):
         f"trained quantizer ({recall_ivf:.3f}) must beat "
         f"label cells ({recall_lab:.3f})"
     )
+
+
+def test_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The adaptive CC must produce identical components whichever side of
+    the CC_DRIVER_MAX_EDGES bound the measured pair count lands on."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import dedup
+
+    via_driver = sorted(
+        map(tuple, near_dup_clusters(spark, SF_DIR_ORACLE).collect())
+    )
+    monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", -1)  # force the loop
+    via_loop = sorted(
+        map(tuple, near_dup_clusters(spark, SF_DIR_ORACLE).collect())
+    )
+    assert via_driver == via_loop
+    assert via_driver, "fixture must produce at least one near-dup cluster"
