@@ -57,6 +57,7 @@ _NAMES = [
     (similarity, [
         "kmeans_train",               # map-side quantizer assignment
         "ann_ivf_kmeans",             # grouped-cell matmul verify
+        "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC

