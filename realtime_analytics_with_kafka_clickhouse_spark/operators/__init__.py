@@ -64,6 +64,7 @@ _NAMES = [
     ]),
     (curation, [
         "dedup_keep_best",            # rides the adaptive CC
+        "corpus_mix_report",          # NEW r5: training-mix data card
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

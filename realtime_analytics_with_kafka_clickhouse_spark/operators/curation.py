@@ -134,3 +134,39 @@ def lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < thr)
         .select("doc_id", "lang", "source")
     )
+
+
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-mix "data card": per (lang, source) corpus statistics a
+    dataset release ships — document and token volume, and how much of the
+    slice sits inside a near-duplicate cluster (both doc- and
+    token-weighted).  This is what a mixture-weights decision (and every
+    dedup-before/after comparison) reads.
+
+    Determinism: every statistic is an exact integer (counts, token sums);
+    the two fractions are single float divisions of those integers rounded
+    to 6 — identical on any engine at any parallelism.  Shape: the cluster
+    membership frame is near-dup-bounded (tiny vs. the corpus), so the dup
+    flag is a broadcast left-semi lookup; the report itself is one
+    group-by over (lang, source) — map-side combine, |langs x sources|
+    output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    members = near_dup_clusters(spark, sf_dir).select("doc_id")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    flagged = docs.select("doc_id", "lang", "source", n_tokens.alias("n_tokens")).join(
+        F.broadcast(members).withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    ).fillna({"is_dup": 0})
+    return flagged.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum(F.col("is_dup") * F.col("n_tokens")).alias("dup_tokens"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count("*").cast("double"), 6
+        ).alias("dup_doc_fraction"),
+        F.round(
+            F.sum(F.col("is_dup") * F.col("n_tokens")).cast("double")
+            / F.sum("n_tokens").cast("double"),
+            6,
+        ).alias("dup_token_fraction"),
+    )

@@ -43,6 +43,11 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The inner sum is decimal-exact; the moving frame re-sums decimals and the
     average divides as doubles at the end, so the whole thing is
     order-independent.
+
+    The unpartitioned window is intentional and safe: its input is the
+    DAILY aggregate — calendar-bounded (one row per day, ~365/year), not
+    data-bounded — so the single-partition WindowExec sees thousands of
+    rows at any corpus size.  (Spark still logs its generic warning.)
     """
     daily = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("order_date").rowsBetween(-6, 0)
@@ -56,7 +61,10 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total of daily revenue (unbounded-preceding frame)."""
+    """Running total of daily revenue (unbounded-preceding frame).
+
+    Unpartitioned window over the calendar-bounded daily aggregate — same
+    safety argument as ``moving_avg_daily_revenue``."""
     daily = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(

@@ -1045,6 +1045,26 @@ SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
 """
 
+# Training-mix data card: CC membership composes as a subquery; all stats
+# are exact integers, fractions are one float divide rounded to 6.
+ORACLE["corpus_mix_report"] = f"""
+WITH members AS (SELECT DISTINCT doc_id FROM ({ORACLE['near_dup_clusters']})),
+d AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN doc_id IN (SELECT doc_id FROM members) THEN 1 ELSE 0 END AS is_dup
+  FROM documents)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(is_dup * n_tokens) AS BIGINT) AS dup_tokens,
+       round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_doc_fraction,
+       round(CAST(sum(is_dup * n_tokens) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6)
+         AS dup_token_fraction
+FROM d GROUP BY 1, 2
+"""
+
 # ------------------------------------------------------- multimodal [EXT]
 
 ORACLE["media_metadata_stats"] = """
