@@ -193,14 +193,14 @@ def _signature_col(e: Column, n_planes: int) -> Column:
     """
     planes = _plane_matrix(n_planes)  # precomputed once, embedded as literals
 
-    def _prod_fn(lp):
-        # closure factory: keeps the Spark HOF lambda single-argument
-        return lambda j: F.element_at(lp, j) * F.element_at(e, j).cast("double")
-
     bit_vals = []
     for p in range(n_planes):
         lit_plane = F.array(*[F.lit(x) for x in planes[p]])
-        prods = F.transform(F.sequence(F.lit(1), F.lit(DIM)), _prod_fn(lit_plane))
+        # zip_with walk (one positional pass) — same products, same
+        # left-fold order as the oracle's unrolled chain, ~2x the
+        # throughput of sequence(1,64) + two element_at probes per dim
+        # (HOFs run interpreted; see _dot).
+        prods = F.zip_with(lit_plane, e, lambda pl, x: pl * x.cast("double"))
         dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
         bit_vals.append(F.when(dot > 0, F.lit(float(1 << p))).otherwise(F.lit(0.0)))
     sig = bit_vals[0]
@@ -373,24 +373,43 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Zero-vector guard: an all-zero embedding quantizes to zeros with a
     # tiny positive scale instead of dividing by zero.
-    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
-    q = F.transform(
+    #
+    # STAGED projections, not one expression tree: HOFs evaluate
+    # interpreted, and a lambda that references the `scale` fold would
+    # re-run that 64-element fold PER ELEMENT (and `quant_csv` would
+    # re-run the whole `q` transform) — O(dim^2) work per row.  Binding
+    # scale and q as real columns computes each once per row; values are
+    # identical (same ops, same order).
+    staged = emb.select(
+        "vec_id",
         e,
-        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        (F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)).alias("scale_full"),
+    ).select(
+        "vec_id",
+        e,
+        "scale_full",
+        F.transform(
+            e,
+            lambda x: F.floor(x.cast("double") / F.col("scale_full") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q"),
     )
     recon_err = F.aggregate(
         F.zip_with(
             e,
-            q,
-            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * scale),
+            F.col("q"),
+            lambda x, qi: F.abs(
+                x.cast("double") - qi.cast("double") * F.col("scale_full")
+            ),
         ),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
-    quant_csv = F.array_join(F.transform(q, lambda v: v.cast("string")), ",")
-    return emb.select(
+    quant_csv = F.array_join(F.transform("q", lambda v: v.cast("string")), ",")
+    return staged.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
+        F.round("scale_full", 6).alias("scale"),
         quant_csv.alias("quant_csv"),
         F.round(recon_err, 6).alias("max_abs_err"),
     )
