@@ -377,3 +377,28 @@ def compact_tx(
             return True
         fs.delete(spark, f"{table}/{new_dir}")
     raise RuntimeError(f"compact_tx: gave up after {max_attempts} commit races on {table}")
+
+
+TOO_MANY_PARTS = 8  # data-dir count that triggers an inline OPTIMIZE
+
+
+def auto_compact(
+    spark: SparkSession,
+    table: str,
+    agg=None,
+    stats_cols: list[str] | None = None,
+    max_live_dirs: int = TOO_MANY_PARTS,
+) -> bool:
+    """Background-merge policy — the ClickHouse "too many parts" pressure
+    trigger, run inline after an append instead of by a background merge
+    pool (Structured Streaming sinks have no daemon; the writer IS the
+    maintenance thread).  OPTIMIZE only fires when the current snapshot
+    holds more than ``max_live_dirs`` data directories, so steady-state
+    appends pay one O(1) snapshot read and the rewrite amortizes to
+    O(table/max_live_dirs) per append.  Crash-safe for free: a compaction
+    that dies before committing leaves the appended dirs live, and the
+    next trigger redoes it.  Returns True iff a compaction committed."""
+    _, commit = snapshot(spark, table)
+    if commit is None or len(commit["dirs"]) <= max_live_dirs:
+        return False
+    return compact_tx(spark, table, agg=agg, stats_cols=stats_cols)

@@ -202,3 +202,51 @@ def test_streaming_append_tx_with_zone_maps(spark, tmp_path):
     )
     want = events.filter(F.col("hour_bucket").between(0, 3))
     assert pruned.exceptAll(want).count() + want.exceptAll(pruned).count() == 0
+
+
+def test_streaming_append_with_auto_compact_bounds_parts(spark, tmp_path):
+    """The background-merge analog: a streaming sink that appends then
+    calls auto_compact keeps the live data-dir count bounded (ClickHouse's
+    "too many parts" pressure valve) while the snapshot stays equal to the
+    batch input at every point."""
+    events = load_table(spark, SF_DIR, "events").limit(4000).withColumn(
+        "hour_bucket", F.hour("ts").cast("long")
+    )
+    src = str(tmp_path / "incoming")
+    n_batches = 6
+    for i in range(n_batches):
+        events.filter(F.pmod("event_id", F.lit(n_batches)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    table = str(tmp_path / "events_tx")
+
+    def sink(batch_df, batch_id):
+        txlog.append_tx(
+            spark, table, batch_df, batch_id=batch_id, stats_cols=["hour_bucket"]
+        )
+        txlog.auto_compact(
+            spark, table, stats_cols=["hour_bucket"], max_live_dirs=2
+        )
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _, commit = txlog.snapshot(spark, table)
+    # every batch over the threshold compacted inline: never more than
+    # max_live_dirs + 1 (the append that just landed) directories live
+    assert len(commit["dirs"]) <= 3, commit["dirs"]
+    got = txlog.read_table(spark, table)
+    assert got.count() == events.count()
+    assert got.exceptAll(events).count() == 0 and events.exceptAll(got).count() == 0
+    # zone maps survive the rewrite: a range read still prunes
+    pruned = txlog.read_table(spark, table, prune={"hour_bucket": (3, 3)})
+    assert pruned.filter(F.col("hour_bucket") == 3).count() == events.filter(
+        F.hour("ts") == 3
+    ).count()
