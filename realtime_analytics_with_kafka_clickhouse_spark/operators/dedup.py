@@ -264,6 +264,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-row convergence aggregate.  Output: (doc_id, cluster_id) for
     every doc in at least one near-dup pair.
     """
+    # Three registry queries consume this cluster assignment
+    # (near_dup_clusters itself, dedup_keep_best, corpus_mix_report); when
+    # the driver union-find path produced it, the label list is bounded by
+    # CC_DRIVER_MAX_EDGES and memoizable — serving it from the driver memo
+    # skips the whole MinHash-LSH job on the 2nd and 3rd call.  The
+    # distributed path stays un-memoized (its result is corpus-sized).
+    from ._memo import is_miss, memo_peek, memo_put
+
+    memoized = memo_peek("near_dup_labels", sf_dir, ("documents",))
+    if not is_miss(memoized):
+        return spark.createDataFrame(memoized, "doc_id long, cluster_id long")
     # Materialize the (expensive) pair pipeline exactly once: the edge
     # frame references it three times (both directions + self-loops), and
     # un-cached union branches would re-run the whole MinHash-LSH plan per
@@ -298,6 +309,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)  # min-label roots for free
         labels_local = [(n, find(n)) for n in parent]
+        memo_put("near_dup_labels", sf_dir, ("documents",), labels_local)
         return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
     # Size the iteration's partitioning from the measured edge count, not
     # the global shuffle default: the CC working set (near-dup pairs) is
