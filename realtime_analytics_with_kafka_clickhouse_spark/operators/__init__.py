@@ -58,6 +58,8 @@ _NAMES = [
         "kmeans_train",               # map-side quantizer assignment
         "ann_ivf_kmeans",             # grouped-cell matmul verify
         "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
+        "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
+        "embedding_prototypicality",  # NEW r5: centroid-distance pruning
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC
@@ -65,6 +67,10 @@ _NAMES = [
     (curation, [
         "dedup_keep_best",            # rides the adaptive CC
         "corpus_mix_report",          # NEW r5: training-mix data card
+        "train_test_split",           # NEW r5: deterministic hash split
+    ]),
+    (text, [
+        "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

@@ -136,6 +136,35 @@ def lang_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_MOD = 100
+SPLIT_TRAIN_LT = 90  # [0, 90) -> train
+SPLIT_VAL_LT = 95    # [90, 95) -> val; [95, 100) -> test
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5): bucket =
+    h('split', doc_id) mod 100, thresholds on the bucket — no RNG state,
+    so every engine, run, and executor count produces the SAME split, and
+    a document's assignment never changes as the corpus grows (the
+    property that keeps eval sets stable across dataset versions).
+
+    Map-only: the hash and the CASE run inside the scan's codegen stage —
+    zero shuffles at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        word_hash_expr(F.col("doc_id").cast("string"), F.lit("split")),
+        F.lit(SPLIT_MOD),
+    ).cast("long")
+    return docs.select("doc_id", bucket.alias("bucket")).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(F.col("bucket") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-mix "data card": per (lang, source) corpus statistics a
     dataset release ships — document and token volume, and how much of the

@@ -711,3 +711,97 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# SemDeDup decision threshold.  Like EMB_NEAR_DUP_THRESHOLD this sits where
+# the near-uniform fixture has signal (max pairwise cosine ~0.51); a
+# production pass over real embeddings uses ~0.95.
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and comparing
+    cosines only WITHIN each cluster — the trick that turns O(n^2)
+    semantic dedup into per-cell blocks.  Deterministic keep rule: a
+    vector is a duplicate iff some LOWER-id vector in its cell has cosine
+    >= SEMDEDUP_THRESHOLD with it (lowest id in each semantic group
+    survives; the paper keeps a random member — id order is the
+    reproducible equivalent).
+
+    Output per vector: (vec_id, cluster, max_cos_lower, is_dup) —
+    max_cos_lower (NULL for each cell's lowest id) is the evidence column
+    a tuning pass reads to pick the threshold.
+
+    Scale shape: the cluster assignment is MAP-SIDE against the memoized
+    broadcast quantizer (shared with kmeans_train / ann_ivf_kmeans — no
+    refit); the only shuffle is the groupBy(cluster), and each cell's
+    pairwise block runs as one grouped Arrow matmul.  Cell size is
+    n / K, bounded in production by scaling K ~ sqrt(n) (the paper runs
+    50k clusters for LAION) — never an all-pairs join."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id", "embedding", F.element_at("ranked", 1)["c"].alias("cluster")
+    )
+
+    def cell_dedup(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = np.round(unit @ unit.T, 6)
+        max_lower = [None] + [float(cos[i, :i].max()) for i in range(1, len(ids))]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "max_cos_lower": pd.array(max_lower, dtype="Float64"),
+                "is_dup": [
+                    m is not None and m >= SEMDEDUP_THRESHOLD for m in max_lower
+                ],
+            }
+        )
+
+    return with_cells.groupBy("cluster").applyInPandas(
+        cell_dedup,
+        schema="vec_id long, cluster int, max_cos_lower double, is_dup boolean",
+    )
+
+
+# Fraction of each cluster kept by the pruning rule (exact integer
+# arithmetic: rank*10 <= n*9 keeps the closest 90%).
+PROTO_KEEP_NUM, PROTO_KEEP_DEN = 9, 10
+
+
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): rank every vector by distance to its assigned
+    k-means centroid and flag the farthest (100 - 90)% of each cluster as
+    prune candidates — the self-supervised pruning metric computed without
+    labels.  Keep/prune is exact integer arithmetic (rank*10 > n*9), so
+    the oracle reproduces the boundary bit-for-bit.
+
+    Scale shape: distance + assignment are MAP-SIDE against the memoized
+    broadcast quantizer (no refit, no crossJoin); the rank is a window
+    partitioned by cluster — one shuffle of (id, cluster, dist) triples,
+    embeddings never leave their scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    best = F.element_at("ranked", 1)
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id", best["c"].alias("cluster"), best["d"].alias("dist_sq")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.asc("dist_sq"), F.asc("vec_id"))
+    cw = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        "dist_sq",
+        F.row_number().over(w).cast("long").alias("proto_rank"),
+        F.count("*").over(cw).cast("long").alias("n_cluster"),
+    ).withColumn(
+        "is_pruned",
+        F.col("proto_rank") * PROTO_KEEP_DEN > F.col("n_cluster") * PROTO_KEEP_NUM,
+    )

@@ -727,3 +727,41 @@ def bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("merge_rank") <= BPE_MERGE_TOP_K)
     )
+
+
+VOCAB_TOP = 16
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-VOCAB_TOP corpus
+    vocabulary (frequency desc, word asc — deterministic), then score
+    every document's out-of-vocabulary token rate.  This is the coverage
+    check run before committing to a tokenizer vocab size: the OOV-rate
+    distribution tells you what a V-entry vocab leaves on the table.
+
+    Shape: the vocabulary aggregate shuffles the (word, count) table —
+    bounded by VOCABULARY size, not corpus size — and the selected top-V
+    (driver-bounded, like the k-means quantizer) folds back into the plan
+    as one array literal, so the per-document scoring pass is MAP-ONLY:
+    an array_contains filter over each doc's token array, no explode, no
+    join, no second shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = freq.orderBy(F.desc("cnt"), F.asc("word")).limit(VOCAB_TOP).collect()
+    vocab = F.array(*[F.lit(w) for w in sorted(r["word"] for r in top)])
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words).cast("long")
+    n_oov = F.size(F.filter(words, lambda w: ~F.array_contains(vocab, w))).cast("long")
+    staged = docs.select("doc_id", n_tokens.alias("n_tokens"), n_oov.alias("n_oov"))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "oov_rate"
+        ),
+    )

@@ -1721,3 +1721,79 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 7
 """.replace("{BITS}", _phash64_bit_terms())
+
+
+# -- round 5: semantic curation over the shared k-means quantizer ----------
+
+def _semantic_dedup_sql(threshold: float = 0.3) -> str:
+    """SemDeDup: final k-means assignment (the kmeans CTEs' a3), pairwise
+    cosine within each cell against LOWER-id members only."""
+    parts, _ = _kmeans_parts()
+    parts.append(_NORMED_V.strip())
+    parts.append(f"""m AS (
+  SELECT a.vec_id,
+         max(round({_dot_sql('va.embedding', 'vb.embedding')} / (va.nrm * vb.nrm), 6)) AS max_cos_lower
+  FROM a3 a
+  JOIN a3 b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  GROUP BY a.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT a.vec_id, a.cluster, m.max_cos_lower,
+       coalesce(m.max_cos_lower >= {threshold}, FALSE) AS is_dup
+FROM a3 a LEFT JOIN m USING (vec_id)"""
+    )
+
+
+ORACLE["semantic_dedup"] = _semantic_dedup_sql()
+
+
+def _prototypicality_sql(keep_num: int = 9, keep_den: int = 10) -> str:
+    parts, _ = _kmeans_parts()
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+r AS (
+  SELECT vec_id, cluster, dist AS dist_sq,
+         CAST(row_number() OVER (PARTITION BY cluster
+                                 ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS proto_rank,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_cluster
+  FROM a3)
+SELECT vec_id, cluster, dist_sq, proto_rank, n_cluster,
+       (proto_rank * {keep_den} > n_cluster * {keep_num}) AS is_pruned
+FROM r"""
+    )
+
+
+ORACLE["embedding_prototypicality"] = _prototypicality_sql()
+
+ORACLE["vocab_oov_rate"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+freq AS (SELECT word, count(*) AS cnt FROM tok GROUP BY 1),
+vocab AS (SELECT word FROM (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rn FROM freq)
+  WHERE rn <= 16),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (word)
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+FROM per_doc
+"""
+
+ORACLE["train_test_split"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_h("concat_ws(chr(1), 'split', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+  FROM documents)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
