@@ -71,6 +71,8 @@ _NAMES = [
     ]),
     (text, [
         "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate
+        "build_inverted_index",       # NEW r5: capped posting lists
+        "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

@@ -765,3 +765,111 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+POSTINGS_CAP = 1000
+
+
+def build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side artifact of a corpus):
+    per word, document frequency, total term frequency, and the posting
+    list (doc_id:tf, doc_id ascending) as a CSV string — capped at
+    POSTINGS_CAP entries per word so row width stays bounded when a
+    stopword's df approaches corpus size (a production index shards
+    postings by (word, block); the cap is that block boundary).
+
+    Shape: one (doc_id, word) tf aggregate (explode -> map-side combine),
+    then one word-keyed aggregate whose key space is VOCABULARY-bounded.
+    collect_list order is engine-nondeterministic, so the posting array is
+    sort_array'd before the join — bit-stable output on any partitioning.
+
+    The CSV-string posting form (not array<struct>) follows the
+    quant_csv convention: the driver's hash compare canonicalizes scalar
+    cells only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    tf = tok.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    postings = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+    )
+    return tf.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(postings, 1, POSTINGS_CAP),
+                lambda p: F.concat_ws(":", p["doc_id"].cast("string"), p["tf"].cast("string")),
+            ),
+            ",",
+        ).alias("postings_csv"),
+    )
+
+
+BM25_QUERY = ("join", "spark", "table")  # fixed demo query, alphabetical
+BM25_TOP_K = 20
+
+
+def _term_tf(words, term: str):
+    """tf of one query term as a map-side HOF (single-arg lambda closure)."""
+    return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query (Robertson/Sparck Jones;
+    k1=1.5, b=0.75) — the lexical-retrieval scorer next to
+    ``tfidf_top_terms``'s keyword extractor.  Uses the repo's RATIONAL idf
+    convention, (N - df + 0.5) / (df + 0.5) without the ln(): every
+    arithmetic op is then a correctly-rounded IEEE +,*,/ in a fixed
+    association order, so Spark and DuckDB agree bit-for-bit (libm log
+    may differ in the last ulp — same determinism argument as tfidf).
+    Ranking is unchanged: ln is monotone.
+
+    Shape: per-term tf and doc length are MAP-SIDE higher-order filters
+    over the token array (no explode, no join — the query has |Q| terms,
+    each a size(filter(...)) column); corpus stats (N, sum dl, per-term
+    df) are ONE tiny aggregate broadcast back; the final top-k is
+    orderBy+limit, which Spark executes as a distributed TakeOrdered —
+    no global single-partition sort at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        # NB: a 2-arg HOF lambda means (element, index) to Spark, so the
+        # term must close via a factory, not a default arg.
+        *[_term_tf(words, t).alias(f"tf_{t}") for t in BM25_QUERY],
+    )
+    stats = staged.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    j = staged.join(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    dl_d = F.col("dl").cast("double")
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = (n_d - df + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + F.lit(1.5) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl))
+        return idf * (tf * F.lit(2.5)) / denom
+
+    score = term_score(BM25_QUERY[0])
+    for t in BM25_QUERY[1:]:
+        score = score + term_score(t)
+    scored = j.select(
+        "doc_id",
+        "dl",
+        *[F.col(f"tf_{t}") for t in BM25_QUERY],
+        F.round(score, 6).alias("bm25"),
+    ).filter(F.col("bm25") > 0)
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -1797,3 +1797,59 @@ SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
             ELSE 'test' END AS split
 FROM b
 """
+
+
+ORACLE["build_inverted_index"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         list_slice(
+           list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY doc_id),
+           1, 1000),
+         ',') AS postings_csv
+FROM tf GROUP BY word
+"""
+
+
+def _bm25_sql(terms: tuple = ("join", "spark", "table"), top_k: int = 20) -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in terms
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    # EXACTLY the Spark association order: ((idf * (tf*2.5)) / denom),
+    # summed left-to-right in BM25_QUERY order — bit-identical IEEE chains.
+    score = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{t} AS DOUBLE) * 2.5)"
+        f" / (CAST(tf_{t} AS DOUBLE) + 1.5 * (0.25 + 0.75"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+        for t in terms
+    )
+    tf_list = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM s),
+scored AS (
+  SELECT doc_id, dl, {tf_list}, round({score}, 6) AS bm25
+  FROM s, g)
+SELECT doc_id, dl, {tf_list}, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT {top_k}
+"""
+
+
+ORACLE["bm25_topk"] = _bm25_sql()
