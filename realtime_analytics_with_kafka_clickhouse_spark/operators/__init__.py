@@ -41,6 +41,7 @@ _NAMES = [
         "compacted_rollup_txlog",
         "incremental_rollup_txlog",
         "hourly_trend_from_rollup",
+        "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
     ]),
     (timeseries, [
         "user_sessionization",

@@ -1853,3 +1853,35 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {top_k}
 
 
 ORACLE["bm25_topk"] = _bm25_sql()
+
+
+# Streaming sessionizer emitted-set oracle: batch sessionization + the
+# deterministic closure rule (arrival-closed = every non-last session;
+# timeout-closed = last session iff final watermark passed end + gap).
+ORACLE["stream_sessionize_events"] = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked),
+agg AS (
+  SELECT user_id, session_id,
+         min(ts) AS session_start,
+         max(ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round({_dsum('value')}, 6) AS session_revenue
+  FROM sess GROUP BY 1, 2),
+last AS (SELECT user_id, max(session_id) AS last_sid FROM agg GROUP BY 1),
+mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.session_revenue
+FROM agg a JOIN last l USING (user_id), mx
+WHERE a.session_id < l.last_sid
+   OR epoch_us(a.session_end) + 1800 * 1000000
+      < epoch_us(max_ts) - 1800 * 1000000
+"""

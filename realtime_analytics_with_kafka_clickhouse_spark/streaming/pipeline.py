@@ -508,29 +508,65 @@ def streaming_sessionize(events: DataFrame, watermark: str = "30 minutes") -> Da
                 }
             )
             return
+        import numpy as np
+
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
         vals = rows["value"].to_numpy()
+        n_rows = len(ts_us)
+        gap_us = SESSION_GAP_SEC * us
+        # VECTORIZED sessionization (the old per-event Python loop was the
+        # hot path): after the sort the running session end is the running
+        # max of (state's last, previous ts), so gap breaks fall out of one
+        # array subtract and each session is a reduceat segment.
         if state.exists:
-            start, last, n, revenue = state.get
+            s_start, s_last, s_n, s_rev = state.get
+            prev = np.empty(n_rows, dtype=np.int64)
+            prev[0] = s_last
+            if n_rows > 1:
+                # Cross-batch late arrival may have ts <= state's last (the
+                # batch is sorted, the stream is not): max() folds it in
+                # without moving the session end BACKWARDS — a receding
+                # `last` could place the timeout at/below the current
+                # watermark, which Spark rejects at runtime.
+                np.maximum(s_last, ts_us[:-1], out=prev[1:])
+            breaks = (ts_us - prev) > gap_us
         else:
-            start = last = None
-        out = []
-        for t, v in zip(ts_us, vals):
-            if start is None:
-                start, last, n, revenue = int(t), int(t), 1, float(v)
-            elif t - last > SESSION_GAP_SEC * us:
-                out.append((start, last, n, revenue))
-                start, last, n, revenue = int(t), int(t), 1, float(v)
+            s_start = None
+            breaks = np.zeros(n_rows, dtype=bool)
+            if n_rows > 1:
+                breaks[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        # Row 0 always begins segment 0 (breaks[0] signals the CARRIED
+        # session's closure, not a segment boundary — including it would
+        # fabricate an empty [0,0) segment).
+        starts_idx = np.flatnonzero(breaks[1:]) + 1
+        seg_begin = np.concatenate(([0], starts_idx))
+        seg_end = np.concatenate((starts_idx, [n_rows]))
+        seg_n = (seg_end - seg_begin).astype(np.int64)
+        seg_rev = np.add.reduceat(vals, seg_begin)
+        seg_start = ts_us[seg_begin]  # sorted -> segment min is its first row
+        seg_last = ts_us[seg_end - 1]
+        sessions = [
+            (int(seg_start[i]), int(seg_last[i]), int(seg_n[i]), float(seg_rev[i]))
+            for i in range(len(seg_begin))
+        ]
+        if s_start is not None:
+            if breaks[0]:
+                # First batch event opens a NEW session -> the carried
+                # session closes as-is.
+                sessions.insert(0, (s_start, s_last, s_n, s_rev))
             else:
-                # Cross-batch late arrival may have t <= state's last (the
-                # batch is sorted, the stream is not): fold it in but never
-                # move the session end BACKWARDS — a receding `last` could
-                # place the timeout at/below the current watermark, which
-                # Spark rejects at runtime.  An early straggler may still
-                # widen the session start.
-                start = min(start, int(t))
-                last, n, revenue = max(last, int(t)), n + 1, revenue + float(v)
+                # Carried session continues into segment 0; an early
+                # straggler may still widen the session start.
+                f_start, f_last, f_n, f_rev = sessions[0]
+                sessions[0] = (
+                    min(s_start, f_start),
+                    max(s_last, f_last),
+                    s_n + f_n,
+                    s_rev + f_rev,
+                )
+        out = sessions[:-1]
+        start, last, n, revenue = sessions[-1]
         state.update((start, last, n, revenue))
         # Timeout strictly above the current watermark (Spark requirement);
         # a session whose gap horizon is already past fires next epoch.
@@ -588,4 +624,81 @@ def windowed_stateful_rollup(
             "total_revenue",
             "total_quantity",
         )
+    )
+
+
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated end-to-end run of the stateful streaming sessionizer
+    (SURVEY.md §2.7 ST4): replay ``events`` as 4 TIME-ORDERED micro-batch
+    files through ``streaming_sessionize`` (applyInPandasWithState,
+    event-time timeouts) and return every session the stream EMITTED.
+
+    The emitted set is deterministic and batch-predictable, which is what
+    makes this oracle-checkable rather than rows-only:
+
+    - a session closed by ARRIVAL (a later same-user event past the gap)
+      emits always — that is every session except each user's last;
+    - a user's LAST session emits iff its event-time timeout fired, i.e.
+      final watermark (global max ts - 30 min delay) passed
+      session_end + 30 min gap.
+
+    Replay-harness notes (not the operator's cost): chunk boundaries are
+    fixed timestamps from one min/max aggregate (map-only filters, no
+    global sort); chunks are written in ascending time order so the
+    watermark only moves forward (the no-late-data invariant the oracle
+    needs); session_revenue rounds to 6 because the stream folds floats
+    in arrival order while the oracle sums decimals — same accepted
+    round-6 equivalence as the ANN cosine family."""
+    import datetime as _dt
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).persist()  # each chunk write filters this one cached scan
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + ((hi - lo) or _dt.timedelta(seconds=1)) / 2
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"sessionize-{run}")
+    src, ckpt, name = os.path.join(d, "events"), os.path.join(d, "ckpt"), f"sess_{run}"
+    try:
+        # Two time-split chunks: every micro-batch is a full stateful pass
+        # (state-store open + Arrow round-trip per partition), so the
+        # replay uses the minimum batch count that still exercises
+        # cross-batch state handoff — 2 data batches + the final timeout
+        # batch.  Sequential writes -> ascending file mtimes = replay order.
+        for chunk in (
+            events.filter(F.col("ts") < F.lit(mid)),
+            events.filter(F.col("ts") >= F.lit(mid)),
+        ):
+            chunk.coalesce(1).write.mode("append").parquet(src)
+    finally:
+        events.unpersist(blocking=False)
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    # State-partition count is fixed at stream START (it shapes the state
+    # store layout for the query's lifetime), so size it to the replay
+    # volume: each partition costs a state-store open + Arrow round-trip
+    # PER MICRO-BATCH, and 32 partitions for a bounded replay pays ~2x the
+    # stream time in fixed overhead (measured).  A production deployment
+    # makes exactly this sizing call when provisioning the job.
+    n_events = spark.read.parquet(src).count()  # metadata-only row count
+    parts = str(max(8, n_events // 50_000))
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events,"
+        f" round(session_revenue, 6) AS session_revenue FROM {name}"
     )
