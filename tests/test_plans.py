@@ -269,3 +269,40 @@ def test_dsir_vocab_join_no_cartesian(spark, queries):
     # the totals crossJoin is a broadcast of ONE row; the vocab join must
     # be a real equi-join (no cartesian product of token x vocab)
     assert "CartesianProduct" not in plan
+
+
+def test_train_test_split_map_only(spark, queries):
+    df = queries["train_test_split"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, "hash split must stay inside the scan stage"
+    (cols,) = read_schema_columns(df)
+    assert cols == {"doc_id"}, "split reads only doc_id"
+
+
+def test_bm25_distributed_topk_no_global_sort_exchange(spark, queries):
+    df = queries["bm25_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, "top-k must be TakeOrdered, not a sort"
+    assert count_shuffles(df) == 1, "only the one-row stats agg may exchange"
+
+
+def test_vocab_oov_scoring_pass_map_only(spark, queries):
+    df = queries["vocab_oov_rate"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, "vocab folds back as a literal; scoring is map-only"
+
+
+def test_semantic_dedup_single_cell_shuffle(spark, queries):
+    df = queries["semantic_dedup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # one groupBy(cluster) exchange; assignment itself is the broadcast
+    # quantizer row (BroadcastNestedLoopJoin over ONE row, no multiplication)
+    assert count_shuffles(df) == 1
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_prototypicality_exchanges_triples_only(spark, queries):
+    df = queries["embedding_prototypicality"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the window shuffle carries (vec_id, cluster, dist) — never embeddings
+    import re
+    for m in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "embedding" not in m
