@@ -61,6 +61,7 @@ _NAMES = [
         "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
         "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
         "embedding_prototypicality",  # NEW r5: centroid-distance pruning
+        "hybrid_search_topk",         # NEW r5: BM25 + cosine RRF fusion
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC
@@ -69,6 +70,7 @@ _NAMES = [
         "dedup_keep_best",            # rides the adaptive CC
         "corpus_mix_report",          # NEW r5: training-mix data card
         "train_test_split",           # NEW r5: deterministic hash split
+        "temperature_mix_weights",    # NEW r5: T=0.5 sampling weights
     ]),
     (text, [
         "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate

@@ -199,3 +199,47 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_token_fraction"),
     )
+
+
+MIX_TEMPERATURE_INV = 2  # 1/T with T = 0.5: weight ∝ p^(1/2) = sqrt(p)
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture weights (the multilingual
+    sampling scheme of mBERT/XLM-R: sample language l with probability
+    ∝ p_l^(1/T), T<1 upweights low-resource languages).  T is fixed at
+    0.5 so the exponent is a SQUARE ROOT — IEEE sqrt is correctly rounded
+    on every engine, where a general pow() is not: the same
+    cross-engine-exactness rationale as tfidf's rational idf.  Weights
+    normalize over sqrt(n_l); expected_docs uses the explicit
+    floor(x + 0.5) rounding convention (engine-portable, unlike round()'s
+    half-even/half-away split).
+
+    Shape: one count aggregate keyed by language (|langs| rows), then
+    whole-frame window sums ORDERED BY lang — the sequential left-assoc
+    accumulation both engines produce for an ordered frame, so the double
+    sum of sqrt weights is bit-identical.  The window runs over the
+    language table, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    wf = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sqrt_n = F.sqrt(F.col("n_docs").cast("double"))
+    staged = counts.select(
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(wf).cast("long").alias("total_docs"),
+        sqrt_n.alias("w_raw"),
+        F.sum(sqrt_n).over(wf).alias("w_total"),
+    )
+    weight = F.col("w_raw") / F.col("w_total")
+    return staged.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total_docs").cast("double"), 6).alias("p_lang"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.floor(weight * F.col("total_docs").cast("double") + F.lit(0.5))
+        .cast("long")
+        .alias("expected_docs"),
+    )

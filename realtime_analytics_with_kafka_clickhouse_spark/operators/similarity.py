@@ -805,3 +805,59 @@ def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_pruned",
         F.col("proto_rank") * PROTO_KEEP_DEN > F.col("n_cluster") * PROTO_KEEP_NUM,
     )
+
+
+RRF_K = 60           # the standard reciprocal-rank-fusion constant
+HYBRID_TOP_K = 20    # per-list depth feeding the fusion
+
+
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-k fused with embedding-cosine
+    semantic top-k by reciprocal rank fusion (Cormack et al. 2009):
+    rrf(d) = Σ_lists 1 / (60 + rank_list(d)) — the standard fusion in RAG
+    retrieval stacks.  RRF is rank-only arithmetic: two correctly-rounded
+    IEEE divisions and one add per doc, so the fusion is bit-exact
+    cross-engine with no tolerance (ranks themselves come from the two
+    already-deterministic lists).
+
+    The demo query: BM25_QUERY terms lexically; vec 0's embedding
+    semantically (vec_id aligns with doc_id in the fixture).
+
+    Shape: the lexical list is bm25_topk (one-row stats broadcast +
+    TakeOrdered); the semantic list scores cosine MAP-SIDE against one
+    broadcast query row and TakeOrders the top-k; fusion joins two
+    k-row lists — everything after the two scans is bounded by k, not
+    corpus size."""
+    from .text import bm25_topk
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    v = _normed_vectors(spark, sf_dir)
+    qrow = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 6
+    )
+    sem_scored = (
+        v.crossJoin(F.broadcast(qrow))
+        .filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+    )
+    sem_top = sem_scored.orderBy(F.desc("cos_sim"), F.asc("doc_id")).limit(HYBRID_TOP_K)
+    sw = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(sw).cast("long").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("sem_rank").cast("double")), F.lit(0.0)
+    )
+    fw = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.select("doc_id", "lex_rank", "sem_rank", F.round(rrf, 6).alias("rrf"))
+        .withColumn("rank", F.row_number().over(fw).cast("long"))
+    )

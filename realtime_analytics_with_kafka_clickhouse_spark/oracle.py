@@ -1885,3 +1885,48 @@ WHERE a.session_id < l.last_sid
    OR epoch_us(a.session_end) + 1800 * 1000000
       < epoch_us(max_ts) - 1800 * 1000000
 """
+
+
+ORACLE["temperature_mix_weights"] = """
+WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+w AS (
+  SELECT lang, n_docs,
+         CAST(sum(n_docs) OVER ww AS BIGINT) AS total_docs,
+         sqrt(CAST(n_docs AS DOUBLE)) AS w_raw,
+         sum(sqrt(CAST(n_docs AS DOUBLE))) OVER ww AS w_total
+  FROM counts
+  WINDOW ww AS (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 6) AS p_lang,
+       round(w_raw / w_total, 6) AS mix_weight,
+       CAST(floor(w_raw / w_total * CAST(total_docs AS DOUBLE) + 0.5) AS BIGINT) AS expected_docs
+FROM w
+"""
+
+
+def _hybrid_search_sql(top_k: int = 20, rrf_k: float = 60.0) -> str:
+    return f"""
+WITH {_NORMED_V.strip().rstrip()},
+sem_top AS (
+  SELECT a.vec_id AS doc_id,
+         round({_dot_sql('a.embedding', 'q.embedding')} / (a.nrm * q.nrm), 6) AS cos_sim
+  FROM v a, (SELECT embedding, nrm FROM v WHERE vec_id = 0) q
+  WHERE a.vec_id <> 0
+  ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {top_k}),
+sem AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+  FROM sem_top),
+lex AS (SELECT doc_id, rank AS lex_rank FROM ({ORACLE['bm25_topk']})),
+f AS (
+  SELECT doc_id, lex_rank, sem_rank,
+         round(coalesce(1.0 / ({rrf_k} + CAST(lex_rank AS DOUBLE)), 0.0)
+             + coalesce(1.0 / ({rrf_k} + CAST(sem_rank AS DOUBLE)), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem USING (doc_id))
+SELECT doc_id, lex_rank, sem_rank, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+FROM f
+"""
+
+
+ORACLE["hybrid_search_topk"] = _hybrid_search_sql()
