@@ -42,6 +42,7 @@ _NAMES = [
         "incremental_rollup_txlog",
         "hourly_trend_from_rollup",
         "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
+        "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
     ]),
     (timeseries, [
         "user_sessionization",

@@ -126,6 +126,21 @@ def read_table(
     return spark.read.parquet(*[f"{table}/{d}" for d in dirs])
 
 
+def read_table_at(
+    spark: SparkSession, table: str, version: int
+) -> DataFrame | None:
+    """Snapshot read pinned to ``version`` — time travel (Delta's
+    ``VERSION AS OF``).  Works because commits are immutable full-snapshot
+    manifests: reading an old version is just reading the directories THAT
+    commit names, O(1) metadata regardless of how far back.  Returns None
+    if the version was never committed or its commit file has been
+    vacuumed away (``vacuum`` is what bounds retention)."""
+    commit = read_commit(spark, table, version)
+    if commit is None:
+        return None
+    return spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+
+
 def _jsonable(v):
     return v if isinstance(v, (int, float, str)) or v is None else None
 

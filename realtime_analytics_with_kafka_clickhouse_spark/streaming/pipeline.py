@@ -702,3 +702,51 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT user_id, session_start, session_end, n_events,"
         f" round(session_revenue, 6) AS session_revenue FROM {name}"
     )
+
+
+# Append-table memo for the time-travel query: versions must SURVIVE the
+# call (no vacuum), so the table builds once per (session, sf_dir) and
+# every read — current or historical — hits the stored log.
+_APPEND_TABLE_MEMO: dict[str, str] = {}
+
+
+def _build_txlog_append_table(spark: SparkSession, sf_dir: str) -> str:
+    """4 out-of-order micro-batches APPENDed as O(1) add-file commits
+    (versions 1..4), NO compaction and NO vacuum — the full version
+    history stays readable."""
+    from ..storage import txlog
+
+    key = os.path.abspath(sf_dir)
+    if key not in _APPEND_TABLE_MEMO:
+        events = load_table(spark, sf_dir, "events").persist()
+        try:
+            table = _fresh_rollup_dir("sales_by_category_hourly_hist")
+            for i in range(4):
+                chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+            _APPEND_TABLE_MEMO[key] = table
+        finally:
+            events.unpersist(blocking=False)
+    return _APPEND_TABLE_MEMO[key]
+
+
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (Delta's VERSION AS OF) through the driver
+    gate: read the append table AS OF version 2 — when only epochs 0 and 1
+    had committed — and re-sum its partials.  The oracle is the one-shot
+    A1 aggregation over ONLY those epochs' events (event_id % 4 in (0,1)),
+    so the row proves historical reads reconstruct exactly the state that
+    was current then, not a mixture.
+
+    Commits are immutable full-snapshot manifests, so the historical read
+    is O(1) metadata + the named directories — no log replay."""
+    from ..storage import txlog
+
+    table = _build_txlog_append_table(spark, sf_dir)
+    at_v2 = txlog.read_table_at(spark, table, 2)
+    assert at_v2 is not None, "version 2 must exist in the un-vacuumed log"
+    return at_v2.groupBy(*ROLLUP_KEYS).agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+    )

@@ -250,3 +250,26 @@ def test_streaming_append_with_auto_compact_bounds_parts(spark, tmp_path):
     assert pruned.filter(F.col("hour_bucket") == 3).count() == events.filter(
         F.hour("ts") == 3
     ).count()
+
+
+def test_read_table_at_versions(spark, tmp_path):
+    """Time travel: each pinned version reproduces exactly the state that
+    was current at that commit; missing versions return None."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = str(tmp_path / "tt")
+    for i in range(3):
+        df = spark.createDataFrame([(i, i * 10)], "k int, v int")
+        txlog.append_tx(spark, table, df, batch_id=i)
+    assert txlog.read_table_at(spark, table, 0) is None
+    assert txlog.read_table_at(spark, table, 99) is None
+    for v in (1, 2, 3):
+        got = sorted(
+            (r["k"], r["v"]) for r in txlog.read_table_at(spark, table, v).collect()
+        )
+        assert got == [(i, i * 10) for i in range(v)]
+    # vacuum bounds retention: v1's commit (and its now-unreferenced dirs)
+    # disappear, the latest survives
+    txlog.vacuum(spark, table, keep_versions=1)
+    assert txlog.read_table_at(spark, table, 1) is None
+    assert txlog.read_table_at(spark, table, 3) is not None
