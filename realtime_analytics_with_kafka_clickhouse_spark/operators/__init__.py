@@ -21,6 +21,7 @@ from . import (
     timeseries,
     windows,
 )
+from ..storage import layout as _storage_layout
 from ..streaming import pipeline as _streaming_pipeline
 
 # Ordered (module, names) blocks.  ORDER MATTERS: the driver's correctness
@@ -43,6 +44,9 @@ _NAMES = [
         "hourly_trend_from_rollup",
         "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
         "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
+    ]),
+    (_storage_layout, [
+        "gdpr_delete_audit",          # NEW r5: targeted-delete proof
     ]),
     (timeseries, [
         "user_sessionization",

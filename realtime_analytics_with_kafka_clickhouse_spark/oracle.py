@@ -1944,3 +1944,16 @@ FROM events
 WHERE event_type = 'purchase' AND event_id % 4 IN (0, 1)
 GROUP BY 1, 2
 """
+
+
+# GDPR delete audit: the month-partitioned table after erasing the minimum
+# custkey must equal orders minus that customer, month-aggregated.
+ORACLE["gdpr_delete_audit"] = f"""
+WITH victim AS (SELECT min(o_custkey) AS k FROM orders)
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_dsum('o_totalprice')} AS total_revenue
+FROM orders, victim
+WHERE o_custkey <> k
+GROUP BY 1
+"""
