@@ -44,6 +44,7 @@ _NAMES = [
         "hourly_trend_from_rollup",
         "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
         "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
+        "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

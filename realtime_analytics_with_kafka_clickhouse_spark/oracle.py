@@ -1957,3 +1957,13 @@ FROM orders, victim
 WHERE o_custkey <> k
 GROUP BY 1
 """
+
+
+# Watermarked tumbling-window MV: append mode finalizes a window when the
+# watermark (max ts - 2h delay) passes its end, so emitted == A1 rollup
+# restricted to finalized hours.
+ORACLE["stream_windowed_rollup_events"] = f"""
+SELECT hour, category, order_count, total_revenue, total_quantity
+FROM ({_A1}) a, (SELECT max(ts) AS max_ts FROM events) m
+WHERE a.hour + INTERVAL 1 HOUR <= m.max_ts - INTERVAL 2 HOUR
+"""

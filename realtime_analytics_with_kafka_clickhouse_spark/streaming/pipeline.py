@@ -649,22 +649,35 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs); session_revenue rounds to 6 because the stream folds floats
     in arrival order while the oracle sums decimals — same accepted
     round-6 equivalence as the ANN cosine family."""
+    name = _replay_events_stream(spark, sf_dir, streaming_sessionize, "sessionize")
+    return spark.sql(
+        f"SELECT user_id, session_start, session_end, n_events,"
+        f" round(session_revenue, 6) AS session_revenue FROM {name}"
+    )
+
+
+def _replay_events_stream(spark: SparkSession, sf_dir: str, op, prefix: str) -> str:
+    """Shared replay harness for driver-gated streaming queries: write
+    ``events`` as 2 TIME-ORDERED chunk files, run ``op`` (stream ->
+    stream transform) through an availableNow memory sink, return the
+    sink's view name.
+
+    Two time-split chunks: every micro-batch is a full stateful pass
+    (state-store open + Arrow round-trip per partition), so the replay
+    uses the minimum batch count that still exercises cross-batch state
+    handoff — 2 data batches + the final watermark-advance batch.
+    Sequential writes -> ascending file mtimes = replay order."""
     import datetime as _dt
 
     events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "value"
+        "event_id", "ts", "user_id", "value", "props", "event_type"
     ).persist()  # each chunk write filters this one cached scan
     lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
     mid = lo + ((hi - lo) or _dt.timedelta(seconds=1)) / 2
     run = uuid.uuid4().hex[:8]
-    d = os.path.join(_INC_ROLLUP_ROOT, f"sessionize-{run}")
-    src, ckpt, name = os.path.join(d, "events"), os.path.join(d, "ckpt"), f"sess_{run}"
+    d = os.path.join(_INC_ROLLUP_ROOT, f"{prefix}-{run}")
+    src, ckpt, name = os.path.join(d, "events"), os.path.join(d, "ckpt"), f"{prefix}_{run}"
     try:
-        # Two time-split chunks: every micro-batch is a full stateful pass
-        # (state-store open + Arrow round-trip per partition), so the
-        # replay uses the minimum batch count that still exercises
-        # cross-batch state handoff — 2 data batches + the final timeout
-        # batch.  Sequential writes -> ascending file mtimes = replay order.
         for chunk in (
             events.filter(F.col("ts") < F.lit(mid)),
             events.filter(F.col("ts") >= F.lit(mid)),
@@ -687,7 +700,7 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:
         q = (
-            streaming_sessionize(stream)
+            op(stream)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -698,9 +711,23 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
+    return name
+
+
+def stream_windowed_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated run of the WATERMARKED tumbling-window aggregation
+    (SURVEY.md §2.7 ST1 — the engine-state MV strategy next to the
+    table-side MERGE): replay events time-ordered through
+    ``windowed_stateful_rollup`` and return the hourly windows the stream
+    FINALIZED.  In append mode a window emits exactly when the watermark
+    passes its end, so the emitted set is batch-predictable: the A1
+    rollup restricted to hours with hour + 1h <= max_ts - 2h (the final
+    watermark).  Everything is count/decimal arithmetic — no float
+    tolerance at all."""
+    name = _replay_events_stream(spark, sf_dir, windowed_stateful_rollup, "winroll")
     return spark.sql(
-        f"SELECT user_id, session_start, session_end, n_events,"
-        f" round(session_revenue, 6) AS session_revenue FROM {name}"
+        f"SELECT hour, category, order_count, total_revenue, total_quantity"
+        f" FROM {name}"
     )
 
 
