@@ -45,6 +45,7 @@ _NAMES = [
         "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
         "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
         "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
+        "stream_join_orders_acks",    # NEW r5: stream-stream range join
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

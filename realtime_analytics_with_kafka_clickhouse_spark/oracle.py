@@ -1967,3 +1967,25 @@ SELECT hour, category, order_count, total_revenue, total_quantity
 FROM ({_A1}) a, (SELECT max(ts) AS max_ts FROM events) m
 WHERE a.hour + INTERVAL 1 HOUR <= m.max_ts - INTERVAL 2 HOUR
 """
+
+
+# Stream-stream join: emitted pairs == the batch key+range join over the
+# same derived ack stream (hash-split in/out of the 1-hour window).
+ORACLE["stream_join_orders_acks"] = f"""
+WITH o AS (
+  SELECT o_orderkey AS order_id,
+         CAST(o_orderdate AS TIMESTAMP) AS order_timestamp,
+         o_totalprice AS total_amount
+  FROM orders),
+a AS (
+  SELECT order_id,
+         CASE WHEN {_h("CAST(order_id AS VARCHAR)")} % 2 = 0
+              THEN order_timestamp + INTERVAL 10 MINUTE
+              ELSE order_timestamp + INTERVAL 3 HOUR END AS ack_timestamp,
+         'ok' AS ack_status
+  FROM o)
+SELECT o.order_id, o.order_timestamp, a.ack_timestamp, a.ack_status, o.total_amount
+FROM o JOIN a ON o.order_id = a.order_id
+ AND a.ack_timestamp >= o.order_timestamp
+ AND a.ack_timestamp <= o.order_timestamp + INTERVAL 1 HOUR
+"""

@@ -777,3 +777,56 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("total_revenue").alias("total_revenue"),
         F.sum("total_quantity").alias("total_quantity"),
     )
+
+
+def stream_join_orders_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated stream-stream join (SURVEY.md §2.7): ``orders``
+    replayed against a DERIVED acknowledgement stream through
+    ``join_orders_with_acks`` — key equality + bounded event-time range.
+    Half the acks land inside the 1-hour window (+10 min, selected by the
+    engine-portable md5 hash), half outside (+3 h), so the emitted set is
+    falsifiable in both directions and the oracle is the equivalent batch
+    range-join with the same hash split.
+
+    The inner join's emitted pairs equal the batch join exactly (append
+    mode emits matches as they occur; the watermark only bounds state),
+    which is what makes this oracle-checkable.  Stream mechanics under
+    test: per-side watermarks, the range condition that lets Spark purge
+    join state at watermark - window, and append-mode match emission."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("order_timestamp"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    in_window = F.pmod(stable_hash64(F.col("order_id").cast("string")), F.lit(2)) == 0
+    acks = orders.select(
+        "order_id",
+        F.when(in_window, F.col("order_timestamp") + F.expr("INTERVAL 10 MINUTES"))
+        .otherwise(F.col("order_timestamp") + F.expr("INTERVAL 3 HOURS"))
+        .alias("ack_timestamp"),
+        F.lit("ok").alias("ack_status"),
+    )
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"ssjoin-{run}")
+    o_src, a_src = os.path.join(d, "orders"), os.path.join(d, "acks")
+    ckpt, name = os.path.join(d, "ckpt"), f"ssjoin_{run}"
+    orders.coalesce(1).write.parquet(o_src)
+    acks.coalesce(1).write.parquet(a_src)
+    o_stream = spark.readStream.schema(orders.schema).parquet(o_src)
+    a_stream = spark.readStream.schema(acks.schema).parquet(a_src)
+    q = (
+        join_orders_with_acks(o_stream, a_stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT order_id, order_timestamp, ack_timestamp, ack_status,"
+        f" total_amount FROM {name}"
+    )
