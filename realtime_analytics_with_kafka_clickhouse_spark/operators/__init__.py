@@ -84,6 +84,11 @@ _NAMES = [
         "build_inverted_index",       # NEW r5: capped posting lists
         "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
     ]),
+    (timeseries, [
+        "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
+        "value_histogram",             # NEW r5: equal-width distribution
+        "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
+    ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [
         "dedup_exact",

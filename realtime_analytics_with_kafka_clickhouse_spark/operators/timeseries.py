@@ -345,3 +345,104 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (rel_err <= 0.1).alias("approx_within_10x_rsd"),
     )
+
+
+def value_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between order value and quantity per event type
+    — the `corr()` OLAP aggregate, rebuilt from decimal-exact power sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) so the result is deterministic under any
+    partial-aggregation order (built-in corr folds doubles in shuffle
+    order; this one is bit-stable, the value_dispersion discipline).
+    Integer sums (quantity) stay in exact longs; double products round
+    once into wide decimals.  One hash aggregate, map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(q).alias("sy_long"),
+        F.sum((F.col("value") * q.cast("double")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(q * q).alias("syy_long"),
+    )
+    n = F.col("n").cast("double")
+    sy = F.col("sy_long").cast("double")
+    syy = F.col("syy_long").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * sy) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(corr, 6).alias("corr_value_quantity"),
+    )
+
+
+HISTOGRAM_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of the order-value distribution — the
+    dashboard distribution panel as one pass: global min/max from a tiny
+    aggregate broadcast back, bin index computed MAP-SIDE with the exact
+    expression the oracle mirrors (floor of one correctly-rounded IEEE
+    chain; the max value clamps into the last bin), then a |bins|-row
+    count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ext = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width_safe = F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-30))
+    bin_ix = F.least(
+        F.lit(HISTOGRAM_BINS - 1).cast("double"),
+        F.floor((F.col("value") - F.col("mn")) * F.lit(float(HISTOGRAM_BINS)) / width_safe).cast("double"),
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(ext))
+        .select(bin_ix.alias("bin"), "value", "mn", "mx")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend of daily purchase revenue over time —
+    the `regr_slope`/`regr_intercept` aggregates from decimal-exact power
+    sums.  Two-level: the daily rollup first (date-keyed aggregate), then
+    the regression over the |days|-row series — x is exact epoch-day
+    integers, y the decimal-exact daily revenue, so both power sums are
+    deterministic and the slope/intercept are single correctly-rounded
+    IEEE expressions.  Output: one row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(dsum("value").alias("rev"))
+        .select(F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long").alias("x"), "rev")
+    )
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx_long"),
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x").cast("double") * F.col("rev")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_long"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_long").cast("double")
+    sxx = F.col("sxx_long").cast("double")
+    slope = (n * F.col("sxy") - sx * F.col("sy")) / (n * sxx - sx * sx)
+    intercept = (F.col("sy") - slope * sx) / n
+    return agg.select(
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )

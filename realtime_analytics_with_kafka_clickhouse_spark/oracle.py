@@ -1989,3 +1989,57 @@ FROM o JOIN a ON o.order_id = a.order_id
  AND a.ack_timestamp >= o.order_timestamp
  AND a.ack_timestamp <= o.order_timestamp + INTERVAL 1 HOUR
 """
+
+
+# ------------------------------------------- r5 statistical aggregates
+
+ORACLE["value_quantity_correlation"] = f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         sum(q) AS sy_long,
+         CAST(sum(CAST(value * CAST(q AS DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+         sum(q * q) AS syy_long
+  FROM (SELECT event_type, value, {_QTY} AS q FROM events)
+  GROUP BY 1)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * CAST(sy_long AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * CAST(syy_long AS DOUBLE)
+                       - CAST(sy_long AS DOUBLE) * CAST(sy_long AS DOUBLE))),
+             6) AS corr_value_quantity
+FROM agg
+"""
+
+ORACLE["value_histogram"] = f"""
+WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+b AS (
+  SELECT CAST(least(9.0, floor((value - mn) * 10.0 / greatest(mx - mn, 1e-30))) AS BIGINT) AS bin,
+         value
+  FROM events, ext)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_events, {_dsum('value')} AS total_value
+FROM b GROUP BY bin
+"""
+
+ORACLE["daily_revenue_trend"] = f"""
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x, rev
+  FROM (SELECT CAST(ts AS DATE) AS day, {_dsum('value')} AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx_long,
+         CAST(sum(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(x AS DOUBLE) * rev AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+         sum(x * x) AS sxx_long
+  FROM daily)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * CAST(sxx_long AS DOUBLE)
+                - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE)), 6) AS slope_per_day,
+       round((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx_long AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * CAST(sxx_long AS DOUBLE)
+                      - CAST(sx_long AS DOUBLE) * CAST(sx_long AS DOUBLE))
+                   * CAST(sx_long AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM agg
+"""
