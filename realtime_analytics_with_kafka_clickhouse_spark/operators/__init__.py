@@ -21,6 +21,7 @@ from . import (
     timeseries,
     windows,
 )
+from ..storage import bucketing as _storage_bucketing
 from ..storage import layout as _storage_layout
 from ..streaming import pipeline as _streaming_pipeline
 
@@ -46,9 +47,13 @@ _NAMES = [
         "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
         "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
         "stream_join_orders_acks",    # NEW r5: stream-stream range join
+        "txlog_pruned_read",          # NEW r5: zone-map data skipping
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof
+    ]),
+    (_storage_bucketing, [
+        "bucketed_orders_lineitem_join",  # NEW r5: zero-exchange co-located join
     ]),
     (timeseries, [
         "user_sessionization",

@@ -2043,3 +2043,32 @@ SELECT n,
                    * CAST(sx_long AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
 FROM agg
 """
+
+
+# Zone-map pruned read: the pruned+filtered time-range read equals the A1
+# rollup restricted to the second epoch-hour quarter.
+ORACLE["txlog_pruned_read"] = f"""
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         {_CAT} AS category,
+         count(*) AS order_count,
+         {_dsum('value')} AS total_revenue,
+         CAST(sum({_QTY}) AS BIGINT) AS total_quantity,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_epoch
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2, 6),
+ext AS (SELECT min(hour_epoch) AS mn, max(hour_epoch) AS mx FROM a)
+SELECT hour, category, order_count, total_revenue, total_quantity
+FROM a, ext
+WHERE hour_epoch >= mn + (mx - mn + 1) * 1 // 4
+  AND hour_epoch <  mn + (mx - mn + 1) * 2 // 4
+"""
+
+# Bucketed co-located join: results must equal the plain join+aggregate.
+ORACLE["bucketed_orders_lineitem_join"] = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       {_dsum('l_extendedprice')} AS total_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""

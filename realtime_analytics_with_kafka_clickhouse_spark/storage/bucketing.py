@@ -117,3 +117,46 @@ def salted_join(
     return out.select(
         *[salted_l[c] for c in large.columns], *[salted_r[c] for c in small.columns]
     )
+
+
+# Bucketed-table memo: the bucketed write (the amortized shuffle) happens
+# once per (session, sf_dir); every join against the tables after that is
+# exchange-free on both sides.
+_BUCKETED_MEMO: dict = {}
+
+
+def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of the bucketed co-located join (SURVEY.md §4):
+    orders and lineitem both bucketed by order key at write time, joined
+    with ZERO Exchange on either side (the shuffle was paid once at write
+    and is amortized over every later join — co-partitioned storage), then
+    a priority-keyed revenue aggregate.  The oracle is the plain
+    join+aggregate, so the row proves bucketed == unbucketed results;
+    tests/test_plans.py pins the exchange-free plan shape."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.tables import load_table
+    from ..functions.scalars import dsum
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BUCKETED_MEMO:
+        run = uuid.uuid4().hex[:8]
+        root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed", run)
+        ot, lt = f"orders_bkt_{run}", f"lineitem_bkt_{run}"
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ot, "o_orderkey", path=os.path.join(root, "orders"),
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+            lt, "l_orderkey", path=os.path.join(root, "lineitem"),
+        )
+        _BUCKETED_MEMO[key] = (ot, lt)
+    ot, lt = _BUCKETED_MEMO[key]
+    j = bucketed_join(spark, ot, lt, "o_orderkey", "l_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dsum("l_extendedprice").alias("total_revenue"),
+    )

@@ -853,3 +853,55 @@ def stream_join_orders_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT order_id, order_timestamp, ack_timestamp, ack_status,"
         f" total_amount FROM {name}"
     )
+
+
+# Time-chunked append table for the zone-map skipping proof: (path, b1, b2)
+# per (session, sf_dir), where [b1, b2) is the second epoch-hour quarter.
+_PRUNED_TABLE_MEMO: dict[str, tuple[str, int, int]] = {}
+
+
+def _build_time_chunked_txlog(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Append the A1 rollup as 4 TIME-RANGE chunks (disjoint epoch-hour
+    quarters) with `hour_epoch` zone maps — the layout where data skipping
+    has something to skip (the mod-4 chunks of the other txlog queries all
+    overlap in time, so their zone maps overlap too)."""
+    from ..storage import txlog
+
+    key = os.path.abspath(sf_dir)
+    if key not in _PRUNED_TABLE_MEMO:
+        agg = hourly_rollup_aggregate(load_table(spark, sf_dir, "events")).withColumn(
+            "hour_epoch", F.expr("unix_seconds(hour) DIV 3600")
+        ).persist()
+        try:
+            mn, mx = agg.agg(F.min("hour_epoch"), F.max("hour_epoch")).collect()[0]
+            span = int(mx) - int(mn) + 1
+            bounds = [int(mn) + span * i // 4 for i in range(5)]
+            bounds[4] = int(mx) + 1
+            table = _fresh_rollup_dir("sales_hourly_timechunked")
+            for i in range(4):
+                chunk = agg.filter(
+                    (F.col("hour_epoch") >= bounds[i]) & (F.col("hour_epoch") < bounds[i + 1])
+                )
+                txlog.append_tx(spark, table, chunk, batch_id=i, stats_cols=["hour_epoch"])
+            _PRUNED_TABLE_MEMO[key] = (table, bounds[1], bounds[2])
+        finally:
+            agg.unpersist(blocking=False)
+    return _PRUNED_TABLE_MEMO[key]
+
+
+def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping through the driver gate: a time-range query
+    over the time-chunked append table reads WITH the commit-recorded
+    zone maps (``read_table(prune=...)`` — only overlapping directories
+    are even listed, Delta/Iceberg-style) plus the real filter.  The
+    oracle is the A1 rollup restricted to the same epoch-hour quarter, so
+    the row proves pruning changes the scan set and never the answer;
+    the plan test pins that exactly 1 of 4 directories is read."""
+    from ..storage import txlog
+
+    table, b1, b2 = _build_time_chunked_txlog(spark, sf_dir)
+    df = txlog.read_table(spark, table, prune={"hour_epoch": (b1, b2 - 1)})
+    return (
+        df.filter((F.col("hour_epoch") >= b1) & (F.col("hour_epoch") < b2))
+        .select("hour", "category", "order_count", "total_revenue", "total_quantity")
+    )

@@ -306,3 +306,24 @@ def test_prototypicality_exchanges_triples_only(spark, queries):
     import re
     for m in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
         assert "embedding" not in m
+
+
+def test_bucketed_join_no_join_exchange(spark, queries):
+    # At tiny SF Catalyst rightly broadcasts; disable that to reveal the
+    # bucketed shape a big-big join would use: SMJ with NO exchange on
+    # either side (the only shuffle is the final aggregate's).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = queries["bucketed_orders_lineitem_join"](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert count_shuffles(df) == 1, "bucketed join must not exchange either side"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_txlog_pruned_read_touches_one_dir(spark, queries):
+    df = queries["txlog_pruned_read"](spark, SF_DIR)
+    dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+    assert len(dirs) == 1, f"zone maps must prune 3 of 4 dirs, scanned: {dirs}"
