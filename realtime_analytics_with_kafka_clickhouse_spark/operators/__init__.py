@@ -93,6 +93,10 @@ _NAMES = [
         "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
         "value_histogram",             # NEW r5: equal-width distribution
         "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
+        "dense_hourly_series",         # NEW r5: gap-filled time axis
+    ]),
+    (relational, [
+        "similar_customer_names",      # NEW r5: blocked levenshtein linkage
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

@@ -793,3 +793,40 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+FUZZY_MAX_EDITS = 2
+
+
+def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching on customer names: Levenshtein distance <=
+    FUZZY_MAX_EDITS within a blocking key — the dedup/record-linkage
+    primitive for entity resolution.  Edit distance is an exact integer
+    (unit costs), so Spark's JVM ``levenshtein`` and DuckDB's agree on
+    every pair — no tolerance.
+
+    Scale shape: the self-join is BLOCKED on (nation, name length) — the
+    classic linkage blocking that keeps candidate pairs at
+    sum-of-block-squares instead of n²; the distance evaluates only on
+    in-block pairs, JVM-side inside codegen."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name", F.length("c_name").alias("ln")
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"),
+        "c_nationkey", "ln",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"),
+        "c_nationkey", "ln",
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, ["c_nationkey", "ln"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .select(
+            "cust_a", "cust_b",
+            dist.cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+    )

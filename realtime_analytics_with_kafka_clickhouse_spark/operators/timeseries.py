@@ -446,3 +446,36 @@ def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope_per_day"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def dense_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: every hour between the corpus min and max
+    gets a row, zero-filled where no purchases landed — the densification
+    step a dashboard or forecasting job needs (missing hours must read as
+    0, not be absent).
+
+    Shape: the dense axis comes from ONE ``sequence()`` row exploded into
+    |hours| rows — bounded by the time span, never by data volume — then
+    a broadcast-right left join against the hourly aggregate.  At 100 TB
+    the aggregate side shrinks to |hours| rows long before the join, so
+    both join inputs are axis-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("order_count"), dsum("value").alias("total_revenue"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    return axis.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("order_count"), F.lit(0)).cast("long").alias("order_count"),
+        F.coalesce(F.col("total_revenue"), F.lit(0.0)).alias("total_revenue"),
+    )

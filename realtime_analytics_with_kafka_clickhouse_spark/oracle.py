@@ -2072,3 +2072,29 @@ SELECT o_orderpriority,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY 1
 """
+
+
+ORACLE["dense_hourly_series"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) AS order_count, {_dsum('value')} AS total_revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds)
+SELECT axis.hour,
+       CAST(coalesce(order_count, 0) AS BIGINT) AS order_count,
+       coalesce(total_revenue, 0.0) AS total_revenue
+FROM axis LEFT JOIN hourly ON axis.hour = hourly.hour
+"""
+
+ORACLE["similar_customer_names"] = """
+WITH c AS (SELECT c_custkey, c_nationkey, c_name, length(c_name) AS ln FROM customer)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
