@@ -2091,10 +2091,16 @@ FROM axis LEFT JOIN hourly ON axis.hour = hourly.hour
 """
 
 ORACLE["similar_customer_names"] = """
-WITH c AS (SELECT c_custkey, c_nationkey, c_name, length(c_name) AS ln FROM customer)
-SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_name, length(c_name) AS ln,
+         row_number() OVER (PARTITION BY c_nationkey, length(c_name)
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT least(a.c_custkey, b.c_custkey) AS cust_a,
+       greatest(a.c_custkey, b.c_custkey) AS cust_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
 FROM c a JOIN c b
-  ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln AND a.c_custkey < b.c_custkey
+  ON a.c_nationkey = b.c_nationkey AND a.ln = b.ln
+ AND b.rn > a.rn AND b.rn - a.rn <= 10
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
