@@ -94,6 +94,7 @@ _NAMES = [
         "value_histogram",             # NEW r5: equal-width distribution
         "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
         "dense_hourly_series",         # NEW r5: gap-filled time axis
+        "funnel_steps",                # NEW r5: sequential conversion funnel
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage

@@ -479,3 +479,50 @@ def dense_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("order_count"), F.lit(0)).cast("long").alias("order_count"),
         F.coalesce(F.col("total_revenue"), F.lit(0.0)).alias("total_revenue"),
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW = "INTERVAL 24 HOURS"  # max step-to-step delay
+
+
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sequential conversion funnel (signup -> view -> click ->
+    purchase): a user completes step k when an event of step k's type
+    occurs within FUNNEL_WINDOW of their step-(k-1) completion time
+    (min-chain matching, inclusive boundaries — the standard windowed
+    product-analytics funnel; an unwindowed funnel is trivially complete
+    on a dense fixture, so the window is also what makes the driver row
+    falsifiable).  Output: how many users topped out at each step count
+    (0..4) — exact integers.
+
+    Shape: one filtered min-aggregate per step, each joined to the
+    previous step's frame on user_id — 4 user-keyed shuffles over
+    step-filtered slices (each far smaller than the corpus), never a
+    per-user collect.  At 100 TB each stage would co-partition on the
+    same user_id key so AQE reuses the exchange."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    users = ev.select("user_id").distinct()
+    prev = None
+    step_frames = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        sliced = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            sliced = sliced.join(prev, "user_id").filter(
+                (F.col("ts") >= F.col(f"t{i - 1}"))
+                & (F.col("ts") <= F.col(f"t{i - 1}") + F.expr(FUNNEL_WINDOW))
+            )
+        cur = sliced.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+        step_frames.append(cur.select("user_id", F.lit(i).alias("step")))
+        prev = cur
+    reached = users.join(
+        step_frames[0].unionByName(step_frames[1])
+        .unionByName(step_frames[2])
+        .unionByName(step_frames[3]),
+        "user_id",
+        "left",
+    ).groupBy("user_id").agg(
+        F.coalesce(F.max("step"), F.lit(0)).cast("long").alias("steps_completed")
+    )
+    return reached.groupBy("steps_completed").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

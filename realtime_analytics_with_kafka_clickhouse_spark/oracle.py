@@ -2104,3 +2104,34 @@ FROM c a JOIN c b
  AND b.rn > a.rn AND b.rn - a.rn <= 10
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
+
+
+ORACLE["funnel_steps"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY 1),
+s4 AS (
+  SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3
+    AND e.ts <= s3.t3 + INTERVAL 24 HOUR GROUP BY 1),
+per_user AS (
+  SELECT u.user_id,
+         CASE WHEN s4.user_id IS NOT NULL THEN 4
+              WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS steps_completed
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id))
+SELECT CAST(steps_completed AS BIGINT) AS steps_completed,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
