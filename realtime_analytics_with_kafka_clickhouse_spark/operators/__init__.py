@@ -95,6 +95,7 @@ _NAMES = [
         "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
         "dense_hourly_series",         # NEW r5: gap-filled time axis
         "funnel_steps",                # NEW r5: sequential conversion funnel
+        "cohort_retention",            # NEW r5: weekly retention matrix
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage

@@ -526,3 +526,41 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.groupBy("steps_completed").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase-cohort retention: users grouped by their FIRST
+    purchase day (the cohort), counted on every later day they purchased
+    again — the retention matrix behind every product-analytics
+    dashboard.  Purchases at day granularity are genuinely sparse on the
+    fixture (~0.35 user-days), so the curve is non-trivial and the driver
+    row falsifiable; offset 0 is retention 1.0 by construction — a
+    built-in self-check row.
+
+    All integer/exact: days are epoch-day longs, retention is one
+    round-6 division of exact counts.  Shape: first-purchase day is one
+    user-keyed min-aggregate joined back; the matrix itself is a
+    (cohort, offset)-keyed count of distinct users — bounded by days²,
+    not data volume."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    matrix = (
+        activity.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
+    return matrix.join(cohort_sizes, "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "active_users",
+        F.round(
+            F.col("active_users").cast("double") / F.col("cohort_users").cast("double"), 6
+        ).alias("retention"),
+    )

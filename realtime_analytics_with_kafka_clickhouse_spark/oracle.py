@@ -2135,3 +2135,21 @@ SELECT CAST(steps_completed AS BIGINT) AS steps_completed,
        CAST(count(*) AS BIGINT) AS n_users
 FROM per_user GROUP BY 1
 """
+
+
+ORACLE["cohort_retention"] = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+  FROM events WHERE event_type = 'purchase'),
+first AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1),
+sizes AS (SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY 1),
+matrix AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+         CAST(count(*) AS BIGINT) AS active_users
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT m.cohort_day, m.day_offset, m.active_users,
+       round(CAST(m.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS retention
+FROM matrix m JOIN sizes s USING (cohort_day)
+"""
