@@ -476,6 +476,68 @@ SESSION_STATE_SCHEMA = "start long, last long, n long, revenue double"
 SESSION_GAP_SEC = 1800
 
 
+def _fold_session_segments(ts_us, vals, state, gap_us):
+    """The vectorized per-user sessionization fold: given a SORTED batch
+    (event micros, values) and the carried open session (or None),
+    return ``(emitted_sessions, new_open_session)`` where each session is
+    (start_us, last_us, n_events, revenue).
+
+    Numpy shape: after the sort the running session end is the running
+    max of (state's last, previous ts), so gap breaks fall out of one
+    array subtract and each session is a reduceat segment.  Extracted
+    from the applyInPandasWithState closure so the equivalence with the
+    obvious per-event loop is property-testable (tests/test_properties)."""
+    import numpy as np
+
+    n_rows = len(ts_us)
+    if state is not None:
+        s_start, s_last, s_n, s_rev = state
+        prev = np.empty(n_rows, dtype=np.int64)
+        prev[0] = s_last
+        if n_rows > 1:
+            # Cross-batch late arrival may have ts <= state's last (the
+            # batch is sorted, the stream is not): max() folds it in
+            # without moving the session end BACKWARDS — a receding
+            # `last` could place the timeout at/below the current
+            # watermark, which Spark rejects at runtime.
+            np.maximum(s_last, ts_us[:-1], out=prev[1:])
+        breaks = (ts_us - prev) > gap_us
+    else:
+        breaks = np.zeros(n_rows, dtype=bool)
+        if n_rows > 1:
+            breaks[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+    # Row 0 always begins segment 0 (breaks[0] signals the CARRIED
+    # session's closure, not a segment boundary — including it would
+    # fabricate an empty [0,0) segment).
+    starts_idx = np.flatnonzero(breaks[1:]) + 1
+    seg_begin = np.concatenate(([0], starts_idx))
+    seg_end = np.concatenate((starts_idx, [n_rows]))
+    seg_n = (seg_end - seg_begin).astype(np.int64)
+    seg_rev = np.add.reduceat(vals, seg_begin)
+    seg_start = ts_us[seg_begin]  # sorted -> segment min is its first row
+    seg_last = ts_us[seg_end - 1]
+    sessions = [
+        (int(seg_start[i]), int(seg_last[i]), int(seg_n[i]), float(seg_rev[i]))
+        for i in range(len(seg_begin))
+    ]
+    if state is not None:
+        if breaks[0]:
+            # First batch event opens a NEW session -> the carried
+            # session closes as-is.
+            sessions.insert(0, (s_start, s_last, s_n, s_rev))
+        else:
+            # Carried session continues into segment 0; an early
+            # straggler may still widen the session start.
+            f_start, f_last, f_n, f_rev = sessions[0]
+            sessions[0] = (
+                min(s_start, f_start),
+                max(s_last, f_last),
+                s_n + f_n,
+                s_rev + f_rev,
+            )
+    return sessions[:-1], sessions[-1]
+
+
 def streaming_sessionize(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (SURVEY.md §2.7 — the (flat)MapGroupsWithState slot): gap-based
@@ -508,65 +570,13 @@ def streaming_sessionize(events: DataFrame, watermark: str = "30 minutes") -> Da
                 }
             )
             return
-        import numpy as np
-
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
         vals = rows["value"].to_numpy()
-        n_rows = len(ts_us)
-        gap_us = SESSION_GAP_SEC * us
-        # VECTORIZED sessionization (the old per-event Python loop was the
-        # hot path): after the sort the running session end is the running
-        # max of (state's last, previous ts), so gap breaks fall out of one
-        # array subtract and each session is a reduceat segment.
-        if state.exists:
-            s_start, s_last, s_n, s_rev = state.get
-            prev = np.empty(n_rows, dtype=np.int64)
-            prev[0] = s_last
-            if n_rows > 1:
-                # Cross-batch late arrival may have ts <= state's last (the
-                # batch is sorted, the stream is not): max() folds it in
-                # without moving the session end BACKWARDS — a receding
-                # `last` could place the timeout at/below the current
-                # watermark, which Spark rejects at runtime.
-                np.maximum(s_last, ts_us[:-1], out=prev[1:])
-            breaks = (ts_us - prev) > gap_us
-        else:
-            s_start = None
-            breaks = np.zeros(n_rows, dtype=bool)
-            if n_rows > 1:
-                breaks[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
-        # Row 0 always begins segment 0 (breaks[0] signals the CARRIED
-        # session's closure, not a segment boundary — including it would
-        # fabricate an empty [0,0) segment).
-        starts_idx = np.flatnonzero(breaks[1:]) + 1
-        seg_begin = np.concatenate(([0], starts_idx))
-        seg_end = np.concatenate((starts_idx, [n_rows]))
-        seg_n = (seg_end - seg_begin).astype(np.int64)
-        seg_rev = np.add.reduceat(vals, seg_begin)
-        seg_start = ts_us[seg_begin]  # sorted -> segment min is its first row
-        seg_last = ts_us[seg_end - 1]
-        sessions = [
-            (int(seg_start[i]), int(seg_last[i]), int(seg_n[i]), float(seg_rev[i]))
-            for i in range(len(seg_begin))
-        ]
-        if s_start is not None:
-            if breaks[0]:
-                # First batch event opens a NEW session -> the carried
-                # session closes as-is.
-                sessions.insert(0, (s_start, s_last, s_n, s_rev))
-            else:
-                # Carried session continues into segment 0; an early
-                # straggler may still widen the session start.
-                f_start, f_last, f_n, f_rev = sessions[0]
-                sessions[0] = (
-                    min(s_start, f_start),
-                    max(s_last, f_last),
-                    s_n + f_n,
-                    s_rev + f_rev,
-                )
-        out = sessions[:-1]
-        start, last, n, revenue = sessions[-1]
+        carried = tuple(state.get) if state.exists else None
+        out, (start, last, n, revenue) = _fold_session_segments(
+            ts_us, vals, carried, SESSION_GAP_SEC * us
+        )
         state.update((start, last, n, revenue))
         # Timeout strictly above the current watermark (Spark requirement);
         # a session whose gap horizon is already past fires next epoch.

@@ -93,3 +93,52 @@ def test_sessionization_matches_reference_splitter(spark, ts_list):
         .collect()
     )
     assert got == _sessions_reference(ts_list, SESSION_GAP_SEC)
+
+
+def _loop_session_fold(ts_us, vals, state, gap_us):
+    """The obvious per-event reference fold the vectorized
+    _fold_session_segments must match exactly."""
+    out = []
+    if state is None:
+        start = None
+    else:
+        start, last, n, revenue = state
+    for t, v in zip(ts_us, vals):
+        t, v = int(t), float(v)
+        if start is None:
+            start, last, n, revenue = t, t, 1, v
+        elif t - last > gap_us:
+            out.append((start, last, n, revenue))
+            start, last, n, revenue = t, t, 1, v
+        else:
+            start = min(start, t)
+            last, n, revenue = max(last, t), n + 1, revenue + v
+    return out, (start, last, n, revenue)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    st.one_of(st.none(), st.tuples(st.integers(0, 20), st.integers(0, 40))),
+)
+def test_vectorized_session_fold_matches_loop(gaps, carried):
+    """The numpy segment fold inside streaming_sessionize equals the
+    per-event loop on every input: arbitrary inter-event gaps (some past
+    the session gap), with and without a carried open session, including
+    cross-batch late arrivals (batch rows at/below the carried end)."""
+    import numpy as np
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        _fold_session_segments,
+    )
+
+    gap_us = 10  # tiny gap threshold; gaps of 11+ split sessions
+    ts = np.cumsum(np.array(gaps, dtype=np.int64))
+    vals = np.array([float(i + 1) for i in range(len(ts))])
+    state = None
+    if carried is not None:
+        s_start, s_last = sorted(carried)
+        state = (int(s_start), int(s_last), 2, 5.0)
+    got = _fold_session_segments(ts, vals, state, gap_us)
+    want = _loop_session_fold(ts, vals, state, gap_us)
+    assert got == want
