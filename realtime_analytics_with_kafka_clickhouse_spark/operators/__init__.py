@@ -99,6 +99,7 @@ _NAMES = [
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
+        "brand_basket_lift",           # NEW r5: market-basket association
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

@@ -843,3 +843,54 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
     )
+
+
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order baskets: for every
+    pair of part BRANDS bought in the same order, co-occurrence count and
+    lift = (co/N) / ((n_a/N)(n_b/N)) = co*N / (n_a*n_b) — the association
+    statistic behind recommendation rules.  All counts are exact
+    integers; the lift is integer products under one correctly-rounded
+    IEEE division, so cross-engine equality is exact.
+
+    Scale shape: the brand dimension broadcasts into the basket build;
+    the pair explosion is a same-order self-join — bounded by basket size
+    (distinct brands per order), never corpus²; the pair aggregate's key
+    space is brands², a constant.  One orderkey shuffle, one brands²
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("okey"), "p_brand")
+        .distinct()
+    )
+    totals = baskets.agg(
+        F.countDistinct("okey").alias("n_orders")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    a = baskets.select("okey", F.col("p_brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("p_brand").alias("brand_b"))
+    co = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b"))
+    lift = (
+        F.col("n_co").cast("double") * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        co.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .join(F.broadcast(totals))
+        .select(
+            "brand_a", "brand_b", "n_co",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )

@@ -2153,3 +2153,26 @@ SELECT m.cohort_day, m.day_offset, m.active_users,
        round(CAST(m.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6) AS retention
 FROM matrix m JOIN sizes s USING (cohort_day)
 """
+
+
+ORACLE["brand_basket_lift"] = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+totals AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+brand_n AS (SELECT p_brand, count(*) AS n_brand FROM baskets GROUP BY 1),
+co AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM baskets a JOIN baskets b ON a.okey = b.okey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2)
+SELECT brand_a, brand_b, n_co,
+       CAST(na.n_brand AS BIGINT) AS n_a,
+       CAST(nb.n_brand AS BIGINT) AS n_b,
+       round(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE)
+             / (CAST(na.n_brand AS DOUBLE) * CAST(nb.n_brand AS DOUBLE)), 6) AS lift
+FROM co
+JOIN brand_n na ON na.p_brand = co.brand_a
+JOIN brand_n nb ON nb.p_brand = co.brand_b
+CROSS JOIN totals
+"""
