@@ -66,6 +66,7 @@ _NAMES = [
     ]),
     (multimodal, [
         "media_phash_near_dup",       # recall canaries (rows > 0 now)
+        "media_phash_clusters",       # NEW r5: CC over phash pairs
     ]),
     (similarity, [
         "kmeans_train",               # map-side quantizer assignment

@@ -240,6 +240,31 @@ _CC_EDGES_PER_PARTITION = 2_000_000  # target edges per task in the CC loop
 CC_DRIVER_MAX_EDGES = 100_000
 
 
+def union_find_labels(edges) -> list[tuple[int, int]]:
+    """Path-compressed union-find over an iterable of (a, b) edges:
+    returns (node, min-node-in-component) for every node seen.  The
+    driver-side small-graph CC core shared by near_dup_clusters and
+    media_phash_clusters — callers are responsible for only handing it
+    driver-bounded edge sets (<= CC_DRIVER_MAX_EDGES)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label roots for free
+    return [(n, find(n)) for n in parent]
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the verified near-dup pairs — the step a
     real dedup pipeline runs after pair generation, so each duplicate
@@ -291,24 +316,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_pairs <= CC_DRIVER_MAX_EDGES:
         edge_rows = pairs.collect()  # bounded: <= CC_DRIVER_MAX_EDGES rows
         pairs.unpersist(blocking=False)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in edge_rows:
-            a, b = row["doc_a"], row["doc_b"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)  # min-label roots for free
-        labels_local = [(n, find(n)) for n in parent]
+        labels_local = union_find_labels(
+            (row["doc_a"], row["doc_b"]) for row in edge_rows
+        )
         memo_put("near_dup_labels", sf_dir, ("documents",), labels_local)
         return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
     # Size the iteration's partitioning from the measured edge count, not

@@ -336,3 +336,22 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
         .distinct()
     )
+
+
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup GROUPS: connected components over the banded-Hamming
+    phash pairs — the step that turns pairwise matches into dedup groups
+    (one representative per visually-identical cluster), mirroring what
+    near_dup_clusters does for text.
+
+    The pair set is LSH-banding-bounded (orders of magnitude below the
+    media count), so the components solve with the shared driver
+    union-find (dedup.union_find_labels, min-id labels); a corpus whose
+    media pair graph outgrew the driver would switch to the iterative
+    min-label loop exactly as near_dup_clusters does.  Output: (doc_id,
+    cluster_id) for every media item in >= 1 near-dup pair."""
+    from .dedup import union_find_labels
+
+    pairs = media_phash_near_dup(spark, sf_dir).select("doc_a", "doc_b").collect()
+    labels = union_find_labels((r["doc_a"], r["doc_b"]) for r in pairs)
+    return spark.createDataFrame(labels, "doc_id long, cluster_id long")

@@ -2176,3 +2176,21 @@ JOIN brand_n na ON na.p_brand = co.brand_a
 JOIN brand_n nb ON nb.p_brand = co.brand_b
 CROSS JOIN totals
 """
+
+
+# Media near-dup clusters: transitive closure over the phash pair graph
+# (pairs are LSH-banding-bounded, so the recursive closure stays tiny);
+# cluster label = min reachable doc_id, mirroring union-find min-labels.
+ORACLE["media_phash_clusters"] = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({ORACLE['media_phash_near_dup']})),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_a, doc_a FROM pairs
+  UNION SELECT doc_b, doc_b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1
+"""
