@@ -48,6 +48,7 @@ _NAMES = [
         "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
         "stream_join_orders_acks",    # NEW r5: stream-stream range join
         "txlog_pruned_read",          # NEW r5: zone-map data skipping
+        "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

@@ -2194,3 +2194,10 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1
 """
+
+
+# Streaming dedup: injected redeliveries (every 50th event twice) must
+# collapse back to exactly the original distinct events.
+ORACLE["stream_dedup_events"] = """
+SELECT event_id, ts, user_id, value FROM events
+"""

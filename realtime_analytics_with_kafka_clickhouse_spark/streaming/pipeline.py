@@ -915,3 +915,58 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.filter((F.col("hour_epoch") >= b1) & (F.col("hour_epoch") < b2))
         .select("hour", "category", "order_count", "total_revenue", "total_quantity")
     )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated streaming dedup (SURVEY.md §2.7 ST3 — the
+    exactly-once guarantee the reference's at-least-once Kafka consumer
+    lacks): replay events WITH INJECTED DUPLICATES (every 50th event
+    appears twice, the redelivery a crashed producer/consumer causes) and
+    drop them in-stream via ``dropDuplicatesWithinWatermark`` keyed on
+    event_id.  Emitted rows == the original distinct events, so the
+    oracle is just the events table — and the planted duplicates make the
+    row falsifiable: a broken dedup emits extras and hash-mismatches.
+
+    State shape: one key per event_id inside the watermark horizon —
+    bounded by rate x watermark, the only state a 100 TB stream can
+    afford (a global dropDuplicates would hold every id ever seen)."""
+    import datetime as _dt
+
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"sdedup-{run}")
+    ckpt, name = os.path.join(d, "ckpt"), f"sdedup_{run}"
+    key = ("sdedup", os.path.abspath(sf_dir))
+    if key not in _REPLAY_SRC_MEMO:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        ).persist()
+        dupes = events.filter(F.pmod(F.col("event_id"), F.lit(50)) == 0)
+        with_dupes = events.unionByName(dupes)
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+        mid = lo + ((hi - lo) or _dt.timedelta(seconds=1)) / 2
+        src = os.path.join(_INC_ROLLUP_ROOT, f"sdedup-src-{run}", "events")
+        try:
+            for chunk in (
+                with_dupes.filter(F.col("ts") < F.lit(mid)),
+                with_dupes.filter(F.col("ts") >= F.lit(mid)),
+            ):
+                chunk.coalesce(1).write.mode("append").parquet(src)
+        finally:
+            events.unpersist(blocking=False)
+        _REPLAY_SRC_MEMO[key] = src
+    src = _REPLAY_SRC_MEMO[key]
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT event_id, ts, user_id, value FROM {name}")
