@@ -55,6 +55,7 @@ _NAMES = [
     ]),
     (_storage_bucketing, [
         "bucketed_orders_lineitem_join",  # NEW r5: zero-exchange co-located join
+        "top_orders_per_priority_salted", # NEW r5: skew-salted two-phase top-k
     ]),
     (timeseries, [
         "user_sessionization",

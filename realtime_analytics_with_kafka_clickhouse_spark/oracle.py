@@ -2201,3 +2201,16 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1
 ORACLE["stream_dedup_events"] = """
 SELECT event_id, ts, user_id, value FROM events
 """
+
+
+# Salted two-phase top-k == the plain windowed top-k (physical rewrite only).
+ORACLE["top_orders_per_priority_salted"] = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(rn AS BIGINT) AS rank_in_group
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders)
+WHERE rn <= 20
+"""

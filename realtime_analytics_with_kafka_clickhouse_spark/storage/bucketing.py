@@ -160,3 +160,24 @@ def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_items"),
         dsum("l_extendedprice").alias("total_revenue"),
     )
+
+
+def top_orders_per_priority_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated run of the salted two-phase top-k (the skew fix for
+    ``row_number() OVER`` windows with few/huge groups): top-20 orders by
+    total price within each of the 5 priority classes — 5 groups over the
+    whole orders table is EXACTLY the single-reducer shape the salt
+    splits.  Salting is a physical rewrite only, so the oracle is the
+    plain windowed top-k: identical rows, identical ranks."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return salted_topk_per_group(
+        orders,
+        group_cols=["o_orderpriority"],
+        order_col="o_totalprice",
+        k=20,
+        tiebreak_col="o_orderkey",
+    )
