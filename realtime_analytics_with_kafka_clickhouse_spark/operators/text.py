@@ -681,15 +681,24 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (
         (F.col("c_all") + 1).cast("double") * (F.col("tot_tgt") + F.col("v")).cast("double")
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(): Spark rounds HALF_UP on
+    # the double's exact decimal expansion while DuckDB rounds a scaled
+    # double — at sf0.1 three documents landed within 1 ulp of a .5
+    # boundary and the two conventions split.  The floor chain is pure
+    # correctly-rounded IEEE ops, so both engines produce the identical
+    # bit pattern (same convention as embedding_quantize_int8 /
+    # temperature_mix_weights).
+    r6 = F.floor(ratio * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     scored = (
         tok.join(vocab, "word")
         .crossJoin(F.broadcast(totals))
-        .select("doc_id", F.round(ratio, 6).alias("r"))
+        .select("doc_id", r6.alias("r"))
     )
     avg = dsum("r") / F.count("*")
+    avg6 = F.floor(avg * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(avg, 6).alias("avg_importance"),
+        avg6.alias("avg_importance"),
         (avg > 1.0).alias("is_target_like"),
     )
 

@@ -1622,11 +1622,13 @@ tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all,
         FROM vocab),
 scored AS (
   SELECT doc_id,
-         round((CAST(c_tgt + 1 AS DOUBLE) * CAST(tot_all + v AS DOUBLE))
-               / (CAST(c_all + 1 AS DOUBLE) * CAST(tot_tgt + v AS DOUBLE)), 6) AS r
+         floor((CAST(c_tgt + 1 AS DOUBLE) * CAST(tot_all + v AS DOUBLE))
+               / (CAST(c_all + 1 AS DOUBLE) * CAST(tot_tgt + v AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS r
   FROM tok JOIN vocab USING (word), tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS avg_importance,
+       floor(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_importance,
        CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*) > 1.0 AS is_target_like
 FROM scored GROUP BY 1
 """
