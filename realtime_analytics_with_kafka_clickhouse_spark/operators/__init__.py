@@ -91,6 +91,7 @@ _NAMES = [
         "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate
         "build_inverted_index",       # NEW r5: capped posting lists
         "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
+        "dsir_resample",              # NEW r5: importance-resampling keep set
     ]),
     (timeseries, [
         "value_quantity_correlation",  # NEW r5: exact-power-sum corr()

@@ -882,3 +882,35 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_K)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of DSIR (Xie et al. 2023): importance RESAMPLING —
+    keep each document with probability proportional to its importance
+    weight, via the deterministic hash-threshold convention (no RNG
+    state; the same subset on every engine/run).  Acceptance = clamp the
+    weight to [0, 2], halve (prob <= 1), floor to an integer millionth
+    threshold; keep iff the doc's seeded hash bucket falls under it.
+    Every step is exact or correctly-rounded IEEE in fixed order (the
+    division is by 2.0 — a power of two, exact), so the kept set is
+    bit-identical cross-engine.
+
+    Shape: the score frame is doc-keyed, so the join co-keys on doc_id
+    and the threshold filter is map-side — resampling adds no shuffle
+    beyond the scoring pass itself."""
+    from ..functions.hashing import word_hash_expr
+
+    scores = dsir_importance(spark, sf_dir).select("doc_id", "avg_importance")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    thr = F.floor(
+        F.least(F.col("avg_importance"), F.lit(2.0)) / F.lit(2.0) * F.lit(1000000.0)
+    ).cast("long")
+    bucket = F.pmod(
+        word_hash_expr(F.col("doc_id").cast("string"), F.lit("dsir")),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.join(scores, "doc_id")
+        .filter(bucket < thr)
+        .select("doc_id", "lang", "avg_importance")
+    )

@@ -2216,3 +2216,14 @@ FROM (
   FROM orders)
 WHERE rn <= 20
 """
+
+
+# DSIR resampling: deterministic hash-threshold acceptance under the
+# clamped, halved importance weight.
+ORACLE["dsir_resample"] = f"""
+WITH s AS (SELECT doc_id, avg_importance FROM ({ORACLE['dsir_importance']}))
+SELECT d.doc_id, d.lang, s.avg_importance
+FROM documents d JOIN s USING (doc_id)
+WHERE {_h("concat_ws(chr(1), 'dsir', CAST(d.doc_id AS VARCHAR))")} % 1000000
+      < CAST(floor(least(s.avg_importance, 2.0) / 2.0 * 1000000.0) AS BIGINT)
+"""
