@@ -105,6 +105,10 @@ _NAMES = [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
         "brand_basket_lift",           # NEW r5: market-basket association
     ]),
+    (windows, [
+        "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
+        "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
+    ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [
         "dedup_exact",

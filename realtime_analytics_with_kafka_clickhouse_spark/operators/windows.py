@@ -128,3 +128,103 @@ def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+def _daily_revenue_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue kept in DECIMAL(14,2) — cents-exact (o_totalprice has
+    2dp), so downstream weighted sums stay in exact decimal arithmetic
+    instead of re-rounding a double back into a decimal (a cross-engine
+    knife-edge; see SURVEY.md structured-rational rounding notes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .cast("decimal(14,2)")
+        .alias("rev_dec")
+    )
+
+
+EWMA_LAGS = 20  # 0.5^20 < 1e-6 of the signal — the truncation is below 6dp
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (alpha=1/2,
+    adjusted normalization — pandas ``ewm(alpha=.5, adjust=True)`` over the
+    available history, truncated at 20 lags where the weight is < 1e-6).
+
+    Numerics — bit-identical across engines WITHOUT decimal re-rounding:
+    every weight 0.5^k is a power of two, so ``x * w_k`` is an exact
+    exponent shift in IEEE double; the inputs are DECIMAL(14,2) -> double
+    (unscaled < 2^53: one correctly-rounded conversion, identical
+    everywhere); numerator/denominator are fixed left-associated double
+    sums (neither engine reassociates float adds); the denominator (a sum
+    of distinct powers of two) is exact.  The final 6-place truncation is
+    floor-based — floors have no ties, unlike round-half rules (see
+    SURVEY.md, structured-rational rounding class).
+
+    Scale: the input is the calendar-bounded daily aggregate (O(days)
+    rows); 20 lag() calls over one unpartitioned-but-tiny window — same
+    safety argument as ``moving_avg_daily_revenue``."""
+    daily = _daily_revenue_dec(spark, sf_dir).select(
+        "order_date", F.col("rev_dec").cast("double").alias("daily_revenue")
+    )
+    w = Window.orderBy("order_date")
+    num = None
+    den = None
+    for k in range(EWMA_LAGS):
+        x_k = F.col("daily_revenue") if k == 0 else F.lag("daily_revenue", k).over(w)
+        wk = F.lit(0.5**k)
+        term = F.when(x_k.isNotNull(), x_k * wk).otherwise(F.lit(0.0))
+        dterm = F.when(x_k.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return daily.select(
+        "order_date",
+        "daily_revenue",
+        (F.floor(num / den * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias(
+            "revenue_ewma"
+        ),
+    )
+
+
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flag: a day is anomalous when its revenue
+    sits more than 2 sample standard deviations from the mean of the
+    trailing 7 days (frame 7 PRECEDING .. 1 PRECEDING, so the tested day
+    never contaminates its own baseline).
+
+    The z > 2 test is evaluated WITHOUT sqrt or any float: squaring both
+    sides of |x - mean| > 2*stddev and clearing denominators gives
+
+        (n-1) * (n*x - S1)^2  >  4 * n * (n*S2 - S1^2)
+
+    over the exact decimal power sums S1 = sum(x), S2 = sum(x^2) — every
+    product is staged through explicit decimal casts sized so neither
+    engine's width rules overflow 38 digits; the comparison is exact
+    integer-scaled decimal in both engines (no rounding class at all).
+
+    Scale: O(days) input rows, one tiny window — anomaly detection over a
+    rollup, the standard observability pattern (detect on the MV, not the
+    raw stream)."""
+    daily = _daily_revenue_dec(spark, sf_dir)
+    trail = Window.orderBy("order_date").rowsBetween(-7, -1)
+    sq = (F.col("rev_dec") * F.col("rev_dec")).cast("decimal(25,4)")
+    base = daily.select(
+        "order_date",
+        "rev_dec",
+        F.count("*").over(trail).alias("n_trailing"),
+        F.sum("rev_dec").over(trail).cast("decimal(19,2)").alias("s1"),
+        F.sum(sq).over(trail).cast("decimal(25,4)").alias("s2"),
+    )
+    n_d = F.col("n_trailing").cast("decimal(2,0)")
+    lhs_base = (n_d * F.col("rev_dec") - F.col("s1")).cast("decimal(19,2)")
+    lhs = (lhs_base * lhs_base).cast("decimal(34,4)") * (
+        (F.col("n_trailing") - 1).cast("decimal(2,0)")
+    )
+    rhs_inner = (n_d * F.col("s2") - F.col("s1") * F.col("s1")).cast("decimal(33,4)")
+    rhs = rhs_inner * (F.col("n_trailing") * 4).cast("decimal(3,0)")
+    return base.select(
+        "order_date",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        F.col("n_trailing").cast("long").alias("n_trailing"),
+        F.when(F.col("n_trailing") >= 3, lhs > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
+    )

@@ -2227,3 +2227,68 @@ FROM documents d JOIN s USING (doc_id)
 WHERE {_h("concat_ws(chr(1), 'dsir', CAST(d.doc_id AS VARCHAR))")} % 1000000
       < CAST(floor(least(s.avg_importance, 2.0) / 2.0 * 1000000.0) AS BIGINT)
 """
+
+
+# ------------------------------------------------------- r5 window analytics
+
+_DAILY_REV_DEC = """
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(14,2)) AS rev_dec
+  FROM orders GROUP BY 1
+"""
+
+
+def _ewma_sql(n_lags: int = 20) -> str:
+    # Pure-double formulation mirroring the Spark side bit for bit: weights
+    # 0.5^k are powers of two (exact exponent-shift multiplies), sums are
+    # fixed left-associated, the 6-place truncation is floor-based (no ties).
+    num_terms, den_terms, lag_cols = [], [], []
+    for k in range(n_lags):
+        w = repr(0.5**k)
+        src = ("daily_revenue" if k == 0
+               else f"lag(daily_revenue, {k}) OVER (ORDER BY order_date)")
+        lag_cols.append(f"{src} AS x{k}")
+        num_terms.append(f"CASE WHEN x{k} IS NOT NULL THEN x{k} * {w} ELSE 0.0 END")
+        den_terms.append(f"CASE WHEN x{k} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+WITH daily AS (
+  SELECT order_date, CAST(rev_dec AS DOUBLE) AS daily_revenue
+  FROM ({_DAILY_REV_DEC})
+),
+lagged AS (SELECT order_date, daily_revenue, {', '.join(lag_cols)} FROM daily)
+SELECT order_date, daily_revenue,
+       CAST(floor(({' + '.join(num_terms)}) / ({' + '.join(den_terms)})
+                  * 1000000.0) AS DOUBLE) / 1000000.0 AS revenue_ewma
+FROM lagged
+"""
+
+
+ORACLE["ewma_daily_revenue"] = _ewma_sql()
+
+
+# Trailing z>2 anomaly test with sqrt eliminated:
+#   (n-1)*(n*x - S1)^2 > 4*n*(n*S2 - S1^2)  — exact decimal throughout.
+ORACLE["revenue_anomaly_days"] = f"""
+WITH daily AS ({_DAILY_REV_DEC}),
+stats AS (
+  SELECT order_date, rev_dec,
+         count(*) OVER w AS n_trailing,
+         CAST(sum(rev_dec) OVER w AS DECIMAL(19,2)) AS s1,
+         CAST(sum(CAST(rev_dec * rev_dec AS DECIMAL(25,4))) OVER w AS DECIMAL(25,4)) AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY order_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT order_date,
+       CAST(rev_dec AS DOUBLE) AS daily_revenue,
+       CAST(n_trailing AS BIGINT) AS n_trailing,
+       CASE WHEN n_trailing >= 3 THEN
+         CAST(CAST(CAST(n_trailing AS DECIMAL(2,0)) * rev_dec - s1 AS DECIMAL(19,2))
+              * CAST(CAST(n_trailing AS DECIMAL(2,0)) * rev_dec - s1 AS DECIMAL(19,2))
+              AS DECIMAL(34,4))
+         * CAST(n_trailing - 1 AS DECIMAL(2,0))
+         >
+         CAST(CAST(n_trailing AS DECIMAL(2,0)) * s2 - s1 * s1 AS DECIMAL(33,4))
+         * CAST(n_trailing * 4 AS DECIMAL(3,0))
+       ELSE FALSE END AS is_anomaly
+FROM stats
+"""

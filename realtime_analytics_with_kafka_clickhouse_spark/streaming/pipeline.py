@@ -128,7 +128,13 @@ def merge_rollup(
 # that OUTLIVES the function call, so the returned DataFrame stays a lazy
 # ``spark.read.parquet`` — no driver-side collect() in the query lineage
 # (round-2 verdict #3).  The whole root is swept once at process exit.
-_INC_ROLLUP_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_inc_rollups")
+# Per-PID root: the atexit sweep below must only ever delete THIS process's
+# scratch (a shared root let any exiting process — e.g. a pytest run ending
+# while bench.py streams — delete files under another process's live
+# FileStreamSource, killing its query with FileNotFound/basePath errors).
+_INC_ROLLUP_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_inc_rollups-{os.getpid()}"
+)
 
 
 @atexit.register
