@@ -109,6 +109,12 @@ _NAMES = [
         "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
         "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
     ]),
+    (timeseries, [
+        "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
+    ]),
+    (text, [
+        "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
+    ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [
         "dedup_exact",

@@ -914,3 +914,41 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < thr)
         .select("doc_id", "lang", "avg_importance")
     )
+
+
+def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.8): 1->N sentence expansion as a
+    LATERAL table function — ``@udtf(useArrow=True)`` so rows move through
+    Arrow batches, correlated against each document row in SQL.
+
+    This query exists to cover the UDTF API shape (the third leg of the
+    UDF/UDAF/UDTF surface next to pandas_udf and applyInPandas); for
+    splitting itself the map-only HOF form (``chunk_documents``:
+    split + posexplode, zero Python) is the hot-path choice — a UDTF earns
+    its cost only when the expansion logic genuinely needs Python.
+
+    Split semantics are deliberately literal ('. ' separator, empties
+    dropped, no trimming) so the DuckDB oracle can mirror them exactly with
+    string_split — the indices re-count only emitted sentences."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_ix: bigint, sentence: string, n_chars: bigint",
+          useArrow=True)
+    class SplitSentences:
+        def eval(self, text):  # noqa: ANN001 - signature fixed by Spark
+            ix = 0
+            for part in (text or "").split(". "):
+                if part:
+                    yield ix, part, len(part)
+                    ix += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_ix, s.sentence, s.n_chars
+        FROM documents_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )

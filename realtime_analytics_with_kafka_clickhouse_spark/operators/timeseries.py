@@ -564,3 +564,38 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users").cast("double") / F.col("cohort_users").cast("double"), 6
         ).alias("retention"),
     )
+
+
+def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: the reference's AggregatingMergeTree
+    ``uniqState``/``uniqMerge`` pattern (ClickHouse materializes partial
+    uniq states per granule and merges them at read), re-expressed with
+    Spark's DataSketches HLL — ``hll_sketch_agg`` builds an HOURLY sketch
+    per group, ``hll_union_agg`` merges the stored hourly states up to the
+    DAILY estimate.  This is THE pattern for 100 TB distinct-count rollups:
+    the raw column is touched once, every coarser grain re-aggregates
+    O(hours) fixed-size binary states instead of rescanning events.
+
+    Sketch binaries differ across engines, so the driver-visible contract
+    is the usual exact-plus-tolerance shape (``approx_distinct_users``):
+    exact daily distincts plus a boolean asserting the MERGED estimate
+    landed within 2% (at fixture cardinality the sparse-mode sketch is
+    lossless; the bound leaves room for dense-mode at larger SFs)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    hourly = ev.groupBy(day, F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy(day).agg(F.countDistinct("user_id").alias("exact_users"))
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return exact.join(merged, "day").select(
+        "day",
+        "exact_users",
+        (rel_err <= 0.02).alias("merged_sketch_within_2pct"),
+    )

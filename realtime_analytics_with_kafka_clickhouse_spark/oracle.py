@@ -2292,3 +2292,32 @@ SELECT order_date,
        ELSE FALSE END AS is_anomaly
 FROM stats
 """
+
+
+# Mergeable HLL rollup: oracle pins the exact daily distincts and asserts
+# the sketch-merge contract held (TRUE column).
+ORACLE["sketch_rollup_distinct_users"] = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_sketch_within_2pct
+FROM events GROUP BY 1
+"""
+
+
+# UDTF sentence expansion: literal '. ' split, empties dropped, indices
+# re-counted over emitted sentences only.
+ORACLE["split_sentences_udtf"] = """
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split(text, '. ')) AS sentence,
+         unnest(generate_series(1, len(string_split(text, '. ')))) AS raw_ix
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY raw_ix) - 1 AS BIGINT)
+         AS sentence_ix,
+       sentence,
+       CAST(length(sentence) AS BIGINT) AS n_chars
+FROM parts
+WHERE sentence <> ''
+"""
