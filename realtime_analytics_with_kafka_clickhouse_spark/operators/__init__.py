@@ -49,6 +49,7 @@ _NAMES = [
         "stream_join_orders_acks",    # NEW r5: stream-stream range join
         "txlog_pruned_read",          # NEW r5: zone-map data skipping
         "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
+        "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

@@ -2321,3 +2321,28 @@ SELECT doc_id,
 FROM parts
 WHERE sentence <> ''
 """
+
+
+# transformWithState running totals: chunk-0 rows carry the chunk-0
+# aggregate, chunk-1 rows carry the combined lifetime aggregate (state
+# handed across the batch boundary).  Cents are exact integers.
+ORACLE["stream_running_totals_events"] = """
+WITH c0 AS (
+  SELECT user_id, count(*) AS n0,
+         SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS cents0
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+c1 AS (
+  SELECT user_id, count(*) AS n1,
+         SUM(CAST(round(value * 100.0, 0) AS BIGINT)) AS cents1
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT user_id, CAST(n0 AS BIGINT) AS n_events_so_far,
+       CAST(cents0 AS BIGINT) AS revenue_cents_so_far
+FROM c0
+UNION ALL
+SELECT c1.user_id,
+       CAST(COALESCE(c0.n0, 0) + c1.n1 AS BIGINT) AS n_events_so_far,
+       CAST(COALESCE(c0.cents0, 0) + c1.cents1 AS BIGINT) AS revenue_cents_so_far
+FROM c1 LEFT JOIN c0 ON c0.user_id = c1.user_id
+"""

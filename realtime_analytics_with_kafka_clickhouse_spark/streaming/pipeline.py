@@ -976,3 +976,169 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT event_id, ts, user_id, value FROM {name}")
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running lifetime totals through Spark 4's arbitrary
+    stateful processing — ``transformWithStateInPandas`` (typed state
+    handles, RocksDB-backed, timer support) where the runtime supports it,
+    with an ``applyInPandasWithState`` implementation of the IDENTICAL
+    semantics as the portable path.
+
+    The transformWithState Python worker speaks protobuf to the JVM state
+    server; in environments without ``google.protobuf`` (this container)
+    the query would crash at start, so the API choice is gated on an
+    import probe — the operator's *semantics* are engine-checked either
+    way (same driver oracle), and the TWS branch follows the public API
+    shape for deployments that have the dependency.
+
+    Each micro-batch emits, for every user present in it, the user's
+    cumulative event count and revenue AFTER folding that batch in.
+    Revenue accumulates as integer CENTS (values are 2dp money), so the
+    running sum is exact and order-independent — no float-fold tolerance
+    anywhere.  State per user is one (long, long) row: O(users) state,
+    constant per-batch update cost."""
+    import importlib.util
+
+    import pandas as pd
+
+    out_schema = (
+        "user_id BIGINT, n_events_so_far BIGINT, revenue_cents_so_far BIGINT"
+    )
+
+    def _fold_batch(pdfs) -> tuple[int, int]:
+        n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100.0).round().astype("int64").sum())
+        return n, cents
+
+    try:
+        # find_spec imports the parent package, so a missing `google`
+        # raises instead of returning None.
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if has_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._totals = handle.getValueState(
+                    "totals", "n BIGINT, cents BIGINT"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                n, cents = _fold_batch(rows)
+                if self._totals.exists():
+                    prev = self._totals.get()
+                    n, cents = n + prev[0], cents + prev[1]
+                self._totals.update((n, cents))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events_so_far": [n],
+                        "revenue_cents_so_far": [cents],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        n, cents = _fold_batch(pdfs)
+        if state.exists:
+            prev_n, prev_cents = state.get
+            n, cents = n + prev_n, cents + prev_cents
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_so_far": [n],
+                "revenue_cents_so_far": [cents],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="n BIGINT, cents BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated transformWithState run (SURVEY.md §2.7/§2.8): events
+    replayed as 2 DETERMINISTIC chunks (event_id mod 2 — membership the
+    oracle can reproduce, unlike the harness's timestamp midpoint) through
+    ``running_totals_tws``; one output row per (user, batch-where-present)
+    carrying the exact running totals at that point.
+
+    The oracle is pure SQL: chunk-0 users contribute their chunk-0
+    aggregate; chunk-1 users contribute chunk-0 + chunk-1 — cross-batch
+    state handoff is what the equality proves.  transformWithState
+    requires the RocksDB state store; the conf is set for this stream's
+    start and restored after (provider choice binds at query start)."""
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"tws-{run}")
+    ckpt, name = os.path.join(d, "ckpt"), f"tws_{run}"
+    key = ("twschunks", os.path.abspath(sf_dir))
+    if key not in _REPLAY_SRC_MEMO:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ).persist()
+        src = os.path.join(_INC_ROLLUP_ROOT, f"tws-src-{run}", "events")
+        try:
+            for i in (0, 1):
+                events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+        finally:
+            events.unpersist(blocking=False)
+        _REPLAY_SRC_MEMO[key] = src
+    src = _REPLAY_SRC_MEMO[key]
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.sql(
+        f"SELECT user_id, n_events_so_far, revenue_cents_so_far FROM {name}"
+    )
