@@ -106,6 +106,9 @@ _NAMES = [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
         "brand_basket_lift",           # NEW r5: market-basket association
     ]),
+    (relational, [
+        "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets
+    ]),
     (windows, [
         "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
         "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag

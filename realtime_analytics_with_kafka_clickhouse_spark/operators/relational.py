@@ -898,3 +898,27 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lift, 6).alias("lift"),
         )
     )
+
+
+def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the asymmetric multi-level aggregate that
+    neither ROLLUP nor CUBE expresses: per-priority totals, per-status
+    totals, and the grand total in ONE pass (a single Expand + hash
+    aggregate, no re-scan per set).  ``grouping_id`` disambiguates which
+    set a row belongs to (a NULL key could otherwise be a real NULL).
+
+    Spark's DataFrame API stops at rollup/cube, so this goes through the
+    SQL surface — exactly how a reference user would write it."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_for_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+                 AS grouping_level,
+               count(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 AS total_revenue
+        FROM orders_for_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

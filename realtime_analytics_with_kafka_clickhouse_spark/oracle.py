@@ -2346,3 +2346,15 @@ SELECT c1.user_id,
        CAST(COALESCE(c0.cents0, 0) + c1.cents1 AS BIGINT) AS revenue_cents_so_far
 FROM c1 LEFT JOIN c0 ON c0.user_id = c1.user_id
 """
+
+
+# GROUPING SETS with grouping_id disambiguation (DuckDB: GROUPING()).
+ORACLE["priority_status_grouping_sets"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+         AS grouping_level,
+       count(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""

@@ -327,3 +327,39 @@ def test_txlog_pruned_read_touches_one_dir(spark, queries):
     df = queries["txlog_pruned_read"](spark, SF_DIR)
     dirs = {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
     assert len(dirs) == 1, f"zone maps must prune 3 of 4 dirs, scanned: {dirs}"
+
+
+def test_ewma_single_window_exec(spark, queries):
+    # All 20 lags share one window spec -> exactly one Window node (a
+    # second would mean the lags split specs and re-sort the daily series).
+    import re
+
+    plan = formatted_plan(queries["ewma_daily_revenue"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_anomaly_single_window_exec(spark, queries):
+    import re
+
+    plan = formatted_plan(queries["revenue_anomaly_days"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_grouping_sets_single_expand_single_scan(spark, queries):
+    # GROUPING SETS must be one Expand over one scan — not a scan per set.
+    import re
+
+    plan = formatted_plan(queries["priority_status_grouping_sets"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_sketch_rollup_partial_aggregation(spark, queries):
+    # The mergeable-state property the operator demonstrates, as plan
+    # facts: hourly sketches build with a map-side partial
+    # (partial_hll_sketch_agg), and the daily level merges hourly sketch
+    # STATES (hll_union_agg over sk), never re-touching raw user_ids.
+    plan = formatted_plan(queries["sketch_rollup_distinct_users"](spark, SF_DIR))
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
+    assert "hll_sketch_estimate" in plan
