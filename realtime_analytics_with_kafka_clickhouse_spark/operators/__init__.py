@@ -118,6 +118,7 @@ _NAMES = [
     ]),
     (text, [
         "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
+        "bpe_train_merges",            # NEW r5: iterated BPE training loop
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

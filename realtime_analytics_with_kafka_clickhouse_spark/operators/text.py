@@ -952,3 +952,79 @@ def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_for_udtf d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+BPE_TRAIN_STEPS = 3
+_BPE_SEP = "\x1f"  # unit separator: never appears in fixture text
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): K merge
+    steps, each = corpus-wide adjacent-pair count -> argmax pair -> apply
+    the merge to every word — the full training LOOP whose single step
+    ``bpe_merge_topk`` ranks.  Output is the learned merge table
+    (step, left, right, merged, cnt).
+
+    Distributed shape per step: one map-side HOF pair explode + one tiny
+    count aggregate (pair vocabulary is symbol-alphabet^2-bounded); the
+    argmax pair — ONE row — is the only driver state, exactly the
+    broadcast-scalar discipline of ``kmeans_train``'s centroids.  Words
+    ride as separator-joined symbol strings, so applying a merge is a
+    literal string replace (non-overlapping left-to-right in every engine
+    — Java, Python, DuckDB agree), not a re-tokenization.
+
+    Documented divergence from textbook BPE: replace-based merge
+    application resolves overlapping occurrences ("a a a a") left-to-right
+    greedily in one pass, the standard fast approximation; pair counts for
+    the NEXT step are recomputed from the merged sequences, so the loop
+    stays exact w.r.t. its own representation."""
+    sep = _BPE_SEP
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    # "ab" -> "<sep>a<sep>b<sep>": flanked symbols make merge patterns
+    # unambiguous (a pair pattern can never match inside a longer symbol).
+    seq0 = F.concat(F.lit(sep), F.regexp_replace(F.col("word"), "(.)", "$1" + sep))
+    cur = words.select(seq0.alias("seq")).persist()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        for step in range(1, BPE_TRAIN_STEPS + 1):
+            sym = F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit(""))
+            pair_arr = F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(sym) - 1, F.lit(1))),
+                lambda i: F.concat(
+                    F.element_at(sym, i), F.lit(sep), F.element_at(sym, i + 1)
+                ),
+            )
+            pairs = (
+                cur.filter(F.size(sym) >= 2)
+                .select(F.explode(pair_arr).alias("pair"))
+                .filter(F.col("pair").isNotNull())
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, cnt = top[0]["pair"], top[0]["cnt"]
+            left, right = pair.split(sep)
+            merges.append((step, left, right, left + right, cnt))
+            nxt = cur.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(sep + pair + sep),
+                    F.lit(sep + left + right + sep),
+                ).alias("seq")
+            ).persist()
+            cur.unpersist(blocking=False)
+            cur = nxt
+    finally:
+        cur.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges, "merge_step long, left string, right string, merged string, cnt long"
+    )

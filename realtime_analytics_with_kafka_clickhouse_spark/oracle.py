@@ -2358,3 +2358,44 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
+
+
+def _bpe_train_sql(steps: int = 3) -> str:
+    # Mirrors bpe_train_merges step for step: per-step scalar subqueries
+    # pick the argmax pair; replace() applies it (same non-overlapping
+    # left-to-right semantics as the Spark side).
+    S = "chr(31)"
+    parts = [
+        f"""w AS (
+  SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2),
+s0 AS (SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS seq FROM w)"""
+    ]
+    for k in range(1, steps + 1):
+        prev = f"s{k - 1}"
+        parts.append(f"""p{k} AS (
+  SELECT unnest(list_transform(generate_series(1, len(sym) - 1),
+                               i -> sym[i] || {S} || sym[i + 1])) AS pair
+  FROM (SELECT list_filter(string_split(seq, {S}), x -> x <> '') AS sym FROM {prev})),
+t{k} AS (
+  SELECT pair, count(*) AS cnt FROM p{k} GROUP BY 1
+  ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        if k < steps:
+            parts.append(f"""s{k} AS (
+  SELECT replace(seq,
+                 {S} || (SELECT pair FROM t{k}) || {S},
+                 {S} || replace((SELECT pair FROM t{k}), {S}, '') || {S}) AS seq
+  FROM {prev})""")
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS merge_step,
+       split_part(pair, {S}, 1) AS "left",
+       split_part(pair, {S}, 2) AS "right",
+       replace(pair, {S}, '') AS merged,
+       CAST(cnt AS BIGINT) AS cnt
+FROM t{k}"""
+        for k in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE["bpe_train_merges"] = _bpe_train_sql()
