@@ -116,6 +116,9 @@ _NAMES = [
     (timeseries, [
         "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
     ]),
+    (rollups, [
+        "events_column_profile",       # NEW r5: one-pass data-quality profile
+    ]),
     (text, [
         "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
         "bpe_train_merges",            # NEW r5: iterated BPE training loop

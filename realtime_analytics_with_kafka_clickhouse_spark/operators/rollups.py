@@ -130,3 +130,32 @@ def hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("order_count").alias("order_count"),
         dsum("total_revenue").alias("total_revenue"),
     )
+
+
+PROFILE_COLUMNS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the Deequ/dbt-style data-quality report):
+    per column — row count, non-null count, exact distinct count — computed
+    in a SINGLE aggregate over a single scan.  Multiple COUNT(DISTINCT)s
+    compile to one Expand + two-phase hash aggregate (plan-pinned), not a
+    scan per column; at 100 TB swap the exact distincts for
+    ``approx_count_distinct`` states (the ``approx_distinct_users``
+    pattern) and the pass stays map-side-partial.
+
+    The wide 1-row aggregate unpivots to the long (column, metric) report
+    shape with a map-only inline explode — no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in PROFILE_COLUMNS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    wide = ev.agg(*aggs)
+    entries = ", ".join(
+        f"struct('{c}' AS column, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct)"
+        for c in PROFILE_COLUMNS
+    )
+    return wide.select(
+        F.expr(f"inline(array({entries}))")
+    ).select("column", "n_rows", "n_nonnull", "n_distinct")

@@ -2399,3 +2399,13 @@ FROM t{k}"""
 
 
 ORACLE["bpe_train_merges"] = _bpe_train_sql()
+
+
+# One-pass column profile: DuckDB mirrors with a per-column UNION (same
+# values; the single-Expand shape is the Spark side's plan property).
+ORACLE["events_column_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct
+FROM events"""
+    for c in ["event_id", "user_id", "event_type", "value", "props"]
+)

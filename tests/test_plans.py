@@ -363,3 +363,13 @@ def test_sketch_rollup_partial_aggregation(spark, queries):
     assert "partial_hll_sketch_agg" in plan
     assert "partial_hll_union_agg" in plan
     assert "hll_sketch_estimate" in plan
+
+
+def test_column_profile_single_scan_single_expand(spark, queries):
+    # 5 exact COUNT(DISTINCT)s must compile to ONE Expand over ONE scan
+    # (a scan per profiled column is the naive profiling anti-pattern).
+    import re
+
+    plan = formatted_plan(queries["events_column_profile"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
