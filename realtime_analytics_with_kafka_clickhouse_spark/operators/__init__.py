@@ -122,6 +122,7 @@ _NAMES = [
     (text, [
         "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
         "bpe_train_merges",            # NEW r5: iterated BPE training loop
+        "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [

@@ -957,39 +957,33 @@ def split_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_STEPS = 3
 _BPE_SEP = "\x1f"  # unit separator: never appears in fixture text
 
+# Fitted merge tables per (sf_dir, steps): training runs once per session,
+# shared by bpe_train_merges and bpe_tokenize_stats (the _CAND_CACHE /
+# kmeans-quantizer memo discipline — K rows of driver state).
+_BPE_FIT_MEMO: dict = {}
 
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterated BPE tokenizer training (Sennrich et al. 2016): K merge
-    steps, each = corpus-wide adjacent-pair count -> argmax pair -> apply
-    the merge to every word — the full training LOOP whose single step
-    ``bpe_merge_topk`` ranks.  Output is the learned merge table
-    (step, left, right, merged, cnt).
 
-    Distributed shape per step: one map-side HOF pair explode + one tiny
-    count aggregate (pair vocabulary is symbol-alphabet^2-bounded); the
-    argmax pair — ONE row — is the only driver state, exactly the
-    broadcast-scalar discipline of ``kmeans_train``'s centroids.  Words
-    ride as separator-joined symbol strings, so applying a merge is a
-    literal string replace (non-overlapping left-to-right in every engine
-    — Java, Python, DuckDB agree), not a re-tokenization.
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str, steps: int = BPE_TRAIN_STEPS
+) -> list:
+    """K BPE merge steps over the word corpus; returns the learned merge
+    table [(step, left, right, merged, cnt)].  See bpe_train_merges for
+    the distributed shape and the cross-engine replace semantics."""
+    import os as _os
 
-    Documented divergence from textbook BPE: replace-based merge
-    application resolves overlapping occurrences ("a a a a") left-to-right
-    greedily in one pass, the standard fast approximation; pair counts for
-    the NEXT step are recomputed from the merged sequences, so the loop
-    stays exact w.r.t. its own representation."""
+    key = (_os.path.abspath(sf_dir), steps)
+    if key in _BPE_FIT_MEMO:
+        return _BPE_FIT_MEMO[key]
     sep = _BPE_SEP
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.length("word") >= 2)
-    # "ab" -> "<sep>a<sep>b<sep>": flanked symbols make merge patterns
-    # unambiguous (a pair pattern can never match inside a longer symbol).
     seq0 = F.concat(F.lit(sep), F.regexp_replace(F.col("word"), "(.)", "$1" + sep))
     cur = words.select(seq0.alias("seq")).persist()
     try:
-        merges: list[tuple[int, str, str, str, int]] = []
-        for step in range(1, BPE_TRAIN_STEPS + 1):
+        merges: list = []
+        for step in range(1, steps + 1):
             sym = F.filter(F.split(F.col("seq"), sep), lambda x: x != F.lit(""))
             pair_arr = F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(sym) - 1, F.lit(1))),
@@ -1025,6 +1019,70 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = nxt
     finally:
         cur.unpersist(blocking=False)
+    _BPE_FIT_MEMO[key] = merges
+    return merges
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): K merge
+    steps, each = corpus-wide adjacent-pair count -> argmax pair -> apply
+    the merge to every word — the full training LOOP whose single step
+    ``bpe_merge_topk`` ranks.  Output is the learned merge table
+    (step, left, right, merged, cnt).
+
+    Distributed shape per step: one map-side HOF pair explode + one tiny
+    count aggregate (pair vocabulary is symbol-alphabet^2-bounded); the
+    argmax pair — ONE row — is the only driver state, exactly the
+    broadcast-scalar discipline of ``kmeans_train``'s centroids.  Words
+    ride as separator-joined symbol strings, so applying a merge is a
+    literal string replace (non-overlapping left-to-right in every engine
+    — Java, Python, DuckDB agree), not a re-tokenization.
+
+    Documented divergence from textbook BPE: replace-based merge
+    application resolves overlapping occurrences ("a a a a") left-to-right
+    greedily in one pass, the standard fast approximation; pair counts for
+    the NEXT step are recomputed from the merged sequences, so the loop
+    stays exact w.r.t. its own representation."""
     return spark.createDataFrame(
-        merges, "merge_step long, left string, right string, merged string, cnt long"
+        _bpe_fit(spark, sf_dir),
+        "merge_step long, left string, right string, merged string, cnt long",
+    )
+
+
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every document with the learned merge
+    table (shared fit via the session memo — training runs once) and
+    report per-doc token counts before/after plus the compression ratio.
+    This is the deploy-side half of BPE: the merge table rides into the
+    plan as K literal replaces (broadcast-scalar, no join), the whole
+    encode is map-only per document, one tiny per-doc aggregate ends it.
+
+    The ratio is floor-truncated at 6 places from one exact-integer IEEE
+    division — the tie-free rounding class (see ewma_daily_revenue)."""
+    merges = _bpe_fit(spark, sf_dir)
+    sep = _BPE_SEP
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    seq = F.concat(F.lit(sep), F.regexp_replace(F.col("word"), "(.)", "$1" + sep))
+    for _step, left, right, merged, _cnt in merges:
+        seq = F.replace(
+            seq, F.lit(sep + left + sep + right + sep), F.lit(sep + merged + sep)
+        )
+    n_bpe = F.size(F.filter(F.split(seq, sep), lambda x: x != F.lit("")))
+    per_doc = words.groupBy("doc_id").agg(
+        F.sum(F.length("word")).cast("long").alias("n_char_tokens"),
+        F.sum(n_bpe).cast("long").alias("n_bpe_tokens"),
+    )
+    ratio = (
+        F.floor(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_char_tokens").cast("double")
+            * F.lit(1000000.0)
+        ).cast("double")
+        / F.lit(1000000.0)
+    )
+    return per_doc.select(
+        "doc_id", "n_char_tokens", "n_bpe_tokens", ratio.alias("compression")
     )

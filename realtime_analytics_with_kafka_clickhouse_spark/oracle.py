@@ -2360,10 +2360,11 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
 
 
-def _bpe_train_sql(steps: int = 3) -> str:
-    # Mirrors bpe_train_merges step for step: per-step scalar subqueries
-    # pick the argmax pair; replace() applies it (same non-overlapping
-    # left-to-right semantics as the Spark side).
+def _bpe_ctes(steps: int = 3) -> list:
+    # Shared CTE chain for BPE training: s0 char-split seqs, per-step pair
+    # counts (p_k), argmax pair (t_k), merged seqs (s_k).  replace() applies
+    # merges with the same non-overlapping left-to-right semantics as the
+    # Spark side.
     S = "chr(31)"
     parts = [
         f"""w AS (
@@ -2386,6 +2387,11 @@ t{k} AS (
                  {S} || (SELECT pair FROM t{k}) || {S},
                  {S} || replace((SELECT pair FROM t{k}), {S}, '') || {S}) AS seq
   FROM {prev})""")
+    return parts
+
+
+def _bpe_train_sql(steps: int = 3) -> str:
+    S = "chr(31)"
     selects = [
         f"""SELECT CAST({k} AS BIGINT) AS merge_step,
        split_part(pair, {S}, 1) AS "left",
@@ -2395,10 +2401,40 @@ t{k} AS (
 FROM t{k}"""
         for k in range(1, steps + 1)
     ]
-    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return "WITH " + ",\n".join(_bpe_ctes(steps)) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 ORACLE["bpe_train_merges"] = _bpe_train_sql()
+
+
+def _bpe_tokenize_sql(steps: int = 3) -> str:
+    # Tokenizer application: every word of every doc encoded with the
+    # learned merges (scalar subqueries into the shared training CTEs).
+    S = "chr(31)"
+    seq = f"{S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g')"
+    for k in range(1, steps + 1):
+        seq = f"""replace({seq},
+      {S} || (SELECT pair FROM t{k}) || {S},
+      {S} || replace((SELECT pair FROM t{k}), {S}, '') || {S})"""
+    ctes = ",\n".join(_bpe_ctes(steps))
+    return f"""WITH {ctes},
+dw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''),
+enc AS (
+  SELECT doc_id, length(word) AS n_chars,
+         len(list_filter(string_split({seq}, {S}), x -> x <> '')) AS n_bpe
+  FROM dw)
+SELECT doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS n_char_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE)
+                  * 1000000.0) AS DOUBLE) / 1000000.0 AS compression
+FROM enc GROUP BY doc_id"""
+
+
+ORACLE["bpe_tokenize_stats"] = _bpe_tokenize_sql()
 
 
 # One-pass column profile: DuckDB mirrors with a per-column UNION (same
