@@ -78,6 +78,7 @@ _NAMES = [
         "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
         "embedding_prototypicality",  # NEW r5: centroid-distance pruning
         "hybrid_search_topk",         # NEW r5: BM25 + cosine RRF fusion
+        "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC

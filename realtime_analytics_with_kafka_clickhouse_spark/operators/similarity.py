@@ -861,3 +861,63 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "lex_rank", "sem_rank", F.round(rrf, 6).alias("rrf"))
         .withColumn("rank", F.row_number().over(fw).cast("long"))
     )
+
+
+def embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via ``mapInArrow`` — the pure-Arrow UDF surface (SURVEY.md
+    §2.8): RecordBatches in, RecordBatches out, no pandas materialization.
+    Completes the Python-boundary family next to pandas_udf (grouped agg),
+    applyInPandas (grouped map), mapInPandas (stream map), the UDTF, and
+    applyInPandasWithState/transformWithState.
+
+    Cross-engine numerics: squares fold LEFT-ASSOCIATIVELY in float64 — the
+    same association as the Spark-side ``F.aggregate`` dots and the
+    DuckDB ``list_reduce`` oracle — and the 6-place truncation is the
+    floor-based tie-free form, so the emitted norm is bit-identical
+    everywhere.  The unit-norm boolean re-normalizes and checks the self
+    dot lands within 1e-9 of 1 (the oracle pins TRUE).
+
+    Scale: map-only, zero shuffle; Arrow batches stream through without a
+    per-row Python boundary crossing."""
+    import math
+
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    out_pa = pa.schema(
+        [
+            pa.field("vec_id", pa.int64()),
+            pa.field("norm_6", pa.float64()),
+            pa.field("unit_after_normalize", pa.bool_()),
+        ]
+    )
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_pylist()
+            vecs = batch.column("embedding").to_pylist()
+            out_n, out_u = [], []
+            for vec in vecs:
+                acc = 0.0
+                for x in vec:
+                    acc += float(x) * float(x)
+                nrm = math.sqrt(acc)
+                out_n.append(math.floor(nrm * 1000000.0) / 1000000.0)
+                d = 0.0
+                for x in vec:
+                    y = float(x) / nrm
+                    d += y * y
+                out_u.append(abs(d - 1.0) <= 1e-9)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(out_n, pa.float64()),
+                    pa.array(out_u, pa.bool_()),
+                ],
+                schema=out_pa,
+            )
+
+    return emb.mapInArrow(
+        norms, "vec_id long, norm_6 double, unit_after_normalize boolean"
+    )

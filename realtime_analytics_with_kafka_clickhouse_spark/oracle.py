@@ -2445,3 +2445,15 @@ ORACLE["events_column_profile"] = "\nUNION ALL\n".join(
 FROM events"""
     for c in ["event_id", "user_id", "event_type", "value", "props"]
 )
+
+
+# mapInArrow L2 norms: left-fold float64 squares (same association as the
+# Arrow side), floor-truncated at 6 places; unit-renormalization contract
+# pinned TRUE.
+ORACLE["embedding_norm_arrow"] = f"""
+SELECT vec_id,
+       CAST(floor(sqrt({_dot_sql('embedding', 'embedding')}) * 1000000.0) AS DOUBLE)
+         / 1000000.0 AS norm_6,
+       TRUE AS unit_after_normalize
+FROM embeddings
+"""
