@@ -116,6 +116,7 @@ _NAMES = [
     ]),
     (timeseries, [
         "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
+        "winsorized_value_stats",      # NEW r5: percentile-broadcast clipping
     ]),
     (rollups, [
         "events_column_profile",       # NEW r5: one-pass data-quality profile

@@ -599,3 +599,33 @@ def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (rel_err <= 0.02).alias("merged_sketch_within_2pct"),
     )
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) per-type value statistics — the
+    outlier-robust dashboard aggregate, and the broadcast-scalar pattern
+    done right at scale: the two global percentiles reduce to ONE tiny row
+    that broadcasts back over the fact scan (no self-join, no second
+    shuffle of raw data), clipping is map-side, and the per-type aggregate
+    is the only real shuffle.  Clipped-row counts make the tail visible.
+
+    Exact interpolated percentiles match across engines (the
+    value_percentiles contract); the winsorized sum rides the usual
+    decimal-exact dsum."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.agg(
+        F.expr("percentile(value, array(0.05, 0.95))").alias("p")
+    ).select(
+        F.element_at("p", 1).alias("lo"), F.element_at("p", 2).alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(pct))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+            dsum(clipped).alias("winsorized_total"),
+        )
+    )

@@ -2457,3 +2457,20 @@ SELECT vec_id,
        TRUE AS unit_after_normalize
 FROM embeddings
 """
+
+
+# Winsorized per-type stats: global p05/p95 as a broadcast scalar pair,
+# map-side clip, decimal-exact sum.
+ORACLE["winsorized_value_stats"] = """
+WITH pct AS (
+  SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events)
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+       CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(25,6))) AS DOUBLE)
+         AS winsorized_total
+FROM events, pct
+GROUP BY event_type
+"""
