@@ -82,6 +82,7 @@ _NAMES = [
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC
+        "near_dup_pagerank",          # NEW r5: damped rank over the pair graph
     ]),
     (curation, [
         "dedup_keep_best",            # rides the adaptive CC

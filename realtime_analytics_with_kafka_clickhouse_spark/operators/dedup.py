@@ -508,3 +508,57 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_dup_spans") > 0).alias("is_substring_dup"),
         )
     )
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup pair graph — the *weighted*
+    iterative companion to ``near_dup_clusters``' min-label CC: rank mass
+    concentrates on documents sitting at the center of duplicate families
+    (useful as a keep-priority signal next to quality argmax).
+
+    Fixed ``PAGERANK_ITERS`` rounds of the standard damped update; each
+    round is one edge⋈rank equi-join plus one per-node aggregate — the
+    degree table and rank table are node-sized (pair-graph nodes, orders
+    of magnitude below corpus size), so at 100 TB the join shuffles the
+    EDGE list only, partitioned by node, exactly like the CC loop.
+
+    Cross-engine numerics: each contribution rank/deg is one IEEE
+    division; contributions are cast to DECIMAL(25,12) before summing so
+    the per-node fold is order-independent (dyadic doubles cannot tie at
+    scale 12 — a tie needs exactly 13 binary fraction digits); the damped
+    update is a fixed IEEE chain and the output is floor-truncated."""
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == F.col("doc_id"))
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("contrib"),
+            )
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(0.15)
+                + F.lit(PAGERANK_DAMPING)
+                * F.sum(F.col("contrib").cast("decimal(25,12)")).cast("double")
+            ).alias("rank")
+        ).select(F.col("dst").alias("doc_id"), "rank")
+    pairs.unpersist(blocking=False)
+    return ranks.select(
+        "doc_id",
+        (F.floor(F.col("rank") * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)).alias(
+            "pagerank"
+        ),
+    )

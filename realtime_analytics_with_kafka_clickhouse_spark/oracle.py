@@ -2474,3 +2474,35 @@ SELECT event_type,
 FROM events, pct
 GROUP BY event_type
 """
+
+
+# PageRank over the minhash near-dup graph: 3 unrolled damped rounds,
+# decimal-exact contribution folds, floor-truncated output.
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    parts = [
+        f"""mh AS ({ORACLE["minhash_near_dup"]}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM mh
+      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM mh),
+d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT src AS doc_id, CAST(1.0 AS DOUBLE) AS rank FROM d)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"""r{k} AS (
+  SELECT e.dst AS doc_id,
+         CAST(0.15 AS DOUBLE) + CAST({damping!r} AS DOUBLE) *
+           CAST(SUM(CAST(r.rank / CAST(d.deg AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+           AS rank
+  FROM e JOIN r{k - 1} r ON e.src = r.doc_id JOIN d ON d.src = e.src
+  GROUP BY e.dst)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT doc_id,
+       CAST(floor(rank * 1000000.0) AS DOUBLE) / 1000000.0 AS pagerank
+FROM r{iters}"""
+    )
+
+
+ORACLE["near_dup_pagerank"] = _pagerank_sql()
