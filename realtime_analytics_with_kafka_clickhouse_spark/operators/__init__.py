@@ -30,13 +30,16 @@ from ..streaming import pipeline as _streaming_pipeline
 # LEDGER — entries sorted by staleness of their last green driver row:
 #
 #   1. red in the r04 gate (both root causes fixed in r5)   ← always lead
-#   2. changed in round 5 (need rows for the new behavior)  ← next
+#   2. new or changed in round 5 (need first green rows)    ← next
 #   3. last green in round 3 — stalest evidence             ← fill the gate
 #   4. green in round 4 (freshest)                          ← tail; rotate
 #      back next round
 #
 # Each round: move the sections that just got green rows to the tail and
-# promote the stalest, so no entry goes 2 rounds unchecked.
+# promote the stalest, so no entry goes 2 rounds unchecked.  For round 6:
+# sections 1-2 will have r5 rows — demote them, promote the rest of
+# section 3 (the text battery onward) and section 4's rollups/relational
+# tail into the 50-slot window.
 _NAMES = [
     # -- 1. red in r04 (fs.py varargs / NTZ ts — both fixed in r5) --
     (_streaming_pipeline, [

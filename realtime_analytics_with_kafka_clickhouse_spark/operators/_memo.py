@@ -56,14 +56,26 @@ def _key(kind: str, sf_dir: str, tables: tuple[str, ...]) -> tuple:
 
 
 def memo_peek(kind: str, sf_dir: str, tables: tuple[str, ...]) -> Any:
-    """Cached value for (kind, current dataset state), or _MISS sentinel."""
-    return _MEMO.get(_key(kind, sf_dir, tables), _MISS)
+    """Cached value for (kind, current dataset state), or _MISS sentinel.
+
+    An unfingerprintable input (planted test frames behind a fake sf_dir)
+    degrades to a miss — the memo is an accelerator, never a correctness
+    dependency."""
+    try:
+        key = _key(kind, sf_dir, tables)
+    except Exception:
+        return _MISS
+    return _MEMO.get(key, _MISS)
 
 
 def memo_put(kind: str, sf_dir: str, tables: tuple[str, ...], value: Any) -> Any:
+    try:
+        key = _key(kind, sf_dir, tables)
+    except Exception:
+        return value  # unfingerprintable input: don't cache, stay correct
     for k in [k for k in _MEMO if k[0] == kind]:  # one slot per kind
         del _MEMO[k]
-    _MEMO[_key(kind, sf_dir, tables)] = value
+    _MEMO[key] = value
     return value
 
 

@@ -303,8 +303,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (expensive) pair pipeline exactly once: the edge
     # frame references it three times (both directions + self-loops), and
     # un-cached union branches would re-run the whole MinHash-LSH plan per
-    # branch.  count() populates the cache before the fan-out.
-    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # branch.  count() populates the cache before the fan-out.  A pairs
+    # memo hit (near_dup_pagerank shares the artifact) skips the MinHash
+    # job entirely.
+    memo_pairs = memo_peek("near_dup_pairs", sf_dir, ("documents",))
+    if not is_miss(memo_pairs):
+        pairs = spark.createDataFrame(memo_pairs, "doc_a long, doc_b long").cache()
+    else:
+        pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
     n_pairs = pairs.count()
     # Adaptive strategy (the AQE move, decided on the MEASURED edge count):
     # the near-dup graph is orders of magnitude smaller than the corpus,
@@ -316,6 +322,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_pairs <= CC_DRIVER_MAX_EDGES:
         edge_rows = pairs.collect()  # bounded: <= CC_DRIVER_MAX_EDGES rows
         pairs.unpersist(blocking=False)
+        memo_put(
+            "near_dup_pairs",
+            sf_dir,
+            ("documents",),
+            [(r["doc_a"], r["doc_b"]) for r in edge_rows],
+        )
         labels_local = union_find_labels(
             (row["doc_a"], row["doc_b"]) for row in edge_rows
         )
@@ -531,7 +543,25 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-node fold is order-independent (dyadic doubles cannot tie at
     scale 12 — a tie needs exactly 13 binary fraction digits); the damped
     update is a fixed IEEE chain and the output is floor-truncated."""
-    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+    from ._memo import is_miss, memo_peek, memo_put
+
+    # The verified pair list is the same driver-bounded artifact the CC
+    # label memo guards (<= CC_DRIVER_MAX_EDGES rows when small): serve it
+    # from the memo so this query doesn't re-run the MinHash-LSH pipeline
+    # the session already paid for.  Oversized graphs skip the memo and
+    # keep the fully distributed lineage.
+    memoized = memo_peek("near_dup_pairs", sf_dir, ("documents",))
+    if not is_miss(memoized):
+        pairs = spark.createDataFrame(memoized, "doc_a long, doc_b long").cache()
+    else:
+        pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+        if pairs.count() <= CC_DRIVER_MAX_EDGES:
+            memo_put(
+                "near_dup_pairs",
+                sf_dir,
+                ("documents",),
+                [(r["doc_a"], r["doc_b"]) for r in pairs.collect()],
+            )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
