@@ -53,6 +53,7 @@ _NAMES = [
         "txlog_pruned_read",          # NEW r5: zone-map data skipping
         "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
         "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
+        "replacing_merge_latest",     # NEW r5: ReplacingMergeTree keep-latest
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

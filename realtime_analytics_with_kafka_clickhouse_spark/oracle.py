@@ -2506,3 +2506,21 @@ FROM r{iters}"""
 
 
 ORACLE["near_dup_pagerank"] = _pagerank_sql()
+
+
+# ReplacingMergeTree keep-latest: window argmax over base ∪ derived updates.
+ORACLE["replacing_merge_latest"] = f"""
+WITH rows_all AS (
+  SELECT o_orderkey, CAST(0 AS BIGINT) AS version, o_orderstatus AS status,
+         o_totalprice AS total_price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'D' AS status, o_totalprice
+  FROM orders
+  WHERE {_h("CAST(o_orderkey AS VARCHAR)")} % 3 = 0
+)
+SELECT o_orderkey, version, status, total_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM rows_all)
+WHERE rn = 1
+"""

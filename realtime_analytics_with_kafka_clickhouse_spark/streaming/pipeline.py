@@ -1142,3 +1142,89 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT user_id, n_events_so_far, revenue_cents_so_far FROM {name}"
     )
+
+
+def merge_replacing(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key: str,
+    version: str,
+    batch_id: int | None = None,
+) -> bool:
+    """ReplacingMergeTree fold (the reference engine family's third merge
+    semantic next to Summing and Aggregating): per key, the row with the
+    highest ``version`` wins — an idempotent, ASSOCIATIVE upsert, so
+    out-of-order and replayed batches converge to the same table.  Same
+    swap/crash/idempotence protocol as ``merge_rollup``.
+
+    The fold is one ``max_by(struct(*), version)`` hash aggregate over
+    current ∪ batch — at 100 TB the union re-aggregates only the (key-
+    bounded) live table plus the micro-batch, exactly like the Summing
+    path, and partition-pruned rewrites would bound it further."""
+    from ..storage import fs
+
+    fs.recover_latest_swap(spark, table_dir)
+    if batch_id is not None:
+        seen = last_merged_batch(spark, table_dir)
+        if seen is not None and batch_id <= seen:
+            return False
+    if fs.exists(spark, table_dir):
+        unioned = spark.read.parquet(table_dir).unionByName(batch)
+    else:
+        unioned = batch
+    cols = [c for c in unioned.columns if c != key]
+    merged = unioned.groupBy(key).agg(
+        F.max_by(F.struct(*cols), F.col(version)).alias("_row")
+    ).select(key, "_row.*")
+    tmp = fs.swap_tmp_path(table_dir)
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
+    fs.swap_in(spark, table_dir, tmp)
+    return True
+
+
+def replacing_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated ReplacingMergeTree proof: orders replayed as 4
+    OUT-OF-ORDER micro-batches of (row version 0) ∪ (derived status
+    updates, version 1, for the md5-selected third of orders) through
+    ``merge_replacing`` — updates often arrive BEFORE their base row and
+    the base row must still lose.  Final table = latest version per order;
+    the oracle is the equivalent window argmax in pure SQL."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    updated = F.pmod(stable_hash64(F.col("o_orderkey").cast("string")), F.lit(3)) == 0
+    updates = orders.filter(updated).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("version"),
+        F.lit("D").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    rows = base.unionByName(updates).persist()
+    try:
+        table_dir = _fresh_rollup_dir("orders_replacing")
+        # chunk by (orderkey + 2*version) mod 4: updates land in DIFFERENT
+        # epochs than their base rows, in both orders.
+        epoch = F.pmod(F.col("o_orderkey") + 2 * F.col("version"), F.lit(4))
+        for i in (2, 0, 3, 1):  # deliberately out of order
+            merge_replacing(
+                spark,
+                table_dir,
+                rows.filter(epoch == i),
+                key="o_orderkey",
+                version="version",
+                batch_id=None,  # epochs replay out of order; no marker gate
+            )
+        return spark.read.parquet(table_dir).select(
+            "o_orderkey", "version", "status", "total_price"
+        )
+    finally:
+        rows.unpersist(blocking=False)
