@@ -142,3 +142,34 @@ def test_vectorized_session_fold_matches_loop(gaps, carried):
     got = _fold_session_segments(ts, vals, state, gap_us)
     want = _loop_session_fold(ts, vals, state, gap_us)
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 3), st.integers(0, 99)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    st.permutations(list(range(3))),
+)
+def test_replacing_merge_epoch_order_invariant(spark, tmp_path_factory, rows, epoch_order):
+    """ReplacingMergeTree fold: for ANY (key, version, payload) set split
+    into epochs replayed in ANY order, the final table is the per-key
+    max-version row — associativity/idempotence over random inputs."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_replacing,
+    )
+
+    table = str(tmp_path_factory.mktemp("replacing") / "t")
+    df = spark.createDataFrame(rows, "k long, version long, payload long")
+    for i in epoch_order:
+        batch = df.filter((F.col("k") + F.col("version")) % 3 == i)
+        merge_replacing(spark, table, batch, key="k", version="version")
+    got = sorted(map(tuple, spark.read.parquet(table).select("k", "version", "payload").collect()))
+    want = {}
+    for k, v, p in rows:
+        if (k, v, p) and (k not in want or v > want[k][1]):
+            want[k] = (k, v, p)
+    assert got == sorted(want.values())
