@@ -449,3 +449,24 @@ def test_delete_rows_gdpr_mutation(spark):
         assert touched_months <= all_months | touched_months
         # Idempotent: deleting again touches nothing.
         assert delete_rows(spark, path, f"customer_id = '{victim}'") == []
+
+
+def test_replacing_merge_recovers_from_crash(spark, tmp_path):
+    """merge_replacing shares merge_rollup's .swap-* crash protocol: a
+    crash between delete and rename must not lose earlier versions — the
+    next merge promotes the orphan and the update still supersedes it."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_replacing,
+    )
+
+    table = f"{tmp_path}/replacing"
+    v0 = spark.createDataFrame([(1, 0, "O"), (2, 0, "O")], "k long, version long, s string")
+    v1 = spark.createDataFrame([(1, 1, "D")], "k long, version long, s string")
+    merge_replacing(spark, table, v0, key="k", version="version", batch_id=0)
+    fs.rename(spark, table, f"{table}.swap-crashed1")
+    assert not fs.exists(spark, table)
+    merge_replacing(spark, table, v1, key="k", version="version", batch_id=1)
+    got = {r["k"]: (r["version"], r["s"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: (1, "D"), 2: (0, "O")}  # batch 0's key 2 NOT lost
+    assert not fs.exists(spark, f"{table}.swap-crashed1")
