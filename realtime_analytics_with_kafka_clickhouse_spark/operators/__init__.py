@@ -118,6 +118,10 @@ _NAMES = [
     (windows, [
         "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
         "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
+        "trailing_30d_revenue",        # NEW r5: RANGE (calendar) window frame
+    ]),
+    (relational, [
+        "order_event_days_full_outer",  # NEW r5: FULL OUTER coverage report
     ]),
     (timeseries, [
         "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup

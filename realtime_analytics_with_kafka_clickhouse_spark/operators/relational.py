@@ -922,3 +922,29 @@ def priority_status_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+def order_event_days_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the TPC-H analogs never need):
+    the order-activity calendar against the event-activity calendar, with
+    per-side counts and presence flags — the coverage-gap report shape.
+    Both sides are day-grained aggregates first, so the join input is
+    O(days) per side and the full-outer shuffle is calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    od = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ed = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        od.join(ed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_orders").isNotNull().alias("has_orders"),
+            F.col("n_events").isNotNull().alias("has_events"),
+        )
+    )

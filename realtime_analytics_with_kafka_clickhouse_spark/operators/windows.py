@@ -228,3 +228,23 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trailing").cast("long").alias("n_trailing"),
         F.when(F.col("n_trailing") >= 3, lhs > rhs).otherwise(F.lit(False)).alias("is_anomaly"),
     )
+
+
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): revenue over the
+    trailing 30 CALENDAR days — `RANGE BETWEEN 29 PRECEDING AND CURRENT
+    ROW` over the integer epoch-day, so calendar gaps shrink the frame
+    instead of silently pulling in older rows the way a 30-ROWS frame
+    would.  Decimal-exact frame sums; O(days) input."""
+    daily = _daily_revenue_dec(spark, sf_dir).select(
+        "order_date",
+        F.datediff(F.col("order_date"), F.lit("1970-01-01")).cast("long").alias("d"),
+        "rev_dec",
+    )
+    w = Window.orderBy("d").rangeBetween(-29, 0)
+    return daily.select(
+        "order_date",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("revenue_30d"),
+        F.count("*").over(w).cast("long").alias("days_in_frame"),
+    )

@@ -2524,3 +2524,33 @@ SELECT o_orderkey, version, status, total_price FROM (
   FROM rows_all)
 WHERE rn = 1
 """
+
+
+# RANGE-frame trailing 30 calendar days over the daily series.
+ORACLE["trailing_30d_revenue"] = f"""
+WITH daily AS (
+  SELECT order_date, date_diff('day', DATE '1970-01-01', order_date) AS d, rev_dec
+  FROM ({_DAILY_REV_DEC})
+)
+SELECT order_date,
+       CAST(rev_dec AS DOUBLE) AS daily_revenue,
+       CAST(sum(rev_dec) OVER w AS DOUBLE) AS revenue_30d,
+       CAST(count(*) OVER w AS BIGINT) AS days_in_frame
+FROM daily
+WINDOW w AS (ORDER BY d RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
+# FULL OUTER day-calendar coverage report.
+ORACLE["order_event_days_full_outer"] = """
+WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+            FROM orders GROUP BY 1),
+     ed AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+            FROM events GROUP BY 1)
+SELECT COALESCE(od.day, ed.day) AS day,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       n_orders IS NOT NULL AS has_orders,
+       n_events IS NOT NULL AS has_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
