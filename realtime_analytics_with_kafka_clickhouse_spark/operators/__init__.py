@@ -100,13 +100,24 @@ _NAMES = [
         "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
         "dsir_resample",              # NEW r5: importance-resampling keep set
     ]),
+    # Most semantically fragile new machinery first (BPE replace loop, UDTF
+    # lateral, HLL merge contract): with > 50 never-checked entries this
+    # round, the proven power-sum/sequence pattern family (corr, histogram,
+    # OLS, dense axis — same class as value_dispersion, green r4) waits for
+    # the r6 rotation; all 155 are pytest-oracle-checked at 3 SFs locally.
+    (text, [
+        "bpe_train_merges",            # NEW r5: iterated BPE training loop
+        "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
+        "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
+    ]),
     (timeseries, [
-        "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
-        "value_histogram",             # NEW r5: equal-width distribution
-        "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
-        "dense_hourly_series",         # NEW r5: gap-filled time axis
+        "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
+        "winsorized_value_stats",      # NEW r5: percentile-broadcast clipping
         "funnel_steps",                # NEW r5: sequential conversion funnel
         "cohort_retention",            # NEW r5: weekly retention matrix
+    ]),
+    (rollups, [
+        "events_column_profile",       # NEW r5: one-pass data-quality profile
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
@@ -124,16 +135,10 @@ _NAMES = [
         "order_event_days_full_outer",  # NEW r5: FULL OUTER coverage report
     ]),
     (timeseries, [
-        "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
-        "winsorized_value_stats",      # NEW r5: percentile-broadcast clipping
-    ]),
-    (rollups, [
-        "events_column_profile",       # NEW r5: one-pass data-quality profile
-    ]),
-    (text, [
-        "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
-        "bpe_train_merges",            # NEW r5: iterated BPE training loop
-        "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
+        "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
+        "value_histogram",             # NEW r5: equal-width distribution
+        "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
+        "dense_hourly_series",         # NEW r5: gap-filled time axis
     ]),
     # -- 3. last green in round 3 — stalest evidence, fill the gate --
     (dedup, [
