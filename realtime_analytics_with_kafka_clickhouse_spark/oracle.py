@@ -2274,7 +2274,10 @@ stats AS (
   SELECT order_date, rev_dec,
          count(*) OVER w AS n_trailing,
          CAST(sum(rev_dec) OVER w AS DECIMAL(19,2)) AS s1,
-         CAST(sum(CAST(rev_dec * rev_dec AS DECIMAL(25,4))) OVER w AS DECIMAL(25,4)) AS s2
+         -- widen one operand first: DuckDB caps a DECIMAL(14)*DECIMAL(14)
+         -- product at DECIMAL(18), which overflows at sf>=0.1 magnitudes
+         CAST(sum(CAST(CAST(rev_dec AS DECIMAL(19,2)) * rev_dec AS DECIMAL(25,4)))
+              OVER w AS DECIMAL(25,4)) AS s2
   FROM daily
   WINDOW w AS (ORDER BY order_date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
