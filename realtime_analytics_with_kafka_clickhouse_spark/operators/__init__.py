@@ -54,6 +54,7 @@ _NAMES = [
         "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
         "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
         "replacing_merge_latest",     # NEW r5: ReplacingMergeTree keep-latest
+        "collapsing_merge_net",       # NEW r5: CollapsingMergeTree sign ledger
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

@@ -2557,3 +2557,12 @@ SELECT COALESCE(od.day, ed.day) AS day,
        n_events IS NOT NULL AS has_events
 FROM od FULL OUTER JOIN ed ON od.day = ed.day
 """
+
+
+# CollapsingMergeTree net visibility: the uncancelled two-thirds survive
+# with net sign +1.
+ORACLE["collapsing_merge_net"] = f"""
+SELECT o_orderkey, o_orderstatus AS status, CAST(1 AS BIGINT) AS sign
+FROM orders
+WHERE {_h("CAST(o_orderkey AS VARCHAR)")} % 3 <> 0
+"""

@@ -1228,3 +1228,80 @@ def replacing_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         rows.unpersist(blocking=False)
+
+
+def merge_collapsing(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    keys: list[str],
+    sign: str = "sign",
+    batch_id: int | None = None,
+) -> bool:
+    """CollapsingMergeTree fold — the fourth MergeTree merge semantic: rows
+    carry a ``sign`` (+1 state / -1 cancel) and equal-key rows collapse by
+    SUMMING signs, so a state and its cancellation annihilate at merge
+    time.  Associative and replay-idempotent under the marker protocol;
+    rows whose net sign reaches 0 are dropped from the stored table (the
+    collapse), matching ClickHouse's requirement that a cancel row repeats
+    the state row's values.  Same swap/crash protocol as the other merges."""
+    from ..storage import fs
+
+    fs.recover_latest_swap(spark, table_dir)
+    if batch_id is not None:
+        seen = last_merged_batch(spark, table_dir)
+        if seen is not None and batch_id <= seen:
+            return False
+    if fs.exists(spark, table_dir):
+        unioned = spark.read.parquet(table_dir).unionByName(batch)
+    else:
+        unioned = batch
+    merged = (
+        unioned.groupBy(*keys)
+        .agg(F.sum(sign).cast("long").alias(sign))
+        .filter(F.col(sign) != 0)
+    )
+    tmp = fs.swap_tmp_path(table_dir)
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
+    fs.swap_in(spark, table_dir, tmp)
+    return True
+
+
+def collapsing_merge_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated CollapsingMergeTree proof: every order inserts a +1
+    state row; the md5-selected third also inserts a -1 cancel row (same
+    key values, ClickHouse's collapse contract).  Replayed as 4
+    OUT-OF-ORDER epochs — cancels routinely merge before their state rows
+    and must annihilate them when they arrive.  Final table = net-visible
+    orders (sign +1), i.e. exactly the uncancelled two-thirds; window-free
+    set-difference oracle."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    state = orders.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("sign"),
+    )
+    cancelled = F.pmod(stable_hash64(F.col("o_orderkey").cast("string")), F.lit(3)) == 0
+    cancels = orders.filter(cancelled).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).cast("long").alias("sign"),
+    )
+    rows = state.unionByName(cancels).persist()
+    try:
+        table_dir = _fresh_rollup_dir("orders_collapsing")
+        epoch = F.pmod(F.col("o_orderkey") + F.when(F.col("sign") < 0, 2).otherwise(0), F.lit(4))
+        for i in (1, 3, 0, 2):  # deliberately out of order
+            merge_collapsing(
+                spark,
+                table_dir,
+                rows.filter(epoch == i),
+                keys=["o_orderkey", "status"],
+            )
+        return spark.read.parquet(table_dir).select("o_orderkey", "status", "sign")
+    finally:
+        rows.unpersist(blocking=False)
