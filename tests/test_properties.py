@@ -173,3 +173,31 @@ def test_replacing_merge_epoch_order_invariant(spark, tmp_path_factory, rows, ep
         if (k, v, p) and (k not in want or v > want[k][1]):
             want[k] = (k, v, p)
     assert got == sorted(want.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from([1, -1])),
+        min_size=1,
+        max_size=30,
+    ),
+    st.permutations(list(range(3))),
+)
+def test_collapsing_merge_epoch_order_invariant(spark, tmp_path_factory, rows, epoch_order):
+    """Collapsing fold: any sign multiset split into epochs replayed in any
+    order nets to the same per-key sign sum, with net-zero keys dropped."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_collapsing,
+    )
+
+    table = str(tmp_path_factory.mktemp("collapsing") / "t")
+    indexed = [(k, s, i) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "k long, sign long, i long")
+    for e in epoch_order:
+        merge_collapsing(spark, table, df.filter(F.col("i") % 3 == e).drop("i"), keys=["k"])
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = {}
+    for k, s in rows:
+        want[k] = want.get(k, 0) + s
+    assert got == sorted((k, v) for k, v in want.items() if v != 0)
