@@ -470,3 +470,65 @@ def test_replacing_merge_recovers_from_crash(spark, tmp_path):
     got = {r["k"]: (r["version"], r["s"]) for r in spark.read.parquet(table).collect()}
     assert got == {1: (1, "D"), 2: (0, "O")}  # batch 0's key 2 NOT lost
     assert not fs.exists(spark, f"{table}.swap-crashed1")
+
+
+def test_windowed_rollup_drops_late_event_merge_path_keeps_it(spark, tmp_path):
+    """The documented semantic fork, proven in BOTH directions: an event
+    arriving beyond the watermark after its window finalized is DROPPED by
+    the engine-state windowed aggregation (append mode), but the
+    table-side MERGE path folds it in — the reason merge_rollup is the
+    default MV strategy (unbounded lateness, like the reference's MVs)."""
+    import datetime as dt
+
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        hourly_rollup_aggregate,
+        merge_rollup,
+        windowed_stateful_rollup,
+    )
+
+    def ev(eid, hour, minute):
+        return (eid, dt.datetime(2024, 3, 1, hour, minute), "purchase", 10.0, '{"k": 1}')
+
+    schema = "event_id long, ts timestamp, event_type string, value double, props string"
+    chunk1 = spark.createDataFrame(
+        [ev(1, 10, 0), ev(2, 10, 10), ev(3, 10, 20), ev(4, 23, 0)], schema
+    )
+    # Spark's LATE-RECORD filter runs one batch behind eviction (the 23:00
+    # event's watermark governs filtering from batch 2 on, while window
+    # 10:00 already finalizes at the end of batch 1) — so the late probe
+    # rides a THIRD file, after a filler batch establishes the filter.
+    chunk2 = spark.createDataFrame([ev(7, 23, 10)], schema)
+    chunk3 = spark.createDataFrame([ev(5, 10, 30), ev(6, 23, 30)], schema)
+
+    src = f"{tmp_path}/src"
+    chunk1.coalesce(1).write.mode("append").parquet(src)
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    chunk3.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(chunk1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        windowed_stateful_rollup(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        r["hour"].isoformat(): r["order_count"]
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    assert emitted["2024-03-01T10:00:00"] == 3  # event 5 dropped by the watermark
+
+    rollup_dir = f"{tmp_path}/rollup"
+    merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk1), batch_id=0)
+    merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk2), batch_id=1)
+    merge_rollup(spark, rollup_dir, hourly_rollup_aggregate(chunk3), batch_id=2)
+    merged = {
+        r["hour"].isoformat(): r["order_count"]
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    assert merged["2024-03-01T10:00:00"] == 4  # MERGE path keeps the late event
