@@ -855,15 +855,24 @@ def stream_join_orders_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_src, a_src = _REPLAY_SRC_MEMO[key]
     o_stream = spark.readStream.schema(orders.schema).parquet(o_src)
     a_stream = spark.readStream.schema(acks.schema).parquet(a_src)
-    q = (
-        join_orders_with_acks(o_stream, a_stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stream-stream join keeps FOUR state stores per partition (2 sides x
+    # keyToNumValues/keyWithIndexToValue); at 32 shuffle partitions that is
+    # 128 store opens+commits per micro-batch for a bounded replay — size
+    # the state layout to the replay volume like _replay_events_stream does.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            join_orders_with_acks(o_stream, a_stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
     return spark.sql(
         f"SELECT order_id, order_timestamp, ack_timestamp, ack_status,"
@@ -966,14 +975,21 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Same state-partition sizing call as _replay_events_stream: each
+    # partition is a store open+commit per micro-batch of the bounded replay.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
     return spark.sql(f"SELECT event_id, ts, user_id, value FROM {name}")
 
