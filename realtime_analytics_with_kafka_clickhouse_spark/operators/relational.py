@@ -854,30 +854,38 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division, so cross-engine equality is exact.
 
     Scale shape: the brand dimension broadcasts into the basket build;
-    the pair explosion is a same-order self-join — bounded by basket size
-    (distinct brands per order), never corpus²; the pair aggregate's key
-    space is brands², a constant.  One orderkey shuffle, one brands²
-    aggregate."""
+    the pair explosion is a map-side HOF over each order's sorted brand
+    array — bounded by basket size (distinct brands per order), never
+    corpus²; the pair aggregate's key space is brands², a constant.  One
+    orderkey shuffle total, then brands-/brands²-keyed aggregates."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # cache(): five consumers read this frame (both pair-join sides,
-    # brand_n twice, totals) — uncached, each re-runs the lineitem scan +
-    # distinct (measured 11 shuffles; cached it is 6).
+    # ONE orderkey shuffle builds the basket arrays (collect_set dedups, so
+    # no separate distinct); the pair "explosion" is a map-side HOF over the
+    # sorted array — basket-bounded, never a self-join.  cache(): three
+    # consumers (totals, brand_n, co) read the arrays.
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select(F.col("l_orderkey").alias("okey"), "p_brand")
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         .cache()
     )
-    totals = baskets.agg(
-        F.countDistinct("okey").alias("n_orders")
+    totals = baskets.agg(F.count("*").alias("n_orders"))
+    brand_n = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_brand"))
     )
-    brand_n = baskets.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
-    a = baskets.select("okey", F.col("p_brand").alias("brand_a"))
-    b = baskets.select("okey", F.col("p_brand").alias("brand_b"))
+    # All ordered in-basket pairs (array is sorted, so x < y by slice):
+    # brands² keys land in the aggregate, partial-combined map-side.
+    pairs = F.expr(
+        "flatten(transform(brands, (x, i) ->"
+        " transform(slice(brands, i + 2, size(brands)),"
+        " y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     co = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count("*").cast("long").alias("n_co"))
     )
