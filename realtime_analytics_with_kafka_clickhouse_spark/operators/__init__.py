@@ -119,10 +119,12 @@ _NAMES = [
     ]),
     (rollups, [
         "events_column_profile",       # NEW r5: one-pass data-quality profile
+        "rollup_cascade",              # NEW r5: hourly->daily->monthly partials
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
         "brand_basket_lift",           # NEW r5: market-basket association
+        "cdc_apply",                   # NEW r5: I/U/D log compaction fold
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets
@@ -131,6 +133,7 @@ _NAMES = [
         "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
         "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
         "trailing_30d_revenue",        # NEW r5: RANGE (calendar) window frame
+        "value_rank_battery",          # NEW r5: percent_rank/cume_dist/nth_value
     ]),
     (relational, [
         "order_event_days_full_outer",  # NEW r5: FULL OUTER coverage report

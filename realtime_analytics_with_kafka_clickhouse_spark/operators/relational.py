@@ -956,3 +956,51 @@ def order_event_days_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNotNull().alias("has_events"),
         )
     )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-stream apply (Delta ``MERGE WHEN MATCHED DELETE`` /
+    Debezium snapshot+apply): fold an ordered I/U/D change log down to the
+    live table state — highest sequence number wins per key, and a final
+    'D' removes the key entirely.  This completes the merge-semantics
+    family: Replacing covers upsert, Collapsing covers sign-cancel; CDC
+    adds tombstone deletes driven by an explicit op column.
+
+    The change log derives deterministically from ``orders`` (the
+    engine-portable md5 split, same discipline as the ack stream): seq 0
+    inserts every order, seq 1 doubles the price of the hash%10==0 keys,
+    seq 2 deletes the hash%10==1 keys.  So the expected state is
+    falsifiable in all three directions — missed updates, missed deletes,
+    and resurrection of deleted keys all hash-mismatch.
+
+    Scale shape: one hash aggregate keyed on order_id — ``max_by`` folds
+    (seq, op) and (seq, price) map-side, so the shuffle carries one
+    partial row per key per partition; the delete filter is post-agg and
+    costless.  At 100 TB this is the standard log-compaction shape."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bucket = F.pmod(stable_hash64(F.col("order_id").cast("string")), F.lit(10))
+    inserts = orders.select(
+        "order_id", F.lit(0).alias("seq"), F.lit("I").alias("op"), "price"
+    )
+    updates = orders.filter(bucket == 0).select(
+        "order_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        (F.col("price") * 2).alias("price"),  # *2 is exact on doubles
+    )
+    deletes = orders.filter(bucket == 1).select(
+        "order_id", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit(0.0).alias("price"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    folded = changes.groupBy("order_id").agg(
+        F.max_by("op", "seq").alias("final_op"),
+        F.max_by("price", "seq").alias("final_price"),
+        F.max("seq").cast("long").alias("last_seq"),
+    )
+    return folded.filter(F.col("final_op") != "D").select(
+        "order_id", "final_op", "final_price", "last_seq"
+    )

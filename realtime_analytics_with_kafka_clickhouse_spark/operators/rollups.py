@@ -159,3 +159,33 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(f"inline(array({entries}))")
     ).select("column", "n_rows", "n_nonnull", "n_distinct")
+
+
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregates (TimescaleDB continuous-aggregate /
+    cascading-MV pattern on the reference's SummingMergeTree rollups,
+    /root/reference/clickhouse/init/01_init.sql:44,56): the monthly summary
+    is computed strictly from DAILY partials, which come from the HOURLY A1
+    partials — raw events are scanned exactly once, at the bottom of the
+    cascade.  Each level carries the child-bucket count (n_hours, n_days)
+    so a broken re-aggregation is visible in the driver row, not just in
+    the sums.
+
+    Scale shape: group cardinality shrinks monotonically up the cascade
+    (hours x categories -> days -> months), so every re-aggregation above
+    the base is a near-free partial-combine shuffle of O(groups) rows.
+    ``dsum`` keeps all three levels bit-exact under any partial order."""
+    hourly = hourly_category_rollup(spark, sf_dir)
+    daily = hourly.groupBy(F.to_date("hour").alias("date")).agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+        F.countDistinct("hour").alias("n_hours"),
+    )
+    return daily.groupBy(F.date_format("date", "yyyy-MM").alias("month")).agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+        F.sum("n_hours").alias("n_hours"),
+        F.count("*").alias("n_days"),
+    )

@@ -248,3 +248,34 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_dec").over(w).cast("double").alias("revenue_30d"),
         F.count("*").over(w).cast("long").alias("days_in_frame"),
     )
+
+
+def value_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window battery — the analytic functions the core
+    suite doesn't exercise yet: ``percent_rank`` and ``cume_dist`` (relative
+    position of each order's price within its priority class) plus
+    ``nth_value(2)`` and ``first_value`` over the running frame.
+
+    Cross-engine exactness: ordering is made unique with the orderkey
+    tiebreak, so rank arithmetic has no peer-group ambiguity;
+    percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are single
+    correctly-rounded IEEE divisions of exact integers — bit-identical in
+    both engines, no rounding applied.  With a unique ordering the default
+    RANGE running frame degenerates to ROWS, so nth_value/first_value are
+    frame-unambiguous too.
+
+    Scale shape: one shuffle on the partition key; each partition sorts
+    locally (no global sort).  A skewed partition key would call for the
+    salted two-phase shape (``top_orders_per_priority_salted``); priority
+    classes are near-uniform so the plain window is right here."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.first_value(F.col("o_totalprice")).over(w).alias("cheapest_so_far"),
+        F.nth_value(F.col("o_totalprice"), 2).over(w).alias("second_cheapest_seen"),
+    )

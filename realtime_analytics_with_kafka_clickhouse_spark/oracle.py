@@ -2566,3 +2566,56 @@ SELECT o_orderkey, o_orderstatus AS status, CAST(1 AS BIGINT) AS sign
 FROM orders
 WHERE {_h("CAST(o_orderkey AS VARCHAR)")} % 3 <> 0
 """
+
+
+# Cascading continuous aggregates: monthly from daily from hourly partials.
+ORACLE["rollup_cascade"] = f"""
+WITH hourly AS ({_A1}),
+daily AS (
+  SELECT CAST(hour AS DATE) AS date,
+         CAST(SUM(order_count) AS BIGINT) AS order_count,
+         {_dsum('total_revenue')} AS total_revenue,
+         CAST(SUM(total_quantity) AS BIGINT) AS total_quantity,
+         COUNT(DISTINCT hour) AS n_hours
+  FROM hourly GROUP BY 1)
+SELECT strftime(date, '%Y-%m') AS month,
+       CAST(SUM(order_count) AS BIGINT) AS order_count,
+       {_dsum('total_revenue')} AS total_revenue,
+       CAST(SUM(total_quantity) AS BIGINT) AS total_quantity,
+       CAST(SUM(n_hours) AS BIGINT) AS n_hours,
+       COUNT(*) AS n_days
+FROM daily GROUP BY 1
+"""
+
+
+# CDC apply: latest-seq-wins fold with tombstone deletes.  The change log
+# (seq 0 insert all / seq 1 double hash%10==0 / seq 2 delete hash%10==1)
+# re-derives here; deleted keys vanish, updated keys carry 2x price.
+ORACLE["cdc_apply"] = f"""
+WITH b AS (SELECT o_orderkey AS order_id, o_totalprice AS price,
+                  {_h("CAST(o_orderkey AS VARCHAR)")} % 10 AS bucket
+           FROM orders)
+SELECT order_id,
+       CASE WHEN bucket = 0 THEN 'U' ELSE 'I' END AS final_op,
+       CASE WHEN bucket = 0 THEN price * 2 ELSE price END AS final_price,
+       CAST(CASE WHEN bucket = 0 THEN 1 ELSE 0 END AS BIGINT) AS last_seq
+FROM b WHERE bucket <> 1
+"""
+
+
+# Distribution-rank window battery: unique ordering (price, orderkey) makes
+# every rank/frame unambiguous; percent_rank and cume_dist are single IEEE
+# divisions of exact integers — bit-identical cross-engine.
+ORACLE["value_rank_battery"] = """
+SELECT o_orderkey AS order_id,
+       o_orderpriority AS priority,
+       o_totalprice AS price,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       first_value(o_totalprice) OVER w AS cheapest_so_far,
+       nth_value(o_totalprice, 2) OVER w AS second_cheapest_seen
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
