@@ -55,6 +55,9 @@ _NAMES = [
         "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
         "replacing_merge_latest",     # NEW r5: ReplacingMergeTree keep-latest
         "collapsing_merge_net",       # NEW r5: CollapsingMergeTree sign ledger
+        "incremental_nation_rollup",  # NEW r5: join-MV through the MERGE
+        "txlog_schema_evolution",     # NEW r5: mergeSchema additive evolution
+        "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

@@ -2619,3 +2619,45 @@ WINDOW w AS (PARTITION BY o_orderpriority
              ORDER BY o_totalprice, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# Join-MV maintained through MERGE: partials enriched customer -> nation
+# per batch; decimal folds make 4-epoch == one-shot exact.
+ORACLE["incremental_nation_rollup"] = f"""
+SELECT n_name AS nation,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS order_count,
+       {_dsum('o_totalprice')} AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# Additive schema evolution: epochs 0-1 lack total_quantity (NULL after the
+# mergeSchema union), epochs 2-3 carry it.
+ORACLE["txlog_schema_evolution"] = f"""
+WITH e AS (SELECT *, event_id % 4 AS epoch FROM events),
+p AS (
+  SELECT epoch, date_trunc('hour', ts) AS hour, {_CAT} AS category,
+         count(*) AS order_count, {_dsum('value')} AS total_revenue,
+         CASE WHEN epoch >= 2 THEN CAST(sum({_QTY}) AS BIGINT) END AS total_quantity
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+SELECT category,
+       CAST(SUM(order_count) AS BIGINT) AS order_count,
+       {_dsum('total_revenue')} AS total_revenue,
+       CAST(SUM(total_quantity) AS BIGINT) AS total_quantity,
+       COUNT(*) AS n_partials,
+       COUNT(total_quantity) AS n_with_qty
+FROM p GROUP BY 1
+"""
+
+
+# Bloom-pruned point lookup: min-user probe over raw events.
+ORACLE["txlog_bloom_pruned_read"] = f"""
+SELECT user_id, count(*) AS n_events, {_dsum('value')} AS total_value
+FROM events
+WHERE user_id = (SELECT min(user_id) FROM events)
+GROUP BY user_id
+"""

@@ -104,8 +104,28 @@ def _ranges_overlap(stats: dict | None, prune: dict | None) -> bool:
     return True
 
 
+def _bloom_may_contain(blooms: dict | None, prune_eq: dict | None) -> bool:
+    """Bloom-filter membership check for equality probes: a directory is
+    skippable only when it HAS a bloom for the probed column and the
+    value's bit is absent — a set bit (or a missing bloom) always keeps
+    the directory.  False positives cost a scan, never correctness."""
+    if not prune_eq or not blooms:
+        return True
+    for col, hashed in prune_eq.items():
+        bloom = blooms.get(col)
+        if bloom is None:
+            continue
+        if (hashed % bloom["m"]) not in bloom["_bitset"]:
+            return False
+    return True
+
+
 def read_table(
-    spark: SparkSession, table: str, prune: dict | None = None
+    spark: SparkSession,
+    table: str,
+    prune: dict | None = None,
+    prune_eq: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame | None:
     """The current snapshot as a DataFrame (None if no commits): reads
     exactly the directories the latest commit names.
@@ -114,16 +134,35 @@ def read_table(
     data directory whose commit-recorded zone map is disjoint from the
     request (Delta/Iceberg data skipping: the planner never even lists the
     pruned directories, so a time-range query over an append table touches
-    O(matching dirs), not O(table)).  Callers still apply the real filter;
-    pruning only shrinks the scan set and never changes results."""
+    O(matching dirs), not O(table)).  ``prune_eq`` — optional
+    {col: stable_hash64(value)} — skips directories whose commit-recorded
+    bloom filter rules the value out (the Delta bloom-index analog for
+    high-cardinality point lookups zone maps can't serve).  Callers still
+    apply the real filter; pruning only shrinks the scan set and never
+    changes results.
+
+    ``merge_schema=True`` unions directory schemas by name (parquet
+    mergeSchema), the read side of additive schema evolution: directories
+    appended before a column existed surface it as NULL."""
     _, commit = snapshot(spark, table)
     if commit is None:
         return None
     stats = commit.get("stats", {})
-    dirs = [d for d in commit["dirs"] if _ranges_overlap(stats.get(d), prune)]
+    blooms = commit.get("blooms", {})
+    for per_dir in blooms.values():  # hydrate bit sets once per read
+        for bloom in per_dir.values():
+            if "_bitset" not in bloom:
+                bloom["_bitset"] = set(bloom["bits"])
+    dirs = [
+        d
+        for d in commit["dirs"]
+        if _ranges_overlap(stats.get(d), prune)
+        and _bloom_may_contain(blooms.get(d), prune_eq)
+    ]
+    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not dirs:
-        return spark.read.parquet(f"{table}/{commit['dirs'][0]}").limit(0)
-    return spark.read.parquet(*[f"{table}/{d}" for d in dirs])
+        return reader.parquet(f"{table}/{commit['dirs'][0]}").limit(0)
+    return reader.parquet(*[f"{table}/{d}" for d in dirs])
 
 
 def read_table_at(
@@ -183,6 +222,40 @@ def write_data_dir(df: DataFrame, table: str) -> str:
     return rel
 
 
+#: Bloom bit-space: at 2^20 positions a directory with ~10k distinct keys
+#: false-positives at ~1%, and the stored bit list is O(distinct), not O(m).
+BLOOM_BITS = 1 << 20
+
+
+def dir_bloom(spark: SparkSession, table: str, rel: str, cols: list[str]) -> dict:
+    """{col: {"m": bits, "bits": [set positions]}} for one data directory —
+    a single-hash bloom over ``stable_hash64(value)``, the same
+    engine-portable hash the dedup family uses, so probes can be derived
+    on either engine.  One distributed aggregate over the (just-written,
+    still-hot) directory; the bit list is the directory's distinct-hash
+    set, so storage is O(distinct) with ``m`` only bounding collisions.
+    A column whose bit list saturates past m/8 is dropped — a filter that
+    keeps every directory is dead weight in the commit."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import stable_hash64
+
+    df = spark.read.parquet(f"{table}/{rel}")
+    aggs = [
+        F.collect_set(
+            F.pmod(stable_hash64(F.col(c).cast("string")), F.lit(BLOOM_BITS))
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out: dict[str, dict] = {}
+    for c in cols:
+        bits = sorted(row[c])
+        if len(bits) <= BLOOM_BITS // 8:
+            out[c] = {"m": BLOOM_BITS, "bits": bits}
+    return out
+
+
 def try_commit(
     spark: SparkSession,
     table: str,
@@ -190,15 +263,21 @@ def try_commit(
     dirs: list[str],
     last_merged_batch: int | None,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> bool:
     """Publish ``dirs`` as table version ``version``.  False = lost the
     race (that version exists); caller re-reads state and retries."""
+    blooms = {
+        d: {c: {"m": b["m"], "bits": b["bits"]} for c, b in per.items()}
+        for d, per in (blooms or {}).items()
+    }  # strip any hydrated _bitset before serializing
     payload = json.dumps(
         {
             "version": version,
             "dirs": dirs,
             "last_merged_batch": last_merged_batch,
             "stats": stats or {},
+            "blooms": blooms,
         }
     )
     return fs.create_exclusive(spark, _commit_path(table, version), payload)
@@ -210,15 +289,17 @@ def append_tx(
     df: DataFrame,
     batch_id: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     max_attempts: int = 10,
 ) -> bool:
     """Transactional APPEND: the add-file commit shape (vs. the full-
     snapshot rewrite of ``merge_rollup_tx``) — the new directory joins the
     previous snapshot's directory list, so commit cost is O(1) in table
     size.  ``stats_cols`` records a zone map for the new directory from
-    parquet footers, which ``read_table(prune=...)`` uses for data
-    skipping.  Replayed ``batch_id``s skip, same idempotency contract as
-    the MERGE paths.  Returns True if appended, False if skipped."""
+    parquet footers, and ``bloom_cols`` a per-directory bloom filter for
+    equality probes — both feed ``read_table``'s data skipping.  Replayed
+    ``batch_id``s skip, same idempotency contract as the MERGE paths.
+    Returns True if appended, False if skipped."""
     new_dir: str | None = None
     for _ in range(max_attempts):
         version, commit = snapshot(spark, table)
@@ -234,11 +315,15 @@ def append_tx(
         if new_dir is None:  # write once, retry only the commit
             new_dir = write_data_dir(df, table)
             zone = dir_zone_map(table, new_dir, stats_cols) if stats_cols else {}
+            bloom = dir_bloom(spark, table, new_dir, bloom_cols) if bloom_cols else {}
         dirs = (commit["dirs"] if commit else []) + [new_dir]
         stats = dict(commit.get("stats", {})) if commit else {}
+        blooms = dict(commit.get("blooms", {})) if commit else {}
         if zone:
             stats[new_dir] = zone
-        if try_commit(spark, table, version + 1, dirs, batch_id, stats):
+        if bloom:
+            blooms[new_dir] = bloom
+        if try_commit(spark, table, version + 1, dirs, batch_id, stats, blooms):
             return True
     fs.delete(spark, f"{table}/{new_dir}")
     raise RuntimeError(f"append_tx: gave up after {max_attempts} commit races on {table}")

@@ -1321,3 +1321,153 @@ def collapsing_merge_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(table_dir).select("o_orderkey", "status", "sign")
     finally:
         rows.unpersist(blocking=False)
+
+
+def incremental_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An MV with a JOIN in its SELECT (the ClickHouse join-MV pattern the
+    reference avoids by denormalizing at the producer,
+    /root/reference/producers/sales_producer.py:118-133) maintained through
+    the generalized MERGE: each micro-batch of ``orders`` is enriched
+    customer -> nation BEFORE aggregation, and the (nation, month) partials
+    fold into the stored rollup.  4 out-of-key-order batches; oracle = the
+    one-shot join + GROUP BY.
+
+    Scale shape: the join runs inside the batch (batch x dims, never
+    table x dims); nation (25 rows) is broadcast by hint, customer is left
+    to AQE — at dimension scale it becomes the build side of a shuffle
+    join, and the MERGE cost stays key-bounded either way."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").persist()
+
+    def enrich_agg(batch: DataFrame) -> DataFrame:
+        return (
+            batch.join(cust, batch.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            )
+            .agg(
+                F.count("*").alias("order_count"),
+                dsum("o_totalprice").alias("total_revenue"),
+            )
+        )
+
+    try:
+        rollup_dir = _fresh_rollup_dir("orders_by_nation_monthly")
+        for i in range(4):
+            chunk = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i)
+            merge_rollup(
+                spark,
+                rollup_dir,
+                enrich_agg(chunk),
+                batch_id=i,
+                keys=["nation", "month"],
+                sums=[("order_count", "long"), ("total_revenue", "money")],
+            )
+        return spark.read.parquet(rollup_dir)
+    finally:
+        orders.unpersist(blocking=False)
+
+
+def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the txlog format (Delta's
+    mergeSchema): epochs 0-1 append the A1 partials WITHOUT the quantity
+    measure — the column is introduced mid-history — and epochs 2-3 append
+    with it.  ``read_table(merge_schema=True)`` unions the directory
+    schemas by name, surfacing pre-evolution rows with NULL quantity.
+
+    The returned per-category report carries n_partials vs n_with_qty, so
+    the driver row proves BOTH that old directories stay readable and that
+    exactly the post-evolution partials carry the new column — a reader
+    that dropped old dirs or zero-filled instead of NULL-filling would
+    hash-mismatch."""
+    from ..storage import txlog
+
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        table = _fresh_rollup_dir("sales_hourly_evolving")
+        for i in range(4):
+            agg = hourly_rollup_aggregate(
+                events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            )
+            if i < 2:
+                agg = agg.drop("total_quantity")
+            txlog.append_tx(spark, table, agg, batch_id=i)
+        merged = txlog.read_table(spark, table, merge_schema=True)
+        assert merged is not None
+        return merged.groupBy("category").agg(
+            F.sum("order_count").alias("order_count"),
+            dsum("total_revenue").alias("total_revenue"),
+            F.sum("total_quantity").alias("total_quantity"),
+            F.count("*").alias("n_partials"),
+            F.count("total_quantity").alias("n_with_qty"),
+        )
+    finally:
+        events.unpersist(blocking=False)
+
+
+# User-range-chunked append table for the bloom-skipping proof: (path,
+# probe_user) per (session, sf_dir).
+_BLOOM_TABLE_MEMO: dict[str, tuple[str, int]] = {}
+
+
+def _build_user_chunked_txlog(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Append events as 4 user-RANGE chunks (each user's rows live in
+    exactly one directory — the clustered-by-user layout where a bloom
+    probe has something to skip) with a user_id bloom per directory."""
+    from ..storage import txlog
+
+    key = os.path.abspath(sf_dir)
+    if key not in _BLOOM_TABLE_MEMO:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ).persist()
+        try:
+            lo, hi = events.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+            span = int(hi) - int(lo) + 1
+            bounds = [int(lo) + span * i // 4 for i in range(5)]
+            bounds[4] = int(hi) + 1
+            table = _fresh_rollup_dir("events_by_user_bloom")
+            for i in range(4):
+                chunk = events.filter(
+                    (F.col("user_id") >= bounds[i]) & (F.col("user_id") < bounds[i + 1])
+                )
+                txlog.append_tx(
+                    spark, table, chunk, batch_id=i, bloom_cols=["user_id"]
+                )
+            _BLOOM_TABLE_MEMO[key] = (table, int(lo))
+        finally:
+            events.unpersist(blocking=False)
+    return _BLOOM_TABLE_MEMO[key]
+
+
+def txlog_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping through the driver gate (the Delta
+    bloom-index analog): a point lookup for ONE user over the user-chunked
+    append table reads with the commit-recorded blooms — directories whose
+    bloom rules the user out are never even listed — plus the real filter.
+    The probe is the minimum user_id (deterministic); the oracle is the
+    same lookup on raw events, so the row proves pruning never changes the
+    answer.  A zone map can't serve this: user_id is high-cardinality and
+    the probe is equality, exactly the case bloom indexes exist for.  The
+    pytest side pins that the pruned scan reads fewer directories."""
+    import hashlib
+
+    from ..storage import txlog
+
+    table, probe_user = _build_user_chunked_txlog(spark, sf_dir)
+    # stable_hash64 of the probe value, computed driver-side (same md5
+    # derivation as functions.hashing, over the value's string form).
+    hashed = int(hashlib.md5(str(probe_user).encode()).hexdigest()[:15], 16)
+    df = txlog.read_table(spark, table, prune_eq={"user_id": hashed})
+    assert df is not None
+    return (
+        df.filter(F.col("user_id") == probe_user)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

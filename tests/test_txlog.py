@@ -273,3 +273,52 @@ def test_read_table_at_versions(spark, tmp_path):
     txlog.vacuum(spark, table, keep_versions=1)
     assert txlog.read_table_at(spark, table, 1) is None
     assert txlog.read_table_at(spark, table, 3) is not None
+
+
+def test_append_tx_bloom_prunes_point_lookup(spark, tmp_path):
+    """Append 4 user-ranged batches with user_id blooms; an equality probe
+    reads fewer directories and equals filter-after-full-read."""
+    import hashlib
+
+    events = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    lo, hi = events.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    span = int(hi) - int(lo) + 1
+    bounds = [int(lo) + span * i // 4 for i in range(4)] + [int(hi) + 1]
+    table = str(tmp_path / "events_bloom")
+    for i in range(4):
+        chunk = events.filter(
+            (F.col("user_id") >= bounds[i]) & (F.col("user_id") < bounds[i + 1])
+        )
+        assert txlog.append_tx(spark, table, chunk, batch_id=i, bloom_cols=["user_id"])
+    commit = txlog.read_commit(spark, table, txlog.latest_version(spark, table))
+    assert all(d in commit["blooms"] for d in commit["dirs"])
+
+    probe = int(lo)
+    hashed = int(hashlib.md5(str(probe).encode()).hexdigest()[:15], 16)
+    pruned = txlog.read_table(spark, table, prune_eq={"user_id": hashed})
+    full = txlog.read_table(spark, table)
+    pruned_dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    full_dirs = {f.rsplit("/", 2)[-2] for f in full.inputFiles()}
+    assert len(full_dirs) == 4 and len(pruned_dirs) < 4
+    got = pruned.filter(F.col("user_id") == probe)
+    want = full.filter(F.col("user_id") == probe)
+    assert got.exceptAll(want).count() + want.exceptAll(got).count() == 0
+    # a value present in no directory may still keep FP dirs, never loses rows
+    ghost = int(hashlib.md5(b"no-such-user").hexdigest()[:15], 16)
+    ghosted = txlog.read_table(spark, table, prune_eq={"user_id": ghost})
+    assert ghosted.filter(F.col("user_id") == -1).count() == 0
+
+
+def test_read_table_merge_schema_null_fills_old_dirs(spark, tmp_path):
+    """Directories appended before a column existed surface it as NULL
+    under merge_schema; without merge_schema the first-dir schema wins."""
+    events = load_table(spark, SF_DIR, "events").limit(2000)
+    agg = hourly_rollup_aggregate(events)
+    table = str(tmp_path / "evolving")
+    assert txlog.append_tx(spark, table, agg.drop("total_quantity"), batch_id=0)
+    assert txlog.append_tx(spark, table, agg, batch_id=1)
+    merged = txlog.read_table(spark, table, merge_schema=True)
+    assert "total_quantity" in merged.columns
+    n = agg.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("total_quantity").isNull()).count() == n
