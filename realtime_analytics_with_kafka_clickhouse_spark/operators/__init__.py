@@ -87,6 +87,7 @@ _NAMES = [
         "embedding_prototypicality",  # NEW r5: centroid-distance pruning
         "hybrid_search_topk",         # NEW r5: BM25 + cosine RRF fusion
         "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
+        "embedding_random_projection",  # NEW r5: JL ±1 reduction 64 -> 8
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC

@@ -921,3 +921,48 @@ def embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         norms, "vec_id long, norm_6 double, unit_after_normalize boolean"
     )
+
+
+RP_DIM = 8  # Johnson-Lindenstrauss target dimensionality (64 -> 8)
+
+
+def _rp_matrix() -> list[list[float]]:
+    """±1 Achlioptas projection components, seeded ``rp:p:j`` so the family
+    is independent of the LSH plane family; same md5 derivation as
+    ``_plane_matrix`` and rederivable by the oracle."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1.0 if h(f"rp:{p}:{j}") % 2 == 1 else -1.0 for j in range(1, DIM + 1)]
+        for p in range(RP_DIM)
+    ]
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 via a ±1
+    (Achlioptas 2003) random projection — the cheap, data-independent
+    alternative to PCA for shrinking embedding columns before clustering /
+    ANN at corpus scale.  y_p = <plane_p, x> / sqrt(RP_DIM); the sparse
+    ±1 family satisfies the JL lemma with the same distortion bounds as
+    Gaussian planes but needs no float matrix and no training pass.
+
+    Map-only: the 8x64 matrix rides as column literals (a production
+    deployment broadcasts it), each component is one zip_with product walk
+    + left fold — no shuffle, no UDF, whole-stage-codegen eligible.
+    Cross-engine exactness: identical left-fold order on both engines and
+    a single correctly-rounded division by sqrt(8), so outputs are
+    bit-identical with no rounding applied."""
+    v = load_table(spark, sf_dir, "embeddings")
+    planes = _rp_matrix()
+    cols = [F.col("vec_id")]
+    for p in range(RP_DIM):
+        lit_plane = F.array(*[F.lit(x) for x in planes[p]])
+        prods = F.zip_with(
+            lit_plane, F.col("embedding"), lambda pl, x: pl * x.cast("double")
+        )
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        cols.append((dot / F.sqrt(F.lit(float(RP_DIM)))).alias(f"proj_{p}"))
+    return v.select(*cols)

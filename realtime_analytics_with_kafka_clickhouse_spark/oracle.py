@@ -2661,3 +2661,19 @@ FROM events
 WHERE user_id = (SELECT min(user_id) FROM events)
 GROUP BY user_id
 """
+
+
+# JL ±1 random projection 64 -> 8: per-component left folds with the
+# rp:p:j-seeded sign family; one correctly-rounded division by sqrt(8).
+ORACLE["embedding_random_projection"] = """
+SELECT vec_id,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:0:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_0,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:1:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_1,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:2:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_2,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:3:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_3,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:4:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_4,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:5:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_5,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:6:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_6,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:7:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_7
+FROM embeddings
+"""

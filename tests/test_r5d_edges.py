@@ -1,0 +1,102 @@
+"""Edge coverage for the late round-5 additions: rollup cascade, CDC apply,
+rank battery, random projection."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtime_analytics_with_kafka_clickhouse_spark.operators import (
+    relational,
+    rollups,
+    similarity,
+    windows,
+)
+
+from tests.conftest import SF_DIR
+
+
+def test_rollup_cascade_conserves_grand_totals(spark):
+    """Every cascade level must conserve the base measures: monthly sums
+    equal the raw one-shot totals, and n_hours equals the distinct
+    (hour, category) bucket count of the base rollup."""
+    cascade = rollups.rollup_cascade(spark, SF_DIR)
+    base = rollups.hourly_category_rollup(spark, SF_DIR)
+    got = cascade.agg(
+        F.sum("order_count"), F.sum("total_quantity"), F.sum("n_hours")
+    ).collect()[0]
+    want = base.agg(
+        F.sum("order_count"), F.sum("total_quantity"), F.countDistinct("hour")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+
+
+def test_cdc_apply_buckets(spark):
+    """Deleted bucket vanishes, updated bucket doubles, the rest pass
+    through at seq 0."""
+    from realtime_analytics_with_kafka_clickhouse_spark.functions.hashing import (
+        stable_hash64,
+    )
+
+    out = relational.cdc_apply(spark, SF_DIR)
+    orders = relational.load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("price"),
+        F.pmod(stable_hash64(F.col("o_orderkey").cast("string")), F.lit(10)).alias("b"),
+    )
+    n = {r["b"]: r["n"] for r in orders.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    total = sum(n.values())
+    assert out.count() == total - n.get(1, 0)
+    assert out.filter(F.col("final_op") == "U").count() == n.get(0, 0)
+    # updated rows carry exactly 2x the base price
+    joined = out.filter(F.col("final_op") == "U").join(orders, "order_id")
+    assert joined.filter(F.col("final_price") != F.col("price") * 2).count() == 0
+
+
+def test_value_rank_battery_bounds(spark):
+    """percent_rank/cume_dist live in [0,1]; the per-partition max of
+    cume_dist is exactly 1; second_cheapest_seen is NULL only on each
+    partition's first row."""
+    out = windows.value_rank_battery(spark, SF_DIR).cache()
+    try:
+        bad = out.filter(
+            (F.col("pct_rank") < 0) | (F.col("pct_rank") > 1)
+            | (F.col("cume_dist") <= 0) | (F.col("cume_dist") > 1)
+        )
+        assert bad.count() == 0
+        tops = out.groupBy("priority").agg(F.max("cume_dist").alias("m"))
+        assert tops.filter(F.col("m") != 1.0).count() == 0
+        assert (
+            out.filter(F.col("second_cheapest_seen").isNull()).count()
+            == out.select("priority").distinct().count()
+        )
+    finally:
+        out.unpersist(blocking=False)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property (statistical): squared distances in the projected space
+    track the original within loose distortion on average — the projection
+    is useful, not just deterministic."""
+    emb = similarity.load_table(spark, SF_DIR, "embeddings").limit(40)
+    proj = similarity.embedding_random_projection(spark, SF_DIR)
+    rows = {r["vec_id"]: r for r in proj.join(
+        emb.select("vec_id"), "vec_id"
+    ).collect()}
+    origs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    ids = sorted(origs)[:20]
+    ratios = []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_orig = sum((x - y) ** 2 for x, y in zip(origs[a], origs[b]))
+        pa, pb = rows[a], rows[b]
+        d_proj = sum(
+            (pa[f"proj_{p}"] - pb[f"proj_{p}"]) ** 2 for p in range(similarity.RP_DIM)
+        )
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    mean = sum(ratios) / len(ratios)
+    # E[ratio] = 1; at k=8 individual pairs swing, the mean over 10 should not
+    assert 0.4 < mean < 1.8, ratios
+    assert all(not math.isnan(r) for r in ratios)
