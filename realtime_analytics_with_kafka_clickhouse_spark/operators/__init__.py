@@ -55,6 +55,7 @@ _NAMES = [
         "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
         "replacing_merge_latest",     # NEW r5: ReplacingMergeTree keep-latest
         "collapsing_merge_net",       # NEW r5: CollapsingMergeTree sign ledger
+        "replacing_merge_tombstone",  # NEW r5: is_deleted CDC-through-storage
         "incremental_nation_rollup",  # NEW r5: join-MV through the MERGE
         "txlog_schema_evolution",     # NEW r5: mergeSchema additive evolution
         "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip

@@ -2677,3 +2677,18 @@ SELECT vec_id,
        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:7:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(8.0) AS proj_7
 FROM embeddings
 """
+
+
+# ReplacingMergeTree(ver, is_deleted): latest version per key, tombstoned
+# keys filtered at read.  bucket 1 -> doubled update wins; bucket 2 ->
+# deleted; rest keep their base row.
+ORACLE["replacing_merge_tombstone"] = f"""
+WITH b AS (SELECT o_orderkey, o_totalprice,
+                  {_h("CAST(o_orderkey AS VARCHAR)")} % 5 AS bucket
+           FROM orders)
+SELECT o_orderkey,
+       CAST(CASE WHEN bucket = 1 THEN 1 ELSE 0 END AS BIGINT) AS version,
+       CASE WHEN bucket = 1 THEN o_totalprice * 2 ELSE o_totalprice END
+         AS total_price
+FROM b WHERE bucket <> 2
+"""

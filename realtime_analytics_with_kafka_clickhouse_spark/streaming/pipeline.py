@@ -1471,3 +1471,65 @@ def txlog_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+def replacing_merge_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree(ver, is_deleted) — ClickHouse's CDC-through-
+    storage shape (23.2+): deletes are ordinary rows whose winning version
+    carries a tombstone flag.  The MERGE itself stays the plain
+    latest-version argmax (``merge_replacing`` unchanged: is_deleted is
+    just a column riding the winner struct); tombstoned keys are filtered
+    at READ time, not dropped at merge time.
+
+    Dropping at merge time would be unsound under out-of-order arrival —
+    a base row (v0) merging AFTER its delete (v2) was already collapsed
+    away would resurrect the key, the exact caveat ClickHouse documents
+    for clean_deleted_rows.  Keeping the tombstone row until a retention
+    boundary guarantees no older version can still arrive is the correct
+    contract; the read filter is one map-side predicate.
+
+    4 out-of-order epochs where updates AND deletes routinely precede
+    their base rows; oracle = the pure-SQL window argmax with the
+    tombstone filter applied last."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(stable_hash64(F.col("o_orderkey").cast("string")), F.lit(5))
+    base = orders.select(
+        "o_orderkey",
+        F.lit(0).cast("long").alias("version"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit(0).cast("long").alias("is_deleted"),
+    )
+    updates = orders.filter(bucket == 1).select(
+        "o_orderkey",
+        F.lit(1).cast("long").alias("version"),
+        (F.col("o_totalprice") * 2).alias("total_price"),
+        F.lit(0).cast("long").alias("is_deleted"),
+    )
+    deletes = orders.filter(bucket == 2).select(
+        "o_orderkey",
+        F.lit(2).cast("long").alias("version"),
+        F.lit(0.0).alias("total_price"),
+        F.lit(1).cast("long").alias("is_deleted"),
+    )
+    rows = base.unionByName(updates).unionByName(deletes).persist()
+    try:
+        table_dir = _fresh_rollup_dir("orders_replacing_tomb")
+        epoch = F.pmod(F.col("o_orderkey") + 3 * F.col("version"), F.lit(4))
+        for i in (3, 1, 0, 2):  # deliberately out of order
+            merge_replacing(
+                spark,
+                table_dir,
+                rows.filter(epoch == i),
+                key="o_orderkey",
+                version="version",
+                batch_id=None,
+            )
+        return (
+            spark.read.parquet(table_dir)
+            .filter(F.col("is_deleted") == 0)
+            .select("o_orderkey", "version", "total_price")
+        )
+    finally:
+        rows.unpersist(blocking=False)
