@@ -59,6 +59,7 @@ _NAMES = [
         "incremental_nation_rollup",  # NEW r5: join-MV through the MERGE
         "txlog_schema_evolution",     # NEW r5: mergeSchema additive evolution
         "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip
+        "stream_static_enrich",       # NEW r5: stream x static broadcast join
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof
@@ -125,6 +126,7 @@ _NAMES = [
     (rollups, [
         "events_column_profile",       # NEW r5: one-pass data-quality profile
         "rollup_cascade",              # NEW r5: hourly->daily->monthly partials
+        "mv_consistency_report",       # NEW r5: three-path reconciliation audit
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage

@@ -189,3 +189,42 @@ def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_hours").alias("n_hours"),
         F.count("*").alias("n_days"),
     )
+
+
+def mv_consistency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV reconciliation audit — the operational check a reference user
+    runs when the dashboard disagrees with the raw table: grand totals
+    computed three independent ways (raw events, the A1 hourly rollup,
+    the A2 daily rollup) in one report row with per-path booleans.
+    Decimal-exact sums make the equalities EXACT, not tolerance-based —
+    dsum is associative, so rollup-then-total must equal total.
+
+    Scale shape: three independent aggregates (one over raw, two over
+    already-tiny rollups) joined on nothing — the raw scan dominates and
+    happens once per path; at 100 TB the rollup paths are free and the
+    raw path is the audit's cost, run at audit cadence, not query
+    cadence."""
+    raw = global_totals(spark, sf_dir).select(
+        F.col("total_orders").alias("raw_orders"),
+        F.col("total_revenue").alias("raw_revenue"),
+    )
+    a1 = hourly_category_rollup(spark, sf_dir).agg(
+        F.sum("order_count").alias("a1_orders"),
+        dsum("total_revenue").alias("a1_revenue"),
+    )
+    a2 = daily_region_rollup(spark, sf_dir).agg(
+        F.sum("order_count").alias("a2_orders"),
+        dsum("total_revenue").alias("a2_revenue"),
+    )
+    return (
+        raw.crossJoin(a1)
+        .crossJoin(a2)
+        .select(
+            "raw_orders",
+            "raw_revenue",
+            ((F.col("a1_orders") == F.col("raw_orders"))
+             & (F.col("a1_revenue") == F.col("raw_revenue"))).alias("a1_consistent"),
+            ((F.col("a2_orders") == F.col("raw_orders"))
+             & (F.col("a2_revenue") == F.col("raw_revenue"))).alias("a2_consistent"),
+        )
+    )

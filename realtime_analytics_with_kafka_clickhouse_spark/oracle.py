@@ -2692,3 +2692,20 @@ SELECT o_orderkey,
          AS total_price
 FROM b WHERE bucket <> 2
 """
+
+
+# Stream-static broadcast enrichment: emitted == the batch join.
+ORACLE["stream_static_enrich"] = """
+SELECT o_orderkey AS order_id, c_mktsegment AS segment,
+       CAST(c_nationkey AS BIGINT) AS nation_key,
+       o_totalprice AS total_amount
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# MV reconciliation: rollup-then-total equals total exactly (decimal sums).
+ORACLE["mv_consistency_report"] = f"""
+SELECT count(*) AS raw_orders, {_dsum('value')} AS raw_revenue,
+       TRUE AS a1_consistent, TRUE AS a2_consistent
+FROM events WHERE event_type = 'purchase'
+"""

@@ -1533,3 +1533,62 @@ def replacing_merge_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         rows.unpersist(blocking=False)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated STREAM-STATIC join — the third join mode next to the
+    batch analogs and the stream-stream range join: a streaming fact
+    (orders replayed as 2 micro-batch files) enriched against a static
+    dimension (customer), the Kafka-topic x dimension-table lookup every
+    deployment of the reference would add first.
+
+    Semantics under test: the static side is (re)resolved per micro-batch
+    — Spark plans it as a fresh scan each trigger, so a slowly-changing
+    dimension picks up updates between batches — and the join is
+    STATELESS (no watermark, no state store): each emitted row depends on
+    its batch alone, which is why the emitted set equals the batch join
+    exactly.  The dimension is broadcast; the stream side never
+    shuffles."""
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"senrich-{run}")
+    ckpt, name = os.path.join(d, "ckpt"), f"senrich_{run}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        "o_custkey",
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    key = ("senrich", os.path.abspath(sf_dir))
+    if key not in _REPLAY_SRC_MEMO:
+        src = os.path.join(_INC_ROLLUP_ROOT, f"senrich-src-{run}", "orders")
+        for i in (0, 1):
+            orders.filter(F.pmod(F.col("order_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        _REPLAY_SRC_MEMO[key] = src
+    src = _REPLAY_SRC_MEMO[key]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    enriched = stream.join(
+        F.broadcast(cust), stream.o_custkey == cust.c_custkey
+    ).select(
+        "order_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation_key"),
+        "total_amount",
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT order_id, segment, nation_key, total_amount FROM {name}"
+    )
