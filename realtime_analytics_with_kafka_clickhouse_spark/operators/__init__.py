@@ -60,6 +60,7 @@ _NAMES = [
         "txlog_schema_evolution",     # NEW r5: mergeSchema additive evolution
         "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip
         "stream_static_enrich",       # NEW r5: stream x static broadcast join
+        "aggregating_merge_sketch_mv",  # NEW r5: stored HLL states + OPTIMIZE
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof

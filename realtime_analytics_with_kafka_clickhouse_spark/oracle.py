@@ -2709,3 +2709,13 @@ SELECT count(*) AS raw_orders, {_dsum('value')} AS raw_revenue,
        TRUE AS a1_consistent, TRUE AS a2_consistent
 FROM events WHERE event_type = 'purchase'
 """
+
+
+# AggregatingMergeTree storage lifecycle: stored HLL states merged at read;
+# exact-plus-tolerance contract (sketch binaries differ across engines).
+ORACLE["aggregating_merge_sketch_mv"] = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS stored_states_within_2pct
+FROM events GROUP BY 1
+"""

@@ -1592,3 +1592,59 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT order_id, segment, nation_key, total_amount FROM {name}"
     )
+
+
+def aggregating_merge_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree as a STORAGE lifecycle (completing the in-query
+    ``sketch_rollup_distinct_users``): per-epoch HOURLY HLL states — real
+    DataSketches binaries — are APPENDed to the txlog table as O(1)
+    add-file commits, ``compact_tx`` then runs OPTIMIZE ... FINAL with
+    ``hll_union_agg`` as the fold (equal-key states union at merge, the
+    AggregatingMergeTree background-merge semantic), and the read merges
+    the stored hourly states up to DAILY estimates.
+
+    The sketch column survives parquet round-trips and state-union is
+    associative, so 4-epoch append + compaction + read == one-shot — at
+    100 TB the raw column is touched once per epoch, everything after
+    re-aggregates fixed-size binary states.  Driver contract is the usual
+    exact-plus-tolerance shape (sketch binaries differ across engines)."""
+    from ..storage import txlog
+
+    events = load_table(spark, sf_dir, "events").persist()
+    day = F.to_date("ts").alias("day")
+    try:
+        table = _fresh_rollup_dir("uniques_hourly_states")
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            states = chunk.groupBy(
+                day, F.date_trunc("hour", "ts").alias("hour")
+            ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+            txlog.append_tx(spark, table, states, batch_id=i)
+        # OPTIMIZE FINAL: equal (day, hour) states from different epochs
+        # union into one row per key — the background merge.
+        assert txlog.compact_tx(
+            spark,
+            table,
+            agg=lambda df: df.groupBy("day", "hour").agg(
+                F.hll_union_agg("sk").alias("sk")
+            ),
+        )
+        stored = txlog.read_table(spark, table)
+        assert stored is not None
+        merged = stored.groupBy("day").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        exact = events.groupBy(day).agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        rel_err = (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+        )
+        return exact.join(merged, "day").select(
+            "day",
+            "exact_users",
+            (rel_err <= 0.02).alias("stored_states_within_2pct"),
+        )
+    finally:
+        events.unpersist(blocking=False)
