@@ -373,3 +373,60 @@ def test_column_profile_single_scan_single_expand(spark, queries):
     plan = formatted_plan(queries["events_column_profile"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Expand", plan)) == 1
+
+
+def test_random_projection_map_only(spark, queries):
+    """JL projection is a pure map: no exchange anywhere in the plan."""
+    df = queries["embedding_random_projection"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_brand_basket_lift_single_fact_shuffle(spark, queries):
+    """The basket build is the ONLY shuffle touching fact-sized data: one
+    orderkey exchange + the two tiny brand/brands² aggregates, never the
+    old okey self-join's extra exchanges."""
+    df = queries["brand_basket_lift"](spark, SF_DIR)
+    # 5 exchanges, but only the basket build (cached, runs once) carries
+    # fact-sized rows; co/na/nb/totals aggregate the cached basket arrays
+    # into brands²-, brands-, and 1-row outputs.
+    assert count_shuffles(df) <= 5, formatted_plan(df)
+    assert has_broadcast_join(df)  # part dim + stats rows broadcast
+
+
+def test_cdc_apply_single_aggregate_exchange(spark, queries):
+    """The log-compaction fold is one hash aggregate keyed on order_id:
+    a single exchange, map-side partial max_by before it."""
+    df = queries["cdc_apply"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 1, plan
+    assert "max_by" in plan
+
+
+def test_value_rank_battery_single_window_exchange(spark, queries):
+    """All four analytic functions share ONE window spec: one exchange on
+    the partition key, one sort, no per-function re-shuffle."""
+    df = queries["value_rank_battery"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+    assert formatted_plan(df).count("Window") <= 2  # node + its detail
+
+
+def test_rollup_cascade_reaggregates_partials_only(spark, queries):
+    """The cascade's upper levels exchange O(groups) partial rows: one
+    raw scan feeds 4 aggregate exchanges (base rollup, the two-phase
+    daily distinct-hour count, monthly) — re-aggregation never rescans."""
+    df = queries["rollup_cascade"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1, plan  # exactly one scan
+    assert count_shuffles(df) == 4, plan
+
+
+def test_stream_static_dim_is_broadcast(spark, queries):
+    """The stream-static enrichment must broadcast the dimension (checked
+    on the batch-equivalent plan: same join, same hint)."""
+    from pyspark.sql import functions as F
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert has_broadcast_join(df)

@@ -532,3 +532,46 @@ def test_windowed_rollup_drops_late_event_merge_path_keeps_it(spark, tmp_path):
         for r in spark.read.parquet(rollup_dir).collect()
     }
     assert merged["2024-03-01T10:00:00"] == 4  # MERGE path keeps the late event
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """ST3 delivery guarantee across a query RESTART: a file-source stream
+    processes chunk A, stops, chunk B lands, and a NEW query over the SAME
+    checkpoint + sink processes ONLY B — the checkpointed offsets make the
+    restart exactly-once (no replay of A, no gap).  This is the crash/
+    redeploy path of the reference consumer, where auto-committed Kafka
+    offsets lose or double rows (SURVEY.md §2.7)."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    ).limit(1000).cache()
+    try:
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        a = events.filter(F.col("event_id") % 2 == 0)
+        b = events.filter(F.col("event_id") % 2 == 1)
+        a.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_once():
+            q = (
+                spark.readStream.schema(schema).parquet(src)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        n_a = spark.read.parquet(out).count()
+        assert n_a == a.count()
+        b.coalesce(1).write.mode("append").parquet(src)
+        run_once()  # restart: same checkpoint, same sink
+        got = spark.read.parquet(out)
+        assert got.count() == events.count()  # B appended, A not replayed
+        assert got.select("event_id").distinct().count() == events.count()
+    finally:
+        events.unpersist(blocking=False)
