@@ -101,6 +101,7 @@ _NAMES = [
         "corpus_mix_report",          # NEW r5: training-mix data card
         "train_test_split",           # NEW r5: deterministic hash split
         "temperature_mix_weights",    # NEW r5: T=0.5 sampling weights
+        "weighted_sample_aes",        # NEW r5: A-ES sqrt-chain weighted sample
     ]),
     (text, [
         "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate
@@ -149,6 +150,7 @@ _NAMES = [
     (timeseries, [
         "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
         "value_histogram",             # NEW r5: equal-width distribution
+        "value_equidepth_histogram",   # NEW r5: decile-bounded histogram
         "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
         "dense_hourly_series",         # NEW r5: gap-filled time axis
     ]),

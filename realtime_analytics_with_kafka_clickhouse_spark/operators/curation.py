@@ -243,3 +243,46 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("expected_docs"),
     )
+
+
+AES_SAMPLE_K = 100
+
+
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+    2006): each doc draws key = u^(1/w) from a
+    deterministic uniform u, and the global top-K keys ARE the weighted
+    sample — the standard one-pass distributed algorithm (no rejection
+    loop, no global state).
+
+    Cross-engine exactness by construction: weights are QUALITY TIERS
+    restricted to {1, 2, 4} (word-count thresholds), so u^(1/w) is a
+    sqrt CHAIN — u, sqrt(u), sqrt(sqrt(u)) — and IEEE sqrt is correctly
+    rounded on both engines where pow() is not.  u derives from the
+    portable md5 hash: (h % M + 1) / (M + 1) with M = 2^52, exact in
+    doubles.  Top-K plans as TakeOrderedAndProject — per-partition heads,
+    no global sort exchange."""
+    from ..functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    w = (
+        F.when(n_words >= 40, 4).when(n_words >= 15, 2).otherwise(1).cast("long")
+    )
+    m = 1 << 52
+    u = (F.pmod(stable_hash64(F.col("doc_id").cast("string")), F.lit(m)) + 1) / F.lit(
+        float(m + 1)
+    )
+    key = (
+        F.when(F.col("w") == 4, F.sqrt(F.sqrt(F.col("u"))))
+        .when(F.col("w") == 2, F.sqrt(F.col("u")))
+        .otherwise(F.col("u"))
+    )
+    scored = docs.select(
+        "doc_id", w.alias("w"), u.alias("u")
+    ).select("doc_id", "w", key.alias("key"))
+    return (
+        scored.orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(AES_SAMPLE_K)
+        .select("doc_id", "w", "key")
+    )

@@ -629,3 +629,41 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(clipped).alias("winsorized_total"),
         )
     )
+
+
+EQUIDEPTH_BUCKETS = 10
+
+
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (the optimizer-statistics / monitoring
+    companion to the equal-width ``value_histogram``): bucket boundaries
+    are the exact interpolated deciles, so each bucket holds ~10% of rows
+    regardless of skew.
+
+    Scale shape: NOT ntile — a global ntile is a single-reducer sort.
+    The 9 boundaries reduce to ONE broadcast row (the winsorized-stats
+    discipline); bucket index is computed MAP-SIDE as the count of
+    boundaries strictly below the value (deterministic under ties, the
+    expression the oracle mirrors); the final aggregate is 10 keys.
+    Exact interpolated percentiles match across engines (the
+    value_percentiles contract), and double comparisons against them are
+    exact."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    bounds = ev.agg(
+        F.expr(f"percentile(value, array({', '.join(str(q) for q in qs)}))").alias("bs")
+    )
+    bucket = F.aggregate(
+        F.col("bs"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(F.col("value") > b, 1).otherwise(0),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -2719,3 +2719,38 @@ SELECT CAST(ts AS DATE) AS day,
        TRUE AS stored_states_within_2pct
 FROM events GROUP BY 1
 """
+
+
+# Equi-depth histogram: bucket = count of decile boundaries strictly below
+# the value; boundaries are exact interpolated percentiles.
+ORACLE["value_equidepth_histogram"] = f"""
+WITH b AS (
+  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM events)
+SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(bs, x -> CAST(CASE WHEN value > x THEN 1 ELSE 0 END AS BIGINT))),
+         (a, c) -> a + c) AS bucket,
+       count(*) AS n_events,
+       {_dsum('value')} AS total_value
+FROM events, b GROUP BY 1
+"""
+
+
+# A-ES weighted sample: sqrt-chain keys (w in {{1,2,4}}), top-100 by key.
+ORACLE["weighted_sample_aes"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(string_split(text, ' ')) >= 40 THEN 4
+                   WHEN len(string_split(text, ' ')) >= 15 THEN 2
+                   ELSE 1 END AS BIGINT) AS w,
+         ({_h('CAST(doc_id AS VARCHAR)')} % 4503599627370496 + 1)
+           / 4503599627370497.0 AS u
+  FROM documents)
+SELECT doc_id, w,
+       CASE WHEN w = 4 THEN sqrt(sqrt(u))
+            WHEN w = 2 THEN sqrt(u)
+            ELSE u END AS key
+FROM s
+ORDER BY key DESC, doc_id ASC
+LIMIT 100
+"""
