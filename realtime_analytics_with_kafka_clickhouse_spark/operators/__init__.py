@@ -36,10 +36,17 @@ from ..streaming import pipeline as _streaming_pipeline
 #      back next round
 #
 # Each round: move the sections that just got green rows to the tail and
-# promote the stalest, so no entry goes 2 rounds unchecked.  For round 6:
-# sections 1-2 will have r5 rows — demote them, promote the rest of
-# section 3 (the text battery onward) and section 4's rollups/relational
-# tail into the 50-slot window.
+# promote the stalest, so no entry goes 2 rounds unchecked.  r5b pass:
+# with ~60 never-checked r5 entries and 50 slots, the gate takes (a) all
+# storage/streaming machinery, (b) every operator ADDED OR REWRITTEN in
+# the r5b session (tombstone merge, join-MV, schema evolution, bloom
+# skip, stream-static, sketch MV, RP, A-ES sample, basket-lift rewrite,
+# CDC, cascade, rank battery), (c) the most fragile remaining classes
+# (BPE loop, UDTF, HLL merge).  The proven hash-threshold/map-only family
+# (train_test_split, temperature_mix_weights, vocab_oov_rate,
+# dsir_resample) and the power-sum/sequence family wait just past the
+# gate — promote them FIRST in round 6, along with the section-3 text
+# battery.
 _NAMES = [
     # -- 1. red in r04 (fs.py varargs / NTZ ts — both fixed in r5) --
     (_streaming_pipeline, [
@@ -99,15 +106,21 @@ _NAMES = [
     (curation, [
         "dedup_keep_best",            # rides the adaptive CC
         "corpus_mix_report",          # NEW r5: training-mix data card
-        "train_test_split",           # NEW r5: deterministic hash split
-        "temperature_mix_weights",    # NEW r5: T=0.5 sampling weights
         "weighted_sample_aes",        # NEW r5: A-ES sqrt-chain weighted sample
     ]),
+    (relational, [
+        "brand_basket_lift",          # REWRITTEN r5b: HOF pair expansion
+        "cdc_apply",                  # NEW r5b: I/U/D log compaction fold
+    ]),
+    (rollups, [
+        "rollup_cascade",             # NEW r5b: hourly->daily->monthly partials
+    ]),
+    (windows, [
+        "value_rank_battery",         # NEW r5b: percent_rank/cume_dist/nth_value
+    ]),
     (text, [
-        "vocab_oov_rate",             # NEW r5: vocab coverage / OOV rate
         "build_inverted_index",       # NEW r5: capped posting lists
         "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
-        "dsir_resample",              # NEW r5: importance-resampling keep set
     ]),
     # Most semantically fragile new machinery first (BPE replace loop, UDTF
     # lateral, HLL merge contract): with > 50 never-checked entries this
@@ -127,13 +140,18 @@ _NAMES = [
     ]),
     (rollups, [
         "events_column_profile",       # NEW r5: one-pass data-quality profile
-        "rollup_cascade",              # NEW r5: hourly->daily->monthly partials
         "mv_consistency_report",       # NEW r5: three-path reconciliation audit
+    ]),
+    (curation, [
+        "train_test_split",            # NEW r5: deterministic hash split
+        "temperature_mix_weights",     # NEW r5: T=0.5 sampling weights
+    ]),
+    (text, [
+        "vocab_oov_rate",              # NEW r5: vocab coverage / OOV rate
+        "dsir_resample",               # NEW r5: importance-resampling keep set
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
-        "brand_basket_lift",           # NEW r5: market-basket association
-        "cdc_apply",                   # NEW r5: I/U/D log compaction fold
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets
@@ -142,7 +160,6 @@ _NAMES = [
         "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
         "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
         "trailing_30d_revenue",        # NEW r5: RANGE (calendar) window frame
-        "value_rank_battery",          # NEW r5: percent_rank/cume_dist/nth_value
     ]),
     (relational, [
         "order_event_days_full_outer",  # NEW r5: FULL OUTER coverage report
