@@ -57,6 +57,7 @@ _NAMES = [
         "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
         "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
         "stream_join_orders_acks",    # NEW r5: stream-stream range join
+        "stream_join_orders_acks_outer",  # NEW r5b: padded-eviction outer join
         "txlog_pruned_read",          # NEW r5: zone-map data skipping
         "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
         "stream_running_totals_events",  # NEW r5: transformWithStateInPandas

@@ -2754,3 +2754,20 @@ FROM s
 ORDER BY key DESC, doc_id ASC
 LIMIT 100
 """
+
+
+# Streaming LEFT OUTER join: matched half carries its +10min ack; the
+# out-of-window half emits NULL-padded on watermark eviction.
+ORACLE["stream_join_orders_acks_outer"] = f"""
+WITH b AS (SELECT o_orderkey AS order_id,
+                  CAST(o_orderdate AS TIMESTAMP) AS order_timestamp,
+                  o_totalprice AS total_amount,
+                  {_h("CAST(o_orderkey AS VARCHAR)")} % 2 AS bucket
+           FROM orders)
+SELECT order_id, order_timestamp,
+       CASE WHEN bucket = 0
+            THEN order_timestamp + INTERVAL 10 MINUTE END AS ack_timestamp,
+       CASE WHEN bucket = 0 THEN 'ok' END AS ack_status,
+       total_amount
+FROM b
+"""

@@ -1648,3 +1648,119 @@ def aggregating_merge_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         events.unpersist(blocking=False)
+
+
+def join_orders_with_acks_outer(
+    orders: DataFrame,
+    acks: DataFrame,
+    max_ack_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: like ``join_orders_with_acks`` but
+    an order with no in-window ack still emits — NULL-padded — once the
+    watermark passes its join window and Spark evicts its state.  The
+    padded emission is the semantically hard half of stream-stream joins
+    (matches emit eagerly; non-matches only exist once the engine can
+    PROVE no match can still arrive)."""
+    o = orders.select(
+        F.col("order_id").alias("o_order_id"),
+        F.col("order_timestamp"),
+        F.col("total_amount"),
+    ).withWatermark("order_timestamp", watermark)
+    a = acks.select(
+        F.col("order_id").alias("a_order_id"),
+        F.col("ack_timestamp"),
+        F.col("ack_status"),
+    ).withWatermark("ack_timestamp", watermark)
+    cond = (
+        (F.col("o_order_id") == F.col("a_order_id"))
+        & (F.col("ack_timestamp") >= F.col("order_timestamp"))
+        & (F.col("ack_timestamp") <= F.col("order_timestamp") + F.expr(f"INTERVAL {max_ack_delay}"))
+    )
+    return o.join(a, cond, "leftOuter").select(
+        F.col("o_order_id").alias("order_id"),
+        "order_timestamp",
+        "ack_timestamp",
+        "ack_status",
+        "total_amount",
+    )
+
+
+def stream_join_orders_acks_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated stream-stream LEFT OUTER join: the md5-selected half
+    of orders acks inside the 1-hour window (matched rows emit eagerly);
+    the other half's ack lands at +3 h — OUTSIDE the window — so those
+    orders emit NULL-PADDED, but only when watermark eviction proves the
+    window closed.
+
+    Making EVERY unmatched order's emission provable is the harness trick:
+    a far-future SENTINEL row (order_id -1, +30 days) rides as a second
+    micro-batch file on BOTH sides, pushing the final watermark past every
+    real order's window.  The sentinel itself never emits — its own window
+    never closes — so the emitted set is exactly the batch LEFT JOIN over
+    real orders, NULL-padded where the ack fell outside the window.
+    Mechanics under test: padded-row emission on state eviction, the
+    no-data batch that fires eviction after the last file, and per-side
+    watermarks."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").cast("timestamp").alias("order_timestamp"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    in_window = F.pmod(stable_hash64(F.col("order_id").cast("string")), F.lit(2)) == 0
+    acks = orders.select(
+        "order_id",
+        F.when(in_window, F.col("order_timestamp") + F.expr("INTERVAL 10 MINUTES"))
+        .otherwise(F.col("order_timestamp") + F.expr("INTERVAL 3 HOURS"))
+        .alias("ack_timestamp"),
+        F.lit("ok").alias("ack_status"),
+    )
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"ssjoino-{run}")
+    ckpt, name = os.path.join(d, "ckpt"), f"ssjoino_{run}"
+    key = ("ssjoino", os.path.abspath(sf_dir))
+    if key not in _REPLAY_SRC_MEMO:
+        far = orders.agg(
+            (F.max("order_timestamp") + F.expr("INTERVAL 30 DAYS")).alias("t")
+        ).collect()[0]["t"]
+        o_src = os.path.join(_INC_ROLLUP_ROOT, f"ssjoino-src-{run}", "orders")
+        a_src = os.path.join(_INC_ROLLUP_ROOT, f"ssjoino-src-{run}", "acks")
+        orders.coalesce(1).write.parquet(o_src)
+        acks.coalesce(1).write.parquet(a_src)
+        sentinel_o = spark.createDataFrame(
+            [(-1, far, 0.0)], schema=orders.schema
+        )
+        sentinel_a = spark.createDataFrame(
+            [(-1, far, "sentinel")], schema=acks.schema
+        )
+        sentinel_o.coalesce(1).write.mode("append").parquet(o_src)
+        sentinel_a.coalesce(1).write.mode("append").parquet(a_src)
+        _REPLAY_SRC_MEMO[key] = (o_src, a_src)
+    o_src, a_src = _REPLAY_SRC_MEMO[key]
+    o_stream = spark.readStream.schema(orders.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(o_src)
+    a_stream = spark.readStream.schema(acks.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(a_src)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            join_orders_with_acks_outer(o_stream, a_stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT order_id, order_timestamp, ack_timestamp, ack_status,"
+        f" total_amount FROM {name} WHERE order_id >= 0"
+    )
