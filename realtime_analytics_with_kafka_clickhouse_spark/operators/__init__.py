@@ -99,6 +99,7 @@ _NAMES = [
         "hybrid_search_topk",         # NEW r5: BM25 + cosine RRF fusion
         "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
         "embedding_random_projection",  # NEW r5: JL ±1 reduction 64 -> 8
+        "ann_rp_topk",                  # NEW r5b: RP candidate cut + exact rerank
     ]),
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC

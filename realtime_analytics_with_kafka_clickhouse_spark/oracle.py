@@ -2771,3 +2771,72 @@ SELECT order_id, order_timestamp,
        total_amount
 FROM b
 """
+
+
+# RP-accelerated ANN: candidate cut by 32-dim projected cosine (top-100),
+# exact 64-dim rerank of only those candidates; round-6-before-rank
+# discipline; every fold left-associated to match the numpy accumulation.
+ORACLE["ann_rp_topk"] = f"""
+WITH pr0 AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:0:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_0,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:1:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:2:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_2,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:3:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_3,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:4:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_4,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:5:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_5,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:6:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_6,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:7:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_7,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:8:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_8,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:9:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_9,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:10:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_10,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:11:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_11,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:12:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_12,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:13:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_13,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:14:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_14,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:15:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_15,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:16:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_16,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:17:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_17,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:18:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_18,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:19:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_19,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:20:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_20,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:21:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_21,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:22:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_22,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:23:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_23,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:24:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_24,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:25:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_25,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:26:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_26,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:27:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_27,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:28:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_28,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:29:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_29,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:30:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_30,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), j -> (CASE WHEN CAST('0x' || substr(md5('rp:31:' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) * CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) / sqrt(32.0) AS proj_31
+  FROM embeddings),
+pr AS (
+  SELECT *, sqrt(((((((((((((((((((((((((((((((((proj_0 * proj_0) + (proj_1 * proj_1)) + (proj_2 * proj_2)) + (proj_3 * proj_3)) + (proj_4 * proj_4)) + (proj_5 * proj_5)) + (proj_6 * proj_6)) + (proj_7 * proj_7)) + (proj_8 * proj_8)) + (proj_9 * proj_9)) + (proj_10 * proj_10)) + (proj_11 * proj_11)) + (proj_12 * proj_12)) + (proj_13 * proj_13)) + (proj_14 * proj_14)) + (proj_15 * proj_15)) + (proj_16 * proj_16)) + (proj_17 * proj_17)) + (proj_18 * proj_18)) + (proj_19 * proj_19)) + (proj_20 * proj_20)) + (proj_21 * proj_21)) + (proj_22 * proj_22)) + (proj_23 * proj_23)) + (proj_24 * proj_24)) + (proj_25 * proj_25)) + (proj_26 * proj_26)) + (proj_27 * proj_27)) + (proj_28 * proj_28)) + (proj_29 * proj_29)) + (proj_30 * proj_30)) + (proj_31 * proj_31))) AS nproj FROM pr0),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round(((((((((((((((((((((((((((((((((a.proj_0 * b.proj_0) + (a.proj_1 * b.proj_1)) + (a.proj_2 * b.proj_2)) + (a.proj_3 * b.proj_3)) + (a.proj_4 * b.proj_4)) + (a.proj_5 * b.proj_5)) + (a.proj_6 * b.proj_6)) + (a.proj_7 * b.proj_7)) + (a.proj_8 * b.proj_8)) + (a.proj_9 * b.proj_9)) + (a.proj_10 * b.proj_10)) + (a.proj_11 * b.proj_11)) + (a.proj_12 * b.proj_12)) + (a.proj_13 * b.proj_13)) + (a.proj_14 * b.proj_14)) + (a.proj_15 * b.proj_15)) + (a.proj_16 * b.proj_16)) + (a.proj_17 * b.proj_17)) + (a.proj_18 * b.proj_18)) + (a.proj_19 * b.proj_19)) + (a.proj_20 * b.proj_20)) + (a.proj_21 * b.proj_21)) + (a.proj_22 * b.proj_22)) + (a.proj_23 * b.proj_23)) + (a.proj_24 * b.proj_24)) + (a.proj_25 * b.proj_25)) + (a.proj_26 * b.proj_26)) + (a.proj_27 * b.proj_27)) + (a.proj_28 * b.proj_28)) + (a.proj_29 * b.proj_29)) + (a.proj_30 * b.proj_30)) + (a.proj_31 * b.proj_31)) / (a.nproj * b.nproj), 6) AS pcos
+  FROM pr a JOIN pr b ON a.vec_id <> b.vec_id),
+topm AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY pcos DESC, neighbor_id ASC) AS r
+    FROM cand) WHERE r <= 100),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS n64
+  FROM embeddings),
+rr AS (
+  SELECT t.vec_id, t.neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.n64 * b.n64), 6)
+           AS cos_sim
+  FROM topm t
+  JOIN nv a ON a.vec_id = t.vec_id
+  JOIN nv b ON b.vec_id = t.neighbor_id)
+SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM rr) WHERE rank <= 5
+"""

@@ -100,3 +100,17 @@ def test_random_projection_preserves_distances(spark):
     # E[ratio] = 1; at k=8 individual pairs swing, the mean over 10 should not
     assert 0.4 < mean < 1.8, ratios
     assert all(not math.isnan(r) for r in ratios)
+
+
+def test_ann_rp_topk_recall_against_exact(spark):
+    """The RP candidate cut must keep real neighbors: recall@5 vs the
+    exact top-5 at a deterministic floor (isotropic fixtures are ANN's
+    worst case; 32 projected dims + the 100-candidate rerank hold ~0.8)."""
+    rp = similarity.ann_rp_topk(spark, SF_DIR).select("vec_id", "neighbor_id")
+    exact = similarity.ann_cosine_topk(spark, SF_DIR).select(
+        "vec_id", "neighbor_id"
+    )
+    n_exact = exact.count()
+    n_hit = exact.intersect(rp).count()
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.6, f"recall {n_hit}/{n_exact}"
