@@ -84,7 +84,6 @@ _NAMES = [
     # -- 2. changed in round 5 --
     (relational, [
         "customers_without_orders",   # recency-window anti join (non-empty)
-        "q22_idle_rich_customers",    # same window
     ]),
     (multimodal, [
         "media_phash_near_dup",       # recall canaries (rows > 0 now)
@@ -154,6 +153,7 @@ _NAMES = [
     ]),
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
+        "q22_idle_rich_customers",     # same recency window as the gated anti join
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets
