@@ -170,6 +170,7 @@ _NAMES = [
         "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
         "value_histogram",             # NEW r5: equal-width distribution
         "value_equidepth_histogram",   # NEW r5: decile-bounded histogram
+        "interpolated_hourly_series",  # NEW r5: linear gap imputation
         "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
         "dense_hourly_series",         # NEW r5: gap-filled time axis
     ]),

@@ -667,3 +667,65 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+def interpolated_hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly revenue with LINEAR INTERPOLATION — the
+    time-series imputation step (pandas ``interpolate(method='linear')``
+    / TimescaleDB ``interpolate()``) where a missing hour reads as the
+    straight line between its nearest present neighbors, not as zero.
+
+    Shape: dense axis (sequence-exploded, span-bounded) left-joined to
+    the hourly aggregate, then IGNORE-NULLS running last/first over the
+    axis pick each gap's neighbors.  The single-partition window is
+    AXIS-sized — |hours| rows regardless of data volume — so the
+    "no partition" shape is correct here, not a scale bug (a multi-year
+    axis would window per month and stitch the seams).
+
+    The lerp prev + (next-prev) * dh/dn runs on exact integer epoch-hour
+    deltas with one division — the identical expression tree on both
+    engines, so interpolated values are bit-identical; edge hours with
+    only one neighbor coalesce to it."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").alias("order_count"), dsum("value").alias("total_revenue"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    joined = axis.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("order_count"), F.lit(0)).cast("long").alias("order_count"),
+        "total_revenue",
+        F.expr("unix_seconds(hour) DIV 3600").alias("eh"),
+    )
+    w_prev = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("hour").rowsBetween(0, Window.unboundedFollowing)
+    present_eh = F.when(F.col("total_revenue").isNotNull(), F.col("eh"))
+    prev_v = F.last("total_revenue", ignorenulls=True).over(w_prev)
+    prev_h = F.last(present_eh, ignorenulls=True).over(w_prev)
+    next_v = F.first("total_revenue", ignorenulls=True).over(w_next)
+    next_h = F.first(present_eh, ignorenulls=True).over(w_next)
+    lerp = prev_v + (next_v - prev_v) * (
+        (F.col("eh") - prev_h).cast("double") / (next_h - prev_h).cast("double")
+    )
+    filled = (
+        F.when(F.col("total_revenue").isNotNull(), F.col("total_revenue"))
+        .when(prev_h.isNull(), next_v)
+        .when(next_h.isNull(), prev_v)
+        .otherwise(lerp)
+    )
+    return joined.select(
+        "hour",
+        "order_count",
+        filled.alias("revenue_filled"),
+        F.col("total_revenue").isNull().alias("was_interpolated"),
+    )

@@ -2840,3 +2840,44 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
              ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
   FROM rr) WHERE rank <= 5
 """
+
+
+# Linear interpolation over the dense hour axis: IGNORE NULLS running
+# neighbors, identical lerp expression tree -> bit-identical values.
+ORACLE["interpolated_hourly_series"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         count(*) AS order_count, {_dsum('value')} AS total_revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+j AS (
+  SELECT axis.hour,
+         CAST(coalesce(order_count, 0) AS BIGINT) AS order_count,
+         total_revenue,
+         epoch(axis.hour) // 3600 AS eh
+  FROM axis LEFT JOIN hourly ON axis.hour = hourly.hour),
+n AS (
+  SELECT *,
+         last_value(total_revenue IGNORE NULLS) OVER
+           (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN total_revenue IS NOT NULL THEN eh END IGNORE NULLS) OVER
+           (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(total_revenue IGNORE NULLS) OVER
+           (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN total_revenue IS NOT NULL THEN eh END IGNORE NULLS) OVER
+           (ORDER BY hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM j)
+SELECT hour, order_count,
+       CASE WHEN total_revenue IS NOT NULL THEN total_revenue
+            WHEN prev_h IS NULL THEN next_v
+            WHEN next_h IS NULL THEN prev_v
+            ELSE prev_v + (next_v - prev_v) *
+                 (CAST(eh - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+       END AS revenue_filled,
+       total_revenue IS NULL AS was_interpolated
+FROM n
+"""
