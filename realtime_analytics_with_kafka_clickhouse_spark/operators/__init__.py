@@ -69,6 +69,7 @@ _NAMES = [
         "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip
         "stream_static_enrich",       # NEW r5: stream x static broadcast join
         "aggregating_merge_sketch_mv",  # NEW r5: stored HLL states + OPTIMIZE
+        "txlog_changes_feed",         # NEW r5b: CDF between append versions
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof
@@ -87,7 +88,6 @@ _NAMES = [
     ]),
     (multimodal, [
         "media_phash_near_dup",       # recall canaries (rows > 0 now)
-        "media_phash_clusters",       # NEW r5: CC over phash pairs
     ]),
     (similarity, [
         "kmeans_train",               # map-side quantizer assignment
@@ -154,6 +154,9 @@ _NAMES = [
     (relational, [
         "similar_customer_names",      # NEW r5: blocked levenshtein linkage
         "q22_idle_rich_customers",     # same recency window as the gated anti join
+    ]),
+    (multimodal, [
+        "media_phash_clusters",        # NEW r5: CC shared with gated near_dup_clusters
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets

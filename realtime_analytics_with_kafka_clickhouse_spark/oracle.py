@@ -2881,3 +2881,16 @@ SELECT hour, order_count,
        total_revenue IS NULL AS was_interpolated
 FROM n
 """
+
+
+# CDF between versions 1 and 3 of the mod-4 append history = epochs 1-2.
+ORACLE["txlog_changes_feed"] = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       {_CAT} AS category,
+       count(*) AS order_count,
+       {_dsum('value')} AS total_revenue,
+       CAST(sum({_QTY}) AS BIGINT) AS total_quantity
+FROM events
+WHERE event_type = 'purchase' AND event_id % 4 IN (1, 2)
+GROUP BY 1, 2
+"""

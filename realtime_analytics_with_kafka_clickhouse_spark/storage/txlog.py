@@ -502,3 +502,29 @@ def auto_compact(
     if commit is None or len(commit["dirs"]) <= max_live_dirs:
         return False
     return compact_tx(spark, table, agg=agg, stats_cols=stats_cols)
+
+
+def read_changes_between(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame | None:
+    """Change Data Feed for append tables (Delta's ``table_changes``):
+    the rows ADDED between two committed versions — exactly the data
+    directories named by ``to_version`` but not by ``from_version``.
+    O(1) metadata (two commit reads, a set difference); no data diffing,
+    because append commits never rewrite rows.  Returns None if either
+    version is missing; an empty-but-valid range returns an empty frame
+    with the table's schema.
+
+    Only meaningful for append-shaped histories: a compaction or MERGE
+    rewrite collapses the directory lineage (its commit replaces the dir
+    list), the same caveat Delta's CDF has for OPTIMIZE — consumers read
+    changes BEFORE compaction horizons, which is why ``vacuum`` keeps
+    ``keep_versions`` of history."""
+    c_from = read_commit(spark, table, from_version)
+    c_to = read_commit(spark, table, to_version)
+    if c_from is None or c_to is None:
+        return None
+    added = [d for d in c_to["dirs"] if d not in set(c_from["dirs"])]
+    if not added:
+        return spark.read.parquet(f"{table}/{c_to['dirs'][0]}").limit(0)
+    return spark.read.parquet(*[f"{table}/{d}" for d in added])

@@ -1764,3 +1764,22 @@ def stream_join_orders_acks_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         f"SELECT order_id, order_timestamp, ack_timestamp, ack_status,"
         f" total_amount FROM {name} WHERE order_id >= 0"
     )
+
+
+def txlog_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed through the driver gate: the rows added to the
+    append table BETWEEN versions 1 and 3 — i.e. epochs 1 and 2 of the
+    4-epoch append history, nothing before, nothing after.  The oracle is
+    the A1 aggregation restricted to exactly those epochs' events, so the
+    row proves the feed is an incremental slice, not a snapshot re-read
+    (a snapshot would include epoch 0 and hash-mismatch)."""
+    from ..storage import txlog
+
+    table = _build_txlog_append_table(spark, sf_dir)
+    changes = txlog.read_changes_between(spark, table, 1, 3)
+    assert changes is not None, "versions 1 and 3 must exist"
+    return changes.groupBy(*ROLLUP_KEYS).agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+    )
