@@ -88,6 +88,7 @@ _NAMES = [
     ]),
     (multimodal, [
         "media_phash_near_dup",       # recall canaries (rows > 0 now)
+        "scene_change_flags",         # NEW r5b: shot-boundary intensity deltas
     ]),
     (similarity, [
         "kmeans_train",               # map-side quantizer assignment
@@ -105,7 +106,6 @@ _NAMES = [
         "near_dup_pagerank",          # NEW r5: damped rank over the pair graph
     ]),
     (curation, [
-        "dedup_keep_best",            # rides the adaptive CC
         "corpus_mix_report",          # NEW r5: training-mix data card
         "weighted_sample_aes",        # NEW r5: A-ES sqrt-chain weighted sample
     ]),
@@ -157,6 +157,9 @@ _NAMES = [
     ]),
     (multimodal, [
         "media_phash_clusters",        # NEW r5: CC shared with gated near_dup_clusters
+    ]),
+    (curation, [
+        "dedup_keep_best",             # green r3; r5 change was memoization only
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets

@@ -355,3 +355,56 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = media_phash_near_dup(spark, sf_dir).select("doc_a", "doc_b").collect()
     labels = union_find_labels((r["doc_a"], r["doc_b"]) for r in pairs)
     return spark.createDataFrame(labels, "doc_id long, cluster_id long")
+
+
+SCENE_DELTA = 4.0  # |mean-byte| jump between consecutive frames = a cut
+
+
+def scene_change_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection (the video shot-boundary stage): every
+    consecutive frame pair's |mean-intensity delta|, flagged where it
+    exceeds ``SCENE_DELTA`` — the classic intensity-difference cut
+    detector, over the stub decode's byte frames (a real pipeline swaps
+    in decoded luma planes; the Spark shape — 1->N frames, per-doc
+    SEQUENTIAL pairing inside the Arrow batch, no shuffle — is the real
+    part).  First frame of each doc reports a NULL delta and no flag.
+
+    Exactness: frame means are (exact integer sum) / len with one
+    correctly-rounded division; the delta is one subtraction of two
+    bit-identical doubles — the oracle's lag() reproduces the pairing."""
+    m = media_table(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("mean_delta", T.DoubleType()),
+            T.StructField("is_scene_change", T.BooleanType()),
+        ]
+    )
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, deltas, flags = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                n_frames = -(-len(data) // FRAME_BYTES)  # ceil
+                prev_mean = None
+                for f in range(n_frames):
+                    fb = data[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    mean = sum(fb) / len(fb)
+                    doc_ids.append(doc_id)
+                    idxs.append(f)
+                    if prev_mean is None:
+                        deltas.append(None)
+                        flags.append(False)
+                    else:
+                        d = abs(mean - prev_mean)
+                        deltas.append(d)
+                        flags.append(d > SCENE_DELTA)
+                    prev_mean = mean
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs,
+                 "mean_delta": deltas, "is_scene_change": flags}
+            )
+
+    return m.select("doc_id", "content").mapInPandas(detect, schema=schema)

@@ -2894,3 +2894,28 @@ FROM events
 WHERE event_type = 'purchase' AND event_id % 4 IN (1, 2)
 GROUP BY 1, 2
 """
+
+
+# Scene-change detection: per-doc consecutive frame-mean deltas; lag()
+# reproduces the sequential pairing; abs() of identical doubles is exact.
+ORACLE["scene_change_flags"] = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+fr AS (
+  SELECT doc_id, t.f AS frame_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), bytes[(t.f*64+1):(t.f*64+64)]),
+                     (a, x) -> a + x)
+           / CAST(len(bytes[(t.f*64+1):(t.f*64+64)]) AS DOUBLE) AS mean
+  FROM b, UNNEST(range(0, CAST(ceil(len(bytes) / 64.0) AS BIGINT))) AS t(f)),
+d AS (
+  SELECT doc_id, frame_idx,
+         abs(mean - lag(mean) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS mean_delta
+  FROM fr)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, mean_delta,
+       coalesce(mean_delta > 4.0, FALSE) AS is_scene_change
+FROM d
+"""

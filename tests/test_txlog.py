@@ -322,3 +322,26 @@ def test_read_table_merge_schema_null_fills_old_dirs(spark, tmp_path):
     n = agg.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("total_quantity").isNull()).count() == n
+
+
+def test_changes_between_partitions_history_exactly(spark, tmp_path):
+    """CDF slices are a partition of history: the concatenation of
+    per-version changes equals the version-4 snapshot, and each slice is
+    disjoint from the others (append-only lineage)."""
+    events = load_table(spark, SF_DIR, "events").limit(4000)
+    table = str(tmp_path / "cdf")
+    for i in range(4):
+        chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        assert txlog.append_tx(spark, table, chunk, batch_id=i)
+    snap = txlog.read_table_at(spark, table, 4)
+    # version 0 is "no commits", so history = the v1 snapshot plus the
+    # changes from v1 to the head:
+    first = txlog.read_table_at(spark, table, 1)
+    rest = txlog.read_changes_between(spark, table, 1, 4)
+    union = first.unionByName(rest)
+    assert union.count() == snap.count()
+    assert union.exceptAll(snap).count() + snap.exceptAll(union).count() == 0
+    # middle slice is exactly epoch 2 (commit 2 -> 3 added epoch-2 rows)
+    mid = txlog.read_changes_between(spark, table, 2, 3)
+    want = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == 2)
+    assert mid.exceptAll(want).count() + want.exceptAll(mid).count() == 0
