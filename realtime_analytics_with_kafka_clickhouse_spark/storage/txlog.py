@@ -528,3 +528,60 @@ def read_changes_between(
     if not added:
         return spark.read.parquet(f"{table}/{c_to['dirs'][0]}").limit(0)
     return spark.read.parquet(*[f"{table}/{d}" for d in added])
+
+
+def compact_tx_ranged(
+    spark: SparkSession,
+    table: str,
+    split_col: str,
+    n_buckets: int = 4,
+    stats_cols: list[str] | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """OPTIMIZE that PRESERVES data skipping (the Z-order/cluster-by
+    analog): instead of collapsing the snapshot into one directory —
+    which widens its zone map to the full span and kills pruning —
+    rewrite into ``n_buckets`` directories RANGE-SPLIT on ``split_col``,
+    each carrying a tight zone map over its slice.  Split bounds are the
+    column's exact interpolated quantiles (one tiny aggregate), so
+    buckets are equi-depth under skew.
+
+    Crash/race contract identical to ``compact_tx``: all bucket dirs
+    write first, one atomic commit publishes them, losers delete their
+    orphans and retry.  Returns False when there is nothing to do."""
+    from pyspark.sql import functions as F
+
+    stats_cols = stats_cols if stats_cols is not None else [split_col]
+    for _ in range(max_attempts):
+        version, commit = snapshot(spark, table)
+        if commit is None or (
+            len(commit["dirs"]) <= 1 and commit.get("stats")
+        ):
+            return False
+        current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = current.agg(
+            F.expr(
+                f"percentile({split_col}, array({', '.join(str(q) for q in qs)}))"
+            ).alias("bs")
+        ).collect()[0]["bs"]
+        cuts = [None] + [float(b) for b in bounds] + [None]
+        new_dirs, stats = [], {}
+        for i in range(n_buckets):
+            part = current
+            if cuts[i] is not None:
+                part = part.filter(F.col(split_col) > cuts[i])
+            if cuts[i + 1] is not None:
+                part = part.filter(F.col(split_col) <= cuts[i + 1])
+            d = write_data_dir(part, table)
+            new_dirs.append(d)
+            stats[d] = dir_zone_map(table, d, stats_cols)
+        if try_commit(
+            spark, table, version + 1, new_dirs, commit.get("last_merged_batch"), stats
+        ):
+            return True
+        for d in new_dirs:
+            fs.delete(spark, f"{table}/{d}")
+    raise RuntimeError(
+        f"compact_tx_ranged: gave up after {max_attempts} commit races on {table}"
+    )

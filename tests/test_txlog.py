@@ -345,3 +345,28 @@ def test_changes_between_partitions_history_exactly(spark, tmp_path):
     mid = txlog.read_changes_between(spark, table, 2, 3)
     want = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == 2)
     assert mid.exceptAll(want).count() + want.exceptAll(mid).count() == 0
+
+
+def test_compact_tx_ranged_preserves_pruning(spark, tmp_path):
+    """Plain OPTIMIZE collapses to one dir and kills data skipping; the
+    range-split OPTIMIZE rewrites into quantile buckets whose zone maps
+    stay tight — a time-range read still prunes AFTER compaction, and the
+    table holds the same rows."""
+    events = load_table(spark, SF_DIR, "events").withColumn(
+        "hour_bucket", F.hour("ts").cast("long")
+    ).select("event_id", "hour_bucket", "value")
+    table = str(tmp_path / "ranged")
+    # 4 appends that all OVERLAP in time (zone maps useless pre-compaction)
+    for i in range(4):
+        chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+        assert txlog.append_tx(spark, table, chunk, batch_id=i, stats_cols=["hour_bucket"])
+    before = txlog.read_table(spark, table)
+    pre_pruned = txlog.read_table(spark, table, prune={"hour_bucket": (1, 2)})
+    assert len({f.rsplit("/", 2)[-2] for f in pre_pruned.inputFiles()}) == 4
+
+    assert txlog.compact_tx_ranged(spark, table, "hour_bucket", n_buckets=4)
+    after = txlog.read_table(spark, table)
+    assert after.exceptAll(before).count() + before.exceptAll(after).count() == 0
+    post_pruned = txlog.read_table(spark, table, prune={"hour_bucket": (1, 2)})
+    n_dirs = len({f.rsplit("/", 2)[-2] for f in post_pruned.inputFiles()})
+    assert n_dirs < 4, "range-split compaction must restore pruning"
