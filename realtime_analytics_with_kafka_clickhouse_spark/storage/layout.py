@@ -228,3 +228,69 @@ def gdpr_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         dsum("total_amount").alias("total_revenue"),
     )
+
+
+def expire_ttl_group_by(
+    spark: SparkSession,
+    path: str,
+    cutoff_ts: str,
+    keys: list[str],
+    sum_cols: list[str],
+) -> list[str]:
+    """ClickHouse ``TTL ... GROUP BY`` (rollup TTL): rows past the cutoff
+    are REPLACED by their per-key aggregate instead of deleted — the
+    detail shrinks to one row per key per partition while the measures
+    (``sum_cols``) are conserved exactly.  This is the retention policy
+    between "keep everything" and "drop everything": a year-old month
+    collapses from millions of rows to |keys| rows that still roll up
+    correctly in every downstream aggregate.
+
+    Schema is preserved (the table stays queryable by the same jobs):
+    group keys keep their values, ``sum_cols`` fold with decimal-exact
+    sums, and every other column takes the per-group MINIMUM — a
+    deterministic stand-in for ClickHouse's ``any()`` so the rewrite is
+    reproducible and testable.  Fully-expired months rewrite wholesale;
+    the boundary month aggregates only its expired prefix and keeps the
+    surviving suffix row-for-row.  Same ``.swap-*`` crash protocol as
+    every other layout mutation.  Returns the touched partitions."""
+    from ..functions.scalars import dsum
+
+    cutoff = spark.sql(f"SELECT CAST('{cutoff_ts}' AS TIMESTAMP) c").collect()[0]["c"]
+    cutoff_month = cutoff.year * 100 + cutoff.month
+    _repair_swaps(spark, path)
+
+    def collapse(df):
+        cols = df.columns
+        aggs = []
+        for c in cols:
+            if c in keys:
+                continue
+            if c in sum_cols:
+                aggs.append(dsum(c).alias(c))
+            else:
+                aggs.append(F.min(c).alias(c))
+        return df.groupBy(*keys).agg(*aggs).select(*cols)
+
+    touched: list[str] = []
+    for name in fs.list_dir(spark, path):
+        if not name.startswith("order_month=") or fs.SWAP_SUFFIX in name:
+            continue
+        month = int(name.split("=", 1)[1])
+        part_dir = f"{path}/{name}"
+        if month > cutoff_month:
+            continue
+        part = spark.read.parquet(part_dir)
+        expired = F.col("order_timestamp") < F.lit(cutoff_ts).cast("timestamp")
+        if month < cutoff_month:
+            out = collapse(part)
+            touched.append(f"collapsed:{name}")
+        else:
+            old = part.filter(expired)
+            if old.isEmpty():
+                continue
+            out = collapse(old).unionByName(part.filter(~expired))
+            touched.append(f"boundary:{name}")
+        tmp = fs.swap_tmp_path(part_dir)
+        out.write.mode("overwrite").parquet(tmp)
+        fs.swap_in(spark, part_dir, tmp)
+    return touched
