@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--maintain", metavar="TABLE_PATH", help="run one maintenance pass over a table")
     m.add_argument("--kind", choices=["partitioned", "txlog"], default="partitioned")
     m.add_argument("--ttl-cutoff", help="ISO timestamp; rows older than this expire (partitioned)")
+    m.add_argument("--ttl-group-by", help="comma-separated keys: expired rows ROLL UP per key instead of deleting")
+    m.add_argument("--ttl-sum-cols", help="comma-separated measure columns summed by the rollup TTL")
     m.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024)
     m.add_argument("--sort-cols", help="comma-separated sort columns for compaction locality")
     m.add_argument("--keep-versions", type=int, default=2, help="txlog versions vacuum keeps")
@@ -66,6 +68,8 @@ def main(argv: list[str] | None = None) -> int:
             args.maintain,
             kind=args.kind,
             ttl_cutoff=args.ttl_cutoff,
+            ttl_group_by=args.ttl_group_by.split(",") if args.ttl_group_by else None,
+            ttl_sum_cols=args.ttl_sum_cols.split(",") if args.ttl_sum_cols else None,
             target_file_bytes=args.target_file_bytes,
             sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
             keep_versions=args.keep_versions,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from . import fs, txlog
-from .layout import _repair_swaps, compact_dir, expire_ttl
+from .layout import _repair_swaps, compact_dir, expire_ttl, expire_ttl_group_by
 
 
 def run_maintenance(
@@ -37,13 +37,19 @@ def run_maintenance(
     path: str,
     kind: str = "partitioned",
     ttl_cutoff: str | None = None,
+    ttl_group_by: list[str] | None = None,
+    ttl_sum_cols: list[str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
     keep_versions: int = 2,
     retention_ms: int = txlog.VACUUM_RETENTION_MS,
 ) -> dict:
     """One maintenance pass over ``path``; returns a report dict (what was
-    dropped / compacted / vacuumed) so schedulers can log and alert on it."""
+    dropped / compacted / vacuumed) so schedulers can log and alert on it.
+
+    ``ttl_group_by`` + ``ttl_sum_cols`` switch the TTL from delete to the
+    rollup policy (ClickHouse ``TTL ... GROUP BY``): expired rows collapse
+    to per-key aggregates instead of disappearing."""
     report: dict = {"table": path, "kind": kind}
     if kind == "txlog":
         report["compacted"] = txlog.compact_tx(spark, path)
@@ -55,7 +61,12 @@ def run_maintenance(
         raise ValueError(f"unknown table kind: {kind!r} (partitioned | txlog)")
     _repair_swaps(spark, path)
     if ttl_cutoff is not None:
-        report["ttl"] = expire_ttl(spark, path, ttl_cutoff)
+        if ttl_group_by and ttl_sum_cols:
+            report["ttl"] = expire_ttl_group_by(
+                spark, path, ttl_cutoff, keys=ttl_group_by, sum_cols=ttl_sum_cols
+            )
+        else:
+            report["ttl"] = expire_ttl(spark, path, ttl_cutoff)
     compacted: dict[str, int] = {}
     part_dirs = [
         n
