@@ -70,6 +70,7 @@ _NAMES = [
         "stream_static_enrich",       # NEW r5: stream x static broadcast join
         "aggregating_merge_sketch_mv",  # NEW r5: stored HLL states + OPTIMIZE
         "txlog_changes_feed",         # NEW r5b: CDF between append versions
+        "versioned_collapse_current",  # NEW r5b: fifth merge semantic (5/5)
     ]),
     (_storage_layout, [
         "gdpr_delete_audit",          # NEW r5: targeted-delete proof
@@ -96,7 +97,6 @@ _NAMES = [
         "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
         "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
         "embedding_prototypicality",  # NEW r5: centroid-distance pruning
-        "hybrid_search_topk",         # NEW r5: BM25 + cosine RRF fusion
         "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
         "embedding_random_projection",  # NEW r5: JL ±1 reduction 64 -> 8
         "ann_rp_topk",                  # NEW r5b: RP candidate cut + exact rerank
@@ -160,6 +160,9 @@ _NAMES = [
     ]),
     (curation, [
         "dedup_keep_best",             # green r3; r5 change was memoization only
+    ]),
+    (similarity, [
+        "hybrid_search_topk",          # NEW r5: rank-only RRF; components gated
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets

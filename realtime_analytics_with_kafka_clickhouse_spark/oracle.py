@@ -2919,3 +2919,17 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, mean_delta,
        coalesce(mean_delta > 4.0, FALSE) AS is_scene_change
 FROM d
 """
+
+
+# VersionedCollapsingMergeTree current state: updated bucket surfaces v2
+# doubled, cancelled bucket vanishes, the rest keep v1.
+ORACLE["versioned_collapse_current"] = f"""
+WITH b AS (SELECT o_orderkey, o_totalprice,
+                  {_h("CAST(o_orderkey AS VARCHAR)")} % 4 AS bucket
+           FROM orders)
+SELECT o_orderkey,
+       CAST(CASE WHEN bucket = 1 THEN 2 ELSE 1 END AS BIGINT) AS version,
+       CASE WHEN bucket = 1 THEN o_totalprice * 2 ELSE o_totalprice END
+         AS total_price
+FROM b WHERE bucket <> 2
+"""

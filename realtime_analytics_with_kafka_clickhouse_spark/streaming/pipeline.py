@@ -1783,3 +1783,107 @@ def txlog_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("total_revenue").alias("total_revenue"),
         F.sum("total_quantity").alias("total_quantity"),
     )
+
+
+def merge_versioned_collapsing(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    keys: list[str],
+    version: str = "version",
+    sign: str = "sign",
+    batch_id: int | None = None,
+) -> bool:
+    """VersionedCollapsingMergeTree fold — the FIFTH MergeTree merge
+    semantic, and the one that fixes plain Collapsing's out-of-order
+    weakness: sign rows annihilate only within the SAME (key, version)
+    pair, so a cancel that merges before its state simply sits in the
+    table as a net -1 row for that version and annihilates exactly its
+    own state when it arrives — never a different version's.  Payload
+    columns ride ``max`` (cancel rows repeat state values, ClickHouse's
+    contract, so max is the identity within a pair).  Same swap/crash/
+    replay protocol as the other merges."""
+    from ..storage import fs
+
+    fs.recover_latest_swap(spark, table_dir)
+    if batch_id is not None:
+        seen = last_merged_batch(spark, table_dir)
+        if seen is not None and batch_id <= seen:
+            return False
+    if fs.exists(spark, table_dir):
+        unioned = spark.read.parquet(table_dir).unionByName(batch)
+    else:
+        unioned = batch
+    payload = [c for c in unioned.columns if c not in (*keys, version, sign)]
+    merged = (
+        unioned.groupBy(*keys, version)
+        .agg(
+            F.sum(sign).cast("long").alias(sign),
+            *[F.max(c).alias(c) for c in payload],
+        )
+        .filter(F.col(sign) != 0)
+    )
+    tmp = fs.swap_tmp_path(table_dir)
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
+    fs.swap_in(spark, table_dir, tmp)
+    return True
+
+
+def versioned_collapse_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated VersionedCollapsingMergeTree proof: every order
+    inserts state v1; the hash%4==1 orders go through a full update cycle
+    (cancel v1 + state v2 at doubled price) and the hash%4==2 orders are
+    cancelled outright (cancel v1, no replacement).  6 OUT-OF-ORDER
+    epochs where cancels routinely precede their states — per-version
+    matching is what keeps that correct where plain Collapsing corrupts.
+    Current state = per key, the highest net-positive version: updated
+    keys surface v2 doubled, cancelled keys vanish, the rest keep v1."""
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.pmod(stable_hash64(F.col("o_orderkey").cast("string")), F.lit(4))
+
+    def rows(ver: int, sgn: int, price_col, flt):
+        return orders.filter(flt).select(
+            "o_orderkey",
+            F.lit(ver).cast("long").alias("version"),
+            F.lit(sgn).cast("long").alias("sign"),
+            price_col.alias("total_price"),
+        )
+
+    all_rows = (
+        rows(1, 1, F.col("o_totalprice"), F.lit(True))
+        .unionByName(rows(1, -1, F.col("o_totalprice"), bucket == 1))
+        .unionByName(rows(2, 1, F.col("o_totalprice") * 2, bucket == 1))
+        .unionByName(rows(1, -1, F.col("o_totalprice"), bucket == 2))
+    ).persist()
+    try:
+        table_dir = _fresh_rollup_dir("orders_vcollapsing")
+        epoch = F.pmod(
+            F.col("o_orderkey") + 2 * F.col("version") - F.col("sign"), F.lit(6)
+        )
+        for i in (4, 1, 5, 0, 3, 2):  # deliberately out of order
+            merge_versioned_collapsing(
+                spark,
+                table_dir,
+                all_rows.filter(epoch == i),
+                keys=["o_orderkey"],
+                batch_id=None,
+            )
+        stored = spark.read.parquet(table_dir).filter(F.col("sign") > 0)
+        w_latest = F.max_by(
+            F.struct("version", "total_price"), F.col("version")
+        )
+        return (
+            stored.groupBy("o_orderkey")
+            .agg(w_latest.alias("_r"))
+            .select(
+                "o_orderkey",
+                F.col("_r.version").alias("version"),
+                F.col("_r.total_price").alias("total_price"),
+            )
+        )
+    finally:
+        all_rows.unpersist(blocking=False)

@@ -114,3 +114,29 @@ def test_ann_rp_topk_recall_against_exact(spark):
     n_hit = exact.intersect(rp).count()
     assert n_exact > 0
     assert n_hit / n_exact >= 0.6, f"recall {n_hit}/{n_exact}"
+
+
+def test_versioned_collapsing_pending_cancel_annihilates_exactly(spark, tmp_path):
+    """The per-version matching mechanics, observed mid-replay: a cancel
+    merging BEFORE its state sits in the table as a net -1 row for that
+    version; the state's arrival annihilates exactly that version while
+    an unrelated v2 state survives."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_versioned_collapsing,
+    )
+
+    table = str(tmp_path / "vc")
+    row = lambda k, v, s, p: (k, v, s, p)
+    schema = "o_orderkey long, version long, sign long, total_price double"
+    cancel_first = spark.createDataFrame([row(1, 1, -1, 10.0)], schema)
+    assert merge_versioned_collapsing(spark, table, cancel_first, keys=["o_orderkey"])
+    pending = spark.read.parquet(table).collect()
+    assert len(pending) == 1 and pending[0]["sign"] == -1  # pending cancel
+    late_state = spark.createDataFrame(
+        [row(1, 1, 1, 10.0), row(1, 2, 1, 20.0)], schema
+    )
+    assert merge_versioned_collapsing(spark, table, late_state, keys=["o_orderkey"])
+    final = spark.read.parquet(table).collect()
+    assert len(final) == 1
+    assert final[0]["version"] == 2 and final[0]["sign"] == 1
+    assert final[0]["total_price"] == 20.0
