@@ -127,7 +127,7 @@ _NAMES = [
     # lateral, HLL merge contract): with > 50 never-checked entries this
     # round, the proven power-sum/sequence pattern family (corr, histogram,
     # OLS, dense axis — same class as value_dispersion, green r4) waits for
-    # the r6 rotation; all 155 are pytest-oracle-checked at 3 SFs locally.
+    # the r6 rotation; all 175 are pytest-oracle-checked at 3 SFs locally.
     (text, [
         "bpe_train_merges",            # NEW r5: iterated BPE training loop
         "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
