@@ -21,6 +21,7 @@ from . import (
     timeseries,
     windows,
 )
+from ..sources import files as _sources_files
 from ..storage import bucketing as _storage_bucketing
 from ..storage import layout as _storage_layout
 from ..streaming import pipeline as _streaming_pipeline
@@ -132,6 +133,10 @@ _NAMES = [
         "bpe_train_merges",            # NEW r5: iterated BPE training loop
         "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
         "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
+    ]),
+    (_sources_files, [
+        "json_roundtrip_rollup",       # NEW r5b: JSON-lines scan fidelity
+        "csv_roundtrip_stats",         # NEW r5b: CSV scan fidelity
     ]),
     (timeseries, [
         "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup

@@ -2933,3 +2933,18 @@ SELECT o_orderkey,
          AS total_price
 FROM b WHERE bucket <> 2
 """
+
+
+# JSON round-trip: identical to the A1 oracle — the JSON scan must be a
+# fidelity-preserving identity.
+ORACLE["json_roundtrip_rollup"] = _A1
+
+
+# CSV round-trip: per-priority order stats straight off the orders table.
+ORACLE["csv_roundtrip_stats"] = f"""
+SELECT o_orderpriority AS priority,
+       count(*) AS order_count,
+       {_dsum('o_totalprice')} AS total_revenue,
+       CAST(max(o_orderdate) AS TIMESTAMP) AS latest_order
+FROM orders GROUP BY 1
+"""

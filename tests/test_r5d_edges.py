@@ -140,3 +140,35 @@ def test_versioned_collapsing_pending_cancel_annihilates_exactly(spark, tmp_path
     assert len(final) == 1
     assert final[0]["version"] == 2 and final[0]["sign"] == 1
     assert final[0]["total_price"] == 20.0
+
+
+def test_file_sources_quarantine_corrupt_lines(spark, tmp_path):
+    """A malformed JSON line and a bad-typed CSV row land in quarantine
+    with their raw payload; the clean side is unaffected."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.files import (
+        EVENTS_JSON_SCHEMA,
+        ORDERS_CSV_SCHEMA,
+        read_csv_with_dlq,
+        read_json_with_dlq,
+    )
+
+    jdir = str(tmp_path / "j")
+    import os
+    os.makedirs(jdir)
+    with open(f"{jdir}/part-0.json", "w") as f:
+        f.write('{"event_id": 1, "ts": "2025-01-01T00:00:00.000000", "user_id": 7,'
+                ' "event_type": "purchase", "value": 1.5, "props": "{}"}\n')
+        f.write("{this is not json\n")
+    ok, bad = read_json_with_dlq(spark, jdir, EVENTS_JSON_SCHEMA)
+    assert ok.count() == 1 and bad.count() == 1
+    assert "not json" in bad.collect()[0]["raw"]
+
+    cdir = str(tmp_path / "c")
+    os.makedirs(cdir)
+    with open(f"{cdir}/part-0.csv", "w") as f:
+        f.write("o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority\n")
+        f.write("1,2,O,99.5,2025-01-01T00:00:00.000000,1-URGENT\n")
+        f.write("oops,not,a,valid,row,at-all\n")
+    ok_c, bad_c = read_csv_with_dlq(spark, cdir, ORDERS_CSV_SCHEMA)
+    assert ok_c.count() == 1 and bad_c.count() == 1
+    assert ok_c.collect()[0]["o_totalprice"] == 99.5
