@@ -97,7 +97,6 @@ _NAMES = [
         "ann_ivf_kmeans",             # grouped-cell matmul verify
         "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
         "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
-        "embedding_prototypicality",  # NEW r5: centroid-distance pruning
         "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
         "embedding_random_projection",  # NEW r5: JL ±1 reduction 64 -> 8
         "ann_rp_topk",                  # NEW r5b: RP candidate cut + exact rerank
@@ -105,7 +104,9 @@ _NAMES = [
     (dedup, [
         "near_dup_clusters",          # adaptive driver/distributed CC
         "near_dup_pagerank",          # NEW r5: damped rank over the pair graph
+        "near_dup_triangles",         # NEW r5b: clique-vs-chain local clustering
     ]),
+
     (curation, [
         "corpus_mix_report",          # NEW r5: training-mix data card
         "weighted_sample_aes",        # NEW r5: A-ES sqrt-chain weighted sample
@@ -168,6 +169,7 @@ _NAMES = [
     ]),
     (similarity, [
         "hybrid_search_topk",          # NEW r5: rank-only RRF; components gated
+        "embedding_prototypicality",   # NEW r5: rides the gated quantizer memo
     ]),
     (relational, [
         "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets

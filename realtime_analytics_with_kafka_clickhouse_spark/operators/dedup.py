@@ -592,3 +592,50 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank"
         ),
     )
+
+
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the verified near-dup pair graph — the third
+    graph-analytics primitive next to connected components and PageRank:
+    per-document triangle participation, the local-clustering signal that
+    separates tight duplicate CLIQUES (every pair verified) from loose
+    chains (A~B~C where A~C missed the similarity bar).
+
+    The canonical a<b<c enumeration: wedges from one self-join on the
+    ordered edge list, closed by a second join probing the (a,c) edge —
+    the standard distributed algorithm (node-order ensures each triangle
+    counts exactly once).  At 100 TB the joins shuffle the EDGE list
+    keyed by node; the dup graph's edges are corpus-sparse, and the
+    heavy-hitter guard would be degree-based edge orientation (already
+    ordered here).  Pairs ride the session memo the CC/PageRank queries
+    share — no MinHash recomputation."""
+    from ._memo import is_miss, memo_peek, memo_put
+
+    memoized = memo_peek("near_dup_pairs", sf_dir, ("documents",))
+    if not is_miss(memoized):
+        pairs = spark.createDataFrame(memoized, "doc_a long, doc_b long").cache()
+    else:
+        pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+        if pairs.count() <= CC_DRIVER_MAX_EDGES:
+            memo_put(
+                "near_dup_pairs",
+                sf_dir,
+                ("documents",),
+                [(r["doc_a"], r["doc_b"]) for r in pairs.collect()],
+            )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    members = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    out = members.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_triangles"))
+    pairs.unpersist(blocking=False)
+    return out

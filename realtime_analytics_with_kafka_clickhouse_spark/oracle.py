@@ -2948,3 +2948,21 @@ SELECT o_orderpriority AS priority,
        CAST(max(o_orderdate) AS TIMESTAMP) AS latest_order
 FROM orders GROUP BY 1
 """
+
+
+# Triangle participation over the minhash near-dup graph: canonical
+# a<b<c wedge-close enumeration, one count per member per triangle.
+ORACLE["near_dup_triangles"] = f"""
+WITH mh AS ({ORACLE["minhash_near_dup"]}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM mh),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+m AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY 1
+"""
