@@ -430,3 +430,21 @@ def test_stream_static_dim_is_broadcast(spark, queries):
     cust = load_table(spark, SF_DIR, "customer")
     df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     assert has_broadcast_join(df)
+
+
+def test_scene_change_map_only(spark, queries):
+    """Frame fan-out + sequential pairing all happen inside the Arrow
+    batch: zero exchanges."""
+    df = queries["scene_change_flags"](spark, SF_DIR)
+    assert count_shuffles(df) == 0, formatted_plan(df)
+
+
+def test_file_roundtrips_single_agg_exchange(spark, queries):
+    """The JSON/CSV fidelity queries are scan -> hash agg: one exchange,
+    and the scan is the matching file format (not parquet)."""
+    j = queries["json_roundtrip_rollup"](spark, SF_DIR)
+    assert count_shuffles(j) == 1, formatted_plan(j)
+    assert "Scan json" in formatted_plan(j)
+    c = queries["csv_roundtrip_stats"](spark, SF_DIR)
+    assert count_shuffles(c) == 1, formatted_plan(c)
+    assert "Scan csv" in formatted_plan(c)
