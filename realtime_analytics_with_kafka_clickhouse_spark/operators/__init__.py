@@ -140,6 +140,7 @@ _NAMES = [
         "csv_roundtrip_stats",         # NEW r5b: CSV scan fidelity
     ]),
     (timeseries, [
+        "user_overlap_matrix",         # NEW r5b: HLL inclusion-exclusion overlap
         "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
         "winsorized_value_stats",      # NEW r5: percentile-broadcast clipping
         "funnel_steps",                # NEW r5: sequential conversion funnel

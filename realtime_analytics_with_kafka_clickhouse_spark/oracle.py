@@ -2966,3 +2966,16 @@ m AS (
   UNION ALL SELECT c FROM tri)
 SELECT doc_id, count(*) AS n_triangles FROM m GROUP BY 1
 """
+
+
+# Audience overlap: exact pairwise shared-user counts; sketch quality is
+# part of the hashed contract via the tolerance boolean.
+ORACLE["user_overlap_matrix"] = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(DISTINCT a.user_id) AS exact_shared,
+       TRUE AS sketch_within_5pct
+FROM (SELECT DISTINCT event_type, user_id FROM events) a
+JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""

@@ -201,3 +201,39 @@ def test_collapsing_merge_epoch_order_invariant(spark, tmp_path_factory, rows, e
     for k, s in rows:
         want[k] = want.get(k, 0) + s
     assert got == sorted((k, v) for k, v in want.items() if v != 0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 3), st.sampled_from([1, -1])),
+        min_size=1,
+        max_size=30,
+    ),
+    st.permutations(list(range(3))),
+)
+def test_versioned_collapsing_epoch_order_invariant(
+    spark, tmp_path_factory, rows, epoch_order
+):
+    """VersionedCollapsing fold: any (key, version, sign) multiset split
+    into epochs replayed in ANY order nets to the same per-(key, version)
+    sign sum, net-zero pairs dropped — the per-version matching that
+    makes out-of-order cancels safe, over random inputs."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_versioned_collapsing,
+    )
+
+    table = str(tmp_path_factory.mktemp("vcollapsing") / "t")
+    indexed = [(k, v, s, i) for i, (k, v, s) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "k long, version long, sign long, i long")
+    for e in epoch_order:
+        merge_versioned_collapsing(
+            spark, table, df.filter(F.col("i") % 3 == e).drop("i"), keys=["k"]
+        )
+    got = sorted(
+        map(tuple, spark.read.parquet(table).select("k", "version", "sign").collect())
+    )
+    want: dict = {}
+    for k, v, s in rows:
+        want[(k, v)] = want.get((k, v), 0) + s
+    assert got == sorted((k, v, s) for (k, v), s in want.items() if s != 0)

@@ -172,3 +172,21 @@ def test_file_sources_quarantine_corrupt_lines(spark, tmp_path):
     ok_c, bad_c = read_csv_with_dlq(spark, cdir, ORDERS_CSV_SCHEMA)
     assert ok_c.count() == 1 and bad_c.count() == 1
     assert ok_c.collect()[0]["o_totalprice"] == 99.5
+
+
+def test_weighted_sample_overrepresents_heavy_tiers(spark):
+    """A-ES must bias toward weight: the heavy tiers' share of the sample
+    exceeds their share of the population (deterministic on the fixture)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import curation
+
+    sample = curation.weighted_sample_aes(spark, SF_DIR)
+    docs = curation.load_table(spark, SF_DIR, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    w = F.when(n_words >= 40, 4).when(n_words >= 15, 2).otherwise(1)
+    pop = {r["w"]: r["n"] for r in docs.select(w.alias("w")).groupBy("w").agg(F.count("*").alias("n")).collect()}
+    samp = {r["w"]: r["n"] for r in sample.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    n_pop, n_samp = sum(pop.values()), sum(samp.values())
+    heavy_pop = (pop.get(2, 0) + pop.get(4, 0)) / n_pop
+    heavy_samp = (samp.get(2, 0) + samp.get(4, 0)) / n_samp
+    assert 0 < heavy_pop < 1  # both tiers actually exist in the fixture
+    assert heavy_samp > heavy_pop, (heavy_samp, heavy_pop)
