@@ -29,13 +29,14 @@ from ..sources.tables import load_table
 # Shingle width for near-dup detection.
 NGRAM = 3
 # Skew/quality guard: ignore shingles present in more than
-# max(MAX_SHINGLE_DOC_FREQ, MAX_SHINGLE_DOC_RATIO * n_docs) documents.
-# The absolute floor keeps small corpora stable; the relative term is what
-# holds at 100 TB (an absolute cap would eventually prune nothing useful
-# while a boilerplate shingle shared by 0.1% of a billion docs still
-# explodes the join).
+# MAX_SHINGLE_DOC_FREQ documents.  ABSOLUTE cap only (the Lee et al.
+# exact-dedup convention): a corpus-relative arm (0.01 * n_docs) grows
+# with the corpus — at 1B docs a shingle in 10M docs would survive and
+# contribute 10M^2 join pairs — so the cap must not scale with n.  An
+# absolute cap bounds every shingle's pair contribution at cap^2 and
+# bounds the FREQUENT (dropped) set at total_shingle_rows / cap members,
+# which is what makes it the broadcastable side of the anti join below.
 MAX_SHINGLE_DOC_FREQ = 100
-MAX_SHINGLE_DOC_RATIO = 0.01
 # MinHash family: 12 hash functions in 4 bands of 3 rows.
 MINHASH_K = 12
 MINHASH_BAND_ROWS = 3
@@ -91,24 +92,22 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
-    # Corpus-relative cap via a scalar subquery over the shingle table's
-    # own doc count — no driver-side action, and the DuckDB oracle computes
-    # the identical expression.
-    n_docs = sh.select("doc_id").distinct().agg(F.count("*").alias("n"))
-    doc_freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    cap = F.greatest(
-        F.lit(MAX_SHINGLE_DOC_FREQ).cast("double"),
-        F.lit(MAX_SHINGLE_DOC_RATIO) * F.col("n").cast("double"),
-    )
-    keep = (
-        doc_freq.join(F.broadcast(n_docs))
-        .filter(F.col("df") <= cap)
+    # left_anti against the FREQUENT set — the side that is small and
+    # shrinks relative to the corpus (<= total_shingle_rows / cap members,
+    # each needing > cap occurrences), so broadcasting it is safe at any
+    # scale.  The kept (rare) side is vocabulary-sized — nearly every
+    # distinct shingle — and must never be the broadcast side (the
+    # boilerplate_spans operator uses the same inverted shape).
+    frequent = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > F.lit(MAX_SHINGLE_DOC_FREQ))
         .select("shingle")
     )
     # cache(): the shingle set feeds 3+ downstream branches (sizes,
     # intersection join both sides, minhash) — without it Spark re-derives
     # the explode per branch.
-    return sh.join(F.broadcast(keep), "shingle").cache()
+    return sh.join(F.broadcast(frequent), "shingle", "left_anti").cache()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -577,8 +577,8 @@ def _h(x: str) -> str:
 
 
 # Shared CTE: distinct word-3-gram shingles per doc, with the same
-# corpus-relative document-frequency cap as operators.dedup
-# (max(MAX_SHINGLE_DOC_FREQ, MAX_SHINGLE_DOC_RATIO * n_docs)).
+# absolute document-frequency cap as operators.dedup
+# (anti-join against shingles with df > MAX_SHINGLE_DOC_FREQ).
 _SHINGLES = """
 words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -586,10 +586,9 @@ words AS (
 sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
-ndocs AS (SELECT count(DISTINCT doc_id) AS n FROM sh0),
-freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
-sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle), ndocs
-       WHERE df <= greatest(100.0, 0.01 * n)),
+frequent AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) > 100),
+sh AS (SELECT doc_id, shingle FROM sh0
+       WHERE shingle NOT IN (SELECT shingle FROM frequent)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
