@@ -1160,6 +1160,163 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash-bucket directory count for FACT-KEYED merge tables (Replacing /
+# Collapsing / VersionedCollapsing).  Unlike the Summing/Aggregating
+# rollups — whose stored table is bounded by the rollup-key cardinality —
+# a fact-keyed table is as large as the fact stream, so a merge that
+# re-aggregates current ∪ batch wholesale costs O(table) per micro-batch.
+# Bucketing by hash(key) % N and rewriting ONLY the buckets present in
+# the batch bounds each merge at O(touched buckets + batch): a CDC batch
+# touching k keys rewrites at most k buckets.  At 100 TB, N scales with
+# table size (pick N so a bucket is a few GB — the same sizing rule as
+# Delta/Iceberg file pruning on a MERGE key); 8 keeps local fixtures
+# small.
+KEYED_MERGE_BUCKETS = 8
+
+
+def _keyed_bucket(bucket_keys: list[str], n_buckets: int):
+    # xxhash64 is engine-internal (never compared against the oracle —
+    # the bucket id is storage layout, not a query result).
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in bucket_keys]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _recover_bucket_swaps(spark: SparkSession, table_dir: str) -> None:
+    """Crash repair for the per-bucket swap protocol: promote orphaned
+    ``bucket=i.swap-*`` dirs whose target vanished mid-swap, drop stale
+    swaps whose target survived, and drop partial ``.stage-*`` writes
+    (dot-prefixed: invisible to readers, so a crashed stage never leaks
+    rows)."""
+    from ..storage import fs
+
+    if not fs.exists(spark, table_dir):
+        # Legacy whole-table orphan (pre-bucketed layout, or the table
+        # itself renamed away mid-crash).
+        fs.recover_latest_swap(spark, table_dir)
+        return
+    for child in fs.list_dir(spark, table_dir):
+        if child.startswith(".stage-"):
+            fs.delete(spark, f"{table_dir}/{child}")
+        elif fs.SWAP_SUFFIX in child:
+            base = f"{table_dir}/{child.split(fs.SWAP_SUFFIX)[0]}"
+            if not fs.recover_latest_swap(spark, base):
+                fs.cleanup_swaps(spark, base)
+
+
+def _bucket_data_dirs(
+    spark: SparkSession, table_dir: str, buckets: list[int]
+) -> list[str]:
+    """The subset of ``bucket=i`` dirs that hold at least one data file
+    (markers and hidden files don't count — an annihilated-empty bucket
+    keeps its replay marker but contributes no rows)."""
+    from ..storage import fs
+
+    out = []
+    for b in buckets:
+        d = f"{table_dir}/bucket={b}"
+        if any(
+            not n.startswith(("_", ".")) for n in fs.list_dir(spark, d)
+        ):
+            out.append(d)
+    return out
+
+
+def _merge_keyed_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    bucket_keys: list[str],
+    fold,
+    batch_id: int | None,
+    n_buckets: int,
+) -> bool:
+    """Generic bucket-pruned keyed merge: the shared engine under the
+    Replacing / Collapsing / VersionedCollapsing folds.
+
+    Layout: ``table_dir/bucket=<hash(key) % N>/`` Hive-style partition
+    dirs, so a plain ``spark.read.parquet(table_dir)`` still works (the
+    bucket id surfaces as an ordinary partition column readers may
+    ignore).  Per merge:
+
+    1. bucket-tag the batch; its distinct bucket set (≤ N ints) is the
+       ONLY driver-side collect;
+    2. one job reads current rows of the touched buckets only, unions
+       the batch, applies ``fold`` (one row group per key), and writes
+       the result partitioned by bucket into an invisible ``.stage-*``
+       dir;
+    3. each touched bucket dir is swapped in via the ``.swap-*``
+       crash-repair protocol (state marker travels inside the dir).
+
+    Untouched buckets are never read, never rewritten — their dirs keep
+    their files and mtimes (pinned by pytest), which is what bounds a
+    micro-batch at O(touched buckets + batch) instead of O(table).
+
+    Replay idempotence is per bucket: with a ``batch_id``, each bucket
+    dir carries its own ``_LAST_MERGED_BATCH`` marker and a replayed
+    batch skips buckets already at or past it — a crash that swapped
+    only some buckets is healed by replaying the batch (done buckets
+    skip, the rest redo from their unchanged stored state).  A bucket
+    whose keys all annihilate keeps a marker-only dir so the skip
+    still fires on replay."""
+    from ..storage import fs
+
+    _recover_bucket_swaps(spark, table_dir)
+    bcol = _keyed_bucket(bucket_keys, n_buckets)
+    tagged = batch.withColumn("bucket", bcol).persist()
+    try:
+        touched = sorted(
+            r["bucket"] for r in tagged.select("bucket").distinct().collect()
+        )
+        if batch_id is not None:
+            todo = [
+                b
+                for b in touched
+                if (seen := last_merged_batch(spark, f"{table_dir}/bucket={b}"))
+                is None
+                or batch_id > seen
+            ]
+        else:
+            todo = touched
+        if not todo:
+            return False
+        batch_rows = tagged.filter(F.col("bucket").isin(todo)).drop("bucket")
+        current_dirs = _bucket_data_dirs(spark, table_dir, todo)
+        if current_dirs:
+            unioned = spark.read.parquet(*current_dirs).unionByName(batch_rows)
+        else:
+            unioned = batch_rows
+        merged = fold(unioned).withColumn("bucket", bcol)
+        stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(len(todo), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for b in todo:
+            staged_dir = f"{stage}/bucket={b}"
+            final_dir = f"{table_dir}/bucket={b}"
+            staged_exists = fs.exists(spark, staged_dir)
+            if not staged_exists and batch_id is None:
+                # Every key in the bucket annihilated and there is no
+                # replay contract to honor: drop the dir outright.
+                fs.delete(spark, final_dir)
+                continue
+            tmp = fs.swap_tmp_path(final_dir)
+            if staged_exists:
+                fs.rename(spark, staged_dir, tmp)
+            if batch_id is not None:
+                # Marker travels inside the swapped dir (creates the dir
+                # for the annihilated-empty case).
+                fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
+            fs.swap_in(spark, final_dir, tmp)
+        fs.delete(spark, stage)
+        return True
+    finally:
+        tagged.unpersist(blocking=False)
+
+
 def merge_replacing(
     spark: SparkSession,
     table_dir: str,
@@ -1167,38 +1324,32 @@ def merge_replacing(
     key: str,
     version: str,
     batch_id: int | None = None,
+    n_buckets: int = KEYED_MERGE_BUCKETS,
 ) -> bool:
     """ReplacingMergeTree fold (the reference engine family's third merge
     semantic next to Summing and Aggregating): per key, the row with the
     highest ``version`` wins — an idempotent, ASSOCIATIVE upsert, so
-    out-of-order and replayed batches converge to the same table.  Same
-    swap/crash/idempotence protocol as ``merge_rollup``.
+    out-of-order and replayed batches converge to the same table.
 
-    The fold is one ``max_by(struct(*), version)`` hash aggregate over
-    current ∪ batch — at 100 TB the union re-aggregates only the (key-
-    bounded) live table plus the micro-batch, exactly like the Summing
-    path, and partition-pruned rewrites would bound it further."""
-    from ..storage import fs
+    The fold is one ``max_by(struct(*), version)`` hash aggregate — but
+    unlike the Summing rollup, this table is keyed by FACT key (every
+    orderkey), so the stored table is stream-sized and a whole-table
+    re-aggregate would cost O(table) per micro-batch.  The merge
+    therefore runs through ``_merge_keyed_bucketed``: only the
+    hash(key)-bucket dirs present in the batch are read, folded, and
+    swapped; untouched buckets are never opened."""
 
-    fs.recover_latest_swap(spark, table_dir)
-    if batch_id is not None:
-        seen = last_merged_batch(spark, table_dir)
-        if seen is not None and batch_id <= seen:
-            return False
-    if fs.exists(spark, table_dir):
-        unioned = spark.read.parquet(table_dir).unionByName(batch)
-    else:
-        unioned = batch
-    cols = [c for c in unioned.columns if c != key]
-    merged = unioned.groupBy(key).agg(
-        F.max_by(F.struct(*cols), F.col(version)).alias("_row")
-    ).select(key, "_row.*")
-    tmp = fs.swap_tmp_path(table_dir)
-    merged.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-    fs.swap_in(spark, table_dir, tmp)
-    return True
+    def fold(unioned: DataFrame) -> DataFrame:
+        cols = [c for c in unioned.columns if c != key]
+        return (
+            unioned.groupBy(key)
+            .agg(F.max_by(F.struct(*cols), F.col(version)).alias("_row"))
+            .select(key, "_row.*")
+        )
+
+    return _merge_keyed_bucketed(
+        spark, table_dir, batch, [key], fold, batch_id, n_buckets
+    )
 
 
 def replacing_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,6 +1404,7 @@ def merge_collapsing(
     keys: list[str],
     sign: str = "sign",
     batch_id: int | None = None,
+    n_buckets: int = KEYED_MERGE_BUCKETS,
 ) -> bool:
     """CollapsingMergeTree fold — the fourth MergeTree merge semantic: rows
     carry a ``sign`` (+1 state / -1 cancel) and equal-key rows collapse by
@@ -1260,29 +1412,20 @@ def merge_collapsing(
     time.  Associative and replay-idempotent under the marker protocol;
     rows whose net sign reaches 0 are dropped from the stored table (the
     collapse), matching ClickHouse's requirement that a cancel row repeats
-    the state row's values.  Same swap/crash protocol as the other merges."""
-    from ..storage import fs
+    the state row's values.  Fact-keyed like Replacing, so it runs
+    through the same bucket-pruned merge: only hash(keys)-buckets present
+    in the batch are read and rewritten."""
 
-    fs.recover_latest_swap(spark, table_dir)
-    if batch_id is not None:
-        seen = last_merged_batch(spark, table_dir)
-        if seen is not None and batch_id <= seen:
-            return False
-    if fs.exists(spark, table_dir):
-        unioned = spark.read.parquet(table_dir).unionByName(batch)
-    else:
-        unioned = batch
-    merged = (
-        unioned.groupBy(*keys)
-        .agg(F.sum(sign).cast("long").alias(sign))
-        .filter(F.col(sign) != 0)
+    def fold(unioned: DataFrame) -> DataFrame:
+        return (
+            unioned.groupBy(*keys)
+            .agg(F.sum(sign).cast("long").alias(sign))
+            .filter(F.col(sign) != 0)
+        )
+
+    return _merge_keyed_bucketed(
+        spark, table_dir, batch, keys, fold, batch_id, n_buckets
     )
-    tmp = fs.swap_tmp_path(table_dir)
-    merged.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-    fs.swap_in(spark, table_dir, tmp)
-    return True
 
 
 def collapsing_merge_net(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1793,6 +1936,7 @@ def merge_versioned_collapsing(
     version: str = "version",
     sign: str = "sign",
     batch_id: int | None = None,
+    n_buckets: int = KEYED_MERGE_BUCKETS,
 ) -> bool:
     """VersionedCollapsingMergeTree fold — the FIFTH MergeTree merge
     semantic, and the one that fixes plain Collapsing's out-of-order
@@ -1801,34 +1945,26 @@ def merge_versioned_collapsing(
     table as a net -1 row for that version and annihilates exactly its
     own state when it arrives — never a different version's.  Payload
     columns ride ``max`` (cancel rows repeat state values, ClickHouse's
-    contract, so max is the identity within a pair).  Same swap/crash/
-    replay protocol as the other merges."""
-    from ..storage import fs
+    contract, so max is the identity within a pair).  Bucketed by key
+    (NOT version — a key's whole version history colocates in one
+    bucket, which retention sweeps and read-side argmaxes rely on) and
+    merged through the same bucket-pruned protocol as the other
+    fact-keyed folds."""
 
-    fs.recover_latest_swap(spark, table_dir)
-    if batch_id is not None:
-        seen = last_merged_batch(spark, table_dir)
-        if seen is not None and batch_id <= seen:
-            return False
-    if fs.exists(spark, table_dir):
-        unioned = spark.read.parquet(table_dir).unionByName(batch)
-    else:
-        unioned = batch
-    payload = [c for c in unioned.columns if c not in (*keys, version, sign)]
-    merged = (
-        unioned.groupBy(*keys, version)
-        .agg(
-            F.sum(sign).cast("long").alias(sign),
-            *[F.max(c).alias(c) for c in payload],
+    def fold(unioned: DataFrame) -> DataFrame:
+        payload = [c for c in unioned.columns if c not in (*keys, version, sign)]
+        return (
+            unioned.groupBy(*keys, version)
+            .agg(
+                F.sum(sign).cast("long").alias(sign),
+                *[F.max(c).alias(c) for c in payload],
+            )
+            .filter(F.col(sign) != 0)
         )
-        .filter(F.col(sign) != 0)
+
+    return _merge_keyed_bucketed(
+        spark, table_dir, batch, keys, fold, batch_id, n_buckets
     )
-    tmp = fs.swap_tmp_path(table_dir)
-    merged.write.mode("overwrite").parquet(tmp)
-    if batch_id is not None:
-        fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-    fs.swap_in(spark, table_dir, tmp)
-    return True
 
 
 def versioned_collapse_current(spark: SparkSession, sf_dir: str) -> DataFrame:

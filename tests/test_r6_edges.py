@@ -31,3 +31,61 @@ def test_jaccard_anti_join_broadcasts_frequent_set(spark, queries):
     df = queries["ngram_jaccard_pairs"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+
+
+def test_keyed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r6 scale fix for fact-keyed merges: a micro-batch touching one
+    key must rewrite ONLY that key's hash bucket dir — every other bucket
+    keeps its exact files and mtime (the analog of
+    test_txlog_pruned_read_touches_one_dir)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_replacing,
+    )
+
+    table = f"{tmp_path}/replacing_buckets"
+    base = spark.createDataFrame(
+        [(k, 0, f"s{k}") for k in range(64)], "k long, version long, s string"
+    )
+    merge_replacing(spark, table, base, key="k", version="version")
+    dirs = [c for c in fs.list_dir(spark, table) if c.startswith("bucket=")]
+    assert len(dirs) > 1  # 64 keys spread over several buckets
+    before = {
+        d: (fs.list_dir(spark, f"{table}/{d}"), fs.mtime_ms(spark, f"{table}/{d}"))
+        for d in dirs
+    }
+
+    single = spark.createDataFrame([(7, 1, "UPD")], "k long, version long, s string")
+    merge_replacing(spark, table, single, key="k", version="version")
+
+    after = {
+        d: (fs.list_dir(spark, f"{table}/{d}"), fs.mtime_ms(spark, f"{table}/{d}"))
+        for d in dirs
+    }
+    changed = [d for d in dirs if before[d] != after[d]]
+    assert len(changed) == 1, f"exactly one bucket rewritten, got {changed}"
+
+    rows = {r["k"]: (r["version"], r["s"]) for r in spark.read.parquet(table).collect()}
+    assert rows[7] == (1, "UPD") and rows[0] == (0, "s0") and len(rows) == 64
+
+
+def test_keyed_merge_replay_skips_merged_buckets(spark, tmp_path):
+    """Per-bucket replay idempotence: replaying a batch_id already merged
+    into a bucket leaves the bucket untouched (marker gate), and a merge
+    whose every touched bucket is up to date reports False."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_collapsing,
+    )
+
+    table = f"{tmp_path}/collapsing_replay"
+    b0 = spark.createDataFrame([(k, 1) for k in range(16)], "k long, sign long")
+    assert merge_collapsing(spark, table, b0, keys=["k"], batch_id=0)
+    # Replay of batch 0: every bucket's marker is already at 0 -> no-op.
+    assert not merge_collapsing(spark, table, b0, keys=["k"], batch_id=0)
+    got = {(r["k"], r["sign"]) for r in spark.read.parquet(table).select("k", "sign").collect()}
+    assert got == {(k, 1) for k in range(16)}  # replay did NOT double-count
+    # A later batch with new ids merges normally.
+    b1 = spark.createDataFrame([(3, -1)], "k long, sign long")
+    assert merge_collapsing(spark, table, b1, keys=["k"], batch_id=1)
+    got = {(r["k"], r["sign"]) for r in spark.read.parquet(table).select("k", "sign").collect()}
+    assert got == {(k, 1) for k in range(16) if k != 3}  # k=3 annihilated
