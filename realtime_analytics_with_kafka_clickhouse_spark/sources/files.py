@@ -30,6 +30,11 @@ _MIRROR_ROOT = os.path.join(
     tempfile.gettempdir(), f"spark_graft_file_mirrors-{os.getpid()}"
 )
 _MIRROR_MEMO: dict[tuple[str, str], str] = {}
+# Cached DLQ scans per (format, path): the corrupt-column split needs one
+# cache()d frame (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and memoizing it —
+# like the mirror helpers — keeps repeated reads of the same path from
+# stacking fresh cached copies in storage memory for the session's life.
+_DLQ_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 @atexit.register
@@ -94,18 +99,25 @@ def read_json_with_dlq(
     """(rows, quarantined) from a JSON-lines scan: explicit schema,
     PERMISSIVE corrupt capture — the quarantine side keeps the raw line."""
     corrupt = "_corrupt_record"
-    full = T.StructType(schema.fields + [T.StructField(corrupt, T.StringType())])
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt)
-        .option("timestampFormat", _TS_FMT)
-        .json(path)
-    )
-    # Spark forbids referencing ONLY the corrupt column off a raw scan
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed frame so both
-    # sides split from one materialization — the documented pattern.
-    df = df.cache()
+    memo_key = ("json", os.path.abspath(path))
+    if memo_key in _DLQ_MEMO:
+        df = _DLQ_MEMO[memo_key]
+    else:
+        full = T.StructType(
+            schema.fields + [T.StructField(corrupt, T.StringType())]
+        )
+        df = (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt)
+            .option("timestampFormat", _TS_FMT)
+            .json(path)
+        )
+        # Spark forbids referencing ONLY the corrupt column off a raw scan
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed frame so both
+        # sides split from one materialization — the documented pattern.
+        df = df.cache()
+        _DLQ_MEMO[memo_key] = df
     ok = df.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw")
@@ -118,16 +130,23 @@ def read_csv_with_dlq(
 ) -> tuple[DataFrame, DataFrame]:
     """(rows, quarantined) from a headered CSV scan, same contract."""
     corrupt = "_corrupt_record"
-    full = T.StructType(schema.fields + [T.StructField(corrupt, T.StringType())])
-    df = (
-        spark.read.schema(full)
-        .option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt)
-        .option("timestampFormat", _TS_FMT)
-        .csv(path)
-    )
-    df = df.cache()  # same corrupt-column restriction as JSON
+    memo_key = ("csv", os.path.abspath(path))
+    if memo_key in _DLQ_MEMO:
+        df = _DLQ_MEMO[memo_key]
+    else:
+        full = T.StructType(
+            schema.fields + [T.StructField(corrupt, T.StringType())]
+        )
+        df = (
+            spark.read.schema(full)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt)
+            .option("timestampFormat", _TS_FMT)
+            .csv(path)
+        )
+        df = df.cache()  # same corrupt-column restriction as JSON
+        _DLQ_MEMO[memo_key] = df
     ok = df.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw")

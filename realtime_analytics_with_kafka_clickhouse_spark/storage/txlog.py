@@ -161,7 +161,11 @@ def read_table(
     ]
     reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not dirs:
-        return reader.parquet(f"{table}/{commit['dirs'][0]}").limit(0)
+        # Empty result must still carry the RIGHT schema: under
+        # merge_schema the union of every directory's schema (a single
+        # dir could predate later-added columns), otherwise any one dir.
+        src = commit["dirs"] if merge_schema else commit["dirs"][:1]
+        return reader.parquet(*[f"{table}/{d}" for d in src]).limit(0)
     return reader.parquet(*[f"{table}/{d}" for d in dirs])
 
 
@@ -548,16 +552,33 @@ def compact_tx_ranged(
 
     Crash/race contract identical to ``compact_tx``: all bucket dirs
     write first, one atomic commit publishes them, losers delete their
-    orphans and retry.  Returns False when there is nothing to do."""
+    orphans and retry.  Returns False when there is nothing to do.
+
+    NULL ``split_col`` rows ride in the FIRST bucket (every range
+    predicate evaluates NULL to false, so without explicit routing they
+    would vanish from the rewritten snapshot); an all-NULL column has no
+    range structure to preserve and raises instead.  Data-skipping
+    metadata carries over: zone maps are recomputed for ``stats_cols``
+    plus every column the prior commit had stats for, and per-directory
+    blooms are rebuilt for every column the prior commit had blooms for —
+    OPTIMIZE must not silently widen the scan set of later probes."""
     from pyspark.sql import functions as F
 
-    stats_cols = stats_cols if stats_cols is not None else [split_col]
     for _ in range(max_attempts):
         version, commit = snapshot(spark, table)
         if commit is None or (
             len(commit["dirs"]) <= 1 and commit.get("stats")
         ):
             return False
+        prior_stats_cols = {
+            c for per in commit.get("stats", {}).values() for c in per
+        }
+        prior_bloom_cols = sorted(
+            {c for per in commit.get("blooms", {}).values() for c in per}
+        )
+        zone_cols = sorted(
+            prior_stats_cols | set(stats_cols or []) | {split_col}
+        )
         current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
         qs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = current.agg(
@@ -565,19 +586,35 @@ def compact_tx_ranged(
                 f"percentile({split_col}, array({', '.join(str(q) for q in qs)}))"
             ).alias("bs")
         ).collect()[0]["bs"]
+        if bounds is None or any(b is None for b in bounds):
+            raise ValueError(
+                f"compact_tx_ranged: split_col {split_col!r} is entirely NULL"
+                " — pick a populated clustering column"
+            )
         cuts = [None] + [float(b) for b in bounds] + [None]
-        new_dirs, stats = [], {}
+        new_dirs, stats, blooms = [], {}, {}
         for i in range(n_buckets):
             part = current
             if cuts[i] is not None:
                 part = part.filter(F.col(split_col) > cuts[i])
             if cuts[i + 1] is not None:
-                part = part.filter(F.col(split_col) <= cuts[i + 1])
+                pred = F.col(split_col) <= cuts[i + 1]
+                if i == 0:  # NULLs route to the first bucket
+                    pred = pred | F.col(split_col).isNull()
+                part = part.filter(pred)
             d = write_data_dir(part, table)
             new_dirs.append(d)
-            stats[d] = dir_zone_map(table, d, stats_cols)
+            stats[d] = dir_zone_map(table, d, zone_cols)
+            if prior_bloom_cols:
+                blooms[d] = dir_bloom(spark, table, d, prior_bloom_cols)
         if try_commit(
-            spark, table, version + 1, new_dirs, commit.get("last_merged_batch"), stats
+            spark,
+            table,
+            version + 1,
+            new_dirs,
+            commit.get("last_merged_batch"),
+            stats,
+            blooms or None,
         ):
             return True
         for d in new_dirs:

@@ -89,3 +89,74 @@ def test_keyed_merge_replay_skips_merged_buckets(spark, tmp_path):
     assert merge_collapsing(spark, table, b1, keys=["k"], batch_id=1)
     got = {(r["k"], r["sign"]) for r in spark.read.parquet(table).select("k", "sign").collect()}
     assert got == {(k, 1) for k in range(16) if k != 3}  # k=3 annihilated
+
+
+def test_compact_ranged_keeps_null_keys_and_rejects_all_null(spark, tmp_path):
+    """ADVICE r5: range predicates evaluate NULL to false, so rows with a
+    NULL split_col used to vanish from the rewritten snapshot.  They must
+    ride in the first bucket; an entirely-NULL column raises instead of
+    writing an empty table."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = str(tmp_path / "null_ranged")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    for i in range(2):
+        assert txlog.append_tx(
+            spark, table, df.filter(F.col("k") % 2 == i), batch_id=i
+        )
+    assert txlog.compact_tx_ranged(spark, table, "v", n_buckets=4)
+    after = txlog.read_table(spark, table)
+    assert after.count() == 100  # the 10 NULL-v rows survived OPTIMIZE
+    assert after.filter(F.col("v").isNull()).count() == 10
+
+    all_null = str(tmp_path / "all_null")
+    nn = spark.range(10).select(F.col("id").alias("k"), F.lit(None).cast("long").alias("v"))
+    assert txlog.append_tx(spark, all_null, nn, batch_id=0)
+    assert txlog.append_tx(spark, all_null, nn, batch_id=1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="entirely NULL"):
+        txlog.compact_tx_ranged(spark, all_null, "v", n_buckets=2)
+
+
+def test_compact_ranged_preserves_blooms_and_foreign_zone_maps(spark, tmp_path):
+    """ADVICE r5: OPTIMIZE used to drop per-dir blooms and any zone maps
+    beyond split_col, silently widening later probes' scan sets.  The
+    rewritten commit must carry blooms for every previously-bloomed
+    column and zone maps for every previously-mapped column."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = str(tmp_path / "meta_ranged")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("u"),
+        (F.col("id") * 2).alias("t"),
+    )
+    for i in range(3):
+        assert txlog.append_tx(
+            spark,
+            table,
+            df.filter(F.col("k") % 3 == i),
+            batch_id=i,
+            stats_cols=["t"],
+            bloom_cols=["u"],
+        )
+    assert txlog.compact_tx_ranged(spark, table, "k", n_buckets=2)
+    commit = txlog.read_commit(spark, table, txlog.latest_version(spark, table))
+    for d in commit["dirs"]:
+        assert "u" in commit["blooms"].get(d, {}), "bloom must survive OPTIMIZE"
+        assert {"k", "t"} <= set(commit["stats"].get(d, {})), "zone maps must survive"
+    # And the surviving bloom still serves an equality probe correctly.
+    hashed = int(hashlib.md5(b"3").hexdigest()[:15], 16)
+    pruned = txlog.read_table(spark, table, prune_eq={"u": hashed})
+    got = pruned.filter(F.col("u") == 3).count()
+    assert got == df.filter(F.col("u") == 3).count()
