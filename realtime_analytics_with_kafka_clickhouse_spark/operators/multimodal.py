@@ -12,9 +12,12 @@ and is exactly what a real decoder would ride on.
 
 ``decode_features`` is the decode/feature-extract stage: an Arrow-batched
 ``mapInPandas`` over the binary column.  Real image decoding (PIL/ffmpeg)
-is not available in this environment, so the decoder is a clearly-marked
-deterministic stub computing byte-level features; swap ``_decode_stub`` for
-a real decoder without touching the Spark plumbing.
+is not available in this environment, so the DEFAULT decoder is a
+clearly-marked deterministic stub computing byte-level features; the
+production branch already exists behind the same seam —
+``decode_features(spark, sf_dir, decoder=_decode_pil)`` decodes real
+image bytes via Pillow where it is installed, with the identical output
+schema and untouched Spark plumbing.
 
 Scale notes: mapInPandas streams Arrow record batches (no per-row Python),
 binary columns stay off the shuffle path (map-only plan), and feature
@@ -74,27 +77,58 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _byte_features(stream: bytes, n_bytes: int) -> tuple[int, int, list[int]]:
+    """Shared feature fold for both decoder branches: rolling checksum and
+    8-bin histogram over a byte stream (raw payload bytes for the stub,
+    decoded grayscale pixels for the PIL branch)."""
+    checksum = 0
+    hist = [0] * 8
+    for b in stream:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+        hist[b >> 5] += 1
+    return n_bytes, checksum, hist
+
+
 def _decode_stub(content: bytes) -> tuple[int, int, list[int]]:
     """STUB decoder: deterministic byte-level features in place of a real
     image/audio decode (decode libs unavailable in this environment).
-    Returns (n_bytes, checksum, 8-bin byte histogram)."""
-    checksum = 0
-    hist = [0] * 8
-    for b in content:
-        checksum = (checksum * 131 + b) % 1_000_000_007
-        hist[b >> 5] += 1
-    return len(content), checksum, hist
+    Returns (n_bytes, checksum, 8-bin byte histogram).  The oracle-checked
+    registry path; ``_decode_pil`` is the production branch behind the
+    same seam."""
+    return _byte_features(content, len(content))
 
 
-def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over the binary column."""
+def _decode_pil(content: bytes) -> tuple[int, int, list[int]]:
+    """REAL decoder branch (the production seam the stub marks): Pillow
+    decode to grayscale, then the same checksum/histogram fold over the
+    PIXEL stream — identical output schema, so swapping decoders never
+    touches the Spark plumbing.  Raises ModuleNotFoundError when Pillow
+    is absent (this sandbox); ``decode_features(..., decoder=_decode_pil)``
+    is the one-line switch where it is installed."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - sandbox has no Pillow
+        raise ModuleNotFoundError(
+            "Pillow not installed; the stub decoder is the sandbox path"
+        ) from e
+    pixels = Image.open(io.BytesIO(content)).convert("L").tobytes()
+    return _byte_features(pixels, len(content))
+
+
+def decode_features(spark: SparkSession, sf_dir: str, decoder=_decode_stub) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    ``decoder`` is the pluggable seam: ``_decode_stub`` (default — what
+    the DuckDB oracle mirrors) or ``_decode_pil`` for real image bytes."""
     m = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes, checksums, hists = [], [], []
             for content in pdf["content"]:
-                n, c, h = _decode_stub(bytes(content))
+                n, c, h = decoder(bytes(content))
                 n_bytes.append(n)
                 checksums.append(c)
                 hists.append(h)
