@@ -28,177 +28,117 @@ from ..streaming import pipeline as _streaming_pipeline
 
 # Ordered (module, names) blocks.  ORDER MATTERS: the driver's correctness
 # gate checks the first 50 registry entries, so the order is a ROTATION
-# LEDGER — entries sorted by staleness of their last green driver row:
+# LEDGER — entries sorted by (1) changed this round, (2) staleness of
+# their last green driver row.  Each round: sections that just earned
+# green rows rotate to the tail; the stalest promote into the gate, so
+# no entry goes 2 rounds unchecked.
 #
-#   1. red in the r04 gate (both root causes fixed in r5)   ← always lead
-#   2. new or changed in round 5 (need first green rows)    ← next
-#   3. last green in round 3 — stalest evidence             ← fill the gate
-#   4. green in round 4 (freshest)                          ← tail; rotate
-#      back next round
-#
-# Each round: move the sections that just got green rows to the tail and
-# promote the stalest, so no entry goes 2 rounds unchecked.  r5b pass:
-# with ~60 never-checked r5 entries and 50 slots, the gate takes (a) all
-# storage/streaming machinery, (b) every operator ADDED OR REWRITTEN in
-# the r5b session (tombstone merge, join-MV, schema evolution, bloom
-# skip, stream-static, sketch MV, RP, A-ES sample, basket-lift rewrite,
-# CDC, cascade, rank battery), (c) the most fragile remaining classes
-# (BPE loop, UDTF, HLL merge).  The proven hash-threshold/map-only family
-# (train_test_split, temperature_mix_weights, vocab_oov_rate,
-# dsir_resample) and the power-sum/sequence family wait just past the
-# gate — promote them FIRST in round 6, along with the section-3 text
-# battery.
+# r6 pass: the r5 gate went 50/50 green, so those entries rotate to the
+# tail.  The gate now takes (a) everything REWRITTEN in r6 — the
+# bucket-pruned keyed merges, the jaccard-cap/broadcast fix (which also
+# feeds minhash via the shared shingle CTE), the decoder seam — then
+# (b) all 28 entries that have NEVER had a driver row, (c) the 12 whose
+# last green row was round 2, and (d) three fragile-hash round-3 picks
+# to fill 50.  After the boundary: remaining r3, then r4, then r5.
 _NAMES = [
-    # -- 1. red in r04 (fs.py varargs / NTZ ts — both fixed in r5) --
-    (_streaming_pipeline, [
-        "compacted_rollup_txlog",
-        "incremental_rollup_txlog",
-        "hourly_trend_from_rollup",
-        "stream_sessionize_events",   # NEW r5: ST4 through the driver gate
-        "txlog_time_travel",          # NEW r5: VERSION AS OF snapshot read
-        "stream_windowed_rollup_events",  # NEW r5: ST1 watermark finalize
-        "stream_join_orders_acks",    # NEW r5: stream-stream range join
-        "stream_join_orders_acks_outer",  # NEW r5b: padded-eviction outer join
-        "txlog_pruned_read",          # NEW r5: zone-map data skipping
-        "stream_dedup_events",        # NEW r5: exactly-once dedup in-stream
-        "stream_running_totals_events",  # NEW r5: transformWithStateInPandas
-        "replacing_merge_latest",     # NEW r5: ReplacingMergeTree keep-latest
-        "collapsing_merge_net",       # NEW r5: CollapsingMergeTree sign ledger
-        "replacing_merge_tombstone",  # NEW r5: is_deleted CDC-through-storage
-        "incremental_nation_rollup",  # NEW r5: join-MV through the MERGE
-        "txlog_schema_evolution",     # NEW r5: mergeSchema additive evolution
-        "txlog_bloom_pruned_read",    # NEW r5: bloom-index point-lookup skip
-        "stream_static_enrich",       # NEW r5: stream x static broadcast join
-        "aggregating_merge_sketch_mv",  # NEW r5: stored HLL states + OPTIMIZE
-        "txlog_changes_feed",         # NEW r5b: CDF between append versions
-        "versioned_collapse_current",  # NEW r5b: fifth merge semantic (5/5)
-    ]),
-    (_storage_layout, [
-        "gdpr_delete_audit",          # NEW r5: targeted-delete proof
-    ]),
-    (_storage_bucketing, [
-        "bucketed_orders_lineitem_join",  # NEW r5: zero-exchange co-located join
-        "top_orders_per_priority_salted", # NEW r5: skew-salted two-phase top-k
-    ]),
-    (timeseries, [
-        "user_sessionization",
-        "last_purchase_asof",
-    ]),
-    # -- 2. changed in round 5 --
-    (relational, [
-        "customers_without_orders",   # recency-window anti join (non-empty)
-    ]),
-    (multimodal, [
-        "media_phash_near_dup",       # recall canaries (rows > 0 now)
-        "scene_change_flags",         # NEW r5b: shot-boundary intensity deltas
-    ]),
-    (similarity, [
-        "kmeans_train",               # map-side quantizer assignment
-        "ann_ivf_kmeans",             # grouped-cell matmul verify
-        "ann_recall_at_k",            # NEW r5: IVF-vs-exact recall eval
-        "semantic_dedup",             # NEW r5: SemDeDup over k-means cells
-        "embedding_norm_arrow",       # NEW r5: mapInArrow pure-Arrow UDF leg
-        "embedding_random_projection",  # NEW r5: JL ±1 reduction 64 -> 8
-        "ann_rp_topk",                  # NEW r5b: RP candidate cut + exact rerank
-    ]),
+    # -- 1. CHANGED in round 6 (bucketed keyed merges, jaccard cap fix,
+    #    decoder seam) — first green rows needed for the new shapes --
     (dedup, [
-        "near_dup_clusters",          # adaptive driver/distributed CC
-        "near_dup_pagerank",          # NEW r5: damped rank over the pair graph
-        "near_dup_triangles",         # NEW r5b: clique-vs-chain local clustering
-    ]),
-
-    (curation, [
-        "corpus_mix_report",          # NEW r5: training-mix data card
-        "weighted_sample_aes",        # NEW r5: A-ES sqrt-chain weighted sample
-    ]),
-    (relational, [
-        "brand_basket_lift",          # REWRITTEN r5b: HOF pair expansion
-        "cdc_apply",                  # NEW r5b: I/U/D log compaction fold
-    ]),
-    (rollups, [
-        "rollup_cascade",             # NEW r5b: hourly->daily->monthly partials
-    ]),
-    (windows, [
-        "value_rank_battery",         # NEW r5b: percent_rank/cume_dist/nth_value
-    ]),
-    (text, [
-        "build_inverted_index",       # NEW r5: capped posting lists
-        "bm25_topk",                  # NEW r5: rational-idf BM25 ranking
-    ]),
-    # Most semantically fragile new machinery first (BPE replace loop, UDTF
-    # lateral, HLL merge contract): with > 50 never-checked entries this
-    # round, the proven power-sum/sequence pattern family (corr, histogram,
-    # OLS, dense axis — same class as value_dispersion, green r4) waits for
-    # the r6 rotation; all 175 are pytest-oracle-checked at 3 SFs locally.
-    (text, [
-        "bpe_train_merges",            # NEW r5: iterated BPE training loop
-        "bpe_tokenize_stats",          # NEW r5: tokenizer application + ratio
-        "split_sentences_udtf",        # NEW r5: Arrow UDTF lateral expansion
-    ]),
-    (_sources_files, [
-        "json_roundtrip_rollup",       # NEW r5b: JSON-lines scan fidelity
-        "csv_roundtrip_stats",         # NEW r5b: CSV scan fidelity
-    ]),
-    (timeseries, [
-        "user_overlap_matrix",         # NEW r5b: HLL inclusion-exclusion overlap
-        "sketch_rollup_distinct_users",  # NEW r5: uniqState/uniqMerge HLL rollup
-        "winsorized_value_stats",      # NEW r5: percentile-broadcast clipping
-        "funnel_steps",                # NEW r5: sequential conversion funnel
-        "cohort_retention",            # NEW r5: weekly retention matrix
-    ]),
-    (rollups, [
-        "events_column_profile",       # NEW r5: one-pass data-quality profile
-        "mv_consistency_report",       # NEW r5: three-path reconciliation audit
-    ]),
-    (curation, [
-        "train_test_split",            # NEW r5: deterministic hash split
-        "temperature_mix_weights",     # NEW r5: T=0.5 sampling weights
-    ]),
-    (text, [
-        "vocab_oov_rate",              # NEW r5: vocab coverage / OOV rate
-        "dsir_resample",               # NEW r5: importance-resampling keep set
-    ]),
-    (relational, [
-        "similar_customer_names",      # NEW r5: blocked levenshtein linkage
-        "q22_idle_rich_customers",     # same recency window as the gated anti join
-    ]),
-    (multimodal, [
-        "media_phash_clusters",        # NEW r5: CC shared with gated near_dup_clusters
-    ]),
-    (curation, [
-        "dedup_keep_best",             # green r3; r5 change was memoization only
-    ]),
-    (similarity, [
-        "hybrid_search_topk",          # NEW r5: rank-only RRF; components gated
-        "embedding_prototypicality",   # NEW r5: rides the gated quantizer memo
-    ]),
-    (relational, [
-        "priority_status_grouping_sets",  # NEW r5: asymmetric grouping sets
-    ]),
-    (windows, [
-        "ewma_daily_revenue",          # NEW r5: exact-decimal EWMA smoothing
-        "revenue_anomaly_days",        # NEW r5: sqrt-free trailing z-score flag
-        "trailing_30d_revenue",        # NEW r5: RANGE (calendar) window frame
-    ]),
-    (relational, [
-        "order_event_days_full_outer",  # NEW r5: FULL OUTER coverage report
-    ]),
-    (timeseries, [
-        "value_quantity_correlation",  # NEW r5: exact-power-sum corr()
-        "value_histogram",             # NEW r5: equal-width distribution
-        "value_equidepth_histogram",   # NEW r5: decile-bounded histogram
-        "interpolated_hourly_series",  # NEW r5: linear gap imputation
-        "daily_revenue_trend",         # NEW r5: OLS regr_slope/intercept
-        "dense_hourly_series",         # NEW r5: gap-filled time axis
-    ]),
-    # -- 3. last green in round 3 — stalest evidence, fill the gate --
-    (dedup, [
-        "dedup_exact",
         "ngram_jaccard_pairs",
         "minhash_near_dup",
-        "simhash_fingerprints",
+    ]),
+    (_streaming_pipeline, [
+        "replacing_merge_latest",
+        "replacing_merge_tombstone",
+        "collapsing_merge_net",
+        "versioned_collapse_current",
+    ]),
+    (multimodal, [
+        "decode_features",
+    ]),
+    # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
+    (_sources_files, [
+        "json_roundtrip_rollup",
+        "csv_roundtrip_stats",
+    ]),
+    (timeseries, [
+        "user_overlap_matrix",
+        "sketch_rollup_distinct_users",
+        "winsorized_value_stats",
+        "funnel_steps",
+        "cohort_retention",
+    ]),
+    (rollups, [
+        "events_column_profile",
+        "mv_consistency_report",
+    ]),
+    (curation, [
+        "train_test_split",
+        "temperature_mix_weights",
+    ]),
+    (text, [
+        "vocab_oov_rate",
+        "dsir_resample",
+    ]),
+    (relational, [
+        "similar_customer_names",
+    ]),
+    (multimodal, [
+        "media_phash_clusters",
+    ]),
+    (similarity, [
+        "hybrid_search_topk",
+        "embedding_prototypicality",
+    ]),
+    (relational, [
+        "priority_status_grouping_sets",
+    ]),
+    (windows, [
+        "ewma_daily_revenue",
+        "revenue_anomaly_days",
+        "trailing_30d_revenue",
+    ]),
+    (relational, [
+        "order_event_days_full_outer",
+    ]),
+    (timeseries, [
+        "value_quantity_correlation",
+        "value_histogram",
+        "value_equidepth_histogram",
+        "interpolated_hourly_series",
+        "daily_revenue_trend",
+        "dense_hourly_series",
+    ]),
+    # -- 3. last green in round 2 — stalest driver evidence --
+    (timeseries, [
+        "approx_value_percentiles",
+        "top_event_types_sketch",
+        "value_dispersion",
+        "events_props_normalize",
+        "event_feature_map",
+        "revenue_union_ledger",
+        "approx_distinct_users",
+    ]),
+    (windows, [
+        "top_parts_per_brand",
+        "moving_avg_daily_revenue",
+        "cumulative_daily_revenue",
+        "order_gaps_per_customer",
+        "customer_order_rank",
+    ]),
+    # -- 4. round-3 fragile-hash picks to fill the 50-slot gate --
+    (dedup, [
+        "dedup_exact",
         "simhash_near_dup",
         "substring_dedup_docs",
+    ]),
+    # ---- driver gate boundary (~50) ----
+    # -- 5. remaining round-3 entries (next in line for r7) --
+    (curation, [
+        "dedup_keep_best",
+    ]),
+    (dedup, [
+        "simhash_fingerprints",
     ]),
     (text, [
         "token_stats",
@@ -231,7 +171,6 @@ _NAMES = [
     ]),
     (multimodal, [
         "media_metadata_stats",
-        "decode_features",
         "frame_sample_features",
         "resize_thumbnail",
         "media_phash",
@@ -247,7 +186,14 @@ _NAMES = [
     (windows, [
         "order_value_distribution",
     ]),
-    # -- 4. green in round 4 — freshest evidence, promoted again in r06 --
+    (relational, [
+        "q4_late_shipment_priority",
+        "q7_nation_volume_shipping",
+    ]),
+    # -- 6. green in round 4 --
+    (relational, [
+        "q22_idle_rich_customers",
+    ]),
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",
@@ -289,8 +235,6 @@ _NAMES = [
         "order_date_features",
         "price_band_join",
         "priority_status_cube",
-        "q4_late_shipment_priority",
-        "q7_nation_volume_shipping",
     ]),
     (timeseries, [
         "session_window_rollup",
@@ -298,25 +242,85 @@ _NAMES = [
         "median_value_grouped_udf",
         "dashboard_cards_sql",
         "value_percentiles",
-        "approx_value_percentiles",
-        "top_event_types_sketch",
-        "value_dispersion",
-        "events_props_normalize",
-        "event_feature_map",
-        "revenue_union_ledger",
-        "approx_distinct_users",
-    ]),
-    (windows, [
-        "top_parts_per_brand",
-        "moving_avg_daily_revenue",
-        "cumulative_daily_revenue",
-        "order_gaps_per_customer",
-        "customer_order_rank",
     ]),
     (similarity, [
         "embedding_quantize_int8",
     ]),
+    # -- 7. green in round 5 — freshest evidence, rotate forward in r7 --
+    (_streaming_pipeline, [
+        "compacted_rollup_txlog",
+        "incremental_rollup_txlog",
+        "hourly_trend_from_rollup",
+        "stream_sessionize_events",
+        "txlog_time_travel",
+        "stream_windowed_rollup_events",
+        "stream_join_orders_acks",
+        "stream_join_orders_acks_outer",
+        "txlog_pruned_read",
+        "stream_dedup_events",
+        "stream_running_totals_events",
+        "incremental_nation_rollup",
+        "txlog_schema_evolution",
+        "txlog_bloom_pruned_read",
+        "stream_static_enrich",
+        "aggregating_merge_sketch_mv",
+        "txlog_changes_feed",
+    ]),
+    (_storage_layout, [
+        "gdpr_delete_audit",
+    ]),
+    (_storage_bucketing, [
+        "bucketed_orders_lineitem_join",
+        "top_orders_per_priority_salted",
+    ]),
+    (timeseries, [
+        "user_sessionization",
+        "last_purchase_asof",
+    ]),
+    (relational, [
+        "customers_without_orders",
+    ]),
+    (multimodal, [
+        "media_phash_near_dup",
+        "scene_change_flags",
+    ]),
+    (similarity, [
+        "kmeans_train",
+        "ann_ivf_kmeans",
+        "ann_recall_at_k",
+        "semantic_dedup",
+        "embedding_norm_arrow",
+        "embedding_random_projection",
+        "ann_rp_topk",
+    ]),
+    (dedup, [
+        "near_dup_clusters",
+        "near_dup_pagerank",
+        "near_dup_triangles",
+    ]),
+    (curation, [
+        "corpus_mix_report",
+        "weighted_sample_aes",
+    ]),
+    (relational, [
+        "brand_basket_lift",
+        "cdc_apply",
+    ]),
+    (rollups, [
+        "rollup_cascade",
+    ]),
+    (windows, [
+        "value_rank_battery",
+    ]),
+    (text, [
+        "build_inverted_index",
+        "bm25_topk",
+        "bpe_train_merges",
+        "bpe_tokenize_stats",
+        "split_sentences_udtf",
+    ]),
 ]
+
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
