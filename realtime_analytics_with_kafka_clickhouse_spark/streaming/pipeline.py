@@ -1289,6 +1289,9 @@ def _merge_keyed_bucketed(
         merged = fold(unioned).withColumn("bucket", bcol)
         stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
         (
+            # One task per touched bucket: the repartition aligns write
+            # tasks with bucket dirs (1 file/bucket), keeping the NEXT
+            # merge's read of this bucket a single-file scan.
             merged.repartition(len(todo), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
