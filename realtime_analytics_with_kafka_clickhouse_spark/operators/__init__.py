@@ -46,15 +46,20 @@ _NAMES = [
     (dedup, [
         "ngram_jaccard_pairs",
         "minhash_near_dup",
+        "minhash_contamination",  # NEW r6: fuzzy benchmark decontamination
     ]),
     (_streaming_pipeline, [
         "replacing_merge_latest",
         "replacing_merge_tombstone",
         "collapsing_merge_net",
         "versioned_collapse_current",
+        "dedup_ingest_documents",  # NEW r6: dedup-on-ingest via bucketed merge
     ]),
     (multimodal, [
         "decode_features",
+    ]),
+    (_sources_files, [
+        "orc_roundtrip_stats",  # NEW r6: third lake format round-trip
     ]),
     # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
     (_sources_files, [

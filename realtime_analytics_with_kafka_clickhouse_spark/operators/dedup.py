@@ -232,6 +232,87 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pseudo-benchmark selector for the fuzzy-decontamination proof: every
+#: doc whose content hash % CONTAM_BENCH_MOD == 0 plays the held-out
+#: benchmark; the rest are the training corpus.
+CONTAM_BENCH_MOD = 7
+
+
+def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark DECONTAMINATION (NEW r6): MinHash-LSH between a
+    benchmark table and the training corpus — the GPT-3/Pile-style
+    near-duplicate decontamination pass, where exact n-gram matching
+    (``contamination_check``) misses lightly-edited benchmark leakage.
+
+    Shape: banded signatures for BOTH sides off the shared shingle CTE;
+    candidates from a bucket join of corpus sigs x benchmark sigs (the
+    benchmark side is small — eval sets are thousands of docs, so its
+    banded signature table broadcasts); exact-Jaccard verify on candidate
+    pairs only.  Output: one row per contaminated corpus doc with its
+    worst (max) benchmark overlap — the kill list a curation run feeds
+    back into the keep set.  At 100 TB the corpus side stays
+    shuffle-free: signatures are map-side, the bucket join probes a
+    broadcast benchmark, and verification touches candidate docs only."""
+    from ..functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(stable_hash64(F.col("text")), F.lit(CONTAM_BENCH_MOD)) == 0
+    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    bench_ids = docs.filter(is_bench).select("doc_id")
+    sig = _minhash_signatures(sh)
+    bench_sig = sig.join(F.broadcast(bench_ids), "doc_id").select(
+        F.col("doc_id").alias("bench_id"), "band", "sig"
+    )
+    corpus_sig = sig.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+        F.col("doc_id").alias("corpus_id"), "band", "sig"
+    )
+    candidates = (
+        corpus_sig.join(F.broadcast(bench_sig), ["band", "sig"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+        .cache()
+    )
+    cand_docs = (
+        candidates.select(F.col("corpus_id").alias("doc_id"))
+        .union(candidates.select(F.col("bench_id").alias("doc_id")))
+        .distinct()
+    )
+    doc_sets = (
+        sh.join(F.broadcast(cand_docs), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("shingles").alias("sha"),
+        F.col("n").alias("na"),
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("shingles").alias("shb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
+    pairs = (
+        F.broadcast(candidates)
+        .join(sa, "corpus_id")
+        .join(sb, "bench_id")
+        .select(
+            "corpus_id",
+            "bench_id",
+            (inter / (F.col("na") + F.col("nb") - inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    # Round-6-before-rank discipline (engine conventions): the max is over
+    # a rational whose double repr both engines produce identically, so no
+    # rounding is needed for the hash to match.
+    return pairs.groupBy("corpus_id").agg(
+        F.max("jaccard").alias("max_jaccard"),
+        F.count("*").alias("n_bench_hits"),
+    )
+
+
 _CC_EDGES_PER_PARTITION = 2_000_000  # target edges per task in the CC loop
 # Below this measured edge count the CC solves driver-side (union-find):
 # ~100k edges is a few MB — far under any driver's memory — while the

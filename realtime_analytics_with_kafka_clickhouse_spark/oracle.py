@@ -659,6 +659,41 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE inter / (sa.n + sb.n - inter) >= 0.5
 """
 
+# Fuzzy decontamination: corpus x benchmark LSH candidates, exact-Jaccard
+# verified, aggregated to each contaminated corpus doc's worst overlap.
+ORACLE["minhash_contamination"] = f"""
+WITH {_SHINGLES},
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS base FROM sh),
+minh AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hashes GROUP BY 1),
+sigs AS (
+  {_SIGS_UNION}),
+bench AS (SELECT doc_id FROM documents WHERE {_h('text')} % 7 = 0),
+cand AS (
+  SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+  FROM sigs c JOIN sigs b ON c.band = b.band AND c.sig = b.sig
+  WHERE b.doc_id IN (SELECT doc_id FROM bench)
+    AND c.doc_id NOT IN (SELECT doc_id FROM bench)),
+inter2 AS (
+  SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS inter
+  FROM sh a
+  JOIN sh b ON a.shingle = b.shingle
+  JOIN cand ON cand.corpus_id = a.doc_id AND cand.bench_id = b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT corpus_id, bench_id, inter / (sa.n + sb.n - inter) AS jaccard
+  FROM inter2
+  JOIN sizes sa ON corpus_id = sa.doc_id
+  JOIN sizes sb ON bench_id = sb.doc_id
+  WHERE inter / (sa.n + sb.n - inter) >= 0.5)
+SELECT corpus_id, max(jaccard) AS max_jaccard, count(*) AS n_bench_hits
+FROM pairs GROUP BY 1
+"""
+
+
 # Connected components over the verified near-dup pairs via a recursive
 # transitive-closure CTE (tractable because the pair set is LSH-small).
 ORACLE["near_dup_clusters"] = f"""
@@ -2946,6 +2981,29 @@ SELECT o_orderpriority AS priority,
        {_dsum('o_totalprice')} AS total_revenue,
        CAST(max(o_orderdate) AS TIMESTAMP) AS latest_order
 FROM orders GROUP BY 1
+"""
+
+
+# ORC round-trip: per-event-type stats straight off the events table —
+# the ORC scan must be a fidelity-preserving identity like JSON/CSV.
+ORACLE["orc_roundtrip_stats"] = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {_dsum('value')} AS total_value,
+       CAST(max(ts) AS TIMESTAMP) AS latest_ts,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE value > 0 GROUP BY 1
+"""
+
+
+# Dedup-on-ingest: first (lowest doc_id) copy per content hash wins, the
+# pure-SQL argmin of what the out-of-order Replacing ingest converges to.
+ORACLE["dedup_ingest_documents"] = f"""
+SELECT {_h('text')} AS content_key,
+       min(doc_id) AS keep_doc_id,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(source, doc_id) AS source
+FROM documents GROUP BY 1
 """
 
 

@@ -154,6 +154,39 @@ def read_csv_with_dlq(
     return ok, bad
 
 
+def orc_events_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """events as ORC, written once per (session, sf_dir).  ORC is the
+    third columnar lake format next to parquet (the reader/writer ship in
+    Spark's core jars); the mirror proves scan fidelity end-to-end the
+    same way the JSON/CSV mirrors do."""
+    key = ("orc-events", os.path.abspath(sf_dir))
+    if key not in _MIRROR_MEMO:
+        path = os.path.join(_MIRROR_ROOT, f"events-orc-{len(_MIRROR_MEMO)}")
+        load_table(spark, sf_dir, "events").write.orc(path)
+        _MIRROR_MEMO[key] = path
+    return _MIRROR_MEMO[key]
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over the ORC mirror of events — ORC scan
+    fidelity (timestamp round-trip, double fidelity, predicate pushdown
+    into the ORC reader) proven by hash-equality with the parquet-path
+    oracle."""
+    from ..functions.scalars import dsum
+
+    ev = spark.read.orc(orc_events_mirror(spark, sf_dir))
+    return (
+        ev.filter(F.col("value") > 0)
+        .groupBy(F.col("event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max("ts").alias("latest_ts"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 def json_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 hourly rollup computed over the JSON-LINES mirror of events
     — hash-equality with the parquet-path oracle proves the JSON scan

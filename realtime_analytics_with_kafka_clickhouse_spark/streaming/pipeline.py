@@ -1681,6 +1681,47 @@ def replacing_merge_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.unpersist(blocking=False)
 
 
+def dedup_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-INGEST through storage (NEW r6): documents arrive as 4
+    out-of-order micro-batches upserting into a Replacing table keyed by
+    the md5 content hash with ``version = -doc_id``, so the FIRST copy
+    (lowest doc_id) of each distinct text wins regardless of arrival
+    order — exact dedup as a storage-merge property rather than a batch
+    job, the ClickHouse ReplacingMergeTree-as-deduper idiom
+    (/root/reference/clickhouse/init.sql declares the MergeTree family
+    this mirrors).  Runs on the r6 bucket-pruned merge, so each ingest
+    batch rewrites only the hash-bucket dirs it touches; at 100 TB the
+    per-batch cost is O(batch + touched buckets), never O(corpus)."""
+    from ..functions.hashing import stable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        stable_hash64(F.col("text")).alias("content_key"),
+        (-F.col("doc_id")).alias("version"),
+        "doc_id",
+        "lang",
+        "source",
+    ).persist()
+    try:
+        table_dir = _fresh_rollup_dir("documents_dedup_ingest")
+        for i in (2, 0, 3, 1):  # deliberately out of order
+            merge_replacing(
+                spark,
+                table_dir,
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i),
+                key="content_key",
+                version="version",
+                batch_id=None,
+            )
+        return spark.read.parquet(table_dir).select(
+            "content_key",
+            F.col("doc_id").alias("keep_doc_id"),
+            "lang",
+            "source",
+        )
+    finally:
+        docs.unpersist(blocking=False)
+
+
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated STREAM-STATIC join — the third join mode next to the
     batch analogs and the stream-stream range join: a streaming fact
