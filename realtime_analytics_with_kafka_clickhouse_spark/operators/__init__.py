@@ -60,6 +60,10 @@ _NAMES = [
     ]),
     (_sources_files, [
         "orc_roundtrip_stats",  # NEW r6: third lake format round-trip
+        "xml_roundtrip_stats",  # NEW r6: XML source (Spark 4 core)
+    ]),
+    (timeseries, [
+        "variant_props_rollup",  # NEW r6: VARIANT-type semi-structured path
     ]),
     # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
     (_sources_files, [

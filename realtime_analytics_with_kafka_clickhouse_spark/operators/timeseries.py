@@ -273,6 +273,29 @@ def events_props_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type (NEW r6) —
+    the ClickHouse JSON/Object-type analog: ``parse_json`` parses each
+    props string ONCE into the binary variant encoding, and every
+    ``variant_get`` afterwards is a typed traversal of that encoding —
+    unlike ``get_json_object`` (events_props_normalize), which re-parses
+    the string per extraction.  At 100 TB the parse-once property is the
+    difference between one and K string parses per row for K extracted
+    fields; the rollup stays an ordinary partial-agg shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.coalesce(F.variant_get(v, "$.k", "long"), F.lit(0))
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def event_feature_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-type function breadth (SURVEY.md §2.6 extension): JSON -> map,
     map construction, map_concat, map_keys/contains/element_at — the

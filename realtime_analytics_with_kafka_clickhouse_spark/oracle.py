@@ -2996,6 +2996,30 @@ FROM events WHERE value > 0 GROUP BY 1
 """
 
 
+# XML round-trip: per-status order stats — the XML scan must be a
+# fidelity-preserving identity like the other file formats.
+ORACLE["xml_roundtrip_stats"] = f"""
+SELECT o_orderstatus AS status,
+       count(*) AS order_count,
+       {_dsum('o_totalprice')} AS total_revenue,
+       CAST(min(o_orderdate) AS TIMESTAMP) AS first_order
+FROM orders GROUP BY 1
+"""
+
+
+# VARIANT-path props rollup: typed extraction then bucket aggregate —
+# values must equal the string-path JSON extraction exactly.
+ORACLE["variant_props_rollup"] = f"""
+SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) % 10
+         AS k_bucket,
+       count(*) AS n_events,
+       {_dsum('value')} AS total_value,
+       max(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0))
+         AS max_k
+FROM events GROUP BY 1
+"""
+
+
 # Dedup-on-ingest: first (lowest doc_id) copy per content hash wins, the
 # pure-SQL argmin of what the out-of-order Replacing ingest converges to.
 ORACLE["dedup_ingest_documents"] = f"""

@@ -187,6 +187,45 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_orders_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """orders as XML (Spark 4 ships the XML source in core), written once
+    per (session, sf_dir) with explicit rowTag + timestamp format."""
+    key = ("xml-orders", os.path.abspath(sf_dir))
+    if key not in _MIRROR_MEMO:
+        path = os.path.join(_MIRROR_ROOT, f"orders-xml-{len(_MIRROR_MEMO)}")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(*ORDERS_CSV_SCHEMA.fieldNames())
+            .write.format("xml")
+            .option("rowTag", "order")
+            .option("timestampFormat", _TS_FMT)
+            .save(path)
+        )
+        _MIRROR_MEMO[key] = path
+    return _MIRROR_MEMO[key]
+
+
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order stats over the XML mirror — fourth file format
+    (after parquet/JSON-lines/CSV/ORC's round-trips); the EXPLICIT schema
+    skips the XML reader's inference pass, the same no-second-scan rule
+    the other readers follow."""
+    from ..functions.scalars import dsum
+
+    orders = (
+        spark.read.format("xml")
+        .schema(ORDERS_CSV_SCHEMA)
+        .option("rowTag", "order")
+        .option("timestampFormat", _TS_FMT)
+        .load(xml_orders_mirror(spark, sf_dir))
+    )
+    return orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("order_count"),
+        dsum("o_totalprice").alias("total_revenue"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
 def json_roundtrip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The A1 hourly rollup computed over the JSON-LINES mirror of events
     — hash-equality with the parquet-path oracle proves the JSON scan
