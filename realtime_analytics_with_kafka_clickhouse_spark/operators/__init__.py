@@ -55,12 +55,8 @@ _NAMES = [
         "versioned_collapse_current",
         "dedup_ingest_documents",  # NEW r6: dedup-on-ingest via bucketed merge
     ]),
-    (multimodal, [
-        "decode_features",
-    ]),
     (_sources_files, [
         "orc_roundtrip_stats",  # NEW r6: third lake format round-trip
-        "xml_roundtrip_stats",  # NEW r6: XML source (Spark 4 core)
     ]),
     (timeseries, [
         "variant_props_rollup",  # NEW r6: VARIANT-type semi-structured path
@@ -135,7 +131,17 @@ _NAMES = [
         "order_gaps_per_customer",
         "customer_order_rank",
     ]),
-    # -- 4. round-3 fragile-hash picks to fill the 50-slot gate --
+    # -- 4. first past the gate: low-risk r6 entries demoted to fit all
+    #    12 r2-stale rows in (decode_features' default path is
+    #    semantically unchanged; xml shares the round-trip class with the
+    #    in-gate json/csv rows) --
+    (multimodal, [
+        "decode_features",
+    ]),
+    (_sources_files, [
+        "xml_roundtrip_stats",  # NEW r6: XML source (Spark 4 core)
+    ]),
+    # -- 5. round-3 fragile-hash picks --
     (dedup, [
         "dedup_exact",
         "simhash_near_dup",
