@@ -34,12 +34,15 @@ from ..streaming import pipeline as _streaming_pipeline
 # no entry goes 2 rounds unchecked.
 #
 # r6 pass: the r5 gate went 50/50 green, so those entries rotate to the
-# tail.  The gate now takes (a) everything REWRITTEN in r6 — the
-# bucket-pruned keyed merges, the jaccard-cap/broadcast fix (which also
-# feeds minhash via the shared shingle CTE), the decoder seam — then
-# (b) all 28 entries that have NEVER had a driver row, (c) the 12 whose
-# last green row was round 2, and (d) three fragile-hash round-3 picks
-# to fill 50.  After the boundary: remaining r3, then r4, then r5.
+# tail.  The gate now takes (a) everything NEW or REWRITTEN in r6 — the
+# bucket-pruned keyed merges (+ dedup-on-ingest riding them), the
+# jaccard-cap/broadcast fix (which also feeds minhash via the shared
+# shingle CTE), fuzzy decontamination, ORC + VARIANT — then (b) all 28
+# entries that have NEVER had a driver row, then (c) the 12 whose last
+# green row was round 2.  decode_features (default path semantically
+# unchanged) and xml_roundtrip_stats (same class as the in-gate json/csv
+# rows) sit first past the boundary so all r2-stale rows fit; r7 should
+# promote them with the remaining r3 section.
 _NAMES = [
     # -- 1. CHANGED in round 6 (bucketed keyed merges, jaccard cap fix,
     #    decoder seam) — first green rows needed for the new shapes --
