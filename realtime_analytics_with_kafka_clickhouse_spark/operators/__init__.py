@@ -22,6 +22,7 @@ from . import (
     windows,
 )
 from ..sources import files as _sources_files
+from ..sources import pydatasource as _sources_pyds
 from ..storage import bucketing as _storage_bucketing
 from ..storage import layout as _storage_layout
 from ..streaming import pipeline as _streaming_pipeline
@@ -38,11 +39,15 @@ from ..streaming import pipeline as _streaming_pipeline
 # bucket-pruned keyed merges (+ dedup-on-ingest riding them), the
 # jaccard-cap/broadcast fix (which also feeds minhash via the shared
 # shingle CTE), fuzzy decontamination, ORC + VARIANT — then (b) all 28
-# entries that have NEVER had a driver row, then (c) the 12 whose last
-# green row was round 2.  decode_features (default path semantically
-# unchanged) and xml_roundtrip_stats (same class as the in-gate json/csv
-# rows) sit first past the boundary so all r2-stale rows fit; r7 should
-# promote them with the remaining r3 section.
+# entries that have NEVER had a driver row, then (c) the r2-stale rows
+# as far as the 50 slots reach (through moving_avg_daily_revenue; the
+# last three r2 windows-over-orders entries spill just past — their
+# class has 5 siblings green in r4/r5 and 3 more being checked this
+# round, the lowest-risk spill available).  decode_features (default
+# path semantically unchanged) and xml_roundtrip_stats (same class as
+# the in-gate json/csv rows) were demoted for the same reason; r7 must
+# promote the spilled r2 trio + these two FIRST, with the remaining r3
+# section behind them.
 _NAMES = [
     # -- 1. CHANGED in round 6 (bucketed keyed merges, jaccard cap fix,
     #    decoder seam) — first green rows needed for the new shapes --
@@ -63,6 +68,13 @@ _NAMES = [
     ]),
     (timeseries, [
         "variant_props_rollup",  # NEW r6: VARIANT-type semi-structured path
+    ]),
+    (relational, [
+        "recursive_decay_ladder",  # NEW r6: recursive CTE (Spark 4.1)
+        "lateral_top_customer_per_nation",  # NEW r6: correlated LATERAL
+    ]),
+    (_sources_pyds, [
+        "python_datasource_scan",  # NEW r6: Python DataSource API source
     ]),
     # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
     (_sources_files, [

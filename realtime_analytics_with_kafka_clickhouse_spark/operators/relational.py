@@ -1004,3 +1004,56 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.filter(F.col("final_op") != "D").select(
         "order_id", "final_op", "final_price", "last_seq"
     )
+
+
+def recursive_decay_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.1 SQL surface, NEW r6): per-priority revenue
+    folded through an exponential-decay ladder — each step halves the
+    amount until it drops below 1 — the loan-amortization/decay-schedule
+    shape that needs actual recursion (data-dependent depth), not a
+    static sequence() axis.
+
+    Semantics notes: Spark recursion supports UNION ALL (not UNION), so
+    the ladder is a DAG walk with a monotone termination predicate —
+    depth = log2(starting amount) ≈ 31 at sf0.1, far under the
+    spark.sql.cteRecursionLevelLimit default of 100; halving a double is
+    an exact exponent decrement on BOTH engines, so every rung is
+    bit-identical to DuckDB's."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_for_ladder")
+    return spark.sql(
+        """
+        WITH RECURSIVE ladder(priority, step, amount) AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(0 AS BIGINT) AS step,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS amount
+          FROM orders_for_ladder GROUP BY 1
+          UNION ALL
+          SELECT priority, step + 1, amount / 2 FROM ladder
+          WHERE amount >= 2.0
+        )
+        SELECT priority, step, amount FROM ladder
+        """
+    )
+
+
+def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL surface, NEW r6): for each nation,
+    the top customer by account balance — the top-1-per-group shape
+    expressed as the optimizer-visible LATERAL form instead of a window
+    scan (Catalyst rewrites it to a rank-style aggregate; at scale the
+    per-group LIMIT bounds the join output at |nations| rows)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_for_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_for_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS top_customer,
+               t.c_acctbal AS acctbal
+        FROM nation_for_lat n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer_for_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 1
+        ) t
+        """
+    )

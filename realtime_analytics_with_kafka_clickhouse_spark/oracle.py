@@ -3020,6 +3020,46 @@ FROM events GROUP BY 1
 """
 
 
+# Recursive decay ladder: identical recursion in DuckDB; double halving
+# is an exact exponent decrement on both engines.
+ORACLE["recursive_decay_ladder"] = f"""
+WITH RECURSIVE ladder(priority, step, amount) AS (
+  SELECT o_orderpriority AS priority,
+         CAST(0 AS BIGINT) AS step,
+         CAST({_dsum('o_totalprice')} AS DOUBLE) AS amount
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT priority, step + 1, amount / 2 FROM ladder
+  WHERE amount >= 2.0
+)
+SELECT priority, step, amount FROM ladder
+"""
+
+
+# Correlated LATERAL top-1 per nation; deterministic (bal DESC, name) tie
+# order on both engines.
+ORACLE["lateral_top_customer_per_nation"] = """
+SELECT n.n_name AS nation, t.c_name AS top_customer, t.c_acctbal AS acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 1
+) t
+"""
+
+
+# Python DataSource proof: every ledger value is a pure function of the
+# row id, so range(n) reproduces the source exactly.
+ORACLE["python_datasource_scan"] = """
+SELECT CAST(range % 10 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(sum((range * range) % 9973) AS BIGINT) AS total_amount,
+       CAST(max(range) AS BIGINT) AS max_id
+FROM range(100000) GROUP BY 1
+"""
+
+
 # Dedup-on-ingest: first (lowest doc_id) copy per content hash wins, the
 # pure-SQL argmin of what the out-of-order Replacing ingest converges to.
 ORACLE["dedup_ingest_documents"] = f"""
