@@ -62,6 +62,7 @@ _NAMES = [
         "collapsing_merge_net",
         "versioned_collapse_current",
         "dedup_ingest_documents",  # NEW r6: dedup-on-ingest via bucketed merge
+        "statestore_inspect",      # NEW r6: state-store reader audit
     ]),
     (_sources_files, [
         "orc_roundtrip_stats",  # NEW r6: third lake format round-trip

@@ -3060,6 +3060,16 @@ FROM range(100000) GROUP BY 1
 """
 
 
+# State-store audit: recovered streaming state must equal the batch
+# GROUP BY over all events (integer-exact measures).
+ORACLE["statestore_inspect"] = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY 1
+"""
+
+
 # Dedup-on-ingest: first (lowest doc_id) copy per content hash wins, the
 # pure-SQL argmin of what the out-of-order Replacing ingest converges to.
 ORACLE["dedup_ingest_documents"] = f"""

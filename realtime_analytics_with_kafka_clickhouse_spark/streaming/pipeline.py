@@ -1096,6 +1096,81 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def _events_2chunk_src(spark: SparkSession, sf_dir: str) -> str:
+    """events written once per (session, sf_dir) as 2 deterministic chunk
+    files (event_id mod 2) — the replay source for cross-batch state
+    proofs (membership the oracle can reproduce, unlike a timestamp
+    midpoint)."""
+    key = ("twschunks", os.path.abspath(sf_dir))
+    if key not in _REPLAY_SRC_MEMO:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        ).persist()
+        src = os.path.join(
+            _INC_ROLLUP_ROOT, f"tws-src-{uuid.uuid4().hex[:8]}", "events"
+        )
+        try:
+            for i in (0, 1):
+                events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+        finally:
+            events.unpersist(blocking=False)
+        _REPLAY_SRC_MEMO[key] = src
+    return _REPLAY_SRC_MEMO[key]
+
+
+def statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE READER (NEW r6, Spark 4 `statestore` data source): the
+    ops/debugging surface that reads a streaming query's checkpointed
+    state as an ordinary DataFrame — ClickHouse exposes system tables for
+    its internals; this is Structured Streaming's equivalent, and the
+    first-class way to audit what a stateful query is actually holding.
+
+    Proof shape: events replay as 2 chunk micro-batches through a
+    per-user running aggregation (update mode — only deltas emit, so the
+    SINK never sees the full state), then the checkpoint is read back via
+    ``format("statestore")``.  The recovered state must equal the batch
+    GROUP BY over ALL events — integer-exact measures (count + event_id
+    sum) so cross-batch accumulation order cannot smear the hash.  At
+    scale the state read is partition-parallel (one task per state store
+    partition), no driver materialization."""
+    run = uuid.uuid4().hex[:8]
+    d = os.path.join(_INC_ROLLUP_ROOT, f"ssi-{run}")
+    ckpt, name = os.path.join(d, "ckpt"), f"ssi_{run}"
+    src = _events_2chunk_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    # State value fields carry the PHYSICAL aggregate names (count/sum),
+    # not the query aliases — part of what this surface exposes.
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("id_sum"),
+    )
+
+
 def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated transformWithState run (SURVEY.md §2.7/§2.8): events
     replayed as 2 DETERMINISTIC chunks (event_id mod 2 — membership the
@@ -1111,21 +1186,7 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:8]
     d = os.path.join(_INC_ROLLUP_ROOT, f"tws-{run}")
     ckpt, name = os.path.join(d, "ckpt"), f"tws_{run}"
-    key = ("twschunks", os.path.abspath(sf_dir))
-    if key not in _REPLAY_SRC_MEMO:
-        events = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "value"
-        ).persist()
-        src = os.path.join(_INC_ROLLUP_ROOT, f"tws-src-{run}", "events")
-        try:
-            for i in (0, 1):
-                events.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(
-                    1
-                ).write.mode("append").parquet(src)
-        finally:
-            events.unpersist(blocking=False)
-        _REPLAY_SRC_MEMO[key] = src
-    src = _REPLAY_SRC_MEMO[key]
+    src = _events_2chunk_src(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", 1
