@@ -70,6 +70,9 @@ _NAMES = [
     (timeseries, [
         "variant_props_rollup",  # NEW r6: VARIANT-type semi-structured path
     ]),
+    (similarity, [
+        "arrow_grouped_label_profile",  # NEW r6: applyInArrow grouped leg
+    ]),
     (relational, [
         "recursive_decay_ladder",  # NEW r6: recursive CTE (Spark 4.1)
         "lateral_top_customer_per_nation",  # NEW r6: correlated LATERAL

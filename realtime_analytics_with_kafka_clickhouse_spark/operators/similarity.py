@@ -446,6 +446,41 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").applyInPandas(centroid, schema=LABEL_CENTROID_SCHEMA)
 
 
+def arrow_grouped_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped map (NEW r6) — the last §2.8 UDF-surface
+    leg next to pandas grouped-agg/grouped-map, mapInPandas, mapInArrow,
+    UDTF, and stateful: per-label profile computed with pyarrow.compute
+    ONLY (no pandas materialization — the Arrow batch is reduced in
+    place, the zero-copy path for wide binary/list columns).
+
+    Measures are integer-exact by construction (count, min/max id, and a
+    milli-quantized first-dimension sum where floor(f64*1000) is
+    deterministic elementwise on every engine), so the grouped-Arrow leg
+    is hash-checked, not tolerance-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def profile(table: "pa.Table") -> "pa.Table":
+        dim1 = pc.cast(pc.list_element(table["embedding"], 0), pa.float64())
+        milli = pc.cast(pc.floor(pc.multiply(dim1, 1000.0)), pa.int64())
+        return pa.table(
+            {
+                "label": pa.array([table["label"][0].as_py()], pa.int32()),
+                "n_vecs": pa.array([table.num_rows], pa.int64()),
+                "min_vec": pa.array([pc.min(table["vec_id"]).as_py()], pa.int64()),
+                "max_vec": pa.array([pc.max(table["vec_id"]).as_py()], pa.int64()),
+                "dim1_milli_sum": pa.array([pc.sum(milli).as_py()], pa.int64()),
+            }
+        )
+
+    return emb.groupBy("label").applyInArrow(
+        profile,
+        schema="label int, n_vecs long, min_vec long, max_vec long, dim1_milli_sum long",
+    )
+
+
 def _load_quantized_matrix(path: str):
     """Executor memo of the int8-quantized candidate matrix (+ scales).
 

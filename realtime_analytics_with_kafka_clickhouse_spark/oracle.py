@@ -1393,6 +1393,17 @@ SELECT label, CAST(dim AS INT) AS dim,
 FROM ed GROUP BY 1, 2
 """
 
+# applyInArrow grouped profile: integer-exact per-label measures.
+ORACLE["arrow_grouped_label_profile"] = """
+SELECT label,
+       count(*) AS n_vecs,
+       min(vec_id) AS min_vec,
+       max(vec_id) AS max_vec,
+       CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT))
+            AS BIGINT) AS dim1_milli_sum
+FROM embeddings GROUP BY 1
+"""
+
 # ------------------------------------------------------- curation [EXT]
 
 from .operators.curation import (  # noqa: E402
