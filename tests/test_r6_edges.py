@@ -275,3 +275,27 @@ def test_recursive_ladder_depth_is_data_dependent(spark):
     for r in last.collect():
         assert r["max_step"] > 10  # real recursion depth, not a toy unroll
         assert 1.0 <= r["min_amount"] < 2.0  # terminated exactly at the predicate
+
+
+def test_variant_rollup_prunes_scan_to_two_columns(spark, queries):
+    """parse_json(props) must not widen the scan: only props + value are
+    read (6-column table pruned to 2)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        read_schema_columns,
+    )
+
+    df = queries["variant_props_rollup"](spark, SF_DIR)
+    (cols,) = read_schema_columns(df)
+    assert cols == {"props", "value"}
+
+
+def test_orc_roundtrip_pushes_filter_into_orc_scan(spark, queries):
+    """The value > 0 predicate must reach the ORC reader (format-native
+    pushdown, not a post-scan filter only)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = queries["orc_roundtrip_stats"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]" in plan
