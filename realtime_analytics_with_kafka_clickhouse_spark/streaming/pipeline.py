@@ -1291,6 +1291,7 @@ def _merge_keyed_bucketed(
     fold,
     batch_id: int | None,
     n_buckets: int,
+    touched: list[int] | None = None,
 ) -> bool:
     """Generic bucket-pruned keyed merge: the shared engine under the
     Replacing / Collapsing / VersionedCollapsing folds.
@@ -1326,9 +1327,18 @@ def _merge_keyed_bucketed(
     bcol = _keyed_bucket(bucket_keys, n_buckets)
     tagged = batch.withColumn("bucket", bcol).persist()
     try:
-        touched = sorted(
-            r["bucket"] for r in tagged.select("bucket").distinct().collect()
-        )
+        # ``touched`` hint (the Delta MERGE partition-predicate analog):
+        # a caller that already knows the batch's bucket set — e.g. a
+        # replay loop that derived every epoch's buckets in ONE upfront
+        # aggregate — skips the per-merge probe job.  MUST be a superset
+        # of the batch's true buckets; a miss would leave stale rows in
+        # an unread bucket, which is why the default probes.
+        if touched is None:
+            touched = sorted(
+                r["bucket"] for r in tagged.select("bucket").distinct().collect()
+            )
+        else:
+            touched = sorted(set(touched))
         if batch_id is not None:
             todo = [
                 b
@@ -1381,6 +1391,22 @@ def _merge_keyed_bucketed(
         tagged.unpersist(blocking=False)
 
 
+def _epoch_bucket_map(rows, epoch_col, bucket_keys, n_buckets=None):
+    """{epoch: [buckets]} in ONE aggregate over the (cached) replay rows —
+    static pruning metadata for the merges' ``touched`` hint: six merges
+    probe zero times instead of once each.  Correct by construction: the
+    map is derived from the same DataFrame the epochs filter."""
+    n = KEYED_MERGE_BUCKETS if n_buckets is None else n_buckets
+    bcol = _keyed_bucket(bucket_keys, n)
+    return {
+        r["e"]: r["bs"]
+        for r in rows.select(epoch_col.alias("e"), bcol.alias("b"))
+        .groupBy("e")
+        .agg(F.collect_set("b").alias("bs"))
+        .collect()
+    }
+
+
 def merge_replacing(
     spark: SparkSession,
     table_dir: str,
@@ -1389,6 +1415,7 @@ def merge_replacing(
     version: str,
     batch_id: int | None = None,
     n_buckets: int = KEYED_MERGE_BUCKETS,
+    touched: list[int] | None = None,
 ) -> bool:
     """ReplacingMergeTree fold (the reference engine family's third merge
     semantic next to Summing and Aggregating): per key, the row with the
@@ -1412,7 +1439,7 @@ def merge_replacing(
         )
 
     return _merge_keyed_bucketed(
-        spark, table_dir, batch, [key], fold, batch_id, n_buckets
+        spark, table_dir, batch, [key], fold, batch_id, n_buckets, touched
     )
 
 
@@ -1445,6 +1472,7 @@ def replacing_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chunk by (orderkey + 2*version) mod 4: updates land in DIFFERENT
         # epochs than their base rows, in both orders.
         epoch = F.pmod(F.col("o_orderkey") + 2 * F.col("version"), F.lit(4))
+        em = _epoch_bucket_map(rows, epoch, ["o_orderkey"])
         for i in (2, 0, 3, 1):  # deliberately out of order
             merge_replacing(
                 spark,
@@ -1453,6 +1481,7 @@ def replacing_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key="o_orderkey",
                 version="version",
                 batch_id=None,  # epochs replay out of order; no marker gate
+                touched=em.get(i, []),
             )
         return spark.read.parquet(table_dir).select(
             "o_orderkey", "version", "status", "total_price"
@@ -1469,6 +1498,7 @@ def merge_collapsing(
     sign: str = "sign",
     batch_id: int | None = None,
     n_buckets: int = KEYED_MERGE_BUCKETS,
+    touched: list[int] | None = None,
 ) -> bool:
     """CollapsingMergeTree fold — the fourth MergeTree merge semantic: rows
     carry a ``sign`` (+1 state / -1 cancel) and equal-key rows collapse by
@@ -1488,7 +1518,7 @@ def merge_collapsing(
         )
 
     return _merge_keyed_bucketed(
-        spark, table_dir, batch, keys, fold, batch_id, n_buckets
+        spark, table_dir, batch, keys, fold, batch_id, n_buckets, touched
     )
 
 
@@ -1518,12 +1548,14 @@ def collapsing_merge_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table_dir = _fresh_rollup_dir("orders_collapsing")
         epoch = F.pmod(F.col("o_orderkey") + F.when(F.col("sign") < 0, 2).otherwise(0), F.lit(4))
+        em = _epoch_bucket_map(rows, epoch, ["o_orderkey", "status"])
         for i in (1, 3, 0, 2):  # deliberately out of order
             merge_collapsing(
                 spark,
                 table_dir,
                 rows.filter(epoch == i),
                 keys=["o_orderkey", "status"],
+                touched=em.get(i, []),
             )
         return spark.read.parquet(table_dir).select("o_orderkey", "status", "sign")
     finally:
@@ -1724,6 +1756,7 @@ def replacing_merge_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         table_dir = _fresh_rollup_dir("orders_replacing_tomb")
         epoch = F.pmod(F.col("o_orderkey") + 3 * F.col("version"), F.lit(4))
+        em = _epoch_bucket_map(rows, epoch, ["o_orderkey"])
         for i in (3, 1, 0, 2):  # deliberately out of order
             merge_replacing(
                 spark,
@@ -1732,6 +1765,7 @@ def replacing_merge_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 key="o_orderkey",
                 version="version",
                 batch_id=None,
+                touched=em.get(i, []),
             )
         return (
             spark.read.parquet(table_dir)
@@ -1764,14 +1798,17 @@ def dedup_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     try:
         table_dir = _fresh_rollup_dir("documents_dedup_ingest")
+        epoch = F.pmod(F.col("doc_id"), F.lit(4))
+        em = _epoch_bucket_map(docs, epoch, ["content_key"])
         for i in (2, 0, 3, 1):  # deliberately out of order
             merge_replacing(
                 spark,
                 table_dir,
-                docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i),
+                docs.filter(epoch == i),
                 key="content_key",
                 version="version",
                 batch_id=None,
+                touched=em.get(i, []),
             )
         return spark.read.parquet(table_dir).select(
             "content_key",
@@ -2042,6 +2079,7 @@ def merge_versioned_collapsing(
     sign: str = "sign",
     batch_id: int | None = None,
     n_buckets: int = KEYED_MERGE_BUCKETS,
+    touched: list[int] | None = None,
 ) -> bool:
     """VersionedCollapsingMergeTree fold — the FIFTH MergeTree merge
     semantic, and the one that fixes plain Collapsing's out-of-order
@@ -2068,7 +2106,7 @@ def merge_versioned_collapsing(
         )
 
     return _merge_keyed_bucketed(
-        spark, table_dir, batch, keys, fold, batch_id, n_buckets
+        spark, table_dir, batch, keys, fold, batch_id, n_buckets, touched
     )
 
 
@@ -2105,6 +2143,7 @@ def versioned_collapse_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch = F.pmod(
             F.col("o_orderkey") + 2 * F.col("version") - F.col("sign"), F.lit(6)
         )
+        em = _epoch_bucket_map(all_rows, epoch, ["o_orderkey"])
         for i in (4, 1, 5, 0, 3, 2):  # deliberately out of order
             merge_versioned_collapsing(
                 spark,
@@ -2112,6 +2151,7 @@ def versioned_collapse_current(spark: SparkSession, sf_dir: str) -> DataFrame:
                 all_rows.filter(epoch == i),
                 keys=["o_orderkey"],
                 batch_id=None,
+                touched=em.get(i, []),
             )
         stored = spark.read.parquet(table_dir).filter(F.col("sign") > 0)
         w_latest = F.max_by(
