@@ -1368,21 +1368,27 @@ def _merge_keyed_bucketed(
             .mode("overwrite")
             .parquet(stage)
         )
+        empty_schema = None
         for b in todo:
             staged_dir = f"{stage}/bucket={b}"
             final_dir = f"{table_dir}/bucket={b}"
-            staged_exists = fs.exists(spark, staged_dir)
-            if not staged_exists and batch_id is None:
-                # Every key in the bucket annihilated and there is no
-                # replay contract to honor: drop the dir outright.
-                fs.delete(spark, final_dir)
-                continue
             tmp = fs.swap_tmp_path(final_dir)
-            if staged_exists:
+            if fs.exists(spark, staged_dir):
                 fs.rename(spark, staged_dir, tmp)
+            else:
+                # Every key in the bucket annihilated: keep a
+                # SCHEMA-BEARING empty dir (repartition(1) forces one
+                # empty part file with a parquet footer) — a bare delete
+                # would make a fully-annihilated table unreadable
+                # (UNABLE_TO_INFER_SCHEMA), and the replay marker needs a
+                # dir to live in.
+                if empty_schema is None:
+                    empty_schema = merged.drop("bucket").schema
+                spark.createDataFrame([], empty_schema).repartition(
+                    1
+                ).write.parquet(tmp)
             if batch_id is not None:
-                # Marker travels inside the swapped dir (creates the dir
-                # for the annihilated-empty case).
+                # Marker travels inside the swapped dir.
                 fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
             fs.swap_in(spark, final_dir, tmp)
         fs.delete(spark, stage)

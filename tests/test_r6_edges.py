@@ -299,3 +299,24 @@ def test_orc_roundtrip_pushes_filter_into_orc_scan(spark, queries):
     df = queries["orc_roundtrip_stats"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,0.0)]" in plan
+
+
+def test_keyed_merge_full_annihilation_leaves_readable_empty_table(spark, tmp_path):
+    """Hypothesis-found regression (rows=[(0,1),(0,-1)] over 3 epochs):
+    when every key in every bucket annihilates, the table must stay
+    READABLE as an empty frame with the right schema — the bucketed
+    layout may not delete its last schema-bearing file."""
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_collapsing,
+    )
+
+    table = f"{tmp_path}/annihilate"
+    plus = spark.createDataFrame([(0, 1)], "k long, sign long")
+    minus = spark.createDataFrame([(0, -1)], "k long, sign long")
+    empty = plus.limit(0)
+    assert merge_collapsing(spark, table, plus, keys=["k"])
+    assert merge_collapsing(spark, table, minus, keys=["k"])  # annihilates key 0
+    merge_collapsing(spark, table, empty, keys=["k"])  # empty trailing epoch
+    got = spark.read.parquet(table)
+    assert got.count() == 0
+    assert {"k", "sign"} <= set(got.columns)
