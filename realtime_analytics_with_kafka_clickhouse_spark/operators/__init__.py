@@ -80,6 +80,9 @@ _NAMES = [
     (_sources_pyds, [
         "python_datasource_scan",  # NEW r6: Python DataSource API source
     ]),
+    (_storage_layout, [
+        "dynamic_partition_backfill",  # NEW r6: dynamic-overwrite correction
+    ]),
     # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
     (_sources_files, [
         "json_roundtrip_rollup",

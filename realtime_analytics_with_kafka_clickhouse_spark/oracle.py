@@ -3071,6 +3071,25 @@ FROM range(100000) GROUP BY 1
 """
 
 
+# Dynamic-partition backfill: the two earliest months carry doubled
+# totals; everything else is the original table.
+ORACLE["dynamic_partition_backfill"] = f"""
+WITH m AS (
+  SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS ym
+  FROM orders ORDER BY ym LIMIT 2)
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+         AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(
+         CASE WHEN year(o_orderdate) * 100 + month(o_orderdate)
+                   IN (SELECT ym FROM m)
+              THEN o_totalprice * 2 ELSE o_totalprice END
+         AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
+FROM orders GROUP BY 1
+"""
+
+
 # State-store audit: recovered streaming state must equal the batch
 # GROUP BY over all events (integer-exact measures).
 ORACLE["statestore_inspect"] = """

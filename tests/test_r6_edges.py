@@ -320,3 +320,55 @@ def test_keyed_merge_full_annihilation_leaves_readable_empty_table(spark, tmp_pa
     got = spark.read.parquet(table)
     assert got.count() == 0
     assert {"k", "sign"} <= set(got.columns)
+
+
+def test_dynamic_backfill_rewrites_only_corrected_months(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an INSERT OVERWRITE carrying two
+    months must replace exactly those month dirs — static mode would
+    truncate the table, per-partition delete+append loses atomicity."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.normalize import (
+        with_partition_month,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.layout import (
+        write_orders_table,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_timestamp"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    table = f"{tmp_path}/orders_bf"
+    write_orders_table(orders, table)
+    dirs = [d for d in fs.list_dir(spark, table) if d.startswith("order_month=")]
+    assert len(dirs) > 3
+    target = sorted(dirs)[:2]
+    before = {
+        d: (fs.list_dir(spark, f"{table}/{d}"), fs.mtime_ms(spark, f"{table}/{d}"))
+        for d in dirs
+    }
+    months = [int(d.split("=")[1]) for d in target]
+    corrected = (
+        with_partition_month(orders)
+        .filter(F.col("order_month").isin(months))
+        .drop("order_month")
+        .withColumn("total_amount", F.col("total_amount") * 2)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_orders_table(corrected, table, mode="overwrite")
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    after = {
+        d: (fs.list_dir(spark, f"{table}/{d}"), fs.mtime_ms(spark, f"{table}/{d}"))
+        for d in dirs
+    }
+    changed = sorted(d for d in dirs if before[d] != after[d])
+    assert changed == target, f"only the corrected months may change: {changed}"
+    n_before = orders.count()
+    assert spark.read.parquet(table).count() == n_before  # no truncation
