@@ -1318,9 +1318,21 @@ def _merge_keyed_bucketed(
     dir carries its own ``_LAST_MERGED_BATCH`` marker and a replayed
     batch skips buckets already at or past it — a crash that swapped
     only some buckets is healed by replaying the batch (done buckets
-    skip, the rest redo from their unchanged stored state).  A bucket
+    skip, the rest redo from their unchanged stored state).  The id
+    sequence MUST be monotone per table (the foreachBatch contract:
+    re-delivery repeats the same id, never leapfrogs) — a genuinely
+    out-of-order NEW id would be dropped per-bucket; out-of-order
+    EPOCH replays (the merge-proof queries) therefore pass
+    ``batch_id=None`` and rely on the fold's associativity instead.
+    A bucket
     whose keys all annihilate keeps a marker-only dir so the skip
-    still fires on replay."""
+    still fires on replay.
+
+    Concurrency contract: SINGLE WRITER per table (the streaming-sink
+    contract every merge here runs under — one foreachBatch loop owns
+    the table).  Two concurrent merges could interleave bucket swaps;
+    multi-writer tables belong on the txlog path, whose optimistic
+    commit protocol detects the race instead."""
     from ..storage import fs
 
     _recover_bucket_swaps(spark, table_dir)
