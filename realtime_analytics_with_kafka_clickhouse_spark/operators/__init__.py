@@ -72,6 +72,7 @@ _NAMES = [
     ]),
     (similarity, [
         "arrow_grouped_label_profile",  # NEW r6: applyInArrow grouped leg
+        "ann_ivf_persisted",            # NEW r6: index-as-table IVF serving
     ]),
     (relational, [
         "recursive_decay_ladder",  # NEW r6: recursive CTE (Spark 4.1)

@@ -748,6 +748,146 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INDEX_MEMO: dict[str, str] = {}
+
+
+def _build_ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the IVF index INTO THE TXLOG TABLE FORMAT, cell-chunked:
+    assignments (vec_id, cluster, embedding) appended as 4 cluster-RANGE
+    chunks, each commit carrying a ``cluster`` zone map — so a probe of
+    cell c lists only the directories whose range covers c.  This is the
+    index-as-table lifecycle: the index survives the session, serves
+    queries through ordinary pruned scans, and inherits the txlog's
+    snapshot/commit semantics (a rebuild is just new appends + a new
+    snapshot)."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..storage import txlog
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _IVF_INDEX_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        assigned = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+            "vec_id",
+            F.element_at("ranked", 1)["c"].alias("cluster"),
+            "embedding",
+        ).persist()
+        table = _os.path.join(
+            _tempfile.gettempdir(),
+            "spark_graft_ivf_index",
+            f"idx-{_uuid.uuid4().hex[:8]}",
+        )
+        try:
+            bounds = [KMEANS_K * i // 4 for i in range(5)]
+            bounds[4] = KMEANS_K
+            for i in range(4):
+                chunk = assigned.filter(
+                    (F.col("cluster") >= bounds[i]) & (F.col("cluster") < bounds[i + 1])
+                )
+                txlog.append_tx(
+                    spark, table, chunk, batch_id=i, stats_cols=["cluster"]
+                )
+        finally:
+            assigned.unpersist(blocking=False)
+        _IVF_INDEX_MEMO[key] = table
+    return _IVF_INDEX_MEMO[key]
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search served from the PERSISTED index (NEW r6): the query set
+    is every vector whose argmin cell is 0 (deterministic), their
+    IVF_PROBE nearest cells come map-side from the broadcast quantizer,
+    and the candidate lists are PRUNED READS of the stored index — one
+    ``txlog.read_table(prune={"cluster": (c, c)})`` per probed cell, so
+    only the cell-range directories covering the probe set are ever
+    listed (pytest pins the dir count).  Results must equal the in-memory
+    ``ann_ivf_kmeans`` restricted to the cell-0 queries — the proof that
+    an index round-tripped through storage (float32 arrays through
+    parquet) serves bit-identical answers.
+
+    At 100 TB this is the real serving shape: the index is sharded by
+    cell on disk, a query touches probe-many shards, and nothing about
+    the search re-reads the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from ..storage import txlog
+
+    table = _build_ivf_index_table(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
+    queries = with_cells.filter(
+        F.element_at("ranked", 1)["c"] == 0
+    ).select(
+        "vec_id",
+        "embedding",
+        F.transform(F.slice("ranked", 1, IVF_PROBE), lambda s: s["c"]).alias("probe_cells"),
+    ).persist()
+    try:
+        probe_cells = sorted(
+            r["c"]
+            for r in queries.select(
+                F.explode("probe_cells").alias("c")
+            ).distinct().collect()
+        )  # <= K ints — driver-bounded by construction
+        cand_parts = []
+        for c in probe_cells:
+            part = txlog.read_table(spark, table, prune={"cluster": (c, c)})
+            assert part is not None
+            cand_parts.append(part.filter(F.col("cluster") == c))
+        candidates = cand_parts[0]
+        for p in cand_parts[1:]:
+            candidates = candidates.unionByName(p)
+        q_leg = queries.select(
+            F.explode("probe_cells").alias("cluster"),
+            "vec_id",
+            "embedding",
+            F.lit(False).alias("is_member"),
+        )
+        m_leg = candidates.select(
+            "cluster", "vec_id", "embedding", F.lit(True).alias("is_member")
+        )
+        both = q_leg.unionByName(m_leg)
+
+        def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(["vec_id", "is_member"])
+            members = pdf[pdf["is_member"]]
+            qs = pdf[~pdf["is_member"]]
+            if members.empty or qs.empty:
+                return pd.DataFrame(
+                    {"vec_id": [], "neighbor_id": [], "cos_sim": []}
+                ).astype({"vec_id": "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+            q_mat = np.asarray(qs["embedding"].tolist(), dtype=np.float64)
+            m_mat = np.asarray(members["embedding"].tolist(), dtype=np.float64)
+            q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+            m_unit = m_mat / np.linalg.norm(m_mat, axis=1, keepdims=True)
+            cos = np.round(q_unit @ m_unit.T, 6)
+            q_ids = qs["vec_id"].to_numpy()
+            m_ids = members["vec_id"].to_numpy()
+            qi, mi = np.nonzero(q_ids[:, None] != m_ids[None, :])
+            return pd.DataFrame(
+                {"vec_id": q_ids[qi], "neighbor_id": m_ids[mi], "cos_sim": cos[qi, mi]}
+            )
+
+        pairs = both.groupBy("cluster").applyInPandas(
+            cell_pairs, schema="vec_id long, neighbor_id long, cos_sim double"
+        )
+        rw = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            pairs.select(
+                "vec_id", "neighbor_id", "cos_sim",
+                F.row_number().over(rw).cast("long").alias("rank"),
+            )
+            .filter(F.col("rank") <= TOP_K)
+        )
+    finally:
+        queries.unpersist(blocking=False)
+
+
 # SemDeDup decision threshold.  Like EMB_NEAR_DUP_THRESHOLD this sits where
 # the near-uniform fixture has signal (max pairwise cosine ~0.51); a
 # production pass over real embeddings uses ~0.95.

@@ -1656,6 +1656,14 @@ WHERE rank <= {top_k}"""
 
 ORACLE["ann_ivf_kmeans"] = _ivf_kmeans_sql()
 
+# Persisted-index IVF serve: identical pairs/ranks as the in-memory IVF,
+# restricted to the deterministic cell-0 query set.
+ORACLE["ann_ivf_persisted"] = f"""
+SELECT * FROM ({ORACLE["ann_ivf_kmeans"]})
+WHERE vec_id IN (
+  SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
+"""
+
 ORACLE["dsir_importance"] = """
 WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
 vocab AS (SELECT word, count(*) AS c_all,

@@ -372,3 +372,27 @@ def test_dynamic_backfill_rewrites_only_corrected_months(spark, tmp_path):
     assert changed == target, f"only the corrected months may change: {changed}"
     n_before = orders.count()
     assert spark.read.parquet(table).count() == n_before  # no truncation
+
+
+def test_ivf_persisted_index_prunes_cell_dirs(spark):
+    """The persisted IVF index serves probes through zone-map-pruned
+    reads: a single-cell probe must list fewer directories than the full
+    4-chunk index."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _build_ivf_index_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = _build_ivf_index_table(spark, SF_DIR)
+    full = txlog.read_table(spark, table)
+    pruned = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    full_dirs = {f.rsplit("/", 2)[-2] for f in full.inputFiles()}
+    pruned_dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    assert len(full_dirs) == 4 and len(pruned_dirs) < 4
+    # and the pruned scan still holds every cell-0 vector
+    assert (
+        pruned.filter(F.col("cluster") == 0).count()
+        == full.filter(F.col("cluster") == 0).count()
+    )
