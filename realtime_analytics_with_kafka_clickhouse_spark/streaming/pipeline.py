@@ -1244,25 +1244,33 @@ def _keyed_bucket(bucket_keys: list[str], n_buckets: int):
 
 
 def _recover_bucket_swaps(spark: SparkSession, table_dir: str) -> None:
-    """Crash repair for the per-bucket swap protocol: promote orphaned
-    ``bucket=i.swap-*`` dirs whose target vanished mid-swap, drop stale
-    swaps whose target survived, and drop partial ``.stage-*`` writes
-    (dot-prefixed: invisible to readers, so a crashed stage never leaks
-    rows)."""
+    """Crash repair for the per-bucket swap protocol.  Swap dirs are
+    DOT-PREFIXED (``.bucket=i.swap-*``) so partition discovery never
+    lists them — a reader racing a crashed swap sees either the old
+    bucket or (for the delete-to-rename instant) no bucket, NEVER stale
+    or duplicate rows (a visible ``bucket=i.swap-*`` name would match
+    the ``bucket=`` partition pattern and leak).  Repair: a hidden swap
+    whose target vanished is promoted (crash landed between delete and
+    rename — the swap is always fully written before the swap starts);
+    one whose target survived means the swap never began, so the merge
+    is unapplied and the swap is dropped; partial ``.stage-*`` writes
+    are dropped."""
     from ..storage import fs
 
     if not fs.exists(spark, table_dir):
-        # Legacy whole-table orphan (pre-bucketed layout, or the table
-        # itself renamed away mid-crash).
+        # Legacy whole-table orphan (the table itself renamed away
+        # mid-crash by the pre-bucketed protocol).
         fs.recover_latest_swap(spark, table_dir)
         return
     for child in fs.list_dir(spark, table_dir):
         if child.startswith(".stage-"):
             fs.delete(spark, f"{table_dir}/{child}")
-        elif fs.SWAP_SUFFIX in child:
-            base = f"{table_dir}/{child.split(fs.SWAP_SUFFIX)[0]}"
-            if not fs.recover_latest_swap(spark, base):
-                fs.cleanup_swaps(spark, base)
+        elif child.startswith(".bucket=") and fs.SWAP_SUFFIX in child:
+            base = child[1:].split(fs.SWAP_SUFFIX)[0]  # "bucket=<i>"
+            if fs.exists(spark, f"{table_dir}/{base}"):
+                fs.delete(spark, f"{table_dir}/{child}")  # never applied
+            else:
+                fs.rename(spark, f"{table_dir}/{child}", f"{table_dir}/{base}")
 
 
 def _bucket_data_dirs(
@@ -1384,7 +1392,9 @@ def _merge_keyed_bucketed(
         for b in todo:
             staged_dir = f"{stage}/bucket={b}"
             final_dir = f"{table_dir}/bucket={b}"
-            tmp = fs.swap_tmp_path(final_dir)
+            # Hidden swap name: invisible to partition discovery (see
+            # _recover_bucket_swaps for the reader-consistency argument).
+            tmp = f"{table_dir}/.bucket={b}{fs.SWAP_SUFFIX}{uuid.uuid4().hex[:8]}"
             if fs.exists(spark, staged_dir):
                 fs.rename(spark, staged_dir, tmp)
             else:
@@ -1402,7 +1412,8 @@ def _merge_keyed_bucketed(
             if batch_id is not None:
                 # Marker travels inside the swapped dir.
                 fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-            fs.swap_in(spark, final_dir, tmp)
+            fs.delete(spark, final_dir)
+            fs.rename(spark, tmp, final_dir)
         fs.delete(spark, stage)
         return True
     finally:

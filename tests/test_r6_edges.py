@@ -396,3 +396,47 @@ def test_ivf_persisted_index_prunes_cell_dirs(spark):
         pruned.filter(F.col("cluster") == 0).count()
         == full.filter(F.col("cluster") == 0).count()
     )
+
+
+def test_bucket_swap_crash_states_recover(spark, tmp_path):
+    """Per-bucket crash repair, all three windows of the HIDDEN-swap
+    protocol: (a) a .bucket=i.swap-* orphan whose target vanished
+    mid-swap is promoted; (b) one whose target survived (swap never
+    began) is dropped; (c) a partial .stage-* dir is invisible to
+    readers and swept.  Mid-crash, a reader sees either the old bucket
+    or no bucket — never stale/duplicate rows (the reason swap names are
+    dot-prefixed: a visible bucket=i.swap-* would match the partition
+    pattern and leak)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import fs
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        merge_replacing,
+    )
+
+    table = f"{tmp_path}/crashy"
+    base = spark.createDataFrame(
+        [(k, 0, f"s{k}") for k in range(32)], "k long, version long, s string"
+    )
+    merge_replacing(spark, table, base, key="k", version="version")
+    dirs = sorted(d for d in fs.list_dir(spark, table) if d.startswith("bucket="))
+    victim, stale_host = dirs[0], dirs[1]
+
+    # (a) crash between delete and rename: target gone, hidden swap holds data
+    fs.rename(spark, f"{table}/{victim}", f"{table}/.{victim}.swap-crashed")
+    # (b) hidden swap next to an intact target (crash before the delete)
+    fs.write_text(spark, f"{table}/.{stale_host}.swap-stale/_marker", "junk")
+    # (c) partial stage from a crashed writer
+    fs.write_text(spark, f"{table}/.stage-dead/bucket=0/_marker", "junk")
+
+    # Mid-crash reader: old buckets minus the in-flight one; NO stale or
+    # duplicate rows from hidden dirs.
+    n_before = spark.read.parquet(table).count()
+    assert n_before < 32
+
+    upd = spark.createDataFrame([(5, 1, "UPD")], "k long, version long, s string")
+    merge_replacing(spark, table, upd, key="k", version="version")
+
+    assert not fs.exists(spark, f"{table}/.{victim}.swap-crashed")  # promoted
+    assert not fs.exists(spark, f"{table}/.{stale_host}.swap-stale")  # swept
+    assert not fs.exists(spark, f"{table}/.stage-dead")  # swept
+    rows = {r["k"]: (r["version"], r["s"]) for r in spark.read.parquet(table).collect()}
+    assert len(rows) == 32 and rows[5] == (1, "UPD") and rows[0] == (0, "s0")
