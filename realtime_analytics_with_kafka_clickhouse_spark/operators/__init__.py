@@ -84,6 +84,9 @@ _NAMES = [
     (_storage_layout, [
         "dynamic_partition_backfill",  # NEW r6: dynamic-overwrite correction
     ]),
+    (curation, [
+        "shard_packing_efficiency",  # NEW r6: packing data-card report
+    ]),
     # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
     (_sources_files, [
         "json_roundtrip_rollup",

@@ -286,3 +286,38 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(AES_SAMPLE_K)
         .select("doc_id", "w", "key")
     )
+
+
+def shard_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency data card (NEW r6): per training shard, how
+    full it actually is — doc count, token sum, overflow beyond the
+    budget (a doc straddling the boundary lands in the shard its
+    PRECEDING count dictates, so shards can run slightly over), and
+    utilization in integer basis points.  This is the report a dataloader
+    team reads before fixing sequence length: systematic overflow means
+    truncation loss, systematic underflow means padding waste.
+
+    All-integer arithmetic on top of the distributed prefix-sum packing
+    (one extra |shards|-row aggregate — no new scan of the corpus)."""
+    packed = pack_training_shards(spark, sf_dir)
+    budget = F.lit(SHARD_TOKEN_BUDGET)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            F.greatest(F.col("shard_tokens") - budget, F.lit(0)).alias(
+                "overflow_tokens"
+            ),
+            # integer DIV, not double /-then-cast: exact floor on both
+            # engines at any magnitude
+            F.expr(
+                f"CAST((shard_tokens * 10000) DIV {SHARD_TOKEN_BUDGET} AS BIGINT)"
+            ).alias("utilization_bp"),
+        )
+    )

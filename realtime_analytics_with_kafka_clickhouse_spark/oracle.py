@@ -1426,6 +1426,20 @@ SELECT doc_id, n_tokens, cum_tokens,
 FROM c
 """
 
+ORACLE["shard_packing_efficiency"] = f"""
+WITH packed AS ({ORACLE["pack_training_shards"]}),
+s AS (
+  SELECT shard_id, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+  FROM packed GROUP BY 1)
+SELECT shard_id, n_docs, shard_tokens,
+       CAST(greatest(shard_tokens - {_SHARD_BUDGET}, 0) AS BIGINT)
+         AS overflow_tokens,
+       CAST((shard_tokens * 10000) // {_SHARD_BUDGET} AS BIGINT)
+         AS utilization_bp
+FROM s
+"""
+
 ORACLE["dedup_keep_best"] = f"""
 WITH clusters AS ({ORACLE['near_dup_clusters']}),
 q AS (SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM documents),

@@ -440,3 +440,46 @@ def test_bucket_swap_crash_states_recover(spark, tmp_path):
     assert not fs.exists(spark, f"{table}/.stage-dead")  # swept
     rows = {r["k"]: (r["version"], r["s"]) for r in spark.read.parquet(table).collect()}
     assert len(rows) == 32 and rows[5] == (1, "UPD") and rows[0] == (0, "s0")
+
+
+def test_ivf_incremental_appends_then_ranged_optimize_restores_pruning(
+    spark, tmp_path
+):
+    """Index freshness lifecycle: INCREMENTAL appends of new vectors are
+    cell-UNSORTED (each append's cluster zone map spans everything, so a
+    cell probe stops pruning), and the fix is the storage layer's own
+    ranged OPTIMIZE on `cluster` — after compaction the same probe lists
+    strictly fewer directories again and the answer set is unchanged."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _kmeans_fit,
+        _with_ranked_cells,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, SF_DIR)).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+    )
+    table = f"{tmp_path}/ivf_inc"
+    # 4 incremental appends chunked by ARRIVAL (vec_id), not by cell.
+    for i in range(4):
+        txlog.append_tx(
+            spark,
+            table,
+            assigned.filter(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+            batch_id=i,
+            stats_cols=["cluster"],
+        )
+    probe = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    n_dirs_before = len({f.rsplit("/", 2)[-2] for f in probe.inputFiles()})
+    assert n_dirs_before == 4  # arrival-ordered appends: nothing prunes
+    want = probe.filter(F.col("cluster") == 0).count()
+
+    assert txlog.compact_tx_ranged(spark, table, "cluster", n_buckets=4)
+    probe2 = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    n_dirs_after = len({f.rsplit("/", 2)[-2] for f in probe2.inputFiles()})
+    assert n_dirs_after < 4, "ranged OPTIMIZE must restore cell pruning"
+    assert probe2.filter(F.col("cluster") == 0).count() == want
