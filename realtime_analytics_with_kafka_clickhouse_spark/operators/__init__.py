@@ -73,6 +73,7 @@ _NAMES = [
     (similarity, [
         "arrow_grouped_label_profile",  # NEW r6: applyInArrow grouped leg
         "ann_ivf_persisted",            # NEW r6: index-as-table IVF serving
+        "ann_query_broadcast_topk",     # NEW r6: broadcast-query serving shape
     ]),
     (relational, [
         "recursive_decay_ladder",  # NEW r6: recursive CTE (Spark 4.1)

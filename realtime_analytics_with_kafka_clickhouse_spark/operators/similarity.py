@@ -748,6 +748,70 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_query_broadcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-batch ANN serving, corpus-streamed (NEW r6): the INVERSE
+    data movement of ``ann_cosine_topk`` — there the query stream flows
+    past a per-executor candidate matrix; here a SMALL query batch
+    (label==0 vectors, the serving premise: query batches are
+    request-sized) is broadcast, and the 100 TB side — the corpus — is
+    only ever STREAMED through mapInPandas partitions.  Filtered ANN for
+    free: the corpus predicate (label != 0) pushes into the parquet scan
+    before any vector math.
+
+    Each corpus partition emits only its per-query top-K (distributed
+    TakeOrdered: the global top-K of the per-partition top-Ks is exact),
+    so the one shuffle carries O(partitions * |queries| * K) id/score
+    triples — never embeddings, never the corpus.  Round-6-before-rank
+    with corpus-id tiebreaks at both levels, same accepted matmul-vs-fold
+    equivalence as the other cosine families."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        emb.filter(F.col("label") == 0).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )  # request-sized by premise — the ONLY driver materialization
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    def partition_topk(batches):
+        ids_q, unit_q = bq.value
+        for pdf in batches:
+            c_ids = pdf["vec_id"].to_numpy()
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            unit_c = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = np.round(unit_q @ unit_c.T, 6)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                row = cos[qi]
+                order = np.lexsort((c_ids, -row))[:TOP_K]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_c.extend(c_ids[order].tolist())
+                out_s.extend(row[order].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "corpus_id": out_c, "cos_sim": out_s}
+            )
+
+    partial = (
+        emb.filter(F.col("label") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            partition_topk, schema="query_id long, corpus_id long, cos_sim double"
+        )
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return (
+        partial.select(
+            "query_id", "corpus_id", "cos_sim",
+            F.row_number().over(rw).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 _IVF_INDEX_MEMO: dict[str, str] = {}
 
 

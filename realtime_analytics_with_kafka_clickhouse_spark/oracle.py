@@ -987,6 +987,23 @@ SELECT vec_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= 5
 """
 
+# Query-batch serving: label-0 queries x label!=0 corpus, exact top-5.
+ORACLE["ann_query_broadcast_topk"] = f"""
+WITH {_NORMED_V},
+lv AS (SELECT v.vec_id, v.embedding, v.nrm, e.label
+       FROM v JOIN embeddings e ON v.vec_id = e.vec_id),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round({_dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6)
+           AS cos_sim
+  FROM lv q, lv c WHERE q.label = 0 AND c.label <> 0)
+SELECT query_id, corpus_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, corpus_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= 5
+"""
+
 _PLANE_COMP = (
     "(CASE WHEN " + _H.format(x="CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
     + " % 2 = 1 THEN 1.0 ELSE -1.0 END)"

@@ -483,3 +483,15 @@ def test_ivf_incremental_appends_then_ranged_optimize_restores_pruning(
     n_dirs_after = len({f.rsplit("/", 2)[-2] for f in probe2.inputFiles()})
     assert n_dirs_after < 4, "ranged OPTIMIZE must restore cell pruning"
     assert probe2.filter(F.col("cluster") == 0).count() == want
+
+
+def test_query_broadcast_ann_pushes_corpus_filter_and_prunes(spark, queries):
+    """The corpus predicate must reach the parquet scan (filtered ANN
+    pre-vector-math) and the scan must read only vec_id/embedding/label."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = queries["ann_query_broadcast_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(label), Not(EqualTo(label,0))]" in plan
