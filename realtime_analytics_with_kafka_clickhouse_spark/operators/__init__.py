@@ -40,13 +40,13 @@ from ..streaming import pipeline as _streaming_pipeline
 # jaccard-cap/broadcast fix (which also feeds minhash via the shared
 # shingle CTE), fuzzy decontamination, ORC + VARIANT — then (b) all 28
 # entries that have NEVER had a driver row, then (c) the r2-stale rows
-# as far as the 50 slots reach (through revenue_union_ledger; the r6
-# surface grew by 11 brand-new operators, so the remaining 6 r2 window/
+# as far as the 50 slots reach (through value_dispersion; the r6
+# surface grew by 14 brand-new operators, so the remaining 8 r2 window/
 # sketch entries spill just past — new code outranks stale-but-proven
 # classes whose siblings are green in r4/r5).  decode_features (default
 # path semantically unchanged) and xml_roundtrip_stats (same class as
 # the in-gate json/csv rows) were demoted for the same reason; r7 must
-# promote the spilled r2 five + these two FIRST, with the remaining r3
+# promote the 8 spilled r2 entries + these two FIRST, with the remaining r3
 # section behind them.
 _NAMES = [
     # -- 1. CHANGED in round 6 (bucketed keyed merges, jaccard cap fix,
