@@ -413,6 +413,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         memo_put("near_dup_labels", sf_dir, ("documents",), labels_local)
         return spark.createDataFrame(labels_local, "doc_id long, cluster_id long")
+    return _distributed_min_label(spark, pairs, n_pairs)
+
+
+def _distributed_min_label(
+    spark: SparkSession, pairs: DataFrame, n_pairs: int
+) -> DataFrame:
+    """The large-graph CC arm shared by ``near_dup_clusters`` and
+    ``media_phash_clusters``: iterative min-label propagation over a
+    cached (doc_a, doc_b) pair frame whose measured edge count exceeded
+    ``CC_DRIVER_MAX_EDGES``.  Returns (doc_id, cluster_id); unpersists
+    ``pairs`` once the labels are checkpointed."""
     # Size the iteration's partitioning from the measured edge count, not
     # the global shuffle default: the CC working set (near-dup pairs) is
     # orders of magnitude smaller than the corpus, and right-sizing here

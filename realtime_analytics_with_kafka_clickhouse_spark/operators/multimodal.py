@@ -378,17 +378,26 @@ def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one representative per visually-identical cluster), mirroring what
     near_dup_clusters does for text.
 
-    The pair set is LSH-banding-bounded (orders of magnitude below the
-    media count), so the components solve with the shared driver
-    union-find (dedup.union_find_labels, min-id labels); a corpus whose
-    media pair graph outgrew the driver would switch to the iterative
-    min-label loop exactly as near_dup_clusters does.  Output: (doc_id,
-    cluster_id) for every media item in >= 1 near-dup pair."""
-    from .dedup import union_find_labels
+    Adaptive exactly like ``near_dup_clusters``: the pair count is
+    MEASURED first; a banding-bounded graph (<= CC_DRIVER_MAX_EDGES)
+    solves with the shared driver union-find (min-id labels), while a
+    larger one runs the same distributed iterative min-label loop — the
+    driver never collects an unmeasured pair set.  Both arms produce
+    identical min-label components (pinned by pytest, which forces the
+    distributed arm by lowering the cap).  Output: (doc_id, cluster_id)
+    for every media item in >= 1 near-dup pair."""
+    from . import dedup
 
-    pairs = media_phash_near_dup(spark, sf_dir).select("doc_a", "doc_b").collect()
-    labels = union_find_labels((r["doc_a"], r["doc_b"]) for r in pairs)
-    return spark.createDataFrame(labels, "doc_id long, cluster_id long")
+    pairs = media_phash_near_dup(spark, sf_dir).select("doc_a", "doc_b").cache()
+    n_pairs = pairs.count()
+    if n_pairs <= dedup.CC_DRIVER_MAX_EDGES:
+        edge_rows = pairs.collect()  # bounded by the measured count above
+        pairs.unpersist(blocking=False)
+        labels = dedup.union_find_labels(
+            (r["doc_a"], r["doc_b"]) for r in edge_rows
+        )
+        return spark.createDataFrame(labels, "doc_id long, cluster_id long")
+    return dedup._distributed_min_label(spark, pairs, n_pairs)
 
 
 SCENE_DELTA = 4.0  # |mean-byte| jump between consecutive frames = a cut

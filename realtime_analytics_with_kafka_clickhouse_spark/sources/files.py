@@ -30,11 +30,14 @@ _MIRROR_ROOT = os.path.join(
     tempfile.gettempdir(), f"spark_graft_file_mirrors-{os.getpid()}"
 )
 _MIRROR_MEMO: dict[tuple[str, str], str] = {}
-# Cached DLQ scans per (format, path): the corrupt-column split needs one
-# cache()d frame (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and memoizing it —
-# like the mirror helpers — keeps repeated reads of the same path from
-# stacking fresh cached copies in storage memory for the session's life.
-_DLQ_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Cached DLQ scans per (session, format, path): the corrupt-column split
+# needs one cache()d frame (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+# memoizing it — like the mirror helpers — keeps repeated reads of the
+# same path from stacking fresh cached copies in storage memory.  The key
+# carries id(spark) (as pydatasource does) because a cached DataFrame is
+# bound to its SparkSession: after a session restart in the same process
+# a path-only key would serve a frame whose session is stopped.
+_DLQ_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 
 
 @atexit.register
@@ -99,7 +102,7 @@ def read_json_with_dlq(
     """(rows, quarantined) from a JSON-lines scan: explicit schema,
     PERMISSIVE corrupt capture — the quarantine side keeps the raw line."""
     corrupt = "_corrupt_record"
-    memo_key = ("json", os.path.abspath(path))
+    memo_key = (id(spark), "json", os.path.abspath(path))
     if memo_key in _DLQ_MEMO:
         df = _DLQ_MEMO[memo_key]
     else:
@@ -130,7 +133,7 @@ def read_csv_with_dlq(
 ) -> tuple[DataFrame, DataFrame]:
     """(rows, quarantined) from a headered CSV scan, same contract."""
     corrupt = "_corrupt_record"
-    memo_key = ("csv", os.path.abspath(path))
+    memo_key = (id(spark), "csv", os.path.abspath(path))
     if memo_key in _DLQ_MEMO:
         df = _DLQ_MEMO[memo_key]
     else:

@@ -1380,9 +1380,11 @@ def _merge_keyed_bucketed(
         merged = fold(unioned).withColumn("bucket", bcol)
         stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
         (
-            # One task per touched bucket: the repartition aligns write
-            # tasks with bucket dirs (1 file/bucket), keeping the NEXT
-            # merge's read of this bucket a single-file scan.
+            # len(todo) write tasks: sizes the stage to the touched set
+            # so the NEXT merge's bucket read is a few-file scan.  Hash
+            # partitioning mod len(todo) may land two buckets in one
+            # task (several files in a dir) — best-effort file count;
+            # correctness comes from partitionBy routing rows by value.
             merged.repartition(len(todo), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
