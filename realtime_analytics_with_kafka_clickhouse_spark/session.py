@@ -55,6 +55,15 @@ def get_spark(app_name: str = "realtime_analytics_spark", shuffle_partitions: in
         # which Spark's vectorized reader rejects by default; read as long ns
         # and convert in the loader (sources.tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Commit algorithm 2: task outputs move to the destination at task
+        # commit instead of a serial driver-side merge pass at job commit —
+        # matters for partitionBy writes (N dirs to merge).  Safe here
+        # because every directory-replacing writer in the engine stages to
+        # a hidden dir first and promotes via the swap protocol; a crashed
+        # job's partial stage output is dropped by swap repair, so the
+        # weaker job-commit atomicity is never load-bearing.  Perf-only:
+        # correctness holds on a vanilla session without it.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
     )
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{_CPUS}]")

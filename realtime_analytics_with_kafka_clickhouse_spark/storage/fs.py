@@ -116,6 +116,81 @@ def cleanup_swaps(spark: SparkSession, path: str) -> int:
     return n
 
 
+def replicate_dir(spark: SparkSession, src: str, dsts: list[str]) -> None:
+    """Copy one (small) directory to N destinations through Hadoop
+    ``FileUtil.copy`` — no Spark jobs.  Used to fan a schema-bearing
+    empty-table template out to every fully-annihilated bucket in a
+    keyed merge: one write job + N cheap FS copies instead of N jobs."""
+    fs_, src_p = _fs(spark, src)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for d in dsts:
+        # dst must NOT pre-exist: FileUtil.copy into an existing dir nests
+        # src under dst/<srcName>; into an absent path it copies the
+        # directory contents to dst itself (what we want).
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs_, src_p, fs_, jvm.org.apache.hadoop.fs.Path(d), False, True, conf
+        )
+
+
+def swap_partition_dirs(
+    spark: SparkSession,
+    table_dir: str,
+    stage: str,
+    names: list[str],
+    marker: tuple[str, str] | None = None,
+    max_threads: int = 8,
+) -> None:
+    """Batched hidden-swap pass: for each child ``name`` (e.g.
+    ``bucket=3``) present under ``stage``, optionally drop a marker file
+    INSIDE the staged dir, then promote it over ``table_dir/name`` via
+    the ``.{name}.swap-*`` crash protocol (rename staged → hidden swap
+    sibling, delete target, rename into place).
+
+    Two costs the naive per-bucket loop pays that this one doesn't:
+    every ``fs.<op>`` call re-derives the FileSystem handle through py4j
+    (hoisted here to ONE handle for the whole pass), and the swaps run
+    serially (independent per bucket — fanned over a small thread pool;
+    py4j gives each Python thread its own gateway connection, and Hadoop
+    FileSystem instances are thread-safe).
+
+    Crash states are identical to the serial protocol
+    (``_recover_bucket_swaps``): a hidden swap whose target survived was
+    never applied (dropped on repair); one whose target vanished is
+    promoted.  The marker travels inside the directory through every
+    rename, so marker and data stay atomic per bucket."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fs_, _ = _fs(spark, table_dir)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+
+    if marker is not None:
+        marker_name, marker_value = marker
+        payload = bytearray(marker_value.encode("utf-8"))
+        for name in names:
+            out = fs_.create(jpath(f"{stage}/{name}/{marker_name}"), True)
+            try:
+                out.write(payload)
+            finally:
+                out.close()
+
+    def _swap(name: str) -> None:
+        tmp = jpath(f"{table_dir}/.{name}{SWAP_SUFFIX}{uuid.uuid4().hex[:8]}")
+        final = jpath(f"{table_dir}/{name}")
+        fs_.rename(jpath(f"{stage}/{name}"), tmp)
+        fs_.delete(final, True)
+        fs_.rename(tmp, final)
+
+    if len(names) <= 1:
+        for name in names:
+            _swap(name)
+    else:
+        with ThreadPoolExecutor(max_workers=min(max_threads, len(names))) as ex:
+            # list() re-raises the first worker exception, if any.
+            list(ex.map(_swap, names))
+
+
 def dir_size(spark: SparkSession, path: str) -> int:
     """Total bytes of data files under a directory (recursive), ignoring
     hidden/marker files."""

@@ -1228,11 +1228,43 @@ def stream_running_totals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-aggregates current ∪ batch wholesale costs O(table) per micro-batch.
 # Bucketing by hash(key) % N and rewriting ONLY the buckets present in
 # the batch bounds each merge at O(touched buckets + batch): a CDC batch
-# touching k keys rewrites at most k buckets.  At 100 TB, N scales with
-# table size (pick N so a bucket is a few GB — the same sizing rule as
-# Delta/Iceberg file pruning on a MERGE key); 8 keeps local fixtures
-# small.
+# touching k keys rewrites at most k buckets.
+#
+# N SCALING PRECONDITION (what makes the O(batch · bucket_size) claim
+# hold): per-merge cost is |touched| · bucket_size, and bucket_size =
+# table_bytes / N — so N must scale WITH the table.  The toy default
+# (8, sized for local fixtures) on a 100 TB table means 12.5 TB buckets
+# and any uniformly-hashed batch touches all 8, degenerating back to
+# O(table) per batch.  Size N at TABLE CREATION via ``derive_n_buckets``
+# (N ≈ table_bytes / target_bucket_bytes, the Delta/Iceberg MERGE-key
+# file-pruning rule) and keep it fixed thereafter: hash(key) % N is the
+# physical layout, so changing N means re-bucketing the table (a ranged
+# OPTIMIZE-style rewrite), exactly like changing a Hive bucket count.
+# Every merge entry point takes ``n_buckets``; correctness is
+# N-independent (the fuzz battery runs the same contract at N=8 and
+# N=64 — tests/test_merge_fuzz.py).
 KEYED_MERGE_BUCKETS = 8
+
+# ~2 GB per bucket: large enough that per-bucket file/commit overhead
+# amortizes, small enough that one touched bucket's rewrite is a few
+# tasks' work.  100 TB / 2 GB -> N = 51200 bucket dirs (fine for any
+# listing path the merge uses: it only ever lists TOUCHED buckets).
+KEYED_MERGE_TARGET_BUCKET_BYTES = 2 * 1024**3
+
+
+def derive_n_buckets(
+    table_bytes: int,
+    target_bucket_bytes: int = KEYED_MERGE_TARGET_BUCKET_BYTES,
+) -> int:
+    """Bucket count for a NEW keyed-merge table of the given expected
+    size: smallest power of two with buckets <= ``target_bucket_bytes``
+    (power of two keeps hash(key) % N well-mixed for xxhash64 and makes
+    any future 2x re-bucketing split/merge dirs pairwise).  Floors at the
+    toy default so small tables keep cheap fixtures."""
+    n = KEYED_MERGE_BUCKETS
+    while n * target_bucket_bytes < table_bytes:
+        n *= 2
+    return n
 
 
 def _keyed_bucket(bucket_keys: list[str], n_buckets: int):
@@ -1374,7 +1406,14 @@ def _merge_keyed_bucketed(
         batch_rows = tagged.filter(F.col("bucket").isin(todo)).drop("bucket")
         current_dirs = _bucket_data_dirs(spark, table_dir, todo)
         if current_dirs:
-            unioned = spark.read.parquet(*current_dirs).unionByName(batch_rows)
+            # Stored bucket files carry exactly the fold's output schema
+            # (== the batch schema); passing it skips a per-merge footer
+            # schema-inference pass over every touched bucket.
+            unioned = (
+                spark.read.schema(batch_rows.schema)
+                .parquet(*current_dirs)
+                .unionByName(batch_rows)
+            )
         else:
             unioned = batch_rows
         merged = fold(unioned).withColumn("bucket", bcol)
@@ -1385,37 +1424,45 @@ def _merge_keyed_bucketed(
             # partitioning mod len(todo) may land two buckets in one
             # task (several files in a dir) — best-effort file count;
             # correctness comes from partitionBy routing rows by value.
+            # (Measured against the no-repartition dynamic-partition
+            # write, which trades this shuffle for a per-task sort +
+            # multi-writer roll: the explicit repartition is faster here
+            # and caps file counts at scale.)
             merged.repartition(len(todo), "bucket")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(stage)
         )
-        empty_schema = None
-        for b in todo:
-            staged_dir = f"{stage}/bucket={b}"
-            final_dir = f"{table_dir}/bucket={b}"
-            # Hidden swap name: invisible to partition discovery (see
-            # _recover_bucket_swaps for the reader-consistency argument).
-            tmp = f"{table_dir}/.bucket={b}{fs.SWAP_SUFFIX}{uuid.uuid4().hex[:8]}"
-            if fs.exists(spark, staged_dir):
-                fs.rename(spark, staged_dir, tmp)
-            else:
-                # Every key in the bucket annihilated: keep a
-                # SCHEMA-BEARING empty dir (repartition(1) forces one
-                # empty part file with a parquet footer) — a bare delete
-                # would make a fully-annihilated table unreadable
-                # (UNABLE_TO_INFER_SCHEMA), and the replay marker needs a
-                # dir to live in.
-                if empty_schema is None:
-                    empty_schema = merged.drop("bucket").schema
-                spark.createDataFrame([], empty_schema).repartition(
-                    1
-                ).write.parquet(tmp)
-            if batch_id is not None:
-                # Marker travels inside the swapped dir.
-                fs.write_text(spark, f"{tmp}/{MERGE_MARKER}", str(batch_id))
-            fs.delete(spark, final_dir)
-            fs.rename(spark, tmp, final_dir)
+        # Fully-annihilated buckets (every key cancelled) left no staged
+        # dir, but must keep a SCHEMA-BEARING empty dir — a bare delete
+        # would make a fully-annihilated table unreadable
+        # (UNABLE_TO_INFER_SCHEMA), and the replay marker needs a dir to
+        # live in.  Write the empty template ONCE (repartition(1) forces
+        # one empty part file with a parquet footer) and fan it out with
+        # FS copies — the old per-bucket empty-write was a Spark job per
+        # annihilated bucket, the bulk of the r6 swap-overhead regression.
+        staged = set(fs.list_dir(spark, stage))
+        missing = [b for b in todo if f"bucket={b}" not in staged]
+        if missing:
+            template = f"{stage}/.empty-template"
+            spark.createDataFrame(
+                [], merged.drop("bucket").schema
+            ).repartition(1).write.parquet(template)
+            fs.replicate_dir(
+                spark, template, [f"{stage}/bucket={b}" for b in missing]
+            )
+        # Batched swap pass: marker writes into the staged dirs, then the
+        # hidden ``.bucket=i.swap-*`` promote per bucket — one hoisted
+        # FileSystem handle, independent swaps thread-pooled (the old loop
+        # was serial driver FS calls).  Crash states are unchanged (see
+        # fs.swap_partition_dirs / _recover_bucket_swaps).
+        fs.swap_partition_dirs(
+            spark,
+            table_dir,
+            stage,
+            [f"bucket={b}" for b in todo],
+            marker=(MERGE_MARKER, str(batch_id)) if batch_id is not None else None,
+        )
         fs.delete(spark, stage)
         return True
     finally:

@@ -12,12 +12,17 @@ from __future__ import annotations
 import os
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 import realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline as P
 
 
-def test_versioned_merge_randomized_contract(spark, tmp_path):
+# Two bucket counts: the toy default and a derived-scale N (the
+# O(batch · bucket_size) claim's precondition is that N grows with the
+# table — derive_n_buckets — so the contract must be N-independent).
+@pytest.mark.parametrize("n_buckets", [8, 64])
+def test_versioned_merge_randomized_contract(spark, tmp_path, n_buckets):
     rng = random.Random(20260814)
     for trial in range(5):
         n = rng.randint(1, 40)
@@ -36,7 +41,7 @@ def test_versioned_merge_randomized_contract(spark, tmp_path):
         df = spark.createDataFrame(idx, "k long, version long, sign long, i long")
         em = None
         if use_hint:
-            bcol = P._keyed_bucket(["k"], P.KEYED_MERGE_BUCKETS)
+            bcol = P._keyed_bucket(["k"], n_buckets)
             em = {
                 r["e"]: r["bs"]
                 for r in df.select(
@@ -55,6 +60,7 @@ def test_versioned_merge_randomized_contract(spark, tmp_path):
                     df.filter(F.col("i") % n_epochs == e).drop("i"),
                     keys=["k"],
                     batch_id=(e if use_bid else None),
+                    n_buckets=n_buckets,
                     touched=(em.get(e, []) if use_hint else None),
                 )
         got = sorted(

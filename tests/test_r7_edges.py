@@ -27,3 +27,18 @@ def test_media_phash_clusters_distributed_arm_matches_driver_arm(
         map(tuple, multimodal.media_phash_clusters(spark, SF_DIR).collect())
     )
     assert dist_labels == driver_labels
+
+
+def test_derive_n_buckets_scaling():
+    """N must scale with table size (power of two, floored at the toy
+    default) so bucket size stays near the target at any scale."""
+    import realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline as P
+
+    assert P.derive_n_buckets(0) == P.KEYED_MERGE_BUCKETS
+    assert P.derive_n_buckets(10 * 1024**3) == P.KEYED_MERGE_BUCKETS
+    one_tb = 1024**4
+    n = P.derive_n_buckets(100 * one_tb)
+    assert n & (n - 1) == 0  # power of two
+    bucket = 100 * one_tb / n
+    assert bucket <= P.KEYED_MERGE_TARGET_BUCKET_BYTES
+    assert bucket > P.KEYED_MERGE_TARGET_BUCKET_BYTES / 2  # not oversplit
