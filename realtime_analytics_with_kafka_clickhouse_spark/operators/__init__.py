@@ -34,118 +34,35 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r6 pass: the r5 gate went 50/50 green, so those entries rotate to the
-# tail.  The gate now takes (a) everything NEW or REWRITTEN in r6 — the
-# bucket-pruned keyed merges (+ dedup-on-ingest riding them), the
-# jaccard-cap/broadcast fix (which also feeds minhash via the shared
-# shingle CTE), fuzzy decontamination, ORC + VARIANT — then (b) all 28
-# entries that have NEVER had a driver row, then (c) the r2-stale rows
-# as far as the 50 slots reach (through value_dispersion; the r6
-# surface grew by 14 brand-new operators, so the remaining 8 r2 window/
-# sketch entries spill just past — new code outranks stale-but-proven
-# classes whose siblings are green in r4/r5).  decode_features (default
-# path semantically unchanged) and xml_roundtrip_stats (same class as
-# the in-gate json/csv rows) were demoted for the same reason; r7 must
-# promote the 8 spilled r2 entries + these two FIRST, with the remaining r3
-# section behind them.
+# r7 pass: the r6 gate went 50/50 green, so those entries rotate to the
+# tail.  Nothing brand-new leads this round; the gate is the PROMOTION
+# round the r6 verdict ordered — all 52 entries whose freshest driver
+# evidence was r2/r3/never, in the verdict's order: (a) the five named
+# first (xml_roundtrip_stats — the one never-checked entry — the
+# spilled r2 trio, decode_features), (b) the remaining six r2-stale
+# rows, (c) the r3 sections (dedup fragile-hash picks, text battery,
+# ANN, multimodal, curation, windows, TPC-H q4/q7).  That's 52 into 50
+# slots: incremental_hourly_rollup and incremental_daily_region_rollup
+# spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
+# the exact code path six r5-green txlog entries and the r6-green
+# bucketed merges exercise).  r8 must promote those two FIRST; after
+# them no entry's evidence predates r4.
 _NAMES = [
-    # -- 1. CHANGED in round 6 (bucketed keyed merges, jaccard cap fix,
-    #    decoder seam) — first green rows needed for the new shapes --
-    (dedup, [
-        "ngram_jaccard_pairs",
-        "minhash_near_dup",
-        "minhash_contamination",  # NEW r6: fuzzy benchmark decontamination
-    ]),
-    (_streaming_pipeline, [
-        "replacing_merge_latest",
-        "replacing_merge_tombstone",
-        "collapsing_merge_net",
-        "versioned_collapse_current",
-        "dedup_ingest_documents",  # NEW r6: dedup-on-ingest via bucketed merge
-        "statestore_inspect",      # NEW r6: state-store reader audit
-    ]),
+    # -- 1. the r6 verdict's named-first five (never-checked + spilled
+    #    r2 trio + demoted decode_features) --
     (_sources_files, [
-        "orc_roundtrip_stats",  # NEW r6: third lake format round-trip
-    ]),
-    (timeseries, [
-        "variant_props_rollup",  # NEW r6: VARIANT-type semi-structured path
-    ]),
-    (similarity, [
-        "arrow_grouped_label_profile",  # NEW r6: applyInArrow grouped leg
-        "ann_ivf_persisted",            # NEW r6: index-as-table IVF serving
-        "ann_query_broadcast_topk",     # NEW r6: broadcast-query serving shape
-    ]),
-    (relational, [
-        "recursive_decay_ladder",  # NEW r6: recursive CTE (Spark 4.1)
-        "lateral_top_customer_per_nation",  # NEW r6: correlated LATERAL
-    ]),
-    (_sources_pyds, [
-        "python_datasource_scan",  # NEW r6: Python DataSource API source
-    ]),
-    (_storage_layout, [
-        "dynamic_partition_backfill",  # NEW r6: dynamic-overwrite correction
-    ]),
-    (curation, [
-        "shard_packing_efficiency",  # NEW r6: packing data-card report
-    ]),
-    # -- 2. never driver-checked (added r5; pytest-oracle evidence only) --
-    (_sources_files, [
-        "json_roundtrip_rollup",
-        "csv_roundtrip_stats",
-    ]),
-    (timeseries, [
-        "user_overlap_matrix",
-        "sketch_rollup_distinct_users",
-        "winsorized_value_stats",
-        "funnel_steps",
-        "cohort_retention",
-    ]),
-    (rollups, [
-        "events_column_profile",
-        "mv_consistency_report",
-    ]),
-    (curation, [
-        "train_test_split",
-        "temperature_mix_weights",
-    ]),
-    (text, [
-        "vocab_oov_rate",
-        "dsir_resample",
-    ]),
-    (relational, [
-        "similar_customer_names",
-    ]),
-    (multimodal, [
-        "media_phash_clusters",
-    ]),
-    (similarity, [
-        "hybrid_search_topk",
-        "embedding_prototypicality",
-    ]),
-    (relational, [
-        "priority_status_grouping_sets",
+        "xml_roundtrip_stats",  # only entry with NO driver row ever
     ]),
     (windows, [
-        "ewma_daily_revenue",
-        "revenue_anomaly_days",
-        "trailing_30d_revenue",
+        "cumulative_daily_revenue",
+        "order_gaps_per_customer",
+        "customer_order_rank",
     ]),
-    (relational, [
-        "order_event_days_full_outer",
+    (multimodal, [
+        "decode_features",
     ]),
+    # -- 2. remaining r2-stale rows --
     (timeseries, [
-        "value_quantity_correlation",
-        "value_histogram",
-        "value_equidepth_histogram",
-        "interpolated_hourly_series",
-        "daily_revenue_trend",
-        "dense_hourly_series",
-    ]),
-    # -- 3. last green in round 2 — stalest driver evidence --
-    (timeseries, [
-        "approx_value_percentiles",
-        "top_event_types_sketch",
-        "value_dispersion",
         "events_props_normalize",
         "event_feature_map",
         "revenue_union_ledger",
@@ -154,34 +71,18 @@ _NAMES = [
     (windows, [
         "top_parts_per_brand",
         "moving_avg_daily_revenue",
-        "cumulative_daily_revenue",
-        "order_gaps_per_customer",
-        "customer_order_rank",
     ]),
-    # -- 4. first past the gate: low-risk r6 entries demoted to fit all
-    #    12 r2-stale rows in (decode_features' default path is
-    #    semantically unchanged; xml shares the round-trip class with the
-    #    in-gate json/csv rows) --
-    (multimodal, [
-        "decode_features",
-    ]),
-    (_sources_files, [
-        "xml_roundtrip_stats",  # NEW r6: XML source (Spark 4 core)
-    ]),
-    # -- 5. round-3 fragile-hash picks --
+    # -- 3. r3-stale: fragile-hash dedup picks --
     (dedup, [
         "dedup_exact",
         "simhash_near_dup",
         "substring_dedup_docs",
+        "simhash_fingerprints",
     ]),
-    # ---- driver gate boundary (~50) ----
-    # -- 5. remaining round-3 entries (next in line for r7) --
     (curation, [
         "dedup_keep_best",
     ]),
-    (dedup, [
-        "simhash_fingerprints",
-    ]),
+    # -- 4. r3-stale: text battery --
     (text, [
         "token_stats",
         "bpe_token_stats",
@@ -203,6 +104,7 @@ _NAMES = [
         "dsir_importance",
         "bpe_merge_topk",
     ]),
+    # -- 5. r3-stale: ANN + multimodal + curation + windows + TPC-H --
     (similarity, [
         "ann_cosine_topk",
         "ann_lsh_bucketed",
@@ -221,10 +123,6 @@ _NAMES = [
         "pack_training_shards",
         "lang_balance_resample",
     ]),
-    (_streaming_pipeline, [
-        "incremental_hourly_rollup",
-        "incremental_daily_region_rollup",
-    ]),
     (windows, [
         "order_value_distribution",
     ]),
@@ -232,7 +130,13 @@ _NAMES = [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",
     ]),
-    # -- 6. green in round 4 --
+    # ---- driver gate boundary (exactly 50: ends at q7_nation_volume_shipping) ----
+    # -- 6. the two r3-stale spills — r8 promotes these FIRST --
+    (_streaming_pipeline, [
+        "incremental_hourly_rollup",
+        "incremental_daily_region_rollup",
+    ]),
+    # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -360,6 +264,84 @@ _NAMES = [
         "bpe_train_merges",
         "bpe_tokenize_stats",
         "split_sentences_udtf",
+    ]),
+    # -- 9. green in round 6 (the full r6 gate, 50/50) — freshest
+    #    evidence, last in line --
+    (dedup, [
+        "ngram_jaccard_pairs",
+        "minhash_near_dup",
+        "minhash_contamination",
+    ]),
+    (_streaming_pipeline, [
+        "replacing_merge_latest",
+        "replacing_merge_tombstone",
+        "collapsing_merge_net",
+        "versioned_collapse_current",
+        "dedup_ingest_documents",
+        "statestore_inspect",
+    ]),
+    (_sources_files, [
+        "orc_roundtrip_stats",
+        "json_roundtrip_rollup",
+        "csv_roundtrip_stats",
+    ]),
+    (timeseries, [
+        "variant_props_rollup",
+        "user_overlap_matrix",
+        "sketch_rollup_distinct_users",
+        "winsorized_value_stats",
+        "funnel_steps",
+        "cohort_retention",
+        "value_quantity_correlation",
+        "value_histogram",
+        "value_equidepth_histogram",
+        "interpolated_hourly_series",
+        "daily_revenue_trend",
+        "dense_hourly_series",
+        "approx_value_percentiles",
+        "top_event_types_sketch",
+        "value_dispersion",
+    ]),
+    (similarity, [
+        "arrow_grouped_label_profile",
+        "ann_ivf_persisted",
+        "ann_query_broadcast_topk",
+        "hybrid_search_topk",
+        "embedding_prototypicality",
+    ]),
+    (relational, [
+        "recursive_decay_ladder",
+        "lateral_top_customer_per_nation",
+        "similar_customer_names",
+        "priority_status_grouping_sets",
+        "order_event_days_full_outer",
+    ]),
+    (_sources_pyds, [
+        "python_datasource_scan",
+    ]),
+    (_storage_layout, [
+        "dynamic_partition_backfill",
+    ]),
+    (curation, [
+        "shard_packing_efficiency",
+        "train_test_split",
+        "temperature_mix_weights",
+    ]),
+    (rollups, [
+        "events_column_profile",
+        "mv_consistency_report",
+    ]),
+    (text, [
+        "vocab_oov_rate",
+        "dsir_resample",
+    ]),
+    (multimodal, [
+        "media_phash_clusters",
+    ]),
+    (windows, [
+        "ewma_daily_revenue",
+        "revenue_anomaly_days",
+        "trailing_30d_revenue",
     ]),
 ]
 

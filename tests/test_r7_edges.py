@@ -1,9 +1,43 @@
-"""Round-7 edge pins: the adaptive CC gate on media_phash_clusters and
-the keyed-merge bucket-count scaling contract."""
+"""Round-7 edge pins: the adaptive CC gate on media_phash_clusters, the
+keyed-merge bucket-count scaling contract, and an always-on 3-SF parity
+matrix for the round-6 Spark-4 surfaces (recursive CTE depth, VARIANT
+typing, DataSource partition planning, and statestore layout could all
+be SF-dependent — the main parity suite runs ONE SF per invocation, so
+these four are pinned at all three unconditionally)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
+
+SPARK4_SURFACES = [
+    "recursive_decay_ladder",
+    "variant_props_rollup",
+    "python_datasource_scan",
+    "statestore_inspect",
+]
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", SPARK4_SURFACES)
+def test_spark4_surfaces_three_sf_parity(spark, name, sf_dir):
+    from tests.oracle_check import compare, duck_con
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        assert df.count() >= 0
+        return
+    problems = compare(df, duck_con(sf_dir), sql, name)
+    assert not problems, "\n".join(problems)
 
 
 def test_media_phash_clusters_distributed_arm_matches_driver_arm(
