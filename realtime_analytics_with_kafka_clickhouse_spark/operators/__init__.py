@@ -136,6 +136,11 @@ _NAMES = [
         "incremental_hourly_rollup",
         "incremental_daily_region_rollup",
     ]),
+    # -- 6b. NEW in r7 (pytest-parity evidence only; r8 gates these right
+    #    after the spills above) --
+    (_streaming_pipeline, [
+        "txlog_zorder_pruned_read",  # OPTIMIZE ZORDER multi-col skipping
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

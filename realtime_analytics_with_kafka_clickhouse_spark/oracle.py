@@ -2747,6 +2747,20 @@ GROUP BY user_id
 """
 
 
+# Z-order pruned read: the two-predicate aggregate over the Z-clustered
+# txlog equals the same aggregate over raw orders (pruning changes the
+# scan set, never the answer).  Windows mirror pipeline._ZO_CK/_ZO_TP.
+ORACLE["txlog_zorder_pruned_read"] = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_dsum('o_totalprice')} AS revenue
+FROM orders
+WHERE o_custkey BETWEEN 10 AND 60
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+GROUP BY 1
+"""
+
+
 # JL ±1 random projection 64 -> 8: per-component left folds with the
 # rp:p:j-seeded sign family; one correctly-rounded division by sqrt(8).
 ORACLE["embedding_random_projection"] = """

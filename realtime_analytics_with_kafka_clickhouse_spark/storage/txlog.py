@@ -622,3 +622,122 @@ def compact_tx_ranged(
     raise RuntimeError(
         f"compact_tx_ranged: gave up after {max_attempts} commit races on {table}"
     )
+
+
+def compact_tx_zorder(
+    spark: SparkSession,
+    table: str,
+    cols: list[str],
+    n_buckets: int = 8,
+    levels: int = 16,
+    stats_cols: list[str] | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """OPTIMIZE ZORDER BY analog (Delta's multi-dimensional clustering):
+    rewrite the snapshot into ``n_buckets`` directories ordered by the
+    Z-VALUE of ``cols`` — per-column equi-depth rank (``levels`` levels
+    from exact interpolated quantiles, so skew can't collapse a
+    dimension) with the rank BITS INTERLEAVED, so directory ranges are
+    sub-grids of the multi-column space and every directory's zone map
+    is tight on EVERY clustering column at once.  ``compact_tx_ranged``
+    preserves skipping on one column; this preserves it on all of
+    ``cols`` simultaneously — point/range predicates on ANY of them
+    prune directories (the reason Delta/Iceberg cluster multi-column
+    query tables this way at 100 TB: one layout serves several
+    predicate shapes without N sort orders).
+
+    Everything stays declarative: ranks and the interleave are integer
+    column expressions (whole-stage codegen), the split is the same
+    quantile range-split as ``compact_tx_ranged``, and the crash/race
+    contract is identical (write dirs, one atomic commit, losers delete
+    and retry).  NULLs in a clustering column rank 0 (lowest z region)
+    and survive the rewrite; zone maps are recomputed for ``cols`` +
+    every previously-stats'd column, blooms rebuilt for every column
+    the prior commit had blooms for."""
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("compact_tx_zorder: need at least one column")
+    n_bits = max(1, (levels - 1).bit_length())
+    ncols = len(cols)
+    for _ in range(max_attempts):
+        version, commit = snapshot(spark, table)
+        if commit is None or not commit["dirs"]:
+            return False
+        prior_stats_cols = {
+            c for per in commit.get("stats", {}).values() for c in per
+        }
+        prior_bloom_cols = sorted(
+            {c for per in commit.get("blooms", {}).values() for c in per}
+        )
+        zone_cols = sorted(prior_stats_cols | set(stats_cols or []) | set(cols))
+        current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+        qs = ", ".join(str(i / levels) for i in range(1, levels))
+        bounds_row = current.agg(
+            *[
+                F.expr(f"percentile({c}, array({qs}))").alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        zdf = current
+        for j, c in enumerate(cols):
+            bs = bounds_row[c]
+            if bs is None or any(b is None for b in bs):
+                raise ValueError(
+                    f"compact_tx_zorder: column {c!r} is entirely NULL"
+                    " — pick populated clustering columns"
+                )
+            lits = ", ".join(repr(float(b)) for b in bs)
+            # Equi-depth rank = #bounds strictly below the value; a NULL
+            # comparison is never true, so NULLs rank 0.
+            zdf = zdf.withColumn(
+                f"_zr{j}",
+                F.expr(
+                    f"cardinality(filter(array({lits}), b -> {c} > b))"
+                ).cast("int"),
+            )
+        z_terms = " + ".join(
+            f"shiftleft(shiftright(_zr{j}, {i}) % 2, {i * ncols + j})"
+            for j in range(ncols)
+            for i in range(n_bits)
+        )
+        zdf = zdf.withColumn("_z", F.expr(z_terms).cast("int"))
+        zqs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+        zb = zdf.agg(
+            F.expr(f"percentile(_z, array({zqs}))").alias("bs")
+        ).collect()[0]["bs"]
+        # Dedupe cut points (a low-cardinality z collapses quantiles) and
+        # skip empty slices: an empty data dir would break later schema
+        # inference and carries no zone map.
+        cuts = [None] + sorted({float(b) for b in zb}) + [None]
+        helper_cols = [f"_zr{j}" for j in range(ncols)] + ["_z"]
+        new_dirs, stats, blooms = [], {}, {}
+        for i in range(len(cuts) - 1):
+            part = zdf
+            if cuts[i] is not None:
+                part = part.filter(F.col("_z") > cuts[i])
+            if cuts[i + 1] is not None:
+                part = part.filter(F.col("_z") <= cuts[i + 1])
+            if part.isEmpty():
+                continue
+            part = part.drop(*helper_cols)
+            d = write_data_dir(part, table)
+            new_dirs.append(d)
+            stats[d] = dir_zone_map(table, d, zone_cols)
+            if prior_bloom_cols:
+                blooms[d] = dir_bloom(spark, table, d, prior_bloom_cols)
+        if try_commit(
+            spark,
+            table,
+            version + 1,
+            new_dirs,
+            commit.get("last_merged_batch"),
+            stats,
+            blooms or None,
+        ):
+            return True
+        for d in new_dirs:
+            fs.delete(spark, f"{table}/{d}")
+    raise RuntimeError(
+        f"compact_tx_zorder: gave up after {max_attempts} commit races on {table}"
+    )

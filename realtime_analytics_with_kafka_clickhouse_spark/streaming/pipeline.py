@@ -932,6 +932,76 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-ordered orders txlog per (session-run, sf_dir): table path memo.
+_ZORDER_TABLE_MEMO: dict[str, str] = {}
+
+# Fixed predicate windows (absolute, so the oracle is plain SQL at any
+# SF): a low-custkey slice x a mid-price band.  Non-empty from sf0.001 up.
+_ZO_CK = (10, 60)
+_ZO_TP = (50_000.0, 150_000.0)
+
+
+def _build_zorder_txlog(spark: SparkSession, sf_dir: str) -> str:
+    """Orders as a txlog table, appended in 2 arrival-order commits (zone
+    maps on both query columns are full-span — nothing prunable), then
+    OPTIMIZE ZORDER BY (o_custkey, o_totalprice): 8 directories ordered
+    by the interleaved equi-depth ranks, each with a TIGHT zone map on
+    both columns."""
+    from ..storage import txlog
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ZORDER_TABLE_MEMO:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        table = _fresh_rollup_dir("orders_zorder")
+        for i in range(2):
+            txlog.append_tx(
+                spark,
+                table,
+                orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i),
+                batch_id=i,
+                stats_cols=["o_custkey", "o_totalprice"],
+            )
+        txlog.compact_tx_zorder(
+            spark, table, ["o_custkey", "o_totalprice"], n_buckets=8, levels=8
+        )
+        _ZORDER_TABLE_MEMO[key] = table
+    return _ZORDER_TABLE_MEMO[key]
+
+
+def txlog_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping through the driver gate (the Delta
+    OPTIMIZE ZORDER analog — ``storage/txlog.compact_tx_zorder``): a
+    two-predicate query (customer slice AND price band) over the
+    Z-ordered orders txlog reads with BOTH columns' commit-recorded zone
+    maps, so directories disjoint from either window are never listed —
+    one clustered layout serving two predicate dimensions, which is what
+    multi-column clustering buys at 100 TB over a single-column sort.
+    The oracle is the same aggregate over raw orders; pruning must
+    change the scan set, never the answer (the r7 edge test pins that
+    each single-column prune alone skips directories)."""
+    from ..storage import txlog
+
+    table = _build_zorder_txlog(spark, sf_dir)
+    df = txlog.read_table(
+        spark, table, prune={"o_custkey": _ZO_CK, "o_totalprice": _ZO_TP}
+    )
+    return (
+        df.filter(
+            (F.col("o_custkey") >= _ZO_CK[0])
+            & (F.col("o_custkey") <= _ZO_CK[1])
+            & (F.col("o_totalprice") >= _ZO_TP[0])
+            & (F.col("o_totalprice") <= _ZO_TP[1])
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated streaming dedup (SURVEY.md §2.7 ST3 — the
     exactly-once guarantee the reference's at-least-once Kafka consumer

@@ -63,6 +63,43 @@ def test_media_phash_clusters_distributed_arm_matches_driver_arm(
     assert dist_labels == driver_labels
 
 
+def test_zorder_prunes_on_each_column_alone(spark):
+    """After compact_tx_zorder on (o_custkey, o_totalprice), a zone-map
+    prune on EITHER column alone must skip directories (the multi-column
+    clustering payoff), and pruning must never change the filtered
+    answer."""
+    import realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline as P
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = P._build_zorder_txlog(spark, SF_DIR)
+
+    def dirs_of(df):
+        return {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+
+    full = txlog.read_table(spark, table)
+    all_dirs = dirs_of(full)
+    assert len(all_dirs) >= 4, "zorder should leave several directories"
+    by_ck = txlog.read_table(spark, table, prune={"o_custkey": P._ZO_CK})
+    by_tp = txlog.read_table(spark, table, prune={"o_totalprice": P._ZO_TP})
+    assert len(dirs_of(by_ck)) < len(all_dirs), "custkey prune skipped nothing"
+    assert len(dirs_of(by_tp)) < len(all_dirs), "totalprice prune skipped nothing"
+    # Exactness: pruned+filtered == unpruned+filtered.
+    from pyspark.sql import functions as F
+
+    flt = (
+        (F.col("o_custkey") >= P._ZO_CK[0])
+        & (F.col("o_custkey") <= P._ZO_CK[1])
+        & (F.col("o_totalprice") >= P._ZO_TP[0])
+        & (F.col("o_totalprice") <= P._ZO_TP[1])
+    )
+    pruned_both = txlog.read_table(
+        spark, table, prune={"o_custkey": P._ZO_CK, "o_totalprice": P._ZO_TP}
+    )
+    got = sorted(map(tuple, pruned_both.filter(flt).collect()))
+    want = sorted(map(tuple, full.filter(flt).collect()))
+    assert got == want and want, "pruning changed the answer (or empty fixture)"
+
+
 def test_derive_n_buckets_scaling():
     """N must scale with table size (power of two, floored at the toy
     default) so bucket size stays near the target at any scale."""
