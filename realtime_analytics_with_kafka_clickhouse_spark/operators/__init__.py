@@ -141,6 +141,9 @@ _NAMES = [
     (_streaming_pipeline, [
         "txlog_zorder_pruned_read",  # OPTIMIZE ZORDER multi-col skipping
     ]),
+    (_sources_pyds, [
+        "python_stream_datasource_rollup",  # streaming Python DataSource
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

@@ -3123,6 +3123,11 @@ SELECT CAST(range % 10 AS BIGINT) AS bucket,
 FROM range(100000) GROUP BY 1
 """
 
+# Streaming twin: offset-tracked micro-batches + a checkpoint restart
+# must reproduce exactly the batch ledger — any duplicated or dropped
+# batch breaks the hash.
+ORACLE["python_stream_datasource_rollup"] = ORACLE["python_datasource_scan"]
+
 
 # Dynamic-partition backfill: the two earliest months carry doubled
 # totals; everything else is the original table.

@@ -76,6 +76,115 @@ def register_ledger_source(spark: SparkSession) -> None:
         _REGISTERED_SESSIONS.add(key)
 
 
+#: Stream chunking: 100k ledger rows arrive in 5 offset-tracked
+#: micro-batches (the offset is the row index — a dict checkpoint the
+#: engine persists, exactly the Kafka-offset contract).
+LEDGER_STREAM_CHUNK = 20_000
+
+
+def _make_stream_datasource_class():
+    """Streaming twin of ``LedgerDataSource`` on Spark 4's
+    ``SimpleDataSourceStreamReader``: the planner drives offset
+    management (initialOffset / read(start) -> (rows, next) /
+    readBetweenOffsets for deterministic failure replay), so a pure-
+    Python feed gets checkpointed exactly-once micro-batches with no
+    broker — the API the reference's producer loop
+    (/root/reference/producers/sales_producer.py) would target today."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _rows(lo: int, hi: int):
+        # A LIST iterator, not a generator: the simple-reader protocol
+        # PICKLES the prefetched batch between driver and executors
+        # (generators can't pickle; bare lists fail the iterator check).
+        return iter([(i, i % 10, (i * i) % 9973) for i in range(lo, hi)])
+
+    class _LedgerStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", LEDGER_ROWS))
+            self.chunk = int(options.get("chunk", LEDGER_STREAM_CHUNK))
+
+        def initialOffset(self) -> dict:
+            return {"index": 0}
+
+        def read(self, start: dict):
+            lo = int(start["index"])
+            hi = min(lo + self.chunk, self.n)
+            return _rows(lo, hi), {"index": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # Failure replay: a batch is its offset range, regenerated
+            # deterministically — same contract as re-reading a Kafka
+            # offset span.
+            return _rows(int(start["index"]), int(end["index"]))
+
+    class LedgerStreamDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "graft_ledger_stream"
+
+        def schema(self):
+            return LEDGER_SCHEMA
+
+        def simpleStreamReader(self, schema):
+            return _LedgerStreamReader(self.options)
+
+    return LedgerStreamDataSource
+
+
+def register_ledger_stream_source(spark: SparkSession) -> None:
+    key = ("stream", id(spark))
+    if key not in _REGISTERED_SESSIONS:
+        spark.dataSource.register(_make_stream_datasource_class())
+        _REGISTERED_SESSIONS.add(key)
+
+
+def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof of the STREAMING Python DataSource: consume the
+    ledger stream through real offset-tracked micro-batches into a memory
+    sink, then RESTART from the same checkpoint — the second run must add
+    zero rows (offsets persisted, exactly-once), which makes duplication
+    falsifiable in the hash.  Result: the same per-bucket fold as the
+    batch scan, so the DuckDB ``range(n)`` oracle hash-checks the whole
+    path (generator -> offsets -> replay -> sink)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    register_ledger_stream_source(spark)
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pyds_stream-{os.getpid()}", run
+    )
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "data")
+    src = (
+        spark.readStream.format("graft_ledger_stream")
+        .option("n", str(LEDGER_ROWS))
+        .option("chunk", str(LEDGER_STREAM_CHUNK))
+        .load()
+    )
+    for _ in range(2):  # initial run + checkpoint-restart (must no-op)
+        q = (
+            src.writeStream.format("parquet")  # fault-tolerant file sink
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    # Batch read honors the file-sink commit log (_spark_metadata): only
+    # files of committed batches count, so a duplicating restart would
+    # surface as extra rows and break the hash.
+    return spark.read.parquet(out).groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("amount").alias("total_amount"),
+        F.max("id").alias("max_id"),
+    )
+
+
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated proof query: scan the Python-defined source and fold
     it to a per-bucket report.  ``sf_dir`` is unused (the source is
