@@ -144,6 +144,9 @@ _NAMES = [
     (_sources_pyds, [
         "python_stream_datasource_rollup",  # streaming Python DataSource
     ]),
+    (similarity, [
+        "ann_pq_adc_topk",  # product quantization + ADC search
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

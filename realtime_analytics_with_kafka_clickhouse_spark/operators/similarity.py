@@ -1324,3 +1324,133 @@ def ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(
         topk, schema="vec_id long, neighbor_id long, cos_sim double, rank long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance (ADC) search — the
+# compressed-domain ANN family member next to int8 (scalar) quantization,
+# IVF, and random projection.
+
+PQ_M = 8      # subspaces (64-dim embedding -> 8 sub-vectors of 8 dims)
+PQ_SUB = DIM // PQ_M
+PQ_K = 16     # codebook entries per subspace -> codes are 8 x 4 bits
+PQ_TOPK = 5
+PQ_QUERY_MOD = 100  # query batch = every 100th vec_id (request-sized)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """``cb[m][c]`` = the c-th codeword of subspace ``m``: the PQ_SUB-dim
+    slices of the PQ_K lowest vec_ids — the deterministic sampled
+    codebook (k-means init without Lloyd rounds, so the DuckDB oracle can
+    rebuild it from the table; a production fit would run the same
+    per-subspace Lloyd loop ``kmeans_train`` already proves).  PQ_M *
+    PQ_K * PQ_SUB doubles — driver/broadcast-trivial at any corpus size."""
+    from ._memo import memo_get
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        rows = sorted(
+            emb.orderBy("vec_id").limit(PQ_K).collect(), key=lambda r: r["vec_id"]
+        )
+        return [
+            [
+                [float(x) for x in r["embedding"][m * PQ_SUB : (m + 1) * PQ_SUB]]
+                for r in rows
+            ]
+            for m in range(PQ_M)
+        ]
+
+    return memo_get("pq_codebooks", sf_dir, ("embeddings",), build)
+
+
+def _sq_subdist(vec: Column, cent: Column) -> Column:
+    """Round-6 squared L2 over one subspace, left-fold association (the
+    oracle's explicit `t1 + ... + t8` chain)."""
+    terms = F.zip_with(
+        vec, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+    )
+    return F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + ADC top-k (Jégou et al.'s product-quantization search, the
+    billion-scale compressed-domain serving shape): every corpus vector
+    is stored as PQ_M 4-bit codes (argmin codeword per subspace — a
+    64x compression of the embedding column, the part that lets a 100 TB
+    corpus's index live in RAM); a query computes one PQ_M x PQ_K
+    lookup table of subspace distances, and approximate distance to ANY
+    corpus vector is just PQ_M table lookups summed — no original
+    vectors touched at scan time (asymmetric: exact query side, coded
+    corpus side).
+
+    All declarative: encoding and LUTs are array expressions over the
+    broadcast codebook (whole-stage codegen, zero UDFs); the scan is
+    codes ⨯ broadcast(query LUTs); ranking is round-6 subspace distances
+    summed EXACTLY (decimal(25,6) fold — order-independent in both
+    engines) with neighbor-id tiebreaks.  Scale: the shuffle carries
+    only (query, neighbor, distance) triples past the per-query window;
+    the corpus side streams codes (PQ_M small ints per vector)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs = _pq_codebooks(spark, sf_dir)
+    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
+
+    def sub(m):  # 1-based slice of subspace m (m is a Column)
+        return F.slice("embedding", m * PQ_SUB + F.lit(1), PQ_SUB)
+
+    def encode(cb_m, m):  # argmin codeword id in subspace m
+        ranked = F.array_sort(
+            F.transform(
+                cb_m,
+                lambda cent, c: F.struct(
+                    _sq_subdist(sub(m), cent).alias("d"), c.alias("c")
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["c"]
+
+    codes = (
+        emb.crossJoin(F.broadcast(cb_row))
+        .select(
+            "vec_id",
+            F.transform(F.col("cb"), encode).alias("codes"),
+        )
+    )
+    luts = (
+        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0)
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform(
+                F.col("cb"),
+                lambda cb_m, m: F.transform(
+                    cb_m, lambda cent: _sq_subdist(sub(m), cent)
+                ),
+            ).alias("luts"),
+        )
+    )
+    dec = "decimal(25,6)"
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0).cast(dec),
+        lambda a, t: (a + t.cast(dec)).cast(dec),
+    ).cast("double")
+    pairs = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -3129,6 +3129,60 @@ FROM range(100000) GROUP BY 1
 ORACLE["python_stream_datasource_rollup"] = ORACLE["python_datasource_scan"]
 
 
+def _pq_adc_sql(
+    m: int = 8, sub: int = 8, k: int = 16, qmod: int = 100, top_k: int = 5
+) -> str:
+    """PQ-ADC mirror: sampled codebooks (slices of the k lowest vec_ids),
+    per-subspace argmin codes (round-6 explicit chain, codeword
+    tiebreak), query LUTs, and ADC = exact DECIMAL(25,6) sum of the m
+    round-6 subspace lookups — order-independent, so DuckDB's SUM equals
+    Spark's array fold bit-for-bit."""
+    chain = " + ".join(
+        f"(v.sub[{i}] - cb.cent[{i}]) * (v.sub[{i}] - cb.cent[{i}])"
+        for i in range(1, sub + 1)
+    )
+    return f"""
+WITH cb AS (
+  SELECT ms.m, b.c,
+         list_transform(list_slice(b.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})) b,
+       (SELECT unnest(range({m})) AS m) ms),
+vsub AS (
+  SELECT e.vec_id, ms.m,
+         list_transform(list_slice(e.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS sub
+  FROM embeddings e, (SELECT unnest(range({m})) AS m) ms),
+codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, v.m, cb.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY round({chain}, 6) ASC, cb.c ASC) AS rn
+    FROM vsub v JOIN cb USING (m))
+  WHERE rn = 1),
+qlut AS (
+  SELECT v.vec_id AS qid, cb.m, cb.c, round({chain}, 6) AS d
+  FROM vsub v JOIN cb USING (m)
+  WHERE v.vec_id % {qmod} = 0),
+adc AS (
+  SELECT l.qid, x.vec_id AS neighbor_id,
+         CAST(SUM(CAST(l.d AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM codes x JOIN qlut l ON x.m = l.m AND x.code = l.c
+  WHERE x.vec_id <> l.qid
+  GROUP BY 1, 2)
+SELECT qid AS vec_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+  FROM adc)
+WHERE rn <= {top_k}
+"""
+
+
+ORACLE["ann_pq_adc_topk"] = _pq_adc_sql()
+
+
 # Dynamic-partition backfill: the two earliest months carry doubled
 # totals; everything else is the original table.
 ORACLE["dynamic_partition_backfill"] = f"""
