@@ -146,6 +146,7 @@ _NAMES = [
     ]),
     (similarity, [
         "ann_pq_adc_topk",  # product quantization + ADC search
+        "ann_ivfpq_topk",   # IVF coarse cells + PQ codes (IVFADC)
     ]),
     # -- 7. green in round 4 --
     (relational, [

@@ -1372,6 +1372,59 @@ def _sq_subdist(vec: Column, cent: Column) -> Column:
     return F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
 
 
+def _pq_sub(m):
+    """1-based slice of subspace ``m`` (a Column) of the embedding."""
+    return F.slice("embedding", m * PQ_SUB + F.lit(1), PQ_SUB)
+
+
+def _pq_codes_df(emb: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(vec_id, codes): argmin codeword per subspace — round-6 subspace
+    distance, codeword-id tiebreak, all array expressions."""
+
+    def encode(cb_m, m):
+        ranked = F.array_sort(
+            F.transform(
+                cb_m,
+                lambda cent, c: F.struct(
+                    _sq_subdist(_pq_sub(m), cent).alias("d"), c.alias("c")
+                ),
+            )
+        )
+        return F.element_at(ranked, 1)["c"]
+
+    return emb.crossJoin(F.broadcast(cb_row)).select(
+        "vec_id", F.transform(F.col("cb"), encode).alias("codes")
+    )
+
+
+def _pq_luts_df(queries: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(qid, luts): per-query PQ_M x PQ_K table of round-6 subspace
+    distances to every codeword."""
+    return queries.crossJoin(F.broadcast(cb_row)).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            F.col("cb"),
+            lambda cb_m, m: F.transform(cb_m, lambda cent: _sq_subdist(_pq_sub(m), cent)),
+        ).alias("luts"),
+    )
+
+
+def _pq_adc_col() -> Column:
+    """ADC distance from (codes, luts): PQ_M lookups summed through an
+    exact DECIMAL(25,6) fold (each lookup is round-6, so the decimal is
+    exact and the sum order-independent across engines)."""
+    dec = "decimal(25,6)"
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0).cast(dec),
+        lambda a, t: (a + t.cast(dec)).cast(dec),
+    ).cast("double")
+
+
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ + ADC top-k (Jégou et al.'s product-quantization search, the
     billion-scale compressed-domain serving shape): every corpus vector
@@ -1393,59 +1446,78 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cbs = _pq_codebooks(spark, sf_dir)
     cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
-
-    def sub(m):  # 1-based slice of subspace m (m is a Column)
-        return F.slice("embedding", m * PQ_SUB + F.lit(1), PQ_SUB)
-
-    def encode(cb_m, m):  # argmin codeword id in subspace m
-        ranked = F.array_sort(
-            F.transform(
-                cb_m,
-                lambda cent, c: F.struct(
-                    _sq_subdist(sub(m), cent).alias("d"), c.alias("c")
-                ),
-            )
-        )
-        return F.element_at(ranked, 1)["c"]
-
-    codes = (
-        emb.crossJoin(F.broadcast(cb_row))
-        .select(
-            "vec_id",
-            F.transform(F.col("cb"), encode).alias("codes"),
-        )
+    codes = _pq_codes_df(emb, cb_row)
+    luts = _pq_luts_df(
+        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
     )
-    luts = (
-        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0)
-        .crossJoin(F.broadcast(cb_row))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.transform(
-                F.col("cb"),
-                lambda cb_m, m: F.transform(
-                    cb_m, lambda cent: _sq_subdist(sub(m), cent)
-                ),
-            ).alias("luts"),
-        )
-    )
-    dec = "decimal(25,6)"
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("luts"),
-            lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1)),
-        ),
-        F.lit(0).cast(dec),
-        lambda a, t: (a + t.cast(dec)).cast(dec),
-    ).cast("double")
     pairs = (
         codes.crossJoin(F.broadcast(luts))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(F.col("qid"), F.col("vec_id").alias("neighbor_id"), adc.alias("adc_dist"))
+        .select(
+            F.col("qid"),
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_col().alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "adc_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ (the FAISS IVFADC serving composition, sans residual
+    encoding — `by_residual=false`): the trained k-means coarse quantizer
+    routes every vector to its argmin cell and each query probes its
+    IVF_PROBE nearest cells, so the PQ compressed-domain scan runs over
+    probe * n / K candidates instead of the whole corpus — the two-level
+    index every billion-scale deployment runs (coarse cells shard the
+    index; codes keep the shards in RAM).
+
+    Composition of two already-proven parts: the cell ranking is
+    ``_with_ranked_cells`` on the memoized ``_kmeans_fit`` quantizer
+    (identical to ann_ivf_kmeans — same round-6/tiebreak discipline) and
+    the distance is the exact-decimal ADC fold of ann_pq_adc_topk.  The
+    one shuffle is the candidate equi-join ON CELL carrying PQ codes
+    (PQ_M small ints), never embeddings; query LUTs broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ranked = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
+    member = ranked.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at("ranked", 1)["c"].alias("cell"),
+    )
+    probes = (
+        ranked.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                F.transform(F.slice("ranked", 1, IVF_PROBE), lambda s: s["c"])
+            ).alias("cell"),
+        )
+    )
+    cbs = _pq_codebooks(spark, sf_dir)
+    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
+    codes = _pq_codes_df(emb, cb_row).withColumnRenamed("vec_id", "neighbor_id")
+    luts = _pq_luts_df(
+        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
+    )
+    cand = (
+        probes.join(member, "cell")
+        .filter(F.col("qid") != F.col("neighbor_id"))
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(luts), "qid")
+        .select("qid", "neighbor_id", _pq_adc_col().alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
         .select(
             F.col("qid").alias("vec_id"),

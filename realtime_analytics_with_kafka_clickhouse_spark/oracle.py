@@ -3183,6 +3183,100 @@ WHERE rn <= {top_k}
 ORACLE["ann_pq_adc_topk"] = _pq_adc_sql()
 
 
+def _ivfpq_sql(
+    m: int = 8,
+    sub: int = 8,
+    k_pq: int = 16,
+    qmod: int = 100,
+    probe: int = 2,
+    top_k: int = 5,
+    dim: int = 64,
+) -> str:
+    """IVF + PQ mirror: the kmeans CTE chain supplies cell membership
+    (rn=1) and per-query probe sets (rn<=probe, query ids only); the PQ
+    CTE chain supplies codes and query LUTs; candidates are the cell
+    equi-join, distances the exact-decimal ADC sum."""
+    parts, final_c = _kmeans_parts(dim=dim)
+    cell_chain = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    parts.append(
+        f"""s AS (
+  SELECT vec_id, cluster, rn FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT e.vec_id, c.cluster, round({cell_chain}, 6) AS dist
+          FROM embeddings e CROSS JOIN {final_c} c))
+  WHERE rn <= {probe})"""
+    )
+    pq_chain = " + ".join(
+        f"(v.sub[{i}] - cb.cent[{i}]) * (v.sub[{i}] - cb.cent[{i}])"
+        for i in range(1, sub + 1)
+    )
+    parts.append(
+        f"""cb AS (
+  SELECT ms.m, b.c,
+         list_transform(list_slice(b.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k_pq})) b,
+       (SELECT unnest(range({m})) AS m) ms)"""
+    )
+    parts.append(
+        f"""vsub AS (
+  SELECT e.vec_id, ms.m,
+         list_transform(list_slice(e.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
+                        x -> CAST(x AS DOUBLE)) AS sub
+  FROM embeddings e, (SELECT unnest(range({m})) AS m) ms)"""
+    )
+    parts.append(
+        f"""pq_codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, v.m, cb.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY round({pq_chain}, 6) ASC, cb.c ASC) AS rn
+    FROM vsub v JOIN cb USING (m))
+  WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""qlut AS (
+  SELECT v.vec_id AS qid, cb.m, cb.c, round({pq_chain}, 6) AS d
+  FROM vsub v JOIN cb USING (m)
+  WHERE v.vec_id % {qmod} = 0)"""
+    )
+    parts.append(
+        f"""cand AS (
+  SELECT q.vec_id AS qid, i.vec_id AS neighbor_id
+  FROM (SELECT vec_id, cluster FROM s WHERE rn <= {probe} AND vec_id % {qmod} = 0) q
+  JOIN (SELECT vec_id, cluster FROM s WHERE rn = 1) i
+    ON q.cluster = i.cluster AND q.vec_id <> i.vec_id)"""
+    )
+    parts.append(
+        """adc AS (
+  SELECT c.qid, c.neighbor_id,
+         CAST(SUM(CAST(l.d AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM cand c
+  JOIN pq_codes x ON x.vec_id = c.neighbor_id
+  JOIN qlut l ON l.qid = c.qid AND l.m = x.m AND l.c = x.code
+  GROUP BY 1, 2)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT qid AS vec_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT qid, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+  FROM adc)
+WHERE rn <= {top_k}"""
+    )
+
+
+ORACLE["ann_ivfpq_topk"] = _ivfpq_sql()
+
+
 # Dynamic-partition backfill: the two earliest months carry doubled
 # totals; everything else is the original table.
 ORACLE["dynamic_partition_backfill"] = f"""
