@@ -143,6 +143,7 @@ _NAMES = [
     ]),
     (_sources_pyds, [
         "python_stream_datasource_rollup",  # streaming Python DataSource
+        "python_stream_datasource_sink_rollup",  # + Python sink 2-phase commit
     ]),
     (similarity, [
         "ann_pq_adc_topk",  # product quantization + ADC search

@@ -3128,6 +3128,10 @@ FROM range(100000) GROUP BY 1
 # batch breaks the hash.
 ORACLE["python_stream_datasource_rollup"] = ORACLE["python_datasource_scan"]
 
+# Full Python-DataSource loop (source -> engine-coordinated sink commit ->
+# manifest read): same ledger identity.
+ORACLE["python_stream_datasource_sink_rollup"] = ORACLE["python_datasource_scan"]
+
 
 def _pq_adc_sql(
     m: int = 8, sub: int = 8, k: int = 16, qmod: int = 100, top_k: int = 5

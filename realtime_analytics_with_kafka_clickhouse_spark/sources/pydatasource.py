@@ -185,6 +185,158 @@ def python_stream_datasource_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _make_sink_datasource_class():
+    """Write side of the Python DataSource API (Spark 4
+    ``DataSourceStreamWriter``): a pure-Python streaming SINK with the
+    two-phase commit the engine coordinates — executors ``write()`` a
+    micro-batch partition each and return a commit message, the driver
+    ``commit(messages, batchId)`` publishes them to a manifest keyed by
+    batch id.  Readers trust ONLY manifest-listed files, and a replayed
+    batch REPLACES its manifest entry (same batchId), so a crash between
+    task writes and commit — or a checkpoint restart — can orphan files
+    but never duplicate rows: the exactly-once contract of Spark's own
+    file sink, re-implemented at the user level (JSON-lines here; the
+    real-world shape is any transactional external store)."""
+    import json as _json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _FileCommit(WriterCommitMessage):
+        def __init__(self, path: str, rows: int):
+            self.path, self.rows = path, rows
+
+    class _LedgerSinkWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("graft_ledger_sink requires a 'path' option")
+
+        def write(self, iterator):
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(f"{self.path}/files", exist_ok=True)
+            out = f"{self.path}/files/part-{_uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(out, "w") as f:
+                for row in iterator:
+                    f.write(
+                        _json.dumps(
+                            {"id": row[0], "bucket": row[1], "amount": row[2]}
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _FileCommit(out, n)
+
+        def commit(self, messages, batchId) -> None:
+            # Driver-side publish: REPLACE this batchId's entry (a replay
+            # re-writes fresh files; the stale ones become unreferenced).
+            manifest_path = f"{self.path}/manifest.json"
+            try:
+                with open(manifest_path) as f:
+                    manifest = _json.load(f)
+            except (OSError, ValueError):
+                manifest = {}
+            manifest[str(batchId)] = [
+                m.path for m in messages if m is not None and m.rows > 0
+            ]
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(manifest, f)
+            import os as _os
+
+            _os.replace(tmp, manifest_path)  # atomic on POSIX
+
+        def abort(self, messages, batchId) -> None:
+            import os as _os
+
+            for m in messages:
+                if m is not None:
+                    try:
+                        _os.remove(m.path)
+                    except OSError:
+                        pass
+
+    class LedgerSinkDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "graft_ledger_sink"
+
+        def schema(self):
+            return LEDGER_SCHEMA
+
+        def streamWriter(self, schema, overwrite):
+            return _LedgerSinkWriter(self.options)
+
+    return LedgerSinkDataSource
+
+
+def register_ledger_sink(spark: SparkSession) -> None:
+    key = ("sink", id(spark))
+    if key not in _REGISTERED_SESSIONS:
+        spark.dataSource.register(_make_sink_datasource_class())
+        _REGISTERED_SESSIONS.add(key)
+
+
+def python_stream_datasource_sink_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-gated proof of the full Python DataSource STREAMING LOOP:
+    the Python stream source feeds the Python stream sink (engine-
+    coordinated two-phase commit into a batch-keyed manifest), the query
+    restarts from its checkpoint (must re-commit nothing), and the
+    rollup reads ONLY manifest-listed files — so a duplicated or lost
+    batch anywhere in source offsets, task writes, or commit publishing
+    breaks the range(n) oracle hash."""
+    import json as _json
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    register_ledger_stream_source(spark)
+    register_ledger_sink(spark)
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pyds_sink-{os.getpid()}", run
+    )
+    ckpt, out = os.path.join(base, "ckpt"), os.path.join(base, "out")
+    os.makedirs(out, exist_ok=True)
+    src = (
+        spark.readStream.format("graft_ledger_stream")
+        .option("n", str(LEDGER_ROWS))
+        .option("chunk", str(LEDGER_STREAM_CHUNK))
+        .load()
+    )
+    for _ in range(2):  # initial run + checkpoint restart (must no-op)
+        q = (
+            src.writeStream.format("graft_ledger_sink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    with open(f"{out}/manifest.json") as f:
+        committed = [p for paths in _json.load(f).values() for p in paths]
+    rows = spark.read.schema("id bigint, bucket bigint, amount bigint").json(
+        committed
+    )
+    return rows.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("amount").alias("total_amount"),
+        F.max("id").alias("max_id"),
+    )
+
+
 def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated proof query: scan the Python-defined source and fold
     it to a per-bucket report.  ``sf_dir`` is unused (the source is
