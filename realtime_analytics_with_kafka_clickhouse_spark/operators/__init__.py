@@ -149,6 +149,9 @@ _NAMES = [
         "ann_pq_adc_topk",  # product quantization + ADC search
         "ann_ivfpq_topk",   # IVF coarse cells + PQ codes (IVFADC)
     ]),
+    (text, [
+        "ngram_phrases_udtf",  # polymorphic analyze() UDTF
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

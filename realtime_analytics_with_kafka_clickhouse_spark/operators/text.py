@@ -1086,3 +1086,60 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id", "n_char_tokens", "n_bpe_tokens", ratio.alias("compression")
     )
+
+
+NGRAM_UDTF_N = 3
+NGRAM_UDTF_MIN_COUNT = 5
+
+
+def ngram_phrases_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``, the schema-from-
+    arguments leg of the UDTF surface that ``split_sentences_udtf``'s
+    fixed returnType doesn't cover): the table function's OUTPUT COLUMNS
+    (gram_1..gram_n) are derived at plan time from the constant ``n``
+    argument — the catalog-function shape Spark's built-in generators
+    (posexplode, inline) get natively, now reachable from Python.
+
+    The UDTF emits each word n-gram occurrence (Arrow-batched); the
+    frequent-phrase report (count >= NGRAM_UDTF_MIN_COUNT) folds in
+    DataFrame land so Python only expands, never aggregates.  Mining
+    frequent n-grams is the boilerplate/contamination primitive the text
+    battery's fixed-n functions hardcode — here n is a query argument."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf(useArrow=True)
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int):
+                raise ValueError("ngram_phrases: n must be a constant int")
+            return AnalyzeResult(
+                schema=StructType(
+                    [
+                        StructField(f"gram_{i + 1}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text, n):  # noqa: ANN001 - signature fixed by Spark
+            words = (text or "").split(" ")
+            for i in range(len(words) - n + 1):
+                yield tuple(words[i : i + n])
+
+    spark.udtf.register("ngram_phrases", NGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_for_ngram_udtf"
+    )
+    gram_cols = ", ".join(f"g.gram_{i + 1}" for i in range(NGRAM_UDTF_N))
+    return spark.sql(
+        f"""
+        SELECT {gram_cols}, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents_for_ngram_udtf d,
+             LATERAL ngram_phrases(d.text, {NGRAM_UDTF_N}) g
+        GROUP BY {gram_cols}
+        HAVING count(*) >= {NGRAM_UDTF_MIN_COUNT}
+        """
+    )

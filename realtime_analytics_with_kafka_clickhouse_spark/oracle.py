@@ -3281,6 +3281,17 @@ WHERE rn <= {top_k}"""
 ORACLE["ann_ivfpq_topk"] = _ivfpq_sql()
 
 
+# Polymorphic-UDTF n-gram phrase mining: trigram occurrences via 1-based
+# list positions, counted, thresholded.
+ORACLE["ngram_phrases_udtf"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT words[i] AS gram_1, words[i + 1] AS gram_2, words[i + 2] AS gram_3
+      FROM w, LATERAL unnest(range(1, len(words) - 1)) AS t(i))
+SELECT gram_1, gram_2, gram_3, CAST(count(*) AS BIGINT) AS cnt
+FROM g GROUP BY 1, 2, 3 HAVING count(*) >= 5
+"""
+
+
 # Dynamic-partition backfill: the two earliest months carry doubled
 # totals; everything else is the original table.
 ORACLE["dynamic_partition_backfill"] = f"""
