@@ -148,6 +148,7 @@ _NAMES = [
     (similarity, [
         "ann_pq_adc_topk",  # product quantization + ADC search
         "ann_ivfpq_topk",   # IVF coarse cells + PQ codes (IVFADC)
+        "ann_pq_recall_at_k",  # PQ acceptance gate vs exact L2
     ]),
     (text, [
         "ngram_phrases_udtf",  # polymorphic analyze() UDTF

@@ -1526,3 +1526,52 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against the exact full-dimension
+    squared-L2 baseline — the acceptance gate a compressed index ships
+    with (quantization loses information BY DESIGN; this op is how a
+    deployment sees how much, and sizes PQ_M/PQ_K back up).  Per query:
+    |PQ top-k ∩ exact top-k| / k, same id-pairs-only eval shape as
+    ann_recall_at_k: embeddings never join here, the query batch is
+    broadcast for the exact side, and only (query, neighbor) ids ride
+    the shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    terms = F.zip_with(
+        F.col("embedding"),
+        F.col("qe"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    exact = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(F.col("qid"), F.col("vec_id").alias("neighbor_id"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(F.col("qid").alias("vec_id"), "neighbor_id")
+    )
+    approx = ann_pq_adc_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        k_per_q.join(hits, "vec_id", "left")
+        .fillna({"n_hits": 0})
+        .select(
+            "vec_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+    )
