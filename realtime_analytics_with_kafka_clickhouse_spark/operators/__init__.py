@@ -45,8 +45,11 @@ from ..streaming import pipeline as _streaming_pipeline
 # slots: incremental_hourly_rollup and incremental_daily_region_rollup
 # spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
 # the exact code path six r5-green txlog entries and the r6-green
-# bucketed merges exercise).  r8 must promote those two FIRST; after
-# them no entry's evidence predates r4.
+# bucketed merges exercise).  r8 must promote FIRST: the two spills,
+# then the seven r7-NEW entries in section 6b (zorder read, the two
+# Python-DataSource streaming legs, the PQ family, the analyze() UDTF —
+# pytest-parity green at 3 SFs but no driver row yet); after them no
+# entry's evidence predates r4.
 _NAMES = [
     # -- 1. the r6 verdict's named-first five (never-checked + spilled
     #    r2 trio + demoted decode_features) --
