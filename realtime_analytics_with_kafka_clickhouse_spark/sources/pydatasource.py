@@ -76,10 +76,12 @@ def register_ledger_source(spark: SparkSession) -> None:
         _REGISTERED_SESSIONS.add(key)
 
 
-#: Stream chunking: 100k ledger rows arrive in 5 offset-tracked
+#: Stream chunking: 100k ledger rows arrive in offset-tracked
 #: micro-batches (the offset is the row index — a dict checkpoint the
-#: engine persists, exactly the Kafka-offset contract).
-LEDGER_STREAM_CHUNK = 20_000
+#: engine persists, exactly the Kafka-offset contract).  2 data batches
+#: + the empty catch-up batch: enough to prove cross-batch offset
+#: handoff without paying 5 micro-batch fixed costs per bench run.
+LEDGER_STREAM_CHUNK = 50_000
 
 
 def _make_stream_datasource_class():
