@@ -100,6 +100,37 @@ def test_zorder_prunes_on_each_column_alone(spark):
     assert got == want and want, "pruning changed the answer (or empty fixture)"
 
 
+def test_pyds_sink_commit_replaces_replayed_batch(tmp_path):
+    """The Python stream sink's manifest is batch-keyed and a replayed
+    batchId REPLACES its entry — the rule that makes a crash-replay
+    orphan files instead of duplicating rows.  Exercised directly on the
+    writer (no Spark engine needed for the commit protocol)."""
+    import json
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources import (
+        pydatasource as pds,
+    )
+
+    cls = pds._make_sink_datasource_class()
+    writer = cls(options={"path": str(tmp_path)}).streamWriter(None, False)
+    m1 = writer.write(iter([(1, 1, 10), (2, 2, 20)]))
+    writer.commit([m1], batchId=0)
+    m2 = writer.write(iter([(1, 1, 10), (2, 2, 20)]))  # replay of batch 0
+    writer.commit([m2], batchId=0)
+    m3 = writer.write(iter([(3, 3, 30)]))
+    writer.commit([m3], batchId=1)
+    with open(tmp_path / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["0"] == [m2.path], "replayed batch must replace its entry"
+    assert manifest["1"] == [m3.path]
+    committed = [p for paths in manifest.values() for p in paths]
+    rows = []
+    for p in committed:
+        with open(p) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == [1, 2, 3], "no dup/lost rows"
+
+
 def test_derive_n_buckets_scaling():
     """N must scale with table size (power of two, floored at the toy
     default) so bucket size stays near the target at any scale."""
