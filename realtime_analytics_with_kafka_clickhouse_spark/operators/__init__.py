@@ -156,6 +156,9 @@ _NAMES = [
     (text, [
         "ngram_phrases_udtf",  # polymorphic analyze() UDTF
     ]),
+    (relational, [
+        "cdc_scd2_history",  # SCD type-2 intervals from the CDC log
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

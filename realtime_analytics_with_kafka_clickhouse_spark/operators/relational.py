@@ -1057,3 +1057,53 @@ def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
         ) t
         """
     )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history materialization from the same deterministic CDC
+    change log ``cdc_apply`` compacts (I all / U hash%10==0 / D
+    hash%10==1): instead of folding to live state, every insert/update
+    becomes a VERSION ROW with a validity interval — valid_from_seq =
+    the change's sequence, valid_to_seq = the key's next change (NULL
+    while current), is_current = interval still open.  A delete emits no
+    row; it only CLOSES the previous version's interval — which is how
+    the warehouse answers "what did this order cost when?" after the key
+    is gone (the dimension-history modeling Kimball calls type 2, and
+    what Delta's CDF consumers materialize downstream).
+
+    One window per key (lead over seq) — the log-compaction shuffle of
+    cdc_apply with the aggregate swapped for a lead(); at 100 TB both
+    shuffle the change log once, keyed identically."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.hashing import stable_hash64
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bucket = F.pmod(stable_hash64(F.col("order_id").cast("string")), F.lit(10))
+    inserts = orders.select(
+        "order_id", F.lit(0).alias("seq"), F.lit("I").alias("op"), "price"
+    )
+    updates = orders.filter(bucket == 0).select(
+        "order_id", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        (F.col("price") * 2).alias("price"),
+    )
+    deletes = orders.filter(bucket == 1).select(
+        "order_id", F.lit(2).alias("seq"), F.lit("D").alias("op"),
+        F.lit(0.0).alias("price"),
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    w = _W.partitionBy("order_id").orderBy(F.col("seq").asc())
+    return (
+        changes.withColumn("next_seq", F.lead("seq").over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            "order_id",
+            "price",
+            F.col("seq").cast("long").alias("valid_from_seq"),
+            F.col("next_seq").cast("long").alias("valid_to_seq"),
+            F.col("next_seq").isNull().alias("is_current"),
+        )
+    )

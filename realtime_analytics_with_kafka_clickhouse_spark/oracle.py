@@ -2687,6 +2687,30 @@ FROM b WHERE bucket <> 1
 """
 
 
+# SCD2 history from the same change log: version rows with lead()-closed
+# validity intervals; deletes close, never emit.
+ORACLE["cdc_scd2_history"] = f"""
+WITH b AS (SELECT o_orderkey AS order_id, o_totalprice AS price,
+                  {_h("CAST(o_orderkey AS VARCHAR)")} % 10 AS bucket
+           FROM orders),
+chg AS (
+  SELECT order_id, 0 AS seq, 'I' AS op, price FROM b
+  UNION ALL
+  SELECT order_id, 1 AS seq, 'U' AS op, price * 2 AS price FROM b WHERE bucket = 0
+  UNION ALL
+  SELECT order_id, 2 AS seq, 'D' AS op, 0.0 AS price FROM b WHERE bucket = 1),
+v AS (
+  SELECT order_id, op, price, seq,
+         lead(seq) OVER (PARTITION BY order_id ORDER BY seq) AS next_seq
+  FROM chg)
+SELECT order_id, price,
+       CAST(seq AS BIGINT) AS valid_from_seq,
+       CAST(next_seq AS BIGINT) AS valid_to_seq,
+       next_seq IS NULL AS is_current
+FROM v WHERE op <> 'D'
+"""
+
+
 # Distribution-rank window battery: unique ordering (price, orderkey) makes
 # every rank/frame unambiguous; percent_rank and cume_dist are single IEEE
 # divisions of exact integers — bit-identical cross-engine.
