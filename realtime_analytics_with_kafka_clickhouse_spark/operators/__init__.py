@@ -159,6 +159,9 @@ _NAMES = [
     (relational, [
         "cdc_scd2_history",  # SCD type-2 intervals from the CDC log
     ]),
+    (_storage_bucketing, [
+        "join_key_skew_report",  # heavy-hitter / salt-factor diagnosis
+    ]),
     # -- 7. green in round 4 --
     (relational, [
         "q22_idle_rich_customers",

@@ -3307,6 +3307,18 @@ ORACLE["ann_ivfpq_topk"] = _ivfpq_sql()
 
 # PQ recall vs the exact full-dim squared-L2 baseline over the same
 # query batch: id-pair semi-join + per-query ratio.
+# Skew diagnosis: exact counts, one rounded divide, integer ceil.
+ORACLE["join_key_skew_report"] = """
+WITH t AS (SELECT count(*) AS total FROM events),
+c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       CAST(ceil(CAST(n_rows AS DOUBLE) / 1000.0) AS BIGINT) AS suggested_salt
+FROM c, t
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+"""
+
 ORACLE["ann_pq_recall_at_k"] = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
 d AS (SELECT q.qid, e.vec_id AS neighbor_id, round((CAST(e.embedding[1] AS DOUBLE) - CAST(q.qe[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(q.qe[1] AS DOUBLE)) + (CAST(e.embedding[2] AS DOUBLE) - CAST(q.qe[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(q.qe[2] AS DOUBLE)) + (CAST(e.embedding[3] AS DOUBLE) - CAST(q.qe[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(q.qe[3] AS DOUBLE)) + (CAST(e.embedding[4] AS DOUBLE) - CAST(q.qe[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(q.qe[4] AS DOUBLE)) + (CAST(e.embedding[5] AS DOUBLE) - CAST(q.qe[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(q.qe[5] AS DOUBLE)) + (CAST(e.embedding[6] AS DOUBLE) - CAST(q.qe[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(q.qe[6] AS DOUBLE)) + (CAST(e.embedding[7] AS DOUBLE) - CAST(q.qe[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(q.qe[7] AS DOUBLE)) + (CAST(e.embedding[8] AS DOUBLE) - CAST(q.qe[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(q.qe[8] AS DOUBLE)) + (CAST(e.embedding[9] AS DOUBLE) - CAST(q.qe[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(q.qe[9] AS DOUBLE)) + (CAST(e.embedding[10] AS DOUBLE) - CAST(q.qe[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(q.qe[10] AS DOUBLE)) + (CAST(e.embedding[11] AS DOUBLE) - CAST(q.qe[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(q.qe[11] AS DOUBLE)) + (CAST(e.embedding[12] AS DOUBLE) - CAST(q.qe[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(q.qe[12] AS DOUBLE)) + (CAST(e.embedding[13] AS DOUBLE) - CAST(q.qe[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(q.qe[13] AS DOUBLE)) + (CAST(e.embedding[14] AS DOUBLE) - CAST(q.qe[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(q.qe[14] AS DOUBLE)) + (CAST(e.embedding[15] AS DOUBLE) - CAST(q.qe[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(q.qe[15] AS DOUBLE)) + (CAST(e.embedding[16] AS DOUBLE) - CAST(q.qe[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(q.qe[16] AS DOUBLE)) + (CAST(e.embedding[17] AS DOUBLE) - CAST(q.qe[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(q.qe[17] AS DOUBLE)) + (CAST(e.embedding[18] AS DOUBLE) - CAST(q.qe[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(q.qe[18] AS DOUBLE)) + (CAST(e.embedding[19] AS DOUBLE) - CAST(q.qe[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(q.qe[19] AS DOUBLE)) + (CAST(e.embedding[20] AS DOUBLE) - CAST(q.qe[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(q.qe[20] AS DOUBLE)) + (CAST(e.embedding[21] AS DOUBLE) - CAST(q.qe[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(q.qe[21] AS DOUBLE)) + (CAST(e.embedding[22] AS DOUBLE) - CAST(q.qe[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(q.qe[22] AS DOUBLE)) + (CAST(e.embedding[23] AS DOUBLE) - CAST(q.qe[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(q.qe[23] AS DOUBLE)) + (CAST(e.embedding[24] AS DOUBLE) - CAST(q.qe[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(q.qe[24] AS DOUBLE)) + (CAST(e.embedding[25] AS DOUBLE) - CAST(q.qe[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(q.qe[25] AS DOUBLE)) + (CAST(e.embedding[26] AS DOUBLE) - CAST(q.qe[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(q.qe[26] AS DOUBLE)) + (CAST(e.embedding[27] AS DOUBLE) - CAST(q.qe[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(q.qe[27] AS DOUBLE)) + (CAST(e.embedding[28] AS DOUBLE) - CAST(q.qe[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(q.qe[28] AS DOUBLE)) + (CAST(e.embedding[29] AS DOUBLE) - CAST(q.qe[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(q.qe[29] AS DOUBLE)) + (CAST(e.embedding[30] AS DOUBLE) - CAST(q.qe[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(q.qe[30] AS DOUBLE)) + (CAST(e.embedding[31] AS DOUBLE) - CAST(q.qe[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(q.qe[31] AS DOUBLE)) + (CAST(e.embedding[32] AS DOUBLE) - CAST(q.qe[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(q.qe[32] AS DOUBLE)) + (CAST(e.embedding[33] AS DOUBLE) - CAST(q.qe[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(q.qe[33] AS DOUBLE)) + (CAST(e.embedding[34] AS DOUBLE) - CAST(q.qe[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(q.qe[34] AS DOUBLE)) + (CAST(e.embedding[35] AS DOUBLE) - CAST(q.qe[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(q.qe[35] AS DOUBLE)) + (CAST(e.embedding[36] AS DOUBLE) - CAST(q.qe[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(q.qe[36] AS DOUBLE)) + (CAST(e.embedding[37] AS DOUBLE) - CAST(q.qe[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(q.qe[37] AS DOUBLE)) + (CAST(e.embedding[38] AS DOUBLE) - CAST(q.qe[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(q.qe[38] AS DOUBLE)) + (CAST(e.embedding[39] AS DOUBLE) - CAST(q.qe[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(q.qe[39] AS DOUBLE)) + (CAST(e.embedding[40] AS DOUBLE) - CAST(q.qe[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(q.qe[40] AS DOUBLE)) + (CAST(e.embedding[41] AS DOUBLE) - CAST(q.qe[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(q.qe[41] AS DOUBLE)) + (CAST(e.embedding[42] AS DOUBLE) - CAST(q.qe[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(q.qe[42] AS DOUBLE)) + (CAST(e.embedding[43] AS DOUBLE) - CAST(q.qe[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(q.qe[43] AS DOUBLE)) + (CAST(e.embedding[44] AS DOUBLE) - CAST(q.qe[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(q.qe[44] AS DOUBLE)) + (CAST(e.embedding[45] AS DOUBLE) - CAST(q.qe[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(q.qe[45] AS DOUBLE)) + (CAST(e.embedding[46] AS DOUBLE) - CAST(q.qe[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(q.qe[46] AS DOUBLE)) + (CAST(e.embedding[47] AS DOUBLE) - CAST(q.qe[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(q.qe[47] AS DOUBLE)) + (CAST(e.embedding[48] AS DOUBLE) - CAST(q.qe[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(q.qe[48] AS DOUBLE)) + (CAST(e.embedding[49] AS DOUBLE) - CAST(q.qe[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(q.qe[49] AS DOUBLE)) + (CAST(e.embedding[50] AS DOUBLE) - CAST(q.qe[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(q.qe[50] AS DOUBLE)) + (CAST(e.embedding[51] AS DOUBLE) - CAST(q.qe[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(q.qe[51] AS DOUBLE)) + (CAST(e.embedding[52] AS DOUBLE) - CAST(q.qe[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(q.qe[52] AS DOUBLE)) + (CAST(e.embedding[53] AS DOUBLE) - CAST(q.qe[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(q.qe[53] AS DOUBLE)) + (CAST(e.embedding[54] AS DOUBLE) - CAST(q.qe[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(q.qe[54] AS DOUBLE)) + (CAST(e.embedding[55] AS DOUBLE) - CAST(q.qe[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(q.qe[55] AS DOUBLE)) + (CAST(e.embedding[56] AS DOUBLE) - CAST(q.qe[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(q.qe[56] AS DOUBLE)) + (CAST(e.embedding[57] AS DOUBLE) - CAST(q.qe[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(q.qe[57] AS DOUBLE)) + (CAST(e.embedding[58] AS DOUBLE) - CAST(q.qe[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(q.qe[58] AS DOUBLE)) + (CAST(e.embedding[59] AS DOUBLE) - CAST(q.qe[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(q.qe[59] AS DOUBLE)) + (CAST(e.embedding[60] AS DOUBLE) - CAST(q.qe[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(q.qe[60] AS DOUBLE)) + (CAST(e.embedding[61] AS DOUBLE) - CAST(q.qe[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(q.qe[61] AS DOUBLE)) + (CAST(e.embedding[62] AS DOUBLE) - CAST(q.qe[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(q.qe[62] AS DOUBLE)) + (CAST(e.embedding[63] AS DOUBLE) - CAST(q.qe[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(q.qe[63] AS DOUBLE)) + (CAST(e.embedding[64] AS DOUBLE) - CAST(q.qe[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(q.qe[64] AS DOUBLE)), 6) AS dist

@@ -181,3 +181,43 @@ def top_orders_per_priority_salted(spark: SparkSession, sf_dir: str) -> DataFram
         k=20,
         tiebreak_col="o_orderkey",
     )
+
+
+SKEW_REPORT_TOPK = 10
+SKEW_TARGET_ROWS_PER_TASK = 1_000
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnosis for a shuffle key — the measurement step
+    that decides between plain hash join, AQE skew splitting, and
+    explicit salting (``salted_join``/``salted_topk_per_group`` consume
+    exactly the salt factor this report suggests).  Per top-K key of
+    ``events.user_id``: row count, share of the table (round-6 single
+    divide of exact integers), and the salt factor that caps any one
+    (key, salt) task at SKEW_TARGET_ROWS_PER_TASK rows.
+
+    One hash aggregate + a K-row ordered head — the same partial-agg
+    shuffle any groupBy pays, so diagnosing skew never costs more than
+    the query it tunes; at 100 TB you'd run it on a sample with the
+    same plan."""
+    from ..sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    total = events.count()  # one scalar job; exact denominator
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    return (
+        counts.orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
+        .limit(SKEW_REPORT_TOPK)
+        .select(
+            "user_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows").cast("double") / F.lit(float(total)), 6).alias(
+                "share"
+            ),
+            F.ceil(
+                F.col("n_rows").cast("double") / F.lit(float(SKEW_TARGET_ROWS_PER_TASK))
+            )
+            .cast("long")
+            .alias("suggested_salt"),
+        )
+    )

@@ -131,6 +131,58 @@ def test_pyds_sink_commit_replaces_replayed_batch(tmp_path):
     assert sorted(r["id"] for r in rows) == [1, 2, 3], "no dup/lost rows"
 
 
+def test_zorder_lifecycle_append_degrades_reoptimize_restores(spark, tmp_path):
+    """Arrival-ordered appends after a Z-order carry full-span zone maps
+    (nothing prunable in the new dirs); re-running compact_tx_zorder must
+    restore pruning to a strict subset again — the OPTIMIZE-owns-layout
+    lifecycle contract the persisted IVF index also proves."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = str(tmp_path / "zorder_lifecycle")
+    txlog.append_tx(
+        spark, table, orders, batch_id=0,
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    txlog.compact_tx_zorder(
+        spark, table, ["o_custkey", "o_totalprice"], n_buckets=4, levels=8
+    )
+
+    def pruned_frac(prune):
+        full = txlog.read_table(spark, table)
+        pr = txlog.read_table(spark, table, prune=prune)
+        dirs = lambda df: {f.rsplit("/", 2)[-2] for f in df.inputFiles()}
+        return len(dirs(pr)), len(dirs(full))
+
+    prune = {"o_custkey": (1, 20)}
+    n0, t0 = pruned_frac(prune)
+    assert n0 < t0, "fresh zorder must prune"
+    # Arrival-ordered append: full custkey span in one new dir.
+    txlog.append_tx(
+        spark, table, orders.limit(500), batch_id=1,
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    expected = sorted(
+        map(tuple, txlog.read_table(spark, table).select("o_orderkey").collect())
+    )
+    txlog.compact_tx_zorder(
+        spark, table, ["o_custkey", "o_totalprice"], n_buckets=4, levels=8
+    )
+    n1, t1 = pruned_frac(prune)
+    assert n1 < t1, "re-optimize must restore pruning"
+    got = sorted(
+        map(tuple, txlog.read_table(spark, table).select("o_orderkey").collect())
+    )
+    assert got == expected, "re-optimize must not change table contents"
+
+
 def test_derive_n_buckets_scaling():
     """N must scale with table size (power of two, floored at the toy
     default) so bucket size stays near the target at any scale."""
