@@ -158,6 +158,8 @@ _NAMES = [
     ]),
     (relational, [
         "cdc_scd2_history",  # SCD type-2 intervals from the CDC log
+        "scd2_asof_lookup",  # point-in-time interval-probe join
+        "join_size_estimate",  # Selinger cardinality estimate vs truth
     ]),
     (_storage_bucketing, [
         "join_key_skew_report",  # heavy-hitter / salt-factor diagnosis

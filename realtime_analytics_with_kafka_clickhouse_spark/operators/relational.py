@@ -1107,3 +1107,85 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_seq").isNull().alias("is_current"),
         )
     )
+
+
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) probe JOIN over the SCD2 history: each key
+    is probed at its own deterministic time t = hash(key) % 3, and the
+    interval join ``valid_from <= t < coalesce(valid_to, inf)`` returns
+    the version that was current THEN — "what did this order cost when?"
+    answered from versioned storage.  Keys probed after their delete fall
+    in no interval and drop out (the inner join makes resurrection
+    falsifiable); keys probed at t=1+ see the doubled update price.
+
+    Scale shape: the history and probe sides shuffle once on the key and
+    the interval predicate evaluates inside the joined row (a per-key
+    history is a handful of versions, so this is an equi-join with a
+    residual range filter — never a range-only join)."""
+    from ..functions.hashing import stable_hash64
+
+    hist = cdc_scd2_history(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.pmod(
+            stable_hash64(F.col("o_orderkey").cast("string")), F.lit(3)
+        ).cast("long").alias("t"),
+    )
+    return (
+        probes.join(hist, "order_id")
+        .filter(
+            (F.col("valid_from_seq") <= F.col("t"))
+            & (F.col("valid_to_seq").isNull() | (F.col("t") < F.col("valid_to_seq")))
+        )
+        .select("order_id", "t", F.col("price").alias("price_at_t"))
+    )
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join cardinality estimation, checked against the
+    truth: the Selinger formula |R ⨝ S| ≈ |R|·|S| / max(ndv_R(k),
+    ndv_S(k)) for orders ⨝ lineitem on orderkey, next to the ACTUAL join
+    count and the relative error — the estimate every cost-based planner
+    (and AQE's stats) lives on, surfaced as a queryable report so a
+    deployment can see where its stats mislead the planner.
+
+    All inputs are exact aggregates (counts + exact NDV, one scalar row
+    each); the estimate is integer floor, the error one rounded IEEE
+    divide — bit-stable cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    r = orders.agg(
+        F.count("*").alias("n_r"),
+        F.countDistinct("o_orderkey").alias("ndv_r"),
+    )
+    s = lineitem.agg(
+        F.count("*").alias("n_s"),
+        F.countDistinct("l_orderkey").alias("ndv_s"),
+    )
+    actual = (
+        orders.select("o_orderkey")
+        .join(lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey")
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    est = F.floor(
+        F.col("n_r").cast("double")
+        * F.col("n_s").cast("double")
+        / F.greatest(F.col("ndv_r"), F.col("ndv_s")).cast("double")
+    ).cast("long")
+    return (
+        r.crossJoin(s)
+        .crossJoin(actual)
+        .select(
+            F.col("n_r").cast("long").alias("n_orders"),
+            F.col("n_s").cast("long").alias("n_lineitem"),
+            F.col("ndv_r").cast("long").alias("ndv_orders_key"),
+            F.col("ndv_s").cast("long").alias("ndv_lineitem_key"),
+            est.alias("estimated_rows"),
+            F.col("actual_rows").cast("long").alias("actual_rows"),
+            F.round(
+                F.abs(est.cast("double") - F.col("actual_rows").cast("double"))
+                / F.col("actual_rows").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

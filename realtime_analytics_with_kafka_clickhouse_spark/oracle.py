@@ -2711,6 +2711,42 @@ FROM v WHERE op <> 'D'
 """
 
 
+# Point-in-time probe join over the SCD2 history: per-key t = hash % 3,
+# interval containment; deleted-at-2 keys probed at t=2 drop out.
+ORACLE["scd2_asof_lookup"] = f"""
+WITH h AS ({ORACLE["cdc_scd2_history"]}),
+p AS (SELECT o_orderkey AS order_id,
+             {_h("CAST(o_orderkey AS VARCHAR)")} % 3 AS t
+      FROM orders)
+SELECT p.order_id, CAST(p.t AS BIGINT) AS t, h.price AS price_at_t
+FROM p JOIN h USING (order_id)
+WHERE h.valid_from_seq <= p.t
+  AND (h.valid_to_seq IS NULL OR p.t < h.valid_to_seq)
+"""
+
+# Selinger estimate vs truth: exact counts/NDV, integer-floor estimate,
+# one rounded divide.
+ORACLE["join_size_estimate"] = """
+WITH r AS (SELECT count(*) AS n_r, count(DISTINCT o_orderkey) AS ndv_r FROM orders),
+s AS (SELECT count(*) AS n_s, count(DISTINCT l_orderkey) AS ndv_s FROM lineitem),
+a AS (SELECT count(*) AS actual_rows
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT CAST(n_r AS BIGINT) AS n_orders,
+       CAST(n_s AS BIGINT) AS n_lineitem,
+       CAST(ndv_r AS BIGINT) AS ndv_orders_key,
+       CAST(ndv_s AS BIGINT) AS ndv_lineitem_key,
+       CAST(floor(CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+                  / CAST(greatest(ndv_r, ndv_s) AS DOUBLE)) AS BIGINT)
+         AS estimated_rows,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       round(abs(floor(CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+                       / CAST(greatest(ndv_r, ndv_s) AS DOUBLE))
+                 - CAST(actual_rows AS DOUBLE)) / CAST(actual_rows AS DOUBLE), 6)
+         AS rel_error
+FROM r, s, a
+"""
+
+
 # Distribution-rank window battery: unique ordering (price, orderkey) makes
 # every rank/frame unambiguous; percent_rank and cume_dist are single IEEE
 # divisions of exact integers — bit-identical cross-engine.
