@@ -46,10 +46,11 @@ from ..streaming import pipeline as _streaming_pipeline
 # spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
 # the exact code path six r5-green txlog entries and the r6-green
 # bucketed merges exercise).  r8 must promote FIRST: the two spills,
-# then the seven r7-NEW entries in section 6b (zorder read, the two
-# Python-DataSource streaming legs, the PQ family, the analyze() UDTF —
-# pytest-parity green at 3 SFs but no driver row yet); after them no
-# entry's evidence predates r4.
+# then the THIRTEEN r7-NEW entries in section 6b (zorder read, the two
+# Python-DataSource streaming legs, the PQ family, the analyze() UDTF,
+# the SCD2 pair, join_size_estimate, skew report, source_quota_cap,
+# event_sequence_counts — pytest-parity green at 3 SFs but no driver
+# row yet); after them no entry's evidence predates r4.
 _NAMES = [
     # -- 1. the r6 verdict's named-first five (never-checked + spilled
     #    r2 trio + demoted decode_features) --
@@ -163,6 +164,12 @@ _NAMES = [
     ]),
     (_storage_bucketing, [
         "join_key_skew_report",  # heavy-hitter / salt-factor diagnosis
+    ]),
+    (curation, [
+        "source_quota_cap",  # per-domain anti-dominance quota
+    ]),
+    (timeseries, [
+        "event_sequence_counts",  # sequenceMatch/sequenceCount parity
     ]),
     # -- 7. green in round 4 --
     (relational, [

@@ -321,3 +321,57 @@ def shard_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("utilization_bp"),
         )
     )
+
+
+QUOTA_MEAN_MULT = 2  # cap = QUOTA_MEAN_MULT * mean docs per source (floor)
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (per-domain) quota enforcement: no source may contribute
+    more than QUOTA_MEAN_MULT x the MEAN source size — the anti-dominance
+    pass web-corpus pipelines (CCNet / RefinedWeb-style) run so one
+    crawler-friendly domain can't swamp the mix.  Within an over-quota
+    source the survivors are the top-cap docs by (n_chars DESC, doc_id
+    ASC) — deterministic priority, no RNG.
+
+    Output: one row per source — total docs, the quota, kept docs, and a
+    capped flag (exact integers; cap itself is bigint multiply-then-DIV,
+    so the DuckDB oracle reproduces it bit-for-bit).
+
+    Scale shape: the cap is ONE scalar from a |sources|-row aggregate
+    (broadcast); the rank-and-keep is a window partitioned BY SOURCE, so
+    each domain's docs shuffle to one partition group — bounded by the
+    largest domain, the same assumption every per-domain pass makes.  A
+    domain too hot for one partition is exactly what the cap removes, and
+    the count-only summary here never materializes the kept rows wide.
+    Reference analog: the mix-balancing role of
+    /root/reference/clickhouse/init/01_init.sql:60-87's per-category MVs
+    (keep per-group volumes comparable), recast as a curation operator."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("total_docs"))
+    cap = counts.agg(
+        F.expr(
+            f"CAST(({QUOTA_MEAN_MULT} * sum(total_docs)) DIV count(*) AS BIGINT)"
+        ).alias("quota")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(cap))
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count("*").alias("kept_docs"))
+    )
+    return (
+        counts.join(kept, "source")
+        .join(F.broadcast(cap))
+        .select(
+            "source",
+            "total_docs",
+            "quota",
+            "kept_docs",
+            (F.col("total_docs") > F.col("quota")).cast("int").alias("capped"),
+        )
+    )

@@ -808,3 +808,51 @@ def user_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_shared",
         (rel_err <= 0.05).alias("sketch_within_5pct"),
     )
+
+
+SEQ_FIRST, SEQ_THEN = "signup", "purchase"  # the matched pattern, in order
+
+
+def event_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch``/``sequenceCount`` parity: per user, did
+    a '(?1).*(?2)' pattern (SEQ_FIRST then SEQ_THEN, any gap) occur in
+    event-time order, and how many NON-OVERLAPPING times (ClickHouse's
+    greedy left-to-right scan: take the first SEQ_FIRST, then the first
+    SEQ_THEN after it, count, reset).  That scan is exactly the
+    non-overlapping lazy-regex count of 'A.*?B' over the user's symbol
+    string, which both Spark (regexp_count, successive find()) and DuckDB
+    (regexp_extract_all, RE2 lazy) implement identically — so the oracle
+    is value-exact, not a reimplementation.
+
+    Shape: filter to the two event types FIRST (map-side; at 100 TB the
+    pushed-down predicate is what keeps the shuffle proportional to the
+    pattern-relevant slice, not the firehose), then ONE user-keyed
+    aggregate building the per-user symbol string via array_sort on
+    (ts, event_id, sym) structs — bounded by per-user event counts, the
+    same assumption sessionization makes.  Ties break on event_id so the
+    string is deterministic.  Reference analog: the ClickHouse
+    sequence-analytics surface over the events firehose of
+    /root/reference/clickhouse/init/01_init.sql:24-41."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(SEQ_FIRST, SEQ_THEN)
+    )
+    sym = F.when(F.col("event_type") == SEQ_FIRST, "A").otherwise("B")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), sym.alias("s")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("e")), lambda e: e["s"])
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit("A.*?B")).cast("long").alias("seq_count"),
+        (F.regexp_count(F.col("seq"), F.lit("A.*?B")) > 0)
+        .cast("long")
+        .alias("matched"),
+    )

@@ -3455,3 +3455,39 @@ JOIN (SELECT DISTINCT event_type, user_id FROM events) b
   ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+# Per-source quota: cap = 2x mean source size (bigint multiply-then-DIV),
+# survivors ranked by (n_chars DESC, doc_id) inside each source.
+ORACLE["source_quota_cap"] = """
+WITH counts AS (SELECT source, count(*) AS total_docs FROM documents GROUP BY 1),
+cap AS (SELECT CAST((2 * sum(total_docs)) // count(*) AS BIGINT) AS quota
+        FROM counts),
+r AS (SELECT source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents),
+kept AS (SELECT source, count(*) AS kept_docs
+         FROM r, cap WHERE rn <= quota GROUP BY 1)
+SELECT source, total_docs, quota, kept_docs,
+       CAST(total_docs > quota AS INTEGER) AS capped
+FROM counts JOIN kept USING (source), cap
+"""
+
+
+# sequenceMatch/sequenceCount parity: the greedy left-to-right
+# first-A-then-first-B scan == non-overlapping lazy-regex count of
+# 'A.*?B' over the per-user event-time symbol string.
+ORACLE["event_sequence_counts"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'A' ELSE 'B' END AS s
+  FROM events WHERE event_type IN ('signup', 'purchase')),
+seqs AS (
+  SELECT user_id, string_agg(s, '' ORDER BY ts, event_id) AS seq
+  FROM e GROUP BY 1)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'A.*?B')) AS BIGINT) AS seq_count,
+       CAST(len(regexp_extract_all(seq, 'A.*?B')) > 0 AS BIGINT) AS matched
+FROM seqs
+"""
