@@ -46,11 +46,12 @@ from ..streaming import pipeline as _streaming_pipeline
 # spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
 # the exact code path six r5-green txlog entries and the r6-green
 # bucketed merges exercise).  r8 must promote FIRST: the two spills,
-# then the THIRTEEN r7-NEW entries in section 6b (zorder read, the two
+# then the FIFTEEN r7-NEW entries in section 6b (zorder read, the two
 # Python-DataSource streaming legs, the PQ family, the analyze() UDTF,
 # the SCD2 pair, join_size_estimate, skew report, source_quota_cap,
-# event_sequence_counts — pytest-parity green at 3 SFs but no driver
-# row yet); after them no entry's evidence predates r4.
+# event_sequence_counts, event_type_transitions,
+# customer_blocking_linkage — pytest-parity green at 3 SFs but no
+# driver row yet); after them no entry's evidence predates r4.
 _NAMES = [
     # -- 1. the r6 verdict's named-first five (never-checked + spilled
     #    r2 trio + demoted decode_features) --
@@ -170,6 +171,10 @@ _NAMES = [
     ]),
     (timeseries, [
         "event_sequence_counts",  # sequenceMatch/sequenceCount parity
+        "event_type_transitions",  # per-user Markov transition counts
+    ]),
+    (relational, [
+        "customer_blocking_linkage",  # ER blocking + Levenshtein pairs
     ]),
     # -- 7. green in round 4 --
     (relational, [

@@ -1189,3 +1189,51 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+ER_EDIT_MAX = 2  # max Levenshtein distance for a candidate match
+
+
+def customer_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation with BLOCKING: customers
+    are compared only within a (nation, market segment) block, and a
+    pair is a candidate match when the Levenshtein distance between
+    their names is <= ER_EDIT_MAX.  This is the standard record-linkage
+    architecture (block -> pairwise compare -> survivor pairs): the
+    all-pairs O(n^2) comparison is confined to within-block candidates,
+    which is the only reason linkage is feasible at 100 TB — the block
+    key shuffles each block's rows together and the quadratic work is
+    bounded by the largest block, never the table.  A skewed block is
+    the same hazard (and gets the same salting fix) as a skewed join
+    key; pairs are canonicalized a < b so each candidate appears once.
+
+    Levenshtein is the classic DP distance in both engines (Spark
+    `levenshtein`, DuckDB `levenshtein`), so the oracle is value-exact.
+    Reference analog: the dimension-cleanup half of dedupe before the
+    per-category rollups of /root/reference/clickhouse/init/01_init.sql
+    (the reference assumes clean keys; this produces them)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return (
+        a.join(b, ["c_nationkey", "c_mktsegment"])
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= ER_EDIT_MAX)
+        .select("custkey_a", "custkey_b", "c_nationkey", "edit_distance")
+    )

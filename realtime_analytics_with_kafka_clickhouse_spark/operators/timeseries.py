@@ -856,3 +856,24 @@ def event_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("matched"),
     )
+
+
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for each user's events in (ts, event_id) order, count every adjacent
+    (from_type -> to_type) pair — the transition matrix behind user-path
+    sankeys and next-action models (ClickHouse does this with
+    groupArray + arrayZip over sorted events).
+
+    Shape: ONE window lag partitioned by user (the sessionization
+    shuffle), then a tiny (|types|^2)-row count — no per-user collect,
+    no driver loop.  The deterministic (ts, event_id) tiebreak makes the
+    adjacency — and therefore every count — engine-portable and exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy(F.col("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -3491,3 +3491,31 @@ SELECT user_id,
        CAST(len(regexp_extract_all(seq, 'A.*?B')) > 0 AS BIGINT) AS matched
 FROM seqs
 """
+
+
+# ER blocking: within-(nation, segment) pairwise Levenshtein <= 2,
+# canonical a < b — identical DP distance in both engines.
+ORACLE["customer_blocking_linkage"] = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_nationkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+# Markov transition counts: adjacent (from, to) event types per user in
+# (ts, event_id) order.
+ORACLE["event_type_transitions"] = """
+WITH l AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
