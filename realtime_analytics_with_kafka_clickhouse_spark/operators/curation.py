@@ -323,55 +323,76 @@ def shard_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUOTA_MEAN_MULT = 2  # cap = QUOTA_MEAN_MULT * mean docs per source (floor)
-
-
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source (per-domain) quota enforcement: no source may contribute
-    more than QUOTA_MEAN_MULT x the MEAN source size — the anti-dominance
-    pass web-corpus pipelines (CCNet / RefinedWeb-style) run so one
-    crawler-friendly domain can't swamp the mix.  Within an over-quota
-    source the survivors are the top-cap docs by (n_chars DESC, doc_id
-    ASC) — deterministic priority, no RNG.
+    """Per-source (per-domain) quota enforcement on CHAR VOLUME: no
+    source may contribute more than the MEAN source char volume — the
+    anti-dominance byte-budget pass web-corpus pipelines (CCNet /
+    RefinedWeb-style) run so one crawler-friendly domain can't swamp the
+    training mix.  Within an over-quota source the survivors are the
+    char-prefix of docs in (n_chars DESC, doc_id ASC) priority whose
+    INCLUSIVE cumulative chars fit the quota (strict budget, no
+    straddling doc); the fixture's doc COUNTS per source are uniform by
+    construction, so a count cap would never fire — the char budget is
+    what makes every column here falsifiable (mixed capped flags at all
+    three SFs).
 
-    Output: one row per source — total docs, the quota, kept docs, and a
-    capped flag (exact integers; cap itself is bigint multiply-then-DIV,
-    so the DuckDB oracle reproduces it bit-for-bit).
+    Output: one row per source — total docs/chars, the quota, kept
+    docs/chars, capped flag.  All exact integers: the quota is bigint
+    sum-then-DIV, the prefix is a window sum, so the DuckDB oracle
+    reproduces the selection bit-for-bit.
 
-    Scale shape: the cap is ONE scalar from a |sources|-row aggregate
-    (broadcast); the rank-and-keep is a window partitioned BY SOURCE, so
-    each domain's docs shuffle to one partition group — bounded by the
-    largest domain, the same assumption every per-domain pass makes.  A
-    domain too hot for one partition is exactly what the cap removes, and
-    the count-only summary here never materializes the kept rows wide.
-    Reference analog: the mix-balancing role of
+    Scale shape: the quota is ONE scalar from a |sources|-row aggregate
+    (broadcast); the prefix-and-keep is a window partitioned BY SOURCE,
+    so each domain's docs shuffle to one partition group — bounded by
+    the largest domain, the same assumption every per-domain pass makes
+    (a domain too hot for one partition is exactly what the cap
+    removes), and the count-only summary never materializes kept rows
+    wide.  Reference analog: the mix-balancing role of
     /root/reference/clickhouse/init/01_init.sql:60-87's per-category MVs
     (keep per-group volumes comparable), recast as a curation operator."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    counts = docs.groupBy("source").agg(F.count("*").alias("total_docs"))
-    cap = counts.agg(
-        F.expr(
-            f"CAST(({QUOTA_MEAN_MULT} * sum(total_docs)) DIV count(*) AS BIGINT)"
-        ).alias("quota")
+    totals = docs.groupBy("source").agg(
+        F.count("*").alias("total_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    quota = totals.agg(
+        F.expr("CAST(sum(total_chars) DIV count(*) AS BIGINT)").alias(
+            "quota_chars"
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     kept = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(cap))
-        .filter(F.col("rn") <= F.col("quota"))
+        docs.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .join(F.broadcast(quota))
+        .filter(F.col("cum_chars") <= F.col("quota_chars"))
         .groupBy("source")
-        .agg(F.count("*").alias("kept_docs"))
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
     )
     return (
-        counts.join(kept, "source")
-        .join(F.broadcast(cap))
+        totals.join(kept, "source", "left")
+        .join(F.broadcast(quota))
         .select(
             "source",
             "total_docs",
-            "quota",
-            "kept_docs",
-            (F.col("total_docs") > F.col("quota")).cast("int").alias("capped"),
+            "total_chars",
+            "quota_chars",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).cast("long").alias(
+                "kept_chars"
+            ),
+            (F.col("total_chars") > F.col("quota_chars")).cast("int").alias(
+                "capped"
+            ),
         )
     )

@@ -3457,21 +3457,31 @@ GROUP BY 1, 2
 """
 
 
-# Per-source quota: cap = 2x mean source size (bigint multiply-then-DIV),
-# survivors ranked by (n_chars DESC, doc_id) inside each source.
+# Per-source CHAR-VOLUME quota: cap = mean source char volume (bigint
+# sum-then-DIV); survivors are the inclusive char-prefix in
+# (n_chars DESC, doc_id) priority inside each source.
 ORACLE["source_quota_cap"] = """
-WITH counts AS (SELECT source, count(*) AS total_docs FROM documents GROUP BY 1),
-cap AS (SELECT CAST((2 * sum(total_docs)) // count(*) AS BIGINT) AS quota
-        FROM counts),
-r AS (SELECT source,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars DESC, doc_id) AS rn
-      FROM documents),
-kept AS (SELECT source, count(*) AS kept_docs
-         FROM r, cap WHERE rn <= quota GROUP BY 1)
-SELECT source, total_docs, quota, kept_docs,
-       CAST(total_docs > quota AS INTEGER) AS capped
-FROM counts JOIN kept USING (source), cap
+WITH totals AS (
+  SELECT source, count(*) AS total_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1),
+q AS (SELECT CAST(sum(total_chars) // count(*) AS BIGINT) AS quota_chars
+      FROM totals),
+r AS (
+  SELECT source, n_chars,
+         sum(n_chars) OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents),
+kept AS (
+  SELECT source, count(*) AS kept_docs,
+         CAST(sum(n_chars) AS BIGINT) AS kept_chars
+  FROM r, q WHERE cum <= quota_chars GROUP BY 1)
+SELECT t.source, t.total_docs, t.total_chars, q.quota_chars,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars,
+       CAST(t.total_chars > q.quota_chars AS INTEGER) AS capped
+FROM totals t LEFT JOIN kept k ON t.source = k.source, q
 """
 
 

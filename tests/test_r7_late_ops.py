@@ -66,10 +66,19 @@ def test_source_quota_cap_invariants(spark):
     )
 
     rows = source_quota_cap(spark, SF_DIR_SMALL).collect()
-    assert rows  # every source appears (kept >= 1 because quota >= 1)
+    assert rows  # every source appears (capped-to-zero sources included)
     for r in rows:
-        assert r["kept_docs"] == min(r["total_docs"], r["quota"])
-        assert r["capped"] == int(r["total_docs"] > r["quota"])
+        assert r["kept_chars"] <= r["quota_chars"]  # budget respected
+        assert r["kept_docs"] <= r["total_docs"]
+        assert r["capped"] == int(r["total_chars"] > r["quota_chars"])
+        if not r["capped"]:  # under-quota sources pass through whole
+            assert r["kept_docs"] == r["total_docs"]
+            assert r["kept_chars"] == r["total_chars"]
+        else:
+            assert r["kept_chars"] < r["total_chars"]
+    # the fixture must exercise BOTH branches or the flag is decorative
+    flags = {r["capped"] for r in rows}
+    assert flags == {0, 1}
 
 
 def test_blocking_linkage_pair_contract(spark):
