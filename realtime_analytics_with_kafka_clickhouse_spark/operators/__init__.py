@@ -46,10 +46,10 @@ from ..streaming import pipeline as _streaming_pipeline
 # spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
 # the exact code path six r5-green txlog entries and the r6-green
 # bucketed merges exercise).  r8 must promote FIRST: the two spills,
-# then the FIFTEEN r7-NEW entries in section 6b (zorder read, the two
+# then the SIXTEEN r7-NEW entries in section 6b (zorder read, the two
 # Python-DataSource streaming legs, the PQ family, the analyze() UDTF,
 # the SCD2 pair, join_size_estimate, skew report, source_quota_cap,
-# event_sequence_counts, event_type_transitions,
+# event_sequence_counts, event_type_transitions, leakage_safe_split,
 # customer_blocking_linkage — pytest-parity green at 3 SFs but no
 # driver row yet); after them no entry's evidence predates r4.
 _NAMES = [
@@ -168,6 +168,7 @@ _NAMES = [
     ]),
     (curation, [
         "source_quota_cap",  # per-domain anti-dominance quota
+        "leakage_safe_split",  # cluster-keyed split + leak audit
     ]),
     (timeseries, [
         "event_sequence_counts",  # sequenceMatch/sequenceCount parity

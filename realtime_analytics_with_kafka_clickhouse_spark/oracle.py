@@ -3529,3 +3529,34 @@ WITH l AS (
 SELECT from_type, to_type, count(*) AS n_transitions
 FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2
 """
+
+
+# Dedup-aware split: assignment hashed on the near-dup CLUSTER id; the
+# leak audit recomputes cross-split pair counts for both the safe and
+# the naive per-doc split from scratch.
+ORACLE["leakage_safe_split"] = f"""
+WITH clusters AS ({ORACLE['near_dup_clusters']}),
+allc AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_h("concat_ws(chr(1), 'split', CAST(cluster_id AS VARCHAR))")} % 100 < 90 THEN 'train'
+              WHEN {_h("concat_ws(chr(1), 'split', CAST(cluster_id AS VARCHAR))")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN {_h("concat_ws(chr(1), 'split', CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'train'
+              WHEN {_h("concat_ws(chr(1), 'split', CAST(doc_id AS VARCHAR))")} % 100 < 95 THEN 'val'
+              ELSE 'test' END AS naive_split
+  FROM allc),
+ndp AS (SELECT doc_a, doc_b FROM ({ORACLE['minhash_near_dup']})),
+leaks AS (
+  SELECT CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS safe_leaky_pairs,
+         CAST(sum(CASE WHEN a.naive_split <> b.naive_split THEN 1 ELSE 0 END) AS BIGINT)
+           AS naive_leaky_pairs
+  FROM ndp p JOIN assigned a ON p.doc_a = a.doc_id
+             JOIN assigned b ON p.doc_b = b.doc_id)
+SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
+       safe_leaky_pairs, naive_leaky_pairs
+FROM assigned, leaks GROUP BY 1, 4, 5
+"""

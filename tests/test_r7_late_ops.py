@@ -5,11 +5,13 @@ suite, which proves cross-engine equality but not the CLAIMED semantics).
   non-overlapping lazy-regex count of 'A.*?B'": prove it against a
   literal state-machine reference over exhaustive short strings and
   random long ones.
-- source_quota_cap: kept == least(total, quota) and capped iff
-  total > quota, directly from the definition — any rank/join slip
-  breaks one of these.
+- source_quota_cap: char budget respected, under-quota sources pass
+  through whole, capped iff over the mean char volume — and the fixture
+  must exercise BOTH branches or the flag is decorative.
 - customer_blocking_linkage: canonical a<b, distance bound respected,
   and pairs never cross a block boundary.
+- leakage_safe_split: zero cross-split near-dup pairs by construction,
+  while the naive per-doc split demonstrably leaks.
 """
 
 from __future__ import annotations
@@ -119,3 +121,22 @@ def test_event_type_transitions_conservation(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_leakage_safe_split_guarantees(spark):
+    """Safe split: zero cross-split near-dup pairs, while the naive
+    per-doc split leaks some (else the operator is decorative); doc
+    counts conserve the corpus."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = leakage_safe_split(spark, SF_DIR_SMALL).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert all(r["safe_leaky_pairs"] == 0 for r in rows)
+    assert all(r["naive_leaky_pairs"] > 0 for r in rows)
+    n_docs = load_table(spark, SF_DIR_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
