@@ -34,115 +34,23 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r7 pass: the r6 gate went 50/50 green, so those entries rotate to the
-# tail.  Nothing brand-new leads this round; the gate is the PROMOTION
-# round the r6 verdict ordered — all 52 entries whose freshest driver
-# evidence was r2/r3/never, in the verdict's order: (a) the five named
-# first (xml_roundtrip_stats — the one never-checked entry — the
-# spilled r2 trio, decode_features), (b) the remaining six r2-stale
-# rows, (c) the r3 sections (dedup fragile-hash picks, text battery,
-# ANN, multimodal, curation, windows, TPC-H q4/q7).  That's 52 into 50
-# slots: incremental_hourly_rollup and incremental_daily_region_rollup
-# spill (lowest risk of the 52 — their foreachBatch-MERGE machinery is
-# the exact code path six r5-green txlog entries and the r6-green
-# bucketed merges exercise).  r8 must promote FIRST: the two spills,
-# then the SIXTEEN r7-NEW entries in section 6b (zorder read, the two
-# Python-DataSource streaming legs, the PQ family, the analyze() UDTF,
-# the SCD2 pair, join_size_estimate, skew report, source_quota_cap,
-# event_sequence_counts, event_type_transitions, leakage_safe_split,
-# customer_blocking_linkage — pytest-parity green at 3 SFs but no
-# driver row yet); after them no entry's evidence predates r4.
+# r8 pass: the r7 gate (the promotion round) went 50/50 green, so its
+# entries rotate to the tail.  The r8 gate, in the order the r7 verdict
+# directed: (a) the two r3 spills incremental_hourly_rollup /
+# incremental_daily_region_rollup FIRST, (b) the SIXTEEN r7-new
+# entries (pytest-parity green at 3 SFs, no driver row yet), (c) any
+# r8-new entries, (d) the stalest remaining sections — the r4-evidence
+# block (q22, the dashboard rollup family, TPC-H q1..q21 + derived
+# relational picks) — filling the 50 slots.  After this gate no
+# entry's freshest driver evidence predates r4, and the r4 section's
+# remainder leads the r9 gate.
 _NAMES = [
-    # -- 1. the r6 verdict's named-first five (never-checked + spilled
-    #    r2 trio + demoted decode_features) --
-    (_sources_files, [
-        "xml_roundtrip_stats",  # only entry with NO driver row ever
-    ]),
-    (windows, [
-        "cumulative_daily_revenue",
-        "order_gaps_per_customer",
-        "customer_order_rank",
-    ]),
-    (multimodal, [
-        "decode_features",
-    ]),
-    # -- 2. remaining r2-stale rows --
-    (timeseries, [
-        "events_props_normalize",
-        "event_feature_map",
-        "revenue_union_ledger",
-        "approx_distinct_users",
-    ]),
-    (windows, [
-        "top_parts_per_brand",
-        "moving_avg_daily_revenue",
-    ]),
-    # -- 3. r3-stale: fragile-hash dedup picks --
-    (dedup, [
-        "dedup_exact",
-        "simhash_near_dup",
-        "substring_dedup_docs",
-        "simhash_fingerprints",
-    ]),
-    (curation, [
-        "dedup_keep_best",
-    ]),
-    # -- 4. r3-stale: text battery --
-    (text, [
-        "token_stats",
-        "bpe_token_stats",
-        "quality_score",
-        "language_id",
-        "doc_fingerprint",
-        "deterministic_sample",
-        "stratified_sample",
-        "tfidf_top_terms",
-        "quality_filter_pipeline",
-        "chunk_documents",
-        "best_doc_per_source",
-        "pii_scrub",
-        "contamination_check",
-        "repetition_score",
-        "bigram_fluency",
-        "gopher_quality_rules",
-        "boilerplate_spans",
-        "dsir_importance",
-        "bpe_merge_topk",
-    ]),
-    # -- 5. r3-stale: ANN + multimodal + curation + windows + TPC-H --
-    (similarity, [
-        "ann_cosine_topk",
-        "ann_lsh_bucketed",
-        "ann_ivf_topk",
-        "embedding_near_dup",
-        "label_centroids",
-        "ann_quantized_topk",
-    ]),
-    (multimodal, [
-        "media_metadata_stats",
-        "frame_sample_features",
-        "resize_thumbnail",
-        "media_phash",
-    ]),
-    (curation, [
-        "pack_training_shards",
-        "lang_balance_resample",
-    ]),
-    (windows, [
-        "order_value_distribution",
-    ]),
-    (relational, [
-        "q4_late_shipment_priority",
-        "q7_nation_volume_shipping",
-    ]),
-    # ---- driver gate boundary (exactly 50: ends at q7_nation_volume_shipping) ----
-    # -- 6. the two r3-stale spills — r8 promotes these FIRST --
+    # -- 1. the two r3-evidence spills from the r7 promotion round --
     (_streaming_pipeline, [
         "incremental_hourly_rollup",
         "incremental_daily_region_rollup",
     ]),
-    # -- 6b. NEW in r7 (pytest-parity evidence only; r8 gates these right
-    #    after the spills above) --
+    # -- 2. the sixteen r7-new entries (ledger-ordered) --
     (_streaming_pipeline, [
         "txlog_zorder_pruned_read",  # OPTIMIZE ZORDER multi-col skipping
     ]),
@@ -177,7 +85,10 @@ _NAMES = [
     (relational, [
         "customer_blocking_linkage",  # ER blocking + Levenshtein pairs
     ]),
-    # -- 7. green in round 4 --
+    # -- 3. NEW in r8 (inside the gate: fresh code needs driver rows) --
+    # (section filled as r8 adds operators; each addition demotes the
+    #  tail of section 4 below the gate boundary)
+    # -- 4. stalest remainder: r4-evidence block (first 32 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -215,6 +126,10 @@ _NAMES = [
         "distinct_customers_per_nation",
         "repeat_customers_both_years",
         "one_year_only_customers",
+    ]),
+    # ---- driver gate boundary (exactly 50: ends at one_year_only_customers) ----
+    # -- 5. r4-evidence remainder (leads the r9 gate) --
+    (relational, [
         "priority_status_rollup",
         "status_pivot",
         "part_type_stats",
@@ -232,6 +147,83 @@ _NAMES = [
     ]),
     (similarity, [
         "embedding_quantize_int8",
+    ]),
+    # -- 6. green in round 7 (the promotion-round gate, 50/50) --
+    (_sources_files, [
+        "xml_roundtrip_stats",
+    ]),
+    (windows, [
+        "cumulative_daily_revenue",
+        "order_gaps_per_customer",
+        "customer_order_rank",
+    ]),
+    (multimodal, [
+        "decode_features",
+    ]),
+    (timeseries, [
+        "events_props_normalize",
+        "event_feature_map",
+        "revenue_union_ledger",
+        "approx_distinct_users",
+    ]),
+    (windows, [
+        "top_parts_per_brand",
+        "moving_avg_daily_revenue",
+    ]),
+    (dedup, [
+        "dedup_exact",
+        "simhash_near_dup",
+        "substring_dedup_docs",
+        "simhash_fingerprints",
+    ]),
+    (curation, [
+        "dedup_keep_best",
+    ]),
+    (text, [
+        "token_stats",
+        "bpe_token_stats",
+        "quality_score",
+        "language_id",
+        "doc_fingerprint",
+        "deterministic_sample",
+        "stratified_sample",
+        "tfidf_top_terms",
+        "quality_filter_pipeline",
+        "chunk_documents",
+        "best_doc_per_source",
+        "pii_scrub",
+        "contamination_check",
+        "repetition_score",
+        "bigram_fluency",
+        "gopher_quality_rules",
+        "boilerplate_spans",
+        "dsir_importance",
+        "bpe_merge_topk",
+    ]),
+    (similarity, [
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "label_centroids",
+        "ann_quantized_topk",
+    ]),
+    (multimodal, [
+        "media_metadata_stats",
+        "frame_sample_features",
+        "resize_thumbnail",
+        "media_phash",
+    ]),
+    (curation, [
+        "pack_training_shards",
+        "lang_balance_resample",
+    ]),
+    (windows, [
+        "order_value_distribution",
+    ]),
+    (relational, [
+        "q4_late_shipment_priority",
+        "q7_nation_volume_shipping",
     ]),
     # -- 7. green in round 5 — freshest evidence, rotate forward in r7 --
     (_streaming_pipeline, [
