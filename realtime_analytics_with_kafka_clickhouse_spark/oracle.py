@@ -3503,17 +3503,25 @@ FROM seqs
 """
 
 
-# ER blocking: within-(nation, segment) pairwise Levenshtein <= 2,
-# canonical a < b — identical DP distance in both engines.
+# ER blocking + sorted-neighborhood: within each (nation, segment)
+# block, rank by (name, custkey); only pairs within 10 ranks compare;
+# Levenshtein <= 2, canonical least/greatest custkey — identical DP
+# distance and identical window in both engines.
 ORACLE["customer_blocking_linkage"] = """
-SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+WITH ranked AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY c_name, c_custkey) AS rn
+  FROM customer)
+SELECT least(a.c_custkey, b.c_custkey) AS custkey_a,
+       greatest(a.c_custkey, b.c_custkey) AS custkey_b,
        a.c_nationkey,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
-FROM customer a
-JOIN customer b
+FROM ranked a
+JOIN ranked b
   ON a.c_nationkey = b.c_nationkey
  AND a.c_mktsegment = b.c_mktsegment
- AND a.c_custkey < b.c_custkey
+ AND b.rn > a.rn AND b.rn <= a.rn + 10
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 

@@ -448,3 +448,19 @@ def test_file_roundtrips_single_agg_exchange(spark, queries):
     c = queries["csv_roundtrip_stats"](spark, SF_DIR)
     assert count_shuffles(c) == 1, formatted_plan(c)
     assert "Scan csv" in formatted_plan(c)
+
+
+def test_blocking_linkage_equi_join_on_rank(spark, queries):
+    """The ER sorted-neighborhood join must carry the rank IN the
+    equi-key (n*w candidates however large a block grows) — never a
+    block-key-only join whose within-group comparison is quadratic,
+    and never a nested-loop fallback."""
+    df = queries["customer_blocking_linkage"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # rn must appear among the join keys (hash or sort-merge, either is
+    # fine — the point is rank-equality routes the match).
+    import re
+    keys = re.findall(r"(?:Arguments|Left keys|Right keys).*?\[(.*?)\]", plan)
+    joined = " ".join(keys)
+    assert "rn" in joined, plan
