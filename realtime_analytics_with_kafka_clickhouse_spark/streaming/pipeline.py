@@ -1447,7 +1447,12 @@ def _merge_keyed_bucketed(
 
     _recover_bucket_swaps(spark, table_dir)
     bcol = _keyed_bucket(bucket_keys, n_buckets)
-    tagged = batch.withColumn("bucket", bcol).persist()
+    tagged = batch.withColumn("bucket", bcol)
+    # The batch is consumed twice only when the bucket set must be
+    # probed; with a ``touched`` hint it feeds exactly one job and a
+    # persist would be pure serialization overhead.
+    if touched is None:
+        tagged = tagged.persist()
     try:
         # ``touched`` hint (the Delta MERGE partition-predicate analog):
         # a caller that already knows the batch's bucket set — e.g. a
@@ -1486,23 +1491,23 @@ def _merge_keyed_bucketed(
             )
         else:
             unioned = batch_rows
-        merged = fold(unioned).withColumn("bucket", bcol)
-        stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
-        (
-            # len(todo) write tasks: sizes the stage to the touched set
-            # so the NEXT merge's bucket read is a few-file scan.  Hash
-            # partitioning mod len(todo) may land two buckets in one
-            # task (several files in a dir) — best-effort file count;
-            # correctness comes from partitionBy routing rows by value.
-            # (Measured against the no-repartition dynamic-partition
-            # write, which trades this shuffle for a per-task sort +
-            # multi-writer roll: the explicit repartition is faster here
-            # and caps file counts at scale.)
-            merged.repartition(len(todo), "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(stage)
+        # SINGLE-SHUFFLE fold (r8): bucket-tag the union, repartition by
+        # bucket ONCE, then fold — every fold groups by (bucket, key...)
+        # and hash-partitioning on ``bucket`` (a function of the key)
+        # already satisfies the aggregate's clustered distribution, so
+        # Catalyst plans partial+final aggregation in the SAME stage
+        # with no second exchange (the r7 shape paid two: the fold's
+        # groupBy exchange plus a pre-write repartition).  len(todo)
+        # partitions size the stage write to the touched set; hash
+        # collisions may land two buckets in one task (several files in
+        # a dir) — best-effort file count; correctness comes from
+        # partitionBy routing rows by value.
+        merged = fold(
+            unioned.withColumn("bucket", bcol).repartition(len(todo), "bucket")
         )
+        assert "bucket" in merged.columns  # fold must group by / keep it
+        stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
+        merged.write.partitionBy("bucket").mode("overwrite").parquet(stage)
         # Fully-annihilated buckets (every key cancelled) left no staged
         # dir, but must keep a SCHEMA-BEARING empty dir — a bare delete
         # would make a fully-annihilated table unreadable
@@ -1579,11 +1584,14 @@ def merge_replacing(
     swapped; untouched buckets are never opened."""
 
     def fold(unioned: DataFrame) -> DataFrame:
-        cols = [c for c in unioned.columns if c != key]
+        # ``bucket`` joins the groupBy (it is a function of the key, so
+        # groups are unchanged) to keep the single-shuffle plan — see
+        # _merge_keyed_bucketed.
+        cols = [c for c in unioned.columns if c not in (key, "bucket")]
         return (
-            unioned.groupBy(key)
+            unioned.groupBy(key, "bucket")
             .agg(F.max_by(F.struct(*cols), F.col(version)).alias("_row"))
-            .select(key, "_row.*")
+            .select(key, "bucket", "_row.*")
         )
 
     return _merge_keyed_bucketed(
@@ -1659,8 +1667,9 @@ def merge_collapsing(
     in the batch are read and rewritten."""
 
     def fold(unioned: DataFrame) -> DataFrame:
+        # bucket rides the groupBy for the single-shuffle plan.
         return (
-            unioned.groupBy(*keys)
+            unioned.groupBy(*keys, "bucket")
             .agg(F.sum(sign).cast("long").alias(sign))
             .filter(F.col(sign) != 0)
         )
@@ -2243,9 +2252,14 @@ def merge_versioned_collapsing(
     fact-keyed folds."""
 
     def fold(unioned: DataFrame) -> DataFrame:
-        payload = [c for c in unioned.columns if c not in (*keys, version, sign)]
+        # bucket rides the groupBy for the single-shuffle plan.
+        payload = [
+            c
+            for c in unioned.columns
+            if c not in (*keys, version, sign, "bucket")
+        ]
         return (
-            unioned.groupBy(*keys, version)
+            unioned.groupBy(*keys, version, "bucket")
             .agg(
                 F.sum(sign).cast("long").alias(sign),
                 *[F.max(c).alias(c) for c in payload],

@@ -464,3 +464,22 @@ def test_blocking_linkage_equi_join_on_rank(spark, queries):
     keys = re.findall(r"(?:Arguments|Left keys|Right keys).*?\[(.*?)\]", plan)
     joined = " ".join(keys)
     assert "rn" in joined, plan
+
+
+def test_keyed_merge_fold_single_exchange(spark):
+    """The bucketed keyed-merge fold must be ONE shuffle: repartition by
+    bucket, then a groupBy that includes bucket reuses that partitioning
+    (hash on a subset of the group keys satisfies the clustered
+    distribution) — no second exchange before the partitioned write."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("version")
+    )
+    tagged = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+    ).repartition(8, "bucket")
+    folded = tagged.groupBy("k", "bucket").agg(F.max("version").alias("v"))
+    assert count_shuffles(folded) == 1, formatted_plan(folded)
+    # partial+final aggregation in one stage, no exchange between
+    assert formatted_plan(folded).count("HashAggregate") >= 2
