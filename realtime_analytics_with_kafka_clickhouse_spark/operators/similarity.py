@@ -1338,29 +1338,7 @@ PQ_TOPK = 5
 PQ_QUERY_MOD = 100  # query batch = every 100th vec_id (request-sized)
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    """``cb[m][c]`` = the c-th codeword of subspace ``m``: the PQ_SUB-dim
-    slices of the PQ_K lowest vec_ids — the deterministic sampled
-    codebook (k-means init without Lloyd rounds, so the DuckDB oracle can
-    rebuild it from the table; a production fit would run the same
-    per-subspace Lloyd loop ``kmeans_train`` already proves).  PQ_M *
-    PQ_K * PQ_SUB doubles — driver/broadcast-trivial at any corpus size."""
-    from ._memo import memo_get
-
-    def build():
-        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        rows = sorted(
-            emb.orderBy("vec_id").limit(PQ_K).collect(), key=lambda r: r["vec_id"]
-        )
-        return [
-            [
-                [float(x) for x in r["embedding"][m * PQ_SUB : (m + 1) * PQ_SUB]]
-                for r in rows
-            ]
-            for m in range(PQ_M)
-        ]
-
-    return memo_get("pq_codebooks", sf_dir, ("embeddings",), build)
+PQ_ITERS = 2  # per-subspace Lloyd rounds (the kmeans_train discipline)
 
 
 def _sq_subdist(vec: Column, cent: Column) -> Column:
@@ -1372,39 +1350,168 @@ def _sq_subdist(vec: Column, cent: Column) -> Column:
     return F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
 
 
-def _pq_sub(m):
-    """1-based slice of subspace ``m`` (a Column) of the embedding."""
-    return F.slice("embedding", m * PQ_SUB + F.lit(1), PQ_SUB)
+def _pq_src(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
+    """The PQ training/encoding vectors as ``vecd: array<double>``.
 
-
-def _pq_codes_df(emb: DataFrame, cb_row: DataFrame) -> DataFrame:
-    """(vec_id, codes): argmin codeword per subspace — round-6 subspace
-    distance, codeword-id tiebreak, all array expressions."""
-
-    def encode(cb_m, m):
-        ranked = F.array_sort(
-            F.transform(
-                cb_m,
-                lambda cent, c: F.struct(
-                    _sq_subdist(_pq_sub(m), cent).alias("d"), c.alias("c")
-                ),
-            )
+    ``residual=False``: the raw embedding cast to double (exact — stored
+    floats widen losslessly).  ``residual=True``: the FAISS
+    ``by_residual`` convention — each vector minus its argmin coarse-cell
+    centroid (the memoized ``_kmeans_fit`` quantizer), with every
+    component ROUNDED TO 6 decimals at definition.  The round-6 residual
+    is the portability convention: sums of round-6 doubles are exact
+    DECIMAL(25,6) folds in both engines, so codebook means and ADC sums
+    stay order-independent and value-identical cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not residual:
+        return emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vecd"),
         )
-        return F.element_at(ranked, 1)["c"]
-
-    return emb.crossJoin(F.broadcast(cb_row)).select(
-        "vec_id", F.transform(F.col("cb"), encode).alias("codes")
+    cents = _kmeans_fit(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        list(cents), "cell int, centroid array<double>"
+    )
+    return (
+        _with_ranked_cells(emb, cents)
+        .select(
+            "vec_id", "embedding", F.element_at("ranked", 1)["c"].alias("cell")
+        )
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, c: F.round(x.cast("double") - c, 6),
+            ).alias("vecd"),
+        )
     )
 
 
-def _pq_luts_df(queries: DataFrame, cb_row: DataFrame) -> DataFrame:
-    """(qid, luts): per-query PQ_M x PQ_K table of round-6 subspace
-    distances to every codeword."""
-    return queries.crossJoin(F.broadcast(cb_row)).select(
-        F.col("vec_id").alias("qid"),
+def _pq_encode_expr(cb_col: Column, vec_col: Column) -> Column:
+    """``array<int>``: per subspace m, the argmin codeword of vec_col's
+    m-th PQ_SUB-slice — round-6 subspace distance, codeword-id tiebreak,
+    all array expressions (whole-stage codegen, zero UDFs)."""
+    return F.transform(
+        cb_col,
+        lambda cb_m, m: F.element_at(
+            F.array_sort(
+                F.transform(
+                    cb_m,
+                    lambda cent, c: F.struct(
+                        _sq_subdist(
+                            F.slice(vec_col, m * PQ_SUB + F.lit(1), PQ_SUB), cent
+                        ).alias("d"),
+                        c.alias("c"),
+                    ),
+                )
+            ),
+            1,
+        )["c"],
+    )
+
+
+def _pq_fit(
+    spark: SparkSession, sf_dir: str, residual: bool = False
+) -> list[list[list[float]]]:
+    """``cb[m][c]`` = the c-th TRAINED codeword of subspace ``m``:
+    PQ_ITERS per-subspace Lloyd rounds from the deterministic init (the
+    PQ_SUB-dim slices of the PQ_K lowest vec_ids).  Each round is ONE
+    Spark job for all PQ_M subspaces: encode (argmin codeword, round-6 +
+    id tiebreak), posexplode to (m, code, sub-slice), and a grouped
+    exact-decimal mean per sub-dimension — raw vectors use the
+    DECIMAL(38,15) kmeans convention (float-backed doubles sum exactly),
+    round-6 residuals the DECIMAL(25,6) fold.  An emptied codeword keeps
+    its previous centroid (both engines coalesce identically).  Driver
+    state is PQ_M*PQ_K*PQ_SUB doubles; memoized per dataset fingerprint
+    like the coarse quantizer."""
+    from ._memo import memo_get
+
+    key = "pq_fit_residual" if residual else "pq_fit"
+    return memo_get(
+        key, sf_dir, ("embeddings",), lambda: _pq_fit_uncached(spark, sf_dir, residual)
+    )
+
+
+def _pq_fit_uncached(
+    spark: SparkSession, sf_dir: str, residual: bool
+) -> list[list[list[float]]]:
+    src = _pq_src(spark, sf_dir, residual).select("vec_id", "vecd")
+    init = sorted(
+        src.orderBy("vec_id").limit(PQ_K).collect(), key=lambda r: r["vec_id"]
+    )
+    cbs = [
+        [
+            [float(x) for x in r["vecd"][m * PQ_SUB : (m + 1) * PQ_SUB]]
+            for r in init
+        ]
+        for m in range(PQ_M)
+    ]
+    dec = "decimal(25,6)" if residual else "decimal(38,15)"
+    mean_cols = [
+        (
+            F.sum(F.col("sub").getItem(i).cast(dec)).cast("double") / F.count("*")
+        ).alias(f"m{i}")
+        for i in range(PQ_SUB)
+    ]
+    for _ in range(PQ_ITERS):
+        cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
+        rows = (
+            src.crossJoin(F.broadcast(cb_row))
+            .select(
+                "vecd",
+                F.posexplode(_pq_encode_expr(F.col("cb"), F.col("vecd"))).alias(
+                    "m", "code"
+                ),
+            )
+            .select(
+                "m",
+                "code",
+                F.slice("vecd", F.col("m") * PQ_SUB + F.lit(1), PQ_SUB).alias("sub"),
+            )
+            .groupBy("m", "code")
+            .agg(*mean_cols)
+            .collect()  # <= PQ_M * PQ_K rows of PQ_SUB doubles
+        )
+        upd = {
+            (int(r["m"]), int(r["code"])): [float(r[f"m{i}"]) for i in range(PQ_SUB)]
+            for r in rows
+        }
+        cbs = [
+            [upd.get((m, c), cbs[m][c]) for c in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+    return cbs
+
+
+def _pq_codes_df(src: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(vec_id [+ carried cols], codes): argmin codeword per subspace of
+    ``vecd`` — round-6 subspace distance, codeword-id tiebreak."""
+    carried = [c for c in src.columns if c != "vecd"]
+    return src.crossJoin(F.broadcast(cb_row)).select(
+        *carried, _pq_encode_expr(F.col("cb"), F.col("vecd")).alias("codes")
+    )
+
+
+def _pq_luts_df(src: DataFrame, cb_row: DataFrame) -> DataFrame:
+    """(qid [+ carried cols], luts): per-query PQ_M x PQ_K table of
+    round-6 subspace distances of ``vecd`` to every codeword."""
+    carried = [
+        F.col("vec_id").alias("qid") if c == "vec_id" else F.col(c)
+        for c in src.columns
+        if c != "vecd"
+    ]
+    return src.crossJoin(F.broadcast(cb_row)).select(
+        *carried,
         F.transform(
             F.col("cb"),
-            lambda cb_m, m: F.transform(cb_m, lambda cent: _sq_subdist(_pq_sub(m), cent)),
+            lambda cb_m, m: F.transform(
+                cb_m,
+                lambda cent: _sq_subdist(
+                    F.slice(F.col("vecd"), m * PQ_SUB + F.lit(1), PQ_SUB), cent
+                ),
+            ),
         ).alias("luts"),
     )
 
@@ -1442,13 +1549,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed EXACTLY (decimal(25,6) fold — order-independent in both
     engines) with neighbor-id tiebreaks.  Scale: the shuffle carries
     only (query, neighbor, distance) triples past the per-query window;
-    the corpus side streams codes (PQ_M small ints per vector)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cbs = _pq_codebooks(spark, sf_dir)
+    the corpus side streams codes (PQ_M small ints per vector).
+    Codebooks are TRAINED (PQ_ITERS per-subspace Lloyd rounds, r8) —
+    the sampled-init-only variant measured ~0.16 recall@5 on this
+    uniform fixture; training is what a production fit runs."""
+    src = _pq_src(spark, sf_dir, residual=False)
+    cbs = _pq_fit(spark, sf_dir, residual=False)
     cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
-    codes = _pq_codes_df(emb, cb_row)
+    codes = _pq_codes_df(src, cb_row)
     luts = _pq_luts_df(
-        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
+        src.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
     )
     pairs = (
         codes.crossJoin(F.broadcast(luts))
@@ -1473,46 +1583,61 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ (the FAISS IVFADC serving composition, sans residual
-    encoding — `by_residual=false`): the trained k-means coarse quantizer
-    routes every vector to its argmin cell and each query probes its
-    IVF_PROBE nearest cells, so the PQ compressed-domain scan runs over
-    probe * n / K candidates instead of the whole corpus — the two-level
-    index every billion-scale deployment runs (coarse cells shard the
-    index; codes keep the shards in RAM).
+    """IVF + PQ with RESIDUAL ENCODING (the FAISS IVFADC serving
+    composition, ``by_residual=true`` — the production default): the
+    trained k-means coarse quantizer routes every vector to its argmin
+    cell, and PQ encodes the RESIDUAL (vector − cell centroid) with
+    codebooks trained on those residuals — residuals concentrate around
+    zero, so the same codebook budget spends its resolution where the
+    data actually is, which is what lifts recall over encoding raw
+    vectors.  Each query probes its IVF_PROBE nearest cells with a
+    PER-CELL LUT built from its residual against THAT cell's centroid,
+    so the compressed-domain scan runs over probe * n / K candidates —
+    the two-level index every billion-scale deployment runs (coarse
+    cells shard the index; codes keep the shards in RAM).
 
-    Composition of two already-proven parts: the cell ranking is
-    ``_with_ranked_cells`` on the memoized ``_kmeans_fit`` quantizer
-    (identical to ann_ivf_kmeans — same round-6/tiebreak discipline) and
-    the distance is the exact-decimal ADC fold of ann_pq_adc_topk.  The
-    one shuffle is the candidate equi-join ON CELL carrying PQ codes
-    (PQ_M small ints), never embeddings; query LUTs broadcast."""
+    Determinism: residuals are round-6 by definition (sums of round-6
+    doubles are exact DECIMAL(25,6) folds in both engines), the cell
+    ranking is ``_with_ranked_cells`` on the memoized ``_kmeans_fit``
+    quantizer, and the distance is the exact-decimal ADC fold.  The one
+    shuffle is the candidate equi-join ON CELL carrying PQ codes (PQ_M
+    small ints), never embeddings; per-(query, cell) LUTs broadcast."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ranked = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
-    member = ranked.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.element_at("ranked", 1)["c"].alias("cell"),
+    cents = _kmeans_fit(spark, sf_dir)
+    ranked = _with_ranked_cells(emb, cents)
+    cent_df = spark.createDataFrame(list(cents), "cell int, centroid array<double>")
+    cbs = _pq_fit(spark, sf_dir, residual=True)
+    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
+    # Member side: own-cell residual codes (vec_id, cell, codes).
+    member_src = _pq_src(spark, sf_dir, residual=True)
+    codes = _pq_codes_df(member_src, cb_row).withColumnRenamed(
+        "vec_id", "neighbor_id"
     )
-    probes = (
+    # Query side: one residual (and LUT) per probed cell.
+    probe_src = (
         ranked.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0)
         .select(
-            F.col("vec_id").alias("qid"),
+            "vec_id",
+            "embedding",
             F.explode(
                 F.transform(F.slice("ranked", 1, IVF_PROBE), lambda s: s["c"])
             ).alias("cell"),
         )
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, c: F.round(x.cast("double") - c, 6),
+            ).alias("vecd"),
+        )
     )
-    cbs = _pq_codebooks(spark, sf_dir)
-    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
-    codes = _pq_codes_df(emb, cb_row).withColumnRenamed("vec_id", "neighbor_id")
-    luts = _pq_luts_df(
-        emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
-    )
+    luts = _pq_luts_df(probe_src, cb_row)
     cand = (
-        probes.join(member, "cell")
+        codes.join(F.broadcast(luts), "cell")
         .filter(F.col("qid") != F.col("neighbor_id"))
-        .join(codes, "neighbor_id")
-        .join(F.broadcast(luts), "qid")
         .select("qid", "neighbor_id", _pq_adc_col().alias("adc_dist"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())

@@ -3193,41 +3193,97 @@ ORACLE["python_stream_datasource_rollup"] = ORACLE["python_datasource_scan"]
 ORACLE["python_stream_datasource_sink_rollup"] = ORACLE["python_datasource_scan"]
 
 
-def _pq_adc_sql(
-    m: int = 8, sub: int = 8, k: int = 16, qmod: int = 100, top_k: int = 5
-) -> str:
-    """PQ-ADC mirror: sampled codebooks (slices of the k lowest vec_ids),
-    per-subspace argmin codes (round-6 explicit chain, codeword
-    tiebreak), query LUTs, and ADC = exact DECIMAL(25,6) sum of the m
-    round-6 subspace lookups — order-independent, so DuckDB's SUM equals
-    Spark's array fold bit-for-bit."""
+def _pq_train_parts(
+    vsub: str,
+    dec: str,
+    iters: int = 2,
+    sub: int = 8,
+    k: int = 16,
+    prefix: str = "pq",
+) -> tuple[list[str], str]:
+    """Unrolled per-subspace Lloyd CTEs over a ``{vsub}`` source CTE of
+    (vec_id, m, sub: 8 doubles); returns (parts, final codebook CTE).
+    Mirrors ``similarity._pq_fit`` exactly: init = slices of the k
+    lowest vec_ids, assignment = round-6 explicit chain with codeword-id
+    tiebreak, update = exact {dec} sums + one double divide per
+    sub-dimension, emptied codewords keep their previous centroid
+    (coalesce)."""
     chain = " + ".join(
         f"(v.sub[{i}] - cb.cent[{i}]) * (v.sub[{i}] - cb.cent[{i}])"
         for i in range(1, sub + 1)
     )
-    return f"""
-WITH cb AS (
-  SELECT ms.m, b.c,
-         list_transform(list_slice(b.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
-                        x -> CAST(x AS DOUBLE)) AS cent
-  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})) b,
-       (SELECT unnest(range({m})) AS m) ms),
-vsub AS (
+    means = ", ".join(
+        f"CAST(SUM(CAST(v.sub[{i}] AS {dec})) AS DOUBLE) / COUNT(*) AS m{i}"
+        for i in range(1, sub + 1)
+    )
+    clist = "[" + ", ".join(f"m{i}" for i in range(1, sub + 1)) + "]"
+    parts = [
+        f"""{prefix}cb0 AS (
+  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         sub AS cent
+  FROM {vsub}
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for n in range(1, iters + 1):
+        parts.append(
+            f"""{prefix}as{n} AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT v.vec_id, v.m, cb.c,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY round({chain}, 6) ASC, cb.c ASC) AS rn
+    FROM {vsub} v JOIN {prefix}cb{n - 1} cb USING (m))
+  WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""{prefix}mu{n} AS (
+  SELECT m, c, {clist} AS cent FROM (
+    SELECT a.m, a.code AS c, {means}
+    FROM {prefix}as{n} a JOIN {vsub} v ON v.vec_id = a.vec_id AND v.m = a.m
+    GROUP BY a.m, a.code))"""
+        )
+        parts.append(
+            f"""{prefix}cb{n} AS (
+  SELECT p.m, p.c, coalesce(u.cent, p.cent) AS cent
+  FROM {prefix}cb{n - 1} p LEFT JOIN {prefix}mu{n} u ON u.m = p.m AND u.c = p.c)"""
+        )
+    return parts, f"{prefix}cb{iters}"
+
+
+def _pq_adc_sql(
+    m: int = 8, sub: int = 8, k: int = 16, qmod: int = 100, top_k: int = 5,
+    iters: int = 2,
+) -> str:
+    """PQ-ADC mirror: TRAINED codebooks (per-subspace Lloyd rounds from
+    the lowest-vec_id init), per-subspace argmin codes (round-6 explicit
+    chain, codeword tiebreak), query LUTs, and ADC = exact DECIMAL(25,6)
+    sum of the m round-6 subspace lookups — order-independent, so
+    DuckDB's SUM equals Spark's array fold bit-for-bit."""
+    chain = " + ".join(
+        f"(v.sub[{i}] - cb.cent[{i}]) * (v.sub[{i}] - cb.cent[{i}])"
+        for i in range(1, sub + 1)
+    )
+    vsub = f"""vsub AS (
   SELECT e.vec_id, ms.m,
          list_transform(list_slice(e.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
                         x -> CAST(x AS DOUBLE)) AS sub
-  FROM embeddings e, (SELECT unnest(range({m})) AS m) ms),
+  FROM embeddings e, (SELECT unnest(range({m})) AS m) ms)"""
+    train, cb_final = _pq_train_parts(
+        "vsub", "DECIMAL(38,15)", iters=iters, sub=sub, k=k
+    )
+    return (
+        "WITH "
+        + ",\n".join([vsub, *train])
+        + f""",
 codes AS (
   SELECT vec_id, m, c AS code FROM (
     SELECT v.vec_id, v.m, cb.c,
            row_number() OVER (PARTITION BY v.vec_id, v.m
                               ORDER BY round({chain}, 6) ASC, cb.c ASC) AS rn
-    FROM vsub v JOIN cb USING (m))
+    FROM vsub v JOIN {cb_final} cb USING (m))
   WHERE rn = 1),
 qlut AS (
   SELECT v.vec_id AS qid, cb.m, cb.c, round({chain}, 6) AS d
-  FROM vsub v JOIN cb USING (m)
+  FROM vsub v JOIN {cb_final} cb USING (m)
   WHERE v.vec_id % {qmod} = 0),
 adc AS (
   SELECT l.qid, x.vec_id AS neighbor_id,
@@ -3242,6 +3298,7 @@ SELECT qid AS vec_id, neighbor_id, adc_dist, CAST(rn AS BIGINT) AS rank FROM (
   FROM adc)
 WHERE rn <= {top_k}
 """
+    )
 
 
 ORACLE["ann_pq_adc_topk"] = _pq_adc_sql()
@@ -3255,11 +3312,16 @@ def _ivfpq_sql(
     probe: int = 2,
     top_k: int = 5,
     dim: int = 64,
+    iters: int = 2,
 ) -> str:
-    """IVF + PQ mirror: the kmeans CTE chain supplies cell membership
-    (rn=1) and per-query probe sets (rn<=probe, query ids only); the PQ
-    CTE chain supplies codes and query LUTs; candidates are the cell
-    equi-join, distances the exact-decimal ADC sum."""
+    """IVF + PQ mirror with RESIDUAL ENCODING (by_residual=true): the
+    kmeans CTE chain supplies cell membership (rn=1), probe sets
+    (rn<=probe), and cell centroids; residuals are round-6 by definition
+    (vector − cell centroid); PQ codebooks are TRAINED on the member
+    residuals (exact DECIMAL(25,6) means); each query gets a PER-CELL
+    LUT from its residual against that probed cell's centroid;
+    candidates are the cell equi-join, distances the exact-decimal ADC
+    sum."""
     parts, final_c = _kmeans_parts(dim=dim)
     cell_chain = " + ".join(
         f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
@@ -3275,55 +3337,66 @@ def _ivfpq_sql(
           FROM embeddings e CROSS JOIN {final_c} c))
   WHERE rn <= {probe})"""
     )
+    rlist = "[" + ", ".join(
+        f"round(CAST(e.embedding[{i}] AS DOUBLE) - cc.centroid[{i}], 6)"
+        for i in range(1, dim + 1)
+    ) + "]"
+    parts.append(
+        f"""rv AS (
+  SELECT e.vec_id, s1.cluster, {rlist} AS r
+  FROM embeddings e
+  JOIN (SELECT vec_id, cluster FROM s WHERE rn = 1) s1 USING (vec_id)
+  JOIN {final_c} cc USING (cluster))"""
+    )
+    parts.append(
+        f"""rsub AS (
+  SELECT vec_id, cluster, ms.m,
+         list_slice(r, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS sub
+  FROM rv, (SELECT unnest(range({m})) AS m) ms)"""
+    )
+    train, cb_final = _pq_train_parts(
+        "rsub", "DECIMAL(25,6)", iters=iters, sub=sub, k=k_pq
+    )
+    parts.extend(train)
     pq_chain = " + ".join(
         f"(v.sub[{i}] - cb.cent[{i}]) * (v.sub[{i}] - cb.cent[{i}])"
         for i in range(1, sub + 1)
     )
     parts.append(
-        f"""cb AS (
-  SELECT ms.m, b.c,
-         list_transform(list_slice(b.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
-                        x -> CAST(x AS DOUBLE)) AS cent
-  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding
-        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k_pq})) b,
-       (SELECT unnest(range({m})) AS m) ms)"""
-    )
-    parts.append(
-        f"""vsub AS (
-  SELECT e.vec_id, ms.m,
-         list_transform(list_slice(e.embedding, ms.m * {sub} + 1, ms.m * {sub} + {sub}),
-                        x -> CAST(x AS DOUBLE)) AS sub
-  FROM embeddings e, (SELECT unnest(range({m})) AS m) ms)"""
-    )
-    parts.append(
         f"""pq_codes AS (
-  SELECT vec_id, m, c AS code FROM (
-    SELECT v.vec_id, v.m, cb.c,
+  SELECT vec_id, cluster, m, c AS code FROM (
+    SELECT v.vec_id, v.cluster, v.m, cb.c,
            row_number() OVER (PARTITION BY v.vec_id, v.m
                               ORDER BY round({pq_chain}, 6) ASC, cb.c ASC) AS rn
-    FROM vsub v JOIN cb USING (m))
+    FROM rsub v JOIN {cb_final} cb USING (m))
   WHERE rn = 1)"""
     )
     parts.append(
-        f"""qlut AS (
-  SELECT v.vec_id AS qid, cb.m, cb.c, round({pq_chain}, 6) AS d
-  FROM vsub v JOIN cb USING (m)
-  WHERE v.vec_id % {qmod} = 0)"""
+        f"""qrv AS (
+  SELECT e.vec_id AS qid, sp.cluster, {rlist.replace('cc.centroid', 'qc.centroid')} AS r
+  FROM embeddings e
+  JOIN (SELECT vec_id, cluster FROM s WHERE rn <= {probe}) sp USING (vec_id)
+  JOIN {final_c} qc USING (cluster)
+  WHERE e.vec_id % {qmod} = 0)"""
     )
     parts.append(
-        f"""cand AS (
-  SELECT q.vec_id AS qid, i.vec_id AS neighbor_id
-  FROM (SELECT vec_id, cluster FROM s WHERE rn <= {probe} AND vec_id % {qmod} = 0) q
-  JOIN (SELECT vec_id, cluster FROM s WHERE rn = 1) i
-    ON q.cluster = i.cluster AND q.vec_id <> i.vec_id)"""
+        f"""qrsub AS (
+  SELECT qid, cluster, ms.m,
+         list_slice(r, ms.m * {sub} + 1, ms.m * {sub} + {sub}) AS sub
+  FROM qrv, (SELECT unnest(range({m})) AS m) ms)"""
+    )
+    parts.append(
+        f"""qlut AS (
+  SELECT v.qid, v.cluster, cb.m, cb.c, round({pq_chain}, 6) AS d
+  FROM qrsub v JOIN {cb_final} cb USING (m))"""
     )
     parts.append(
         """adc AS (
-  SELECT c.qid, c.neighbor_id,
+  SELECT l.qid, x.vec_id AS neighbor_id,
          CAST(SUM(CAST(l.d AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
-  FROM cand c
-  JOIN pq_codes x ON x.vec_id = c.neighbor_id
-  JOIN qlut l ON l.qid = c.qid AND l.m = x.m AND l.c = x.code
+  FROM pq_codes x
+  JOIN qlut l ON l.cluster = x.cluster AND l.m = x.m AND l.c = x.code
+  WHERE x.vec_id <> l.qid
   GROUP BY 1, 2)"""
     )
     return (
