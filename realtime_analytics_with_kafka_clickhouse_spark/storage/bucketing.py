@@ -196,22 +196,28 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide of exact integers), and the salt factor that caps any one
     (key, salt) task at SKEW_TARGET_ROWS_PER_TASK rows.
 
-    One hash aggregate + a K-row ordered head — the same partial-agg
-    shuffle any groupBy pays, so diagnosing skew never costs more than
-    the query it tunes; at 100 TB you'd run it on a sample with the
-    same plan."""
+    ONE SCAN (r8): the grand-total denominator re-aggregates the same
+    per-key counts instead of running a separate ``events.count()`` job —
+    the two consumers share an identical groupBy subtree, which Spark's
+    exchange-reuse rule dedupes (the physical plan carries a single
+    events scan + one ReusedExchange, pytest-pinned), and the total rides
+    back in as a broadcast 1-row cross join.  No global window, so no
+    single-reducer pass over the distinct-key set either — diagnosing
+    skew never costs more than the query it tunes; at 100 TB you'd run
+    it on a sample with the same plan."""
     from ..sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
-    total = events.count()  # one scalar job; exact denominator
     counts = events.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(F.sum("n_rows").cast("double").alias("total"))
     return (
         counts.orderBy(F.col("n_rows").desc(), F.col("user_id").asc())
         .limit(SKEW_REPORT_TOPK)
+        .crossJoin(F.broadcast(totals))
         .select(
             "user_id",
             F.col("n_rows").cast("long").alias("n_rows"),
-            F.round(F.col("n_rows").cast("double") / F.lit(float(total)), 6).alias(
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
                 "share"
             ),
             F.ceil(

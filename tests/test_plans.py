@@ -483,3 +483,16 @@ def test_keyed_merge_fold_single_exchange(spark):
     assert count_shuffles(folded) == 1, formatted_plan(folded)
     # partial+final aggregation in one stage, no exchange between
     assert formatted_plan(folded).count("HashAggregate") >= 2
+
+
+def test_skew_report_single_scan(spark, queries):
+    """The grand-total denominator must reuse the per-key aggregate's
+    exchange, not rescan events.  AQE materializes the reuse at runtime,
+    so assert on the executed final plan: the totals branch hangs off a
+    ReusedExchange of the per-key count's hashpartitioning(user_id)
+    exchange — the events scan runs once."""
+    df = queries["join_key_skew_report"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan
