@@ -85,10 +85,12 @@ _NAMES = [
     (relational, [
         "customer_blocking_linkage",  # ER blocking + Levenshtein pairs
     ]),
-    # -- 3. NEW in r8 (inside the gate: fresh code needs driver rows) --
-    # (section filled as r8 adds operators; each addition demotes the
-    #  tail of section 4 below the gate boundary)
-    # -- 4. stalest remainder: r4-evidence block (first 32 of 45) --
+    # -- 3. NEW in r8 (inside the gate: fresh code needs driver rows;
+    #    each addition demotes the tail of section 4 below the gate) --
+    (_streaming_pipeline, [
+        "scd2_stored_history",  # SCD2 merged INTO storage, served from it
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 31 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -125,11 +127,11 @@ _NAMES = [
         "top_customers_by_revenue",
         "distinct_customers_per_nation",
         "repeat_customers_both_years",
-        "one_year_only_customers",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at one_year_only_customers) ----
+    # ---- driver gate boundary (exactly 50: ends at repeat_customers_both_years) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "one_year_only_customers",
         "priority_status_rollup",
         "status_pivot",
         "part_type_stats",

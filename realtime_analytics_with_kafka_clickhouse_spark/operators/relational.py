@@ -1059,23 +1059,11 @@ def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD TYPE-2 history materialization from the same deterministic CDC
-    change log ``cdc_apply`` compacts (I all / U hash%10==0 / D
-    hash%10==1): instead of folding to live state, every insert/update
-    becomes a VERSION ROW with a validity interval — valid_from_seq =
-    the change's sequence, valid_to_seq = the key's next change (NULL
-    while current), is_current = interval still open.  A delete emits no
-    row; it only CLOSES the previous version's interval — which is how
-    the warehouse answers "what did this order cost when?" after the key
-    is gone (the dimension-history modeling Kimball calls type 2, and
-    what Delta's CDF consumers materialize downstream).
-
-    One window per key (lead over seq) — the log-compaction shuffle of
-    cdc_apply with the aggregate swapped for a lead(); at 100 TB both
-    shuffle the change log once, keyed identically."""
-    from pyspark.sql import Window as _W
-
+def scd2_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic CDC change stream shared by the SCD2 family
+    (derive-on-read ``cdc_scd2_history``, the stored-history merge, and
+    ``scd2_asof_lookup``): I for every order at seq 0, U (doubled price)
+    for hash%10==0 at seq 1, D for hash%10==1 at seq 2."""
     from ..functions.hashing import stable_hash64
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1094,7 +1082,27 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_id", F.lit(2).alias("seq"), F.lit("D").alias("op"),
         F.lit(0.0).alias("price"),
     )
-    changes = inserts.unionByName(updates).unionByName(deletes)
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history materialization from the same deterministic CDC
+    change log ``cdc_apply`` compacts (I all / U hash%10==0 / D
+    hash%10==1): instead of folding to live state, every insert/update
+    becomes a VERSION ROW with a validity interval — valid_from_seq =
+    the change's sequence, valid_to_seq = the key's next change (NULL
+    while current), is_current = interval still open.  A delete emits no
+    row; it only CLOSES the previous version's interval — which is how
+    the warehouse answers "what did this order cost when?" after the key
+    is gone (the dimension-history modeling Kimball calls type 2, and
+    what Delta's CDF consumers materialize downstream).
+
+    One window per key (lead over seq) — the log-compaction shuffle of
+    cdc_apply with the aggregate swapped for a lead(); at 100 TB both
+    shuffle the change log once, keyed identically."""
+    from pyspark.sql import Window as _W
+
+    changes = scd2_change_log(spark, sf_dir)
     w = _W.partitionBy("order_id").orderBy(F.col("seq").asc())
     return (
         changes.withColumn("next_seq", F.lead("seq").over(w))

@@ -2711,6 +2711,11 @@ FROM v WHERE op <> 'D'
 """
 
 
+# Stored SCD2 history (3 out-of-order epochs merged into the bucketed
+# history table) must equal the one-shot lead() derivation exactly —
+# the append+merge == derive discipline.
+ORACLE["scd2_stored_history"] = ORACLE["cdc_scd2_history"]
+
 # Point-in-time probe join over the SCD2 history: per-key t = hash % 3,
 # interval containment; deleted-at-2 keys probed at t=2 drop out.
 ORACLE["scd2_asof_lookup"] = f"""

@@ -2330,3 +2330,102 @@ def versioned_collapse_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         all_rows.unpersist(blocking=False)
+
+
+def merge_scd2(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key: str = "order_id",
+    seq: str = "seq",
+    op: str = "op",
+    batch_id: int | None = None,
+    n_buckets: int = KEYED_MERGE_BUCKETS,
+    touched: list[int] | None = None,
+) -> bool:
+    """SCD TYPE-2 incremental MERGE — the stored table IS the dimension
+    history: one row per (key, seq) change carrying maintained
+    validity-interval columns (valid_from_seq / valid_to_seq /
+    is_current), the shape a Delta-CDF consumer materializes downstream
+    of a CDC stream.  An as-of lookup serves straight from this table;
+    nothing re-derives the history at read time.
+
+    The fold dedups replayed changes by (key, seq) (replay rows are
+    identical, so max is the identity) and recomputes the lead()-closed
+    intervals from the union of stored rows and the batch — associative
+    and replay-idempotent, so out-of-order epochs converge exactly like
+    the other keyed folds.  Delete changes STAY in the table (they are
+    what closes the last real version's interval) and read views filter
+    ``op != 'D'``.  The interval window partitions on (bucket, key), so
+    it rides the merge's single bucket exchange (a sort within
+    partitions, never a second shuffle)."""
+    from pyspark.sql import Window as _W
+
+    ivl = ("valid_from_seq", "valid_to_seq", "is_current")
+
+    def fold(unioned: DataFrame) -> DataFrame:
+        payload = [
+            c
+            for c in unioned.columns
+            if c not in (key, seq, op, "bucket", *ivl)
+        ]
+        dedup = unioned.groupBy("bucket", key, seq).agg(
+            F.max(op).alias(op), *[F.max(c).alias(c) for c in payload]
+        )
+        w = _W.partitionBy("bucket", key).orderBy(F.col(seq).asc())
+        return (
+            dedup.withColumn("valid_from_seq", F.col(seq).cast("long"))
+            .withColumn("valid_to_seq", F.lead(seq).over(w).cast("long"))
+            .withColumn("is_current", F.col("valid_to_seq").isNull())
+        )
+
+    return _merge_keyed_bucketed(
+        spark, table_dir, batch, [key], fold, batch_id, n_buckets, touched
+    )
+
+
+def scd2_stored_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated STORED SCD2 proof: the deterministic CDC change log
+    (I all / U hash%10==0 / D hash%10==1 — the same stream
+    ``cdc_scd2_history`` derives from) lands in THREE OUT-OF-ORDER
+    epochs (deletes first, then inserts, then updates) through
+    ``merge_scd2`` into a bucketed history table; the final read —
+    version rows with op != 'D' — must equal the one-shot lead()
+    derivation exactly (the append+merge == derive discipline of
+    aggregating_merge_sketch_mv)."""
+    from ..operators.relational import scd2_change_log
+
+    changes = (
+        scd2_change_log(spark, sf_dir)
+        .select(
+            "order_id",
+            F.col("seq").cast("long").alias("seq"),
+            "op",
+            "price",
+            F.col("seq").cast("long").alias("valid_from_seq"),
+            F.lit(None).cast("long").alias("valid_to_seq"),
+            F.lit(True).alias("is_current"),
+        )
+        .persist()
+    )
+    try:
+        table_dir = _fresh_rollup_dir("orders_scd2")
+        em = _epoch_bucket_map(changes, F.col("seq"), ["order_id"])
+        for i in (2, 0, 1):  # deliberately out of order
+            merge_scd2(
+                spark,
+                table_dir,
+                changes.filter(F.col("seq") == i),
+                batch_id=None,
+                touched=em.get(i, []),
+            )
+        stored = spark.read.parquet(table_dir)
+        return stored.filter(F.col("op") != "D").select(
+            "order_id",
+            "price",
+            "valid_from_seq",
+            "valid_to_seq",
+            "is_current",
+        )
+    finally:
+        changes.unpersist(blocking=False)

@@ -76,3 +76,58 @@ def test_ivfpq_residuals_round6(spark):
         )
     ).count()
     assert n_bad == 0
+
+
+def test_scd2_stored_merge_replay_idempotent(spark):
+    """The stored SCD2 history: out-of-order epoch merges converge to
+    the one-shot derivation (append+merge == derive), and REPLAYING an
+    epoch leaves the table row-for-row unchanged (the fold dedups by
+    (key, seq))."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.relational import (
+        cdc_scd2_history,
+        scd2_change_log,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        _epoch_bucket_map,
+        _fresh_rollup_dir,
+        merge_scd2,
+    )
+
+    changes = scd2_change_log(spark, SF_DIR_SMALL).select(
+        "order_id",
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        "price",
+        F.col("seq").cast("long").alias("valid_from_seq"),
+        F.lit(None).cast("long").alias("valid_to_seq"),
+        F.lit(True).alias("is_current"),
+    )
+    table_dir = _fresh_rollup_dir("scd2_replay_test")
+    em = _epoch_bucket_map(changes, F.col("seq"), ["order_id"])
+    for i in (1, 2, 0):
+        merge_scd2(
+            spark, table_dir, changes.filter(F.col("seq") == i),
+            touched=em.get(i, []),
+        )
+    cols = ["order_id", "seq", "op", "price",
+            "valid_from_seq", "valid_to_seq", "is_current"]
+    before = sorted(map(tuple, spark.read.parquet(table_dir).select(*cols).collect()))
+    # replay epoch 1 — must be a no-op on stored rows
+    merge_scd2(
+        spark, table_dir, changes.filter(F.col("seq") == 1),
+        touched=em.get(1, []),
+    )
+    after = sorted(map(tuple, spark.read.parquet(table_dir).select(*cols).collect()))
+    assert before == after
+    # converged == one-shot derivation
+    derived = sorted(
+        map(tuple, cdc_scd2_history(spark, SF_DIR_SMALL)
+            .select("order_id", "price", "valid_from_seq", "valid_to_seq", "is_current")
+            .collect())
+    )
+    stored = sorted(
+        (r[0], r[3], r[4], r[5], r[6]) for r in after if r[2] != "D"
+    )
+    assert stored == derived
