@@ -131,3 +131,58 @@ def test_scd2_stored_merge_replay_idempotent(spark):
         (r[0], r[3], r[4], r[5], r[6]) for r in after if r[2] != "D"
     )
     assert stored == derived
+
+
+def test_zorder_skewed_column_cannot_collapse_other_dimension(spark, tmp_path):
+    """compact_tx_zorder's equi-depth rank claim under HEAVY skew: with
+    90% of rows sharing one value of the first clustering column, the
+    second (uniform) column's pruning must stay tight — skew in one
+    dimension must not collapse the other — and a range prune on the
+    skewed column's tail must still skip directories.  Exactness holds
+    under both prunes."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        # 90% of rows pile on skew_key=7; the tail spreads over 8..500
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise((F.col("id") % 493) + 8)
+        .cast("long")
+        .alias("skew_key"),
+        (F.col("id") % 1000).cast("double").alias("uniform_val"),
+    )
+    table = str(tmp_path / "zorder_skew")
+    txlog.append_tx(
+        spark, table, df, batch_id=0, stats_cols=["skew_key", "uniform_val"]
+    )
+    txlog.compact_tx_zorder(
+        spark, table, ["skew_key", "uniform_val"], n_buckets=8, levels=8
+    )
+
+    def dirs(df_):
+        return {f.rsplit("/", 2)[-2] for f in df_.inputFiles()}
+
+    total = len(dirs(txlog.read_table(spark, table)))
+    assert total >= 4
+    # uniform column prunes tightly despite the other column's skew
+    un = txlog.read_table(spark, table, prune={"uniform_val": (0.0, 100.0)})
+    assert len(dirs(un)) <= total / 2, (len(dirs(un)), total)
+    # the skewed column's tail range still skips directories
+    tail = txlog.read_table(spark, table, prune={"skew_key": (400, 500)})
+    assert len(dirs(tail)) < total, (len(dirs(tail)), total)
+    # exactness under each prune (both result sets non-empty)
+    full = txlog.read_table(spark, table)
+    for pr, flt in (
+        ({"uniform_val": (0.0, 100.0)}, F.col("uniform_val") <= 100.0),
+        (
+            {"skew_key": (400, 500)},
+            (F.col("skew_key") >= 400) & (F.col("skew_key") <= 500),
+        ),
+    ):
+        pruned = txlog.read_table(spark, table, prune=pr)
+        got = sorted(r["rid"] for r in pruned.filter(flt).collect())
+        want = sorted(r["rid"] for r in full.filter(flt).collect())
+        assert got == want and want, pr
