@@ -31,6 +31,34 @@ HEADLINE = [
 ]
 
 
+# Bench tiers (r8): the registry mixes pure analytic queries with proof
+# HARNESSES that each run whole streaming queries or multi-epoch storage
+# merges — seconds of fixed machinery by design.  Reporting per-tier
+# totals keeps an analytic regression from hiding inside harness noise
+# (and vice versa).
+def tier_of(name: str) -> str:
+    if name.startswith(("stream_", "python_stream_")) or name == "statestore_inspect":
+        return "streaming_proof"
+    if name.startswith(
+        (
+            "txlog_",
+            "incremental_",
+            "replacing_merge",
+            "collapsing_merge",
+            "versioned_collapse",
+            "compacted_rollup",
+            "dedup_ingest",
+            "scd2_stored",
+            "gdpr_delete",
+            "dynamic_partition",
+            "aggregating_merge",
+            "hourly_trend_from_rollup",
+        )
+    ):
+        return "storage_maintenance"
+    return "analytic"
+
+
 def main() -> None:
     from realtime_analytics_with_kafka_clickhouse_spark.session import get_spark
 
@@ -121,9 +149,16 @@ def main() -> None:
     import glob as _glob
     import re as _re
 
+    def snap_round(p: str) -> int | None:
+        # Basename only: an absolute path containing '_r<digits>' (e.g.
+        # /tmp/build_r2/repo) must not leak into the round key.
+        m = _re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     snaps = sorted(
-        _glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+        (p for p in _glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+         if snap_round(p) is not None),
+        key=snap_round,
     )
     prior_path = snaps[-1] if snaps else detail_path
     prior_queries: dict[str, float] = {}
@@ -143,11 +178,17 @@ def main() -> None:
         for n, t in timings.items()
         if n in prior_queries
     }
+    tier_totals: dict[str, dict] = {}
+    for n, t in timings.items():
+        bucket = tier_totals.setdefault(tier_of(n), {"sec": 0.0, "n": 0})
+        bucket["sec"] = round(bucket["sec"] + t, 4)
+        bucket["n"] += 1
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "tier_totals": tier_totals,
         "delta_vs_prior": deltas,
         "prior_total": prior_total,
         "prior_ref": prior_ref,
@@ -166,6 +207,7 @@ def main() -> None:
                 "value": detail["value"],
                 "unit": "sec",
                 "n_queries": len(timings),
+                "tier_totals": tier_totals,
                 "queries": slowest,
                 "top_regressions_vs_prior": top_regressions,
                 "prior_total": prior_total,

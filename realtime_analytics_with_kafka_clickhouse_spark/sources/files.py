@@ -34,10 +34,17 @@ _MIRROR_MEMO: dict[tuple[str, str], str] = {}
 # needs one cache()d frame (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
 # memoizing it — like the mirror helpers — keeps repeated reads of the
 # same path from stacking fresh cached copies in storage memory.  The key
-# carries id(spark) (as pydatasource does) because a cached DataFrame is
-# bound to its SparkSession: after a session restart in the same process
-# a path-only key would serve a frame whose session is stopped.
-_DLQ_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# carries a SESSION-LIFETIME token (applicationId + context start time)
+# because a cached DataFrame is bound to its SparkSession: after a
+# session restart in the same process a path-only key would serve a frame
+# whose session is stopped — and CPython can even reuse id(spark) for the
+# replacement session, so an object id is not a safe token either.
+_DLQ_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _session_token(spark: SparkSession) -> tuple:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 @atexit.register
@@ -102,7 +109,7 @@ def read_json_with_dlq(
     """(rows, quarantined) from a JSON-lines scan: explicit schema,
     PERMISSIVE corrupt capture — the quarantine side keeps the raw line."""
     corrupt = "_corrupt_record"
-    memo_key = (id(spark), "json", os.path.abspath(path))
+    memo_key = (*_session_token(spark), "json", os.path.abspath(path))
     if memo_key in _DLQ_MEMO:
         df = _DLQ_MEMO[memo_key]
     else:
@@ -133,7 +140,7 @@ def read_csv_with_dlq(
 ) -> tuple[DataFrame, DataFrame]:
     """(rows, quarantined) from a headered CSV scan, same contract."""
     corrupt = "_corrupt_record"
-    memo_key = (id(spark), "csv", os.path.abspath(path))
+    memo_key = (*_session_token(spark), "csv", os.path.abspath(path))
     if memo_key in _DLQ_MEMO:
         df = _DLQ_MEMO[memo_key]
     else:

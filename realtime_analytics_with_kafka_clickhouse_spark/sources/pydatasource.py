@@ -18,7 +18,29 @@ hash-check a *source*, not just operators over parquet.
 
 from __future__ import annotations
 
+import atexit as _atexit
+import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@_atexit.register
+def _sweep_pyds_roots() -> None:
+    # The streaming proofs create per-run checkpoint/output dirs under
+    # these per-PID roots; sweep them on exit (the files.py mirror-root
+    # discipline) so repeated bench/test runs don't accumulate /tmp
+    # garbage.
+    for kind in ("stream", "sink"):
+        _shutil.rmtree(
+            _os.path.join(
+                _tempfile.gettempdir(),
+                f"spark_graft_pyds_{kind}-{_os.getpid()}",
+            ),
+            ignore_errors=True,
+        )
+
 
 LEDGER_SCHEMA = "id BIGINT, bucket BIGINT, amount BIGINT"
 #: Default row count / parallelism for the proof query (kept modest: the

@@ -127,9 +127,17 @@ def replicate_dir(spark: SparkSession, src: str, dsts: list[str]) -> None:
     for d in dsts:
         # dst must NOT pre-exist: FileUtil.copy into an existing dir nests
         # src under dst/<srcName>; into an absent path it copies the
-        # directory contents to dst itself (what we want).
+        # directory contents to dst itself (what we want).  Enforced, not
+        # just documented — a pre-existing destination would silently
+        # produce a nested, unreadable directory.
+        dst_p = jvm.org.apache.hadoop.fs.Path(d)
+        if fs_.exists(dst_p):
+            raise IOError(
+                f"replicate_dir: destination already exists: {d}"
+                " (FileUtil.copy would nest the source under it)"
+            )
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            fs_, src_p, fs_, jvm.org.apache.hadoop.fs.Path(d), False, True, conf
+            fs_, src_p, fs_, dst_p, False, True, conf
         )
 
 
@@ -176,11 +184,18 @@ def swap_partition_dirs(
                 out.close()
 
     def _swap(name: str) -> None:
+        # Hadoop FileSystem rename/delete report failure by RETURNING
+        # false, not raising — check each step, or a silently failed
+        # stage->tmp rename would let the delete(final) below destroy the
+        # bucket's live data with nothing promoted to replace it.
         tmp = jpath(f"{table_dir}/.{name}{SWAP_SUFFIX}{uuid.uuid4().hex[:8]}")
         final = jpath(f"{table_dir}/{name}")
-        fs_.rename(jpath(f"{stage}/{name}"), tmp)
-        fs_.delete(final, True)
-        fs_.rename(tmp, final)
+        if not fs_.rename(jpath(f"{stage}/{name}"), tmp):
+            raise IOError(f"swap_partition_dirs: rename {stage}/{name} -> {tmp} failed")
+        if fs_.exists(final) and not fs_.delete(final, True):
+            raise IOError(f"swap_partition_dirs: delete {final} failed")
+        if not fs_.rename(tmp, final):
+            raise IOError(f"swap_partition_dirs: rename {tmp} -> {final} failed")
 
     if len(names) <= 1:
         for name in names:
