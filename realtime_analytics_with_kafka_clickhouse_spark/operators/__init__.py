@@ -90,7 +90,11 @@ _NAMES = [
     (_streaming_pipeline, [
         "scd2_stored_history",  # SCD2 merged INTO storage, served from it
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 31 of 45) --
+    (similarity, [
+        "ann_ivfpq_rerank_topk",  # ADC shortlist -> exact re-rank top-k
+        "ann_ivfpq_recall_at_k",  # probe-loss recall gate for IVFADC
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 29 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -125,12 +129,12 @@ _NAMES = [
         "market_segment_totals",
         "customers_with_orders",
         "top_customers_by_revenue",
-        "distinct_customers_per_nation",
-        "repeat_customers_both_years",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at repeat_customers_both_years) ----
+    # ---- driver gate boundary (exactly 50: ends at top_customers_by_revenue) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "distinct_customers_per_nation",
+        "repeat_customers_both_years",
         "one_year_only_customers",
         "priority_status_rollup",
         "status_pivot",

@@ -1582,7 +1582,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, top_k: int = PQ_TOPK
+) -> DataFrame:
     """IVF + PQ with RESIDUAL ENCODING (the FAISS IVFADC serving
     composition, ``by_residual=true`` — the production default): the
     trained k-means coarse quantizer routes every vector to its argmin
@@ -1643,7 +1645,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PQ_TOPK)
+        .filter(F.col("rank") <= top_k)
         .select(
             F.col("qid").alias("vec_id"),
             "neighbor_id",
@@ -1653,13 +1655,62 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the PQ-ADC index against the exact full-dimension
-    squared-L2 baseline — the acceptance gate a compressed index ships
-    with (quantization loses information BY DESIGN; this op is how a
-    deployment sees how much, and sizes PQ_M/PQ_K back up).  Per query:
-    |PQ top-k ∩ exact top-k| / k, same id-pairs-only eval shape as
-    ann_recall_at_k: embeddings never join here, the query batch is
+PQ_RERANK_R = 20  # ADC shortlist size feeding the exact re-rank stage
+
+
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVFADC serving (the standard FAISS deployment shape):
+    the compressed-domain scan shortlists PQ_RERANK_R candidates per
+    query by ADC distance, then ONLY those R rows join back to the
+    original embeddings for an exact squared-L2 re-rank of the final
+    top-k.  Re-ranking recovers most of the recall the quantization
+    lost, at R-exact-distances per query instead of n — the
+    quality/cost dial every production ANN service exposes.
+
+    Scale shape: the candidate-only verify discipline — the rerank join
+    ships R ids per query to the corpus side (never embeddings into the
+    shortlist scan), query embeddings broadcast, and the exact distance
+    is the same round-6 left-fold chain as the recall gate's baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shortlist = ann_ivfpq_topk(spark, sf_dir, top_k=PQ_RERANK_R).select(
+        F.col("vec_id").alias("qid"), "neighbor_id"
+    )
+    queries = emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    terms = F.zip_with(
+        F.col("embedding"),
+        F.col("qe"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist = F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        shortlist.join(
+            emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "neighbor_id", dist.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "l2_dist",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _recall_vs_exact_l2(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Recall@k of an approximate (vec_id, neighbor_id) pair set against
+    the exact full-dimension squared-L2 top-k over the PQ query batch —
+    id-pairs-only eval: embeddings never join here, the query batch is
     broadcast for the exact side, and only (query, neighbor) ids ride
     the shuffle."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1682,7 +1733,6 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= PQ_TOPK)
         .select(F.col("qid").alias("vec_id"), "neighbor_id")
     )
-    approx = ann_pq_adc_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
     hits = (
         exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
@@ -1700,3 +1750,22 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC index against the exact full-dimension
+    squared-L2 baseline — the acceptance gate a compressed index ships
+    with (quantization loses information BY DESIGN; this op is how a
+    deployment sees how much, and sizes PQ_M/PQ_K back up)."""
+    approx = ann_pq_adc_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    return _recall_vs_exact_l2(spark, sf_dir, approx)
+
+
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the residual-encoded IVFADC index — measures the
+    probe/recall tradeoff ON TOP of the quantization loss (a true
+    neighbor in an unprobed cell can never be found, whatever the code
+    resolution), which is exactly the dial (IVF_PROBE) a deployment
+    tunes against this number."""
+    approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    return _recall_vs_exact_l2(spark, sf_dir, approx)

@@ -3433,15 +3433,30 @@ ORDER BY n_rows DESC, user_id ASC
 LIMIT 10
 """
 
-ORACLE["ann_pq_recall_at_k"] = f"""
-WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
-d AS (SELECT q.qid, e.vec_id AS neighbor_id, round((CAST(e.embedding[1] AS DOUBLE) - CAST(q.qe[1] AS DOUBLE)) * (CAST(e.embedding[1] AS DOUBLE) - CAST(q.qe[1] AS DOUBLE)) + (CAST(e.embedding[2] AS DOUBLE) - CAST(q.qe[2] AS DOUBLE)) * (CAST(e.embedding[2] AS DOUBLE) - CAST(q.qe[2] AS DOUBLE)) + (CAST(e.embedding[3] AS DOUBLE) - CAST(q.qe[3] AS DOUBLE)) * (CAST(e.embedding[3] AS DOUBLE) - CAST(q.qe[3] AS DOUBLE)) + (CAST(e.embedding[4] AS DOUBLE) - CAST(q.qe[4] AS DOUBLE)) * (CAST(e.embedding[4] AS DOUBLE) - CAST(q.qe[4] AS DOUBLE)) + (CAST(e.embedding[5] AS DOUBLE) - CAST(q.qe[5] AS DOUBLE)) * (CAST(e.embedding[5] AS DOUBLE) - CAST(q.qe[5] AS DOUBLE)) + (CAST(e.embedding[6] AS DOUBLE) - CAST(q.qe[6] AS DOUBLE)) * (CAST(e.embedding[6] AS DOUBLE) - CAST(q.qe[6] AS DOUBLE)) + (CAST(e.embedding[7] AS DOUBLE) - CAST(q.qe[7] AS DOUBLE)) * (CAST(e.embedding[7] AS DOUBLE) - CAST(q.qe[7] AS DOUBLE)) + (CAST(e.embedding[8] AS DOUBLE) - CAST(q.qe[8] AS DOUBLE)) * (CAST(e.embedding[8] AS DOUBLE) - CAST(q.qe[8] AS DOUBLE)) + (CAST(e.embedding[9] AS DOUBLE) - CAST(q.qe[9] AS DOUBLE)) * (CAST(e.embedding[9] AS DOUBLE) - CAST(q.qe[9] AS DOUBLE)) + (CAST(e.embedding[10] AS DOUBLE) - CAST(q.qe[10] AS DOUBLE)) * (CAST(e.embedding[10] AS DOUBLE) - CAST(q.qe[10] AS DOUBLE)) + (CAST(e.embedding[11] AS DOUBLE) - CAST(q.qe[11] AS DOUBLE)) * (CAST(e.embedding[11] AS DOUBLE) - CAST(q.qe[11] AS DOUBLE)) + (CAST(e.embedding[12] AS DOUBLE) - CAST(q.qe[12] AS DOUBLE)) * (CAST(e.embedding[12] AS DOUBLE) - CAST(q.qe[12] AS DOUBLE)) + (CAST(e.embedding[13] AS DOUBLE) - CAST(q.qe[13] AS DOUBLE)) * (CAST(e.embedding[13] AS DOUBLE) - CAST(q.qe[13] AS DOUBLE)) + (CAST(e.embedding[14] AS DOUBLE) - CAST(q.qe[14] AS DOUBLE)) * (CAST(e.embedding[14] AS DOUBLE) - CAST(q.qe[14] AS DOUBLE)) + (CAST(e.embedding[15] AS DOUBLE) - CAST(q.qe[15] AS DOUBLE)) * (CAST(e.embedding[15] AS DOUBLE) - CAST(q.qe[15] AS DOUBLE)) + (CAST(e.embedding[16] AS DOUBLE) - CAST(q.qe[16] AS DOUBLE)) * (CAST(e.embedding[16] AS DOUBLE) - CAST(q.qe[16] AS DOUBLE)) + (CAST(e.embedding[17] AS DOUBLE) - CAST(q.qe[17] AS DOUBLE)) * (CAST(e.embedding[17] AS DOUBLE) - CAST(q.qe[17] AS DOUBLE)) + (CAST(e.embedding[18] AS DOUBLE) - CAST(q.qe[18] AS DOUBLE)) * (CAST(e.embedding[18] AS DOUBLE) - CAST(q.qe[18] AS DOUBLE)) + (CAST(e.embedding[19] AS DOUBLE) - CAST(q.qe[19] AS DOUBLE)) * (CAST(e.embedding[19] AS DOUBLE) - CAST(q.qe[19] AS DOUBLE)) + (CAST(e.embedding[20] AS DOUBLE) - CAST(q.qe[20] AS DOUBLE)) * (CAST(e.embedding[20] AS DOUBLE) - CAST(q.qe[20] AS DOUBLE)) + (CAST(e.embedding[21] AS DOUBLE) - CAST(q.qe[21] AS DOUBLE)) * (CAST(e.embedding[21] AS DOUBLE) - CAST(q.qe[21] AS DOUBLE)) + (CAST(e.embedding[22] AS DOUBLE) - CAST(q.qe[22] AS DOUBLE)) * (CAST(e.embedding[22] AS DOUBLE) - CAST(q.qe[22] AS DOUBLE)) + (CAST(e.embedding[23] AS DOUBLE) - CAST(q.qe[23] AS DOUBLE)) * (CAST(e.embedding[23] AS DOUBLE) - CAST(q.qe[23] AS DOUBLE)) + (CAST(e.embedding[24] AS DOUBLE) - CAST(q.qe[24] AS DOUBLE)) * (CAST(e.embedding[24] AS DOUBLE) - CAST(q.qe[24] AS DOUBLE)) + (CAST(e.embedding[25] AS DOUBLE) - CAST(q.qe[25] AS DOUBLE)) * (CAST(e.embedding[25] AS DOUBLE) - CAST(q.qe[25] AS DOUBLE)) + (CAST(e.embedding[26] AS DOUBLE) - CAST(q.qe[26] AS DOUBLE)) * (CAST(e.embedding[26] AS DOUBLE) - CAST(q.qe[26] AS DOUBLE)) + (CAST(e.embedding[27] AS DOUBLE) - CAST(q.qe[27] AS DOUBLE)) * (CAST(e.embedding[27] AS DOUBLE) - CAST(q.qe[27] AS DOUBLE)) + (CAST(e.embedding[28] AS DOUBLE) - CAST(q.qe[28] AS DOUBLE)) * (CAST(e.embedding[28] AS DOUBLE) - CAST(q.qe[28] AS DOUBLE)) + (CAST(e.embedding[29] AS DOUBLE) - CAST(q.qe[29] AS DOUBLE)) * (CAST(e.embedding[29] AS DOUBLE) - CAST(q.qe[29] AS DOUBLE)) + (CAST(e.embedding[30] AS DOUBLE) - CAST(q.qe[30] AS DOUBLE)) * (CAST(e.embedding[30] AS DOUBLE) - CAST(q.qe[30] AS DOUBLE)) + (CAST(e.embedding[31] AS DOUBLE) - CAST(q.qe[31] AS DOUBLE)) * (CAST(e.embedding[31] AS DOUBLE) - CAST(q.qe[31] AS DOUBLE)) + (CAST(e.embedding[32] AS DOUBLE) - CAST(q.qe[32] AS DOUBLE)) * (CAST(e.embedding[32] AS DOUBLE) - CAST(q.qe[32] AS DOUBLE)) + (CAST(e.embedding[33] AS DOUBLE) - CAST(q.qe[33] AS DOUBLE)) * (CAST(e.embedding[33] AS DOUBLE) - CAST(q.qe[33] AS DOUBLE)) + (CAST(e.embedding[34] AS DOUBLE) - CAST(q.qe[34] AS DOUBLE)) * (CAST(e.embedding[34] AS DOUBLE) - CAST(q.qe[34] AS DOUBLE)) + (CAST(e.embedding[35] AS DOUBLE) - CAST(q.qe[35] AS DOUBLE)) * (CAST(e.embedding[35] AS DOUBLE) - CAST(q.qe[35] AS DOUBLE)) + (CAST(e.embedding[36] AS DOUBLE) - CAST(q.qe[36] AS DOUBLE)) * (CAST(e.embedding[36] AS DOUBLE) - CAST(q.qe[36] AS DOUBLE)) + (CAST(e.embedding[37] AS DOUBLE) - CAST(q.qe[37] AS DOUBLE)) * (CAST(e.embedding[37] AS DOUBLE) - CAST(q.qe[37] AS DOUBLE)) + (CAST(e.embedding[38] AS DOUBLE) - CAST(q.qe[38] AS DOUBLE)) * (CAST(e.embedding[38] AS DOUBLE) - CAST(q.qe[38] AS DOUBLE)) + (CAST(e.embedding[39] AS DOUBLE) - CAST(q.qe[39] AS DOUBLE)) * (CAST(e.embedding[39] AS DOUBLE) - CAST(q.qe[39] AS DOUBLE)) + (CAST(e.embedding[40] AS DOUBLE) - CAST(q.qe[40] AS DOUBLE)) * (CAST(e.embedding[40] AS DOUBLE) - CAST(q.qe[40] AS DOUBLE)) + (CAST(e.embedding[41] AS DOUBLE) - CAST(q.qe[41] AS DOUBLE)) * (CAST(e.embedding[41] AS DOUBLE) - CAST(q.qe[41] AS DOUBLE)) + (CAST(e.embedding[42] AS DOUBLE) - CAST(q.qe[42] AS DOUBLE)) * (CAST(e.embedding[42] AS DOUBLE) - CAST(q.qe[42] AS DOUBLE)) + (CAST(e.embedding[43] AS DOUBLE) - CAST(q.qe[43] AS DOUBLE)) * (CAST(e.embedding[43] AS DOUBLE) - CAST(q.qe[43] AS DOUBLE)) + (CAST(e.embedding[44] AS DOUBLE) - CAST(q.qe[44] AS DOUBLE)) * (CAST(e.embedding[44] AS DOUBLE) - CAST(q.qe[44] AS DOUBLE)) + (CAST(e.embedding[45] AS DOUBLE) - CAST(q.qe[45] AS DOUBLE)) * (CAST(e.embedding[45] AS DOUBLE) - CAST(q.qe[45] AS DOUBLE)) + (CAST(e.embedding[46] AS DOUBLE) - CAST(q.qe[46] AS DOUBLE)) * (CAST(e.embedding[46] AS DOUBLE) - CAST(q.qe[46] AS DOUBLE)) + (CAST(e.embedding[47] AS DOUBLE) - CAST(q.qe[47] AS DOUBLE)) * (CAST(e.embedding[47] AS DOUBLE) - CAST(q.qe[47] AS DOUBLE)) + (CAST(e.embedding[48] AS DOUBLE) - CAST(q.qe[48] AS DOUBLE)) * (CAST(e.embedding[48] AS DOUBLE) - CAST(q.qe[48] AS DOUBLE)) + (CAST(e.embedding[49] AS DOUBLE) - CAST(q.qe[49] AS DOUBLE)) * (CAST(e.embedding[49] AS DOUBLE) - CAST(q.qe[49] AS DOUBLE)) + (CAST(e.embedding[50] AS DOUBLE) - CAST(q.qe[50] AS DOUBLE)) * (CAST(e.embedding[50] AS DOUBLE) - CAST(q.qe[50] AS DOUBLE)) + (CAST(e.embedding[51] AS DOUBLE) - CAST(q.qe[51] AS DOUBLE)) * (CAST(e.embedding[51] AS DOUBLE) - CAST(q.qe[51] AS DOUBLE)) + (CAST(e.embedding[52] AS DOUBLE) - CAST(q.qe[52] AS DOUBLE)) * (CAST(e.embedding[52] AS DOUBLE) - CAST(q.qe[52] AS DOUBLE)) + (CAST(e.embedding[53] AS DOUBLE) - CAST(q.qe[53] AS DOUBLE)) * (CAST(e.embedding[53] AS DOUBLE) - CAST(q.qe[53] AS DOUBLE)) + (CAST(e.embedding[54] AS DOUBLE) - CAST(q.qe[54] AS DOUBLE)) * (CAST(e.embedding[54] AS DOUBLE) - CAST(q.qe[54] AS DOUBLE)) + (CAST(e.embedding[55] AS DOUBLE) - CAST(q.qe[55] AS DOUBLE)) * (CAST(e.embedding[55] AS DOUBLE) - CAST(q.qe[55] AS DOUBLE)) + (CAST(e.embedding[56] AS DOUBLE) - CAST(q.qe[56] AS DOUBLE)) * (CAST(e.embedding[56] AS DOUBLE) - CAST(q.qe[56] AS DOUBLE)) + (CAST(e.embedding[57] AS DOUBLE) - CAST(q.qe[57] AS DOUBLE)) * (CAST(e.embedding[57] AS DOUBLE) - CAST(q.qe[57] AS DOUBLE)) + (CAST(e.embedding[58] AS DOUBLE) - CAST(q.qe[58] AS DOUBLE)) * (CAST(e.embedding[58] AS DOUBLE) - CAST(q.qe[58] AS DOUBLE)) + (CAST(e.embedding[59] AS DOUBLE) - CAST(q.qe[59] AS DOUBLE)) * (CAST(e.embedding[59] AS DOUBLE) - CAST(q.qe[59] AS DOUBLE)) + (CAST(e.embedding[60] AS DOUBLE) - CAST(q.qe[60] AS DOUBLE)) * (CAST(e.embedding[60] AS DOUBLE) - CAST(q.qe[60] AS DOUBLE)) + (CAST(e.embedding[61] AS DOUBLE) - CAST(q.qe[61] AS DOUBLE)) * (CAST(e.embedding[61] AS DOUBLE) - CAST(q.qe[61] AS DOUBLE)) + (CAST(e.embedding[62] AS DOUBLE) - CAST(q.qe[62] AS DOUBLE)) * (CAST(e.embedding[62] AS DOUBLE) - CAST(q.qe[62] AS DOUBLE)) + (CAST(e.embedding[63] AS DOUBLE) - CAST(q.qe[63] AS DOUBLE)) * (CAST(e.embedding[63] AS DOUBLE) - CAST(q.qe[63] AS DOUBLE)) + (CAST(e.embedding[64] AS DOUBLE) - CAST(q.qe[64] AS DOUBLE)) * (CAST(e.embedding[64] AS DOUBLE) - CAST(q.qe[64] AS DOUBLE)), 6) AS dist
+def _l2_chain_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-assoc `t1 + ... + t{dim}` squared-L2 chain between
+    two list columns — the IEEE order of the Spark zip_with fold."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+
+
+def _pq_recall_sql(approx_sql: str, qmod: int = 100, top_k: int = 5) -> str:
+    """Recall@k of an approximate (vec_id, neighbor_id) result against
+    the exact full-dim squared-L2 top-k over the PQ query batch:
+    id-pair semi-join + per-query ratio."""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % {qmod} = 0),
+d AS (SELECT q.qid, e.vec_id AS neighbor_id,
+             round({_l2_chain_sql("e.embedding", "q.qe")}, 6) AS dist
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
 exact_k AS (SELECT vec_id, neighbor_id FROM (
   SELECT qid AS vec_id, neighbor_id,
          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, neighbor_id ASC) AS rn
-  FROM d) WHERE rn <= 5),
-approx_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_pq_adc_topk']})),
+  FROM d) WHERE rn <= {top_k}),
+approx_k AS (SELECT vec_id, neighbor_id FROM ({approx_sql})),
 k_per_q AS (SELECT vec_id, count(*) AS k FROM exact_k GROUP BY 1),
 hits AS (
   SELECT e.vec_id, count(*) AS n_hits
@@ -3450,6 +3465,30 @@ hits AS (
 SELECT p.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / k, 6) AS recall_at_k
 FROM k_per_q p LEFT JOIN hits h ON p.vec_id = h.vec_id
+"""
+
+
+ORACLE["ann_pq_recall_at_k"] = _pq_recall_sql(ORACLE["ann_pq_adc_topk"])
+
+# IVFADC recall: same exact baseline, approximate side = the residual
+# IVF+PQ index — measures probe loss on top of quantization loss.
+ORACLE["ann_ivfpq_recall_at_k"] = _pq_recall_sql(ORACLE["ann_ivfpq_topk"])
+
+# Two-stage serving: ADC shortlist of 20 per query, exact round-6 L2
+# re-rank of the shortlist, final top-5 with neighbor-id tiebreak.
+ORACLE["ann_ivfpq_rerank_topk"] = f"""
+WITH sl AS (SELECT vec_id, neighbor_id FROM ({_ivfpq_sql(top_k=20)})),
+d AS (SELECT sl.vec_id, sl.neighbor_id,
+             round({_l2_chain_sql("e.embedding", "qe.embedding")}, 6) AS l2_dist
+      FROM sl
+      JOIN embeddings e ON e.vec_id = sl.neighbor_id
+      JOIN embeddings qe ON qe.vec_id = sl.vec_id)
+SELECT vec_id, neighbor_id, l2_dist, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT vec_id, neighbor_id, l2_dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY l2_dist ASC, neighbor_id ASC) AS rn
+  FROM d)
+WHERE rn <= 5
 """
 
 

@@ -186,3 +186,30 @@ def test_zorder_skewed_column_cannot_collapse_other_dimension(spark, tmp_path):
         got = sorted(r["rid"] for r in pruned.filter(flt).collect())
         want = sorted(r["rid"] for r in full.filter(flt).collect())
         assert got == want and want, pr
+
+
+def test_ivfpq_rerank_recovers_recall(spark):
+    """The exact re-rank stage must not lose recall vs taking the ADC
+    ranking at face value: recall(rerank top-k) >= recall(ADC top-k)
+    within the same probed shortlist."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _recall_vs_exact_l2,
+        ann_ivfpq_rerank_topk,
+        ann_ivfpq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    def mean_recall(approx):
+        return (
+            _recall_vs_exact_l2(spark, SF_DIR_ORACLE, approx)
+            .agg(F.avg("recall_at_k"))
+            .collect()[0][0]
+        )
+
+    adc = mean_recall(
+        ann_ivfpq_topk(spark, SF_DIR_ORACLE).select("vec_id", "neighbor_id")
+    )
+    rr = mean_recall(
+        ann_ivfpq_rerank_topk(spark, SF_DIR_ORACLE).select("vec_id", "neighbor_id")
+    )
+    assert rr >= adc, (rr, adc)
