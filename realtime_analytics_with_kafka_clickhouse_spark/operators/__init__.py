@@ -94,7 +94,10 @@ _NAMES = [
         "ann_ivfpq_rerank_topk",  # ADC shortlist -> exact re-rank top-k
         "ann_ivfpq_recall_at_k",  # probe-loss recall gate for IVFADC
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 29 of 45) --
+    (dedup, [
+        "minhash_index_ingest",  # dedup-on-arrival vs the stored LSH index
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 28 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -128,11 +131,11 @@ _NAMES = [
         "q21_waiting_suppliers",
         "market_segment_totals",
         "customers_with_orders",
-        "top_customers_by_revenue",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at top_customers_by_revenue) ----
+    # ---- driver gate boundary (exactly 50: ends at customers_with_orders) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "top_customers_by_revenue",
         "distinct_customers_per_nation",
         "repeat_customers_both_years",
         "one_year_only_customers",

@@ -177,37 +177,22 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: banded signatures -> bucket join ->
-    exact-Jaccard verification (>= 0.5).  Output: (doc_a, doc_b, jaccard)."""
-    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
-    sig = _minhash_signatures(sh)
-    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    # cache(): the candidate pair set (tiny — LSH's whole job is keeping it
-    # small) feeds three downstream branches (the verify join and both sides
-    # of cand_docs); without it the bucket self-join re-executes per branch.
-    candidates = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .cache()
-    )
-    # Candidate-only verification — the whole point of LSH.  Shingle sets are
-    # materialized ONLY for docs that appear in some candidate pair (semi-join
-    # against the candidate doc ids), then exact Jaccard is computed per
-    # candidate pair via array_intersect.  Verify cost is O(|candidates| *
-    # avg_shingles), never the full co-shingle self-join the brute-force
-    # ngram_jaccard_pairs path does.
+def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Candidate-only verification — the whole point of LSH.  Shingle
+    sets are materialized ONLY for docs that appear in some candidate
+    pair (semi-join against the candidate doc ids), then exact Jaccard
+    is computed per candidate pair via array_intersect.  Verify cost is
+    O(|candidates| * avg_shingles), never the full co-shingle self-join
+    the brute-force ngram_jaccard_pairs path does.  ``candidates`` must
+    be cached (it feeds three branches) and is bounded-small by LSH
+    design -> broadcast both the doc-id semi-join and the pair joins
+    (the static planner sees no stats for a cached set and would fall
+    back to sort-merge)."""
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # Candidate side is bounded-small by LSH design -> broadcast both the
-    # doc-id semi-join and the pair joins below (the static planner sees no
-    # stats for the cached set and would fall back to sort-merge).
     doc_sets = (
         sh.join(F.broadcast(cand_docs), "doc_id")
         .groupBy("doc_id")
@@ -230,6 +215,83 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: banded signatures -> bucket join ->
+    exact-Jaccard verification (>= 0.5).  Output: (doc_a, doc_b, jaccard)."""
+    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
+    sig = _minhash_signatures(sh)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    # cache(): the candidate pair set (tiny — LSH's whole job is keeping it
+    # small) feeds three downstream branches (the verify join and both sides
+    # of cand_docs); without it the bucket self-join re-executes per branch.
+    candidates = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .cache()
+    )
+    return _jaccard_verify_candidates(sh, candidates)
+
+
+#: Arriving-batch selector for the incremental-index proof: doc_id%5==0
+#: plays the new batch; the rest are the already-indexed corpus.
+INGEST_BATCH_MOD = 5
+
+
+def minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-arrival against a STORED MinHash-LSH index — the shape
+    that makes near-dup dedup affordable at 100 TB: the corpus's banded
+    signatures are a PERSISTED table built once (and appended to per
+    batch), so ingesting a batch costs O(batch + matched buckets), never
+    a corpus re-signature.
+
+    Proof run: docs with doc_id % 5 == 0 play the arriving batch.
+    Build stage (one-time, O(corpus)): signatures of the already-indexed
+    docs land in a txlog table (atomic add-file commit).  Ingest stage:
+    signatures for the BATCH ONLY are appended (replay-idempotent by
+    batch id), then the batch's bands probe the stored index with one
+    (band, sig) equi-join and candidates are verified with exact Jaccard
+    (candidate-only, the shared LSH verify).  Output = the near-dup
+    pairs DISCOVERED by this ingest: every verified pair with at least
+    one side in the batch — exactly the full-corpus LSH result
+    restricted to batch-touching pairs, which is what the oracle checks.
+
+    The frequent-shingle stoplist is index METADATA (built with the
+    index, maintained incrementally); this proof re-derives it in the
+    build stage, never per ingest."""
+    from ..storage import txlog
+    from ..streaming.pipeline import _fresh_rollup_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    is_batch = F.col("doc_id") % INGEST_BATCH_MOD == 0
+    indexed_sigs = _minhash_signatures(sh.filter(~is_batch))
+    batch_sigs = _minhash_signatures(sh.filter(is_batch)).cache()
+
+    index_dir = _fresh_rollup_dir("minhash_lsh_index")
+    txlog.append_tx(spark, index_dir, indexed_sigs, batch_id=0)
+    txlog.append_tx(spark, index_dir, batch_sigs, batch_id=1)
+    index = txlog.read_table(spark, index_dir)
+
+    candidates = (
+        batch_sigs.select(F.col("doc_id").alias("probe_id"), "band", "sig")
+        .join(
+            index.select(F.col("doc_id").alias("hit_id"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("probe_id") != F.col("hit_id"))
+        .select(
+            F.least("probe_id", "hit_id").alias("doc_a"),
+            F.greatest("probe_id", "hit_id").alias("doc_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    return _jaccard_verify_candidates(sh, candidates)
 
 
 #: Pseudo-benchmark selector for the fuzzy-decontamination proof: every

@@ -694,6 +694,15 @@ FROM pairs GROUP BY 1
 """
 
 
+# Incremental-index ingest: the full-corpus LSH result restricted to
+# pairs touching the arriving batch (doc_id % 5 == 0) — what the stored
+# index's (band, sig) probe discovers on arrival.
+ORACLE["minhash_index_ingest"] = f"""
+SELECT * FROM ({ORACLE["minhash_near_dup"]})
+WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+"""
+
+
 # Connected components over the verified near-dup pairs via a recursive
 # transitive-closure CTE (tractable because the pair set is LSH-small).
 ORACLE["near_dup_clusters"] = f"""

@@ -213,3 +213,53 @@ def test_ivfpq_rerank_recovers_recall(spark):
         ann_ivfpq_rerank_topk(spark, SF_DIR_ORACLE).select("vec_id", "neighbor_id")
     )
     assert rr >= adc, (rr, adc)
+
+
+def test_minhash_index_ingest_index_complete_and_falsifiable(spark):
+    """The stored-LSH ingest proof: the post-ingest index holds exactly
+    the full-corpus signature rows (build + append == one-shot), the
+    discovered pair set is non-empty and batch-touching only, and every
+    batch-touching pair of the full LSH result is found (no recall loss
+    from probing a stored index instead of self-joining)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import dedup
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    got = dedup.minhash_index_ingest(spark, SF_DIR_ORACLE).collect()
+    assert got, "fixture must produce batch-touching near-dup pairs"
+    m = dedup.INGEST_BATCH_MOD
+    for r in got:
+        assert r["doc_a"] % m == 0 or r["doc_b"] % m == 0
+    full = dedup.minhash_near_dup(spark, SF_DIR_ORACLE).collect()
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full
+        if r["doc_a"] % m == 0 or r["doc_b"] % m == 0
+    )
+    assert len(want) < len(full), "batch restriction must be a strict subset"
+    assert sorted((r["doc_a"], r["doc_b"], r["jaccard"]) for r in got) == want
+    # index completeness: stored rows == full-corpus signatures
+    sh = dedup._frequent_shingles_removed(
+        dedup._doc_shingles(load_table(spark, SF_DIR_ORACLE, "documents"))
+    )
+    sig_all = sorted(map(tuple, dedup._minhash_signatures(sh).collect()))
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        _fresh_rollup_dir,
+    )
+
+    # rebuild a fresh index the same way and verify content + replay no-op
+    is_batch = F.col("doc_id") % m == 0
+    idx = _fresh_rollup_dir("minhash_lsh_index_test")
+    txlog.append_tx(spark, idx, dedup._minhash_signatures(sh.filter(~is_batch)), batch_id=0)
+    txlog.append_tx(spark, idx, dedup._minhash_signatures(sh.filter(is_batch)), batch_id=1)
+    assert not txlog.append_tx(  # replayed batch id must skip
+        spark, idx, dedup._minhash_signatures(sh.filter(is_batch)), batch_id=1
+    )
+    stored = sorted(
+        map(tuple, txlog.read_table(spark, idx).select("doc_id", "band", "sig").collect())
+    )
+    assert stored == sig_all
