@@ -812,8 +812,12 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage, recall is bounded by the window; the oracle mirrors the same
     window so the contract is exact.
 
-    Scale shape: one rank window per block + a rank-range self-join —
-    both shuffles carry (key, name, rank) triples only."""
+    Scale shape: one rank window per block + a rank-EQUI self-join (the
+    a-side fans out to its w successor ranks, so the rank is part of the
+    hashable join key — candidate count is exactly n * w however large a
+    block grows, never a within-block cross product; the r8 fix that
+    also de-quadraticized customer_blocking_linkage).  Both shuffles
+    carry (key, name, rank) triples only."""
     from pyspark.sql import Window as _W
 
     cust = load_table(spark, sf_dir, "customer").select(
@@ -821,21 +825,22 @@ def similar_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = _W.partitionBy("c_nationkey", "ln").orderBy("c_name", "c_custkey")
     ranked = cust.withColumn("rn", F.row_number().over(w))
+    # row_number ranks are dense, so equi-joining on (block, rn_a+offset)
+    # IS the "0 < rn_b - rn_a <= w" range filter.
     a = ranked.select(
         F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"),
-        "c_nationkey", "ln", F.col("rn").alias("rn_a"),
+        "c_nationkey", "ln",
+        F.explode(
+            F.sequence(F.col("rn") + F.lit(1), F.col("rn") + F.lit(FUZZY_SNM_WINDOW))
+        ).alias("rn"),
     )
     b = ranked.select(
         F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"),
-        "c_nationkey", "ln", F.col("rn").alias("rn_b"),
+        "c_nationkey", "ln", "rn",
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        a.join(b, ["c_nationkey", "ln"])
-        .filter(
-            (F.col("rn_b") > F.col("rn_a"))
-            & (F.col("rn_b") - F.col("rn_a") <= FUZZY_SNM_WINDOW)
-        )
+        a.join(b, ["c_nationkey", "ln", "rn"])
         .select(
             F.least("cust_a", "cust_b").alias("cust_a"),
             F.greatest("cust_a", "cust_b").alias("cust_b"),

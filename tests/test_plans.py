@@ -496,3 +496,14 @@ def test_skew_report_single_scan(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan
+
+
+def test_similar_names_equi_join_on_rank(spark, queries):
+    """The fuzzy-name SNM join must carry the rank in the equi-key —
+    same sub-quadratic pin as customer_blocking_linkage."""
+    df = queries["similar_customer_names"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    import re
+    keys = re.findall(r"(?:Arguments|Left keys|Right keys).*?\[(.*?)\]", plan)
+    assert "rn" in " ".join(keys), plan
