@@ -97,7 +97,10 @@ _NAMES = [
     (dedup, [
         "minhash_index_ingest",  # dedup-on-arrival vs the stored LSH index
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 28 of 45) --
+    (curation, [
+        "global_shuffle_shards",  # deterministic global shuffle -> shards
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 27 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -130,11 +133,11 @@ _NAMES = [
         "q20_promotion_suppliers",
         "q21_waiting_suppliers",
         "market_segment_totals",
-        "customers_with_orders",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at customers_with_orders) ----
+    # ---- driver gate boundary (exactly 50: ends at market_segment_totals) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "customers_with_orders",
         "top_customers_by_revenue",
         "distinct_customers_per_nation",
         "repeat_customers_both_years",

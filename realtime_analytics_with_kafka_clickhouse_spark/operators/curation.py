@@ -467,3 +467,48 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(leaks))
     )
+
+
+SHUFFLE_DOCS_PER_SHARD = 100  # docs per shuffled training shard
+SHUFFLE_SALT = "shuffle"  # permutation key salt (new salt = new epoch order)
+
+
+def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE of the corpus into training shards —
+    the decorrelation step before serving data to a trainer (adjacent
+    raw docs share a crawl/source; training wants them scattered).  The
+    permutation key is md5(salt:doc_id), so the order is reproducible,
+    seedable per epoch (change the salt), and engine-portable.
+
+    Assigning the global position is the same scalable shape as
+    ``pack_training_shards``: a naive ``row_number() OVER (ORDER BY
+    key)`` funnels 100 TB through one task, so instead (1) rows bucket
+    by their key's first two hex chars — 256 ranges whose lexicographic
+    order equals the key order; (2) one tiny per-bucket count frame;
+    (3) an exclusive prefix sum over those 256 rows (the only
+    single-threaded step); (4) position = bucket offset + within-bucket
+    rank (a per-bucket window).  shard_id = position DIV
+    SHUFFLE_DOCS_PER_SHARD: every shard is an md5-random sample of the
+    whole corpus, which the decorrelation pytest makes falsifiable."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+    )
+    base = docs.select(
+        "doc_id", key.alias("skey"), F.substring(key, 1, 2).alias("pid")
+    )
+    per = base.groupBy("pid").agg(F.count("*").alias("n"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.select(
+        "pid", F.coalesce(F.sum("n").over(off_w), F.lit(0)).alias("offset")
+    )
+    rn_w = Window.partitionBy("pid").orderBy("skey", "doc_id")
+    pos = (F.row_number().over(rn_w) + F.col("offset") - 1).cast("long")
+    return (
+        base.join(F.broadcast(offsets), "pid")
+        .select("doc_id", pos.alias("shuffle_pos"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"shuffle_pos DIV {SHUFFLE_DOCS_PER_SHARD}").cast("long"),
+        )
+    )

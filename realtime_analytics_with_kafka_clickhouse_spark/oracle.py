@@ -694,6 +694,24 @@ FROM pairs GROUP BY 1
 """
 
 
+# Global shuffle: md5(salt:doc_id) permutation, position by one global
+# rank (the Spark side's bucketed prefix-sum equals it exactly), shard =
+# position DIV docs-per-shard.
+ORACLE["global_shuffle_shards"] = """
+WITH k AS (
+  SELECT doc_id,
+         md5(concat_ws(':', 'shuffle', CAST(doc_id AS VARCHAR))) AS skey
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS shuffle_pos
+  FROM k)
+SELECT doc_id, shuffle_pos,
+       CAST(shuffle_pos // 100 AS BIGINT) AS shard_id
+FROM r
+"""
+
+
 # Incremental-index ingest: the full-corpus LSH result restricted to
 # pairs touching the arriving batch (doc_id % 5 == 0) — what the stored
 # index's (band, sig) probe discovers on arrival.

@@ -263,3 +263,43 @@ def test_minhash_index_ingest_index_complete_and_falsifiable(spark):
         map(tuple, txlog.read_table(spark, idx).select("doc_id", "band", "sig").collect())
     )
     assert stored == sig_all
+
+
+def test_global_shuffle_decorrelates_and_is_a_permutation(spark):
+    """The shuffled order must be a true permutation (positions 0..n-1,
+    each doc once) and actually DECORRELATE doc order: consecutive
+    positions hold far-apart doc_ids on average, and every full shard
+    draws from many sources."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.curation import (
+        SHUFFLE_DOCS_PER_SHARD,
+        global_shuffle_shards,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    out = global_shuffle_shards(spark, SF_DIR_ORACLE)
+    rows = out.collect()
+    n = len(rows)
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(n))
+    assert len({r["doc_id"] for r in rows}) == n
+    # decorrelation: mean adjacent doc_id gap ~ n/3 for a random
+    # permutation; sequential order would give 1.  Assert >> sequential.
+    by_pos = sorted(rows, key=lambda r: r["shuffle_pos"])
+    gaps = [
+        abs(b["doc_id"] - a["doc_id"])
+        for a, b in zip(by_pos, by_pos[1:])
+    ]
+    assert sum(gaps) / len(gaps) > n / 10
+    # every FULL shard mixes sources
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "source")
+    mix = (
+        out.join(docs, "doc_id")
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"), F.countDistinct("source").alias("ns"))
+        .filter(F.col("n") == SHUFFLE_DOCS_PER_SHARD)
+        .collect()
+    )
+    assert mix and all(r["ns"] >= 3 for r in mix)
