@@ -100,7 +100,18 @@ _NAMES = [
     (curation, [
         "global_shuffle_shards",  # deterministic global shuffle -> shards
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 27 of 45) --
+    (timeseries, [
+        "window_funnel_strict",  # windowFunnel 'strict_order' via lead()
+        "max_concurrent_intervals",  # maxIntersections sweep-line
+        "weighted_value_percentiles",  # quantileExactWeighted analog
+    ]),
+    (rollups, [
+        "conditional_agg_rollup",  # ClickHouse -If combinator battery
+    ]),
+    (dedup, [
+        "ngram_novelty_score",  # corpus-unique shingle share (ppm)
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 22 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -128,15 +139,15 @@ _NAMES = [
         "q15_top_supplier",
         "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
+    ]),
+    # ---- driver gate boundary (exactly 50: ends at q17_small_quantity_revenue) ----
+    # -- 5. r4-evidence remainder (leads the r9 gate) --
+    (relational, [
         "q18_large_volume_customers",
         "q19_bracket_predicates",
         "q20_promotion_suppliers",
         "q21_waiting_suppliers",
         "market_segment_totals",
-    ]),
-    # ---- driver gate boundary (exactly 50: ends at market_segment_totals) ----
-    # -- 5. r4-evidence remainder (leads the r9 gate) --
-    (relational, [
         "customers_with_orders",
         "top_customers_by_revenue",
         "distinct_customers_per_nation",

@@ -792,3 +792,40 @@ def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = members.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_triangles"))
     pairs.unpersist(blocking=False)
     return out
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty score per document: the share of a doc's distinct
+    word-3-gram shingles that occur in NO other document (corpus document
+    frequency == 1) — the diversity-side complement of the dedup battery
+    (near-dup ops flag what is repeated; this scores what is unique,
+    the signal LLM-curation mixes use to up-weight rare content).
+
+    Score is exact integer ppm (``(unique * 1e6) div total``) — integer
+    division, no float rounding to drift cross-engine.  Shape: the shared
+    shingle kernel (frequency-capped, same as MinHash), one groupBy on
+    the shingle key for document frequency, one join back on the same
+    key (exchange reuse), one per-doc aggregate.  No pairwise anything —
+    at 100 TB this costs two vocabulary-keyed shuffles."""
+    sh = _frequent_shingles_removed(
+        _doc_shingles(load_table(spark, sf_dir, "documents"))
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias(
+                "n_unique"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.expr("(n_unique * CAST(1000000 AS BIGINT)) div n_shingles").alias(
+            "novelty_ppm"
+        ),
+    )

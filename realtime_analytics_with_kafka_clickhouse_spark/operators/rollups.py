@@ -228,3 +228,41 @@ def mv_consistency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (F.col("a2_revenue") == F.col("raw_revenue"))).alias("a2_consistent"),
         )
     )
+
+
+def conditional_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-If`` combinator battery (``countIf`` / ``sumIf`` /
+    ``avgIf`` / ``uniqExactIf`` / ``maxIf``) in one per-nation pass:
+    conditional aggregates are ``FILTER``-style branches inside ONE
+    hash aggregate, never five filtered sub-queries (the anti-pattern
+    that re-scans the fact table per metric).
+
+    One customer-key join (dims broadcast upstream of it), one grouped
+    aggregate; every money sum folds through DECIMAL(25,6).  The
+    distinct-if rides the same exchange as the plain aggregates — Spark
+    plans it as a two-phase partial distinct, still a single scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    price_dec = F.col("o_totalprice").cast("decimal(25,6)")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return joined.groupBy("n_name").agg(
+        F.count(F.when(is_f, 1)).cast("long").alias("n_final"),
+        F.sum(F.when(is_o, price_dec)).cast("double").alias("open_revenue"),
+        (
+            F.sum(F.when(is_f, price_dec)).cast("double")
+            / F.count(F.when(is_f, 1))
+        ).alias("avg_final_price"),
+        F.countDistinct(F.when(is_o, F.col("o_custkey"))).cast("long").alias(
+            "open_customers"
+        ),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))).alias(
+            "max_urgent_price"
+        ),
+    )

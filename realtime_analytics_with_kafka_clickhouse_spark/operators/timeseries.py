@@ -877,3 +877,143 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_order')`` analog: the ClickHouse strict
+    funnel where ANY intervening event (matching or not) breaks the chain,
+    and every chained step must land within FUNNEL_WINDOW of the chain's
+    FIRST event (ClickHouse `windowFunnel` anchors the window at step 1;
+    the min-chain `funnel_steps` above re-anchors per step — deliberately
+    different semantics, both oracle-checked).
+
+    Key identity that makes strict order SQL-expressible WITHOUT a
+    per-user fold: because any other event breaks the chain, a level-k
+    chain is exactly k CONSECUTIVE rows of the user's (ts, event_id)-
+    sorted stream matching steps 1..k in order.  So each signup row's
+    attainable level is readable from ``lead()`` columns — one window
+    shuffle on user_id, no collect_list, no HOF state machine.  At 100 TB
+    this is the sessionization exchange (bounded per-user state), and the
+    lead() frame is O(#steps) rows regardless of corpus size."""
+    return _window_funnel_strict(spark, sf_dir, FUNNEL_WINDOW)
+
+
+def _window_funnel_strict(
+    spark: SparkSession, sf_dir: str, window_expr: str
+) -> DataFrame:
+    """Parameterized body — tests call it with an unbounded window to pin
+    that the production 24h window actually BINDS on the fixture."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_t = [F.lead("event_type", i).over(w) for i in (1, 2, 3)]
+    nxt_ts = [F.lead("ts", i).over(w) for i in (1, 2, 3)]
+    deadline = F.col("ts") + F.expr(window_expr)
+    lv = (
+        F.when(
+            F.col("event_type") == FUNNEL_STEPS[0],
+            F.when(
+                (nxt_t[0] == FUNNEL_STEPS[1]) & (nxt_ts[0] <= deadline),
+                F.when(
+                    (nxt_t[1] == FUNNEL_STEPS[2]) & (nxt_ts[1] <= deadline),
+                    F.when(
+                        (nxt_t[2] == FUNNEL_STEPS[3]) & (nxt_ts[2] <= deadline),
+                        F.lit(4),
+                    ).otherwise(F.lit(3)),
+                ).otherwise(F.lit(2)),
+            ).otherwise(F.lit(1)),
+        ).otherwise(F.lit(0))
+    )
+    per_user = ev.withColumn("lv", lv).groupBy("user_id").agg(
+        F.max("lv").cast("long").alias("steps_completed")
+    )
+    return per_user.groupBy("steps_completed").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+# Sweep-line activity horizon: an order is "active" for this many days.
+ACTIVE_DAYS = 30
+
+
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``maxIntersections`` analog (ClickHouse's interval-overlap
+    aggregate): per region, the peak number of simultaneously-active
+    orders (active = [orderdate, orderdate + ACTIVE_DAYS)) and the first
+    date that peak is reached.
+
+    Shape: classic distributed sweep-line — each interval becomes two
+    DATE-grain delta rows (+1 start, -1 end), aggregated by (region, day)
+    BEFORE the window, so the per-region running sum walks at most
+    calendar-many rows no matter how many orders the corpus holds.  One
+    equi-join to resolve region (nation/region dims broadcast; the
+    customer side shuffles on its own key and scales out), one
+    (region, day) aggregate, one bounded window.  At 100 TB the window
+    input is |regions| x |days| — thousands of rows."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "c_custkey", "r_name"
+    )
+    o = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
+        "r_name", F.to_date("o_orderdate").alias("start_d")
+    )
+    deltas = (
+        o.select("r_name", F.col("start_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            o.select(
+                "r_name",
+                F.date_add("start_d", ACTIVE_DAYS).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("r_name", "d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w_cum = Window.partitionBy("r_name").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = deltas.withColumn("concurrent", F.sum("delta").over(w_cum))
+    w_region = Window.partitionBy("r_name")
+    peak = cum.withColumn("mx", F.max("concurrent").over(w_region)).filter(
+        F.col("concurrent") == F.col("mx")
+    )
+    return peak.groupBy("r_name").agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent"),
+        F.min("d").alias("peak_date"),
+    )
+
+
+def weighted_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quantiles per return flag
+    (``quantileExactWeighted`` analog): the q-quantile is the smallest
+    price whose cumulative quantity weight reaches q of the group total.
+
+    Exactness: weights fold through the DECIMAL(25,6) cumulative window
+    (order-independent), and each threshold test is cross-multiplied
+    (``4*cw >= q*4*total``) so no fractional literal ever meets a decimal
+    — both engines compare exact decimals.  One shuffle (the group
+    window's sort); the group total rides the same exchange as a
+    partition-wide frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("l_returnflag")
+    qty_dec = F.col("l_quantity").cast("decimal(25,6)")
+    cum = (
+        li.withColumn("cw", F.sum(qty_dec).over(w_cum))
+        .withColumn("tot", F.sum(qty_dec).over(w_all))
+    )
+    price = F.col("l_extendedprice")
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 4 >= F.col("tot"), price)).alias("wp25"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tot"), price)).alias("wp50"),
+        F.min(F.when(F.col("cw") * 4 >= F.col("tot") * 3, price)).alias("wp75"),
+        F.sum(qty_dec).cast("double").alias("total_weight"),
+    )

@@ -3712,3 +3712,116 @@ SELECT split, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters,
        safe_leaky_pairs, naive_leaky_pairs
 FROM assigned, leaks GROUP BY 1, 4, 5
 """
+
+
+# Strict-order windowed funnel: a level-k chain is k CONSECUTIVE events
+# of the user's (ts, event_id)-sorted stream matching steps 1..k, all
+# within 24h of the chain's first event (see
+# operators.timeseries.window_funnel_strict for why contiguity holds).
+ORACLE["window_funnel_strict"] = """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
+         lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS ts2,
+         lead(event_type, 3) OVER w AS t3, lead(ts, 3) OVER w AS ts3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+lvl AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'signup' THEN
+      CASE WHEN t1 = 'view' AND ts1 <= ts + INTERVAL 24 HOUR THEN
+        CASE WHEN t2 = 'click' AND ts2 <= ts + INTERVAL 24 HOUR THEN
+          CASE WHEN t3 = 'purchase' AND ts3 <= ts + INTERVAL 24 HOUR
+               THEN 4 ELSE 3 END
+        ELSE 2 END
+      ELSE 1 END
+    ELSE 0 END AS lv
+  FROM s),
+per_user AS (SELECT user_id, CAST(max(lv) AS BIGINT) AS steps_completed
+             FROM lvl GROUP BY 1)
+SELECT steps_completed, count(*) AS n_users FROM per_user GROUP BY 1
+"""
+
+
+# Sweep-line max-overlap: +1/-1 deltas at DATE grain, per-region running
+# sum, first date attaining the per-region max.
+ORACLE["max_concurrent_intervals"] = """
+WITH o AS (
+  SELECT r_name, CAST(o_orderdate AS DATE) AS start_d
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey),
+deltas AS (
+  SELECT r_name, d, SUM(delta) AS delta FROM (
+    SELECT r_name, start_d AS d, 1 AS delta FROM o
+    UNION ALL
+    SELECT r_name, start_d + 30 AS d, -1 AS delta FROM o)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT r_name, d,
+         SUM(delta) OVER (PARTITION BY r_name ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM deltas),
+mx AS (SELECT r_name, d, concurrent,
+              max(concurrent) OVER (PARTITION BY r_name) AS m FROM cum)
+SELECT r_name, CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+       min(d) AS peak_date
+FROM mx WHERE concurrent = m GROUP BY 1
+"""
+
+
+# Exact weighted quantiles: cumulative DECIMAL weight, cross-multiplied
+# thresholds (no fractional literals near decimals).
+ORACLE["weighted_value_percentiles"] = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice, CAST(l_quantity AS DECIMAL(25,6)) AS q,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+           PARTITION BY l_returnflag) AS tot
+  FROM lineitem)
+SELECT l_returnflag,
+       min(CASE WHEN cw * 4 >= tot THEN l_extendedprice END) AS wp25,
+       min(CASE WHEN cw * 2 >= tot THEN l_extendedprice END) AS wp50,
+       min(CASE WHEN cw * 4 >= tot * 3 THEN l_extendedprice END) AS wp75,
+       CAST(SUM(q) AS DOUBLE) AS total_weight
+FROM c GROUP BY 1
+"""
+
+
+# ClickHouse -If combinator battery: FILTER-style conditional aggregates
+# in one grouped pass.
+ORACLE["conditional_agg_rollup"] = """
+SELECT n_name,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+              FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+         / count(*) FILTER (WHERE o_orderstatus = 'F') AS avg_final_price,
+       count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+         AS open_customers,
+       max(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')
+         AS max_urgent_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+# Novelty = share of a doc's capped shingles with corpus df == 1, as
+# exact integer ppm (integer division — no float rounding cross-engine).
+ORACLE["ngram_novelty_score"] = f"""
+WITH {_SHINGLES},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         // count(*) AS novelty_ppm
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY 1
+"""

@@ -303,3 +303,136 @@ def test_global_shuffle_decorrelates_and_is_a_permutation(spark):
         .collect()
     )
     assert mix and all(r["ns"] >= 3 for r in mix)
+
+
+# ---------------------------------------------------------------- r8c ops
+
+
+def test_window_funnel_strict_binds_and_covers_all_levels(spark):
+    """Falsifiability: the 24h window must BIND (distribution differs from
+    the unbounded-window strict funnel) and all of levels 1..4 must occur
+    at sf0.01 (probed: 12/102/31/5); user total conserved vs funnel_steps.
+
+    NOTE strict counts are NOT dominated by funnel_steps': the min-chain
+    funnel commits to each step's FIRST qualifying event, while strict
+    scores every signup as a chain start — a later adjacent chain can
+    outrank a stale first-signup anchor."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        _window_funnel_strict,
+        funnel_steps,
+        window_funnel_strict,
+    )
+
+    dist = {
+        r["steps_completed"]: r["n_users"]
+        for r in window_funnel_strict(spark, SF_DIR_ORACLE).collect()
+    }
+    assert set(dist) >= {1, 2, 3, 4}
+    total_strict = sum(dist.values())
+    total_minchain = (
+        funnel_steps(spark, SF_DIR_ORACLE)
+        .agg(F.sum("n_users").alias("n")).collect()[0]["n"]
+    )
+    assert total_strict == total_minchain
+    unbounded = {
+        r["steps_completed"]: r["n_users"]
+        for r in _window_funnel_strict(
+            spark, SF_DIR_ORACLE, "INTERVAL 3650 DAYS"
+        ).collect()
+    }
+    assert dist != unbounded  # the 24h constraint prunes real chains
+    # tightening the window can only LOWER each user's level: the
+    # cumulative-from-above counts must dominate windowed ones.
+    for k in (1, 2, 3, 4):
+        windowed_ge = sum(v for lv, v in dist.items() if lv >= k)
+        unbounded_ge = sum(v for lv, v in unbounded.items() if lv >= k)
+        assert windowed_ge <= unbounded_ge, (k, windowed_ge, unbounded_ge)
+
+
+def test_max_concurrent_intervals_sweep_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        ACTIVE_DAYS,
+        max_concurrent_intervals,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = max_concurrent_intervals(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 5  # one per region
+    orders = load_table(spark, SF_DIR_ORACLE, "orders")
+    lo, hi = orders.agg(
+        F.min(F.to_date("o_orderdate")), F.max(F.to_date("o_orderdate"))
+    ).collect()[0]
+    n_orders = orders.count()
+    for r in rows:
+        # peak is attainable: positive, no larger than the region's orders,
+        # and its date lies inside the swept horizon.
+        assert 1 <= r["peak_concurrent"] <= n_orders
+        assert lo <= r["peak_date"]
+        assert (r["peak_date"] - hi).days <= ACTIVE_DAYS
+        # a peak bounded by interval arithmetic: at most ACTIVE_DAYS'
+        # worth of starts can overlap one instant, so the peak must be
+        # strictly below the corpus total (falsifiable at sf0.01).
+        assert r["peak_concurrent"] < n_orders
+
+
+def test_weighted_percentiles_ordered_and_weighted_vs_unweighted(spark):
+    """wp25<=wp50<=wp75, and the quantity weighting must MOVE at least one
+    flag's median off the unweighted row-median (falsifiability: the
+    weight is not a constant)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        weighted_value_percentiles,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = weighted_value_percentiles(spark, SF_DIR_ORACLE).collect()
+    assert {r["l_returnflag"] for r in rows} == {"A", "N", "R"}
+    for r in rows:
+        assert r["wp25"] <= r["wp50"] <= r["wp75"]
+        assert r["total_weight"] > 0
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    unweighted = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    assert any(
+        abs(r["wp50"] - unweighted[r["l_returnflag"]]) > 1e-9 for r in rows
+    )
+
+
+def test_conditional_agg_rollup_branches_fire(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.rollups import (
+        conditional_agg_rollup,
+    )
+
+    rows = conditional_agg_rollup(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["n_final"] > 0 and r["open_customers"] > 0
+        assert r["open_revenue"] > 0 and r["max_urgent_price"] > 0
+        assert r["avg_final_price"] > 0
+
+
+def test_ngram_novelty_both_branches_and_bounds(spark):
+    """df==1 and df>1 shingles must BOTH exist (novelty strictly between
+    the degenerate all-unique / none-unique corpora), and ppm is the exact
+    integer floor."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        ngram_novelty_score,
+    )
+
+    rows = ngram_novelty_score(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+        assert r["novelty_ppm"] == (r["n_unique"] * 1_000_000) // r["n_shingles"]
+        assert r["n_unique"] <= r["n_shingles"]
+    assert any(r["n_unique"] > 0 for r in rows)
+    assert any(r["n_unique"] < r["n_shingles"] for r in rows)
