@@ -111,7 +111,10 @@ _NAMES = [
     (dedup, [
         "ngram_novelty_score",  # corpus-unique shingle share (ppm)
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 22 of 45) --
+    (curation, [
+        "quality_linear_probe_train",  # data-parallel GD linear probe
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 21 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -138,11 +141,11 @@ _NAMES = [
         "q14_promo_revenue",
         "q15_top_supplier",
         "q16_supplier_part_counts",
-        "q17_small_quantity_revenue",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q17_small_quantity_revenue) ----
+    # ---- driver gate boundary (exactly 50: ends at q16_supplier_part_counts) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q17_small_quantity_revenue",
         "q18_large_volume_customers",
         "q19_bracket_predicates",
         "q20_promotion_suppliers",

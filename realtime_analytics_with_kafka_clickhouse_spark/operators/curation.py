@@ -512,3 +512,94 @@ def global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"shuffle_pos DIV {SHUFFLE_DOCS_PER_SHARD}").cast("long"),
         )
     )
+
+
+# Linear quality probe: full-batch GD hyperparameters.  ETA is a power of
+# two (exact binary scaling) and EPOCHS is fixed — the oracle unrolls the
+# same number of iteration CTEs.
+LP_ETA = 0.5
+LP_EPOCHS = 3
+_LP_FEATS = ("x1", "x2", "x3", "x4")
+
+
+def _probe_features(docs: DataFrame) -> DataFrame:
+    """Per-doc probe features + label, every expression engine-portable
+    (ints and IEEE divisions in the same association order as the DuckDB
+    oracle): token count (/128), mean word length (/8), distinct-token
+    ratio, stopword ratio; label = is-English."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        (n / F.lit(128.0)).alias("x1"),
+        (
+            ((F.length("text") - (n - F.lit(1))) * F.lit(1.0) / n) / F.lit(8.0)
+        ).alias("x2"),
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / n).alias("x3"),
+        (
+            F.size(F.filter(words, lambda t: t.isin("a", "the"))) * F.lit(1.0) / n
+        ).alias("x4"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def quality_linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed trainer for a linear quality probe (the fastText-style
+    "does this look like curated text" classifier of LLM data pipelines,
+    squared loss): LP_EPOCHS rounds of full-batch gradient descent where
+    each epoch is ONE map-side-combined aggregate over the corpus and the
+    model (5 doubles) lives on the driver — the classic
+    broadcast-weights / reduce-gradients data-parallel shape.  At 100 TB
+    each epoch shuffles only per-partition partial gradient sums (5
+    decimals x partitions), never rows.
+
+    Squared loss instead of logistic is deliberate: +,-,*,/ are
+    IEEE-deterministic in both engines while JVM Math.exp and libm exp
+    may differ by 1 ulp, so a sigmoid would poison the cross-engine
+    value-exactness the oracle proves.  Per-doc gradient contributions
+    are round-6 then folded through DECIMAL(25,6) (order-independent);
+    weight updates replay identically in the oracle's unrolled epoch
+    CTEs.  Output: final weights plus before/after training MSE."""
+    f = _probe_features(load_table(spark, sf_dir, "documents"))
+    # cache(): LP_EPOCHS + 1 aggregate passes over a 6-column projection.
+    f = f.cache()
+
+    def pred_col(wv: list[float]):
+        p = F.lit(wv[0])
+        for wj, xc in zip(wv[1:], _LP_FEATS):
+            p = p + F.lit(wj) * F.col(xc)
+        return p
+
+    def gterm(expr):
+        return (
+            F.sum(F.round(expr, 6).cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        )
+
+    w = [0.0] * (len(_LP_FEATS) + 1)
+    for _ in range(LP_EPOCHS):
+        p = pred_col(w)
+        row = f.agg(
+            gterm(p - F.col("y")).alias("gb"),
+            *[
+                gterm((p - F.col("y")) * F.col(xc)).alias(f"g{j}")
+                for j, xc in enumerate(_LP_FEATS, start=1)
+            ],
+        ).collect()[0]
+        grads = [row["gb"]] + [row[f"g{j}"] for j in range(1, len(_LP_FEATS) + 1)]
+        w = [wj - LP_ETA * gj for wj, gj in zip(w, grads)]
+    p0 = pred_col([0.0] * (len(_LP_FEATS) + 1))
+    pf = pred_col(w)
+    out = f.agg(
+        gterm((p0 - F.col("y")) * (p0 - F.col("y"))).alias("mse_init"),
+        gterm((pf - F.col("y")) * (pf - F.col("y"))).alias("mse_final"),
+    )
+    return out.select(
+        F.lit(w[0]).alias("wb"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.lit(w[3]).alias("w3"),
+        F.lit(w[4]).alias("w4"),
+        "mse_init",
+        "mse_final",
+    )

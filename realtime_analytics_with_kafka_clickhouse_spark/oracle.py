@@ -3825,3 +3825,64 @@ SELECT doc_id, count(*) AS n_shingles,
 FROM sh JOIN dfreq USING (shingle)
 GROUP BY 1
 """
+
+
+# Linear quality probe trained by full-batch GD: unrolled epoch CTEs
+# (the kmeans_train discipline) — each epoch's gradients fold round-6
+# contributions through DECIMAL(25,6), weights replay the same IEEE
+# arithmetic the Spark driver loop performs.
+def _linear_probe_sql(epochs: int = 3, eta: str = "0.5") -> str:
+    feats = """f AS (
+  SELECT doc_id,
+         len(string_split(text,' ')) / 128.0 AS x1,
+         ((length(text) - (len(string_split(text,' ')) - 1)) * 1.0
+            / len(string_split(text,' '))) / 8.0 AS x2,
+         len(list_distinct(string_split(text,' '))) * 1.0
+            / len(string_split(text,' ')) AS x3,
+         len(list_filter(string_split(text,' '), t -> t IN ('a','the'))) * 1.0
+            / len(string_split(text,' ')) AS x4,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents)"""
+
+    def pred(w: str) -> str:
+        return f"({w}.wb + {w}.w1 * x1 + {w}.w2 * x2 + {w}.w3 * x3 + {w}.w4 * x4)"
+
+    def gsum(expr: str) -> str:
+        return (
+            f"CAST(SUM(CAST(round({expr}, 6) AS DECIMAL(25,6))) AS DOUBLE)"
+            " / COUNT(*)"
+        )
+
+    parts = [
+        feats,
+        "w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)",
+    ]
+    for n in range(1, epochs + 1):
+        p = pred(f"w{n-1}")
+        parts.append(
+            f"""g{n} AS (
+  SELECT {gsum(f"({p} - y)")} AS gb,
+         {gsum(f"({p} - y) * x1")} AS g1,
+         {gsum(f"({p} - y) * x2")} AS g2,
+         {gsum(f"({p} - y) * x3")} AS g3,
+         {gsum(f"({p} - y) * x4")} AS g4
+  FROM f CROSS JOIN w{n-1}),
+w{n} AS (
+  SELECT w{n-1}.wb - {eta} * gb AS wb, w{n-1}.w1 - {eta} * g1 AS w1,
+         w{n-1}.w2 - {eta} * g2 AS w2, w{n-1}.w3 - {eta} * g3 AS w3,
+         w{n-1}.w4 - {eta} * g4 AS w4
+  FROM g{n} CROSS JOIN w{n-1})"""
+        )
+    p0, pf = pred("w0"), pred(f"w{epochs}")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT w{epochs}.wb, w{epochs}.w1, w{epochs}.w2, w{epochs}.w3, w{epochs}.w4,
+       (SELECT {gsum(f"({p0} - y) * ({p0} - y)")} FROM f CROSS JOIN w0)
+         AS mse_init,
+       (SELECT {gsum(f"({pf} - y) * ({pf} - y)")} FROM f CROSS JOIN w{epochs})
+         AS mse_final
+FROM w{epochs}"""
+    )
+
+
+ORACLE["quality_linear_probe_train"] = _linear_probe_sql()

@@ -436,3 +436,21 @@ def test_ngram_novelty_both_branches_and_bounds(spark):
         assert r["n_unique"] <= r["n_shingles"]
     assert any(r["n_unique"] > 0 for r in rows)
     assert any(r["n_unique"] < r["n_shingles"] for r in rows)
+
+
+def test_linear_probe_training_reduces_loss(spark):
+    """The GD trainer must actually LEARN on the fixture: loss strictly
+    drops from the zero-weight init, every weight moves off zero, and the
+    learned MSE beats predicting the base rate only via the features
+    (falsifiability: a no-op trainer would return mse_final == mse_init)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.curation import (
+        quality_linear_probe_train,
+    )
+
+    row = quality_linear_probe_train(spark, SF_DIR_ORACLE).collect()[0]
+    assert row["mse_final"] < row["mse_init"]
+    for c in ("wb", "w1", "w2", "w3", "w4"):
+        assert row[c] != 0.0, c
+    # squared-loss floor sanity: MSE of any predictor is >= 0 and the
+    # zero-init MSE equals the positive-class base rate avg(y^2)=avg(y).
+    assert 0.0 <= row["mse_final"] < row["mse_init"] <= 1.0
