@@ -987,28 +987,53 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Price-band width for the two-level weighted-quantile prefix sum: band
+# count scales with the VALUE DOMAIN (~price range / band), never with
+# row count, so the band-level window stays tiny at any corpus size.
+PCTL_PRICE_BAND = 1000.0
+
+
 def weighted_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantity-weighted price quantiles per return flag
     (``quantileExactWeighted`` analog): the q-quantile is the smallest
     price whose cumulative quantity weight reaches q of the group total.
 
-    Exactness: weights fold through the DECIMAL(25,6) cumulative window
-    (order-independent), and each threshold test is cross-multiplied
-    (``4*cw >= q*4*total``) so no fractional literal ever meets a decimal
-    — both engines compare exact decimals.  One shuffle (the group
-    window's sort); the group total rides the same exchange as a
-    partition-wide frame."""
+    Scale shape — a TWO-LEVEL distributed prefix sum, not one window per
+    flag (3 flags = 3 tasks would serialize the whole corpus at 100 TB):
+    (1) per-(flag, price-band) weight totals (map-side-combined
+    aggregate), (2) band-offset prefix sum over the tiny band frame,
+    (3) broadcast offsets back and cumsum WITHIN each band — parallelism
+    is #bands x #flags and per-task work is one band's rows.  The split
+    is exact because DECIMAL addition is associative (integer
+    arithmetic), so off + within-band fold == the global fold
+    bit-for-bit; the oracle keeps the single-window formulation.
+    Threshold tests are cross-multiplied (``4*cw >= q*4*total``) so no
+    fractional literal ever meets a decimal."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    ).withColumn(
+        "band", F.floor(F.col("l_extendedprice") / F.lit(PCTL_PRICE_BAND))
     )
-    w_cum = Window.partitionBy("l_returnflag").orderBy(
+    qty_dec = F.col("l_quantity").cast("decimal(25,6)")
+    bands = li.groupBy("l_returnflag", "band").agg(F.sum(qty_dec).alias("bw"))
+    w_off = Window.partitionBy("l_returnflag").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = bands.select(
+        "l_returnflag",
+        "band",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0).cast("decimal(35,6)")).alias(
+            "off"
+        ),
+    )
+    totals = bands.groupBy("l_returnflag").agg(F.sum("bw").alias("tot"))
+    w_in = Window.partitionBy("l_returnflag", "band").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy("l_returnflag")
-    qty_dec = F.col("l_quantity").cast("decimal(25,6)")
     cum = (
-        li.withColumn("cw", F.sum(qty_dec).over(w_cum))
-        .withColumn("tot", F.sum(qty_dec).over(w_all))
+        li.join(F.broadcast(offs), ["l_returnflag", "band"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("cw", F.col("off") + F.sum(qty_dec).over(w_in))
     )
     price = F.col("l_extendedprice")
     return cum.groupBy("l_returnflag").agg(

@@ -405,6 +405,19 @@ def test_weighted_percentiles_ordered_and_weighted_vs_unweighted(spark):
     assert any(
         abs(r["wp50"] - unweighted[r["l_returnflag"]]) > 1e-9 for r in rows
     )
+    # scale-shape pin: the row-level cumsum window partitions on
+    # (flag, band) — never a per-flag global sort (3 tasks at 100 TB).
+    plan = (
+        weighted_value_percentiles(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    row_windows = [
+        m for m in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "l_extendedprice" in m  # the row-level cumsum spec
+    ]
+    assert row_windows and all("band" in m for m in row_windows), row_windows
 
 
 def test_conditional_agg_rollup_branches_fire(spark):
