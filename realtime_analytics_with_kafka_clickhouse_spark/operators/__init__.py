@@ -114,7 +114,10 @@ _NAMES = [
     (curation, [
         "quality_linear_probe_train",  # data-parallel GD linear probe
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 21 of 45) --
+    (multimodal, [
+        "audio_vad_segments",  # energy-gated VAD, the audio leg
+    ]),
+    # -- 4. stalest remainder: r4-evidence block (first 20 of 45) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -140,11 +143,11 @@ _NAMES = [
         "q13_customer_order_distribution",
         "q14_promo_revenue",
         "q15_top_supplier",
-        "q16_supplier_part_counts",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q16_supplier_part_counts) ----
+    # ---- driver gate boundary (exactly 50: ends at q15_top_supplier) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
         "q18_large_volume_customers",
         "q19_bracket_predicates",

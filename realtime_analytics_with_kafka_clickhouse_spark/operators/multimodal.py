@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -451,3 +451,92 @@ def scene_change_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.select("doc_id", "content").mapInPandas(detect, schema=schema)
+
+
+# Voice-activity detection over the wav rows: fixed frame size, energy
+# threshold (probed on the fixture: frame means span ~91.8-97.5, so 94
+# splits 523 voiced / 279 unvoiced across 276 segments — both states and
+# multi-segment runs are real, the falsifiability rule).
+VAD_FRAME_BYTES = 64
+VAD_THRESHOLD = 94.0
+
+VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_mean", T.DoubleType()),
+    ]
+)
+
+
+def _wav_frame_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every frame's mean byte energy for the wav-format rows (stride-1
+    sibling of ``frame_sample_features`` — VAD needs ALL frames, since a
+    skipped frame would split or merge segments)."""
+    m = media_table(spark, sf_dir).filter(F.col("media.format") == "wav")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                n_frames = -(-len(data) // VAD_FRAME_BYTES)  # ceil
+                for f in range(n_frames):
+                    fb = data[f * VAD_FRAME_BYTES : (f + 1) * VAD_FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    means.append(sum(fb) / len(fb))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_mean": means}
+            )
+
+    return m.select("doc_id", "content").mapInPandas(frames, schema=VAD_FRAME_SCHEMA)
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gated voice-activity segmentation — the audio leg of the
+    multimodal battery (the real pipeline swaps the byte-energy stub for
+    an RMS/spectral gate; schema, framing, and segment-merge logic are
+    the production shape).  A frame is voiced when its mean energy
+    clears VAD_THRESHOLD; adjacent voiced frames merge into segments
+    (lag + running-sum segment ids — the sessionization pattern at frame
+    grain).  Output per wav doc: frame/voiced/segment counts and the
+    longest voiced run.
+
+    Scale: framing is map-only Arrow batches (binary never shuffles);
+    the segment windows key on doc_id with O(frames-per-doc) state —
+    bounded by media duration, not corpus size."""
+    fr = _wav_frame_means(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    fr = (
+        fr.withColumn("voiced", F.col("frame_mean") >= F.lit(VAD_THRESHOLD))
+        .withColumn(
+            "st",
+            (
+                F.col("voiced") & ~F.coalesce(F.lag("voiced").over(w), F.lit(False))
+            ).cast("int"),
+        )
+        .withColumn("seg_id", F.sum("st").over(w_run))
+    )
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum(F.col("voiced").cast("int")).cast("long").alias("n_voiced"),
+        F.sum("st").cast("long").alias("n_segments"),
+    )
+    runs = (
+        fr.filter(F.col("voiced"))
+        .groupBy("doc_id", "seg_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    return per_doc.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        "n_voiced",
+        "n_segments",
+        F.coalesce(F.col("longest"), F.lit(0)).cast("long").alias(
+            "longest_voiced_run"
+        ),
+    )

@@ -3886,3 +3886,50 @@ FROM w{epochs}"""
 
 
 ORACLE["quality_linear_probe_train"] = _linear_probe_sql()
+
+
+# VAD segments over the wav rows (doc_id % 3 = 2 is media_table's wav
+# assignment): frame means from the UTF-8 payload bytes, threshold 94,
+# lag/cumsum segment merge.
+ORACLE["audio_vad_segments"] = """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+  SELECT doc_id, t.f AS frame_idx, bytes[(t.f*64+1):(t.f*64+64)] AS fb
+  FROM b, UNNEST(range(0, CAST(ceil(len(bytes) / 64.0) AS BIGINT))) AS t(f)),
+m AS (
+  SELECT doc_id, frame_idx,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), fb), (a, x) -> a + x)
+           / CAST(len(fb) AS DOUBLE) AS frame_mean
+  FROM fr),
+v AS (
+  SELECT doc_id, frame_idx, frame_mean >= 94 AS voiced FROM m),
+seg AS (
+  SELECT doc_id, frame_idx, voiced,
+         CASE WHEN voiced AND NOT coalesce(
+                lag(voiced) OVER (PARTITION BY doc_id ORDER BY frame_idx),
+                FALSE)
+              THEN 1 ELSE 0 END AS st
+  FROM v),
+seg2 AS (
+  SELECT doc_id, frame_idx, voiced, st,
+         SUM(st) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg_id
+  FROM seg),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_frames,
+         CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+         CAST(SUM(st) AS BIGINT) AS n_segments
+  FROM seg2 GROUP BY 1),
+runs AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS longest FROM (
+    SELECT doc_id, seg_id, count(*) AS c FROM seg2 WHERE voiced GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT p.doc_id, p.n_frames, p.n_voiced, p.n_segments,
+       coalesce(r.longest, 0) AS longest_voiced_run
+FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
+"""

@@ -467,3 +467,26 @@ def test_linear_probe_training_reduces_loss(spark):
     # squared-loss floor sanity: MSE of any predictor is >= 0 and the
     # zero-init MSE equals the positive-class base rate avg(y^2)=avg(y).
     assert 0.0 <= row["mse_final"] < row["mse_init"] <= 1.0
+
+
+def test_audio_vad_segments_invariants(spark):
+    """Both VAD states and multi-segment docs must exist on the fixture
+    (probed: 523 voiced / 279 unvoiced / 276 segments over 166 wav docs),
+    and the per-doc counting identities must hold."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.multimodal import (
+        audio_vad_segments,
+    )
+
+    rows = audio_vad_segments(spark, SF_DIR_ORACLE).collect()
+    assert rows and all(r["doc_id"] % 3 == 2 for r in rows)  # wav rows only
+    for r in rows:
+        assert 0 <= r["n_voiced"] <= r["n_frames"]
+        assert r["n_segments"] <= r["n_voiced"] or r["n_voiced"] == 0
+        assert r["longest_voiced_run"] <= r["n_voiced"]
+        if r["n_segments"] > 0:
+            assert r["longest_voiced_run"] >= 1
+            # pigeonhole: longest run >= avg voiced per segment
+            assert r["longest_voiced_run"] * r["n_segments"] >= r["n_voiced"]
+    assert any(r["n_voiced"] < r["n_frames"] for r in rows)  # unvoiced exist
+    assert any(r["n_voiced"] > 0 for r in rows)              # voiced exist
+    assert any(r["n_segments"] >= 2 for r in rows)           # merge logic fires
