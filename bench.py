@@ -52,6 +52,7 @@ def tier_of(name: str) -> str:
             "gdpr_delete",
             "dynamic_partition",
             "aggregating_merge",
+            "percentile_merge",
             "hourly_trend_from_rollup",
         )
     ):

@@ -89,6 +89,7 @@ _NAMES = [
     #    each addition demotes the tail of section 4 below the gate) --
     (_streaming_pipeline, [
         "scd2_stored_history",  # SCD2 merged INTO storage, served from it
+        "percentile_merge_mv",  # mergeable quantile-histogram MV
     ]),
     (similarity, [
         "ann_ivfpq_rerank_topk",  # ADC shortlist -> exact re-rank top-k
@@ -142,11 +143,11 @@ _NAMES = [
         "q11_important_parts",
         "q12_ship_channel_priority",
         "q13_customer_order_distribution",
-        "q14_promo_revenue",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q14_promo_revenue) ----
+    # ---- driver gate boundary (exactly 50: ends at q13_customer_order_distribution) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q14_promo_revenue",
         "q15_top_supplier",
         "q16_supplier_part_counts",
         "q17_small_quantity_revenue",

@@ -3951,3 +3951,25 @@ SELECT event_id, user_id, ts AS err_ts,
          AS latency_sec
 FROM s WHERE event_type = 'error'
 """
+
+
+# Mergeable quantile MV: counts are exactly additive, so the oracle
+# derives the same sparse histogram straight from events — the storage
+# lifecycle must reproduce it value-exactly.
+ORACLE["percentile_merge_mv"] = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(value / 20.0) AS BIGINT) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT day, bucket, n,
+         SUM(n) OVER (PARTITION BY day ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(n) OVER (PARTITION BY day) AS tot
+  FROM h)
+SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN cw * 2 >= tot THEN bucket * 20.0 END) AS DOUBLE) AS p50_lo,
+       CAST(min(CASE WHEN cw * 10 >= tot * 9 THEN bucket * 20.0 END) AS DOUBLE) AS p90_lo,
+       CAST(min(CASE WHEN cw * 100 >= tot * 99 THEN bucket * 20.0 END) AS DOUBLE) AS p99_lo
+FROM c GROUP BY 1
+"""

@@ -2429,3 +2429,68 @@ def scd2_stored_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         changes.unpersist(blocking=False)
+
+
+# Sparse-histogram quantile MV: bucket width over the event-value domain.
+PCTL_MV_BUCKET = 20.0
+
+
+def percentile_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE materialized view (ClickHouse ``quantileState``
+    in an AggregatingMergeTree, deterministic flavor): per-epoch per-day
+    sparse histogram states ``(day, bucket) -> count`` are APPENDed to
+    the txlog table, OPTIMIZE ... FINAL folds equal keys by count
+    addition (the background merge), and the read derives approximate
+    percentiles — bucket lower edges — from the merged states with an
+    integer cross-multiplied threshold walk.
+
+    Counts are exactly additive (unlike the HLL states of
+    ``aggregating_merge_sketch_mv``, whose estimates get a tolerance
+    contract), so the ENTIRE storage lifecycle is value-exact against
+    the oracle, and epoch-append == one-shot by associativity.  At
+    100 TB the raw value column is scanned once per epoch; every later
+    pass touches only |days| x |buckets| state rows, and the per-day
+    cumsum window walks a domain-bounded (~30-row) frame."""
+    from ..storage import txlog
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").persist()
+    day = F.to_date("ts").alias("day")
+    bucket = F.floor(F.col("value") / F.lit(PCTL_MV_BUCKET)).cast("long").alias(
+        "bucket"
+    )
+    try:
+        table = _fresh_rollup_dir("value_hist_states")
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            states = chunk.groupBy(day, bucket).agg(F.count("*").alias("n"))
+            txlog.append_tx(spark, table, states, batch_id=i)
+        assert txlog.compact_tx(
+            spark,
+            table,
+            agg=lambda df: df.groupBy("day", "bucket").agg(
+                F.sum("n").alias("n")
+            ),
+        )
+        stored = txlog.read_table(spark, table)
+        assert stored is not None
+        w_cum = Window.partitionBy("day").orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_day = Window.partitionBy("day")
+        cum = stored.withColumn("cw", F.sum("n").over(w_cum)).withColumn(
+            "tot", F.sum("n").over(w_day)
+        )
+        lo = F.col("bucket") * F.lit(PCTL_MV_BUCKET)
+        return cum.groupBy("day").agg(
+            F.max("tot").cast("long").alias("n_events"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("tot"), lo)).alias("p50_lo"),
+            F.min(F.when(F.col("cw") * 10 >= F.col("tot") * 9, lo)).alias(
+                "p90_lo"
+            ),
+            F.min(F.when(F.col("cw") * 100 >= F.col("tot") * 99, lo)).alias(
+                "p99_lo"
+            ),
+        )
+    finally:
+        events.unpersist(blocking=False)

@@ -510,3 +510,45 @@ def test_error_recovery_asof_three_states(spark):
         assert r["latency_sec"] is not None
         assert 0 <= r["latency_sec"] <= 24 * 3600
     assert all(r["latency_sec"] is None for r in not_rec)
+
+
+def test_percentile_mv_append_merge_equals_one_shot(spark):
+    """The quantile-MV lifecycle: compaction must actually reduce stored
+    state rows (4 epochs of equal keys fold to one row per key), and the
+    served percentiles equal the one-shot derivation from raw events —
+    associativity of count addition, pinned end to end."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import registry
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        PCTL_MV_BUCKET,
+        percentile_merge_mv,
+    )
+
+    served = {
+        r["day"]: (r["n_events"], r["p50_lo"], r["p90_lo"], r["p99_lo"])
+        for r in percentile_merge_mv(spark, SF_DIR_SMALL).collect()
+    }
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    import math
+
+    by_day: dict = {}
+    for r in ev.select(F.to_date("ts").alias("day"), "value").collect():
+        by_day.setdefault(r["day"], []).append(
+            math.floor(r["value"] / PCTL_MV_BUCKET)
+        )
+    assert set(served) == set(by_day)
+    for day, buckets in by_day.items():
+        buckets.sort()
+        n = len(buckets)
+        def q_lo(num, den):
+            # smallest bucket lower edge where cw*den >= num*n
+            seen = 0
+            from collections import Counter
+            for b, c in sorted(Counter(buckets).items()):
+                seen += c
+                if seen * den >= num * n:
+                    return b * PCTL_MV_BUCKET
+            raise AssertionError
+        assert served[day] == (n, q_lo(1, 2), q_lo(9, 10), q_lo(99, 100)), day
