@@ -96,14 +96,16 @@ def main() -> None:
         to_wire,
     )
 
-    # Best of 2, same policy as the query loop: the first pass pays
-    # whole-stage-codegen + Python-worker spin-up that a long-running
-    # ingest job amortizes to zero; one-shot measurement made the recorded
-    # rate swing 3x between rounds on JVM warm-up noise alone.
+    # Best of 3 (the query loop uses best-of-2): the ingest path is pure
+    # codegen + Python-worker hot loop, and measured warm-up extends past
+    # run 2 (standalone probe: 48k -> 159k -> 222k -> 254k -> 240k
+    # orders/s as the JIT tiers up), so best-of-2 understated steady
+    # state by ~35% depending on JVM history.  A long-running ingest job
+    # amortizes all of this to zero; steady state is the honest claim.
     n_ingest = 200_000
     wire = to_wire(generate_orders(spark, n_ingest))
     ingest_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ok, _dlq = parse_wire_with_dlq(wire)
         materialize(normalize_orders(ok))
