@@ -1083,3 +1083,50 @@ def error_recovery_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("next_p") - F.unix_micros("ts")) / F.lit(1_000_000.0),
         ).alias("latency_sec"),
     )
+
+
+def delta_sum_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``runningDifference`` analog — the
+    gauge-to-counter fold monitoring pipelines run over scraped counter
+    samples: per user, in (ts, event_id) order, sum ONLY the positive
+    deltas (a negative delta is a counter reset and contributes 0),
+    count the resets, and report first-to-last net change.
+
+    Exactness: deltas are computed in the DECIMAL(25,6) domain (cast
+    BEFORE subtracting, so the difference is exact decimal arithmetic,
+    never a float subtraction whose half-even re-rounding could differ
+    across engines), and the positive-delta sum rides the usual
+    order-independent decimal fold.  First/last values are selected by
+    min/max over a (ts, event_id, v) struct — a unique ordering, so no
+    peer ambiguity.
+
+    Scale shape: the lag window and the aggregate share the same
+    ``user_id`` hash partitioning, so the whole operator is ONE
+    shuffle; per-user state is a single previous row.  No global sort,
+    no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(25,6)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    zero = F.lit(0).cast("decimal(25,6)")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        vdec.alias("v"),
+        (vdec - F.lag(vdec).over(w)).alias("delta"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero))
+        .cast("double")
+        .alias("delta_sum"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        (
+            F.max(F.struct("ts", "event_id", "v")).getField("v")
+            - F.min(F.struct("ts", "event_id", "v")).getField("v")
+        )
+        .cast("double")
+        .alias("net_change"),
+    )

@@ -3973,3 +3973,26 @@ SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
        CAST(min(CASE WHEN cw * 100 >= tot * 99 THEN bucket * 20.0 END) AS DOUBLE) AS p99_lo
 FROM c GROUP BY 1
 """
+
+
+# deltaSum: deltas in the decimal domain (cast BEFORE the subtraction),
+# positive-delta sum on the order-independent decimal fold; first/last
+# via ordered aggregates on the unique (ts, event_id) ordering.
+ORACLE["delta_sum_counters"] = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(value AS DECIMAL(25,6)) AS v,
+         CAST(value AS DECIMAL(25,6))
+           - lag(CAST(value AS DECIMAL(25,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(coalesce(sum(CASE WHEN delta > 0 THEN delta END),
+                     0) AS DOUBLE) AS delta_sum,
+       CAST(coalesce(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_resets,
+       CAST(last(v ORDER BY ts, event_id)
+            - first(v ORDER BY ts, event_id) AS DOUBLE) AS net_change
+FROM d GROUP BY user_id
+"""

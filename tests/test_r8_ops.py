@@ -552,3 +552,36 @@ def test_percentile_mv_append_merge_equals_one_shot(spark):
                     return b * PCTL_MV_BUCKET
             raise AssertionError
         assert served[day] == (n, q_lo(1, 2), q_lo(9, 10), q_lo(99, 100)), day
+
+
+def test_delta_sum_counter_semantics(spark):
+    """deltaSum invariants + a pure-Python recompute of one user."""
+    from decimal import Decimal
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        delta_sum_counters,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = {r["user_id"]: r for r in delta_sum_counters(spark, SF_DIR_SMALL).collect()}
+    assert rows
+    # sum(all deltas) telescopes to net_change, so dropping the negative
+    # ones can only increase the total: delta_sum >= max(net_change, 0).
+    assert all(r["delta_sum"] >= max(r["net_change"], 0.0) for r in rows.values())
+    # the fixture's values are non-monotone per user: resets must fire
+    assert any(r["n_resets"] > 0 for r in rows.values())
+    uid = min(rows)
+    ev = sorted(
+        load_table(spark, SF_DIR_SMALL, "events")
+        .filter(f"user_id = {uid}")
+        .select("ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    vals = [Decimal(str(round(r["value"], 6))) for r in ev]
+    deltas = [b - a for a, b in zip(vals, vals[1:])]
+    got = rows[uid]
+    assert got["n_samples"] == len(vals)
+    assert got["n_resets"] == sum(1 for d in deltas if d < 0)
+    assert got["delta_sum"] == float(sum(d for d in deltas if d > 0))
+    assert got["net_change"] == float(vals[-1] - vals[0])
