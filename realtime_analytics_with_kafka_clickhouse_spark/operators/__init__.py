@@ -107,6 +107,7 @@ _NAMES = [
         "weighted_value_percentiles",  # quantileExactWeighted analog
         "error_recovery_asof",  # forward as-of join with tolerance
         "delta_sum_counters",  # deltaSum/runningDifference counter fold
+        "interval_union_length",  # intervalLengthSum coverage islands
     ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
@@ -142,11 +143,11 @@ _NAMES = [
         "q9_product_type_profit",
         "q10_returned_items",
         "q11_important_parts",
-        "q12_ship_channel_priority",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q12_ship_channel_priority) ----
+    # ---- driver gate boundary (exactly 50: ends at q11_important_parts) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q12_ship_channel_priority",
         "q13_customer_order_distribution",
         "q14_promo_revenue",
         "q15_top_supplier",

@@ -1130,3 +1130,64 @@ def delta_sum_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_change"),
     )
+
+
+def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``intervalLengthSum`` analog (ClickHouse's interval-union
+    aggregate): per customer, the union length of the activity windows
+    [orderdate, orderdate + ACTIVE_DAYS) — total covered days with
+    overlaps counted ONCE — plus the number of disjoint busy periods
+    ("islands") and the longest one.  The metric behind
+    subscription-coverage / uptime reports.
+
+    Shape: the same delta sweep-line as ``max_concurrent_intervals``,
+    but keyed per customer: ±1 change-points aggregated to DATE grain,
+    one running sum marks covered spans (concurrent > 0), island starts
+    are 0→>0 transitions, and a cumulative island id turns the
+    covered-span lengths into per-island sums.  All four windows share
+    ONE (o_custkey, d) sort; per-customer state is bounded by that
+    customer's distinct change-points, never the corpus.  Everything is
+    integer day arithmetic — value-exact by construction."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("start_d")
+    )
+    deltas = (
+        orders.select("o_custkey", F.col("start_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            orders.select(
+                "o_custkey",
+                F.date_add("start_d", ACTIVE_DAYS).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w_cum = Window.partitionBy("o_custkey").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("d")
+    marked = (
+        deltas.withColumn("concurrent", F.sum("delta").over(w_cum))
+        .withColumn("next_d", F.lead("d").over(w_seq))
+        .withColumn("prev_c", F.lag("concurrent").over(w_seq))
+        .withColumn(
+            "is_start",
+            (
+                (F.col("concurrent") > 0)
+                & (F.coalesce(F.col("prev_c"), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("is_start").over(w_cum))
+    )
+    per_island = (
+        marked.filter(F.col("concurrent") > 0)
+        .withColumn("len", F.datediff("next_d", "d"))
+        .groupBy("o_custkey", "island")
+        .agg(F.sum("len").alias("ilen"))
+    )
+    return per_island.groupBy("o_custkey").agg(
+        F.sum("ilen").cast("long").alias("covered_days"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.max("ilen").cast("long").alias("longest_island_days"),
+    )

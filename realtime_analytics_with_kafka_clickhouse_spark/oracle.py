@@ -3996,3 +3996,43 @@ SELECT user_id,
             - first(v ORDER BY ts, event_id) AS DOUBLE) AS net_change
 FROM d GROUP BY user_id
 """
+
+
+# intervalLengthSum: the same delta sweep as max_concurrent_intervals at
+# customer grain; covered spans are concurrent>0 change-point gaps,
+# islands are 0->+ transitions — all integer day arithmetic.
+ORACLE["interval_union_length"] = """
+WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS start_d FROM orders),
+deltas AS (
+  SELECT o_custkey, d, SUM(delta) AS delta FROM (
+    SELECT o_custkey, start_d AS d, 1 AS delta FROM o
+    UNION ALL
+    SELECT o_custkey, start_d + 30 AS d, -1 AS delta FROM o)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT o_custkey, d, delta,
+         SUM(delta) OVER w AS concurrent,
+         lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS next_d
+  FROM deltas
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+marked AS (
+  SELECT *,
+         CASE WHEN concurrent > 0 AND coalesce(
+                lag(concurrent) OVER (PARTITION BY o_custkey ORDER BY d), 0) = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM cum),
+islands AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY o_custkey ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM marked),
+per_island AS (
+  SELECT o_custkey, island, SUM(date_diff('day', d, next_d)) AS ilen
+  FROM islands WHERE concurrent > 0 GROUP BY 1, 2)
+SELECT o_custkey,
+       CAST(SUM(ilen) AS BIGINT) AS covered_days,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(MAX(ilen) AS BIGINT) AS longest_island_days
+FROM per_island GROUP BY 1
+"""

@@ -585,3 +585,35 @@ def test_delta_sum_counter_semantics(spark):
     assert got["n_resets"] == sum(1 for d in deltas if d < 0)
     assert got["delta_sum"] == float(sum(d for d in deltas if d > 0))
     assert got["net_change"] == float(vals[-1] - vals[0])
+
+
+def test_interval_union_length_invariants(spark):
+    """Coverage-union invariants + falsifiability: both the merged-overlap
+    and the multi-island branches must actually fire on the fixture."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        ACTIVE_DAYS,
+        interval_union_length,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    res = {r["o_custkey"]: r for r in interval_union_length(spark, SF_DIR_SMALL).collect()}
+    n_orders = {
+        r["o_custkey"]: r["n"]
+        for r in load_table(spark, SF_DIR_SMALL, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(res) == set(n_orders)
+    for ck, r in res.items():
+        # each island is >= one window long; union <= sum of windows
+        assert ACTIVE_DAYS <= r["longest_island_days"] <= r["covered_days"]
+        assert r["covered_days"] <= n_orders[ck] * ACTIVE_DAYS
+        assert r["n_islands"] <= n_orders[ck]
+        # islands are disjoint and each >= ACTIVE_DAYS
+        assert r["covered_days"] >= r["n_islands"] * ACTIVE_DAYS
+    # falsifiability: overlap-merge fires (covered < n*window) and
+    # multi-island customers exist
+    assert any(r["covered_days"] < n_orders[ck] * ACTIVE_DAYS for ck, r in res.items())
+    assert any(r["n_islands"] > 1 for r in res.values())
