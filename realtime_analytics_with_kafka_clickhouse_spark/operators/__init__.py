@@ -108,6 +108,7 @@ _NAMES = [
         "error_recovery_asof",  # forward as-of join with tolerance
         "delta_sum_counters",  # deltaSum/runningDifference counter fold
         "interval_union_length",  # intervalLengthSum coverage islands
+        "summap_event_values",  # sumMap/countMap Map-combinator arrays
     ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
@@ -142,11 +143,11 @@ _NAMES = [
         "q8_market_share",
         "q9_product_type_profit",
         "q10_returned_items",
-        "q11_important_parts",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q11_important_parts) ----
+    # ---- driver gate boundary (exactly 50: ends at q10_returned_items) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q11_important_parts",
         "q12_ship_channel_priority",
         "q13_customer_order_distribution",
         "q14_promo_revenue",

@@ -1191,3 +1191,29 @@ def interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_islands"),
         F.max("ilen").cast("long").alias("longest_island_days"),
     )
+
+
+def summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sumMap`` / ``countMap`` combinator analog (ClickHouse's Map
+    aggregations): per day, the event-type keyed map of counts and
+    decimal-exact value sums, emitted in ClickHouse's canonical shape —
+    sorted key array + positionally-aligned value arrays.
+
+    Shape: two-level aggregate — (day, key) partial+final first (full
+    map-side combine; the wide map never exists pre-aggregation), then a
+    per-day ``collect_list`` over at most |key-domain| rows sorted by
+    key.  Map cardinality is the EVENT-TYPE domain (single digits), so
+    the collected arrays are bounded by the domain, never the corpus;
+    at 100 TB both aggregates stay ordinary partial-agg shuffles.
+    Struct sort order is lexicographic on the leading unique key, so
+    the arrays are deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("n"), dsum("value").alias("s")
+    )
+    kv = F.sort_array(F.collect_list(F.struct("event_type", "n", "s")))
+    return per.groupBy("day").agg(
+        F.transform(kv, lambda x: x["event_type"]).alias("keys"),
+        F.transform(kv, lambda x: x["n"]).alias("counts"),
+        F.transform(kv, lambda x: x["s"]).alias("sums"),
+    )

@@ -4036,3 +4036,19 @@ SELECT o_custkey,
        CAST(MAX(ilen) AS BIGINT) AS longest_island_days
 FROM per_island GROUP BY 1
 """
+
+
+# sumMap/countMap: ordered list() over the (day, key) partial aggregate
+# mirrors the sorted-struct collect — key domain is tiny, alignment is
+# positional on the shared ORDER BY.
+ORACLE["summap_event_values"] = f"""
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n, {_dsum('value')} AS s
+  FROM events GROUP BY 1, 2)
+SELECT day,
+       list(event_type ORDER BY event_type) AS keys,
+       list(n ORDER BY event_type) AS counts,
+       list(s ORDER BY event_type) AS sums
+FROM per GROUP BY day
+"""

@@ -617,3 +617,28 @@ def test_interval_union_length_invariants(spark):
     # multi-island customers exist
     assert any(r["covered_days"] < n_orders[ck] * ACTIVE_DAYS for ck, r in res.items())
     assert any(r["n_islands"] > 1 for r in res.values())
+
+
+def test_summap_arrays_aligned_and_reconcile(spark):
+    """sumMap arrays: sorted unique keys, positional alignment, and the
+    per-day map totals reconcile against the flat aggregate."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        summap_event_values,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = summap_event_values(spark, SF_DIR_SMALL).collect()
+    assert rows
+    flat = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["keys"] == sorted(set(r["keys"]))
+        assert len(r["keys"]) == len(r["counts"]) == len(r["sums"])
+        for k, n in zip(r["keys"], r["counts"]):
+            assert flat[(r["day"], k)] == n
