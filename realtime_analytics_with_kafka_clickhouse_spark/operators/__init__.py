@@ -109,6 +109,7 @@ _NAMES = [
         "delta_sum_counters",  # deltaSum/runningDifference counter fold
         "interval_union_length",  # intervalLengthSum coverage islands
         "summap_event_values",  # sumMap/countMap Map-combinator arrays
+        "argminmax_battery",  # argMax/argMin/anyLast struct extrema
     ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
@@ -142,11 +143,11 @@ _NAMES = [
         "q6_forecast_revenue",
         "q8_market_share",
         "q9_product_type_profit",
-        "q10_returned_items",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q10_returned_items) ----
+    # ---- driver gate boundary (exactly 50: ends at q9_product_type_profit) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q10_returned_items",
         "q11_important_parts",
         "q12_ship_channel_priority",
         "q13_customer_order_distribution",

@@ -1217,3 +1217,30 @@ def summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(kv, lambda x: x["n"]).alias("counts"),
         F.transform(kv, lambda x: x["s"]).alias("sums"),
     )
+
+
+def argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``argMax`` / ``argMin`` / ``anyLast`` combinator parity
+    (ClickHouse's value-at-extremum aggregates): per event type, the
+    user holding the max (and min) value and the latest-seen value.
+
+    The portable formulation is a struct extremum: ``max(struct(value,
+    ts, event_id, payload))`` — the tuple ordering is made TOTAL with
+    the (ts, event_id) tiebreak, so "which row wins a value tie" is
+    deterministic in both engines (ClickHouse's own argMax is
+    any-of-ties; this is the reproducible refinement).  Struct min/max
+    is merge-associative, so it partial-aggregates map-side and merges
+    in any order — the same property that makes ClickHouse's
+    SimpleAggregateFunction states mergeable.  One shuffle on the group
+    key; no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    by_value = F.struct("value", "ts", "event_id", "user_id")
+    by_time = F.struct("ts", "event_id", "user_id", "value")
+    return ev.groupBy("event_type").agg(
+        F.max(by_value).getField("user_id").alias("top_user"),
+        F.max("value").alias("top_value"),
+        F.min(by_value).getField("user_id").alias("bottom_user"),
+        F.min(by_time).getField("user_id").alias("first_user"),
+        F.max(by_time).getField("value").alias("last_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )

@@ -4052,3 +4052,18 @@ SELECT day,
        list(s ORDER BY event_type) AS sums
 FROM per GROUP BY day
 """
+
+
+# argMax/argMin/anyLast: ordered first/last aggregates over the same
+# total (value, ts, event_id) / (ts, event_id) orderings the Spark
+# struct extrema induce.
+ORACLE["argminmax_battery"] = """
+SELECT event_type,
+       last(user_id ORDER BY value, ts, event_id) AS top_user,
+       max(value) AS top_value,
+       first(user_id ORDER BY value, ts, event_id) AS bottom_user,
+       first(user_id ORDER BY ts, event_id) AS first_user,
+       last(value ORDER BY ts, event_id) AS last_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""

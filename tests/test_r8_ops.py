@@ -642,3 +642,31 @@ def test_summap_arrays_aligned_and_reconcile(spark):
         assert len(r["keys"]) == len(r["counts"]) == len(r["sums"])
         for k, n in zip(r["keys"], r["counts"]):
             assert flat[(r["day"], k)] == n
+
+
+def test_argminmax_battery_matches_bruteforce(spark):
+    """Struct-extremum argMax/argMin vs a pure-Python recompute."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        argminmax_battery,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in argminmax_battery(spark, SF_DIR_SMALL).collect()}
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "value", "ts", "event_id", "user_id"
+    ).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert set(got) == set(by_type)
+    for et, rows in by_type.items():
+        top = max(rows, key=lambda r: (r["value"], r["ts"], r["event_id"]))
+        bot = min(rows, key=lambda r: (r["value"], r["ts"], r["event_id"]))
+        first = min(rows, key=lambda r: (r["ts"], r["event_id"]))
+        last = max(rows, key=lambda r: (r["ts"], r["event_id"]))
+        g = got[et]
+        assert (g["top_user"], g["top_value"]) == (top["user_id"], top["value"])
+        assert g["bottom_user"] == bot["user_id"]
+        assert g["first_user"] == first["user_id"]
+        assert g["last_value"] == last["value"]
+        assert g["n_events"] == len(rows)
