@@ -120,6 +120,9 @@ _NAMES = [
     (curation, [
         "quality_linear_probe_train",  # data-parallel GD linear probe
     ]),
+    (text, [
+        "quality_pr_sweep",  # precision/recall threshold sweep (-If shape)
+    ]),
     (multimodal, [
         "audio_vad_segments",  # energy-gated VAD, the audio leg
     ]),
@@ -142,11 +145,11 @@ _NAMES = [
         "q5_region_supplier_volume",
         "q6_forecast_revenue",
         "q8_market_share",
-        "q9_product_type_profit",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q9_product_type_profit) ----
+    # ---- driver gate boundary (exactly 50: ends at q8_market_share) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q9_product_type_profit",
         "q10_returned_items",
         "q11_important_parts",
         "q12_ship_channel_priority",

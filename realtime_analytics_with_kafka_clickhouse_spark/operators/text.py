@@ -39,10 +39,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score in [0,1]: length, lexical diversity, token
-    shape — the length/ratio scoring family used in LLM data pipelines."""
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_score_expr():
+    """The round-6 heuristic quality score as a Column (shared by
+    ``quality_score`` and ``quality_pr_sweep`` — one formula, one truth)."""
     words = F.split(F.col("text"), " ")
     n = F.size(words).cast("double")
     distinct_ratio = F.size(F.array_distinct(words)).cast("double") / n
@@ -52,9 +51,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.4) * distinct_ratio
         + F.lit(0.2) * F.least(avg_len / F.lit(8.0), F.lit(1.0))
     )
+    return F.round(score, 6)
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, lexical diversity, token
+    shape — the length/ratio scoring family used in LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
-        F.round(score, 6).alias("quality_score"),
+        _quality_score_expr().alias("quality_score"),
         (F.size(words) >= 5).alias("passes_min_length"),
     )
 
@@ -492,6 +499,36 @@ GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MAX_SYMBOL_RATIO = 0.1
 
 
+def _gopher_passes_expr():
+    """The combined Gopher pass flag as a Column (shared by
+    ``gopher_quality_rules`` and ``quality_pr_sweep``)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words).cast("double")
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n
+    )
+    stopword_count = F.size(
+        F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / n
+    )
+    symbol_ratio = (
+        (
+            F.regexp_count(F.col("text"), F.lit("#"))
+            + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+        ).cast("double")
+        / n
+    )
+    return (
+        F.size(words).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (stopword_count >= GOPHER_MIN_STOPWORDS)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+
+
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style heuristic quality rules (Rae et al. 2021, §A1.1 —
     public paper): word-count bounds, mean-word-length band, minimum
@@ -522,13 +559,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / n
     )
-    passes = (
-        F.size(words).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & mean_word_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
-        & (stopword_count >= GOPHER_MIN_STOPWORDS)
-        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
-        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
-    )
+    passes = _gopher_passes_expr()
     return docs.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
@@ -1142,4 +1173,61 @@ def ngram_phrases_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY {gram_cols}
         HAVING count(*) >= {NGRAM_UDTF_MIN_COUNT}
         """
+    )
+
+
+# PR-sweep thresholds: chosen to BISECT the fixture's observed score range
+# (~0.42..0.73) so the confusion cells actually vary — the ends are the
+# degenerate all-positive / all-negative predictions (kept deliberately:
+# they pin the sweep's boundary behavior).
+QPR_THRESHOLDS = [round(0.40 + 0.02 * i, 2) for i in range(18)]
+
+
+def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval threshold sweep — the precision/recall curve of the
+    heuristic quality score against the Gopher rule label, the acceptance
+    artifact every learned quality filter ships with (FineWeb/DCLM-style
+    filter tuning).
+
+    Shape: ONE map-side-combined aggregate carries all 18 x 4 conditional
+    counters (the ``-If`` combinator shape — one scan, no threshold x
+    corpus blow-up), then ``stack`` unpivots the single row to one row
+    per threshold and the ratios are single IEEE divisions of exact
+    counts.  At 100 TB: one scan, one 72-counter partial agg, 18 output
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        _quality_score_expr().alias("score"), _gopher_passes_expr().alias("label")
+    )
+    aggs = []
+    for i, t in enumerate(QPR_THRESHOLDS):
+        pred = F.col("score") >= F.lit(t)
+        lbl = F.col("label")
+        for cell, cond in (
+            ("tp", pred & lbl),
+            ("fp", pred & ~lbl),
+            ("fn", ~pred & lbl),
+            ("tn", ~pred & ~lbl),
+        ):
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"{cell}_{i}")
+            )
+    one = scored.agg(*aggs)
+    parts = ", ".join(
+        f"{t!r}D, tp_{i}, fp_{i}, fn_{i}, tn_{i}"
+        for i, t in enumerate(QPR_THRESHOLDS)
+    )
+    wide = one.selectExpr(
+        f"stack({len(QPR_THRESHOLDS)}, {parts}) as (threshold, tp, fp, fn, tn)"
+    )
+    return wide.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)))
+        .alias("precision"),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)))
+        .alias("recall"),
     )

@@ -4067,3 +4067,43 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
+
+
+# PR threshold sweep: same score/label formulas as quality_score /
+# gopher_quality_rules CTE'd once; thresholds as a VALUES list (the
+# toy-scale mirror of the Spark side's single 72-counter aggregate).
+_QPR_THRESHOLDS = [round(0.40 + 0.02 * i, 2) for i in range(18)]
+_QPR_VALUES = ", ".join(f"({t!r})" for t in _QPR_THRESHOLDS)
+ORACLE["quality_pr_sweep"] = r"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+s AS (
+  SELECT
+    round(0.4 * least(CAST(len(words) AS DOUBLE) / 50.0, 1.0)
+        + 0.4 * (CAST(len(list_distinct(words)) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE))
+        + 0.2 * least((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / CAST(len(words) AS DOUBLE)) / 8.0, 1.0), 6) AS score,
+    (len(words) BETWEEN 20 AND 100000)
+      AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) BETWEEN 3.0 AND 10.0)
+      AND len(list_filter(words,
+              x -> x IN ('the','a','and','of','to','in','is','that'))) >= 2
+      AND CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) >= 0.8
+      AND CAST(len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) <= 0.1 AS label
+  FROM w),
+t(threshold) AS (VALUES __QPR_VALUES__),
+c AS (
+  SELECT threshold,
+         CAST(count(*) FILTER (score >= threshold AND label) AS BIGINT) AS tp,
+         CAST(count(*) FILTER (score >= threshold AND NOT label) AS BIGINT) AS fp,
+         CAST(count(*) FILTER (score < threshold AND label) AS BIGINT) AS fn,
+         CAST(count(*) FILTER (score < threshold AND NOT label) AS BIGINT) AS tn
+  FROM s CROSS JOIN t GROUP BY threshold)
+SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS "precision",
+       CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall
+FROM c
+""".replace("__QPR_VALUES__", _QPR_VALUES)

@@ -670,3 +670,23 @@ def test_argminmax_battery_matches_bruteforce(spark):
         assert g["first_user"] == first["user_id"]
         assert g["last_value"] == last["value"]
         assert g["n_events"] == len(rows)
+
+
+def test_quality_pr_sweep_curve_shape(spark):
+    """PR-curve invariants: cells partition the corpus at every threshold,
+    recall is monotone non-increasing in the threshold, and the fixture
+    exercises all four confusion cells at some threshold."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        QPR_THRESHOLDS,
+        quality_pr_sweep,
+    )
+
+    rows = sorted(quality_pr_sweep(spark, SF_DIR_SMALL).collect(), key=lambda r: r["threshold"])
+    assert [r["threshold"] for r in rows] == QPR_THRESHOLDS
+    totals = {r["tp"] + r["fp"] + r["fn"] + r["tn"] for r in rows}
+    assert len(totals) == 1  # every threshold sees the whole corpus
+    recalls = [r["recall"] for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert any(min(r["tp"], r["fp"], r["fn"], r["tn"]) > 0 for r in rows)
+    # boundary behavior: the lowest threshold predicts everything positive
+    assert rows[0]["fn"] == rows[0]["tn"] == 0 and rows[0]["recall"] == 1.0
