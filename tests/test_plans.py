@@ -507,3 +507,55 @@ def test_similar_names_equi_join_on_rank(spark, queries):
     import re
     keys = re.findall(r"(?:Arguments|Left keys|Right keys).*?\[(.*?)\]", plan)
     assert "rn" in " ".join(keys), plan
+
+
+def test_delta_sum_single_exchange(spark, queries):
+    """The lag window and the per-user aggregate share the user_id hash
+    partitioning: ONE shuffle end to end."""
+    df = queries["delta_sum_counters"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_interval_union_windows_share_one_sort(spark, queries):
+    """All sweep-line windows ride the (o_custkey, d) exchange of the
+    delta aggregate; the island and per-customer aggregates re-use the
+    same partitioning — 2 shuffles total (union->delta agg, then
+    nothing new: windows and final aggs are key-compatible)."""
+    df = queries["interval_union_length"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) <= 2, plan
+    # three chained Window nodes (cumsum, lead/lag, island id), each
+    # appearing as tree node + detail block — but NO extra exchange
+    assert plan.count("Window") <= 6
+
+
+def test_summap_two_level_aggregate(spark, queries):
+    """(day, key) partial+final then per-day collect: 2 aggregate
+    exchanges, one scan, no window."""
+    df = queries["summap_event_values"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1, plan
+    assert count_shuffles(df) == 2, plan
+    assert "Window" not in plan
+
+
+def test_argminmax_single_aggregate_no_window(spark, queries):
+    """Struct extrema are plain mergeable aggregates: one exchange on the
+    group key, zero windows.  Spark compiles struct min/max to a
+    SortAggregate (structs aren't hash-agg compatible) — the partial
+    aggregate BEFORE the exchange is the map-side-combine proof; the
+    local sort is on the tiny group key, not a global sort."""
+    df = queries["argminmax_battery"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 1, plan
+    assert "Window" not in plan
+    assert "partial_max" in plan  # map-side combine survives the struct agg
+
+
+def test_quality_pr_sweep_single_scan_single_agg(spark, queries):
+    """All 72 conditional counters live in ONE aggregate over ONE scan;
+    the threshold unpivot adds no exchange (1-row input)."""
+    df = queries["quality_pr_sweep"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1, plan
+    assert count_shuffles(df) <= 1, plan
