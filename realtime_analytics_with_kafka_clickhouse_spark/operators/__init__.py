@@ -110,6 +110,7 @@ _NAMES = [
         "interval_union_length",  # intervalLengthSum coverage islands
         "summap_event_values",  # sumMap/countMap Map-combinator arrays
         "argminmax_battery",  # argMax/argMin/anyLast struct extrema
+        "robust_outlier_days",  # median/MAD robust anomaly flag
     ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
@@ -144,11 +145,11 @@ _NAMES = [
         "q3_shipping_priority",
         "q5_region_supplier_volume",
         "q6_forecast_revenue",
-        "q8_market_share",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q8_market_share) ----
+    # ---- driver gate boundary (exactly 50: ends at q6_forecast_revenue) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q8_market_share",
         "q9_product_type_profit",
         "q10_returned_items",
         "q11_important_parts",

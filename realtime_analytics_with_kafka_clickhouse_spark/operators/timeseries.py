@@ -1244,3 +1244,40 @@ def argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(by_time).getField("value").alias("last_value"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+MAD_K = 3  # robust z threshold: |x - median| > K * MAD
+
+
+def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flag over the daily value rollup — the
+    heavy-tail-safe alternative to ``revenue_anomaly_days``'s trailing
+    z-score (a single spiked day inflates a stddev baseline but moves
+    the median/MAD not at all).
+
+    Exactness: the daily totals ride the decimal fold; median and MAD
+    are exact interpolated percentiles (the ``value_percentiles``
+    cross-engine contract), and the flag comparison is the same IEEE
+    multiply/compare stream in both engines.
+
+    Scale shape: detection runs on the ROLLUP, not the raw stream —
+    O(days) rows after one partial-agg shuffle; the two global
+    percentiles each reduce to one broadcast scalar row (the
+    ``winsorized_value_stats`` discipline), so nothing global ever
+    sorts more than the day frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("daily_value")
+    )
+    med = daily.agg(F.expr("percentile(daily_value, 0.5)").alias("med"))
+    dev = daily.join(F.broadcast(med)).withColumn(
+        "abs_dev", F.abs(F.col("daily_value") - F.col("med"))
+    )
+    mad = dev.agg(F.expr("percentile(abs_dev, 0.5)").alias("mad"))
+    return dev.join(F.broadcast(mad)).select(
+        "day",
+        "daily_value",
+        "abs_dev",
+        "mad",
+        (F.col("abs_dev") > F.lit(float(MAD_K)) * F.col("mad")).alias("is_outlier"),
+    )

@@ -4107,3 +4107,17 @@ SELECT CAST(threshold AS DOUBLE) AS threshold, tp, fp, fn, tn,
        CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall
 FROM c
 """.replace("__QPR_VALUES__", _QPR_VALUES)
+
+
+# Median/MAD robust outliers: quantile_cont == Spark's exact interpolated
+# percentile (the value_percentiles contract); same IEEE compare stream.
+ORACLE["robust_outlier_days"] = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, {_dsum('value')} AS daily_value
+  FROM events GROUP BY 1),
+m AS (SELECT quantile_cont(daily_value, 0.5) AS med FROM d),
+dev AS (SELECT day, daily_value, abs(daily_value - med) AS abs_dev FROM d, m),
+md AS (SELECT quantile_cont(abs_dev, 0.5) AS mad FROM dev)
+SELECT day, daily_value, abs_dev, mad, abs_dev > 3 * mad AS is_outlier
+FROM dev, md
+"""

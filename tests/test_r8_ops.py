@@ -690,3 +690,24 @@ def test_quality_pr_sweep_curve_shape(spark):
     assert any(min(r["tp"], r["fp"], r["fn"], r["tn"]) > 0 for r in rows)
     # boundary behavior: the lowest threshold predicts everything positive
     assert rows[0]["fn"] == rows[0]["tn"] == 0 and rows[0]["recall"] == 1.0
+
+
+def test_robust_outlier_days_both_branches_and_median_robustness(spark):
+    """MAD flag: both branches fire; flags agree with a pure-Python
+    median/MAD recompute."""
+    import statistics
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        MAD_K,
+        robust_outlier_days,
+    )
+
+    rows = robust_outlier_days(spark, SF_DIR_SMALL).collect()
+    assert rows
+    flags = {r["day"]: r["is_outlier"] for r in rows}
+    assert any(flags.values()) and not all(flags.values())
+    vals = {r["day"]: r["daily_value"] for r in rows}
+    med = statistics.median(vals.values())
+    mad = statistics.median(abs(v - med) for v in vals.values())
+    for day, v in vals.items():
+        assert flags[day] == (abs(v - med) > MAD_K * mad)
