@@ -112,6 +112,9 @@ _NAMES = [
         "argminmax_battery",  # argMax/argMin/anyLast struct extrema
         "robust_outlier_days",  # median/MAD robust anomaly flag
     ]),
+    (windows, [
+        "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
+    ]),
     (rollups, [
         "conditional_agg_rollup",  # ClickHouse -If combinator battery
     ]),
@@ -144,11 +147,11 @@ _NAMES = [
         "q2_min_cost_supplier",
         "q3_shipping_priority",
         "q5_region_supplier_volume",
-        "q6_forecast_revenue",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q6_forecast_revenue) ----
+    # ---- driver gate boundary (exactly 50: ends at q5_region_supplier_volume) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q6_forecast_revenue",
         "q8_market_share",
         "q9_product_type_profit",
         "q10_returned_items",

@@ -279,3 +279,39 @@ def value_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value(F.col("o_totalprice")).over(w).alias("cheapest_so_far"),
         F.nth_value(F.col("o_totalprice"), 2).over(w).alias("second_cheapest_seen"),
     )
+
+
+def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupArray`` / ``groupArrayMovingSum`` analog (ClickHouse's
+    ordered-array aggregates): per customer, the time-ordered array of
+    order totals alongside the trailing-3 moving-sum array — the
+    "order history as a feature vector" shape recommendation pipelines
+    export.
+
+    The moving sum runs in the DECIMAL(25,6) domain over a ROWS frame
+    BEFORE collection (decimal addition is associative — exact at any
+    parallelism), and the arrays come from ONE sorted-struct collect on
+    the unique (orderdate, orderkey) ordering, so element order is
+    total in both engines.  The window and the collect share the same
+    customer-key exchange: one shuffle end to end; array length is
+    bounded by orders-per-customer (tens), never the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(25,6)")
+    w3 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(-2, 0)
+    base = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.sum(dec).over(w3).cast("double").alias("m3"),
+    )
+    kv = F.sort_array(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey", "price", "m3"))
+    )
+    return base.groupBy("o_custkey").agg(
+        F.transform(kv, lambda x: x["price"]).alias("prices"),
+        F.transform(kv, lambda x: x["m3"]).alias("moving3"),
+        F.count("*").cast("long").alias("n_orders"),
+    )

@@ -4121,3 +4121,20 @@ md AS (SELECT quantile_cont(abs_dev, 0.5) AS mad FROM dev)
 SELECT day, daily_value, abs_dev, mad, abs_dev > 3 * mad AS is_outlier
 FROM dev, md
 """
+
+
+# groupArrayMovingSum: decimal-domain ROWS-frame sum before collection;
+# ordered list() mirrors the sorted-struct collect on the same unique key.
+ORACLE["group_array_moving_sum"] = """
+WITH b AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice AS price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS m3
+  FROM orders)
+SELECT o_custkey,
+       list(price ORDER BY o_orderdate, o_orderkey) AS prices,
+       list(m3 ORDER BY o_orderdate, o_orderkey) AS moving3,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1
+"""

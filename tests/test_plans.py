@@ -559,3 +559,10 @@ def test_quality_pr_sweep_single_scan_single_agg(spark, queries):
     plan = formatted_plan(df)
     assert len(read_schema_columns(df)) == 1, plan
     assert count_shuffles(df) <= 1, plan
+
+
+def test_group_array_moving_sum_single_exchange(spark, queries):
+    """Moving-sum window and the per-customer collect share the customer
+    hash partitioning: one shuffle end to end."""
+    df = queries["group_array_moving_sum"](spark, SF_DIR)
+    assert count_shuffles(df) == 1, formatted_plan(df)

@@ -711,3 +711,25 @@ def test_robust_outlier_days_both_branches_and_median_robustness(spark):
     mad = statistics.median(abs(v - med) for v in vals.values())
     for day, v in vals.items():
         assert flags[day] == (abs(v - med) > MAD_K * mad)
+
+
+def test_group_array_moving_sum_semantics(spark):
+    """Arrays are time-ordered; moving3 equals the trailing-3 fold of the
+    price array, recomputed in pure Python decimals."""
+    from decimal import Decimal
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.windows import (
+        group_array_moving_sum,
+    )
+
+    rows = group_array_moving_sum(spark, SF_DIR_SMALL).collect()
+    assert rows
+    saw_full_window = False
+    for r in rows:
+        assert len(r["prices"]) == len(r["moving3"]) == r["n_orders"]
+        dps = [Decimal(str(round(p, 6))) for p in r["prices"]]
+        for i, m in enumerate(r["moving3"]):
+            lo = max(0, i - 2)
+            assert m == float(sum(dps[lo : i + 1]))
+            saw_full_window |= i >= 2
+    assert saw_full_window  # some customer has >= 3 orders
