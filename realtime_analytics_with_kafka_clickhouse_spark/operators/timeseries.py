@@ -508,6 +508,25 @@ FUNNEL_STEPS = ("signup", "view", "click", "purchase")
 FUNNEL_WINDOW = "INTERVAL 24 HOURS"  # max step-to-step delay
 
 
+def _funnel_chain(ev: DataFrame) -> list[DataFrame]:
+    """The min-chain funnel's per-user step-completion frames: element i
+    is (user_id, t{i+1}) for users who completed step i+1.  Shared by
+    ``funnel_steps`` and ``funnel_step_latency`` — one chain, one truth."""
+    prev = None
+    frames = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        sliced = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            sliced = sliced.join(prev, "user_id").filter(
+                (F.col("ts") >= F.col(f"t{i - 1}"))
+                & (F.col("ts") <= F.col(f"t{i - 1}") + F.expr(FUNNEL_WINDOW))
+            )
+        cur = sliced.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+        frames.append(cur)
+        prev = cur
+    return frames
+
+
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed sequential conversion funnel (signup -> view -> click ->
     purchase): a user completes step k when an event of step k's type
@@ -525,18 +544,10 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user_id key so AQE reuses the exchange."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     users = ev.select("user_id").distinct()
-    prev = None
-    step_frames = []
-    for i, step in enumerate(FUNNEL_STEPS, start=1):
-        sliced = ev.filter(F.col("event_type") == step)
-        if prev is not None:
-            sliced = sliced.join(prev, "user_id").filter(
-                (F.col("ts") >= F.col(f"t{i - 1}"))
-                & (F.col("ts") <= F.col(f"t{i - 1}") + F.expr(FUNNEL_WINDOW))
-            )
-        cur = sliced.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
-        step_frames.append(cur.select("user_id", F.lit(i).alias("step")))
-        prev = cur
+    step_frames = [
+        cur.select("user_id", F.lit(i).alias("step"))
+        for i, cur in enumerate(_funnel_chain(ev), start=1)
+    ]
     reached = users.join(
         step_frames[0].unionByName(step_frames[1])
         .unionByName(step_frames[2])
@@ -1280,4 +1291,37 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs_dev",
         "mad",
         (F.col("abs_dev") > F.lit(float(MAD_K)) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-to-step conversion latency for the min-chain funnel: among
+    users who completed step k+1, the p50/p90/max seconds between their
+    step-k and step-(k+1) completion times — the "where does the funnel
+    stall" report that accompanies every conversion dashboard.
+
+    Latencies are integer-microsecond differences divided once by 1e6
+    (a single IEEE division — exact parity), and the percentiles are
+    exact interpolated (the ``value_percentiles`` contract).  Shape:
+    reuses ``_funnel_chain``'s user-keyed step frames; each pair join is
+    user-keyed on frames already far smaller than the corpus, and the
+    final aggregate has 3 groups."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    frames = _funnel_chain(ev)
+    pairs = None
+    for i in range(len(frames) - 1):
+        lat = (
+            F.unix_micros(F.col(f"t{i + 2}")) - F.unix_micros(F.col(f"t{i + 1}"))
+        ) / F.lit(1_000_000.0)
+        j = frames[i].join(frames[i + 1], "user_id").select(
+            F.lit(i + 1).cast("long").alias("step_from"),
+            F.lit(i + 2).cast("long").alias("step_to"),
+            lat.alias("latency_sec"),
+        )
+        pairs = j if pairs is None else pairs.unionByName(j)
+    return pairs.groupBy("step_from", "step_to").agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile(latency_sec, 0.5)").alias("p50_sec"),
+        F.expr("percentile(latency_sec, 0.9)").alias("p90_sec"),
+        F.max("latency_sec").alias("max_sec"),
     )

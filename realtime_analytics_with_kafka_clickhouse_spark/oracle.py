@@ -2219,8 +2219,8 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
-ORACLE["funnel_steps"] = """
-WITH s1 AS (
+# The min-chain funnel CTEs, shared by funnel_steps and funnel_step_latency.
+_FUNNEL_CTES = """s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
 s2 AS (
   SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
@@ -2233,7 +2233,10 @@ s3 AS (
 s4 AS (
   SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts >= s3.t3
-    AND e.ts <= s3.t3 + INTERVAL 24 HOUR GROUP BY 1),
+    AND e.ts <= s3.t3 + INTERVAL 24 HOUR GROUP BY 1)"""
+
+ORACLE["funnel_steps"] = f"""
+WITH {_FUNNEL_CTES},
 per_user AS (
   SELECT u.user_id,
          CASE WHEN s4.user_id IS NOT NULL THEN 4
@@ -4137,4 +4140,28 @@ SELECT o_custkey,
        list(m3 ORDER BY o_orderdate, o_orderkey) AS moving3,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM b GROUP BY 1
+"""
+
+
+# Funnel step latency: same chain CTEs; one micros division per latency,
+# exact interpolated percentiles.
+ORACLE["funnel_step_latency"] = f"""
+WITH {_FUNNEL_CTES},
+lat AS (
+  SELECT 1 AS step_from, 2 AS step_to,
+         (epoch_us(t2) - epoch_us(t1)) / 1000000.0 AS latency_sec
+  FROM s1 JOIN s2 USING (user_id)
+  UNION ALL
+  SELECT 2, 3, (epoch_us(t3) - epoch_us(t2)) / 1000000.0
+  FROM s2 JOIN s3 USING (user_id)
+  UNION ALL
+  SELECT 3, 4, (epoch_us(t4) - epoch_us(t3)) / 1000000.0
+  FROM s3 JOIN s4 USING (user_id))
+SELECT CAST(step_from AS BIGINT) AS step_from,
+       CAST(step_to AS BIGINT) AS step_to,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       quantile_cont(latency_sec, 0.5) AS p50_sec,
+       quantile_cont(latency_sec, 0.9) AS p90_sec,
+       max(latency_sec) AS max_sec
+FROM lat GROUP BY 1, 2
 """

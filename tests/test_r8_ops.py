@@ -733,3 +733,27 @@ def test_group_array_moving_sum_semantics(spark):
             assert m == float(sum(dps[lo : i + 1]))
             saw_full_window |= i >= 2
     assert saw_full_window  # some customer has >= 3 orders
+
+
+def test_funnel_step_latency_consistent_with_funnel_counts(spark):
+    """Pair conversions must equal the funnel's reached-step tallies, and
+    every latency stat respects the funnel window bound."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        funnel_step_latency,
+        funnel_steps,
+    )
+
+    lat = {
+        (r["step_from"], r["step_to"]): r
+        for r in funnel_step_latency(spark, SF_DIR_SMALL).collect()
+    }
+    counts = {
+        r["steps_completed"]: r["n_users"]
+        for r in funnel_steps(spark, SF_DIR_SMALL).collect()
+    }
+    # users converting step k->k+1 == users who reached >= k+1
+    for k in (1, 2, 3):
+        reached = sum(n for s, n in counts.items() if s >= k + 1)
+        assert lat[(k, k + 1)]["n_converted"] == reached
+    for r in lat.values():
+        assert 0.0 <= r["p50_sec"] <= r["p90_sec"] <= r["max_sec"] <= 24 * 3600.0
