@@ -1325,3 +1325,55 @@ def funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(latency_sec, 0.9)").alias("p90_sec"),
         F.max("latency_sec").alias("max_sec"),
     )
+
+
+def welch_ttest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``welchTTest`` analog (ClickHouse's statistical-test family): for
+    every event type, Welch's unequal-variance t statistic and
+    Welch–Satterthwaite degrees of freedom for "this type's values vs
+    all other values" — the one-vs-rest A/B report.
+
+    Exactness: both samples' count/sum/sum-of-squares come from ONE
+    decimal power-sum aggregate (the ``value_dispersion`` discipline);
+    the rest-side sums are decimal SUBTRACTIONS from the broadcast
+    global totals (exact — never a second scan), and only then does the
+    arithmetic drop to double, where both engines run the identical
+    IEEE op sequence (+,-,*,/ and correctly-rounded sqrt; no exp/log).
+    Round-6 on the outputs mirrors ``value_dispersion``.
+
+    Scale shape: one partial-agg shuffle over the corpus; the global
+    totals are a one-row broadcast; everything after is per-group
+    scalar arithmetic on |event-type domain| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)")).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("s1").alias("tot_s1"),
+        F.sum("s2").alias("tot_s2"),
+    )
+    j = per.join(F.broadcast(tot))
+    n1 = F.col("n").cast("double")
+    n2 = (F.col("tot_n") - F.col("n")).cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    r1d = (F.col("tot_s1") - F.col("s1")).cast("double")
+    r2d = (F.col("tot_s2") - F.col("s2")).cast("double")
+    m1, m2 = s1d / n1, r1d / n2
+    v1 = (s2d - s1d * s1d / n1) / (n1 - 1)
+    v2 = (r2d - r1d * r1d / n2) / (n2 - 1)
+    se1, se2 = v1 / n1, v2 / n2
+    se = se1 + se2
+    t = (m1 - m2) / F.sqrt(se)
+    dof = se * se / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        (F.col("tot_n") - F.col("n")).cast("long").alias("n_rest"),
+        F.round(m1, 6).alias("mean_sample"),
+        F.round(m2, 6).alias("mean_rest"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )

@@ -4165,3 +4165,39 @@ SELECT CAST(step_from AS BIGINT) AS step_from,
        max(latency_sec) AS max_sec
 FROM lat GROUP BY 1, 2
 """
+
+
+# welchTTest: identical IEEE op sequence over the same decimal power
+# sums; rest side by exact decimal subtraction from the global totals.
+ORACLE["welch_ttest_values"] = """
+WITH per AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(25,6))) AS s1,
+         sum(CAST(value * value AS DECIMAL(30,8))) AS s2
+  FROM events GROUP BY 1),
+tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM per),
+c AS (
+  SELECT event_type, n, tn - n AS nr,
+         CAST(n AS DOUBLE) AS n1, CAST(tn - n AS DOUBLE) AS n2,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(ts1 - s1 AS DOUBLE) AS r1d, CAST(ts2 - s2 AS DOUBLE) AS r2d
+  FROM per, tot)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_sample,
+       CAST(nr AS BIGINT) AS n_rest,
+       round(s1d / n1, 6) AS mean_sample,
+       round(r1d / n2, 6) AS mean_rest,
+       round((s1d / n1 - r1d / n2)
+             / sqrt((s2d - s1d * s1d / n1) / (n1 - 1) / n1
+                    + (r2d - r1d * r1d / n2) / (n2 - 1) / n2), 6) AS t_stat,
+       round(((s2d - s1d * s1d / n1) / (n1 - 1) / n1
+              + (r2d - r1d * r1d / n2) / (n2 - 1) / n2)
+             * ((s2d - s1d * s1d / n1) / (n1 - 1) / n1
+                + (r2d - r1d * r1d / n2) / (n2 - 1) / n2)
+             / ((s2d - s1d * s1d / n1) / (n1 - 1) / n1
+                * ((s2d - s1d * s1d / n1) / (n1 - 1) / n1) / (n1 - 1)
+                + (r2d - r1d * r1d / n2) / (n2 - 1) / n2
+                  * ((r2d - r1d * r1d / n2) / (n2 - 1) / n2) / (n2 - 1)), 6)
+         AS welch_df
+FROM c
+"""

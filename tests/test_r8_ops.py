@@ -757,3 +757,39 @@ def test_funnel_step_latency_consistent_with_funnel_counts(spark):
         assert lat[(k, k + 1)]["n_converted"] == reached
     for r in lat.values():
         assert 0.0 <= r["p50_sec"] <= r["p90_sec"] <= r["max_sec"] <= 24 * 3600.0
+
+
+def test_welch_ttest_matches_scipy_style_recompute(spark):
+    """t statistic and Welch df vs a pure-Python recompute with sample
+    variance; partition-count invariance pins merge-order independence."""
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        welch_ttest_values,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in welch_ttest_values(spark, SF_DIR_SMALL).collect()}
+    vals: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    allv = [v for vs in vals.values() for v in vs]
+    for et, sample in vals.items():
+        rest = [v for o, vs in vals.items() if o != et for v in vs]
+        n1, n2 = len(sample), len(rest)
+        m1, m2 = sum(sample) / n1, sum(rest) / n2
+        v1 = sum((x - m1) ** 2 for x in sample) / (n1 - 1)
+        v2 = sum((x - m2) ** 2 for x in rest) / (n2 - 1)
+        se1, se2 = v1 / n1, v2 / n2
+        t = (m1 - m2) / math.sqrt(se1 + se2)
+        df = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+        g = got[et]
+        assert g["n_sample"] == n1 and g["n_rest"] == n2 == len(allv) - n1
+        assert abs(g["t_stat"] - t) < 1e-4, (et, g["t_stat"], t)
+        assert abs(g["welch_df"] - df) < max(1e-3 * df, 1e-3)
+    # merge-order independence: same result at a different parallelism
+    re = {r["event_type"]: r for r in
+          welch_ttest_values(spark, SF_DIR_SMALL).repartition(3).collect()}
+    assert {k: (v["t_stat"], v["welch_df"]) for k, v in got.items()} == {
+        k: (v["t_stat"], v["welch_df"]) for k, v in re.items()
+    }
