@@ -113,6 +113,7 @@ _NAMES = [
         "robust_outlier_days",  # median/MAD robust anomaly flag
         "funnel_step_latency",  # step-to-step conversion latency pctls
         "welch_ttest_values",  # welchTTest one-vs-rest A/B statistic
+        "mann_whitney_u",  # rank-sum U with midrank ties, integer-exact
     ]),
     (windows, [
         "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
@@ -146,11 +147,11 @@ _NAMES = [
     ]),
     (relational, [
         "q1_pricing_summary",
-        "q2_min_cost_supplier",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q2_min_cost_supplier) ----
+    # ---- driver gate boundary (exactly 50: ends at q1_pricing_summary) ----
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
+        "q2_min_cost_supplier",
         "q3_shipping_priority",
         "q5_region_supplier_volume",
         "q6_forecast_revenue",

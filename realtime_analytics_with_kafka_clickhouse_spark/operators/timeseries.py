@@ -1377,3 +1377,60 @@ def welch_ttest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("welch_df"),
     )
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mannWhitneyUTest`` analog, one-vs-rest per event type: the
+    rank-sum U statistic with midrank tie handling and the tie-corrected
+    normal z — the non-parametric sibling of ``welch_ttest_values``.
+
+    Rank trick that makes it scale-shaped AND exact: ranks are never
+    assigned per row.  The value DOMAIN is money-grained (~thousands of
+    distinct doubles), so midranks come from a value-frequency table —
+    2*midrank = 2*(#smaller) + cnt + 1, an INTEGER — and the per-type
+    rank sum is an integer aggregate over a broadcast join of that tiny
+    table.  Everything stays in integer/bigint arithmetic until the
+    final few IEEE ops (mirrored exactly in the oracle); the one
+    unpartitioned window walks the distinct-value frame, never the
+    corpus (the sweep-line discipline).  Note cnt^3 in the tie term:
+    bigint-safe while no single value exceeds ~2M rows — at 100 TB the
+    tie term would ride the same decimal fold as everything else."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    freq = ev.groupBy("value").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = freq.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+    ).withColumn("rank2", (2 * F.col("cum_less") + F.col("cnt") + 1).cast("long"))
+    per = (
+        ev.join(F.broadcast(ranked.select("value", "rank2")), "value")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("rank2").alias("sum_rank2"))
+    )
+    gl = ranked.agg(
+        F.sum("cnt").alias("tot_n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_t"
+        ),
+    )
+    j = per.join(F.broadcast(gl))
+    u = (F.col("sum_rank2") - F.col("n") * (F.col("n") + 1)).cast("double") / F.lit(
+        2.0
+    )
+    n1d = F.col("n").cast("double")
+    n2d = (F.col("tot_n") - F.col("n")).cast("double")
+    nd = F.col("tot_n").cast("double")
+    mu = n1d * n2d / F.lit(2.0)
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie_t").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    z = (u - mu) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        (F.col("tot_n") - F.col("n")).cast("long").alias("n_rest"),
+        u.alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -4201,3 +4201,41 @@ SELECT event_type,
          AS welch_df
 FROM c
 """
+
+
+# mannWhitneyUTest: integer midranks off the value-frequency table
+# (2*midrank is an integer), tie-corrected z with the identical IEEE
+# op sequence.
+ORACLE["mann_whitney_u"] = """
+WITH freq AS (SELECT value, count(*) AS cnt FROM events GROUP BY 1),
+ranked AS (
+  SELECT value, cnt,
+         coalesce(SUM(cnt) OVER (ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_less
+  FROM freq),
+r2 AS (SELECT value, cnt,
+              CAST(2 * cum_less + cnt + 1 AS BIGINT) AS rank2 FROM ranked),
+per AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(rank2) AS BIGINT) AS sum_rank2
+  FROM events JOIN r2 USING (value) GROUP BY 1),
+gl AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot_n,
+              CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t FROM freq),
+c AS (
+  SELECT event_type, n, tot_n, tie_t, sum_rank2,
+         CAST(sum_rank2 - n * (n + 1) AS DOUBLE) / 2.0 AS u,
+         CAST(n AS DOUBLE) AS n1d,
+         CAST(tot_n - n AS DOUBLE) AS n2d,
+         CAST(tot_n AS DOUBLE) AS nd
+  FROM per, gl)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_sample,
+       CAST(tot_n - n AS BIGINT) AS n_rest,
+       u AS u_stat,
+       round((u - n1d * n2d / 2.0)
+             / sqrt(n1d * n2d / 12.0
+                    * ((nd + 1.0) - CAST(tie_t AS DOUBLE) / (nd * (nd - 1.0)))), 6)
+         AS z_score
+FROM c
+"""

@@ -793,3 +793,42 @@ def test_welch_ttest_matches_scipy_style_recompute(spark):
     assert {k: (v["t_stat"], v["welch_df"]) for k, v in got.items()} == {
         k: (v["t_stat"], v["welch_df"]) for k, v in re.items()
     }
+
+
+def test_mann_whitney_u_matches_rank_recompute(spark):
+    """U and z vs a pure-Python midrank recompute (scipy-style, tie
+    corrected)."""
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        mann_whitney_u,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in mann_whitney_u(spark, SF_DIR_SMALL).collect()}
+    rows = load_table(spark, SF_DIR_SMALL, "events").select("event_type", "value").collect()
+    allv = sorted(r["value"] for r in rows)
+    # midranks
+    from collections import Counter
+
+    cnt = Counter(allv)
+    midrank, below = {}, 0
+    for v in sorted(cnt):
+        midrank[v] = below + (cnt[v] + 1) / 2.0
+        below += cnt[v]
+    n_total = len(allv)
+    tie_t = sum(c**3 - c for c in cnt.values())
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, sample in by_type.items():
+        n1, n2 = len(sample), n_total - len(sample)
+        r1 = sum(midrank[v] for v in sample)
+        u = r1 - n1 * (n1 + 1) / 2.0
+        mu = n1 * n2 / 2.0
+        var = n1 * n2 / 12.0 * ((n_total + 1) - tie_t / (n_total * (n_total - 1.0)))
+        z = (u - mu) / math.sqrt(var)
+        g = got[et]
+        assert g["u_stat"] == u  # integer-exact midrank sums
+        assert abs(g["z_score"] - z) < 1e-5
+        assert (g["n_sample"], g["n_rest"]) == (n1, n2)
