@@ -114,6 +114,10 @@ _NAMES = [
         "funnel_step_latency",  # step-to-step conversion latency pctls
         "welch_ttest_values",  # welchTTest one-vs-rest A/B statistic
         "mann_whitney_u",  # rank-sum U with midrank ties, integer-exact
+        "ks_test_statistic",  # two-sample KS D, integer-exact argmax
+        "simple_linreg_trend",  # least-squares trend from power sums
+        "skew_kurt_battery",  # skewPop/kurtPop via 3rd/4th moments
+        "cramers_v_assoc",  # chi2 + cramersV(BiasCorrected) ordered fold
     ]),
     (windows, [
         "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
@@ -141,16 +145,16 @@ _NAMES = [
         "hourly_category_rollup",
         "daily_region_rollup",
         "global_totals",
+    ]),
+    # ---- driver gate boundary (exactly 50: ends at global_totals) ----
+    # -- 5. r4-evidence remainder (leads the r9 gate) --
+    (rollups, [
         "category_revenue_share",
         "region_revenue_sorted",
         "hourly_trend",
     ]),
     (relational, [
         "q1_pricing_summary",
-    ]),
-    # ---- driver gate boundary (exactly 50: ends at q1_pricing_summary) ----
-    # -- 5. r4-evidence remainder (leads the r9 gate) --
-    (relational, [
         "q2_min_cost_supplier",
         "q3_shipping_priority",
         "q5_region_supplier_volume",

@@ -1434,3 +1434,258 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+def ks_test_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``kolmogorovSmirnovTest`` analog, one-vs-rest per event type: the
+    two-sample KS D statistic (sup ECDF gap) plus the scaled statistic
+    sqrt(n1*n2/(n1+n2))*D, completing the statistical-test family next
+    to ``welch_ttest_values`` / ``mann_whitney_u``.
+
+    Integer-exact trick: the sup is attained at an ECDF jump, so D is
+    evaluated only on the distinct-value grid (money-grained domain,
+    never the corpus).  The gap is maximized as the INTEGER
+    |cum1*n2 - cum2*n1| — bigint-exact argmax, then exactly ONE
+    division by n1*n2 and one sqrt (both mirrored in the oracle, the
+    composed-IEEE discipline).  The value attaining the sup is reported
+    (min value on ties) for falsifiability.
+
+    Scale shape: one (value, type) partial agg; the grid is
+    |value domain| x |type domain| rows; per-type cumsums window the
+    grid, not the corpus (the midrank-table discipline).  The bigint
+    cross-products hold to ~3e9 rows per side; past that the same grid
+    rides a decimal fold."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        # the explicit not-null filter matches the join-side inferred
+        # IsNotNull, so every branch's vt exchange canonicalizes EQUAL
+        # and exchange reuse kicks in (null values are outside a KS
+        # ECDF's domain anyway)
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    )
+    # every downstream frame derives from this ONE partial agg, so the
+    # corpus exchange is identical across branches and Spark reuses it
+    # (ReusedExchange): one physical scan, plan-pinned.
+    vt = ev.groupBy("value", "event_type").agg(F.count("*").alias("cnt"))
+    vals = vt.groupBy("value").agg(F.sum("cnt").alias("cnt_all"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vals = vals.withColumn("cum_all", F.sum("cnt_all").over(wv).cast("long"))
+    types = vt.groupBy("event_type").agg(F.sum("cnt").cast("long").alias("n1"))
+    # shuffle-hash (not broadcast) for the grid<-vt join: broadcasting vt
+    # would re-derive it on a SECOND corpus scan; the shuffle side shares
+    # vt's exchange with the vals/types branches instead (both sides are
+    # domain-bounded, so the extra shuffle moves ~|domain| rows).
+    grid = (
+        vals.select("value", "cum_all")
+        .crossJoin(F.broadcast(types))
+        .join(vt.hint("shuffle_hash"), ["value", "event_type"], "left")
+        .fillna(0, subset=["cnt"])
+    )
+    wt = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = vals.agg(F.sum("cnt_all").alias("tot_n"))
+    g = (
+        grid.withColumn("cum1", F.sum("cnt").over(wt).cast("long"))
+        .join(F.broadcast(tot))
+        .withColumn("n2", (F.col("tot_n") - F.col("n1")).cast("long"))
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum1") * F.col("n2")
+                - (F.col("cum_all") - F.col("cum1")) * F.col("n1")
+            ).cast("long"),
+        )
+    )
+    wmax = Window.partitionBy("event_type")
+    g = g.withColumn("max_gap", F.max("gap").over(wmax))
+    out = g.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max("max_gap").alias("d_num"),
+        F.min(F.when(F.col("gap") == F.col("max_gap"), F.col("value"))).alias(
+            "d_at_value"
+        ),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    return out.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_sample"),
+        F.col("n2").cast("long").alias("n_rest"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(F.sqrt(n1d * n2d / (n1d + n2d)) * d, 6).alias("ks_stat"),
+        "d_at_value",
+    )
+
+
+def simple_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simpleLinearRegression`` analog: per event type, the least-squares
+    (slope, intercept, r^2) of daily revenue against the day index — the
+    trend line of the daily MV, computed where ClickHouse computes it
+    (on aggregate state, one pass).
+
+    Exactness: the daily y stays in the DECIMAL domain end-to-end
+    (``dsum`` discipline); the five regression power sums (n, sx, sxx,
+    sy, sxy, syy) are bigint/decimal-exact — x*y as DECIMAL(12,0) x
+    DECIMAL(25,6) and y*y as DECIMAL(19,2)^2 (y has 2dp; precision 19
+    forces DuckDB's 128-bit class) keep both engines inside 38-digit
+    exact products — and only the final slope/intercept/r^2
+    composition drops to double, op order mirrored textually.
+
+    Scale shape: the regression runs on the DAILY grain (domain-bounded
+    points per type), itself one partial-agg shuffle of the corpus; the
+    power sums partial-aggregate map-side like any MergeTree state."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"))
+        .withColumn("x", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(12,0)") * F.col("rev").cast("decimal(25,6)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("rev").cast("decimal(19,2)") * F.col("rev").cast("decimal(19,2)")
+        ).alias("syy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = num / denx
+    return per.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+def skew_kurt_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``skewPop`` / ``kurtPop`` analog per event type: population
+    skewness m3/m2^1.5 and kurtosis m4/m2^2 from third/fourth power
+    sums — the higher-moment extension of ``value_dispersion``.
+
+    Exactness: per-row powers are one/two IEEE multiplies (deterministic
+    per row, the welch s2 precedent), summed EXACTLY as decimals —
+    v^3 as DECIMAL(35,8), v^4 = (v*v)*(v*v) as DECIMAL(38,8) — so the
+    sums are independent of partial-merge order at any parallelism;
+    the moment composition then runs the identical IEEE op sequence in
+    both engines (+,-,*,/ and sqrt; no pow).  DECIMAL(38,8) holds
+    sum(v^4) to ~1e29 — fine past 1e12 rows at this value domain.
+
+    Scale shape: ONE partial-agg shuffle, five accumulators — the
+    SimpleAggregateFunction shape; map-side combine does the heavy
+    lifting exactly like ClickHouse's AggregateFunction states."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(25,6)")).alias("s1"),
+        F.sum((v * v).cast("decimal(30,8)")).alias("s2"),
+        F.sum(((v * v) * v).cast("decimal(35,8)")).alias("s3"),
+        F.sum(((v * v) * (v * v)).cast("decimal(38,8)")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    m1 = s1d / nd
+    m2 = s2d / nd - m1 * m1
+    m3 = s3d / nd - F.lit(3.0) * m1 * (s2d / nd) + F.lit(2.0) * (m1 * m1) * m1
+    m4 = (
+        s4d / nd
+        - F.lit(4.0) * m1 * (s3d / nd)
+        + F.lit(6.0) * (m1 * m1) * (s2d / nd)
+        - F.lit(3.0) * ((m1 * m1) * (m1 * m1))
+    )
+    return per.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        F.round(m1, 6).alias("mean_value"),
+        F.round(m2, 6).alias("variance_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
+    )
+
+
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cramersV`` / ``cramersVBiasCorrected`` analog: the chi-square
+    association between event type and user region over the events
+    contingency table — ClickHouse's categorical-dependence aggregates
+    as a one-row report.
+
+    Exactness: every contingency count is bigint; the per-cell term
+    (o*n - r*c)^2 / (r*c*n) uses bigint cross-products that stay under
+    2^53 (exact as doubles) and the 35-term sum folds LEFT-TO-RIGHT in
+    (event_type, region) order — Spark ``aggregate`` over a sorted
+    collect vs DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``,
+    the same fold, so chi2 is bit-identical (a new use of the ordered-
+    fold discipline on a DOMAIN-BOUNDED array, the summap shape).  The
+    bias-corrected variant mirrors greatest/least textually.
+
+    Scale shape: one partial-agg shuffle to the |type|x|region| cell
+    grid; window totals and the fold run on 35 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias(
+            "region"
+        ),
+    ).agg(F.count("*").alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("region")
+    wn = Window.partitionBy()
+    c2 = (
+        cells.withColumn("r", F.sum("o").over(wr).cast("long"))
+        .withColumn("c", F.sum("o").over(wc).cast("long"))
+        .withColumn("n", F.sum("o").over(wn).cast("long"))
+    )
+    numd = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    dend = (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    c2 = c2.withColumn("term", (numd * numd) / dend)
+    agg = c2.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "region", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+        F.countDistinct("event_type").alias("r_levels"),
+        F.countDistinct("region").alias("c_levels"),
+        F.max("n").alias("n_total"),
+    )
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    phi2 = F.col("chi2") / nd
+    kmin = F.least(rd - F.lit(1.0), cd - F.lit(1.0))
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - ((rd - F.lit(1.0)) * (cd - F.lit(1.0))) / (nd - F.lit(1.0))
+    )
+    rk = rd - ((rd - F.lit(1.0)) * (rd - F.lit(1.0))) / (nd - F.lit(1.0))
+    ck = cd - ((cd - F.lit(1.0)) * (cd - F.lit(1.0))) / (nd - F.lit(1.0))
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("r_levels").cast("long").alias("r_levels"),
+        F.col("c_levels").cast("long").alias("c_levels"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(F.sqrt(phi2 / kmin), 6).alias("cramers_v"),
+        F.round(
+            F.sqrt(phi2c / F.least(rk - F.lit(1.0), ck - F.lit(1.0))), 6
+        ).alias("cramers_v_bc"),
+    )

@@ -4239,3 +4239,154 @@ SELECT event_type,
          AS z_score
 FROM c
 """
+
+ORACLE["ks_test_statistic"] = """
+WITH vt AS (SELECT value, event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+vals AS (SELECT value, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM vt GROUP BY 1),
+vc AS (
+  SELECT value, cnt_all,
+         CAST(SUM(cnt_all) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_all
+  FROM vals),
+types AS (SELECT event_type, count(*) AS n1 FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS tot_n FROM vals),
+grid AS (
+  SELECT vc.value, vc.cum_all, t.event_type, t.n1, coalesce(vt.cnt, 0) AS cnt
+  FROM vc CROSS JOIN types t
+  LEFT JOIN vt ON vt.value = vc.value AND vt.event_type = t.event_type),
+g AS (
+  SELECT event_type, n1, value, cum_all,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum1
+  FROM grid),
+g2 AS (
+  SELECT event_type, n1, CAST(tot_n - n1 AS BIGINT) AS n2, value,
+         CAST(abs(cum1 * (tot_n - n1) - (cum_all - cum1) * n1) AS BIGINT) AS gap
+  FROM g, tot),
+g3 AS (SELECT *, max(gap) OVER (PARTITION BY event_type) AS max_gap FROM g2),
+o AS (
+  SELECT event_type, max(n1) AS n1, max(n2) AS n2, max(max_gap) AS d_num,
+         min(CASE WHEN gap = max_gap THEN value END) AS d_at_value
+  FROM g3 GROUP BY 1),
+c AS (SELECT event_type, n1, n2, d_num, d_at_value,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(d_num AS DOUBLE) AS dnd
+      FROM o)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_sample,
+       CAST(n2 AS BIGINT) AS n_rest,
+       round(dnd / (n1d * n2d), 6) AS d_stat,
+       round(sqrt(n1d * n2d / (n1d + n2d)) * (dnd / (n1d * n2d)), 6) AS ks_stat,
+       d_at_value
+FROM c
+"""
+
+ORACLE["simple_linreg_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(25,6))) AS rev
+  FROM events GROUP BY 1, 2),
+d2 AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS x, rev
+  FROM daily),
+per AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         sum(rev) AS sy,
+         sum(CAST(x AS DECIMAL(12,0)) * CAST(rev AS DECIMAL(25,6))) AS sxy,
+         sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) AS syy
+  FROM d2 GROUP BY 1),
+c AS (
+  SELECT event_type, n_days,
+         CAST(n_days AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+  FROM per),
+c2 AS (
+  SELECT *, nd * sxyd - sxd * syd AS num,
+         nd * sxxd - sxd * sxd AS denx,
+         nd * syyd - syd * syd AS deny
+  FROM c)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round(num / denx, 6) AS slope_per_day,
+       round((syd - (num / denx) * sxd) / nd, 6) AS intercept,
+       round(num * num / (denx * deny), 6) AS r2
+FROM c2
+"""
+
+ORACLE["skew_kurt_battery"] = """
+WITH per AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS s1,
+         SUM(CAST(value * value AS DECIMAL(30,8))) AS s2,
+         SUM(CAST((value * value) * value AS DECIMAL(35,8))) AS s3,
+         SUM(CAST((value * value) * (value * value) AS DECIMAL(38,8))) AS s4
+  FROM events GROUP BY 1),
+c AS (
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d
+  FROM per),
+m AS (SELECT event_type, n, nd, s2d, s3d, s4d, s1d / nd AS m1 FROM c),
+mm AS (
+  SELECT *,
+         s2d / nd - m1 * m1 AS m2,
+         s3d / nd - 3.0 * m1 * (s2d / nd) + 2.0 * (m1 * m1) * m1 AS m3,
+         s4d / nd - 4.0 * m1 * (s3d / nd) + 6.0 * (m1 * m1) * (s2d / nd)
+           - 3.0 * ((m1 * m1) * (m1 * m1)) AS m4
+  FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+       round(m1, 6) AS mean_value,
+       round(m2, 6) AS variance_pop,
+       round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
+       round(m4 / (m2 * m2), 6) AS kurt_pop
+FROM mm
+"""
+
+ORACLE["cramers_v_assoc"] = """
+WITH cells AS (
+  SELECT event_type, 'region_' || CAST(user_id % 7 AS VARCHAR) AS region,
+         count(*) AS o
+  FROM events GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, region, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY region) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+t AS (
+  SELECT event_type, region, n, r_, c_,
+         (numd * numd) / dend AS term
+  FROM (SELECT event_type, region, n, r AS r_, c AS c_,
+               CAST(o * n - r * c AS DOUBLE) AS numd,
+               CAST(r * c * n AS DOUBLE) AS dend
+        FROM c2)),
+a AS (
+  SELECT list_reduce(list(term ORDER BY event_type, region),
+                     (x, y) -> x + y) AS chi2,
+         count(DISTINCT event_type) AS r_levels,
+         count(DISTINCT region) AS c_levels,
+         max(n) AS n_total
+  FROM t),
+f AS (
+  SELECT chi2, r_levels, c_levels, n_total,
+         CAST(n_total AS DOUBLE) AS ndd,
+         CAST(r_levels AS DOUBLE) AS rd,
+         CAST(c_levels AS DOUBLE) AS cd
+  FROM a)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(r_levels AS BIGINT) AS r_levels,
+       CAST(c_levels AS BIGINT) AS c_levels,
+       round(chi2, 6) AS chi2,
+       round(sqrt((chi2 / ndd) / least(rd - 1.0, cd - 1.0)), 6) AS cramers_v,
+       round(sqrt(greatest(0.0,
+                           chi2 / ndd - ((rd - 1.0) * (cd - 1.0)) / (ndd - 1.0))
+             / least((rd - ((rd - 1.0) * (rd - 1.0)) / (ndd - 1.0)) - 1.0,
+                     (cd - ((cd - 1.0) * (cd - 1.0)) / (ndd - 1.0)) - 1.0)), 6)
+         AS cramers_v_bc
+FROM f
+"""

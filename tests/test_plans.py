@@ -566,3 +566,48 @@ def test_group_array_moving_sum_single_exchange(spark, queries):
     hash partitioning: one shuffle end to end."""
     df = queries["group_array_moving_sum"](spark, SF_DIR)
     assert count_shuffles(df) == 1, formatted_plan(df)
+
+
+def test_skew_kurt_single_exchange_partial_agg(spark, queries):
+    """Five moment accumulators ride ONE partial-agg shuffle on the group
+    key; the scan reads only (event_type, value)."""
+    df = queries["skew_kurt_battery"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 1, plan
+    assert read_schema_columns(df) == [{"event_type", "value"}], plan
+    assert "partial_sum" in plan  # map-side combine carries the moments
+
+
+def test_simple_linreg_two_exchanges_one_scan(spark, queries):
+    """Daily grain then per-type power sums: exactly the two aggregation
+    exchanges, one corpus scan, nothing else."""
+    df = queries["simple_linreg_trend"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 2, plan
+    assert read_schema_columns(df) == [{"event_type", "ts", "value"}], plan
+
+
+def test_ks_statistic_single_corpus_scan_runtime(spark, queries):
+    """Every KS frame (value grid, per-type counts, totals, the grid join
+    side) derives from ONE (value, event_type) partial agg; at runtime
+    AQE must collapse the branches onto that exchange — the FINAL plan
+    holds exactly one FileScan and >=3 ReusedExchange (the
+    join_key_skew_report discipline)."""
+    df = queries["ks_test_statistic"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, final
+    assert final.count("ReusedExchange") >= 3, final
+
+
+def test_cramers_v_single_scan_partial_agg(spark, queries):
+    """The contingency table is ONE partial-agg shuffle of the corpus;
+    row/column/grand totals and the ordered fold run on the 35-row cell
+    grid (windows + one global agg), never rescanning events."""
+    df = queries["cramers_v_assoc"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert read_schema_columns(df) == [{"event_type", "user_id"}], plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,165 @@
+"""Semantics pins for the r8-late statistical battery (beyond DuckDB parity).
+
+- KS: D vs a pure-Python ECDF sup recompute (one-vs-rest), plus the
+  attained-at value; bounds 0 <= D <= 1.
+- simpleLinearRegression: slope/intercept/r^2 vs numpy least squares on
+  the same daily points; r^2 in [0, 1].
+- skewPop/kurtPop: vs a pure-Python central-moment recompute.
+- cramersV: chi2 vs a direct contingency recompute; V and the
+  bias-corrected V in [0, 1]; partition-count invariance pins the
+  ordered fold's merge-order independence.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR as SF_DIR_SMALL
+
+
+def _event_values(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR_SMALL, "events")
+        .select("event_type", "value", "user_id", "ts")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    return rows, by_type
+
+
+def test_ks_statistic_matches_ecdf_recompute(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        ks_test_statistic,
+    )
+
+    got = {r["event_type"]: r for r in ks_test_statistic(spark, SF_DIR_SMALL).collect()}
+    rows, by_type = _event_values(spark)
+    grid = sorted({r["value"] for r in rows})
+    n_total = len(rows)
+    for et, sample in by_type.items():
+        rest = [r["value"] for r in rows if r["event_type"] != et]
+        n1, n2 = len(sample), len(rest)
+        s_sorted, r_sorted = sorted(sample), sorted(rest)
+        import bisect
+
+        best, best_at = -1.0, None
+        for v in grid:
+            f1 = bisect.bisect_right(s_sorted, v) / n1
+            f2 = bisect.bisect_right(r_sorted, v) / n2
+            gap = abs(f1 - f2)
+            if gap > best + 1e-15:
+                best, best_at = gap, v
+        g = got[et]
+        assert g["n_sample"] == n1 and g["n_rest"] == n2 == n_total - n1
+        assert 0.0 <= g["d_stat"] <= 1.0
+        assert abs(g["d_stat"] - best) < 1e-6, (et, g["d_stat"], best)
+        # the reported sup location must attain the sup
+        f1 = bisect.bisect_right(s_sorted, g["d_at_value"]) / n1
+        f2 = bisect.bisect_right(r_sorted, g["d_at_value"]) / n2
+        assert abs(abs(f1 - f2) - best) < 1e-9
+        import math
+
+        assert abs(
+            g["ks_stat"] - math.sqrt(n1 * n2 / (n1 + n2)) * g["d_stat"]
+        ) < 1e-5
+
+
+def test_simple_linreg_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        simple_linreg_trend,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in simple_linreg_trend(spark, SF_DIR_SMALL).collect()}
+    ev = load_table(spark, SF_DIR_SMALL, "events").collect()
+    daily: dict = {}
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for r in ev:
+        k = (r["event_type"], r["ts"].date())
+        daily[k] = daily.get(k, 0.0) + r["value"]
+    for et in got:
+        pts = sorted(
+            ((d - epoch).days, v) for (t, d), v in daily.items() if t == et
+        )
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([round(p[1], 6) for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        yhat = slope * x + intercept
+        ss_res = float(((y - yhat) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot
+        g = got[et]
+        assert g["n_days"] == len(pts)
+        assert abs(g["slope_per_day"] - slope) < max(1e-3, 1e-4 * abs(slope))
+        assert abs(g["intercept"] - intercept) < max(1e-2, 1e-4 * abs(intercept))
+        assert 0.0 <= g["r2"] <= 1.0
+        assert abs(g["r2"] - r2) < 1e-4
+
+
+def test_skew_kurt_matches_moment_recompute(spark):
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        skew_kurt_battery,
+    )
+
+    got = {r["event_type"]: r for r in skew_kurt_battery(spark, SF_DIR_SMALL).collect()}
+    _, by_type = _event_values(spark)
+    for et, sample in by_type.items():
+        n = len(sample)
+        m1 = sum(sample) / n
+        m2 = sum((v - m1) ** 2 for v in sample) / n
+        m3 = sum((v - m1) ** 3 for v in sample) / n
+        m4 = sum((v - m1) ** 4 for v in sample) / n
+        g = got[et]
+        assert g["n_sample"] == n
+        assert abs(g["mean_value"] - m1) < 1e-5
+        assert abs(g["variance_pop"] - m2) < max(1e-4, 1e-7 * m2)
+        assert abs(g["skew_pop"] - m3 / (m2 * math.sqrt(m2))) < 1e-4
+        assert abs(g["kurt_pop"] - m4 / (m2 * m2)) < 1e-3
+        # Pearson's inequality: kurtosis >= skewness^2 + 1, always
+        assert g["kurt_pop"] >= g["skew_pop"] ** 2 + 1.0 - 1e-9
+    # merge-order independence at a different parallelism
+    re = {r["event_type"]: r for r in
+          skew_kurt_battery(spark, SF_DIR_SMALL).repartition(5).collect()}
+    assert {k: (v["skew_pop"], v["kurt_pop"]) for k, v in got.items()} == {
+        k: (v["skew_pop"], v["kurt_pop"]) for k, v in re.items()
+    }
+
+
+def test_cramers_v_matches_contingency_recompute(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        cramers_v_assoc,
+    )
+
+    row = cramers_v_assoc(spark, SF_DIR_SMALL).collect()
+    assert len(row) == 1
+    g = row[0]
+    rows, _ = _event_values(spark)
+    from collections import Counter
+
+    cells = Counter((r["event_type"], f"region_{r['user_id'] % 7}") for r in rows)
+    types = sorted({k[0] for k in cells})
+    regions = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    chi2 = 0.0
+    for t in types:
+        rt = sum(v for (tt, _), v in cells.items() if tt == t)
+        for rg in regions:
+            ct = sum(v for (_, rr), v in cells.items() if rr == rg)
+            e = rt * ct / n
+            o = cells.get((t, rg), 0)
+            chi2 += (o - e) ** 2 / e
+    assert g["n_total"] == n
+    assert g["r_levels"] == len(types) and g["c_levels"] == len(regions)
+    assert abs(g["chi2"] - chi2) < max(1e-4, 1e-7 * chi2)
+    assert 0.0 <= g["cramers_v"] <= 1.0
+    assert 0.0 <= g["cramers_v_bc"] <= 1.0
+    # bias correction can only shrink phi2 on this fixture's tiny effect
+    assert g["cramers_v_bc"] <= g["cramers_v"] + 1e-9
