@@ -118,6 +118,9 @@ _NAMES = [
         "simple_linreg_trend",  # least-squares trend from power sums
         "skew_kurt_battery",  # skewPop/kurtPop via 3rd/4th moments
         "cramers_v_assoc",  # chi2 + cramersV(BiasCorrected) ordered fold
+        "retention_conditions",  # retention() base-AND-cond flags
+        "sequence_next_node",  # sequenceNextNode windowed next-event
+        "student_ttest_values",  # pooled-variance Student t, df=n-2
     ]),
     (windows, [
         "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
@@ -141,14 +144,12 @@ _NAMES = [
     (relational, [
         "q22_idle_rich_customers",
     ]),
+    # ---- driver gate boundary (exactly 50: ends at q22_idle_rich_customers) ----
+    # -- 5. r4-evidence remainder (leads the r9 gate) --
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",
         "global_totals",
-    ]),
-    # ---- driver gate boundary (exactly 50: ends at global_totals) ----
-    # -- 5. r4-evidence remainder (leads the r9 gate) --
-    (rollups, [
         "category_revenue_share",
         "region_revenue_sorted",
         "hourly_trend",

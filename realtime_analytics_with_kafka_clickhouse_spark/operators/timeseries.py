@@ -1689,3 +1689,163 @@ def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(phi2c / F.least(rk - F.lit(1.0), ck - F.lit(1.0))), 6
         ).alias("cramers_v_bc"),
     )
+
+
+RETENTION_EPOCH = "2024-01-01"  # fixture stream start (same class as FUNNEL_*)
+NEXT_NODE_WINDOW_US = 3_600_000_000  # 1 h; windowing is what makes '(end)' fire
+
+
+def retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``retention()`` aggregate analog: per user, condition 1 is the
+    base (purchased in week 0) and r_i = cond1 AND cond_i — exactly
+    ClickHouse's semantics, with a value-threshold gradient (week-2
+    purchase > 60, week-3 purchase > 150, both sides of the fixture's
+    skewed-low money distribution) so every flag varies at all 3 SFs.
+
+    Exactness: flags are max-of-indicator bigints, counts are bigint
+    sums; the ratios are single IEEE divisions.  Scale shape: one
+    per-user partial agg (4 indicator accumulators), then a one-row
+    global sum — the SimpleAggregateFunction shape."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.datediff(F.col("ts").cast("date"), F.lit(RETENTION_EPOCH))
+    is_p = F.col("event_type") == "purchase"
+
+    def _flag(cond):
+        return F.max(F.when(cond, 1).otherwise(0))
+
+    per = ev.groupBy("user_id").agg(
+        _flag(is_p & wk.between(0, 6)).alias("c1"),
+        _flag(is_p & wk.between(7, 13)).alias("c2"),
+        _flag(is_p & (F.col("value") > 60) & wk.between(14, 20)).alias("c3"),
+        _flag(is_p & (F.col("value") > 150) & wk.between(21, 27)).alias("c4"),
+    )
+    out = per.agg(
+        F.count("*").alias("n_users"),
+        F.sum("c1").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).alias("r3"),
+        F.sum(F.col("c1") * F.col("c4")).alias("r4"),
+    )
+    r1d = F.col("r1").cast("double")
+    return out.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("r1").cast("long").alias("r1"),
+        F.col("r2").cast("long").alias("r2"),
+        F.col("r3").cast("long").alias("r3"),
+        F.col("r4").cast("long").alias("r4"),
+        F.round(F.col("r2").cast("double") / r1d, 6).alias("ret2"),
+        F.round(F.col("r3").cast("double") / r1d, 6).alias("ret3"),
+        F.round(F.col("r4").cast("double") / r1d, 6).alias("ret4"),
+    )
+
+
+def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceNextNode`` analog: after each user's first
+    signup -> purchase min-chain, what happens NEXT within one hour —
+    the distribution of the immediately-following event type, '(end)'
+    when the hour closes silently (the window is what makes that branch
+    fire on a dense fixture, the funnel-window discipline).
+
+    Exactness: 'first' / 'next' are row_number()=1 picks on the total
+    order (epoch micros, event_id) — integer comparisons end to end,
+    unique event_id breaks every tie; the share is one IEEE division.
+    Scale shape: three user-keyed shuffles over progressively thinner
+    slices (type-filtered, then chain-joined) — the `_funnel_chain`
+    shape; per-user state is one row per stage, never a collect."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tus"), "event_id", "event_type"
+    )
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("tus").alias("s_t"), F.col("event_id").alias("s_id"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(
+            (F.col("tus") > F.col("s_t"))
+            | ((F.col("tus") == F.col("s_t")) & (F.col("event_id") > F.col("s_id")))
+        )
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("tus").alias("p_t"), F.col("event_id").alias("p_id"))
+    )
+    # ONE left join carries both branches: matches get the next event,
+    # chain users with a silent hour keep a null row — so p's lineage is
+    # referenced once and '(end)' needs no second pass.  The after-p
+    # predicate lives in the join condition itself.
+    pp, en = p.alias("pp"), ev.alias("en")
+    after = (
+        (F.col("en.tus") > F.col("pp.p_t"))
+        | (
+            (F.col("en.tus") == F.col("pp.p_t"))
+            & (F.col("en.event_id") > F.col("pp.p_id"))
+        )
+    ) & (F.col("en.tus") <= F.col("pp.p_t") + F.lit(NEXT_NODE_WINDOW_US))
+    joined = pp.join(en, (F.col("en.user_id") == F.col("pp.user_id")) & after, "left")
+    wn = Window.partitionBy(F.col("pp.user_id")).orderBy(
+        F.col("en.tus").asc_nulls_last(), F.col("en.event_id").asc_nulls_last()
+    )
+    labeled = (
+        joined.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.coalesce(F.col("en.event_type"), F.lit("(end)")).alias(
+                "next_event_type"
+            )
+        )
+    )
+    counts = labeled.groupBy("next_event_type").agg(F.count("*").alias("n_users"))
+    # chain_users = sum over the |type domain|+1 grouped rows: a window on
+    # the tiny frame, not a second derivation of p
+    wall = Window.partitionBy()
+    return counts.select(
+        "next_event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(wall).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def student_ttest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``studentTTest`` analog, one-vs-rest per event type: the
+    pooled-variance Student t with df = n-2 — the equal-variance sibling
+    of ``welch_ttest_values``, sharing its exactness contract (ONE
+    decimal power-sum aggregate, rest side by exact decimal subtraction
+    from the broadcast global totals, then a mirrored IEEE op sequence).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)")).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("s1").alias("tot_s1"),
+        F.sum("s2").alias("tot_s2"),
+    )
+    j = per.join(F.broadcast(tot))
+    n1 = F.col("n").cast("double")
+    n2 = (F.col("tot_n") - F.col("n")).cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    r1d = (F.col("tot_s1") - F.col("s1")).cast("double")
+    r2d = (F.col("tot_s2") - F.col("s2")).cast("double")
+    m1, m2 = s1d / n1, r1d / n2
+    ss1 = s2d - s1d * s1d / n1
+    ss2 = r2d - r1d * r1d / n2
+    sp2 = (ss1 + ss2) / (n1 + n2 - F.lit(2.0))
+    t = (m1 - m2) / F.sqrt(sp2 * (F.lit(1.0) / n1 + F.lit(1.0) / n2))
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        (F.col("tot_n") - F.col("n")).cast("long").alias("n_rest"),
+        (F.col("tot_n") - F.lit(2)).cast("long").alias("df"),
+        F.round(t, 6).alias("t_stat"),
+    )

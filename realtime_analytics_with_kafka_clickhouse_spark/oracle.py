@@ -4390,3 +4390,93 @@ SELECT CAST(n_total AS BIGINT) AS n_total,
          AS cramers_v_bc
 FROM f
 """
+
+ORACLE["retention_conditions"] = """
+WITH per AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase'
+         AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 6
+         THEN 1 ELSE 0 END) AS c1,
+    max(CASE WHEN event_type = 'purchase'
+         AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 7 AND 13
+         THEN 1 ELSE 0 END) AS c2,
+    max(CASE WHEN event_type = 'purchase' AND value > 60
+         AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 14 AND 20
+         THEN 1 ELSE 0 END) AS c3,
+    max(CASE WHEN event_type = 'purchase' AND value > 150
+         AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 21 AND 27
+         THEN 1 ELSE 0 END) AS c4
+  FROM events GROUP BY 1),
+o AS (
+  SELECT count(*) AS n_users,
+         CAST(sum(c1) AS BIGINT) AS r1,
+         CAST(sum(c1 * c2) AS BIGINT) AS r2,
+         CAST(sum(c1 * c3) AS BIGINT) AS r3,
+         CAST(sum(c1 * c4) AS BIGINT) AS r4
+  FROM per)
+SELECT CAST(n_users AS BIGINT) AS n_users, r1, r2, r3, r4,
+       round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE), 6) AS ret2,
+       round(CAST(r3 AS DOUBLE) / CAST(r1 AS DOUBLE), 6) AS ret3,
+       round(CAST(r4 AS DOUBLE) / CAST(r1 AS DOUBLE), 6) AS ret4
+FROM o
+"""
+
+ORACLE["sequence_next_node"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+s AS (
+  SELECT user_id, tus AS s_t, event_id AS s_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rn
+    FROM e WHERE event_type = 'signup') WHERE rn = 1),
+p AS (
+  SELECT user_id, tus AS p_t, event_id AS p_id FROM (
+    SELECT e.user_id, e.tus, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.tus, e.event_id) AS rn
+    FROM e JOIN s USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND (e.tus > s.s_t OR (e.tus = s.s_t AND e.event_id > s.s_id))) WHERE rn = 1),
+lab AS (
+  SELECT coalesce(event_type, '(end)') AS next_event_type FROM (
+    SELECT e.event_type,
+           row_number() OVER (PARTITION BY p.user_id
+                              ORDER BY e.tus ASC NULLS LAST,
+                                       e.event_id ASC NULLS LAST) AS rn
+    FROM p LEFT JOIN e ON e.user_id = p.user_id
+      AND (e.tus > p.p_t OR (e.tus = p.p_t AND e.event_id > p.p_id))
+      AND e.tus <= p.p_t + 3600000000) WHERE rn = 1),
+counts AS (
+  SELECT next_event_type, count(*) AS n_users FROM lab GROUP BY 1)
+SELECT next_event_type, CAST(n_users AS BIGINT) AS n_users,
+       round(CAST(n_users AS DOUBLE)
+             / CAST(SUM(n_users) OVER () AS DOUBLE), 6) AS share
+FROM counts
+"""
+
+ORACLE["student_ttest_values"] = """
+WITH per AS (
+  SELECT event_type, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS s1,
+         SUM(CAST(value * value AS DECIMAL(30,8))) AS s2
+  FROM events GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, sum(s1) AS tot_s1,
+               sum(s2) AS tot_s2 FROM per),
+c AS (
+  SELECT event_type, n, tot_n,
+         CAST(n AS DOUBLE) AS n1,
+         CAST(tot_n - n AS DOUBLE) AS n2,
+         CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         CAST(tot_s1 - s1 AS DOUBLE) AS r1d, CAST(tot_s2 - s2 AS DOUBLE) AS r2d
+  FROM per, tot),
+c2 AS (
+  SELECT event_type, n, tot_n, n1, n2,
+         s1d / n1 AS m1, r1d / n2 AS m2,
+         s2d - s1d * s1d / n1 AS ss1,
+         r2d - r1d * r1d / n2 AS ss2
+  FROM c)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_sample,
+       CAST(tot_n - n AS BIGINT) AS n_rest,
+       CAST(tot_n - 2 AS BIGINT) AS df,
+       round((m1 - m2) / sqrt(((ss1 + ss2) / (n1 + n2 - 2.0)) * (1.0 / n1 + 1.0 / n2)), 6)
+         AS t_stat
+FROM c2
+"""

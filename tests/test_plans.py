@@ -611,3 +611,37 @@ def test_cramers_v_single_scan_partial_agg(spark, queries):
     assert read_schema_columns(df) == [{"event_type", "user_id"}], plan
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_retention_two_exchanges_one_scan(spark, queries):
+    """Per-user indicator flags then the one-row global sum: two
+    aggregation exchanges, one corpus scan, map-side combine on both."""
+    df = queries["retention_conditions"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) == 2, plan
+    assert len(read_schema_columns(df)) == 1, plan
+
+
+def test_sequence_next_node_three_pruned_scans(spark, queries):
+    """The 3-stage chain reads the corpus exactly three times — the
+    signup slice, the purchase slice (both type-filter-pushed), and the
+    next-event pass — with '(end)' padding riding the SAME left join
+    (no fourth derivation for the total, which is a window over the
+    |type|+1 grouped rows)."""
+    df = queries["sequence_next_node"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    scans = read_schema_columns(df)
+    assert len(scans) == 3, plan
+    pushed = " ".join(pushed_filters(df))
+    assert pushed.count("event_type") >= 2, pushed  # both slices pushed
+
+
+def test_student_ttest_single_corpus_aggregate(spark, queries):
+    """Same contract as welch: one power-sum partial agg over the corpus;
+    the global totals are a broadcast one-row frame."""
+    df = queries["student_ttest_values"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) <= 2, plan
+    # the one-row totals frame rides a broadcast nested-loop (keyless) join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan

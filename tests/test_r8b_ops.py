@@ -163,3 +163,106 @@ def test_cramers_v_matches_contingency_recompute(spark):
     assert 0.0 <= g["cramers_v_bc"] <= 1.0
     # bias correction can only shrink phi2 on this fixture's tiny effect
     assert g["cramers_v_bc"] <= g["cramers_v"] + 1e-9
+
+
+def test_retention_conditions_matches_flag_recompute(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        retention_conditions,
+    )
+
+    g = retention_conditions(spark, SF_DIR_SMALL).collect()[0]
+    import datetime
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    epoch = datetime.date(2024, 1, 1)
+    per: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        wk = (r["ts"].date() - epoch).days
+        c = per.setdefault(r["user_id"], [0, 0, 0, 0])
+        if r["event_type"] == "purchase":
+            if 0 <= wk <= 6:
+                c[0] = 1
+            if 7 <= wk <= 13:
+                c[1] = 1
+            if 14 <= wk <= 20 and r["value"] > 60:
+                c[2] = 1
+            if 21 <= wk <= 27 and r["value"] > 150:
+                c[3] = 1
+    r1 = sum(c[0] for c in per.values())
+    r2 = sum(c[0] * c[1] for c in per.values())
+    r3 = sum(c[0] * c[2] for c in per.values())
+    r4 = sum(c[0] * c[3] for c in per.values())
+    assert (g["n_users"], g["r1"], g["r2"], g["r3"], g["r4"]) == (
+        len(per), r1, r2, r3, r4,
+    )
+    # ClickHouse retention semantics: every r_i is cond1-gated
+    assert g["r2"] <= g["r1"] and g["r3"] <= g["r1"] and g["r4"] <= g["r1"]
+    # fixture falsifiability: the value-threshold gradient actually bites
+    assert 0 < g["r4"] < g["r3"] < g["r1"]
+    assert abs(g["ret4"] - g["r4"] / g["r1"]) < 5e-7  # round-6 output
+
+
+def test_sequence_next_node_matches_chain_recompute(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        NEXT_NODE_WINDOW_US,
+        sequence_next_node,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {
+        r["next_event_type"]: r
+        for r in sequence_next_node(spark, SF_DIR_SMALL).collect()
+    }
+    by_user: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        tus = int(r["ts"].timestamp() * 1_000_000)
+        by_user.setdefault(r["user_id"], []).append(
+            (tus, r["event_id"], r["event_type"])
+        )
+    from collections import Counter
+
+    expect: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        s = next((e for e in evs if e[2] == "signup"), None)
+        if s is None:
+            continue
+        p = next((e for e in evs if e[2] == "purchase" and e[:2] > s[:2]), None)
+        if p is None:
+            continue
+        nxt = next(
+            (e for e in evs if e[:2] > p[:2] and e[0] <= p[0] + NEXT_NODE_WINDOW_US),
+            None,
+        )
+        expect[nxt[2] if nxt is not None else "(end)"] += 1
+    assert {k: v["n_users"] for k, v in got.items()} == dict(expect)
+    # both branches fire on the fixture: a silent hour AND a real next event
+    assert "(end)" in got and len(got) >= 2
+    total = sum(expect.values())
+    for k, v in got.items():
+        assert abs(v["share"] - expect[k] / total) < 5e-7  # round-6 output
+
+
+def test_student_ttest_matches_pooled_recompute(spark):
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        student_ttest_values,
+    )
+
+    got = {r["event_type"]: r for r in student_ttest_values(spark, SF_DIR_SMALL).collect()}
+    _, by_type = _event_values(spark)
+    allv = [v for vs in by_type.values() for v in vs]
+    for et, sample in by_type.items():
+        rest = [v for o, vs in by_type.items() if o != et for v in vs]
+        n1, n2 = len(sample), len(rest)
+        m1, m2 = sum(sample) / n1, sum(rest) / n2
+        ss1 = sum((x - m1) ** 2 for x in sample)
+        ss2 = sum((x - m2) ** 2 for x in rest)
+        sp2 = (ss1 + ss2) / (n1 + n2 - 2)
+        t = (m1 - m2) / math.sqrt(sp2 * (1 / n1 + 1 / n2))
+        g = got[et]
+        assert g["n_sample"] == n1 and g["n_rest"] == n2
+        assert g["df"] == len(allv) - 2
+        assert abs(g["t_stat"] - t) < 1e-4, (et, g["t_stat"], t)
