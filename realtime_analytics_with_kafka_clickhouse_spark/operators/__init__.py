@@ -121,6 +121,7 @@ _NAMES = [
         "retention_conditions",  # retention() base-AND-cond flags
         "sequence_next_node",  # sequenceNextNode windowed next-event
         "student_ttest_values",  # pooled-variance Student t, df=n-2
+        "lttb_downsample_daily",  # largestTriangleThreeBuckets walk
     ]),
     (windows, [
         "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
@@ -140,12 +141,12 @@ _NAMES = [
     (multimodal, [
         "audio_vad_segments",  # energy-gated VAD, the audio leg
     ]),
-    # -- 4. stalest remainder: r4-evidence block (first 20 of 45) --
+    # -- 4. stalest remainder: r4-evidence block --
+    # ---- driver gate boundary (exactly 50: ends at audio_vad_segments) ----
+    # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
         "q22_idle_rich_customers",
     ]),
-    # ---- driver gate boundary (exactly 50: ends at q22_idle_rich_customers) ----
-    # -- 5. r4-evidence remainder (leads the r9 gate) --
     (rollups, [
         "hourly_category_rollup",
         "daily_region_rollup",

@@ -4480,3 +4480,59 @@ SELECT event_type,
          AS t_stat
 FROM c2
 """
+
+# largestTriangleThreeBuckets walk: 10 middle buckets / last index 9 mirror
+# operators.timeseries.LTTB_N_OUT = 12.  The init-less list_reduce folds
+# equal Spark's seeded folds (0.0 + x == x; area >= 0 > the -1.0 seed).
+ORACLE["lttb_downsample_daily"] = """
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS DOUBLE) AS x,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+ser AS (SELECT list({'x': x, 'y': y} ORDER BY x) AS s, count(*) AS m FROM daily),
+walk AS (
+  SELECT -1 AS b, s[1].x AS px, s[1].y AS py,
+         [{'x': s[1].x, 'y': s[1].y}] AS pts
+  FROM ser
+  UNION ALL
+  SELECT b2.cur, b2.best.x, b2.best.y,
+         list_append(b2.pts, {'x': b2.best.x, 'y': b2.best.y})
+  FROM (
+    SELECT t.cur, t.pts,
+           list_reduce(
+             list_transform(t.cands, c -> {
+               'area': abs((t.px - t.anx) * (c.y - t.py)
+                           - (t.px - c.x) * (t.any_ - t.py)),
+               'x': c.x, 'y': c.y}),
+             (a, c2) -> CASE WHEN c2.area > a.area THEN c2 ELSE a END) AS best
+    FROM (
+      SELECT w.b + 1 AS cur, w.px, w.py, w.pts,
+             list_slice(ser.s, 2 + ((w.b + 1) * (ser.m - 2)) // 10,
+                        1 + ((w.b + 2) * (ser.m - 2)) // 10) AS cands,
+             CASE WHEN w.b + 1 = 9 THEN ser.s[ser.m].x
+                  ELSE list_reduce(list_transform(
+                         list_slice(ser.s, 2 + ((w.b + 2) * (ser.m - 2)) // 10,
+                                    1 + ((w.b + 3) * (ser.m - 2)) // 10),
+                         p -> p.x), (a, b3) -> a + b3)
+                       / CAST(len(list_slice(ser.s, 2 + ((w.b + 2) * (ser.m - 2)) // 10,
+                                             1 + ((w.b + 3) * (ser.m - 2)) // 10)) AS DOUBLE)
+             END AS anx,
+             CASE WHEN w.b + 1 = 9 THEN ser.s[ser.m].y
+                  ELSE list_reduce(list_transform(
+                         list_slice(ser.s, 2 + ((w.b + 2) * (ser.m - 2)) // 10,
+                                    1 + ((w.b + 3) * (ser.m - 2)) // 10),
+                         p -> p.y), (a, b3) -> a + b3)
+                       / CAST(len(list_slice(ser.s, 2 + ((w.b + 2) * (ser.m - 2)) // 10,
+                                             1 + ((w.b + 3) * (ser.m - 2)) // 10)) AS DOUBLE)
+             END AS any_
+      FROM walk w, ser WHERE w.b + 1 < 10) t) b2),
+fin AS (
+  SELECT list_append(w.pts, {'x': ser.s[ser.m].x, 'y': ser.s[ser.m].y}) AS pts
+  FROM walk w, ser WHERE w.b = 9),
+idxed AS (SELECT unnest(generate_series(1, len(pts))) AS i, pts FROM fin)
+SELECT CAST(i - 1 AS BIGINT) AS idx,
+       CAST(pts[i].x AS BIGINT) AS x_day,
+       round(pts[i].y, 6) AS y_revenue
+FROM idxed
+"""

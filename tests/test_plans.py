@@ -645,3 +645,14 @@ def test_student_ttest_single_corpus_aggregate(spark, queries):
     # the one-row totals frame rides a broadcast nested-loop (keyless) join
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lttb_one_scan_fold_on_one_row(spark, queries):
+    """The LTTB walk is a Catalyst expression over the one-row series
+    frame: one corpus scan to the daily grain (partial agg), then the
+    sorted collect — no joins, no windows, no per-point shuffles."""
+    df = queries["lttb_downsample_daily"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1, plan
+    assert count_shuffles(df) == 2, plan  # daily grain + the 1-row collect
+    assert "Join" not in plan and "Window" not in plan

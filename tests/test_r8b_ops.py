@@ -266,3 +266,57 @@ def test_student_ttest_matches_pooled_recompute(spark):
         assert g["n_sample"] == n1 and g["n_rest"] == n2
         assert g["df"] == len(allv) - 2
         assert abs(g["t_stat"] - t) < 1e-4, (et, g["t_stat"], t)
+
+
+def test_lttb_matches_reference_walk(spark):
+    """The HOF-fold LTTB must equal a pure-Python reference walk with the
+    same bucketing; invariants: first/last kept, exactly one point per
+    middle bucket, x strictly increasing."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        LTTB_N_OUT,
+        lttb_downsample_daily,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = sorted(
+        lttb_downsample_daily(spark, SF_DIR_SMALL).collect(), key=lambda r: r["idx"]
+    )
+    assert len(got) == LTTB_N_OUT
+    import datetime
+    from decimal import Decimal
+
+    epoch = datetime.date(1970, 1, 1)
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        d = (r["ts"].date() - epoch).days
+        daily[d] = daily.get(d, Decimal(0)) + Decimal(str(round(r["value"], 2)))
+    pts = sorted((float(d), float(v)) for d, v in daily.items())
+    m, nb = len(pts), LTTB_N_OUT - 2
+    mm = m - 2
+    sel = [pts[0]]
+    px, py = pts[0]
+    for b in range(nb):
+        lo, hi = (b * mm) // nb, ((b + 1) * mm) // nb
+        cands = pts[1 + lo : 1 + hi]
+        if b < nb - 1:
+            nlo, nhi = ((b + 1) * mm) // nb, ((b + 2) * mm) // nb
+            nxt = pts[1 + nlo : 1 + nhi]
+            ax = sum(p[0] for p in nxt) / len(nxt)
+            ay = sum(p[1] for p in nxt) / len(nxt)
+        else:
+            ax, ay = pts[m - 1]
+        best, bx, by = -1.0, None, None
+        for cx, cy in cands:
+            area = abs((px - ax) * (cy - py) - (px - cx) * (ay - py))
+            if area > best:
+                best, bx, by = area, cx, cy
+        sel.append((bx, by))
+        px, py = bx, by
+    sel.append(pts[m - 1])
+    assert [(r["x_day"], r["y_revenue"]) for r in got] == [
+        (int(x), round(y, 6)) for x, y in sel
+    ]
+    # first/last anchored; strictly increasing x (one pick per bucket)
+    assert got[0]["x_day"] == int(pts[0][0]) and got[-1]["x_day"] == int(pts[-1][0])
+    xs = [r["x_day"] for r in got]
+    assert xs == sorted(set(xs))
