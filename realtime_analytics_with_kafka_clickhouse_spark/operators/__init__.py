@@ -141,8 +141,11 @@ _NAMES = [
     (multimodal, [
         "audio_vad_segments",  # energy-gated VAD, the audio leg
     ]),
-    # -- 4. stalest remainder: r4-evidence block --
     # ---- driver gate boundary (exactly 50: ends at audio_vad_segments) ----
+    # -- 4. r8-new spill (position 51: leads the r9 gate) --
+    (dedup, [
+        "minhash_scurve_report",  # LSH (b,r) tuning curve off real candidates
+    ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
         "q22_idle_rich_customers",

@@ -137,6 +137,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_columns(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): the k pre-band minhash components —
+    shared by the banded signatures and the s-curve report."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint")
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+
+
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, band, sig): banded minhash signatures.
 
@@ -147,13 +159,7 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     shingle volume and ran k md5s per shingle).  Band signatures then
     assemble map-side from the k columns.
     """
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("bigint")
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_MOD)).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
-    )
+    minh = _minhash_columns(sh)
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     bands = F.array(
         *[
@@ -828,4 +834,63 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_unique * CAST(1000000 AS BIGINT)) div n_shingles").alias(
             "novelty_ppm"
         ),
+    )
+
+
+def minhash_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning artifact: for every CANDIDATE pair the banded join
+    actually emitted, the signature-estimated similarity (matching
+    components / k — an integer count) next to the theoretical
+    collision probability 1 - (1 - s^r)^b of the engine's configured
+    (b=4, r=3) family — the s-curve every MinHash deployment is tuned
+    against, computed from the engine's own candidates rather than a
+    textbook table.
+
+    Exactness: component matches are integer equality counts; s is ONE
+    division; the s-curve is a mirrored multiply chain (integer
+    exponents — no pow()).  Candidates always share a full band, so
+    match_count >= r by construction (pytest-pinned falsifiability).
+
+    Scale shape: candidate-only work (the LSH discipline — never
+    all-pairs); the k components ride the same one-shuffle groupBy as
+    the signatures; the report is |k| rows."""
+    sh = _frequent_shingles_removed(
+        _doc_shingles(load_table(spark, sf_dir, "documents"))
+    )
+    minh = _minhash_columns(sh)
+    sig = _minhash_signatures(sh)
+    cand = (
+        sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = minh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(MINHASH_K)],
+    )
+    b = minh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    pm = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(matches.cast("long").alias("match_count"))
+    )
+    g = pm.groupBy("match_count").agg(F.count("*").cast("long").alias("n_pairs"))
+    s = F.col("match_count").cast("double") / F.lit(float(MINHASH_K))
+    s3 = (s * s) * s  # s^r, r = 3
+    q = F.lit(1.0) - s3
+    prob = F.lit(1.0) - ((q * q) * (q * q))  # 1 - q^b, b = 4
+    return g.select(
+        "match_count",
+        "n_pairs",
+        F.round(s, 6).alias("est_jaccard"),
+        F.round(prob, 6).alias("collision_prob"),
     )

@@ -4536,3 +4536,36 @@ SELECT CAST(i - 1 AS BIGINT) AS idx,
        round(pts[i].y, 6) AS y_revenue
 FROM idxed
 """
+
+_MH_MATCHES = " + ".join(
+    f"CAST(a.mh_{i} = b.mh_{i} AS INT)" for i in range(MINHASH_K)
+)
+
+ORACLE["minhash_scurve_report"] = f"""
+WITH {{shingles}},
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS base FROM sh),
+minh AS (
+  SELECT doc_id,
+         {{mh_cols}}
+  FROM hashes GROUP BY 1),
+sigs AS (
+  {{sigs_union}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+pm AS (
+  SELECT ({_MH_MATCHES}) AS match_count
+  FROM cand JOIN minh a ON cand.doc_a = a.doc_id
+            JOIN minh b ON cand.doc_b = b.doc_id),
+g AS (SELECT match_count, count(*) AS n_pairs FROM pm GROUP BY 1),
+c AS (SELECT match_count, n_pairs,
+             CAST(match_count AS DOUBLE) / {MINHASH_K}.0 AS s FROM g),
+c2 AS (SELECT *, (s * s) * s AS s3 FROM c),
+c3 AS (SELECT *, 1.0 - s3 AS q FROM c2)
+SELECT CAST(match_count AS BIGINT) AS match_count,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(s, 6) AS est_jaccard,
+       round(1.0 - ((q * q) * (q * q)), 6) AS collision_prob
+FROM c3
+""".format(shingles=_SHINGLES, mh_cols=_MH_COLS, sigs_union=_SIGS_UNION)

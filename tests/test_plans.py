@@ -656,3 +656,14 @@ def test_lttb_one_scan_fold_on_one_row(spark, queries):
     assert len(read_schema_columns(df)) == 1, plan
     assert count_shuffles(df) == 2, plan  # daily grain + the 1-row collect
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_minhash_scurve_no_text_in_exchanges(spark, queries):
+    """The s-curve report rides the same shuffle discipline as the
+    near-dup pipeline: exchanges carry signatures/components only —
+    document text never shuffles."""
+    plan = formatted_plan(queries["minhash_scurve_report"](spark, SF_DIR))
+    import re as _re
+
+    for mt in _re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in mt.group(0), "document text must not ride the shuffle"

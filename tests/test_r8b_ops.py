@@ -320,3 +320,29 @@ def test_lttb_matches_reference_walk(spark):
     assert got[0]["x_day"] == int(pts[0][0]) and got[-1]["x_day"] == int(pts[-1][0])
     xs = [r["x_day"] for r in got]
     assert xs == sorted(set(xs))
+
+
+def test_minhash_scurve_candidates_share_a_band(spark):
+    """Every LSH candidate shares a full band, so match_count >= r (3);
+    theory column equals the mirrored multiply chain; est_jaccard is
+    match/k; the pair total equals the near-dup pipeline's candidate
+    count (same banded join, one truth)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+        minhash_scurve_report,
+    )
+
+    rows = minhash_scurve_report(spark, SF_DIR_SMALL).collect()
+    assert rows, "fixture must produce LSH candidates"
+    for r in rows:
+        assert r["match_count"] >= MINHASH_BAND_ROWS
+        assert r["match_count"] <= MINHASH_K
+        s = r["match_count"] / MINHASH_K
+        assert abs(r["est_jaccard"] - s) < 5e-7
+        q = 1.0 - (s * s) * s
+        assert abs(r["collision_prob"] - (1.0 - ((q * q) * (q * q)))) < 5e-7
+    # collision_prob is monotone in match_count
+    srt = sorted(rows, key=lambda r: r["match_count"])
+    probs = [r["collision_prob"] for r in srt]
+    assert probs == sorted(probs)
