@@ -146,6 +146,9 @@ _NAMES = [
     (dedup, [
         "minhash_scurve_report",  # LSH (b,r) tuning curve off real candidates
     ]),
+    (timeseries, [
+        "dau_wau_stickiness",  # sliding-window distinct via island sweep-line
+    ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
         "q22_idle_rich_customers",

@@ -1959,3 +1959,75 @@ def lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.x").cast("long").alias("x_day"),
         F.round(F.col("p.y"), 6).alias("y_revenue"),
     )
+
+
+WAU_WINDOW_DAYS = 7  # trailing window (inclusive): [day-6, day]
+
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: per purchase day, the distinct daily
+    purchasers over the trailing-7-day distinct purchasers — the
+    engagement ratio on every growth dashboard, and the canonical
+    "distinct over a sliding window" problem.
+
+    Scale shape — the part that matters at 100 TB: trailing-window
+    COUNT DISTINCT is NOT windowable directly (distinct doesn't
+    decompose), and the naive shapes re-scan (a 7-way self-join) or
+    explode (28 rows per user-day).  This implementation: dedup to the
+    (user, day) grain (one shuffle), merge each user's overlapping
+    [day, day+6] coverage intervals into islands (lag-based, the
+    interval_union_length discipline — the multi-island branch fires at
+    all 3 SFs: gaps > 6 days are real on purchase activity), then ONE
+    +1/-1 delta sweep-line cumsum over the bounded date domain.  Each
+    user contributes 2 deltas per island, never 7 rows per active day.
+
+    Exactness: all counts are integers off island boundaries; the
+    oracle deliberately uses the INDEPENDENT brute construction (a
+    correlated 7-day range join with COUNT(DISTINCT)) — two different
+    algorithms, one truth; stickiness is a single IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    run = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag("day").over(wu)
+    new_isl = F.when(
+        prev.isNull() | (F.datediff(F.col("day"), prev) > WAU_WINDOW_DAYS - 1), 1
+    ).otherwise(0)
+    islands = (
+        ud.withColumn("isl", F.sum(new_isl).over(run))
+        .groupBy("user_id", "isl")
+        .agg(
+            F.min("day").alias("s"),
+            F.date_add(F.max("day"), WAU_WINDOW_DAYS - 1).alias("e"),
+        )
+    )
+    deltas = (
+        islands.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            islands.select(F.date_add("e", 1).alias("day"), F.lit(-1).alias("d"))
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    merged = deltas.join(dau, "day", "full").fillna(0, subset=["d"])
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        merged.withColumn("wau", F.sum("d").over(wd).cast("long"))
+        .filter(F.col("dau").isNotNull())
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+    return out

@@ -4569,3 +4569,23 @@ SELECT CAST(match_count AS BIGINT) AS match_count,
        round(1.0 - ((q * q) * (q * q)), 6) AS collision_prob
 FROM c3
 """.format(shingles=_SHINGLES, mh_cols=_MH_COLS, sigs_union=_SIGS_UNION)
+
+# Deliberately the INDEPENDENT construction (brute 7-day range join +
+# COUNT DISTINCT) vs the Spark side's island sweep-line: two algorithms,
+# one exact-integer truth.
+ORACLE["dau_wau_stickiness"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE event_type = 'purchase'),
+spine AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+wau AS (
+  SELECT s.day, count(DISTINCT u.user_id) AS wau
+  FROM spine s JOIN ud u
+    ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+  GROUP BY 1)
+SELECT s.day AS day,
+       CAST(s.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(s.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM spine s JOIN wau w USING (day)
+"""

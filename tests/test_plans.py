@@ -667,3 +667,28 @@ def test_minhash_scurve_no_text_in_exchanges(spark, queries):
 
     for mt in _re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in mt.group(0), "document text must not ride the shuffle"
+
+
+def test_dau_wau_no_explode_no_range_join(spark, queries):
+    """Sliding-window distinct must NOT plan as a range join or a
+    per-active-day explode: the user-day dedup + island aggregation +
+    the date-domain sweep are plain hash aggregates/windows; the only
+    join is the day-grain full-outer merge of deltas with DAU."""
+    df = queries["dau_wau_stickiness"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, plan  # no explode
+    assert "BroadcastNestedLoopJoin" not in plan  # no range join
+    # exactly one join node (formatted plans print tree + detail sections):
+    # the day-grain delta|x|dau full-outer merge
+    join_nodes = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Join" in ln
+    ]
+    assert len(join_nodes) == 1, join_nodes
+    # all three branches (delta starts, delta ends, DAU) share the one
+    # (user, day) dedup exchange: runtime final plan = ONE corpus scan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, final
+    assert final.count("ReusedExchange") >= 2, final

@@ -346,3 +346,43 @@ def test_minhash_scurve_candidates_share_a_band(spark):
     srt = sorted(rows, key=lambda r: r["match_count"])
     probs = [r["collision_prob"] for r in srt]
     assert probs == sorted(probs)
+
+
+def test_dau_wau_stickiness_matches_brute_recompute(spark):
+    """Sweep-line WAU == brute trailing-7-day distinct per day; dau <= wau;
+    the fixture genuinely exercises the multi-island branch (some user
+    has a >6-day purchase gap)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        WAU_WINDOW_DAYS,
+        dau_wau_stickiness,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["day"]: r for r in dau_wau_stickiness(spark, SF_DIR_SMALL).collect()}
+    ud = {
+        (r["user_id"], r["ts"].date())
+        for r in load_table(spark, SF_DIR_SMALL, "events").collect()
+        if r["event_type"] == "purchase"
+    }
+    days = sorted({d for _, d in ud})
+    assert set(got) == set(days)
+    import datetime
+
+    gap_seen = False
+    by_user: dict = {}
+    for u, d in ud:
+        by_user.setdefault(u, []).append(d)
+    for ds in by_user.values():
+        ds.sort()
+        for a, b in zip(ds, ds[1:]):
+            if (b - a).days > WAU_WINDOW_DAYS - 1:
+                gap_seen = True
+    assert gap_seen, "fixture must exercise the multi-island branch"
+    for d in days:
+        dau = sum(1 for (_, dd) in ud if dd == d)
+        lo = d - datetime.timedelta(days=WAU_WINDOW_DAYS - 1)
+        wau = len({u for (u, dd) in ud if lo <= dd <= d})
+        g = got[d]
+        assert (g["dau"], g["wau"]) == (dau, wau), (d, g, dau, wau)
+        assert g["dau"] <= g["wau"]
+        assert abs(g["stickiness"] - dau / wau) < 5e-7
