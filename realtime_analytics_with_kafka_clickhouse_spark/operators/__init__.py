@@ -148,6 +148,7 @@ _NAMES = [
     ]),
     (timeseries, [
         "dau_wau_stickiness",  # sliding-window distinct via island sweep-line
+        "corr_matrix_daily",  # corrMatrix of the daily metric triple
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

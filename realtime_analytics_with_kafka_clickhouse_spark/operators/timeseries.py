@@ -2031,3 +2031,71 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corrMatrix`` analog (ClickHouse 24.x): the full Pearson
+    correlation matrix of the daily metric triple (purchase count,
+    revenue, distinct purchasers) as (metric_i, metric_j, corr) rows —
+    every pairwise correlation from ONE pass over the daily MV.
+
+    Exactness: the metrics live on the 30-row daily grain, so ALL power
+    and cross sums are exact (counts bigint; revenue decimal; mixed
+    cross products DECIMAL(12,0) x DECIMAL(25,6)); the correlation
+    composition then runs the mirrored IEEE sequence with two sqrt's.
+    The matrix is emitted from one grouped row via an inline
+    explode of the 6 upper-triangle cells (i <= j).
+
+    Scale shape: one partial-agg shuffle to the daily grain (count +
+    dsum + distinct-user count), one single-row reduce carrying the 9
+    sums, then a 6-row explode."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"),
+        F.countDistinct("user_id").alias("users"),
+    )
+    # exact sums: ints as bigint, money in the decimal domain
+    # revenue as DECIMAL(19,2): daily sums of 2dp money are exact at 2dp,
+    # and precision 19 keeps the squared product inside DuckDB's hugeint
+    # class / Spark's capped (38,4) without loss (the linreg discipline)
+    mets = {
+        "orders": F.col("cnt").cast("decimal(12,0)"),
+        "revenue": F.col("rev").cast("decimal(19,2)"),
+        "purchasers": F.col("users").cast("decimal(12,0)"),
+    }
+    aggs = [F.count("*").alias("n")]
+    names = list(mets)
+    for nm in names:
+        aggs.append(F.sum(mets[nm]).alias(f"s_{nm}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(F.sum(mets[a] * mets[b]).alias(f"p_{a}_{b}"))
+    sums = daily.agg(*aggs)
+
+    def corr(a: str, b: str):
+        key = f"p_{a}_{b}" if f"p_{a}_{b}" in [f.name for f in sums.schema] else f"p_{b}_{a}"
+        nd = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        saa = F.col(f"p_{a}_{a}").cast("double")
+        sbb = F.col(f"p_{b}_{b}").cast("double")
+        sab = F.col(key).cast("double")
+        return (nd * sab - sa * sb) / (
+            F.sqrt(nd * saa - sa * sa) * F.sqrt(nd * sbb - sb * sb)
+        )
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("metric_i"),
+                F.lit(b).alias("metric_j"),
+                F.round(corr(a, b), 6).alias("corr"),
+            )
+            for i, a in enumerate(names)
+            for b in names[i:]
+        ]
+    )
+    return (
+        sums.select(F.explode(cells).alias("c"), F.col("n").cast("long").alias("n_days"))
+        .select("c.metric_i", "c.metric_j", "c.corr", "n_days")
+    )

@@ -4589,3 +4589,65 @@ SELECT s.day AS day,
        round(CAST(s.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
 FROM spine s JOIN wau w USING (day)
 """
+
+ORACLE["corr_matrix_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DECIMAL(12,0)) AS m_orders,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(19,2)) AS m_revenue,
+         CAST(count(DISTINCT user_id) AS DECIMAL(12,0)) AS m_purchasers
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+sums AS (
+  SELECT count(*) AS n,
+         sum(m_orders) AS s_orders,
+         sum(m_revenue) AS s_revenue,
+         sum(m_purchasers) AS s_purchasers,
+         sum(m_orders * m_orders) AS p_orders_orders,
+         sum(m_orders * m_revenue) AS p_orders_revenue,
+         sum(m_orders * m_purchasers) AS p_orders_purchasers,
+         sum(m_revenue * m_revenue) AS p_revenue_revenue,
+         sum(m_revenue * m_purchasers) AS p_revenue_purchasers,
+         sum(m_purchasers * m_purchasers) AS p_purchasers_purchasers
+  FROM daily),
+c AS (
+  SELECT CAST(n AS BIGINT) AS n_days, CAST(n AS DOUBLE) AS nd,
+         CAST(s_orders AS DOUBLE) AS s_a, CAST(s_revenue AS DOUBLE) AS s_b,
+         CAST(s_purchasers AS DOUBLE) AS s_c,
+         CAST(p_orders_orders AS DOUBLE) AS p_aa,
+         CAST(p_orders_revenue AS DOUBLE) AS p_ab,
+         CAST(p_orders_purchasers AS DOUBLE) AS p_ac,
+         CAST(p_revenue_revenue AS DOUBLE) AS p_bb,
+         CAST(p_revenue_purchasers AS DOUBLE) AS p_bc,
+         CAST(p_purchasers_purchasers AS DOUBLE) AS p_cc
+  FROM sums)
+SELECT metric_i, metric_j, corr, n_days FROM (
+  SELECT 'orders' AS metric_i, 'orders' AS metric_j,
+         round((nd * p_aa - s_a * s_a)
+               / (sqrt(nd * p_aa - s_a * s_a) * sqrt(nd * p_aa - s_a * s_a)), 6)
+           AS corr, n_days FROM c
+  UNION ALL
+  SELECT 'orders', 'revenue',
+         round((nd * p_ab - s_a * s_b)
+               / (sqrt(nd * p_aa - s_a * s_a) * sqrt(nd * p_bb - s_b * s_b)), 6),
+         n_days FROM c
+  UNION ALL
+  SELECT 'orders', 'purchasers',
+         round((nd * p_ac - s_a * s_c)
+               / (sqrt(nd * p_aa - s_a * s_a) * sqrt(nd * p_cc - s_c * s_c)), 6),
+         n_days FROM c
+  UNION ALL
+  SELECT 'revenue', 'revenue',
+         round((nd * p_bb - s_b * s_b)
+               / (sqrt(nd * p_bb - s_b * s_b) * sqrt(nd * p_bb - s_b * s_b)), 6),
+         n_days FROM c
+  UNION ALL
+  SELECT 'revenue', 'purchasers',
+         round((nd * p_bc - s_b * s_c)
+               / (sqrt(nd * p_bb - s_b * s_b) * sqrt(nd * p_cc - s_c * s_c)), 6),
+         n_days FROM c
+  UNION ALL
+  SELECT 'purchasers', 'purchasers',
+         round((nd * p_cc - s_c * s_c)
+               / (sqrt(nd * p_cc - s_c * s_c) * sqrt(nd * p_cc - s_c * s_c)), 6),
+         n_days FROM c)
+"""

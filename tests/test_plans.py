@@ -692,3 +692,14 @@ def test_dau_wau_no_explode_no_range_join(spark, queries):
     final = executed.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1, final
     assert final.count("ReusedExchange") >= 2, final
+
+
+def test_corr_matrix_two_exchanges(spark, queries):
+    """Daily grain (count+dsum+distinct) then the one-row power-sum
+    reduce: the distinct-user leg costs one extra expand-free exchange,
+    nothing else; the 6-cell explode adds no shuffle."""
+    df = queries["corr_matrix_daily"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert count_shuffles(df) <= 3, plan
+    assert len(read_schema_columns(df)) == 1, plan
+    assert "Join" not in plan

@@ -386,3 +386,42 @@ def test_dau_wau_stickiness_matches_brute_recompute(spark):
         assert (g["dau"], g["wau"]) == (dau, wau), (d, g, dau, wau)
         assert g["dau"] <= g["wau"]
         assert abs(g["stickiness"] - dau / wau) < 5e-7
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """6 upper-triangle cells vs numpy corrcoef on the same daily triple;
+    diagonal exactly 1.0 (x/(sqrt(x)*sqrt(x)) both engines); symmetry by
+    construction; |corr| <= 1."""
+    import numpy as np
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        corr_matrix_daily,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = corr_matrix_daily(spark, SF_DIR_SMALL).collect()
+    assert len(rows) == 6
+    got = {(r["metric_i"], r["metric_j"]): r["corr"] for r in rows}
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        if r["event_type"] != "purchase":
+            continue
+        d = r["ts"].date()
+        c, rev, us = daily.get(d, (0, 0.0, set()))
+        us = set(us)
+        us.add(r["user_id"])
+        daily[d] = (c + 1, rev + r["value"], us)
+    days = sorted(daily)
+    mat = np.array(
+        [[daily[d][0], round(daily[d][1], 2), len(daily[d][2])] for d in days],
+        dtype=float,
+    ).T
+    ref = np.corrcoef(mat)
+    names = ["orders", "revenue", "purchasers"]
+    for i, a in enumerate(names):
+        for j in range(i, 3):
+            b = names[j]
+            assert abs(got[(a, b)] - ref[i][j]) < 1e-5, (a, b)
+            assert abs(got[(a, b)]) <= 1.0 + 1e-9
+    assert got[("orders", "orders")] == 1.0
+    assert rows[0]["n_days"] == len(days)
