@@ -150,6 +150,9 @@ _NAMES = [
         "dau_wau_stickiness",  # sliding-window distinct via island sweep-line
         "corr_matrix_daily",  # corrMatrix of the daily metric triple
     ]),
+    (similarity, [
+        "mrl_truncation_recall",  # Matryoshka prefix-dim recall gate
+    ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
         "q22_idle_rich_customers",

@@ -1769,3 +1769,79 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunes against this number."""
     approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     return _recall_vs_exact_l2(spark, sf_dir, approx)
+
+
+MRL_DIMS = (32, 16, 8)  # truncation prefixes evaluated against full 64-dim
+
+
+def _truncated_cosine_pairs(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """Exact top-5 cosine neighbors using only the FIRST ``dim`` embedding
+    components (Matryoshka prefix truncation) — the ``ann_cosine_topk``
+    blocked-matmul shape with a prefix slice + renorm on both sides.
+    Slicing the memoized UNIT matrix then renormalizing equals slicing the
+    raw vectors (the scale cancels); the ~1e-15 float difference is
+    absorbed by the round-6-before-rank discipline like matmul-vs-fold."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def topk(batches):
+        ids_b, unit_b = _load_candidate_matrix(cand_path)
+        sub = unit_b[:, :dim]
+        sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        for pdf in batches:
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)[:, :dim]
+            q_unit = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cos = np.round(q_unit @ sub.T, 6)
+            out_vec, out_nbr = [], []
+            for qi, vid in enumerate(pdf["vec_id"]):
+                row = cos[qi]
+                mask = ids_b != vid
+                order = np.lexsort((ids_b[mask], -row[mask]))[:TOP_K]
+                sel_ids = ids_b[mask][order]
+                out_vec.extend([vid] * len(order))
+                out_nbr.extend(sel_ids.tolist())
+            yield pd.DataFrame({"vec_id": out_vec, "neighbor_id": out_nbr})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        topk, "vec_id long, neighbor_id long"
+    )
+
+
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation acceptance gate: recall@5 of
+    prefix-truncated cosine search (dims 32/16/8) against the full
+    64-dim exact top-5 — the dimension-vs-quality dial every modern
+    embedding deployment tunes (truncate 8x, keep how much recall?),
+    measured on the engine's own corpus instead of a paper table.
+
+    Exactness: both sides rank on round-6 cosines with neighbor-id
+    tiebreaks (the ann_cosine_topk discipline), so the top-5 SETS are
+    deterministic; total_hits is an integer semi-join count and recall
+    is ONE division by k*n — no float aggregation anywhere.
+
+    Scale shape: per truncation it's the blocked-matmul eval (executor-
+    memoized candidate matrix, O(k) output per query) plus an id-pairs-
+    only semi-join — embeddings never ride the recall shuffle."""
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    n_q = exact.select("vec_id").distinct().count()
+    out = None
+    for d in MRL_DIMS:
+        trunc = _truncated_cosine_pairs(spark, sf_dir, d)
+        hits = exact.join(trunc, ["vec_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("total_hits")
+        )
+        row = hits.select(
+            F.lit(d).cast("long").alias("dim_kept"),
+            F.lit(n_q).cast("long").alias("n_queries"),
+            F.col("total_hits").cast("long").alias("total_hits"),
+            F.round(
+                F.col("total_hits").cast("double")
+                / F.lit(float(TOP_K * n_q)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

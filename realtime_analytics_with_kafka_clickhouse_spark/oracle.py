@@ -4651,3 +4651,49 @@ SELECT metric_i, metric_j, corr, n_days FROM (
                / (sqrt(nd * p_cc - s_c * s_c) * sqrt(nd * p_cc - s_c * s_c)), 6),
          n_days FROM c)
 """
+
+
+def _mrl_trunc_block(d: int) -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n"
+        f"           list_transform(range(1, {d + 1}), i -> "
+        "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),\n"
+        "           (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n"
+        f"           list_transform(range(1, {d + 1}), i -> "
+        "CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),\n"
+        "           (acc, x) -> acc + x))"
+    )
+    return f"""
+v{d} AS (
+  SELECT vec_id, embedding, {nrm} AS nrm FROM embeddings),
+p{d} AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         round({dot} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM v{d} a, v{d} b WHERE a.vec_id <> b.vec_id),
+t{d} AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM p{d}) WHERE rank <= 5)"""
+
+
+_MRL_UNION = "\nUNION ALL\n".join(
+    f"""SELECT CAST({d} AS BIGINT) AS dim_kept,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM t64 JOIN t{d} USING (vec_id, neighbor_id))
+            AS BIGINT) AS total_hits,
+       round(CAST((SELECT count(*) FROM t64 JOIN t{d} USING (vec_id, neighbor_id))
+                  AS DOUBLE) / (5.0 * CAST(nq.n AS DOUBLE)), 6) AS recall_at_k
+FROM nq"""
+    for d in (32, 16, 8)
+)
+
+ORACLE["mrl_truncation_recall"] = (
+    "WITH "
+    + ",".join(_mrl_trunc_block(d) for d in (64, 32, 16, 8))
+    + ",\nnq AS (SELECT count(DISTINCT vec_id) AS n FROM t64)\n"
+    + _MRL_UNION
+)

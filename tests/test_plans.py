@@ -703,3 +703,13 @@ def test_corr_matrix_two_exchanges(spark, queries):
     assert count_shuffles(df) <= 3, plan
     assert len(read_schema_columns(df)) == 1, plan
     assert "Join" not in plan
+
+
+def test_mrl_recall_id_pairs_only_in_shuffles(spark, queries):
+    """The recall semi-joins carry (vec_id, neighbor_id) id pairs only —
+    the embedding arrays never ride an exchange."""
+    plan = formatted_plan(queries["mrl_truncation_recall"](spark, SF_DIR))
+    import re as _re
+
+    for mt in _re.finditer(r"Exchange [^\n]*", plan):
+        assert "embedding#" not in mt.group(0), "embeddings must not ride the shuffle"

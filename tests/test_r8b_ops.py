@@ -425,3 +425,48 @@ def test_corr_matrix_matches_numpy(spark):
             assert abs(got[(a, b)]) <= 1.0 + 1e-9
     assert got[("orders", "orders")] == 1.0
     assert rows[0]["n_days"] == len(days)
+
+
+def test_mrl_truncation_recall_matches_numpy_and_monotone(spark):
+    """Recall per truncated dim vs a numpy brute recompute with the same
+    round-6 + id-tiebreak ranking; recall rises with kept dims; full-dim
+    hits bounded by k*n."""
+    import numpy as np
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        MRL_DIMS,
+        TOP_K,
+        mrl_truncation_recall,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["dim_kept"]: r for r in mrl_truncation_recall(spark, SF_DIR_SMALL).collect()}
+    assert set(got) == set(MRL_DIMS)
+    rows = load_table(spark, SF_DIR_SMALL, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+
+    def topk_sets(d):
+        sub = mat[:, :d]
+        unit = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        cos = np.round(unit @ unit.T, 6)
+        out = {}
+        for qi, vid in enumerate(ids):
+            mask = ids != vid
+            order = np.lexsort((ids[mask], -cos[qi][mask]))[:TOP_K]
+            out[vid] = set(ids[mask][order].tolist())
+        return out
+
+    full = topk_sets(mat.shape[1])
+    n = len(ids)
+    prev = -1.0
+    for d in sorted(MRL_DIMS):
+        sets = topk_sets(d)
+        hits = sum(len(full[v] & sets[v]) for v in full)
+        g = got[d]
+        assert g["n_queries"] == n
+        assert g["total_hits"] == hits, (d, g["total_hits"], hits)
+        assert abs(g["recall_at_k"] - hits / (TOP_K * n)) < 5e-7
+        assert g["recall_at_k"] >= prev  # more dims, never worse
+        prev = g["recall_at_k"]
+    assert got[max(MRL_DIMS)]["recall_at_k"] < 1.0  # truncation genuinely loses
