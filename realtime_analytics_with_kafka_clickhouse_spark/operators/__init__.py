@@ -152,6 +152,7 @@ _NAMES = [
     ]),
     (similarity, [
         "mrl_truncation_recall",  # Matryoshka prefix-dim recall gate
+        "ann_mrl_adaptive_rerank",  # 8-dim shortlist -> full-dim re-rank
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -1774,7 +1774,9 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 MRL_DIMS = (32, 16, 8)  # truncation prefixes evaluated against full 64-dim
 
 
-def _truncated_cosine_pairs(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+def _truncated_cosine_pairs(
+    spark: SparkSession, sf_dir: str, dim: int, k: int = TOP_K
+) -> DataFrame:
     """Exact top-5 cosine neighbors using only the FIRST ``dim`` embedding
     components (Matryoshka prefix truncation) — the ``ann_cosine_topk``
     blocked-matmul shape with a prefix slice + renorm on both sides.
@@ -1799,7 +1801,7 @@ def _truncated_cosine_pairs(spark: SparkSession, sf_dir: str, dim: int) -> DataF
             for qi, vid in enumerate(pdf["vec_id"]):
                 row = cos[qi]
                 mask = ids_b != vid
-                order = np.lexsort((ids_b[mask], -row[mask]))[:TOP_K]
+                order = np.lexsort((ids_b[mask], -row[mask]))[:k]
                 sel_ids = ids_b[mask][order]
                 out_vec.extend([vid] * len(order))
                 out_nbr.extend(sel_ids.tolist())
@@ -1845,3 +1847,84 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+MRL_COARSE_DIM = 8  # shortlist prefix
+MRL_SHORTLIST = 50  # coarse candidates per query before full-dim re-rank
+
+
+def ann_mrl_adaptive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (funnel) retrieval — the MRL SERVING pattern: shortlist
+    ``MRL_SHORTLIST`` candidates per query with the cheap 8-dim prefix,
+    re-rank ONLY the shortlist with full 64-dim cosine, keep top-5, and
+    ship the recall gate against the exact full-dim search in the same
+    report.  This is how truncated embeddings are actually deployed:
+    the full-precision work drops from n to the shortlist size.
+
+    Exactness: the re-rank cosine is a LEFT-FOLD dot product
+    (``F.aggregate`` over ``zip_with``) with round-6 + id tiebreaks —
+    textually mirrored by the DuckDB fold, so no matmul-vs-fold
+    boundary risk on the final ranking; recall is integer hits over one
+    division.  Scale shape: the only embedding-carrying shuffle is the
+    shortlist join (50 pairs/query, bounded), after which the window
+    ranks 50 rows per query."""
+    import numpy as np  # noqa: F401  (the shortlist stage uses the matmul helper)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = _truncated_cosine_pairs(spark, sf_dir, MRL_COARSE_DIM, k=MRL_SHORTLIST)
+    a = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("q_emb"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm_q = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nrm_c = F.sqrt(
+        F.aggregate(
+            F.transform("c_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ranked = (
+        short.join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(dot / (nrm_q * nrm_c), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id")
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    n_q = exact.select("vec_id").distinct().count()
+    hits = exact.join(ranked, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("total_hits")
+    )
+    return hits.select(
+        F.lit(MRL_COARSE_DIM).cast("long").alias("coarse_dim"),
+        F.lit(MRL_SHORTLIST).cast("long").alias("shortlist_k"),
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+        F.round(
+            F.col("total_hits").cast("double") / F.lit(float(TOP_K * n_q)), 6
+        ).alias("recall_at_k"),
+    )

@@ -4697,3 +4697,48 @@ ORACLE["mrl_truncation_recall"] = (
     + ",\nnq AS (SELECT count(DISTINCT vec_id) AS n FROM t64)\n"
     + _MRL_UNION
 )
+
+
+def _mrl_p_block(d: int) -> str:
+    # v{d}/p{d} only (no top-k cut) — reuse of the _mrl_trunc_block text
+    full = _mrl_trunc_block(d)
+    return full[: full.index(f",\nt{d} AS (")]
+
+
+_RERANK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),\n"
+    "           list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),\n"
+    "           (acc, x) -> acc + x)"
+)
+
+ORACLE["ann_mrl_adaptive_rerank"] = f"""
+WITH {_mrl_p_block(8)},
+short AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM p8) WHERE rank <= 50),
+{_mrl_trunc_block(64).lstrip()},
+rr AS (
+  SELECT s.vec_id AS vec_id, s.neighbor_id AS neighbor_id,
+         round({_RERANK_DOT} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM short s
+  JOIN v64 a ON s.vec_id = a.vec_id
+  JOIN v64 b ON s.neighbor_id = b.vec_id),
+ranked AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM rr) WHERE rank <= 5),
+nq AS (SELECT count(DISTINCT vec_id) AS n FROM t64),
+h AS (SELECT count(*) AS total_hits
+      FROM t64 JOIN ranked USING (vec_id, neighbor_id))
+SELECT CAST(8 AS BIGINT) AS coarse_dim,
+       CAST(50 AS BIGINT) AS shortlist_k,
+       CAST(nq.n AS BIGINT) AS n_queries,
+       CAST(h.total_hits AS BIGINT) AS total_hits,
+       round(CAST(h.total_hits AS DOUBLE) / (5.0 * CAST(nq.n AS DOUBLE)), 6)
+         AS recall_at_k
+FROM nq, h
+"""

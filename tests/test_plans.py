@@ -713,3 +713,12 @@ def test_mrl_recall_id_pairs_only_in_shuffles(spark, queries):
 
     for mt in _re.finditer(r"Exchange [^\n]*", plan):
         assert "embedding#" not in mt.group(0), "embeddings must not ride the shuffle"
+
+
+def test_mrl_rerank_no_cartesian(spark, queries):
+    """The full-precision work is confined to the shortlist equi-joins:
+    no nested-loop/cartesian anywhere — the n^2 stage exists only inside
+    the Arrow matmul helper, never as a join."""
+    plan = formatted_plan(queries["ann_mrl_adaptive_rerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

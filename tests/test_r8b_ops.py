@@ -470,3 +470,23 @@ def test_mrl_truncation_recall_matches_numpy_and_monotone(spark):
         assert g["recall_at_k"] >= prev  # more dims, never worse
         prev = g["recall_at_k"]
     assert got[max(MRL_DIMS)]["recall_at_k"] < 1.0  # truncation genuinely loses
+
+
+def test_mrl_adaptive_rerank_beats_raw_truncation(spark):
+    """The full-dim re-rank of the 8-dim shortlist must strictly beat the
+    raw 8-dim top-5 recall (that lift is the whole point of adaptive
+    retrieval), while staying below exact (shortlist misses are real)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        ann_mrl_adaptive_rerank,
+        mrl_truncation_recall,
+    )
+
+    g = ann_mrl_adaptive_rerank(spark, SF_DIR_SMALL).collect()[0]
+    raw = {
+        r["dim_kept"]: r["recall_at_k"]
+        for r in mrl_truncation_recall(spark, SF_DIR_SMALL).collect()
+    }
+    assert g["coarse_dim"] == 8 and g["shortlist_k"] == 50
+    assert g["recall_at_k"] > raw[8], (g["recall_at_k"], raw[8])
+    assert g["recall_at_k"] < 1.0  # probe loss is real on this fixture
+    assert 0 <= g["total_hits"] <= 5 * g["n_queries"]
