@@ -154,6 +154,9 @@ _NAMES = [
         "mrl_truncation_recall",  # Matryoshka prefix-dim recall gate
         "ann_mrl_adaptive_rerank",  # 8-dim shortlist -> full-dim re-rank
     ]),
+    (timeseries, [
+        "holt_linear_forecast",  # double-exponential level+trend walk
+    ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [
         "q22_idle_rich_customers",

@@ -2099,3 +2099,88 @@ def corr_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums.select(F.explode(cells).alias("c"), F.col("n").cast("long").alias("n_days"))
         .select("c.metric_i", "c.metric_j", "c.corr", "n_days")
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_HORIZON = 7  # days forecast ahead
+
+
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast of daily revenue: the classic
+    double-exponential-smoothing recurrence (level + trend) fit over the
+    daily MV, a 7-day-ahead forecast, and the one-step-ahead SSE as the
+    fit diagnostic — the second member of the sequential-walk class
+    (the ``lttb_downsample_daily`` discipline).
+
+    Exactness: the recurrence is pure +,-,* on (decimal-exact daily
+    revenue) doubles with literal alpha/beta — a Catalyst HOF fold with
+    a (level, trend, sse) struct accumulator, mirrored op-for-op by a
+    DuckDB recursive-CTE walk (no exp/log: the smoothing "exponential"
+    is the recurrence itself).  SSE accumulates in the same sequential
+    order on both sides.  Init: l0 = y0, b0 = y1 - y0 (standard).
+
+    Scale shape: one partial-agg shuffle to the daily grain; the walk
+    runs on a one-row, domain-bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"))
+        .select("day", F.col("rev").cast("double").alias("y"))
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s"),
+        F.count("*").cast("int").alias("m"),
+        F.max("day").alias("last_day"),
+    )
+    s, m = F.col("s"), F.col("m")
+    a, b1m = F.lit(HOLT_ALPHA), F.lit(1.0 - HOLT_ALPHA)
+    bt, b2m = F.lit(HOLT_BETA), F.lit(1.0 - HOLT_BETA)
+    acc0 = F.struct(
+        s[0]["y"].alias("l"),
+        (s[1]["y"] - s[0]["y"]).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, p):
+        pred = acc["l"] + acc["b"]
+        err = p["y"] - pred
+        new_l = a * p["y"] + b1m * pred
+        new_b = bt * (new_l - acc["l"]) + b2m * acc["b"]
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    fit = ser.select(
+        F.aggregate(F.slice(s, 2, (m - F.lit(1)).cast("int")), acc0, step).alias(
+            "f"
+        ),
+        "last_day",
+        F.col("m").cast("long").alias("n_days"),
+    )
+    hs = F.sequence(F.lit(1), F.lit(HOLT_HORIZON))
+    return (
+        fit.select(
+            F.explode(hs).alias("h"),
+            "last_day",
+            "n_days",
+            F.col("f.l").alias("l"),
+            F.col("f.b").alias("b"),
+            F.col("f.sse").alias("sse"),
+        )
+        .select(
+            F.col("h").cast("long").alias("h"),
+            F.date_add(F.col("last_day"), F.col("h").cast("int")).alias(
+                "forecast_day"
+            ),
+            F.round(
+                F.col("l") + F.col("h").cast("double") * F.col("b"), 6
+            ).alias("forecast_revenue"),
+            F.round("l", 6).alias("level_final"),
+            F.round("b", 6).alias("trend_final"),
+            F.round("sse", 6).alias("sse_one_step"),
+            "n_days",
+        )
+    )

@@ -4742,3 +4742,40 @@ SELECT CAST(8 AS BIGINT) AS coarse_dim,
          AS recall_at_k
 FROM nq, h
 """
+
+# Holt recurrence mirrored as a recursive-CTE walk (the LTTB class);
+# alpha = 0.5, beta = 0.3 literal, init l0 = y0 / b0 = y1 - y0.
+ORACLE["holt_linear_forecast"] = """
+WITH RECURSIVE
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+ser AS (SELECT list({'day': day, 'y': y} ORDER BY day) AS s,
+               count(*) AS m, max(day) AS last_day
+        FROM daily),
+walk AS (
+  SELECT 1 AS i, s[1].y AS l, s[2].y - s[1].y AS b,
+         CAST(0.0 AS DOUBLE) AS sse
+  FROM ser
+  UNION ALL
+  SELECT t.i, 0.5 * t.y + 0.5 * t.pred,
+         0.3 * ((0.5 * t.y + 0.5 * t.pred) - t.l) + 0.7 * t.b,
+         t.sse + (t.y - t.pred) * (t.y - t.pred)
+  FROM (
+    SELECT w.i + 1 AS i, w.l, w.b, w.sse,
+           ser.s[w.i + 1].y AS y, w.l + w.b AS pred
+    FROM walk w, ser WHERE w.i + 1 <= ser.m) t),
+fit AS (
+  SELECT w.l, w.b, w.sse, ser.last_day, ser.m
+  FROM walk w, ser WHERE w.i = ser.m),
+h AS (SELECT unnest(range(1, 8)) AS h)
+SELECT CAST(h.h AS BIGINT) AS h,
+       fit.last_day + CAST(h.h AS INT) AS forecast_day,
+       round(fit.l + CAST(h.h AS DOUBLE) * fit.b, 6) AS forecast_revenue,
+       round(fit.l, 6) AS level_final,
+       round(fit.b, 6) AS trend_final,
+       round(fit.sse, 6) AS sse_one_step,
+       CAST(fit.m AS BIGINT) AS n_days
+FROM fit, h
+"""

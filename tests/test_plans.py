@@ -722,3 +722,14 @@ def test_mrl_rerank_no_cartesian(spark, queries):
     plan = formatted_plan(queries["ann_mrl_adaptive_rerank"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_holt_one_scan_fold_on_one_row(spark, queries):
+    """Like LTTB: one corpus scan to the daily grain, the walk is a
+    Catalyst expression on the one-row series frame — no joins, no
+    windows."""
+    df = queries["holt_linear_forecast"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert len(read_schema_columns(df)) == 1, plan
+    assert count_shuffles(df) == 2, plan
+    assert "Join" not in plan and "Window" not in plan

@@ -490,3 +490,41 @@ def test_mrl_adaptive_rerank_beats_raw_truncation(spark):
     assert g["recall_at_k"] > raw[8], (g["recall_at_k"], raw[8])
     assert g["recall_at_k"] < 1.0  # probe loss is real on this fixture
     assert 0 <= g["total_hits"] <= 5 * g["n_queries"]
+
+
+def test_holt_forecast_matches_python_recurrence(spark):
+    """The fold must equal a pure-Python Holt recurrence; forecasts are
+    linear in h off (level, trend); SSE >= 0."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+        holt_linear_forecast,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = sorted(holt_linear_forecast(spark, SF_DIR_SMALL).collect(), key=lambda r: r["h"])
+    assert len(got) == HOLT_HORIZON
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        d = r["ts"].date()
+        daily[d] = daily.get(d, 0.0) + r["value"]
+    days = sorted(daily)
+    ys = [round(daily[d], 6) for d in days]
+    l, b, sse = ys[0], ys[1] - ys[0], 0.0
+    for y in ys[1:]:
+        pred = l + b
+        sse += (y - pred) ** 2
+        new_l = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * pred
+        b = HOLT_BETA * (new_l - l) + (1 - HOLT_BETA) * b
+        l = new_l
+    g1 = got[0]
+    assert abs(g1["level_final"] - l) < max(1e-3, 1e-6 * abs(l))
+    assert abs(g1["trend_final"] - b) < max(1e-3, 1e-4 * abs(b))
+    assert abs(g1["sse_one_step"] - sse) < max(1e-2, 1e-6 * sse)
+    assert g1["sse_one_step"] >= 0
+    import datetime
+
+    for r in got:
+        assert abs(r["forecast_revenue"] - (l + r["h"] * b)) < 1e-2
+        assert r["forecast_day"] == days[-1] + datetime.timedelta(days=r["h"])
