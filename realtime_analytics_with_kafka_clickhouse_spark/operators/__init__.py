@@ -156,6 +156,7 @@ _NAMES = [
     ]),
     (timeseries, [
         "holt_linear_forecast",  # double-exponential level+trend walk
+        "spearman_rank_corr",  # rankCorr via doubled midranks, integer-exact
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -2184,3 +2184,67 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rankCorr`` analog: Spearman rank correlation between a purchase's
+    value and its second-of-day, per event type ("do bigger transactions
+    happen later?") — completing the correlation family next to Pearson
+    (``corr_matrix_daily``) and the rank tests.
+
+    Integer-exact end to end: midranks come from per-type VALUE- and
+    SECOND-OF-DAY-frequency tables (both domain-bounded — money grain
+    and 86400 seconds; the mann_whitney discipline), doubled so
+    2*midrank = 2*(#smaller)+cnt+1 stays an integer; Spearman is
+    scale-invariant, so Pearson on the doubled ranks IS rho.  All six
+    power sums are bigint (rank2 <= 2n+1: sums hold to ~1e6 rows/type,
+    then the decimal fold); only the final composition is IEEE,
+    mirrored.  Window walks ride the tiny frequency tables, never the
+    corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long") % 86400).alias(
+            "sod"
+        ),
+    )
+
+    def rank2_table(col: str):
+        freq = ev.groupBy("event_type", col).agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return freq.withColumn(
+            f"r2_{col}",
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1).cast(
+                "long"
+            ),
+        ).select("event_type", col, f"r2_{col}")
+
+    rx = rank2_table("value")
+    ry = rank2_table("sod")
+    j = ev.join(F.broadcast(rx), ["event_type", "value"]).join(
+        F.broadcast(ry), ["event_type", "sod"]
+    )
+    per = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("r2_value").alias("sx"),
+        F.sum("r2_sod").alias("sy"),
+        F.sum(F.col("r2_value") * F.col("r2_value")).alias("sxx"),
+        F.sum(F.col("r2_sod") * F.col("r2_sod")).alias("syy"),
+        F.sum(F.col("r2_value") * F.col("r2_sod")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    rho = (nd * sxyd - sxd * syd) / (
+        F.sqrt(nd * sxxd - sxd * sxd) * F.sqrt(nd * syyd - syd * syd)
+    )
+    return per.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

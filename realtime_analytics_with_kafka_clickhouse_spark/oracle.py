@@ -4779,3 +4779,47 @@ SELECT CAST(h.h AS BIGINT) AS h,
        CAST(fit.m AS BIGINT) AS n_days
 FROM fit, h
 """
+
+ORACLE["spearman_rank_corr"] = """
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 1000000) % 86400 AS sod
+  FROM events),
+fx AS (SELECT event_type, value, count(*) AS cnt FROM e GROUP BY 1, 2),
+rx AS (
+  SELECT event_type, value,
+         CAST(2 * coalesce(SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS BIGINT) AS r2_value
+  FROM fx),
+fy AS (SELECT event_type, sod, count(*) AS cnt FROM e GROUP BY 1, 2),
+ry AS (
+  SELECT event_type, sod,
+         CAST(2 * coalesce(SUM(cnt) OVER (PARTITION BY event_type ORDER BY sod
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS BIGINT) AS r2_sod
+  FROM fy),
+j AS (
+  SELECT e.event_type, rx.r2_value, ry.r2_sod
+  FROM e JOIN rx ON e.event_type = rx.event_type AND e.value = rx.value
+         JOIN ry ON e.event_type = ry.event_type AND e.sod = ry.sod),
+per AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(r2_value) AS BIGINT) AS sx,
+         CAST(sum(r2_sod) AS BIGINT) AS sy,
+         CAST(sum(r2_value * r2_value) AS BIGINT) AS sxx,
+         CAST(sum(r2_sod * r2_sod) AS BIGINT) AS syy,
+         CAST(sum(r2_value * r2_sod) AS BIGINT) AS sxy
+  FROM j GROUP BY 1),
+c AS (
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM per)
+SELECT event_type, CAST(n AS BIGINT) AS n_sample,
+       round((nd * sxyd - sxd * syd)
+             / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 6)
+         AS spearman_rho
+FROM c
+"""

@@ -733,3 +733,13 @@ def test_holt_one_scan_fold_on_one_row(spark, queries):
     assert len(read_schema_columns(df)) == 1, plan
     assert count_shuffles(df) == 2, plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_spearman_windows_on_frequency_tables_only(spark, queries):
+    """Both midrank windows walk domain-bounded frequency tables
+    (partitioned by event_type — never an unpartitioned corpus window);
+    the rank tables broadcast back onto the corpus."""
+    df = queries["spearman_rank_corr"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "SortMergeJoin" not in plan

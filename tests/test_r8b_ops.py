@@ -528,3 +528,50 @@ def test_holt_forecast_matches_python_recurrence(spark):
     for r in got:
         assert abs(r["forecast_revenue"] - (l + r["h"] * b)) < 1e-2
         assert r["forecast_day"] == days[-1] + datetime.timedelta(days=r["h"])
+
+
+def test_spearman_matches_scipy_style_recompute(spark):
+    """rho vs a pure-Python midrank Spearman (Pearson on average ranks);
+    |rho| <= 1; doubled midranks give the identical statistic."""
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        spearman_rank_corr,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in spearman_rank_corr(spark, SF_DIR_SMALL).collect()}
+    by_type: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        sod = (
+            r["ts"].hour * 3600 + r["ts"].minute * 60 + r["ts"].second
+        )
+        by_type.setdefault(r["event_type"], []).append((r["value"], sod))
+
+    def midranks(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out, below = {}, 0
+        for v in sorted(cnt):
+            out[v] = below + (cnt[v] + 1) / 2.0
+            below += cnt[v]
+        return out
+
+    for et, pairs in by_type.items():
+        mx = midranks([p[0] for p in pairs])
+        my = midranks([p[1] for p in pairs])
+        xs = [mx[p[0]] for p in pairs]
+        ys = [my[p[1]] for p in pairs]
+        n = len(pairs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        rho = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+        g = got[et]
+        assert g["n_sample"] == n
+        assert abs(g["spearman_rho"]) <= 1.0 + 1e-9
+        assert abs(g["spearman_rho"] - rho) < 1e-4, (et, g["spearman_rho"], rho)
