@@ -142,7 +142,8 @@ _NAMES = [
         "audio_vad_segments",  # energy-gated VAD, the audio leg
     ]),
     # ---- driver gate boundary (exactly 50: ends at audio_vad_segments) ----
-    # -- 4. r8-new spill (position 51: leads the r9 gate) --
+    # -- 4. r8-new spill (positions 51-57: r8-new entries past the 50-slot
+    #    gate, pytest-parity green at 3 SFs — they lead the r9 gate) --
     (dedup, [
         "minhash_scurve_report",  # LSH (b,r) tuning curve off real candidates
     ]),
@@ -157,6 +158,7 @@ _NAMES = [
     (timeseries, [
         "holt_linear_forecast",  # double-exponential level+trend walk
         "spearman_rank_corr",  # rankCorr via doubled midranks, integer-exact
+        "kendall_tau_b",  # 2-D prefix-sum concordance, tie-corrected
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -2248,3 +2248,110 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_sample"),
         F.round(rho, 6).alias("spearman_rho"),
     )
+
+
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between purchase value and hour-of-day per event
+    type — the third rank statistic (after rankCorr/Spearman and the
+    rank-sum tests), with full tie correction.
+
+    The trick that makes an O(n^2)-pairs statistic distributed AND
+    integer-exact: concordant/discordant counts come from a 2-D PREFIX
+    SUM over the joint (value x hour) frequency grid — value domain is
+    money-grained and hour has 24 levels, so the dense per-type grid is
+    |values| x 24, never the corpus.  L(x,y) = #points strictly less in
+    both dims (two chained window cumsums); C = sum f*L; D likewise on
+    the reversed-hour grid; each unordered pair is counted once at its
+    upper point.  Tie terms t_x/t_y are marginal-frequency folds.
+    Everything is bigint until the one sqrt+division, mirrored.
+
+    Scale: two window passes over the bounded grid + one broadcast join
+    back; C,D hold in bigint to ~3e9 rows/type (then the decimal fold).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value", F.hour("ts").cast("long").alias("hr"))
+        # explicit not-nulls match the join-inferred IsNotNull so every
+        # branch's cells exchange canonicalizes equal (the KS discipline)
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("hr").isNotNull()
+        )
+    )
+    cells = ev.groupBy("event_type", "value", "hr").agg(F.count("*").alias("f"))
+    # dense per-type grid: value spine x 24 hours (grid rows, never corpus)
+    vals = cells.select("event_type", "value").distinct()
+    hours = spark.range(24).select(F.col("id").cast("long").alias("hr"))
+    # shuffle-hash for grid<-cells: broadcasting cells would re-derive it
+    # on a second corpus scan (the KS discipline); both sides are
+    # grid-bounded
+    grid = (
+        vals.crossJoin(F.broadcast(hours))
+        .join(cells.hint("shuffle_hash"), ["event_type", "value", "hr"], "left")
+        .fillna(0, subset=["f"])
+    )
+    # cum over value (strictly less), per (type, hour)
+    wv = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = grid.withColumn("cum_v", F.coalesce(F.sum("f").over(wv), F.lit(0)))
+    # then cum over hour (strictly less / strictly greater), per (type, value)
+    wh_less = (
+        Window.partitionBy("event_type", "value")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wh_more = (
+        Window.partitionBy("event_type", "value")
+        .orderBy("hr")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    g2 = g1.withColumn(
+        "less_both", F.coalesce(F.sum("cum_v").over(wh_less), F.lit(0)).cast("long")
+    ).withColumn(
+        "less_x_more_y",
+        F.coalesce(F.sum("cum_v").over(wh_more), F.lit(0)).cast("long"),
+    )
+    cd = (
+        g2.select("event_type", "value", "hr", "less_both", "less_x_more_y")
+        .join(cells.withColumnRenamed("f", "fc"), ["event_type", "value", "hr"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("fc") * F.col("less_both")).alias("c_pairs"),
+            F.sum(F.col("fc") * F.col("less_x_more_y")).alias("d_pairs"),
+        )
+    )
+    # n and both tie marginals fold off the CELLS table (not the corpus):
+    # every downstream branch shares the one (type, value, hr) partial-agg
+    # exchange, so the corpus is scanned once at runtime.
+    n_t = cells.groupBy("event_type").agg(F.sum("f").cast("long").alias("n"))
+    tx = (
+        cells.groupBy("event_type", "value")
+        .agg(F.sum("f").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("t_x"))
+    )
+    ty = (
+        cells.groupBy("event_type", "hr")
+        .agg(F.sum("f").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("t_y"))
+    )
+    j = (
+        cd.join(n_t, "event_type")
+        .join(tx, "event_type")
+        .join(ty, "event_type")
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    num = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    den = F.sqrt((n0 - F.col("t_x")).cast("double") * (n0 - F.col("t_y")).cast("double"))
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_sample"),
+        F.col("c_pairs").cast("long").alias("concordant"),
+        F.col("d_pairs").cast("long").alias("discordant"),
+        F.round(num / den, 6).alias("kendall_tau_b"),
+    )

@@ -4823,3 +4823,55 @@ SELECT event_type, CAST(n AS BIGINT) AS n_sample,
          AS spearman_rho
 FROM c
 """
+
+ORACLE["kendall_tau_b"] = """
+WITH e AS (
+  SELECT event_type, value, CAST(hour(ts) AS BIGINT) AS hr FROM events),
+cells AS (SELECT event_type, value, hr, count(*) AS f FROM e GROUP BY 1, 2, 3),
+vals AS (SELECT DISTINCT event_type, value FROM cells),
+grid AS (
+  SELECT v.event_type, v.value, h.hr, coalesce(c.f, 0) AS f
+  FROM vals v CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) h
+  LEFT JOIN cells c ON c.event_type = v.event_type
+    AND c.value = v.value AND c.hr = h.hr),
+g1 AS (
+  SELECT *, coalesce(SUM(f) OVER (PARTITION BY event_type, hr ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_v
+  FROM grid),
+g2 AS (
+  SELECT event_type, value, hr,
+         CAST(coalesce(SUM(cum_v) OVER (PARTITION BY event_type, value ORDER BY hr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS less_both,
+         CAST(coalesce(SUM(cum_v) OVER (PARTITION BY event_type, value ORDER BY hr
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+           AS less_x_more_y
+  FROM g1),
+cd AS (
+  SELECT g2.event_type,
+         CAST(sum(c.f * g2.less_both) AS BIGINT) AS c_pairs,
+         CAST(sum(c.f * g2.less_x_more_y) AS BIGINT) AS d_pairs
+  FROM g2 JOIN cells c ON c.event_type = g2.event_type
+    AND c.value = g2.value AND c.hr = g2.hr
+  GROUP BY 1),
+n_t AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n FROM cells GROUP BY 1),
+tx AS (
+  SELECT event_type, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS t_x
+  FROM (SELECT event_type, value, sum(f) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+ty AS (
+  SELECT event_type, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS t_y
+  FROM (SELECT event_type, hr, sum(f) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+j AS (
+  SELECT cd.event_type, n, c_pairs, d_pairs, t_x, t_y,
+         CAST(n * (n - 1) / 2 AS BIGINT) AS n0
+  FROM cd JOIN n_t USING (event_type)
+          JOIN tx USING (event_type) JOIN ty USING (event_type))
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_sample,
+       c_pairs AS concordant,
+       d_pairs AS discordant,
+       round(CAST(c_pairs - d_pairs AS DOUBLE)
+             / sqrt(CAST(n0 - t_x AS DOUBLE) * CAST(n0 - t_y AS DOUBLE)), 6)
+         AS kendall_tau_b
+FROM j
+"""

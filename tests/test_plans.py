@@ -743,3 +743,19 @@ def test_spearman_windows_on_frequency_tables_only(spark, queries):
     plan = formatted_plan(df)
     assert has_broadcast_join(df), plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kendall_grid_windows_two_scans(spark, queries):
+    """The O(n^2) statistic must plan as grid windows, not a pair join:
+    no cartesian, the cumsum windows partition by (type, hr)/(type,
+    value), and the runtime plan holds exactly two map-combined corpus
+    scans (cells + the column-pruned vals branch) with the cells
+    exchange reused by every marginal."""
+    df = queries["kendall_tau_b"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 2, final
+    assert final.count("ReusedExchange") >= 3, final

@@ -575,3 +575,41 @@ def test_spearman_matches_scipy_style_recompute(spark):
         assert g["n_sample"] == n
         assert abs(g["spearman_rho"]) <= 1.0 + 1e-9
         assert abs(g["spearman_rho"] - rho) < 1e-4, (et, g["spearman_rho"], rho)
+
+
+def test_kendall_tau_b_matches_bruteforce_pairs(spark):
+    """C/D/tau-b vs the O(n^2) brute pairwise recompute (feasible at
+    sf0.001) — the 2-D prefix-sum construction must count every
+    concordant/discordant pair exactly once."""
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        kendall_tau_b,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in kendall_tau_b(spark, SF_DIR_SMALL).collect()}
+    by_type: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        by_type.setdefault(r["event_type"], []).append((r["value"], r["ts"].hour))
+    for et, pts in by_type.items():
+        n = len(pts)
+        c = d = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx = (pts[i][0] > pts[j][0]) - (pts[i][0] < pts[j][0])
+                dy = (pts[i][1] > pts[j][1]) - (pts[i][1] < pts[j][1])
+                if dx * dy > 0:
+                    c += 1
+                elif dx * dy < 0:
+                    d += 1
+        from collections import Counter
+
+        tx = sum(t * (t - 1) // 2 for t in Counter(p[0] for p in pts).values())
+        ty = sum(t * (t - 1) // 2 for t in Counter(p[1] for p in pts).values())
+        n0 = n * (n - 1) // 2
+        tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+        g = got[et]
+        assert (g["concordant"], g["discordant"]) == (c, d), (et, g, c, d)
+        assert abs(g["kendall_tau_b"] - tau) < 5e-7
+        assert abs(g["kendall_tau_b"]) <= 1.0 + 1e-9
