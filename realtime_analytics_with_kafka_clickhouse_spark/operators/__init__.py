@@ -159,6 +159,7 @@ _NAMES = [
         "holt_linear_forecast",  # double-exponential level+trend walk
         "spearman_rank_corr",  # rankCorr via doubled midranks, integer-exact
         "kendall_tau_b",  # 2-D prefix-sum concordance, tie-corrected
+        "revenue_concentration",  # Gini / HHI / Pareto-80 whale report
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -2355,3 +2355,80 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_pairs").cast("long").alias("discordant"),
         F.round(num / den, 6).alias("kendall_tau_b"),
     )
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report per region: the Gini coefficient,
+    the Herfindahl-Hirschman index, and the Pareto question ("how many
+    customers produce 80% of revenue?") over per-customer purchase
+    revenue — the inequality battery behind whale-risk dashboards.
+
+    Exactness: customer revenues stay DECIMAL; the Gini rank moment
+    sum(i * rev_i) is DECIMAL(12,0) x DECIMAL(25,6) (exact), HHI's
+    squares ride the DECIMAL(19,2)^2 class, and the Pareto threshold is
+    the INTEGER-EXACT decimal comparison 10*cum_excl < 8*S — no IEEE
+    until the final three mirrored divisions.  Ties rank by (rev,
+    user_id), deterministic both engines.
+
+    Scale shape: one per-(region, customer) partial agg, then
+    region-partitioned windows — the per-region sort is the honest Gini
+    cost and parallelizes across regions; no global sort, no join."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cr = ev.groupBy(
+        F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias(
+            "region"
+        ),
+        "user_id",
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("rev"))
+    w_asc = Window.partitionBy("region").orderBy("rev", "user_id")
+    w_desc = (
+        Window.partitionBy("region")
+        .orderBy(F.col("rev").desc(), F.col("user_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cr.withColumn("i", F.row_number().over(w_asc).cast("long")).withColumn(
+        "cum_excl",
+        F.coalesce(
+            F.sum("rev").over(w_desc), F.lit(0).cast("decimal(25,6)")
+        ),
+    )
+    per = ranked.groupBy("region").agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("i").cast("decimal(12,0)") * F.col("rev")).alias("irev"),
+        F.sum(
+            F.col("rev").cast("decimal(19,2)") * F.col("rev").cast("decimal(19,2)")
+        ).alias("sq"),
+    )
+    # Pareto needs S per region inside the row comparison: a region-total
+    # window (shares the region exchange with the rank windows).
+    w_tot = Window.partitionBy("region")
+    p80 = (
+        ranked.withColumn("s_tot", F.sum("rev").over(w_tot))
+        .withColumn(
+            "in_top",
+            F.when(
+                F.lit(10).cast("decimal(25,6)") * F.col("cum_excl")
+                < F.lit(8).cast("decimal(25,6)") * F.col("s_tot"),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("region")
+        .agg(F.sum("in_top").cast("long").alias("pareto80_users"))
+    )
+    j = per.join(p80, "region")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    gini = F.lit(2.0) * F.col("irev").cast("double") / (nd * sd) - (
+        nd + F.lit(1.0)
+    ) / nd
+    return j.select(
+        "region",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("sq").cast("double") / (sd * sd), 6).alias("hhi"),
+        "pareto80_users",
+        F.round(
+            F.col("pareto80_users").cast("double") / nd, 6
+        ).alias("pareto80_share"),
+    )

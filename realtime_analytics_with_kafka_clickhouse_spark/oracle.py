@@ -4875,3 +4875,39 @@ SELECT event_type,
          AS kendall_tau_b
 FROM j
 """
+
+ORACLE["revenue_concentration"] = """
+WITH cr AS (
+  SELECT 'region_' || CAST(user_id % 7 AS VARCHAR) AS region, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+ranked AS (
+  SELECT region, user_id, rev,
+         CAST(row_number() OVER (PARTITION BY region
+              ORDER BY rev ASC, user_id ASC) AS BIGINT) AS i,
+         coalesce(SUM(rev) OVER (PARTITION BY region
+              ORDER BY rev DESC, user_id DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0 AS DECIMAL(25,6))) AS cum_excl,
+         SUM(rev) OVER (PARTITION BY region) AS s_tot
+  FROM cr),
+per AS (
+  SELECT region, count(*) AS n, sum(rev) AS s,
+         sum(CAST(i AS DECIMAL(12,0)) * rev) AS irev,
+         sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) AS sq,
+         CAST(sum(CASE WHEN CAST(10 AS DECIMAL(25,6)) * cum_excl
+                        < CAST(8 AS DECIMAL(25,6)) * s_tot
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pareto80_users
+  FROM ranked GROUP BY 1),
+c AS (
+  SELECT region, n, pareto80_users,
+         CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd,
+         CAST(irev AS DOUBLE) AS irevd, CAST(sq AS DOUBLE) AS sqd
+  FROM per)
+SELECT region, CAST(n AS BIGINT) AS n_customers,
+       round(2.0 * irevd / (nd * sd) - (nd + 1.0) / nd, 6) AS gini,
+       round(sqd / (sd * sd), 6) AS hhi,
+       pareto80_users,
+       round(CAST(pareto80_users AS DOUBLE) / nd, 6) AS pareto80_share
+FROM c
+"""

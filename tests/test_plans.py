@@ -759,3 +759,13 @@ def test_kendall_grid_windows_two_scans(spark, queries):
     final = executed.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 2, final
     assert final.count("ReusedExchange") >= 3, final
+
+
+def test_revenue_concentration_region_partitioned_windows(spark, queries):
+    """No global sort: every window partitions by region (the Gini sort
+    parallelizes across regions); one corpus scan feeds the customer
+    grain."""
+    df = queries["revenue_concentration"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" not in plan, plan  # no global ORDER BY
+    assert len(read_schema_columns(df)) <= 2, plan

@@ -613,3 +613,45 @@ def test_kendall_tau_b_matches_bruteforce_pairs(spark):
         assert (g["concordant"], g["discordant"]) == (c, d), (et, g, c, d)
         assert abs(g["kendall_tau_b"] - tau) < 5e-7
         assert abs(g["kendall_tau_b"]) <= 1.0 + 1e-9
+
+
+def test_revenue_concentration_matches_recompute(spark):
+    """Gini/HHI/Pareto vs a pure-Python recompute; Gini in [0,1);
+    HHI in [1/n, 1]; the Pareto set is the MINIMAL desc prefix
+    reaching 80%."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        revenue_concentration,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["region"]: r for r in revenue_concentration(spark, SF_DIR_SMALL).collect()}
+    per: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        if r["event_type"] != "purchase":
+            continue
+        k = (f"region_{r['user_id'] % 7}", r["user_id"])
+        per[k] = per.get(k, 0.0) + r["value"]
+    regions: dict = {}
+    for (rg, u), rev in per.items():
+        regions.setdefault(rg, []).append(round(rev, 2))
+    for rg, revs in regions.items():
+        revs.sort()
+        n, s = len(revs), sum(revs)
+        gini = 2.0 * sum((i + 1) * x for i, x in enumerate(revs)) / (n * s) - (
+            n + 1
+        ) / n
+        hhi = sum(x * x for x in revs) / (s * s)
+        desc = sorted(revs, reverse=True)
+        cum, k = 0.0, 0
+        for x in desc:
+            if cum >= 0.8 * s - 1e-9:
+                break
+            cum += x
+            k += 1
+        g = got[rg]
+        assert g["n_customers"] == n
+        assert 0.0 <= g["gini"] < 1.0
+        assert 1.0 / n - 1e-9 <= g["hhi"] <= 1.0
+        assert abs(g["gini"] - gini) < 1e-4
+        assert abs(g["hhi"] - hhi) < 1e-5
+        assert g["pareto80_users"] == k, (rg, g["pareto80_users"], k)
