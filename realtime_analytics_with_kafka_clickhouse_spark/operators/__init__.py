@@ -160,6 +160,7 @@ _NAMES = [
         "spearman_rank_corr",  # rankCorr via doubled midranks, integer-exact
         "kendall_tau_b",  # 2-D prefix-sum concordance, tie-corrected
         "revenue_concentration",  # Gini / HHI / Pareto-80 whale report
+        "cohort_ltv_curve",  # cumulative cohort revenue by age-in-weeks
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -2432,3 +2432,51 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pareto80_users").cast("double") / nd, 6
         ).alias("pareto80_share"),
     )
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per purchase-week cohort at
+    every age-in-weeks — the MONEY sibling of ``cohort_retention``
+    (which counts users).  cohort = a user's first purchase week;
+    age = weeks since; ltv_per_user divides the cohort's cumulative
+    decimal revenue by its fixed user count.
+
+    Exactness: revenue stays DECIMAL through the (cohort, age) rollup
+    and the age-ordered cumulative window; user counts are bigint; ONE
+    IEEE division per output row.  Scale shape: one user-grain partial
+    agg for cohorts (broadcast back), one (cohort, age) rollup, and a
+    window over the WEEK-DOMAIN grid (weeks x weeks rows)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    wk = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(RETENTION_EPOCH)) / 7
+    ).cast("long")
+    uw = ev.select("user_id", wk.alias("week"), F.col("value"))
+    cohorts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        uw.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("age_weeks"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.withColumn("cum_rev", F.sum("rev").over(wc))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("cohort_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )

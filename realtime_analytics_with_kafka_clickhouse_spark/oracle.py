@@ -4911,3 +4911,30 @@ SELECT region, CAST(n AS BIGINT) AS n_customers,
        round(CAST(pareto80_users AS DOUBLE) / nd, 6) AS pareto80_share
 FROM c
 """
+
+ORACLE["cohort_ltv_curve"] = """
+WITH uw AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS week,
+         value
+  FROM events WHERE event_type = 'purchase'),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM cohorts GROUP BY 1),
+rev AS (
+  SELECT c.cohort_week, u.week - c.cohort_week AS age_weeks,
+         SUM(CAST(u.value AS DECIMAL(25,6))) AS rev
+  FROM uw u JOIN cohorts c USING (user_id) GROUP BY 1, 2),
+cum AS (
+  SELECT cohort_week, age_weeks,
+         SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM rev)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.age_weeks AS BIGINT) AS age_weeks,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+       round(CAST(c.cum_rev AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+         AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_week)
+"""

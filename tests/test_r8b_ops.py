@@ -655,3 +655,56 @@ def test_revenue_concentration_matches_recompute(spark):
         assert abs(g["gini"] - gini) < 1e-4
         assert abs(g["hhi"] - hhi) < 1e-5
         assert g["pareto80_users"] == k, (rg, g["pareto80_users"], k)
+
+
+def test_cohort_ltv_matches_recompute_and_monotone(spark):
+    """Cumulative LTV vs a pure-Python recompute; cum_revenue monotone in
+    age within a cohort; the multi-cohort branch fires at sf0.01 (the
+    oracle-gate SF — sf0.001's 15 users all convert in week 0)."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        cohort_ltv_curve,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = sorted(
+        cohort_ltv_curve(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: (r["cohort_week"], r["age_weeks"]),
+    )
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    uw = []
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        if r["event_type"] == "purchase":
+            uw.append((r["user_id"], (r["ts"].date() - epoch).days // 7, r["value"]))
+    cohort = {}
+    for u, w, _ in uw:
+        cohort[u] = min(cohort.get(u, 99), w)
+    rev: dict = {}
+    for u, w, v in uw:
+        k = (cohort[u], w - cohort[u])
+        rev[k] = rev.get(k, 0.0) + v
+    sizes: dict = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    expect = {}
+    for cw in sizes:
+        cum = 0.0
+        for age in sorted(a for (c, a) in rev if c == cw):
+            cum += rev[(cw, age)]
+            expect[(cw, age)] = cum
+    prev_by_cohort: dict = {}
+    for g in got:
+        k = (g["cohort_week"], g["age_weeks"])
+        assert abs(g["cum_revenue"] - expect[k]) < 1e-4
+        assert g["cohort_users"] == sizes[g["cohort_week"]]
+        assert abs(g["ltv_per_user"] - expect[k] / sizes[g["cohort_week"]]) < 5e-7
+        p = prev_by_cohort.get(g["cohort_week"])
+        if p is not None:
+            assert g["cum_revenue"] >= p - 1e-9  # monotone within cohort
+        prev_by_cohort[g["cohort_week"]] = g["cum_revenue"]
+    # multi-cohort branch fires at the oracle SF
+    bigger = cohort_ltv_curve(spark, SF_DIR_ORACLE).select("cohort_week").distinct()
+    assert bigger.count() > 1
