@@ -161,6 +161,7 @@ _NAMES = [
         "kendall_tau_b",  # 2-D prefix-sum concordance, tie-corrected
         "revenue_concentration",  # Gini / HHI / Pareto-80 whale report
         "cohort_ltv_curve",  # cumulative cohort revenue by age-in-weeks
+        "cusum_changepoint",  # exact scaled-CUSUM level-shift argmax
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

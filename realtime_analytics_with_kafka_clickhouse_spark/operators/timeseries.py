@@ -2480,3 +2480,59 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type on the daily-revenue
+    series: the day where the cumulative deviation from the series mean
+    peaks — the standard level-shift detector behind drift monitors.
+
+    The exactness trick (the KS-argmax discipline applied to CUSUM):
+    CUSUM_k = sum_{i<=k}(y_i - mean) needs the inexact mean — but
+    scaled by n it is n*cum_k - k*S, EXACT in the decimal domain
+    (cum_k, S decimal sums; n, k bigint).  The argmax runs on the exact
+    scaled statistic with a min-day tiebreak; only the reported
+    normalized magnitude |...|/(n) and the mean drop to IEEE (mirrored,
+    two divisions).  Scale shape: one shuffle to the (type, day) grain,
+    windows over the per-type day-domain frames."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("y"))
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("event_type").orderBy("day")
+    g = (
+        daily.withColumn("n", F.count("*").over(wt).cast("long"))
+        .withColumn("s", F.sum("y").over(wt))
+        .withColumn("cum", F.sum("y").over(wo))
+        .withColumn("k", F.row_number().over(wk).cast("long"))
+    )
+    # exact scaled CUSUM: n*cum_k - k*S, decimal end to end
+    scaled = (
+        F.col("n").cast("decimal(12,0)") * F.col("cum")
+        - F.col("k").cast("decimal(12,0)") * F.col("s")
+    )
+    g = g.withColumn("dev", F.abs(scaled))
+    wmax = Window.partitionBy("event_type")
+    g = g.withColumn("max_dev", F.max("dev").over(wmax))
+    out = g.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.min(F.when(F.col("dev") == F.col("max_dev"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+        F.max("max_dev").alias("max_dev"),
+        F.max("s").alias("s"),
+    )
+    nd = F.col("n_days").cast("double")
+    return out.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        "changepoint_day",
+        F.round(F.col("max_dev").cast("double") / nd, 6).alias("cusum_peak"),
+        F.round(F.col("s").cast("double") / nd, 6).alias("mean_daily_revenue"),
+    )

@@ -4938,3 +4938,34 @@ SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
          AS ltv_per_user
 FROM cum c JOIN sizes s USING (cohort_week)
 """
+
+ORACLE["cusum_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS y
+  FROM events GROUP BY 1, 2),
+g AS (
+  SELECT event_type, day, y,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         SUM(y) OVER (PARTITION BY event_type) AS s,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS k
+  FROM daily),
+d AS (
+  SELECT *, abs(CAST(n AS DECIMAL(12,0)) * cum
+                - CAST(k AS DECIMAL(12,0)) * s) AS dev
+  FROM g),
+m AS (SELECT *, max(dev) OVER (PARTITION BY event_type) AS max_dev FROM d),
+o AS (
+  SELECT event_type, max(n) AS n_days,
+         min(CASE WHEN dev = max_dev THEN day END) AS changepoint_day,
+         max(max_dev) AS max_dev, max(s) AS s
+  FROM m GROUP BY 1)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days, changepoint_day,
+       round(CAST(max_dev AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum_peak,
+       round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+         AS mean_daily_revenue
+FROM o
+"""

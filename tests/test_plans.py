@@ -769,3 +769,12 @@ def test_revenue_concentration_region_partitioned_windows(spark, queries):
     plan = formatted_plan(df)
     assert "rangepartitioning" not in plan, plan  # no global ORDER BY
     assert len(read_schema_columns(df)) <= 2, plan
+
+
+def test_cusum_single_daily_shuffle(spark, queries):
+    """One (type, day) partial-agg shuffle; every window partitions by
+    event_type over the day-domain frame — no corpus windows, no joins."""
+    df = queries["cusum_changepoint"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(read_schema_columns(df)) == 1, plan

@@ -708,3 +708,38 @@ def test_cohort_ltv_matches_recompute_and_monotone(spark):
     # multi-cohort branch fires at the oracle SF
     bigger = cohort_ltv_curve(spark, SF_DIR_ORACLE).select("cohort_week").distinct()
     assert bigger.count() > 1
+
+
+def test_cusum_changepoint_matches_recompute(spark):
+    """Peak location and magnitude vs a pure-Python CUSUM over the same
+    daily series; the scaled-exact argmax must pick the |cum_k - k*mean|
+    maximizer (min day on ties)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["event_type"]: r for r in cusum_changepoint(spark, SF_DIR_SMALL).collect()}
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        k = (r["event_type"], r["ts"].date())
+        daily[k] = daily.get(k, 0.0) + r["value"]
+    by_type: dict = {}
+    for (t, d), v in daily.items():
+        by_type.setdefault(t, []).append((d, round(v, 6)))
+    for t, pts in by_type.items():
+        pts.sort()
+        n = len(pts)
+        s = sum(v for _, v in pts)
+        mean = s / n
+        best, best_day, cum = -1.0, None, 0.0
+        for k, (d, v) in enumerate(pts, start=1):
+            cum += v
+            dev = abs(cum - k * mean)
+            if dev > best + 1e-9:
+                best, best_day = dev, d
+        g = got[t]
+        assert g["n_days"] == n
+        assert g["changepoint_day"] == best_day, (t, g["changepoint_day"], best_day)
+        assert abs(g["cusum_peak"] - best) < max(1e-3, 1e-6 * best)
+        assert abs(g["mean_daily_revenue"] - mean) < 1e-4
