@@ -162,6 +162,7 @@ _NAMES = [
         "revenue_concentration",  # Gini / HHI / Pareto-80 whale report
         "cohort_ltv_curve",  # cumulative cohort revenue by age-in-weeks
         "cusum_changepoint",  # exact scaled-CUSUM level-shift argmax
+        "seasonal_dow_index",  # ratio-to-MA weekday seasonality
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

@@ -2536,3 +2536,51 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_dev").cast("double") / nd, 6).alias("cusum_peak"),
         F.round(F.col("s").cast("double") / nd, 6).alias("mean_daily_revenue"),
     )
+
+
+def seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality indices by ratio-to-moving-average (the
+    classical multiplicative decomposition step): each interior day's
+    revenue over its centered 7-day trend, averaged per ISO weekday —
+    the "how much bigger are Saturdays" multiplier behind seasonal
+    dashboards and STL-lite pipelines.
+
+    Exactness: the 7-day trend is a decimal window sum with ONE
+    division; the per-day ratio is one more IEEE division
+    (deterministic per day); the per-weekday MEAN is an ordered left
+    fold over the day-sorted ratios (Spark aggregate-over-sorted-collect
+    == DuckDB list_reduce over list(ORDER BY day), the cramers
+    discipline) divided by an exact count.  Only full 7-day windows
+    contribute (edge days drop).  Weekday key: Spark weekday+1 == DuckDB
+    isodow (Mon=1).
+
+    Scale shape: one shuffle to the daily grain; the centered window
+    and the fold ride the bounded date domain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    g = (
+        daily.withColumn("s7", F.sum("rev").over(w7))
+        .withColumn("c7", F.count("*").over(w7))
+        .filter(F.col("c7") == 7)
+        .withColumn("trend", F.col("s7").cast("double") / F.lit(7.0))
+        .withColumn("ratio", F.col("rev").cast("double") / F.col("trend"))
+        .withColumn("dow", (F.weekday("day") + F.lit(1)).cast("long"))
+    )
+    per = g.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "ratio"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["ratio"],
+        ).alias("ratio_sum"),
+    )
+    return per.select(
+        "dow",
+        "n_days",
+        F.round(
+            F.col("ratio_sum") / F.col("n_days").cast("double"), 6
+        ).alias("seasonal_index"),
+    )

@@ -4969,3 +4969,28 @@ SELECT event_type, CAST(n_days AS BIGINT) AS n_days, changepoint_day,
          AS mean_daily_revenue
 FROM o
 """
+
+ORACLE["seasonal_dow_index"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS rev
+  FROM events GROUP BY 1),
+g AS (
+  SELECT day, rev,
+         SUM(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS s7,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS c7
+  FROM daily),
+r AS (
+  SELECT day, CAST(isodow(day) AS BIGINT) AS dow,
+         CAST(rev AS DOUBLE) / (CAST(s7 AS DOUBLE) / 7.0) AS ratio
+  FROM g WHERE c7 = 7),
+per AS (
+  SELECT dow, count(*) AS n_days,
+         list_reduce(list(ratio ORDER BY day), (a, b) -> a + b) AS ratio_sum
+  FROM r GROUP BY 1)
+SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+       round(ratio_sum / CAST(n_days AS DOUBLE), 6) AS seasonal_index
+FROM per
+"""

@@ -743,3 +743,31 @@ def test_cusum_changepoint_matches_recompute(spark):
         assert g["changepoint_day"] == best_day, (t, g["changepoint_day"], best_day)
         assert abs(g["cusum_peak"] - best) < max(1e-3, 1e-6 * best)
         assert abs(g["mean_daily_revenue"] - mean) < 1e-4
+
+
+def test_seasonal_dow_index_matches_recompute(spark):
+    """Indices vs a pure-Python ratio-to-MA recompute; all 7 weekdays
+    present; only full 7-day windows contribute; indices hover near 1."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        seasonal_dow_index,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["dow"]: r for r in seasonal_dow_index(spark, SF_DIR_SMALL).collect()}
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        d = r["ts"].date()
+        daily[d] = daily.get(d, 0.0) + r["value"]
+    days = sorted(daily)
+    per: dict = {}
+    for i in range(3, len(days) - 3):
+        window = [round(daily[days[j]], 6) for j in range(i - 3, i + 4)]
+        trend = sum(window) / 7.0
+        ratio = round(daily[days[i]], 6) / trend
+        per.setdefault(days[i].isoweekday(), []).append(ratio)
+    assert set(got) == set(range(1, 8))
+    for dow, ratios in per.items():
+        g = got[dow]
+        assert g["n_days"] == len(ratios)
+        assert abs(g["seasonal_index"] - sum(ratios) / len(ratios)) < 1e-4
+        assert 0.5 < g["seasonal_index"] < 1.5  # near-1 multiplicative index
