@@ -163,6 +163,7 @@ _NAMES = [
         "cohort_ltv_curve",  # cumulative cohort revenue by age-in-weeks
         "cusum_changepoint",  # exact scaled-CUSUM level-shift argmax
         "seasonal_dow_index",  # ratio-to-MA weekday seasonality
+        "weekday_anova_f",  # one-way ANOVA F across weekday groups
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

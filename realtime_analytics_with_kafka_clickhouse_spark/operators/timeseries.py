@@ -2584,3 +2584,64 @@ def seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ratio_sum") / F.col("n_days").cast("double"), 6
         ).alias("seasonal_index"),
     )
+
+
+def weekday_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for "does revenue differ by weekday?":
+    between-group vs within-group variance of daily revenue across the
+    7 ISO-weekday groups — the parametric complement of the rank tests
+    (welch/student compare ONE group vs rest; ANOVA tests all at once).
+
+    Exactness: per-group n/sum/sum-of-squares come from ONE decimal
+    power-sum aggregate over the daily MV (sums DECIMAL(25,6), squares
+    DECIMAL(19,2)^2); SSB/SSW compose from group sums in a SORTED
+    ordered fold (dow 1..7 — the cramers ordered-fold class) so the
+    7-term double additions are identical in both engines; F is the
+    final mirrored division.  Scale: one daily-grain shuffle, a 7-row
+    fold."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("rev")
+    )
+    per = daily.groupBy((F.weekday("day") + F.lit(1)).cast("long").alias("dow")).agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(
+            F.col("rev").cast("decimal(19,2)") * F.col("rev").cast("decimal(19,2)")
+        ).alias("sq"),
+    )
+    # ordered 7-term folds: ssb_parts and totals accumulate in dow order
+    cells = per.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dow", "n", "s", "sq"))),
+            F.struct(
+                F.lit(0.0).alias("tot_n"),
+                F.lit(0.0).alias("tot_s"),
+                F.lit(0.0).alias("tot_sq"),
+                F.lit(0.0).alias("grp"),
+            ),
+            lambda acc, c: F.struct(
+                (acc["tot_n"] + c["n"].cast("double")).alias("tot_n"),
+                (acc["tot_s"] + c["s"].cast("double")).alias("tot_s"),
+                (acc["tot_sq"] + c["sq"].cast("double")).alias("tot_sq"),
+                (
+                    acc["grp"]
+                    + (c["s"].cast("double") * c["s"].cast("double"))
+                    / c["n"].cast("double")
+                ).alias("grp"),
+            ),
+        ).alias("f"),
+        F.count("*").cast("long").alias("k"),
+    )
+    tot_n = F.col("f.tot_n")
+    ssb = F.col("f.grp") - (F.col("f.tot_s") * F.col("f.tot_s")) / tot_n
+    ssw = F.col("f.tot_sq") - F.col("f.grp")
+    kd = F.col("k").cast("double")
+    fstat = (ssb / (kd - F.lit(1.0))) / (ssw / (tot_n - kd))
+    return cells.select(
+        F.col("k").alias("k_groups"),
+        tot_n.cast("long").alias("n_days"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+    )

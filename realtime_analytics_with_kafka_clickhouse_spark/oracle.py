@@ -4994,3 +4994,33 @@ SELECT dow, CAST(n_days AS BIGINT) AS n_days,
        round(ratio_sum / CAST(n_days AS DOUBLE), 6) AS seasonal_index
 FROM per
 """
+
+ORACLE["weekday_anova_f"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS rev
+  FROM events GROUP BY 1),
+per AS (
+  SELECT CAST(isodow(day) AS BIGINT) AS dow, count(*) AS n, sum(rev) AS s,
+         sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(19,2))) AS sq
+  FROM daily GROUP BY 1),
+f AS (
+  SELECT list_reduce(
+           list_prepend({'tot_n': CAST(0.0 AS DOUBLE), 'tot_s': CAST(0.0 AS DOUBLE),
+                         'tot_sq': CAST(0.0 AS DOUBLE), 'grp': CAST(0.0 AS DOUBLE)},
+             list({'tot_n': CAST(n AS DOUBLE), 'tot_s': CAST(s AS DOUBLE),
+                   'tot_sq': CAST(sq AS DOUBLE),
+                   'grp': (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)}
+                  ORDER BY dow)),
+           (a, c) -> {'tot_n': a.tot_n + c.tot_n, 'tot_s': a.tot_s + c.tot_s,
+                      'tot_sq': a.tot_sq + c.tot_sq, 'grp': a.grp + c.grp}) AS f,
+         count(*) AS k
+  FROM per)
+SELECT CAST(k AS BIGINT) AS k_groups,
+       CAST(f.tot_n AS BIGINT) AS n_days,
+       round(f.grp - (f.tot_s * f.tot_s) / f.tot_n, 6) AS ss_between,
+       round(f.tot_sq - f.grp, 6) AS ss_within,
+       round(((f.grp - (f.tot_s * f.tot_s) / f.tot_n) / (CAST(k AS DOUBLE) - 1.0))
+             / ((f.tot_sq - f.grp) / (f.tot_n - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM f
+"""

@@ -778,3 +778,12 @@ def test_cusum_single_daily_shuffle(spark, queries):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert len(read_schema_columns(df)) == 1, plan
+
+
+def test_seasonal_dow_single_daily_shuffle(spark, queries):
+    """One shuffle to the daily grain; the centered window and the fold
+    ride the bounded date domain (one corpus scan, no joins)."""
+    df = queries["seasonal_dow_index"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(read_schema_columns(df)) == 1, plan

@@ -771,3 +771,32 @@ def test_seasonal_dow_index_matches_recompute(spark):
         assert g["n_days"] == len(ratios)
         assert abs(g["seasonal_index"] - sum(ratios) / len(ratios)) < 1e-4
         assert 0.5 < g["seasonal_index"] < 1.5  # near-1 multiplicative index
+
+
+def test_weekday_anova_matches_recompute(spark):
+    """F, SSB, SSW vs a pure-Python one-way ANOVA on the same daily
+    groups; SSB+SSW == total SS; F >= 0."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        weekday_anova_f,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    g = weekday_anova_f(spark, SF_DIR_SMALL).collect()[0]
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        d = r["ts"].date()
+        daily[d] = daily.get(d, 0.0) + r["value"]
+    groups: dict = {}
+    for d, v in daily.items():
+        groups.setdefault(d.isoweekday(), []).append(round(v, 2))
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert g["k_groups"] == k and g["n_days"] == n
+    assert abs(g["ss_between"] - ssb) < max(1e-2, 1e-6 * ssb)
+    assert abs(g["ss_within"] - ssw) < max(1e-2, 1e-6 * ssw)
+    assert abs(g["f_stat"] - f) < max(1e-4, 1e-4 * f)
+    assert g["f_stat"] >= 0
