@@ -164,6 +164,7 @@ _NAMES = [
         "cusum_changepoint",  # exact scaled-CUSUM level-shift argmax
         "seasonal_dow_index",  # ratio-to-MA weekday seasonality
         "weekday_anova_f",  # one-way ANOVA F across weekday groups
+        "daily_revenue_acf",  # lag-1/2/7 autocorrelation, decimal-exact
     ]),
     # -- 5. r4-evidence remainder (leads the r9 gate) --
     (relational, [

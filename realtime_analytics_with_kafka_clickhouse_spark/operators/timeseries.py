@@ -2645,3 +2645,62 @@ def weekday_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw, 6).alias("ss_within"),
         F.round(fstat, 6).alias("f_stat"),
     )
+
+
+ACF_LAGS = (1, 2, 7)
+
+
+def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1/2/7 — the
+    ACF read (momentum at lag 1, weekly echo at lag 7) that completes
+    the time-series toolkit next to trend, seasonality, changepoint and
+    forecast.
+
+    Exactness (the CUSUM scaling trick squared): the mean-centered
+    factor n*y_t - S has exactly 2dp (y is money), so it casts to
+    DECIMAL(19,2) EXACTLY and the lag products ride the (19,2)^2 class
+    — numerator and the full-series denominator are both pure decimal,
+    and each acf value is ONE IEEE division (textbook estimator:
+    sum_{t<=n-k} centered_t * centered_{t+k} / sum_t centered_t^2).
+
+    Scale shape: one shuffle to the daily grain; the lead() windows and
+    the sums ride the bounded date domain; lags fan out as 3 bounded
+    branches off the same frame."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("decimal(25,6)").alias("y")
+    )
+    wt = Window.partitionBy()
+    wd = Window.orderBy("day")
+    g = (
+        daily.withColumn("n", F.count("*").over(wt).cast("long"))
+        .withColumn("s", F.sum("y").over(wt))
+        .withColumn(
+            "c",
+            (
+                F.col("n").cast("decimal(12,0)") * F.col("y") - F.col("s")
+            ).cast("decimal(19,2)"),
+        )
+    )
+    den = g.groupBy().agg(
+        F.sum(F.col("c") * F.col("c")).alias("den"), F.max("n").alias("n")
+    )
+    out = None
+    for k in ACF_LAGS:
+        gk = g.withColumn("c_lead", F.lead("c", k).over(wd)).filter(
+            F.col("c_lead").isNotNull()
+        )
+        num = gk.groupBy().agg(
+            F.sum(F.col("c") * F.col("c_lead")).alias("num"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+        row = num.join(F.broadcast(den)).select(
+            F.lit(k).cast("long").alias("lag"),
+            "n_pairs",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

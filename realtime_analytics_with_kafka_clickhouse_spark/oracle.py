@@ -5024,3 +5024,53 @@ SELECT CAST(k AS BIGINT) AS k_groups,
              / ((f.tot_sq - f.grp) / (f.tot_n - CAST(k AS DOUBLE))), 6) AS f_stat
 FROM f
 """
+
+ORACLE["daily_revenue_acf"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(25,6)) AS y
+  FROM events GROUP BY 1),
+g AS (
+  SELECT day, y,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         SUM(y) OVER () AS s
+  FROM daily),
+c AS (
+  SELECT day, n,
+         CAST(CAST(n AS DECIMAL(12,0)) * y - s AS DECIMAL(19,2)) AS c
+  FROM g),
+den AS (SELECT sum(c * c) AS den, max(n) AS n FROM c),
+lk1 AS (
+  SELECT day, c, lead(c, 1) OVER (ORDER BY day) AS c_lead FROM c),
+num1 AS (
+  SELECT sum(c * c_lead) AS num, count(*) AS n_pairs
+  FROM lk1 WHERE c_lead IS NOT NULL),
+lk2 AS (
+  SELECT day, c, lead(c, 2) OVER (ORDER BY day) AS c_lead FROM c),
+num2 AS (
+  SELECT sum(c * c_lead) AS num, count(*) AS n_pairs
+  FROM lk2 WHERE c_lead IS NOT NULL),
+lk7 AS (
+  SELECT day, c, lead(c, 7) OVER (ORDER BY day) AS c_lead FROM c),
+num7 AS (
+  SELECT sum(c * c_lead) AS num, count(*) AS n_pairs
+  FROM lk7 WHERE c_lead IS NOT NULL),
+dummy AS (SELECT 1)
+SELECT CAST(1 AS BIGINT) AS lag,
+       CAST(num1.n_pairs AS BIGINT) AS n_pairs,
+       CAST(den.n AS BIGINT) AS n_days,
+       round(CAST(num1.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+FROM num1, den
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS lag,
+       CAST(num2.n_pairs AS BIGINT) AS n_pairs,
+       CAST(den.n AS BIGINT) AS n_days,
+       round(CAST(num2.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+FROM num2, den
+UNION ALL
+SELECT CAST(7 AS BIGINT) AS lag,
+       CAST(num7.n_pairs AS BIGINT) AS n_pairs,
+       CAST(den.n AS BIGINT) AS n_days,
+       round(CAST(num7.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+FROM num7, den
+"""

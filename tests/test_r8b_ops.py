@@ -800,3 +800,30 @@ def test_weekday_anova_matches_recompute(spark):
     assert abs(g["ss_within"] - ssw) < max(1e-2, 1e-6 * ssw)
     assert abs(g["f_stat"] - f) < max(1e-4, 1e-4 * f)
     assert g["f_stat"] >= 0
+
+
+def test_daily_acf_matches_recompute(spark):
+    """ACF at lags 1/2/7 vs a pure-Python textbook estimator; |acf| <= 1;
+    lag-k uses exactly n-k pairs."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        ACF_LAGS,
+        daily_revenue_acf,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["lag"]: r for r in daily_revenue_acf(spark, SF_DIR_SMALL).collect()}
+    assert set(got) == set(ACF_LAGS)
+    daily: dict = {}
+    for r in load_table(spark, SF_DIR_SMALL, "events").collect():
+        d = r["ts"].date()
+        daily[d] = daily.get(d, 0.0) + r["value"]
+    ys = [round(daily[d], 2) for d in sorted(daily)]
+    n = len(ys)
+    m = sum(ys) / n
+    den = sum((y - m) ** 2 for y in ys)
+    for k in ACF_LAGS:
+        num = sum((ys[t] - m) * (ys[t + k] - m) for t in range(n - k))
+        g = got[k]
+        assert g["n_pairs"] == n - k and g["n_days"] == n
+        assert abs(g["acf"] - num / den) < 1e-4, (k, g["acf"], num / den)
+        assert abs(g["acf"]) <= 1.0 + 1e-9
