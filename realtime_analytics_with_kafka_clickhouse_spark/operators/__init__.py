@@ -142,7 +142,7 @@ _NAMES = [
         "audio_vad_segments",  # energy-gated VAD, the audio leg
     ]),
     # ---- driver gate boundary (exactly 50: ends at audio_vad_segments) ----
-    # -- 4. r8-new spill (positions 51-63: r8-new entries past the 50-slot
+    # -- 4. r8-new spill (positions 51-64: r8-new entries past the 50-slot
     #    gate, pytest-parity green at 3 SFs — they lead the r9 gate) --
     (dedup, [
         "minhash_scurve_report",  # LSH (b,r) tuning curve off real candidates
