@@ -34,139 +34,60 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r8 pass: the r7 gate (the promotion round) went 50/50 green, so its
-# entries rotate to the tail.  The r8 gate, in the order the r7 verdict
-# directed: (a) the two r3 spills incremental_hourly_rollup /
-# incremental_daily_region_rollup FIRST, (b) the SIXTEEN r7-new
-# entries (pytest-parity green at 3 SFs, no driver row yet), (c) any
-# r8-new entries, (d) the stalest remaining sections — the r4-evidence
-# block (q22, the dashboard rollup family, TPC-H q1..q21 + derived
-# relational picks) — filling the 50 slots.  After this gate no
-# entry's freshest driver evidence predates r4, and the r4 section's
-# remainder leads the r9 gate.
+# r9 pass: the r8 gate went 48/50 — the two red rows (array outputs
+# the driver canonicalizer cannot hash) are FIXED (CSV-serialized) and
+# lead the gate as changed-this-round, together with the three ANN
+# recall gates whose ground-truth derivation is memoized this round.
+# Then the FOURTEEN r8-new spill entries (positions 51-64 last round,
+# pytest-parity green, never driver-checked), then r9-new entries,
+# then the stalest r4-evidence remainder filling the 50 slots; the
+# rest of that section leads the r10 gate.
 _NAMES = [
-    # -- 1. the two r3-evidence spills from the r7 promotion round --
-    (_streaming_pipeline, [
-        "incremental_hourly_rollup",
-        "incremental_daily_region_rollup",
-    ]),
-    # -- 2. the sixteen r7-new entries (ledger-ordered) --
-    (_streaming_pipeline, [
-        "txlog_zorder_pruned_read",  # OPTIMIZE ZORDER multi-col skipping
-    ]),
-    (_sources_pyds, [
-        "python_stream_datasource_rollup",  # streaming Python DataSource
-        "python_stream_datasource_sink_rollup",  # + Python sink 2-phase commit
-    ]),
-    (similarity, [
-        "ann_pq_adc_topk",  # product quantization + ADC search
-        "ann_ivfpq_topk",   # IVF coarse cells + PQ codes (IVFADC)
-        "ann_pq_recall_at_k",  # PQ acceptance gate vs exact L2
-    ]),
-    (text, [
-        "ngram_phrases_udtf",  # polymorphic analyze() UDTF
-    ]),
-    (relational, [
-        "cdc_scd2_history",  # SCD type-2 intervals from the CDC log
-        "scd2_asof_lookup",  # point-in-time interval-probe join
-        "join_size_estimate",  # Selinger cardinality estimate vs truth
-    ]),
-    (_storage_bucketing, [
-        "join_key_skew_report",  # heavy-hitter / salt-factor diagnosis
-    ]),
-    (curation, [
-        "source_quota_cap",  # per-domain anti-dominance quota
-        "leakage_safe_split",  # cluster-keyed split + leak audit
-    ]),
+    # -- 1. CHANGED this round (r9): the two r8-red rows re-serialized to
+    #    CSV (driver-canonicalizable) + the three ANN recall gates whose
+    #    ground-truth derivation is being memoized — fresh code needs
+    #    fresh driver rows --
     (timeseries, [
-        "event_sequence_counts",  # sequenceMatch/sequenceCount parity
-        "event_type_transitions",  # per-user Markov transition counts
-    ]),
-    (relational, [
-        "customer_blocking_linkage",  # ER blocking + Levenshtein pairs
-    ]),
-    # -- 3. NEW in r8 (inside the gate: fresh code needs driver rows;
-    #    each addition demotes the tail of section 4 below the gate) --
-    (_streaming_pipeline, [
-        "scd2_stored_history",  # SCD2 merged INTO storage, served from it
-        "percentile_merge_mv",  # mergeable quantile-histogram MV
-    ]),
-    (similarity, [
-        "ann_ivfpq_rerank_topk",  # ADC shortlist -> exact re-rank top-k
-        "ann_ivfpq_recall_at_k",  # probe-loss recall gate for IVFADC
-    ]),
-    (dedup, [
-        "minhash_index_ingest",  # dedup-on-arrival vs the stored LSH index
-    ]),
-    (curation, [
-        "global_shuffle_shards",  # deterministic global shuffle -> shards
-    ]),
-    (timeseries, [
-        "window_funnel_strict",  # windowFunnel 'strict_order' via lead()
-        "max_concurrent_intervals",  # maxIntersections sweep-line
-        "weighted_value_percentiles",  # quantileExactWeighted analog
-        "error_recovery_asof",  # forward as-of join with tolerance
-        "delta_sum_counters",  # deltaSum/runningDifference counter fold
-        "interval_union_length",  # intervalLengthSum coverage islands
-        "summap_event_values",  # sumMap/countMap Map-combinator arrays
-        "argminmax_battery",  # argMax/argMin/anyLast struct extrema
-        "robust_outlier_days",  # median/MAD robust anomaly flag
-        "funnel_step_latency",  # step-to-step conversion latency pctls
-        "welch_ttest_values",  # welchTTest one-vs-rest A/B statistic
-        "mann_whitney_u",  # rank-sum U with midrank ties, integer-exact
-        "ks_test_statistic",  # two-sample KS D, integer-exact argmax
-        "simple_linreg_trend",  # least-squares trend from power sums
-        "skew_kurt_battery",  # skewPop/kurtPop via 3rd/4th moments
-        "cramers_v_assoc",  # chi2 + cramersV(BiasCorrected) ordered fold
-        "retention_conditions",  # retention() base-AND-cond flags
-        "sequence_next_node",  # sequenceNextNode windowed next-event
-        "student_ttest_values",  # pooled-variance Student t, df=n-2
-        "lttb_downsample_daily",  # largestTriangleThreeBuckets walk
+        "summap_event_values",
     ]),
     (windows, [
-        "group_array_moving_sum",  # groupArrayMovingSum ordered arrays
-    ]),
-    (rollups, [
-        "conditional_agg_rollup",  # ClickHouse -If combinator battery
-    ]),
-    (dedup, [
-        "ngram_novelty_score",  # corpus-unique shingle share (ppm)
-    ]),
-    (curation, [
-        "quality_linear_probe_train",  # data-parallel GD linear probe
-    ]),
-    (text, [
-        "quality_pr_sweep",  # precision/recall threshold sweep (-If shape)
-    ]),
-    (multimodal, [
-        "audio_vad_segments",  # energy-gated VAD, the audio leg
-    ]),
-    # ---- driver gate boundary (exactly 50: ends at audio_vad_segments) ----
-    # -- 4. r8-new spill (positions 51-64: r8-new entries past the 50-slot
-    #    gate, pytest-parity green at 3 SFs — they lead the r9 gate) --
-    (dedup, [
-        "minhash_scurve_report",  # LSH (b,r) tuning curve off real candidates
-    ]),
-    (timeseries, [
-        "dau_wau_stickiness",  # sliding-window distinct via island sweep-line
-        "corr_matrix_daily",  # corrMatrix of the daily metric triple
+        "group_array_moving_sum",
     ]),
     (similarity, [
-        "mrl_truncation_recall",  # Matryoshka prefix-dim recall gate
-        "ann_mrl_adaptive_rerank",  # 8-dim shortlist -> full-dim re-rank
+        "ann_recall_at_k",
+        "ann_pq_recall_at_k",
+        "ann_ivfpq_recall_at_k",
+    ]),
+    # -- 2. the fourteen r8-new spill entries (pytest-parity green at 3
+    #    SFs, never driver-checked — the r8 verdict queues them first) --
+    (dedup, [
+        "minhash_scurve_report",
     ]),
     (timeseries, [
-        "holt_linear_forecast",  # double-exponential level+trend walk
-        "spearman_rank_corr",  # rankCorr via doubled midranks, integer-exact
-        "kendall_tau_b",  # 2-D prefix-sum concordance, tie-corrected
-        "revenue_concentration",  # Gini / HHI / Pareto-80 whale report
-        "cohort_ltv_curve",  # cumulative cohort revenue by age-in-weeks
-        "cusum_changepoint",  # exact scaled-CUSUM level-shift argmax
-        "seasonal_dow_index",  # ratio-to-MA weekday seasonality
-        "weekday_anova_f",  # one-way ANOVA F across weekday groups
-        "daily_revenue_acf",  # lag-1/2/7 autocorrelation, decimal-exact
+        "dau_wau_stickiness",
+        "corr_matrix_daily",
     ]),
-    # -- 5. r4-evidence remainder (leads the r9 gate) --
+    (similarity, [
+        "mrl_truncation_recall",
+        "ann_mrl_adaptive_rerank",
+    ]),
+    (timeseries, [
+        "holt_linear_forecast",
+        "spearman_rank_corr",
+        "kendall_tau_b",
+        "revenue_concentration",
+        "cohort_ltv_curve",
+        "cusum_changepoint",
+        "seasonal_dow_index",
+        "weekday_anova_f",
+        "daily_revenue_acf",
+    ]),
+    # -- 3. NEW in r9 (inside the gate: fresh code needs driver rows;
+    #    each addition demotes the tail of section 4 below the gate) --
+    # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
+    #    slots — entries past the boundary lead the r10 gate) --
+    #    gate boundary: first 50 registry positions, wherever that lands
+    #    inside this section --
     (relational, [
         "q22_idle_rich_customers",
     ]),
@@ -222,7 +143,7 @@ _NAMES = [
     (similarity, [
         "embedding_quantize_int8",
     ]),
-    # -- 6. green in round 7 (the promotion-round gate, 50/50) --
+    # -- 5. green in round 7 (the promotion-round gate) --
     (_sources_files, [
         "xml_roundtrip_stats",
     ]),
@@ -299,7 +220,7 @@ _NAMES = [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",
     ]),
-    # -- 7. green in round 5 — freshest evidence, rotate forward in r7 --
+    # -- 6. green in round 5 --
     (_streaming_pipeline, [
         "compacted_rollup_txlog",
         "incremental_rollup_txlog",
@@ -340,7 +261,6 @@ _NAMES = [
     (similarity, [
         "kmeans_train",
         "ann_ivf_kmeans",
-        "ann_recall_at_k",
         "semantic_dedup",
         "embedding_norm_arrow",
         "embedding_random_projection",
@@ -372,8 +292,7 @@ _NAMES = [
         "bpe_tokenize_stats",
         "split_sentences_udtf",
     ]),
-    # -- 9. green in round 6 (the full r6 gate, 50/50) — freshest
-    #    evidence, last in line --
+    # -- 7. green in round 6 --
     (dedup, [
         "ngram_jaccard_pairs",
         "minhash_near_dup",
@@ -449,6 +368,92 @@ _NAMES = [
         "ewma_daily_revenue",
         "revenue_anomaly_days",
         "trailing_30d_revenue",
+    ]),
+    # -- 8. green in round 8 (the r8 gate, 48/50 + the 2 fixed above) —
+    #    freshest evidence, last in line --
+    (_streaming_pipeline, [
+        "incremental_hourly_rollup",
+        "incremental_daily_region_rollup",
+        "txlog_zorder_pruned_read",
+    ]),
+    (_sources_pyds, [
+        "python_stream_datasource_rollup",
+        "python_stream_datasource_sink_rollup",
+    ]),
+    (similarity, [
+        "ann_pq_adc_topk",
+        "ann_ivfpq_topk",
+    ]),
+    (text, [
+        "ngram_phrases_udtf",
+    ]),
+    (relational, [
+        "cdc_scd2_history",
+        "scd2_asof_lookup",
+        "join_size_estimate",
+    ]),
+    (_storage_bucketing, [
+        "join_key_skew_report",
+    ]),
+    (curation, [
+        "source_quota_cap",
+        "leakage_safe_split",
+    ]),
+    (timeseries, [
+        "event_sequence_counts",
+        "event_type_transitions",
+    ]),
+    (relational, [
+        "customer_blocking_linkage",
+    ]),
+    (_streaming_pipeline, [
+        "scd2_stored_history",
+        "percentile_merge_mv",
+    ]),
+    (similarity, [
+        "ann_ivfpq_rerank_topk",
+    ]),
+    (dedup, [
+        "minhash_index_ingest",
+    ]),
+    (curation, [
+        "global_shuffle_shards",
+    ]),
+    (timeseries, [
+        "window_funnel_strict",
+        "max_concurrent_intervals",
+        "weighted_value_percentiles",
+        "error_recovery_asof",
+        "delta_sum_counters",
+        "interval_union_length",
+        "argminmax_battery",
+        "robust_outlier_days",
+        "funnel_step_latency",
+        "welch_ttest_values",
+        "mann_whitney_u",
+        "ks_test_statistic",
+        "simple_linreg_trend",
+        "skew_kurt_battery",
+        "cramers_v_assoc",
+        "retention_conditions",
+        "sequence_next_node",
+        "student_ttest_values",
+        "lttb_downsample_daily",
+    ]),
+    (rollups, [
+        "conditional_agg_rollup",
+    ]),
+    (dedup, [
+        "ngram_novelty_score",
+    ]),
+    (curation, [
+        "quality_linear_probe_train",
+    ]),
+    (text, [
+        "quality_pr_sweep",
+    ]),
+    (multimodal, [
+        "audio_vad_segments",
     ]),
 ]
 

@@ -1217,16 +1217,29 @@ def summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collected arrays are bounded by the domain, never the corpus;
     at 100 TB both aggregates stay ordinary partial-agg shuffles.
     Struct sort order is lexicographic on the leading unique key, so
-    the arrays are deterministic in both engines."""
+    the arrays are deterministic in both engines.
+
+    The registry-facing map columns are CSV strings (the
+    ``build_inverted_index`` posting-CSV convention): the driver's hash
+    compare canonicalizes scalar cells only, and decimal->string
+    formatting is deterministic in both engines where double->string is
+    not.  The array-typed internals stay pytest-pinned in
+    ``test_r8_ops``."""
     ev = load_table(spark, sf_dir, "events")
     per = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.count("*").cast("long").alias("n"), dsum("value").alias("s")
     )
     kv = F.sort_array(F.collect_list(F.struct("event_type", "n", "s")))
     return per.groupBy("day").agg(
-        F.transform(kv, lambda x: x["event_type"]).alias("keys"),
-        F.transform(kv, lambda x: x["n"]).alias("counts"),
-        F.transform(kv, lambda x: x["s"]).alias("sums"),
+        F.array_join(
+            F.transform(kv, lambda x: x["event_type"]), ","
+        ).alias("keys_csv"),
+        F.array_join(
+            F.transform(kv, lambda x: x["n"].cast("string")), ","
+        ).alias("counts_csv"),
+        F.array_join(
+            F.transform(kv, lambda x: x["s"].cast("string")), ","
+        ).alias("sums_csv"),
     )
 
 

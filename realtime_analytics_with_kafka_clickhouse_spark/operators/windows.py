@@ -294,7 +294,13 @@ def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique (orderdate, orderkey) ordering, so element order is
     total in both engines.  The window and the collect share the same
     customer-key exchange: one shuffle end to end; array length is
-    bounded by orders-per-customer (tens), never the corpus."""
+    bounded by orders-per-customer (tens), never the corpus.
+
+    Registry-facing arrays are CSV strings of DECIMAL(25,6) renderings
+    (the posting-CSV convention): money is 2dp so the decimal form is
+    exact, and decimal->string is deterministic in both engines where
+    double->string is not.  The array semantics stay pytest-pinned in
+    ``test_r8_ops``."""
     orders = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(25,6)")
     w3 = Window.partitionBy("o_custkey").orderBy(
@@ -304,14 +310,18 @@ def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderdate",
         "o_orderkey",
-        F.col("o_totalprice").alias("price"),
-        F.sum(dec).over(w3).cast("double").alias("m3"),
+        dec.alias("price"),
+        F.sum(dec).over(w3).alias("m3"),
     )
     kv = F.sort_array(
         F.collect_list(F.struct("o_orderdate", "o_orderkey", "price", "m3"))
     )
     return base.groupBy("o_custkey").agg(
-        F.transform(kv, lambda x: x["price"]).alias("prices"),
-        F.transform(kv, lambda x: x["m3"]).alias("moving3"),
+        F.array_join(
+            F.transform(kv, lambda x: x["price"].cast("string")), ","
+        ).alias("prices_csv"),
+        F.array_join(
+            F.transform(kv, lambda x: x["m3"].cast("string")), ","
+        ).alias("moving3_csv"),
         F.count("*").cast("long").alias("n_orders"),
     )

@@ -4050,9 +4050,11 @@ WITH per AS (
          CAST(count(*) AS BIGINT) AS n, {_dsum('value')} AS s
   FROM events GROUP BY 1, 2)
 SELECT day,
-       list(event_type ORDER BY event_type) AS keys,
-       list(n ORDER BY event_type) AS counts,
-       list(s ORDER BY event_type) AS sums
+       array_to_string(list(event_type ORDER BY event_type), ',') AS keys_csv,
+       array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type), ',')
+         AS counts_csv,
+       array_to_string(list(CAST(s AS VARCHAR) ORDER BY event_type), ',')
+         AS sums_csv
 FROM per GROUP BY day
 """
 
@@ -4130,14 +4132,19 @@ FROM dev, md
 # ordered list() mirrors the sorted-struct collect on the same unique key.
 ORACLE["group_array_moving_sum"] = """
 WITH b AS (
-  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice AS price,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS price,
+         SUM(CAST(o_totalprice AS DECIMAL(25,6)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS m3
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m3
   FROM orders)
 SELECT o_custkey,
-       list(price ORDER BY o_orderdate, o_orderkey) AS prices,
-       list(m3 ORDER BY o_orderdate, o_orderkey) AS moving3,
+       array_to_string(
+         list(CAST(price AS VARCHAR) ORDER BY o_orderdate, o_orderkey),
+         ',') AS prices_csv,
+       array_to_string(
+         list(CAST(m3 AS VARCHAR) ORDER BY o_orderdate, o_orderkey),
+         ',') AS moving3_csv,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM b GROUP BY 1
 """

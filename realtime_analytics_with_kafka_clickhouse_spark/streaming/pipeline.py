@@ -1505,7 +1505,11 @@ def _merge_keyed_bucketed(
         merged = fold(
             unioned.withColumn("bucket", bcol).repartition(len(todo), "bucket")
         )
-        assert "bucket" in merged.columns  # fold must group by / keep it
+        if "bucket" not in merged.columns:  # fold must group by / keep it
+            raise ValueError(
+                "keyed-merge fold dropped the 'bucket' column; every fold "
+                "must group on (bucket, key...) so partitionBy can route"
+            )
         stage = f"{table_dir}/.stage-{uuid.uuid4().hex[:8]}"
         merged.write.partitionBy("bucket").mode("overwrite").parquet(stage)
         # Fully-annihilated buckets (every key cancelled) left no staged
@@ -2064,15 +2068,17 @@ def aggregating_merge_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             txlog.append_tx(spark, table, states, batch_id=i)
         # OPTIMIZE FINAL: equal (day, hour) states from different epochs
         # union into one row per key — the background merge.
-        assert txlog.compact_tx(
+        if not txlog.compact_tx(
             spark,
             table,
             agg=lambda df: df.groupBy("day", "hour").agg(
                 F.hll_union_agg("sk").alias("sk")
             ),
-        )
+        ):
+            raise RuntimeError("sketch-MV compact found nothing to merge")
         stored = txlog.read_table(spark, table)
-        assert stored is not None
+        if stored is None:
+            raise RuntimeError("sketch-MV table unreadable after compact")
         merged = stored.groupBy("day").agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
         )
@@ -2465,15 +2471,17 @@ def percentile_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
             states = chunk.groupBy(day, bucket).agg(F.count("*").alias("n"))
             txlog.append_tx(spark, table, states, batch_id=i)
-        assert txlog.compact_tx(
+        if not txlog.compact_tx(
             spark,
             table,
             agg=lambda df: df.groupBy("day", "bucket").agg(
                 F.sum("n").alias("n")
             ),
-        )
+        ):
+            raise RuntimeError("percentile-MV compact found nothing to merge")
         stored = txlog.read_table(spark, table)
-        assert stored is not None
+        if stored is None:
+            raise RuntimeError("percentile-MV table unreadable after compact")
         w_cum = Window.partitionBy("day").orderBy("bucket").rowsBetween(
             Window.unboundedPreceding, 0
         )

@@ -638,9 +638,12 @@ def test_summap_arrays_aligned_and_reconcile(spark):
         .collect()
     }
     for r in rows:
-        assert r["keys"] == sorted(set(r["keys"]))
-        assert len(r["keys"]) == len(r["counts"]) == len(r["sums"])
-        for k, n in zip(r["keys"], r["counts"]):
+        keys = r["keys_csv"].split(",")
+        counts = [int(x) for x in r["counts_csv"].split(",")]
+        sums = r["sums_csv"].split(",")
+        assert keys == sorted(set(keys))
+        assert len(keys) == len(counts) == len(sums)
+        for k, n in zip(keys, counts):
             assert flat[(r["day"], k)] == n
 
 
@@ -726,11 +729,12 @@ def test_group_array_moving_sum_semantics(spark):
     assert rows
     saw_full_window = False
     for r in rows:
-        assert len(r["prices"]) == len(r["moving3"]) == r["n_orders"]
-        dps = [Decimal(str(round(p, 6))) for p in r["prices"]]
-        for i, m in enumerate(r["moving3"]):
+        prices = [Decimal(p) for p in r["prices_csv"].split(",")]
+        moving3 = [Decimal(m) for m in r["moving3_csv"].split(",")]
+        assert len(prices) == len(moving3) == r["n_orders"]
+        for i, m in enumerate(moving3):
             lo = max(0, i - 2)
-            assert m == float(sum(dps[lo : i + 1]))
+            assert m == sum(prices[lo : i + 1])
             saw_full_window |= i >= 2
     assert saw_full_window  # some customer has >= 3 orders
 
