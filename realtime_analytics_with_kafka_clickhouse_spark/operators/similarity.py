@@ -326,7 +326,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     + count per query — the embeddings themselves never join here, only
     id pairs ride the shuffle, so the eval costs a fraction of either
     index build at any corpus size."""
-    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    _, exact = _exact_cosine_ground_truth(spark, sf_dir)
     approx = ann_ivf_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
     hits = (
@@ -1705,6 +1705,77 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_cosine_ground_truth(spark: SparkSession, sf_dir: str):
+    """(n_queries, exact top-k id-pair DataFrame) for the cosine recall
+    gates — memoized ONCE per embeddings fingerprint in the driver memo.
+
+    Five registry queries (``ann_recall_at_k``, ``ann_pq_recall_at_k``,
+    ``ann_ivfpq_recall_at_k``, ``mrl_truncation_recall``,
+    ``ann_mrl_adaptive_rerank``) each need the exact baseline; before the
+    memo each re-derived it with its own brute-force matmul job (plus a
+    separate n_q count action).  The ground truth is ONLY id pairs —
+    n_q*k longs, driver-bounded exactly like the near-dup edge list —
+    and it is deterministic (round-6 cosine + id tiebreaks), so a
+    collect-once + createDataFrame replay is value-identical to the
+    original frame.  At 100 TB the eval query set is sampled/bounded by
+    construction (recall gates never sweep the corpus as queries), so
+    the collected pair list stays small wherever this runs."""
+    from ._memo import memo_get
+
+    def compute():
+        rows = (
+            ann_cosine_topk(spark, sf_dir)
+            .select("vec_id", "neighbor_id")
+            .collect()
+        )
+        pairs = [(r[0], r[1]) for r in rows]
+        return (len({p[0] for p in pairs}), pairs)
+
+    n_q, pairs = memo_get(
+        "exact_cosine_topk_pairs", sf_dir, ("embeddings",), compute
+    )
+    return n_q, spark.createDataFrame(pairs, "vec_id long, neighbor_id long")
+
+
+def _exact_l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact full-dimension squared-L2 top-k id pairs over the PQ query
+    batch — the PQ/IVFPQ recall gates' baseline, memoized like
+    ``_exact_cosine_ground_truth`` (same determinism argument: round-6
+    distances + id tiebreaks make the pair SET reproducible)."""
+    from ._memo import memo_get
+
+    def compute():
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+        terms = F.zip_with(
+            F.col("embedding"),
+            F.col("qe"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        dist = F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        rows = (
+            emb.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select(
+                F.col("qid"), F.col("vec_id").alias("neighbor_id"), dist.alias("dist")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= PQ_TOPK)
+            .select(F.col("qid").alias("vec_id"), "neighbor_id")
+            .collect()
+        )
+        return [(r[0], r[1]) for r in rows]
+
+    pairs = memo_get("exact_l2_topk_pairs", sf_dir, ("embeddings",), compute)
+    return spark.createDataFrame(pairs, "vec_id long, neighbor_id long")
+
+
 def _recall_vs_exact_l2(
     spark: SparkSession, sf_dir: str, approx: DataFrame
 ) -> DataFrame:
@@ -1713,26 +1784,7 @@ def _recall_vs_exact_l2(
     id-pairs-only eval: embeddings never join here, the query batch is
     broadcast for the exact side, and only (query, neighbor) ids ride
     the shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    queries = emb.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    terms = F.zip_with(
-        F.col("embedding"),
-        F.col("qe"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dist = F.round(F.aggregate(terms, F.lit(0.0), lambda a, t: a + t), 6)
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
-    exact = (
-        emb.crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(F.col("qid"), F.col("vec_id").alias("neighbor_id"), dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PQ_TOPK)
-        .select(F.col("qid").alias("vec_id"), "neighbor_id")
-    )
+    exact = _exact_l2_ground_truth(spark, sf_dir)
     k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
     hits = (
         exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
@@ -1827,8 +1879,7 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per truncation it's the blocked-matmul eval (executor-
     memoized candidate matrix, O(k) output per query) plus an id-pairs-
     only semi-join — embeddings never ride the recall shuffle."""
-    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
-    n_q = exact.select("vec_id").distinct().count()
+    n_q, exact = _exact_cosine_ground_truth(spark, sf_dir)
     out = None
     for d in MRL_DIMS:
         trunc = _truncated_cosine_pairs(spark, sf_dir, d)
@@ -1914,8 +1965,7 @@ def ann_mrl_adaptive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("vec_id", "neighbor_id")
     )
-    exact = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
-    n_q = exact.select("vec_id").distinct().count()
+    n_q, exact = _exact_cosine_ground_truth(spark, sf_dir)
     hits = exact.join(ranked, ["vec_id", "neighbor_id"], "left_semi").agg(
         F.count("*").alias("total_hits")
     )

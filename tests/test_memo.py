@@ -58,3 +58,23 @@ def test_kmeans_fit_is_memoized(spark):
     f2 = similarity._kmeans_fit(spark, SF_DIR)
     assert time.perf_counter() - t0 < 0.1  # pure cache hit, no Spark job
     assert f1 is f2
+
+
+def test_exact_ann_ground_truth_is_memoized(spark):
+    """The 5 recall gates share ONE exact-baseline derivation per
+    embeddings fingerprint: second call must be a pure memo hit (the
+    pair list is reused; only a createDataFrame on the driver runs)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators import _memo, similarity
+
+    n_q1, df1 = similarity._exact_cosine_ground_truth(spark, SF_DIR)
+    hit = _memo.memo_peek("exact_cosine_topk_pairs", SF_DIR, ("embeddings",))
+    assert not _memo.is_miss(hit)
+    t0 = time.perf_counter()
+    n_q2, _ = similarity._exact_cosine_ground_truth(spark, SF_DIR)
+    assert time.perf_counter() - t0 < 0.5  # no Spark job on the hit path
+    assert n_q1 == n_q2 and n_q1 > 0
+    assert df1.count() == len(hit[1])
+
+    similarity._exact_l2_ground_truth(spark, SF_DIR)
+    l2 = _memo.memo_peek("exact_l2_topk_pairs", SF_DIR, ("embeddings",))
+    assert not _memo.is_miss(l2) and len(l2) > 0
