@@ -84,6 +84,13 @@ _NAMES = [
     ]),
     # -- 3. NEW in r9 (inside the gate: fresh code needs driver rows;
     #    each addition demotes the tail of section 4 below the gate) --
+    (timeseries, [
+        "window_funnel_default",  # windowFunnel default mode (CH fold)
+        "topk_weighted_users",  # topKWeighted provably-lossless pruning
+    ]),
+    (_streaming_pipeline, [
+        "percentile_kll_mv",  # KLL quantile-sketch MV (tDigest sibling)
+    ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --
     #    gate boundary: first 50 registry positions, wherever that lands

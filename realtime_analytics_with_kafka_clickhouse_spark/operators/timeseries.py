@@ -942,6 +942,165 @@ def _window_funnel_strict(
     )
 
 
+TOPK_W = 10  # heavy hitters kept
+TOPK_W_SALTS = 8  # pruning partitions in the candidate leg
+
+
+def topk_weighted_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``topKWeighted`` analog (ClickHouse's weight-summed heavy
+    hitters): the top-10 users by decimal-exact summed event value, with
+    the exact-plus-recovered contract of ``top_event_types_sketch``.
+
+    Exact leg: one user-keyed aggregate, then orderBy+limit — Catalyst
+    compiles that to TakeOrderedAndProject (per-partition top-k, then a
+    driver merge of k-row heads), so there is NO global sort at any
+    corpus size.  Candidate leg: the two-phase pruning pattern a
+    1000-executor deployment uses when even the aggregate's output is
+    huge — each of TOPK_W_SALTS disjoint key partitions keeps its local
+    top-10, and the global top-10 is re-ranked over the <=80 candidates.
+    That pruning is PROVABLY lossless (a global top-10 key has at most 9
+    heavier keys anywhere, so it is top-10 within its own partition),
+    which is why ``pruned_exact`` is a hard invariant, not a tolerance:
+    weights are positive and each key lives in exactly one partition.
+    Ties break on user_id ascending in both legs and both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    sums = ev.groupBy("user_id").agg(
+        dsum("value").alias("wsum"), F.count("*").cast("long").alias("n_events")
+    )
+    w_all = Window.orderBy(F.desc("wsum"), F.asc("user_id"))
+    exact = (
+        sums.orderBy(F.desc("wsum"), F.asc("user_id"))
+        .limit(TOPK_W)
+        .withColumn("rank", F.row_number().over(w_all).cast("long"))
+    )
+    salted = sums.withColumn(
+        "salt", F.pmod("user_id", F.lit(TOPK_W_SALTS))
+    )
+    w_salt = Window.partitionBy("salt").orderBy(F.desc("wsum"), F.asc("user_id"))
+    cand = (
+        salted.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= TOPK_W)
+        .select("user_id", F.col("wsum").alias("c_wsum"))
+    )
+    cand_top = (
+        cand.orderBy(F.desc("c_wsum"), F.asc("user_id"))
+        .limit(TOPK_W)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c_wsum"), F.asc("user_id")))
+            .cast("long"),
+        )
+        .select("rank", F.col("user_id").alias("c_user"), "c_wsum")
+    )
+    return exact.join(cand_top, "rank").select(
+        "rank",
+        "user_id",
+        F.col("wsum").cast("double").alias("weight_sum"),
+        "n_events",
+        (
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_wsum") == F.col("wsum"))
+        ).alias("pruned_exact"),
+    )
+
+
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # 24h in epoch micros
+
+
+def window_funnel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h)`` analog in ClickHouse's DEFAULT mode — the
+    variant funnel users hit first: intervening events do NOT break the
+    chain (only ``strict_order`` does), and every chained step must land
+    within the window of the chain's FIRST event.  Semantics mirror the
+    ClickHouse fold exactly: each funnel level stores its chain's first
+    timestamp; a step-1 event re-anchors level 1; a step-k event extends
+    level k when level k-1 is reached and ts <= chain_first + window
+    (reference behavior: the dashboard's event-chain queries,
+    ``clickhouse/init-db.sh`` analytics family).  Tie order is the
+    engine's deterministic (ts, event_id) refinement.
+
+    Shape: per-user ordered fold — ONE user-keyed aggregate collecting
+    the step-typed slice (non-funnel events pruned at the scan), then a
+    Catalyst HOF ``F.aggregate`` over the sorted array with a 4-field
+    chain-anchor struct.  Per-user state is 4 longs regardless of
+    corpus size; the collected array is bounded by the user's funnel-
+    typed events (the sessionization bound).  All comparisons are
+    integer/epoch-micros — exact in any engine; the DuckDB oracle runs
+    the same fold via init-less ``list_reduce`` with a sentinel head
+    (the LTTB walk precedent, discrete selection only)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    idx = None
+    for i, s in enumerate(FUNNEL_STEPS):
+        branch = F.when(F.col("event_type") == s, F.lit(i))
+        idx = branch if idx is None else idx.when(F.col("event_type") == s, F.lit(i))
+    typed = ev.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        idx.cast("long").alias("idx"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "idx")))
+    neg = F.lit(-1).cast("long")
+    init = F.struct(
+        neg.alias("f0"), neg.alias("f1"), neg.alias("f2"), neg.alias("f3")
+    )
+    w_us = F.lit(FUNNEL_WINDOW_US).cast("long")
+
+    def step(acc, e):
+        def upd(f0, f1, f2, f3):
+            return F.struct(
+                f0.alias("f0"), f1.alias("f1"), f2.alias("f2"), f3.alias("f3")
+            )
+
+        return (
+            F.when(e["idx"] == 0, upd(e["ts_us"], acc["f1"], acc["f2"], acc["f3"]))
+            .when(
+                (e["idx"] == 1)
+                & (acc["f0"] != neg)
+                & (e["ts_us"] <= acc["f0"] + w_us),
+                upd(acc["f0"], acc["f0"], acc["f2"], acc["f3"]),
+            )
+            .when(
+                (e["idx"] == 2)
+                & (acc["f1"] != neg)
+                & (e["ts_us"] <= acc["f1"] + w_us),
+                upd(acc["f0"], acc["f1"], acc["f1"], acc["f3"]),
+            )
+            .when(
+                (e["idx"] == 3)
+                & (acc["f2"] != neg)
+                & (e["ts_us"] <= acc["f2"] + w_us),
+                upd(acc["f0"], acc["f1"], acc["f2"], acc["f2"]),
+            )
+            .otherwise(acc)
+        )
+
+    folded = typed.groupBy("user_id").agg(
+        F.aggregate(arr, init, step).alias("st")
+    )
+    lvl = (
+        F.when(F.col("st")["f3"] != neg, F.lit(4))
+        .when(F.col("st")["f2"] != neg, F.lit(3))
+        .when(F.col("st")["f1"] != neg, F.lit(2))
+        .when(F.col("st")["f0"] != neg, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    per_user = folded.select("user_id", lvl.cast("long").alias("lvl"))
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(per_user, "user_id", "left")
+        .select(
+            "user_id", F.coalesce(F.col("lvl"), F.lit(0)).cast("long").alias("lvl")
+        )
+        .groupBy(F.col("lvl").alias("steps_completed"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 # Sweep-line activity horizon: an order is "active" for this many days.
 ACTIVE_DAYS = 30
 

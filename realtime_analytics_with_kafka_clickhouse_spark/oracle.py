@@ -3745,6 +3745,55 @@ SELECT steps_completed, count(*) AS n_users FROM per_user GROUP BY 1
 """
 
 
+# Default-mode windowFunnel: the same ClickHouse chain-anchor fold as
+# the Spark HOF, run as an init-less list_reduce over the (ts, event_id)
+# sorted event structs with a sentinel head (LTTB walk precedent —
+# discrete integer selection only, so the fold is exact by construction).
+ORACLE["window_funnel_default"] = """
+WITH typed AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
+              WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS idx
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+folded AS (
+  SELECT user_id,
+    list_reduce(
+      list_prepend(
+        struct_pack(ts_us := -1::BIGINT, idx := -1::BIGINT,
+                    f0 := -1::BIGINT, f1 := -1::BIGINT,
+                    f2 := -1::BIGINT, f3 := -1::BIGINT),
+        list(struct_pack(ts_us := ts_us, idx := CAST(idx AS BIGINT),
+                         f0 := -1::BIGINT, f1 := -1::BIGINT,
+                         f2 := -1::BIGINT, f3 := -1::BIGINT)
+             ORDER BY ts_us, event_id)),
+      (acc, e) -> CASE
+        WHEN e.idx = 0 THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
+             f0 := e.ts_us, f1 := acc.f1, f2 := acc.f2, f3 := acc.f3)
+        WHEN e.idx = 1 AND acc.f0 <> -1 AND e.ts_us <= acc.f0 + 86400000000
+             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
+             f0 := acc.f0, f1 := acc.f0, f2 := acc.f2, f3 := acc.f3)
+        WHEN e.idx = 2 AND acc.f1 <> -1 AND e.ts_us <= acc.f1 + 86400000000
+             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
+             f0 := acc.f0, f1 := acc.f1, f2 := acc.f1, f3 := acc.f3)
+        WHEN e.idx = 3 AND acc.f2 <> -1 AND e.ts_us <= acc.f2 + 86400000000
+             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
+             f0 := acc.f0, f1 := acc.f1, f2 := acc.f2, f3 := acc.f2)
+        ELSE acc END) AS st
+  FROM typed GROUP BY user_id),
+lv AS (
+  SELECT user_id,
+         CASE WHEN st.f3 <> -1 THEN 4 WHEN st.f2 <> -1 THEN 3
+              WHEN st.f1 <> -1 THEN 2 WHEN st.f0 <> -1 THEN 1
+              ELSE 0 END AS lvl
+  FROM folded),
+allu AS (SELECT DISTINCT user_id FROM events)
+SELECT CAST(COALESCE(lvl, 0) AS BIGINT) AS steps_completed,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM allu LEFT JOIN lv USING (user_id) GROUP BY 1
+"""
+
+
 # Sweep-line max-overlap: +1/-1 deltas at DATE grain, per-region running
 # sum, first date attaining the per-region max.
 ORACLE["max_concurrent_intervals"] = """
@@ -3953,6 +4002,38 @@ SELECT event_id, user_id, ts AS err_ts,
             THEN (epoch_us(next_p) - epoch_us(ts)) / 1000000.0 END
          AS latency_sec
 FROM s WHERE event_type = 'error'
+"""
+
+
+# topKWeighted: exact decimal weight sums + rank; the pruned-candidate
+# leg is provably lossless (disjoint partitions, positive weights), so
+# its boolean is literal TRUE like top_event_types_sketch's.
+ORACLE["topk_weighted_users"] = """
+WITH sums AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(25,6))) AS wsum,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY wsum DESC, user_id ASC) AS BIGINT)
+           AS rank,
+         user_id, CAST(wsum AS DOUBLE) AS weight_sum, n_events,
+         TRUE AS pruned_exact
+  FROM sums)
+WHERE rank <= 10
+"""
+
+
+# KLL quantile-sketch MV: n is lossless in KLL (must equal the raw
+# count), exact quantiles come from raw data, and the rank-error
+# booleans are the DataSketches guarantee — the oracle expects them to
+# hold, like aggregating_merge_sketch_mv's tolerance flag.
+ORACLE["percentile_kll_mv"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS state_n_exact,
+       quantile_cont(value, 0.5) AS exact_p50,
+       quantile_cont(value, 0.9) AS exact_p90,
+       TRUE AS p50_rank_within_eps, TRUE AS p90_rank_within_eps
+FROM events GROUP BY 1
 """
 
 

@@ -2440,6 +2440,86 @@ def scd2_stored_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sparse-histogram quantile MV: bucket width over the event-value domain.
 PCTL_MV_BUCKET = 20.0
 
+KLL_K = 200  # DataSketches KLL accuracy knob: ~1.65% rank error @ 99% conf
+KLL_RANK_EPS = 0.06  # acceptance bound: theory bound + median tie mass
+
+
+def percentile_kll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate mergeable-quantile MV — the ``quantileTDigestState``
+    sibling of the exact sparse-histogram ``percentile_merge_mv``
+    (ClickHouse ships both; the sketch one is what survives unbounded
+    value domains where even a sparse histogram's key space grows).
+    Per-epoch per-type DataSketches KLL states are APPENDed to the
+    txlog table, OPTIMIZE ... FINAL folds equal keys with
+    ``kll_merge_agg_double`` (state-merge associativity, the
+    AggregatingMergeTree background-merge semantic), and the read
+    serves quantiles from the merged binaries without re-touching raw
+    data.
+
+    Driver contract is the exact-plus-tolerance shape of
+    ``aggregating_merge_sketch_mv``: the sketch's n is EXACT by
+    construction (KLL tracks counts losslessly — it must equal the raw
+    count or the lifecycle dropped rows), the exact interpolated
+    p50/p90 come from raw data, and the booleans pin the merged
+    sketch's RANK of each exact quantile inside +-KLL_RANK_EPS — the
+    actual DataSketches guarantee (value-space error is unbounded in
+    theory, rank error is not).  At 100 TB raw values are scanned once
+    per epoch; every later pass merges fixed-size (~KLL_K doubles)
+    binaries."""
+    from ..storage import txlog
+
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        table = _fresh_rollup_dir("value_kll_states")
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            states = chunk.groupBy("event_type").agg(
+                F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("sk")
+            )
+            txlog.append_tx(spark, table, states, batch_id=i)
+        if not txlog.compact_tx(
+            spark,
+            table,
+            agg=lambda df: df.groupBy("event_type").agg(
+                F.kll_merge_agg_double("sk").alias("sk")
+            ),
+        ):
+            raise RuntimeError("KLL-MV compact found nothing to merge")
+        stored = txlog.read_table(spark, table)
+        if stored is None:
+            raise RuntimeError("KLL-MV table unreadable after compact")
+        merged = stored.groupBy("event_type").agg(
+            F.kll_merge_agg_double("sk").alias("sk")
+        )
+        exact = events.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.expr("percentile(value, 0.9)").alias("exact_p90"),
+        )
+        joined = exact.join(merged, "event_type")
+
+        def rank_band(p: float, exact_col: str):
+            # get_rank needs a foldable probe, so invert the check: by
+            # quantile-function monotonicity, |rank(exact_p) - p| <= eps
+            # iff exact_p lies between the sketch's quantiles at p -+ eps.
+            lo = F.kll_sketch_get_quantile_double("sk", F.lit(p - KLL_RANK_EPS))
+            hi = F.kll_sketch_get_quantile_double("sk", F.lit(p + KLL_RANK_EPS))
+            return (F.col(exact_col) >= lo) & (F.col(exact_col) <= hi)
+
+        return joined.select(
+            "event_type",
+            "n_events",
+            (F.kll_sketch_get_n_double("sk") == F.col("n_events")).alias(
+                "state_n_exact"
+            ),
+            "exact_p50",
+            "exact_p90",
+            rank_band(0.5, "exact_p50").alias("p50_rank_within_eps"),
+            rank_band(0.9, "exact_p90").alias("p90_rank_within_eps"),
+        )
+    finally:
+        events.unpersist(blocking=False)
+
 
 def percentile_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable QUANTILE materialized view (ClickHouse ``quantileState``

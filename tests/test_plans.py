@@ -787,3 +787,24 @@ def test_seasonal_dow_single_daily_shuffle(spark, queries):
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
     assert len(read_schema_columns(df)) == 1, plan
+
+
+def test_window_funnel_default_no_window_bounded_fold(spark, queries):
+    """The default-mode funnel is a per-user collect + Catalyst HOF fold:
+    no window function anywhere, scan pruned to the 4 fold columns."""
+    df = queries["window_funnel_default"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert {"user_id", "ts", "event_id", "event_type"} in read_schema_columns(df)
+
+
+def test_topk_weighted_no_global_sort(spark, queries):
+    """Both legs take top-k WITHOUT a global sort: the exact leg's
+    orderBy+limit compiles to TakeOrderedAndProject, and the candidate
+    leg's window partitions by salt — no RangePartitioning exchange."""
+    df = queries["topk_weighted_users"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    # both legs' scans prune to the 2 aggregate columns
+    assert all(c == {"user_id", "value"} for c in read_schema_columns(df)), plan
