@@ -91,6 +91,18 @@ _NAMES = [
     (_streaming_pipeline, [
         "percentile_kll_mv",  # KLL quantile-sketch MV (tDigest sibling)
     ]),
+    (similarity, [
+        "ann_hamming_topk",  # 1-bit sign codes, XOR+POPCNT search
+        "ann_hamming_recall_at_k",  # 16x-compression acceptance gate
+    ]),
+    (timeseries, [
+        "minmax_map_event_values",  # minMap/maxMap combinator analog
+        "uniq_upto_battery",  # uniqUpTo(N) capped exact-distinct
+        "quantile_conventions_battery",  # R-6/R-7 exact conventions
+    ]),
+    (similarity, [
+        "embedding_source_drift",  # per-source centroid drift monitor
+    ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --
     #    gate boundary: first 50 registry positions, wherever that lands

@@ -1823,6 +1823,163 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact_l2(spark, sf_dir, approx)
 
 
+def _binary_codes(emb: DataFrame) -> DataFrame:
+    """Sign-bit binarization of the 64-dim embedding into TWO bigint
+    words (hi = dims 1-32, lo = dims 33-64; packing 64 bits into one
+    signed long would overflow the shift-accumulate fold).  Bit j is 1
+    iff the component is > 0 — float-vs-zero comparisons are exact, so
+    the codes are engine-portable integers."""
+
+    def pack(lo_dim: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(lo_dim), F.lit(lo_dim + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(F.col("embedding"), i) > 0, 1).otherwise(0),
+        )
+
+    return emb.select(
+        "vec_id", pack(1).alias("hi"), pack(33).alias("lo")
+    )
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN — 1-bit sign codes searched by Hamming
+    distance (``bit_count(xor)``), the most aggressive embedding
+    compression tier below int8 and PQ: 64 dims become 16 BYTES (16x
+    smaller than float32), and distance is two XOR+POPCNT integer ops —
+    SIMD-class throughput with zero float work in the scan.
+
+    Top-5 per query-batch vector (the PQ query batch), ties broken on
+    neighbor_id — ALL-INTEGER ranking, so the result is bit-exact in
+    any engine (the one ANN family member whose whole search is
+    oracle-exact without a round-6 boundary).  Shape: the codes
+    projection is map-only; the search cross-joins the 2-long codes
+    table against the broadcast query batch — raw embeddings never
+    leave the packing scan, and at 100 TB the codes table is the only
+    thing read (16 B/vector; a rerank stage would fetch raw vectors
+    for candidates only, the ann_ivfpq_rerank_topk pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _binary_codes(emb)
+    q = codes.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("hi").alias("q_hi"),
+        F.col("lo").alias("q_lo"),
+    )
+    ham = (
+        F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+        + F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid"),
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "hamming",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_hamming_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of 1-bit Hamming search against the exact full-precision
+    cosine top-k (the memoized ground truth) — the acceptance gate that
+    tells a deployment what 16x compression costs on ITS corpus (sign
+    bits keep direction octants only; on near-uniform synthetic vectors
+    this is ANN's worst case, so the number is honest, not a flake).
+    Id-pairs-only eval, ground truth restricted to the Hamming query
+    batch."""
+    _, exact_all = _exact_cosine_ground_truth(spark, sf_dir)
+    exact = exact_all.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0)
+    approx = ann_hamming_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+    k_per_q = exact.groupBy("vec_id").agg(F.count("*").alias("k"))
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        k_per_q.join(hits, "vec_id", "left")
+        .fillna({"n_hits": 0})
+        .select(
+            "vec_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("k").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding drift — the distribution-shift monitor a
+    training-data pipeline runs per ingest source: each source's mean
+    embedding vs the corpus mean, scored by cosine.  A source whose
+    centroid swings away from the corpus signals topic/format drift
+    (or a broken upstream encoder) before it poisons a training mix.
+
+    Exactness: per-dim sums ride the DECIMAL(38,15) fold (float-backed
+    doubles sum exactly — the kmeans discipline); the centroid division
+    is one mirrored IEEE op; the cosine's cross-dim reductions cast
+    each IEEE product to DECIMAL(38,25) BEFORE summing (power-sum
+    discipline: quantized terms add associatively, so the result is
+    partitioning-independent), then one mirrored sqrt/divide chain.
+    Shape: posexplode to (source, dim) — 64x row inflation into a
+    map-side-combined aggregate keyed by a tiny domain (|sources| x 64
+    cells), one broadcast-size join of source centroids to the global
+    centroid.  At 100 TB nothing but the two centroid tables ever
+    shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    flat = emb.join(docs, "vec_id").select(
+        "source", F.posexplode("embedding").alias("dim", "x")
+    )
+    per = flat.groupBy("source", "dim").agg(
+        F.sum(F.col("x").cast("decimal(38,15)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    src_c = per.select(
+        "source",
+        "dim",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("sc"),
+        F.col("n"),
+    )
+    glob = flat.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(38,15)")).alias("gs"),
+        F.count("*").alias("gn"),
+    ).select(
+        "dim",
+        (F.col("gs").cast("double") / F.col("gn").cast("double")).alias("gc"),
+    )
+    j = src_c.join(F.broadcast(glob), "dim")
+    dq = lambda c: c.cast("decimal(38,25)")  # noqa: E731
+    red = j.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum(dq(F.col("sc") * F.col("gc"))).alias("dot"),
+        F.sum(dq(F.col("sc") * F.col("sc"))).alias("ss"),
+        F.sum(dq(F.col("gc") * F.col("gc"))).alias("gg"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ss").cast("double")) * F.sqrt(F.col("gg").cast("double"))
+    )
+    return red.select(
+        "source", "n_docs", F.round(cos, 6).alias("cos_to_corpus")
+    )
+
+
 MRL_DIMS = (32, 16, 8)  # truncation prefixes evaluated against full 64-dim
 
 

@@ -942,6 +942,134 @@ def _window_funnel_strict(
     )
 
 
+def minmax_map_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minMap`` / ``maxMap`` combinator analog — completes the Map
+    aggregation family next to ``summap_event_values``: per day, the
+    sorted event-type key list with positionally-aligned per-key min and
+    max values.  Same two-level shape (the wide map never exists
+    pre-aggregation; arrays bounded by the key DOMAIN), same CSV
+    serialization contract; min/max are SELECTION (no arithmetic), so
+    the decimal rendering is exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.min(F.col("value").cast("decimal(25,6)")).alias("mn"),
+        F.max(F.col("value").cast("decimal(25,6)")).alias("mx"),
+    )
+    kv = F.sort_array(F.collect_list(F.struct("event_type", "mn", "mx")))
+    return per.groupBy("day").agg(
+        F.array_join(
+            F.transform(kv, lambda x: x["event_type"]), ","
+        ).alias("keys_csv"),
+        F.array_join(
+            F.transform(kv, lambda x: x["mn"].cast("string")), ","
+        ).alias("mins_csv"),
+        F.array_join(
+            F.transform(kv, lambda x: x["mx"].cast("string")), ","
+        ).alias("maxs_csv"),
+    )
+
+
+UNIQ_UPTO_SMALL = 10
+UNIQ_UPTO_LARGE = 1000
+
+
+def uniq_upto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``uniqUpTo(N)`` analog (ClickHouse's capped exact-distinct): per
+    event type, the exact distinct-user count reported as min(distinct,
+    N+1) for a small and a large N — the "exactly how many, unless more
+    than N" contract dashboards use for threshold alarms.
+
+    Spark's partial aggregation dedupes (type, user) pairs map-side, so
+    the distinct shuffle carries |distinct| rows, not the corpus; the
+    cap is then a scalar ``least``.  (ClickHouse additionally bounds
+    per-state MEMORY at N — in Spark that bounded-state role belongs to
+    the sketch family: ``approx_distinct_users`` / the theta/HLL MVs.)
+    Both cap branches fire across the SF ladder: N=10 always saturates,
+    N=1000 only at sf0.1's 1500 users — falsifiable either way."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return d.select(
+        "event_type",
+        "n_events",
+        F.least(F.col("nd"), F.lit(UNIQ_UPTO_SMALL + 1))
+        .cast("long")
+        .alias("uniq_upto_10"),
+        F.least(F.col("nd"), F.lit(UNIQ_UPTO_LARGE + 1))
+        .cast("long")
+        .alias("uniq_upto_1000"),
+        (F.col("nd") > UNIQ_UPTO_SMALL).alias("small_cap_hit"),
+    )
+
+
+QCONV_PS = (25, 50, 75)  # percent points evaluated under both conventions
+
+
+def quantile_conventions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantileExactExclusive`` / ``quantileExactInclusive`` analogs
+    (ClickHouse's R-6/R-7 interpolation conventions; R-7 is what Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` implement): per event
+    type, p25/p50/p75 under BOTH conventions from explicit order
+    statistics — exclusive rank h = (n+1)p, inclusive h = 1+(n-1)p,
+    clamped to [1, n], value = x_lo + (h - floor(h)) * (x_hi - x_lo).
+
+    Shape: the weighted-percentiles pattern — ONE value-frequency
+    aggregate (map-side combined, |distinct values| rows), a per-type
+    cumulative window over that domain-bounded frame, then one
+    conditional-min aggregate pulling all 12 order statistics at once
+    (x_k = min value with cum >= k; values ascend, so the conditional
+    min IS the k-th order statistic).  No global sort, no per-row rank;
+    the interpolation is 3 mirrored IEEE ops per quantile."""
+    ev = load_table(spark, sf_dir, "events")
+    vf = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = vf.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    nd = F.col("n").cast("double")
+
+    def h_of(conv: str, pp: int):
+        p = F.lit(pp).cast("double") / F.lit(100.0)
+        h = (nd + F.lit(1.0)) * p if conv == "excl" else F.lit(1.0) + (
+            nd - F.lit(1.0)
+        ) * p
+        return F.greatest(F.lit(1.0), F.least(h, nd))
+
+    aggs = [F.max("n").cast("long").alias("n_events")]
+    for conv in ("excl", "incl"):
+        for pp in QCONV_PS:
+            h = h_of(conv, pp)
+            aggs.append(F.max(h).alias(f"h_{conv}_{pp}"))
+            aggs.append(
+                F.min(F.when(F.col("cum") >= F.floor(h), F.col("value"))).alias(
+                    f"xlo_{conv}_{pp}"
+                )
+            )
+            aggs.append(
+                F.min(F.when(F.col("cum") >= F.ceil(h), F.col("value"))).alias(
+                    f"xhi_{conv}_{pp}"
+                )
+            )
+    g = cum.groupBy("event_type").agg(*aggs)
+    outs = [F.col("event_type"), F.col("n_events")]
+    for conv in ("excl", "incl"):
+        for pp in QCONV_PS:
+            h, xlo, xhi = (
+                F.col(f"h_{conv}_{pp}"),
+                F.col(f"xlo_{conv}_{pp}"),
+                F.col(f"xhi_{conv}_{pp}"),
+            )
+            outs.append(
+                (xlo + (h - F.floor(h)) * (xhi - xlo)).alias(f"p{pp}_{conv}")
+            )
+    return g.select(*outs)
+
+
 TOPK_W = 10  # heavy hitters kept
 TOPK_W_SALTS = 8  # pruning partitions in the candidate leg
 
@@ -1026,9 +1154,14 @@ def window_funnel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain-anchor struct.  Per-user state is 4 longs regardless of
     corpus size; the collected array is bounded by the user's funnel-
     typed events (the sessionization bound).  All comparisons are
-    integer/epoch-micros — exact in any engine; the DuckDB oracle runs
-    the same fold via init-less ``list_reduce`` with a sentinel head
-    (the LTTB walk precedent, discrete selection only)."""
+    integer/epoch-micros — exact in any engine; the DuckDB oracle is an
+    INDEPENDENT construction (the dau_wau precedent): greedy min-chain
+    per signup anchor, provably equivalent to the fold (anchors only
+    increase, so every fold chain maps to a single-anchor chain, and
+    for a fixed anchor the earliest-next-step chain is optimal).  A
+    mirrored grouped ``list_reduce`` oracle is NOT usable: DuckDB 1.0
+    leaks cross-group state in grouped list_reduce at sf0.1's group
+    count."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "event_type")

@@ -1123,6 +1123,48 @@ SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
 """
 
+# Binary (1-bit) ANN: sign-bit packing mirrored as the same
+# shift-accumulate fold (init-less list_reduce == 0-seeded since
+# 0*2+b == b); XOR+POPCNT Hamming ranking is all-integer — bit-exact.
+ORACLE["ann_hamming_topk"] = """
+WITH codes AS (
+  SELECT vec_id,
+    list_reduce(list_transform(range(1, 33),
+      i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+      (acc, x) -> acc * 2 + x) AS hi,
+    list_reduce(list_transform(range(33, 65),
+      i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+      (acc, x) -> acc * 2 + x) AS lo
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, hi AS q_hi, lo AS q_lo
+      FROM codes WHERE vec_id % 100 = 0),
+d AS (
+  SELECT qid, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.hi, q_hi)) + bit_count(xor(c.lo, q_lo))
+              AS BIGINT) AS hamming
+  FROM codes c CROSS JOIN q WHERE c.vec_id <> qid)
+SELECT qid AS vec_id, neighbor_id, hamming, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY hamming ASC, neighbor_id ASC) AS BIGINT)
+      AS rank
+  FROM d)
+WHERE rank <= 5
+"""
+
+ORACLE["ann_hamming_recall_at_k"] = f"""
+WITH exact_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_cosine_topk']})
+                 WHERE vec_id % 100 = 0),
+approx_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_hamming_topk']})),
+k_per_q AS (SELECT vec_id, count(*) AS k FROM exact_k GROUP BY 1),
+hits AS (
+  SELECT e.vec_id, count(*) AS n_hits
+  FROM exact_k e JOIN approx_k a USING (vec_id, neighbor_id)
+  GROUP BY 1)
+SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / k, 6) AS recall_at_k
+FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
+"""
+
 # Training-mix data card: CC membership composes as a subquery; all stats
 # are exact integers, fractions are one float divide rounded to 6.
 ORACLE["corpus_mix_report"] = f"""
@@ -3745,52 +3787,50 @@ SELECT steps_completed, count(*) AS n_users FROM per_user GROUP BY 1
 """
 
 
-# Default-mode windowFunnel: the same ClickHouse chain-anchor fold as
-# the Spark HOF, run as an init-less list_reduce over the (ts, event_id)
-# sorted event structs with a sentinel head (LTTB walk precedent —
-# discrete integer selection only, so the fold is exact by construction).
+# Default-mode windowFunnel — INDEPENDENT-construction oracle (the
+# dau_wau precedent; exact integers): the CH chain-anchor fold is
+# provably equivalent to "exists a single-anchor chain e1<...<ek, all
+# within ts(e1)+W" (anchors only increase, so any fold chain maps to a
+# single-anchor chain and vice versa), and for a FIXED anchor the
+# greedy earliest-next-step chain is optimal (exchange argument).  So:
+# per signup anchor, chase min-next view/click/purchase keys within the
+# window.  (NOT list_reduce: DuckDB 1.0's grouped list_reduce leaks
+# cross-group state at sf0.1 — verified single-group vs full-group.)
+# Keys are hugeint (epoch_us * 1e9 + event_id): the total (ts, event_id)
+# order as ONE comparable integer.
 ORACLE["window_funnel_default"] = """
-WITH typed AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-         CASE event_type WHEN 'signup' THEN 0 WHEN 'view' THEN 1
-              WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 END AS idx
+WITH f AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS k,
+         epoch_us(ts) AS t, event_type AS et
   FROM events
   WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
-folded AS (
-  SELECT user_id,
-    list_reduce(
-      list_prepend(
-        struct_pack(ts_us := -1::BIGINT, idx := -1::BIGINT,
-                    f0 := -1::BIGINT, f1 := -1::BIGINT,
-                    f2 := -1::BIGINT, f3 := -1::BIGINT),
-        list(struct_pack(ts_us := ts_us, idx := CAST(idx AS BIGINT),
-                         f0 := -1::BIGINT, f1 := -1::BIGINT,
-                         f2 := -1::BIGINT, f3 := -1::BIGINT)
-             ORDER BY ts_us, event_id)),
-      (acc, e) -> CASE
-        WHEN e.idx = 0 THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
-             f0 := e.ts_us, f1 := acc.f1, f2 := acc.f2, f3 := acc.f3)
-        WHEN e.idx = 1 AND acc.f0 <> -1 AND e.ts_us <= acc.f0 + 86400000000
-             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
-             f0 := acc.f0, f1 := acc.f0, f2 := acc.f2, f3 := acc.f3)
-        WHEN e.idx = 2 AND acc.f1 <> -1 AND e.ts_us <= acc.f1 + 86400000000
-             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
-             f0 := acc.f0, f1 := acc.f1, f2 := acc.f1, f3 := acc.f3)
-        WHEN e.idx = 3 AND acc.f2 <> -1 AND e.ts_us <= acc.f2 + 86400000000
-             THEN struct_pack(ts_us := acc.ts_us, idx := acc.idx,
-             f0 := acc.f0, f1 := acc.f1, f2 := acc.f2, f3 := acc.f2)
-        ELSE acc END) AS st
-  FROM typed GROUP BY user_id),
+anch AS (SELECT user_id, k AS k1, t AS a FROM f WHERE et = 'signup'),
+c2 AS (
+  SELECT anch.user_id, anch.k1, anch.a, min(f.k) AS k2
+  FROM anch JOIN f ON f.user_id = anch.user_id AND f.et = 'view'
+                  AND f.k > anch.k1 AND f.t <= anch.a + 86400000000
+  GROUP BY 1, 2, 3),
+c3 AS (
+  SELECT c2.user_id, c2.k1, c2.a, min(f.k) AS k3
+  FROM c2 JOIN f ON f.user_id = c2.user_id AND f.et = 'click'
+                AND f.k > c2.k2 AND f.t <= c2.a + 86400000000
+  GROUP BY 1, 2, 3),
+c4 AS (
+  SELECT DISTINCT c3.user_id
+  FROM c3 JOIN f ON f.user_id = c3.user_id AND f.et = 'purchase'
+                AND f.k > c3.k3 AND f.t <= c3.a + 86400000000),
 lv AS (
   SELECT user_id,
-         CASE WHEN st.f3 <> -1 THEN 4 WHEN st.f2 <> -1 THEN 3
-              WHEN st.f1 <> -1 THEN 2 WHEN st.f0 <> -1 THEN 1
+         CASE WHEN user_id IN (SELECT user_id FROM c4) THEN 4
+              WHEN user_id IN (SELECT user_id FROM c3) THEN 3
+              WHEN user_id IN (SELECT user_id FROM c2) THEN 2
+              WHEN user_id IN (SELECT user_id FROM anch) THEN 1
               ELSE 0 END AS lvl
-  FROM folded),
-allu AS (SELECT DISTINCT user_id FROM events)
-SELECT CAST(COALESCE(lvl, 0) AS BIGINT) AS steps_completed,
+  FROM (SELECT DISTINCT user_id FROM events))
+SELECT CAST(lvl AS BIGINT) AS steps_completed,
        CAST(count(*) AS BIGINT) AS n_users
-FROM allu LEFT JOIN lv USING (user_id) GROUP BY 1
+FROM lv GROUP BY 1
 """
 
 
@@ -4002,6 +4042,113 @@ SELECT event_id, user_id, ts AS err_ts,
             THEN (epoch_us(next_p) - epoch_us(ts)) / 1000000.0 END
          AS latency_sec
 FROM s WHERE event_type = 'error'
+"""
+
+
+# minMap/maxMap: the summap shape with selection aggregates — decimal
+# renderings are exact, ordered list() mirrors the sorted-struct collect.
+ORACLE["minmax_map_event_values"] = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         min(CAST(value AS DECIMAL(25,6))) AS mn,
+         max(CAST(value AS DECIMAL(25,6))) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT day,
+       array_to_string(list(event_type ORDER BY event_type), ',') AS keys_csv,
+       array_to_string(list(CAST(mn AS VARCHAR) ORDER BY event_type), ',')
+         AS mins_csv,
+       array_to_string(list(CAST(mx AS VARCHAR) ORDER BY event_type), ',')
+         AS maxs_csv
+FROM per GROUP BY day
+"""
+
+
+# uniqUpTo: exact distinct capped at N+1 — pure integer selection.
+ORACLE["uniq_upto_battery"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(least(count(DISTINCT user_id), 11) AS BIGINT) AS uniq_upto_10,
+       CAST(least(count(DISTINCT user_id), 1001) AS BIGINT) AS uniq_upto_1000,
+       count(DISTINCT user_id) > 10 AS small_cap_hit
+FROM events GROUP BY 1
+"""
+
+
+def _qconv_sql() -> str:
+    """Exclusive/inclusive quantile conventions: the same clamped-rank +
+    conditional-min order-statistic pull as the Spark aggregate, with the
+    h formulas mirrored textually (p literals cast to DOUBLE — DuckDB
+    types bare decimals as DECIMAL)."""
+    aggs, outs = [], []
+    for conv in ("excl", "incl"):
+        for pp in (25, 50, 75):
+            p = f"(CAST({pp} AS DOUBLE) / 100.0)"
+            raw = (
+                f"(CAST(n AS DOUBLE) + 1.0) * {p}"
+                if conv == "excl"
+                else f"1.0 + (CAST(n AS DOUBLE) - 1.0) * {p}"
+            )
+            h = f"greatest(1.0, least({raw}, CAST(n AS DOUBLE)))"
+            tag = f"{conv}_{pp}"
+            aggs.append(f"max({h}) AS h_{tag}")
+            aggs.append(
+                f"min(CASE WHEN cum >= floor({h}) THEN value END) AS xlo_{tag}"
+            )
+            aggs.append(
+                f"min(CASE WHEN cum >= ceil({h}) THEN value END) AS xhi_{tag}"
+            )
+            outs.append(
+                f"xlo_{tag} + (h_{tag} - floor(h_{tag})) * (xhi_{tag} - xlo_{tag})"
+                f" AS p{pp}_{conv}"
+            )
+    return f"""
+WITH vf AS (SELECT event_type, value, count(*) AS cnt FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, value, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM vf),
+g AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+      {", ".join(aggs)}
+      FROM c GROUP BY 1)
+SELECT event_type, n_events, {", ".join(outs)} FROM g
+"""
+
+
+ORACLE["quantile_conventions_battery"] = _qconv_sql()
+
+
+# Per-source embedding drift: DECIMAL(38,15) per-dim sums, one mirrored
+# division per centroid component, DECIMAL(38,25)-quantized products
+# before the cross-dim reductions (power-sum discipline), one mirrored
+# sqrt/divide chain.
+ORACLE["embedding_source_drift"] = """
+WITH flat AS (
+  SELECT d.source, s.i AS dim, e.embedding[s.i] AS x
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id,
+  generate_series(1, 64) AS s(i)),
+per AS (
+  SELECT source, dim, sum(CAST(x AS DECIMAL(38,15))) AS s, count(*) AS n
+  FROM flat GROUP BY 1, 2),
+src_c AS (
+  SELECT source, dim, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS sc, n
+  FROM per),
+gcent AS (
+  SELECT dim, CAST(sum(CAST(x AS DECIMAL(38,15))) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) AS gc
+  FROM flat GROUP BY 1),
+red AS (
+  SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         sum(CAST(sc * gc AS DECIMAL(38,25))) AS dot,
+         sum(CAST(sc * sc AS DECIMAL(38,25))) AS ss,
+         sum(CAST(gc * gc AS DECIMAL(38,25))) AS gg
+  FROM src_c JOIN gcent USING (dim) GROUP BY 1)
+SELECT source, n_docs,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(ss AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))), 6)
+         AS cos_to_corpus
+FROM red
 """
 
 

@@ -808,3 +808,24 @@ def test_topk_weighted_no_global_sort(spark, queries):
     assert "rangepartitioning" not in plan.lower(), plan
     # both legs' scans prune to the 2 aggregate columns
     assert all(c == {"user_id", "value"} for c in read_schema_columns(df)), plan
+
+
+def test_quantile_conventions_single_scan_domain_windows(spark, queries):
+    """One value-frequency aggregate off one scan; the cumulative windows
+    ride the |distinct values| domain, and all 12 order statistics come
+    from ONE conditional-min aggregate — no joins, no global sort."""
+    df = queries["quantile_conventions_battery"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(read_schema_columns(df)) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_ann_hamming_codes_only_shuffle(spark, queries):
+    """The Hamming search joins CODES (2 longs/vector) against a
+    broadcast query batch: raw embeddings never ride a join, and the
+    only window partitions by query id."""
+    df = queries["ann_hamming_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.count("posexplode") == 0, plan

@@ -126,3 +126,124 @@ def test_percentile_kll_mv_contract(spark):
         assert r["state_n_exact"] and r["n_events"] == exact_n[r["event_type"]]
         assert r["p50_rank_within_eps"] and r["p90_rank_within_eps"]
         assert r["exact_p50"] <= r["exact_p90"]
+
+
+def test_ann_hamming_topk_matches_bruteforce(spark):
+    """Bit-packed Hamming top-5 vs a pure-Python popcount recompute."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        PQ_QUERY_MOD,
+        ann_hamming_topk,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got: dict = {}
+    for r in ann_hamming_topk(spark, SF_DIR_SMALL).collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR_SMALL, "embeddings").collect()
+    }
+    sig = {v: tuple(1 if x > 0 else 0 for x in e) for v, e in emb.items()}
+    assert got and set(got) == {v for v in emb if v % PQ_QUERY_MOD == 0}
+    for q, rows in got.items():
+        ham = sorted(
+            (sum(a != b for a, b in zip(sig[q], sig[c])), c)
+            for c in emb
+            if c != q
+        )[:5]
+        rows.sort()
+        assert [(h, c) for h, c in ham] == [(h, c) for _, c, h in rows]
+        assert all(0 <= h <= 64 for h, _ in ham)
+
+
+def test_minmax_map_aligned_and_bounded(spark):
+    """minMap/maxMap CSV arrays: sorted keys, mins <= maxs positionally."""
+    from decimal import Decimal
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        minmax_map_event_values,
+    )
+
+    rows = minmax_map_event_values(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        keys = r["keys_csv"].split(",")
+        mins = [Decimal(x) for x in r["mins_csv"].split(",")]
+        maxs = [Decimal(x) for x in r["maxs_csv"].split(",")]
+        assert keys == sorted(set(keys))
+        assert len(keys) == len(mins) == len(maxs)
+        assert all(a <= b for a, b in zip(mins, maxs))
+
+
+def test_uniq_upto_caps_fire(spark):
+    """The small cap saturates on every type (fixture has > 10 users per
+    type); the large cap never fires at sf0.001."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        uniq_upto_battery,
+    )
+
+    rows = uniq_upto_battery(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["small_cap_hit"] and r["uniq_upto_10"] == 11
+        assert r["uniq_upto_1000"] <= 1000  # 15 users at sf0.001
+
+
+def test_quantile_conventions_inclusive_matches_builtin(spark):
+    """Inclusive (R-7) must equal Spark's percentile(); exclusive must
+    diverge from inclusive somewhere (falsifiability)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        quantile_conventions_battery,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in quantile_conventions_battery(spark, SF_DIR_SMALL).collect()
+    }
+    ref = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_DIR_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25)").alias("p25"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.75)").alias("p75"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    diverged = False
+    for et, g in got.items():
+        for pp in (25, 50, 75):
+            assert abs(g[f"p{pp}_incl"] - ref[et][f"p{pp}"]) < 5e-7
+            diverged |= abs(g[f"p{pp}_excl"] - g[f"p{pp}_incl"]) > 1e-9
+    assert diverged
+
+
+def test_embedding_source_drift_sane(spark):
+    """Cosines in [-1, 1], every source present, and per-source counts
+    reconcile with the documents table."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        embedding_source_drift,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = embedding_source_drift(spark, SF_DIR_SMALL).collect()
+    src_counts = {
+        r["source"]: r["count"]
+        for r in load_table(spark, SF_DIR_SMALL, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(src_counts)
+    for r in rows:
+        assert -1.0 <= r["cos_to_corpus"] <= 1.0
+        assert r["n_docs"] == src_counts[r["source"]]
+    # falsifiable: sources genuinely differ in drift
+    assert len({r["cos_to_corpus"] for r in rows}) > 1
