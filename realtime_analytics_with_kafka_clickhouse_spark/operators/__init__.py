@@ -103,6 +103,16 @@ _NAMES = [
     (similarity, [
         "embedding_source_drift",  # per-source centroid drift monitor
     ]),
+    (timeseries, [
+        "bitwise_agg_battery",  # groupBitAnd/Or/Xor parity
+        "distinct_agg_battery",  # -Distinct combinator parity
+    ]),
+    (dedup, [
+        "near_dup_source_matrix",  # cross/intra-source dup diagnostic
+    ]),
+    (_storage_layout, [
+        "order_update_mutation",  # ALTER TABLE UPDATE, partition-pruned
+    ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --
     #    gate boundary: first 50 registry positions, wherever that lands

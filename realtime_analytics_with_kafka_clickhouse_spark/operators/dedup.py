@@ -894,3 +894,43 @@ def minhash_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 6).alias("est_jaccard"),
         F.round(prob, 6).alias("collision_prob"),
     )
+
+
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix — the curation diagnostic
+    that tells a data-mixing pipeline WHERE its duplication lives: a
+    syndication cluster (the same article across N scrape sources) calls
+    for cross-source dedup priority, while intra-source duplication
+    points at a crawler revisiting itself.  One row per unordered source
+    pair that shares at least one verified near-dup pair, with the pair
+    count, the mean verified Jaccard, and the intra-source flag.
+
+    Shape: rides the shared MinHash-LSH kernel (``minhash_near_dup``'s
+    verified pairs — candidate-only cost), then two broadcast joins to
+    the doc->source dim and a |sources|^2-bounded aggregate.  The mean
+    sums DECIMAL(28,20)-quantized Jaccards (the power-sum discipline:
+    quantized terms add associatively, so the result is partitioning-
+    and engine-order-independent), then one mirrored division."""
+    pairs = minhash_near_dup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    tagged = (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("src_lo"),
+            F.greatest("src_a", "src_b").alias("src_hi"),
+            F.col("jaccard").cast("decimal(28,20)").alias("jq"),
+        )
+    )
+    return (
+        tagged.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum("jq").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_jaccard"),
+        )
+        .withColumn("is_intra_source", F.col("src_lo") == F.col("src_hi"))
+    )

@@ -1004,6 +1004,47 @@ def uniq_upto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bitwise_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor`` parity
+    (ClickHouse's bitwise aggregates — flag-mask consolidation over
+    per-row permission/feature bitmaps): per event type over the
+    user_id words, plus the OR of the low byte (a bounded-domain mask a
+    dashboard can render).  Bitwise ops are associative+commutative,
+    so these partial-aggregate map-side like any sum; exact integers in
+    any engine — one shuffle, zero float work."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("long").alias("uid_bit_and"),
+        F.bit_or("user_id").cast("long").alias("uid_bit_or"),
+        F.bit_xor("user_id").cast("long").alias("uid_bit_xor"),
+        F.bit_or(F.col("user_id") % 256).cast("long").alias("low_byte_or"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def distinct_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``-Distinct`` combinator parity (ClickHouse's ``sumDistinct`` /
+    ``avgDistinct`` / ``uniqExact``): per event type, aggregates over the
+    DISTINCT value multiset — the dedup-before-aggregate shape metric
+    pipelines use when upstream retries duplicate measurements.
+
+    Spark plans distinct aggregates with a map-side-deduped expand: the
+    shuffle carries |distinct (type, value)| rows, never the corpus; the
+    distinct sum rides the exact decimal domain and avgDistinct is ONE
+    mirrored division of it."""
+    ev = load_table(spark, sf_dir, "events")
+    dsumd = F.sum_distinct(F.col("value").cast("decimal(25,6)"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("value").cast("long").alias("n_distinct_values"),
+        dsumd.alias("sum_distinct_value"),
+        (
+            dsumd.cast("double")
+            / F.countDistinct("value").cast("double")
+        ).alias("avg_distinct_value"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 QCONV_PS = (25, 50, 75)  # percent points evaluated under both conventions
 
 

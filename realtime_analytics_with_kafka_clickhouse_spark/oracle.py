@@ -4045,6 +4045,67 @@ FROM s WHERE event_type = 'error'
 """
 
 
+# groupBitAnd/Or/Xor: associative integer bit folds — exact anywhere.
+ORACLE["bitwise_agg_battery"] = """
+SELECT event_type,
+       CAST(bit_and(user_id) AS BIGINT) AS uid_bit_and,
+       CAST(bit_or(user_id) AS BIGINT) AS uid_bit_or,
+       CAST(bit_xor(user_id) AS BIGINT) AS uid_bit_xor,
+       CAST(bit_or(user_id % 256) AS BIGINT) AS low_byte_or,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# -Distinct combinators: distinct decimal sum + one mirrored division.
+ORACLE["distinct_agg_battery"] = """
+SELECT event_type,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_values,
+       sum(DISTINCT CAST(value AS DECIMAL(25,6))) AS sum_distinct_value,
+       CAST(sum(DISTINCT CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(count(DISTINCT value) AS DOUBLE) AS avg_distinct_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# Cross-source near-dup matrix: composes the verified LSH pairs; the
+# mean sums DECIMAL(28,20)-quantized Jaccards (order-free) then divides.
+ORACLE["near_dup_source_matrix"] = f"""
+WITH pairs AS ({ORACLE["minhash_near_dup"]}),
+tagged AS (
+  SELECT least(da.source, db.source) AS src_lo,
+         greatest(da.source, db.source) AS src_hi,
+         CAST(jaccard AS DECIMAL(28,20)) AS jq
+  FROM pairs
+  JOIN documents da ON doc_a = da.doc_id
+  JOIN documents db ON doc_b = db.doc_id)
+SELECT src_lo, src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(jq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_jaccard,
+       src_lo = src_hi AS is_intra_source
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# ALTER TABLE UPDATE audit: the mutation's effect as a CASE expression
+# over raw orders — per-month totals must match exactly.
+ORACLE["order_update_mutation"] = f"""
+WITH victim AS (SELECT min(o_custkey) AS v FROM orders),
+adj AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS order_month,
+         CASE WHEN o_custkey = (SELECT v FROM victim)
+              THEN o_totalprice + 10.0 ELSE o_totalprice END AS amt
+  FROM orders)
+SELECT order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(amt AS DECIMAL(25,6))) AS DOUBLE) AS total_amount_sum
+FROM adj GROUP BY 1
+"""
+
+
 # minMap/maxMap: the summap shape with selection aggregates — decimal
 # renderings are exact, ordered list() mirrors the sorted-struct collect.
 ORACLE["minmax_map_event_values"] = """

