@@ -113,6 +113,15 @@ _NAMES = [
     (_storage_layout, [
         "order_update_mutation",  # ALTER TABLE UPDATE, partition-pruned
     ]),
+    (similarity, [
+        "hard_negative_mining",  # top-3 cross-source contrastive negatives
+    ]),
+    (multimodal, [
+        "media_exact_dedup",  # binary-content md5 dedup report
+    ]),
+    (text, [
+        "tokenizer_fertility_by_source",  # bytes/chars per token data card
+    ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --
     #    gate boundary: first 50 registry positions, wherever that lands

@@ -540,3 +540,32 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "longest_voiced_run"
         ),
     )
+
+
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-content dedup report over the multimodal table — the
+    first pass every media corpus runs (identical bytes re-scraped under
+    different ids): per format, row count, distinct-content count, the
+    duplicate surplus, and the bytes a dedup pass would reclaim.
+
+    Shape: one (format, md5(content)) aggregate — the binary itself
+    never shuffles twice (the hash is computed at the scan and only the
+    16-byte digest rides the exchange with a per-group byte size), then
+    a |formats|-bounded rollup.  All exact integers."""
+    m = media_table(spark, sf_dir)
+    per = m.select(
+        F.col("media.format").alias("format"),
+        F.md5(F.col("content")).alias("digest"),
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+    ).groupBy("format", "digest").agg(
+        F.count("*").alias("copies"),
+        F.max("n_bytes").alias("sz"),
+    )
+    return per.groupBy("format").agg(
+        F.sum("copies").cast("long").alias("n_media"),
+        F.count("*").cast("long").alias("n_unique_content"),
+        (F.sum("copies") - F.count("*")).cast("long").alias("n_dup_rows"),
+        F.sum((F.col("copies") - 1) * F.col("sz")).cast("long").alias(
+            "reclaimable_bytes"
+        ),
+    )

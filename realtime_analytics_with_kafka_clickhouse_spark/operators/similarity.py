@@ -1729,12 +1729,26 @@ def _exact_cosine_ground_truth(spark: SparkSession, sf_dir: str):
             .collect()
         )
         pairs = [(r[0], r[1]) for r in rows]
-        return (len({p[0] for p in pairs}), pairs)
+        return {"n_q": len({p[0] for p in pairs}), "pairs": pairs, "dfs": {}}
 
-    n_q, pairs = memo_get(
-        "exact_cosine_topk_pairs", sf_dir, ("embeddings",), compute
-    )
-    return n_q, spark.createDataFrame(pairs, "vec_id long, neighbor_id long")
+    state = memo_get("exact_cosine_topk_pairs", sf_dir, ("embeddings",), compute)
+    return state["n_q"], _pairs_df(spark, state)
+
+
+def _pairs_df(spark: SparkSession, state: dict) -> DataFrame:
+    """Per-application DataFrame cache inside a ground-truth memo value:
+    the pairs->LocalRelation conversion costs ~0.5 s at sf0.1 per call,
+    so six consumer queries re-converting per call would eat the memo's
+    win.  The df dict lives INSIDE the memo value, so eviction (new
+    fingerprint) drops the cached frames with the pairs; keying on
+    applicationId keeps a df from leaking across SparkSessions."""
+    app = spark.sparkContext.applicationId
+    if app not in state["dfs"]:
+        state["dfs"].clear()  # one app per slot: a dead session's df is useless
+        state["dfs"][app] = spark.createDataFrame(
+            state["pairs"], "vec_id long, neighbor_id long"
+        )
+    return state["dfs"][app]
 
 
 def _exact_l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1770,10 +1784,10 @@ def _exact_l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("qid").alias("vec_id"), "neighbor_id")
             .collect()
         )
-        return [(r[0], r[1]) for r in rows]
+        return {"pairs": [(r[0], r[1]) for r in rows], "dfs": {}}
 
-    pairs = memo_get("exact_l2_topk_pairs", sf_dir, ("embeddings",), compute)
-    return spark.createDataFrame(pairs, "vec_id long, neighbor_id long")
+    state = memo_get("exact_l2_topk_pairs", sf_dir, ("embeddings",), compute)
+    return _pairs_df(spark, state)
 
 
 def _recall_vs_exact_l2(
@@ -1821,6 +1835,61 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunes against this number."""
     approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id", "neighbor_id")
     return _recall_vs_exact_l2(spark, sf_dir, approx)
+
+
+HARDNEG_TOPK = 3  # negatives mined per anchor
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    recipe): for each anchor doc in the query batch, the top-3 most
+    similar docs from a DIFFERENT source — near-misses that teach a
+    retriever finer distinctions than random negatives, with same-source
+    docs excluded because they are too often true positives (syndicated
+    copies, series pages).
+
+    Exactness: the ranking cosine is the shared left-fold dot product
+    (round-6 + neighbor-id tiebreaks), and the source exclusion happens
+    BEFORE ranking, so this is the true top-3-excluding result, not a
+    shortlist filter.  Shape: anchors broadcast against the corpus with
+    the fold evaluated in whole-stage codegen (the _recall_vs_exact_l2
+    shape — no UDF, no matmul boundary), sources attached by one
+    broadcast dim join; per-anchor output is 3 id pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    cand = emb.join(F.broadcast(src), "vec_id")
+    anchors = cand.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("source").alias("q_src"),
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.crossJoin(F.broadcast(anchors))
+        .filter(F.col("source") != F.col("q_src"))
+        .select(
+            F.col("qid"),
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
 
 
 def _binary_codes(emb: DataFrame) -> DataFrame:

@@ -1231,3 +1231,38 @@ def quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)))
         .alias("recall"),
     )
+
+
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility data card — bytes/token and chars/token per
+    (lang, source): the number a tokenizer team watches per corpus slice
+    (high fertility = the tokenizer fragments that slice, so its docs
+    cost more sequence length per character of signal).
+
+    Whitespace tokens are the repo's base tokenization; byte counts are
+    UTF-8 octet lengths.  ONE map-side-combined aggregate over exact
+    integer sums; the two fertility ratios are single mirrored IEEE
+    divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long"))
+        .cast("long")
+        .alias("n_bytes"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("n_chars"),
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("bytes_per_token"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )

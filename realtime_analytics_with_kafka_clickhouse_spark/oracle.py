@@ -1123,6 +1123,66 @@ SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
 """
 
+# Exact media dedup: md5-digest grouping, all-integer rollup.
+ORACLE["media_exact_dedup"] = """
+WITH per AS (
+  SELECT (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+         md5(text) AS digest,
+         count(*) AS copies,
+         max(CAST(octet_length(encode(text)) AS BIGINT)) AS sz
+  FROM documents GROUP BY 1, 2)
+SELECT format,
+       CAST(sum(copies) AS BIGINT) AS n_media,
+       CAST(count(*) AS BIGINT) AS n_unique_content,
+       CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_rows,
+       CAST(sum((copies - 1) * sz) AS BIGINT) AS reclaimable_bytes
+FROM per GROUP BY 1
+"""
+
+
+# Tokenizer fertility: exact integer sums, two mirrored divisions.
+ORACLE["tokenizer_fertility_by_source"] = """
+WITH g AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM documents GROUP BY 1, 2)
+SELECT lang, source, n_docs, n_tokens, n_bytes,
+       round(CAST(n_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS bytes_per_token,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS chars_per_token
+FROM g
+"""
+
+
+# Hard-negative mining: the same fold-cosine ranking with the source
+# exclusion applied before the window — true top-3-excluding.
+ORACLE["hard_negative_mining"] = f"""
+WITH cand AS (
+  SELECT e.vec_id, e.embedding, d.source
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+anch AS (
+  SELECT vec_id AS qid, embedding AS qe, source AS q_src
+  FROM cand WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT qid, c.vec_id AS neighbor_id,
+         round({_dot_sql('c.embedding', 'qe')}
+               / (sqrt({_dot_sql('c.embedding', 'c.embedding')})
+                  * sqrt({_dot_sql('qe', 'qe')})), 6) AS cos_sim
+  FROM cand c CROSS JOIN anch
+  WHERE c.source <> q_src)
+SELECT qid AS vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT)
+      AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # Binary (1-bit) ANN: sign-bit packing mirrored as the same
 # shift-accumulate fold (init-less list_reduce == 0-seeded since
 # 0*2+b == b); XOR+POPCNT Hamming ranking is all-integer — bit-exact.

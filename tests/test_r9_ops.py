@@ -364,3 +364,87 @@ def test_update_rows_partition_pruned_and_exact(spark, tmp_path):
         else:
             assert tuple(a) == tuple(b)
     assert changed > 0
+
+
+def test_hard_negative_mining_excludes_source_and_ranks(spark):
+    """Every mined negative comes from a different source than its
+    anchor, ranks are 1..3, and the top negative matches a brute-force
+    recompute for each anchor."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        HARDNEG_TOPK,
+        hard_negative_mining,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = hard_negative_mining(spark, SF_DIR_SMALL).collect()
+    assert rows
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_DIR_SMALL, "documents").collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR_SMALL, "embeddings").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert src[r["neighbor_id"]] != src[r["vec_id"]]
+        by_q.setdefault(r["vec_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    import math
+
+    for q, rs in by_q.items():
+        assert sorted(r[0] for r in rs) == list(range(1, HARDNEG_TOPK + 1))
+        qe = emb[q]
+        qn = math.sqrt(sum(x * x for x in qe))
+        best = max(
+            (
+                (
+                    round(
+                        sum(a * b for a, b in zip(emb[c], qe))
+                        / (math.sqrt(sum(x * x for x in emb[c])) * qn),
+                        6,
+                    ),
+                    -c,
+                )
+                for c in emb
+                if src[c] != src[q]
+            ),
+        )
+        assert -best[1] == sorted(rs)[0][1]
+
+
+def test_media_exact_dedup_reconciles(spark):
+    """Row totals reconcile with the media table; dup surplus and
+    reclaimable bytes are consistent; duplicates exist in the fixture."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.multimodal import (
+        media_exact_dedup,
+        media_table,
+    )
+
+    rows = media_exact_dedup(spark, SF_DIR_SMALL).collect()
+    total = media_table(spark, SF_DIR_SMALL).count()
+    assert sum(r["n_media"] for r in rows) == total
+    for r in rows:
+        assert r["n_dup_rows"] == r["n_media"] - r["n_unique_content"] >= 0
+        assert (r["reclaimable_bytes"] > 0) == (r["n_dup_rows"] > 0)
+    # exact-duplicate texts exist only at sf0.1 (probed: 8 dup rows; the
+    # small fixtures are dup-free) — pin the dup branch there
+    rows_big = media_exact_dedup(spark, "/root/testdata/sf0.1").collect()
+    assert any(r["n_dup_rows"] > 0 for r in rows_big)
+    assert any(r["n_dup_rows"] == 0 for r in rows) or all(
+        r["n_dup_rows"] == 0 for r in rows
+    )
+
+
+def test_tokenizer_fertility_sane(spark):
+    """Fertility ratios bounded and exact counts reconcile per slice."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        tokenizer_fertility_by_source,
+    )
+
+    rows = tokenizer_fertility_by_source(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] > 0 and r["n_bytes"] >= r["n_tokens"]
+        assert 1.0 <= r["chars_per_token"] <= r["bytes_per_token"] < 40.0
+    assert len({r["bytes_per_token"] for r in rows}) > 1  # slices genuinely differ
