@@ -106,6 +106,7 @@ _NAMES = [
     (timeseries, [
         "bitwise_agg_battery",  # groupBitAnd/Or/Xor parity
         "distinct_agg_battery",  # -Distinct combinator parity
+        "daily_ohlc_bars",  # argMin/argMax candlestick rollup
     ]),
     (dedup, [
         "near_dup_source_matrix",  # cross/intra-source dup diagnostic
@@ -115,6 +116,7 @@ _NAMES = [
     ]),
     (similarity, [
         "hard_negative_mining",  # top-3 cross-source contrastive negatives
+        "ann_hamming_rerank_topk",  # binary shortlist -> exact re-rank
     ]),
     (multimodal, [
         "media_exact_dedup",  # binary-content md5 dedup report

@@ -1961,6 +1961,76 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAMMING_SHORTLIST = 50  # binary candidates per query before exact re-rank
+
+
+def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-shortlist + exact re-rank — how 1-bit codes are actually
+    deployed (the ann_ivfpq_rerank_topk pattern at the cheapest tier):
+    Hamming distance over the 16-byte codes shortlists
+    ``HAMMING_SHORTLIST`` candidates per query, full-precision cosine
+    re-ranks ONLY the shortlist, top-5 ships.  Full-precision work drops
+    from n to 50 per query while recall recovers most of what raw
+    Hamming ranking loses.
+
+    Exactness: the shortlist is all-integer (bit-exact), the re-rank is
+    the shared fold cosine with round-6 + id tiebreaks — the whole
+    pipeline is oracle-mirrorable with no matmul boundary.  Shape: the
+    only embedding-carrying join is the 50/query shortlist fetch; codes
+    never leave their scan."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = _binary_codes(emb)
+    q = codes.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("hi").alias("q_hi"),
+        F.col("lo").alias("q_lo"),
+    )
+    ham = (
+        F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+        + F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+    ).cast("long")
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid"),
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= HAMMING_SHORTLIST)
+        .select("qid", "neighbor_id")
+    )
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cos = F.round(
+        _dot(F.col("ce"), F.col("qe"))
+        / (_norm(F.col("ce")) * _norm(F.col("qe"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(a, "qid")
+        .join(b, "neighbor_id")
+        .select("qid", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ann_hamming_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of 1-bit Hamming search against the exact full-precision
     cosine top-k (the memoized ground truth) — the acceptance gate that

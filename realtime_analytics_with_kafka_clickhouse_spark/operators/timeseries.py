@@ -1004,6 +1004,28 @@ def uniq_upto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars over the event value stream
+    — the candlestick rollup ClickHouse demos with argMin/argMax, and
+    the downsampled shape any metrics store exports to charting.
+
+    Open/close are value-at-extremum struct aggregates on the total
+    (ts, event_id) ordering (the argminmax_battery discipline — merge-
+    associative, so they partial-aggregate map-side); high/low are plain
+    extrema; volume and the decimal-exact turnover ride the same single
+    (day) shuffle.  Output is |days| rows regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    by_time = F.struct("ts", "event_id", "value")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.min(by_time).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(by_time).getField("value").alias("close"),
+        F.count("*").cast("long").alias("volume"),
+        dsum("value").alias("turnover"),
+    )
+
+
 def bitwise_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor`` parity
     (ClickHouse's bitwise aggregates — flag-mask consolidation over

@@ -1211,6 +1211,28 @@ SELECT qid AS vec_id, neighbor_id, hamming, rank FROM (
 WHERE rank <= 5
 """
 
+ORACLE["ann_hamming_rerank_topk"] = f"""
+WITH short AS (
+  SELECT vec_id AS qid, neighbor_id
+  FROM ({ORACLE['ann_hamming_topk'].replace('rank <= 5', 'rank <= 50')})),
+scored AS (
+  SELECT qid, neighbor_id,
+         round({_DOT_AB.format(a='ce.embedding', b='qe.embedding')}
+               / (sqrt({_DOT_AB.format(a='ce.embedding', b='ce.embedding')})
+                  * sqrt({_DOT_AB.format(a='qe.embedding', b='qe.embedding')})),
+               6) AS cos_sim
+  FROM short
+  JOIN embeddings qe ON qe.vec_id = short.qid
+  JOIN embeddings ce ON ce.vec_id = short.neighbor_id)
+SELECT qid AS vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY qid ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT)
+      AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 ORACLE["ann_hamming_recall_at_k"] = f"""
 WITH exact_k AS (SELECT vec_id, neighbor_id FROM ({ORACLE['ann_cosine_topk']})
                  WHERE vec_id % 100 = 0),
@@ -4102,6 +4124,20 @@ SELECT event_id, user_id, ts AS err_ts,
             THEN (epoch_us(next_p) - epoch_us(ts)) / 1000000.0 END
          AS latency_sec
 FROM s WHERE event_type = 'error'
+"""
+
+
+# OHLC bars: first/last on the same (ts, event_id) total order the
+# Spark struct extrema induce; dsum turnover.
+ORACLE["daily_ohlc_bars"] = f"""
+SELECT CAST(ts AS DATE) AS day,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       CAST(count(*) AS BIGINT) AS volume,
+       {_dsum('value')} AS turnover
+FROM events GROUP BY 1
 """
 
 

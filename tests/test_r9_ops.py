@@ -448,3 +448,60 @@ def test_tokenizer_fertility_sane(spark):
         assert r["n_tokens"] > 0 and r["n_bytes"] >= r["n_tokens"]
         assert 1.0 <= r["chars_per_token"] <= r["bytes_per_token"] < 40.0
     assert len({r["bytes_per_token"] for r in rows}) > 1  # slices genuinely differ
+
+
+def test_hamming_rerank_recovers_recall(spark):
+    """The binary-shortlist + exact-rerank pipeline must dominate raw
+    Hamming ranking on recall vs the exact cosine ground truth — the
+    lift is the whole point of the rerank stage."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        PQ_QUERY_MOD,
+        _exact_cosine_ground_truth,
+        ann_hamming_rerank_topk,
+        ann_hamming_topk,
+    )
+    from pyspark.sql import functions as F
+
+    _, exact_all = _exact_cosine_ground_truth(spark, SF_DIR_SMALL)
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in exact_all.filter(
+            F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0
+        ).collect()
+    }
+    raw = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ann_hamming_topk(spark, SF_DIR_SMALL).collect()
+    }
+    rer = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ann_hamming_rerank_topk(spark, SF_DIR_SMALL).collect()
+    }
+    assert len(rer & exact) >= len(raw & exact)
+    assert len(rer & exact) > 0
+
+
+def test_daily_ohlc_bars_semantics(spark):
+    """OHLC vs a pure-Python recompute on the total (ts, event_id)
+    ordering; high/low bound open/close."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        daily_ohlc_bars,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    got = {r["day"]: r for r in daily_ohlc_bars(spark, SF_DIR_SMALL).collect()}
+    ev = load_table(spark, SF_DIR_SMALL, "events").select(
+        "ts", "event_id", "value"
+    ).collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["ts"].date(), []).append((r["ts"], r["event_id"], r["value"]))
+    assert set(got) == set(by_day)
+    for day, rows in by_day.items():
+        rows.sort()
+        g = got[day]
+        assert g["open"] == rows[0][2] and g["close"] == rows[-1][2]
+        assert g["high"] == max(v for _, _, v in rows)
+        assert g["low"] == min(v for _, _, v in rows)
+        assert g["low"] <= g["open"] <= g["high"]
+        assert g["volume"] == len(rows)
