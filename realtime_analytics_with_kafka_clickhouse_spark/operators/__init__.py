@@ -107,6 +107,9 @@ _NAMES = [
         "bitwise_agg_battery",  # groupBitAnd/Or/Xor parity
         "distinct_agg_battery",  # -Distinct combinator parity
         "daily_ohlc_bars",  # argMin/argMax candlestick rollup
+        "hourly_gap_fill_locf",  # TimescaleDB locf() step fill
+        "ab_assignment_srm",  # hash-split A/B arms + SRM chi2 audit
+        "k_anonymity_report",  # quasi-identifier privacy gate
     ]),
     (dedup, [
         "near_dup_source_matrix",  # cross/intra-source dup diagnostic

@@ -1004,6 +1004,113 @@ def uniq_upto_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly order revenue with LAST-OBSERVATION-CARRIED-
+    FORWARD — the OTHER fill mode next to ``interpolated_hourly_series``'s
+    lerp (TimescaleDB ``locf()`` / pandas ``ffill``): a missing hour
+    repeats the last present hour's value, the step-function semantics a
+    gauge (inventory level, account balance) needs where interpolation
+    would invent readings.  Leading gaps before the first observation
+    stay NULL-flagged, not imputed — LOCF has nothing to carry yet.
+
+    Shape: the interpolation op's dense-axis pattern — span-bounded
+    sequence explode, one left join, one IGNORE-NULLS running
+    last_value over the axis-sized frame (|hours| rows regardless of
+    corpus size)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        dsum("value").alias("revenue")
+    )
+    span = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    axis = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    filled = axis.join(hourly, "hour", "left").select(
+        "hour",
+        F.col("revenue").isNotNull().alias("observed"),
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+    )
+    return filled.select(
+        "hour",
+        "observed",
+        F.coalesce(F.col("revenue_locf"), F.lit(0.0)).alias("revenue_locf"),
+    )
+
+
+AB_VARIANTS = 4  # deterministic hash-assignment arms
+
+
+def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B assignment + sample-ratio-mismatch audit — the
+    experimentation primitive ClickHouse deployments run with
+    cityHash-modulo splits: each user hashes into one of AB_VARIANTS
+    arms (md5-based, seedable, engine-portable), and the SRM check
+    compares observed arm sizes against the uniform expectation with
+    per-arm chi-square contributions (the alarm every A/B platform
+    fires before trusting a readout).
+
+    Exactness: assignment is integer md5 arithmetic; expected share is
+    one mirrored division; the chi2 contribution (obs-exp)^2/exp is a
+    3-op mirrored IEEE chain over exact integers.  ONE distinct-user
+    aggregate then a |variants|-row rollup."""
+    from ..functions.hashing import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.pmod(stable_hash64(F.concat(F.lit("ab:v1:"), F.col("user_id"))), F.lit(AB_VARIANTS))
+    per = users.select(arm.cast("long").alias("variant")).groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    tot = per.agg(F.sum("n_users").cast("long").alias("n_total"))
+    exp = F.col("n_total").cast("double") / F.lit(float(AB_VARIANTS))
+    dev = F.col("n_users").cast("double") - exp
+    return per.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_users",
+        "n_total",
+        F.round((dev * dev) / exp, 6).alias("chi2_contrib"),
+    )
+
+
+K_ANON = 5  # group-size threshold for the k-anonymity audit
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs: customers grouped by the
+    (nation, market-segment) quasi-identifier tuple; a group smaller
+    than k means its members are re-identifiable by those attributes
+    alone.  Output per nation: group count, how many groups (and
+    people) sit below k, and the minimum group size — the fix list for
+    suppression/generalization.
+
+    Shape: one (nation, segment) count aggregate (map-side combined),
+    then a |nations|-bounded rollup with conditional sums — all exact
+    integers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    groups = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("gsize"))
+    )
+    small = F.col("gsize") < K_ANON
+    return groups.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("gsize")).otherwise(0))
+        .cast("long")
+        .alias("n_reidentifiable_people"),
+        F.min("gsize").cast("long").alias("min_group_size"),
+        (F.min("gsize") >= K_ANON).alias("k_anonymous"),
+    )
+
+
 def daily_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC (open/high/low/close) bars over the event value stream
     — the candlestick rollup ClickHouse demos with argMin/argMax, and

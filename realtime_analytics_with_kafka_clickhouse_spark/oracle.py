@@ -4127,6 +4127,62 @@ FROM s WHERE event_type = 'error'
 """
 
 
+# LOCF gap fill: the dense axis + IGNORE NULLS running last_value.
+ORACLE["hourly_gap_fill_locf"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, {_dsum('value')} AS revenue
+  FROM events GROUP BY 1),
+span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hourly),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span)
+SELECT axis.hour,
+       revenue IS NOT NULL AS observed,
+       COALESCE(last_value(revenue IGNORE NULLS)
+                  OVER (ORDER BY axis.hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                0.0) AS revenue_locf
+FROM axis LEFT JOIN hourly ON axis.hour = hourly.hour
+"""
+
+
+# Deterministic A/B assignment + SRM chi2 contributions: md5-bucket
+# arms, mirrored integer->double 3-op chain.
+ORACLE["ab_assignment_srm"] = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+per AS (
+  SELECT CAST('0x' || substr(md5('ab:v1:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 4 AS variant,
+         count(*) AS n_users
+  FROM users GROUP BY 1),
+tot AS (SELECT sum(n_users) AS n_total FROM per)
+SELECT CAST(variant AS BIGINT) AS variant,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(((CAST(n_users AS DOUBLE) - CAST(n_total AS DOUBLE) / 4.0)
+              * (CAST(n_users AS DOUBLE) - CAST(n_total AS DOUBLE) / 4.0))
+             / (CAST(n_total AS DOUBLE) / 4.0), 6) AS chi2_contrib
+FROM per, tot
+"""
+
+
+# k-anonymity audit: exact integer group-size rollup.
+ORACLE["k_anonymity_report"] = """
+WITH groups AS (
+  SELECT n_name, c_mktsegment, count(*) AS gsize
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+         AS n_reidentifiable_people,
+       CAST(min(gsize) AS BIGINT) AS min_group_size,
+       min(gsize) >= 5 AS k_anonymous
+FROM groups GROUP BY 1
+"""
+
+
 # OHLC bars: first/last on the same (ts, event_id) total order the
 # Spark struct extrema induce; dsum turnover.
 ORACLE["daily_ohlc_bars"] = f"""
