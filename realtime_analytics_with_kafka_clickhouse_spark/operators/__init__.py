@@ -117,6 +117,9 @@ _NAMES = [
     (_storage_layout, [
         "order_update_mutation",  # ALTER TABLE UPDATE, partition-pruned
     ]),
+    (_streaming_pipeline, [
+        "stream_ohlc_bars",  # streaming candlestick MV, exact finalize
+    ]),
     (similarity, [
         "hard_negative_mining",  # top-3 cross-source contrastive negatives
         "ann_hamming_rerank_topk",  # binary shortlist -> exact re-rank

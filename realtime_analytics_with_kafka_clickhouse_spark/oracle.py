@@ -4197,6 +4197,16 @@ FROM events GROUP BY 1
 """
 
 
+# Streaming OHLC: the batch candlestick restricted to finalized days
+# (same append-mode finalize predicate as the windowed rollup).
+ORACLE["stream_ohlc_bars"] = f"""
+SELECT day, open, high, low, close, volume, turnover
+FROM ({ORACLE["daily_ohlc_bars"]}) b,
+     (SELECT max(ts) AS max_ts FROM events) m
+WHERE CAST(b.day AS TIMESTAMP) + INTERVAL 1 DAY <= m.max_ts - INTERVAL 2 HOUR
+"""
+
+
 # groupBitAnd/Or/Xor: associative integer bit folds — exact anywhere.
 ORACLE["bitwise_agg_battery"] = """
 SELECT event_type,

@@ -643,6 +643,53 @@ def windowed_stateful_rollup(
     )
 
 
+def windowed_ohlc(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming daily OHLC bars: tumbling 1-day windows with
+    value-at-extremum struct aggregates — the candlestick MV as
+    engine-state streaming.  Struct min/max states are merge-associative
+    (the argminmax discipline), so cross-batch merges are exact; a
+    window finalizes when the watermark passes its end."""
+    by_time = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.min(by_time).alias("first_ev"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(by_time).alias("last_ev"),
+            F.count("*").alias("volume"),
+            dsum("value").alias("turnover"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            F.col("first_ev.value").alias("open"),
+            "high",
+            "low",
+            F.col("last_ev.value").alias("close"),
+            F.col("volume").cast("long").alias("volume"),
+            "turnover",
+        )
+    )
+
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated streaming OHLC (the candlestick MV next to
+    ``stream_windowed_rollup_events``): replay events time-ordered
+    through ``windowed_ohlc`` and return the daily bars the stream
+    FINALIZED.  Append mode emits a window exactly when the watermark
+    passes its end, so the emitted set is batch-predictable — the batch
+    ``daily_ohlc_bars`` restricted to days with day + 1d <= max_ts - 2h
+    — and every measure (struct-extremum open/close, extrema, count,
+    decimal turnover) is exact, no tolerance anywhere.  The proof this
+    adds over the rollup MV: ORDER-SENSITIVE aggregates (first/last by
+    time) survive cross-batch state merges bit-exactly."""
+    name = _replay_events_stream(spark, sf_dir, windowed_ohlc, "ohlc")
+    return spark.sql(
+        f"SELECT day, open, high, low, close, volume, turnover FROM {name}"
+    )
+
+
 def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated end-to-end run of the stateful streaming sessionizer
     (SURVEY.md §2.7 ST4): replay ``events`` as 4 TIME-ORDERED micro-batch

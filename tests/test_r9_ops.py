@@ -582,3 +582,20 @@ def test_k_anonymity_reconciles_and_both_branches(spark):
     assert all(not r["k_anonymous"] for r in rows.values())
     big = k_anonymity_report(spark, "/root/testdata/sf0.01").collect()
     assert all(r["k_anonymous"] for r in big)
+
+
+def test_stream_ohlc_matches_batch_on_finalized_days(spark):
+    """Streaming OHLC emits exactly the batch candlestick rows for
+    finalized days — order-sensitive (first/last) aggregates survive
+    cross-batch state merges bit-exactly; unfinalized tail days are
+    withheld (falsifiability: some days must be withheld)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        daily_ohlc_bars,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        stream_ohlc_bars,
+    )
+
+    emitted = {tuple(r) for r in stream_ohlc_bars(spark, SF_DIR_SMALL).collect()}
+    batch = {tuple(r) for r in daily_ohlc_bars(spark, SF_DIR_SMALL).collect()}
+    assert emitted and emitted < batch  # strict subset: exact rows, tail withheld
