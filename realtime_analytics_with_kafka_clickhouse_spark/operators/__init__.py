@@ -110,6 +110,9 @@ _NAMES = [
         "hourly_gap_fill_locf",  # TimescaleDB locf() step fill
         "ab_assignment_srm",  # hash-split A/B arms + SRM chi2 audit
         "k_anonymity_report",  # quasi-identifier privacy gate
+        "conversion_rate_wilson_ci",  # per-arm Wilson score interval
+        "split_gini_gain",  # decision-stump gini split scoring
+        "rfm_segments",  # threshold-quintile RFM segmentation
     ]),
     (dedup, [
         "near_dup_source_matrix",  # cross/intra-source dup diagnostic

@@ -1075,6 +1075,202 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96  # 95% normal quantile, fixed literal (no erf anywhere)
+
+
+def conversion_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm conversion rate with the WILSON score interval — the A/B
+    readout that pairs with ``ab_assignment_srm``: Wilson is the
+    interval practitioners use at small n / extreme rates where the
+    Wald interval breaks (it never leaves [0,1]).
+
+    Conversion = the user has a purchase event.  The interval
+    ((p + z^2/2n) -+ z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n) is a
+    composed +,-,*,/,sqrt chain over exact integers with the z literal
+    — textually mirrored in the oracle, so value-portable (the
+    welch_ttest discipline; no erf/log anywhere).  ONE distinct-user
+    aggregate with a conditional max for the converted flag, then a
+    |arms|-row projection."""
+    from ..functions.hashing import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arm = F.pmod(
+        stable_hash64(F.concat(F.lit("ab:v1:"), F.col("user_id"))),
+        F.lit(AB_VARIANTS),
+    )
+    g = per_user.select(arm.cast("long").alias("variant"), "converted").groupBy(
+        "variant"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = z * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return g.select(
+        "variant",
+        "n",
+        "n_converted",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("ci_lo"),
+        F.round((center + margin) / denom, 6).alias("ci_hi"),
+    )
+
+
+GINI_SPLITS = tuple(float(x) for x in (20, 40, 60, 80, 100, 150))
+
+
+def split_gini_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split scoring by GINI IMPURITY — the feature-
+    selection primitive (CART / feature-importance reports): for each
+    candidate threshold on event value, the weighted child impurity of
+    splitting the binary label "is purchase", and the gain vs the root.
+
+    Gini is RATIONAL arithmetic (1 - sum p^2 — no logs, unlike
+    entropy/information-gain, which is why it is the portable choice):
+    every impurity is built from exact integer counts with composed
+    *,/,- chains mirrored textually.  ONE conditional aggregate pulls
+    all per-threshold left/right x pos/neg counts in a single pass
+    (the quality_pr_sweep shape), then a |thresholds|-row projection."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = (F.col("event_type") == "purchase").cast("int")
+    aggs = [
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(pos).cast("long").alias("n_pos"),
+    ]
+    for t in GINI_SPLITS:
+        left = F.col("value") < F.lit(t)
+        tag = str(int(t))
+        aggs.append(F.sum(F.when(left, 1).otherwise(0)).cast("long").alias(f"nl_{tag}"))
+        aggs.append(
+            F.sum(F.when(left, pos).otherwise(0)).cast("long").alias(f"npl_{tag}")
+        )
+    g = ev.agg(*aggs)
+
+    def gini(n_pos, n_all):
+        p = n_pos.cast("double") / n_all.cast("double")
+        return F.lit(1.0) - (p * p + (F.lit(1.0) - p) * (F.lit(1.0) - p))
+
+    root = gini(F.col("n_pos"), F.col("n_total"))
+    rows = []
+    for t in GINI_SPLITS:
+        tag = str(int(t))
+        nl, npl = F.col(f"nl_{tag}"), F.col(f"npl_{tag}")
+        nr, npr = F.col("n_total") - nl, F.col("n_pos") - npl
+        wl = nl.cast("double") / F.col("n_total").cast("double")
+        wr = nr.cast("double") / F.col("n_total").cast("double")
+        child = wl * gini(npl, nl) + wr * gini(npr, nr)
+        rows.append(
+            F.struct(
+                F.lit(t).alias("threshold"),
+                nl.alias("n_left"),
+                F.round(root - child, 6).alias("gini_gain"),
+            )
+        )
+    return (
+        g.select(F.explode(F.array(*rows)).alias("s"), root.alias("root_gini"))
+        .select(
+            F.col("s.threshold").alias("threshold"),
+            F.col("s.n_left").alias("n_left"),
+            F.round(F.col("root_gini"), 6).alias("root_gini"),
+            F.col("s.gini_gain").alias("gini_gain"),
+        )
+    )
+
+
+RFM_SPEND_BAND = 10000.0  # spend scored at band grain (bounded domain)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM rollup: days since last order, order count, and
+    decimal-exact spend per customer, each scored 1-5 against exact
+    quintile THRESHOLDS, then segment sizes + extremes.
+
+    Scale discipline: no global ntile (a partition-less window ships
+    every customer to one task).  Each metric is scored on a BOUNDED
+    domain — recency in days (calendar-bounded), frequency in order
+    counts (small ints), spend at RFM_SPEND_BAND grain (price-range-
+    bounded) — via the percentile_merge_mv walk: value-frequency
+    aggregate, domain-sized cumulative window, integer cross-multiplied
+    quintile thresholds (q_k = min v with cum*5 >= tot*k), broadcast
+    back.  Scores are pure integer comparisons; a higher score is
+    better on every axis (recency inverted).  Output is <=125 segment
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").cast("long").alias("freq"),
+        dsum("o_totalprice").alias("spend"),
+    ).crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("mx", "last_d").cast("long").alias("recency_days"),
+        "freq",
+        (F.floor(F.col("spend") / F.lit(RFM_SPEND_BAND))).cast("long").alias(
+            "spend_band"
+        ),
+        "spend",
+    )
+
+    def quintile_thresholds(metric: str):
+        vf = per.groupBy(metric).agg(F.count("*").alias("cnt"))
+        w_cum = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)
+        cum = vf.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+            "tot", F.sum("cnt").over(Window.partitionBy())
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") * 5 >= F.col("tot") * k, F.col(metric))
+                ).alias(f"q{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    def score(metric: str, invert: bool):
+        t = quintile_thresholds(metric)
+        v = F.col(metric)
+        raw = (
+            F.lit(1)
+            + (v > F.col("q1")).cast("int")
+            + (v > F.col("q2")).cast("int")
+            + (v > F.col("q3")).cast("int")
+            + (v > F.col("q4")).cast("int")
+        )
+        return t, (F.lit(6) - raw if invert else raw)
+
+    tr, r_sc = score("recency_days", invert=True)  # fresher = higher
+    tf, f_sc = score("freq", invert=False)
+    tm, m_sc = score("spend_band", invert=False)
+    scored = (
+        per.crossJoin(F.broadcast(tr.select(*[F.col(f"q{k}").alias(f"q{k}") for k in (1, 2, 3, 4)])))
+        .withColumn("r_score", r_sc.cast("long"))
+        .drop("q1", "q2", "q3", "q4")
+        .crossJoin(F.broadcast(tf))
+        .withColumn("f_score", f_sc.cast("long"))
+        .drop("q1", "q2", "q3", "q4")
+        .crossJoin(F.broadcast(tm))
+        .withColumn("m_score", m_sc.cast("long"))
+        .drop("q1", "q2", "q3", "q4")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.max("recency_days").alias("worst_recency_days"),
+        F.min("freq").alias("min_orders"),
+        dsum("spend").alias("segment_spend"),
+    )
+
+
 K_ANON = 5  # group-size threshold for the k-anonymity audit
 
 

@@ -4165,6 +4165,137 @@ FROM per, tot
 """
 
 
+# Wilson CI: the same +,-,*,/,sqrt chain over exact integers, z literal.
+ORACLE["conversion_rate_wilson_ci"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1),
+g AS (
+  SELECT CAST('0x' || substr(md5('ab:v1:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 4 AS variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1)
+SELECT CAST(variant AS BIGINT) AS variant, n, n_converted,
+       round(CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       round(((CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+              - 1.96 * sqrt((CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1.0 - CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + (1.96 * 1.96)
+                              / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       round(((CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE)
+               + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+              + 1.96 * sqrt((CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1.0 - CAST(n_converted AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + (1.96 * 1.96)
+                              / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM g
+"""
+
+
+def _gini_sql() -> str:
+    """Mirrors split_gini_gain's conditional-count pull + rational gini
+    chains per threshold, unpivoted via UNION ALL."""
+    conds = ["CAST(count(*) AS BIGINT) AS n_total",
+             "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos"]
+    for t in (20, 40, 60, 80, 100, 150):
+        conds.append(
+            f"CAST(sum(CASE WHEN value < {t}.0 THEN 1 ELSE 0 END) AS BIGINT) AS nl_{t}"
+        )
+        conds.append(
+            f"CAST(sum(CASE WHEN value < {t}.0 AND event_type = 'purchase'"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS npl_{t}"
+        )
+
+    def gini(np_, na):
+        p = f"(CAST({np_} AS DOUBLE) / CAST({na} AS DOUBLE))"
+        return f"(1.0 - ({p} * {p} + (1.0 - {p}) * (1.0 - {p})))"
+
+    root = gini("n_pos", "n_total")
+    arms = []
+    for t in (20, 40, 60, 80, 100, 150):
+        nl, npl = f"nl_{t}", f"npl_{t}"
+        nr, npr = f"(n_total - nl_{t})", f"(n_pos - npl_{t})"
+        child = (
+            f"(CAST({nl} AS DOUBLE) / CAST(n_total AS DOUBLE)) * {gini(npl, nl)}"
+            f" + (CAST({nr} AS DOUBLE) / CAST(n_total AS DOUBLE)) * {gini(npr, nr)}"
+        )
+        arms.append(
+            f"SELECT CAST({t}.0 AS DOUBLE) AS threshold, {nl} AS n_left,"
+            f" round({root}, 6) AS root_gini,"
+            f" round({root} - ({child}), 6) AS gini_gain FROM g"
+        )
+    return f"WITH g AS (SELECT {', '.join(conds)} FROM events)\n" + "\nUNION ALL\n".join(arms)
+
+
+ORACLE["split_gini_gain"] = _gini_sql()
+
+
+# RFM: the same bounded-domain quintile-threshold walks + integer
+# comparison scores; thresholds via cross-multiplied cum walks.
+ORACLE["rfm_segments"] = """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT mx FROM anchor))
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                    / 10000.0) AS BIGINT) AS spend_band,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY 1),
+rq AS (
+  SELECT min(CASE WHEN cum * 5 >= tot * 1 THEN v END) AS q1,
+         min(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS q2,
+         min(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS q3,
+         min(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS q4
+  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+        FROM (SELECT recency_days AS v, count(*) AS cnt FROM per GROUP BY 1))),
+fq AS (
+  SELECT min(CASE WHEN cum * 5 >= tot * 1 THEN v END) AS q1,
+         min(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS q2,
+         min(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS q3,
+         min(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS q4
+  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+        FROM (SELECT freq AS v, count(*) AS cnt FROM per GROUP BY 1))),
+mq AS (
+  SELECT min(CASE WHEN cum * 5 >= tot * 1 THEN v END) AS q1,
+         min(CASE WHEN cum * 5 >= tot * 2 THEN v END) AS q2,
+         min(CASE WHEN cum * 5 >= tot * 3 THEN v END) AS q3,
+         min(CASE WHEN cum * 5 >= tot * 4 THEN v END) AS q4
+  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS tot
+        FROM (SELECT spend_band AS v, count(*) AS cnt FROM per GROUP BY 1))),
+scored AS (
+  SELECT per.*,
+    CAST(6 - (1 + CASE WHEN recency_days > rq.q1 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rq.q2 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rq.q3 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rq.q4 THEN 1 ELSE 0 END)
+         AS BIGINT) AS r_score,
+    CAST(1 + CASE WHEN freq > fq.q1 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fq.q2 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fq.q3 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fq.q4 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+    CAST(1 + CASE WHEN spend_band > mq.q1 THEN 1 ELSE 0 END
+           + CASE WHEN spend_band > mq.q2 THEN 1 ELSE 0 END
+           + CASE WHEN spend_band > mq.q3 THEN 1 ELSE 0 END
+           + CASE WHEN spend_band > mq.q4 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+  FROM per, rq, fq, mq)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(max(recency_days) AS BIGINT) AS worst_recency_days,
+       CAST(min(freq) AS BIGINT) AS min_orders,
+       CAST(sum(CAST(spend AS DECIMAL(25,6))) AS DOUBLE) AS segment_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 # k-anonymity audit: exact integer group-size rollup.
 ORACLE["k_anonymity_report"] = """
 WITH groups AS (

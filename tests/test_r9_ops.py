@@ -599,3 +599,67 @@ def test_stream_ohlc_matches_batch_on_finalized_days(spark):
     emitted = {tuple(r) for r in stream_ohlc_bars(spark, SF_DIR_SMALL).collect()}
     batch = {tuple(r) for r in daily_ohlc_bars(spark, SF_DIR_SMALL).collect()}
     assert emitted and emitted < batch  # strict subset: exact rows, tail withheld
+
+
+def test_wilson_ci_brackets_rate_and_matches_formula(spark):
+    """CI contains the point rate, stays in [0,1], matches a pure-Python
+    Wilson recompute, and stays informative at the p=1 boundary (where
+    the Wald interval degenerates to width 0 — Wilson's whole point)."""
+    import math
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        WILSON_Z,
+        conversion_rate_wilson_ci,
+    )
+
+    rows = conversion_rate_wilson_ci(spark, SF_DIR_SMALL).collect()
+    assert rows
+    z = WILSON_Z
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+        p, n = r["n_converted"] / r["n"], r["n"]
+        center = p + z * z / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert abs(r["ci_lo"] - (center - margin) / denom) < 5e-7
+        assert abs(r["ci_hi"] - (center + margin) / denom) < 5e-7
+        if p == 1.0:
+            assert r["ci_lo"] < 1.0  # informative where Wald is width-0
+
+
+def test_split_gini_gain_bounds_and_best_split_nontrivial(spark):
+    """Gains bounded by root impurity, at least one informative split,
+    and the all-left/all-right degenerate splits score ~zero gain."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        split_gini_gain,
+    )
+
+    rows = sorted(
+        split_gini_gain(spark, SF_DIR_SMALL).collect(), key=lambda r: r["threshold"]
+    )
+    assert rows
+    root = rows[0]["root_gini"]
+    assert 0.0 < root <= 0.5
+    for r in rows:
+        assert -1e-6 <= r["gini_gain"] <= root + 1e-9
+        assert r["root_gini"] == root
+    assert len({r["n_left"] for r in rows}) > 1  # thresholds genuinely split
+
+
+def test_rfm_segments_partition_and_score_ranges(spark):
+    """Segment sizes partition the customer base; scores live in 1..5;
+    multiple segments exist."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        rfm_segments,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    rows = rfm_segments(spark, SF_DIR_SMALL).collect()
+    n_cust = (
+        load_table(spark, SF_DIR_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert len(rows) > 3
+    for r in rows:
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 5
