@@ -132,6 +132,10 @@ _NAMES = [
     ]),
     (text, [
         "tokenizer_fertility_by_source",  # bytes/chars per token data card
+        "vocab_growth_curve",  # Heaps'-law vocabulary saturation table
+    ]),
+    (similarity, [
+        "embedding_quality_audit",  # pre-ANN pathology gate
     ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --

@@ -2274,3 +2274,46 @@ def ann_mrl_adaptive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_hits").cast("double") / F.lit(float(TOP_K * n_q)), 6
         ).alias("recall_at_k"),
     )
+
+
+def _embedding_audit_frame(emb: DataFrame) -> DataFrame:
+    """Per-row audit projection shared by the registry op and the
+    planted-pathology pytest."""
+    e = F.col("embedding")
+    nan_dims = F.size(F.filter(e, lambda x: F.isnan(x))).cast("long")
+    zero_vec = (F.size(F.filter(e, lambda x: x != F.lit(0.0))) == 0).cast("int")
+    nrm = F.round(_norm(e), 6)
+    return emb.select(
+        "label",
+        F.size(e).alias("dim"),
+        nan_dims.alias("nan_dims"),
+        zero_vec.alias("is_zero"),
+        nrm.alias("nrm"),
+    )
+
+
+def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality gate — the audit every ANN build should
+    run first: per label, vector count, dimension constancy, zero/NaN
+    pathology counts, and the norm range (a broken encoder shows up as
+    zero vectors, NaN dims, or collapsed norms long before recall
+    drops).
+
+    Map-only per-row checks (HOF folds — NaN via isnan, norm via the
+    shared dot fold, all JVM-side), then one label-keyed aggregate.
+    Norms are round-6 before the min/max SELECTION, so the extremes are
+    engine-portable.  The clean fixture reports zero pathologies by
+    design — the pathology branches are pinned on a PLANTED frame in
+    pytest (the falsifiability rule), since a corrupted fixture is not
+    something to wish for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = _embedding_audit_frame(emb)
+    return per.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("dim").cast("long").alias("n_distinct_dims"),
+        F.max("dim").cast("long").alias("dim"),
+        F.sum("nan_dims").cast("long").alias("total_nan_dims"),
+        F.sum("is_zero").cast("long").alias("n_zero_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

@@ -15,7 +15,7 @@ it builds is bounded by vocabulary size, not corpus size, so it broadcasts.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
@@ -1265,4 +1265,69 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(
             F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("chars_per_token"),
+    )
+
+
+VOCAB_CHECKPOINTS = (1, 2, 3, 5, 10, 50, 1000)
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law table): cumulative
+    distinct word count at doc-count checkpoints, in doc_id order — the
+    corpus-stats curve that tells a tokenizer team whether vocabulary is
+    saturating or the corpus keeps minting new types (and therefore how
+    big a BPE vocab budget should be).  Raw exact counts; the Heaps
+    exponent fit is downstream (log-log regression is not engine-
+    portable, the counts are).
+
+    Shape: one (word -> first doc_id) min-aggregate (vocabulary-keyed,
+    map-side combined), then ONE conditional aggregate counting words
+    whose first appearance precedes each checkpoint — no per-checkpoint
+    scans, no distinct-per-prefix explosion.  Checkpoints beyond the
+    corpus report the full vocabulary.  The synthetic corpus uses a
+    31-word vocabulary that saturates within ~5 docs (probed), so the
+    checkpoints start at 1 doc — growth AND saturation both visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    first = tok.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    # doc_id rank at each checkpoint: doc_ids are dense enough that the
+    # exact rank boundary comes from the documents table itself
+    w = Window.orderBy("doc_id")
+    ranked = docs.select("doc_id").withColumn("rn", F.row_number().over(w))
+    bounds = ranked.groupBy().agg(
+        F.count("*").cast("long").alias("n_docs_total"),
+        *[
+            F.max(F.when(F.col("rn") <= c, F.col("doc_id"))).alias(f"b_{c}")
+            for c in VOCAB_CHECKPOINTS
+        ],
+    )
+    aggs = [F.count("*").cast("long").alias("vocab_total")]
+    rows = []
+    for c in VOCAB_CHECKPOINTS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("first_doc") <= F.col(f"b_{c}"), 1).otherwise(0)
+            ).cast("long").alias(f"v_{c}")
+        )
+    g = first.crossJoin(F.broadcast(bounds)).agg(
+        *aggs, F.max("n_docs_total").alias("n_docs_total")
+    )
+    for c in VOCAB_CHECKPOINTS:
+        rows.append(
+            F.struct(
+                F.lit(c).cast("long").alias("checkpoint_docs"),
+                F.col(f"v_{c}").alias("vocab_size"),
+            )
+        )
+    return g.select(
+        F.explode(F.array(*rows)).alias("s"),
+        F.col("vocab_total"),
+        F.col("n_docs_total").cast("long").alias("n_docs_total"),
+    ).select(
+        F.col("s.checkpoint_docs").alias("checkpoint_docs"),
+        F.col("s.vocab_size").alias("vocab_size"),
+        "vocab_total",
+        "n_docs_total",
     )

@@ -1123,6 +1123,60 @@ SELECT q.vec_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM k_per_q q LEFT JOIN hits h ON q.vec_id = h.vec_id
 """
 
+# Vocabulary growth: word -> first doc, conditional counts at the same
+# row_number checkpoint boundaries — all exact integers.
+def _vocab_growth_sql() -> str:
+    cps = (1, 2, 3, 5, 10, 50, 1000)
+    bcols = ", ".join(
+        f"max(CASE WHEN rn <= {c} THEN doc_id END) AS b_{c}" for c in cps
+    )
+    vcols = ", ".join(
+        f"CAST(sum(CASE WHEN first_doc <= b_{c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v_{c}"
+        for c in cps
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({c} AS BIGINT) AS checkpoint_docs, v_{c} AS vocab_size,"
+        f" vocab_total, n_docs_total FROM g"
+        for c in cps
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+first AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+bounds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total, {bcols} FROM ranked),
+g AS (SELECT CAST(count(*) AS BIGINT) AS vocab_total, n_docs_total, {vcols}
+      FROM first, bounds GROUP BY n_docs_total)
+{arms}
+"""
+
+
+ORACLE["vocab_growth_curve"] = _vocab_growth_sql()
+
+
+# Embedding quality audit: per-label pathology counts; norms round-6
+# via the mirrored fold before min/max selection.
+ORACLE["embedding_quality_audit"] = f"""
+WITH per AS (
+  SELECT label,
+         len(embedding) AS dim,
+         CAST(len(list_filter(embedding, x -> isnan(x))) AS BIGINT) AS nan_dims,
+         CASE WHEN len(list_filter(embedding, x -> x <> 0.0)) = 0
+              THEN 1 ELSE 0 END AS is_zero,
+         round(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS nrm
+  FROM embeddings)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+       CAST(max(dim) AS BIGINT) AS dim,
+       CAST(sum(nan_dims) AS BIGINT) AS total_nan_dims,
+       CAST(sum(is_zero) AS BIGINT) AS n_zero_vectors,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
+FROM per GROUP BY 1
+"""
+
+
 # Exact media dedup: md5-digest grouping, all-integer rollup.
 ORACLE["media_exact_dedup"] = """
 WITH per AS (

@@ -663,3 +663,53 @@ def test_rfm_segments_partition_and_score_ranges(spark):
     for r in rows:
         for k in ("r_score", "f_score", "m_score"):
             assert 1 <= r[k] <= 5
+
+
+def test_vocab_growth_monotone_and_saturates(spark):
+    """Vocabulary grows monotonically with checkpoints and saturates at
+    the full vocabulary once checkpoints exceed the corpus size."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        vocab_growth_curve,
+    )
+
+    rows = sorted(
+        vocab_growth_curve(spark, SF_DIR_SMALL).collect(),
+        key=lambda r: r["checkpoint_docs"],
+    )
+    assert rows
+    sizes = [r["vocab_size"] for r in rows]
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))
+    total = rows[0]["vocab_total"]
+    n_docs = rows[0]["n_docs_total"]
+    for r in rows:
+        if r["checkpoint_docs"] >= n_docs:
+            assert r["vocab_size"] == total  # saturated
+    assert sizes[0] < total  # the curve genuinely grows
+
+
+def test_embedding_audit_clean_fixture_and_planted_pathologies(spark):
+    """Clean fixture: zero pathologies, constant dims, sane norms.
+    Planted frame: NaN dims and zero vectors are counted (the branches
+    fire — falsifiability on demand, not by wishing for bad data)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _embedding_audit_frame,
+        embedding_quality_audit,
+    )
+
+    rows = embedding_quality_audit(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_distinct_dims"] == 1 and r["dim"] == 64
+        assert r["total_nan_dims"] == 0 and r["n_zero_vectors"] == 0
+        assert 0.0 < r["min_norm"] <= r["max_norm"]
+    planted = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (1, [float("nan"), 3.0]),
+            (2, [0.0, 0.0]),
+        ],
+        "label int, embedding array<double>",
+    )
+    audit = _embedding_audit_frame(planted).collect()
+    assert sum(r["nan_dims"] for r in audit) == 1
+    assert sum(r["is_zero"] for r in audit) == 1
