@@ -137,6 +137,12 @@ _NAMES = [
     (similarity, [
         "embedding_quality_audit",  # pre-ANN pathology gate
     ]),
+    (timeseries, [
+        "session_path_topk",  # top event-trigram behavior paths
+        "yoy_monthly_growth",  # YoY monthly revenue ratio
+        "new_vs_returning_daily",  # growth-accounting DAU split
+        "power_user_curve",  # active-days engagement histogram
+    ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --
     #    gate boundary: first 50 registry positions, wherever that lands

@@ -1075,6 +1075,122 @@ def ab_assignment_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOPK = 10  # most-common event trigram paths kept
+
+
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-event behavior paths (the "what do users do"
+    flow report product analytics teams read daily): per user, the
+    (ts, event_id)-ordered event-type sequence, sliced into overlapping
+    trigrams, counted corpus-wide, ranked.
+
+    Shape: ONE user-keyed sorted collect (bounded by per-user activity,
+    the sessionization bound), a map-side HOF slice into trigram
+    strings (no second shuffle for the slicing), one vocabulary-keyed
+    count, TakeOrderedAndProject for the top-10 — ties broken on the
+    path string, so the ranking is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"],
+    )
+    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("seq") - 2),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at("seq", i),
+            F.element_at("seq", i + 1),
+            F.element_at("seq", i + 2),
+        ),
+    )
+    paths = per_user.filter(F.size("seq") >= 3).select(
+        F.explode(tri).alias("path")
+    )
+    w = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(PATH_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+def yoy_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the BI staple: each
+    month's decimal-exact revenue against the same month one year
+    earlier, with the growth ratio (one mirrored division; months
+    without a prior-year counterpart report NULL growth rather than a
+    fabricated baseline).
+
+    Shape: one month-keyed aggregate, one self-join on the shifted
+    month key — both |months|-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(F.count("*").cast("long").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    prior = monthly.select(
+        (F.col("ym") + 100).alias("ym"), F.col("revenue").alias("prior_revenue")
+    )
+    return monthly.join(prior, "ym", "left").select(
+        "ym",
+        "n_orders",
+        "revenue",
+        "prior_revenue",
+        F.round(F.col("revenue") / F.col("prior_revenue"), 6).alias("yoy_ratio"),
+    )
+
+
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily active users — the growth-accounting split
+    every product dashboard leads with: a user is NEW on their first
+    active day, RETURNING on any later active day.
+
+    Shape: one (user, day) distinct aggregate; first-day via a per-user
+    min that rides the same exchange (partial-agg on a prefix of the
+    keys); then a |days|-sized conditional rollup.  All exact
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w_first = Window.partitionBy("user_id")
+    marked = ud.withColumn("first_day", F.min("day").over(w_first))
+    return marked.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0))
+        .cast("long")
+        .alias("returning_users"),
+        F.count("*").cast("long").alias("dau"),
+    )
+
+
+def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The power-user curve (Lenny/a16z "L30" engagement histogram): how
+    many users were active on exactly k distinct days of the fixture's
+    window — the shape that separates a daily-habit product (smile
+    curve) from a drive-by one (decay curve).
+
+    Shape: one (user, day) distinct pass, one per-user count, one
+    |days|-bounded histogram — three exact-integer aggregates, each
+    map-side combined."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("active_days"))
+    )
+    return per_user.groupBy("active_days").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
 WILSON_Z = 1.96  # 95% normal quantile, fixed literal (no erf anywhere)
 
 

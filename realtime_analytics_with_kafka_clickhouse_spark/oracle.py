@@ -4219,6 +4219,70 @@ FROM per, tot
 """
 
 
+# Top event trigram paths: ordered per-user sequence -> overlapping
+# trigrams -> count -> deterministic top-10.
+ORACLE["session_path_topk"] = """
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY 1),
+tri AS (
+  SELECT seq[i] || '>' || seq[i+1] || '>' || seq[i+2] AS path
+  FROM seqs, unnest(range(1, len(seq) - 1)) AS t(i)
+  WHERE len(seq) >= 3)
+SELECT path, n_paths, rank FROM (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_paths,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, path ASC) AS BIGINT)
+           AS rank
+  FROM tri GROUP BY path)
+WHERE rank <= 10
+"""
+
+
+# YoY growth: month aggregate + shifted self-join, one division.
+ORACLE["yoy_monthly_growth"] = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         {_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1)
+SELECT m.ym, m.n_orders, m.revenue,
+       p.revenue AS prior_revenue,
+       round(m.revenue / p.revenue, 6) AS yoy_ratio
+FROM monthly m LEFT JOIN monthly p ON m.ym = p.ym + 100
+"""
+
+
+# New vs returning: first-day flag over the (user, day) distinct grid.
+ORACLE["new_vs_returning_daily"] = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+marked AS (
+  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM ud)
+SELECT day,
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       CAST(count(*) AS BIGINT) AS dau
+FROM marked GROUP BY 1
+"""
+
+
+# Power-user curve: active-days histogram, exact integers.
+ORACLE["power_user_curve"] = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS active_days
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+  GROUP BY 1)
+SELECT CAST(active_days AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+"""
+
+
 # Wilson CI: the same +,-,*,/,sqrt chain over exact integers, z literal.
 ORACLE["conversion_rate_wilson_ci"] = """
 WITH per_user AS (

@@ -713,3 +713,54 @@ def test_embedding_audit_clean_fixture_and_planted_pathologies(spark):
     audit = _embedding_audit_frame(planted).collect()
     assert sum(r["nan_dims"] for r in audit) == 1
     assert sum(r["is_zero"] for r in audit) == 1
+
+
+def test_growth_ops_reconcile(spark):
+    """The four growth-analytics ops cross-reconcile: DAU splits sum to
+    the (user, day) grid, the power curve partitions users, YoY rows
+    carry priors only where a prior-year month exists, and paths count
+    len-2 slices of each user's sequence."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        new_vs_returning_daily,
+        power_user_curve,
+        session_path_topk,
+        yoy_monthly_growth,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    grid = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    n_grid = grid.count()
+    n_users = grid.select("user_id").distinct().count()
+
+    nvr = new_vs_returning_daily(spark, SF_DIR_SMALL).collect()
+    assert sum(r["dau"] for r in nvr) == n_grid
+    assert sum(r["new_users"] for r in nvr) == n_users  # each user new once
+    assert any(r["returning_users"] > 0 for r in nvr)
+
+    puc = power_user_curve(spark, SF_DIR_SMALL).collect()
+    assert sum(r["n_users"] for r in puc) == n_users
+    assert sum(r["active_days"] * r["n_users"] for r in puc) == n_grid
+
+    yoy = yoy_monthly_growth(spark, SF_DIR_SMALL).collect()
+    months = {r["ym"] for r in yoy}
+    for r in yoy:
+        has_prior = (r["ym"] - 100) in months
+        assert (r["prior_revenue"] is not None) == has_prior
+        if has_prior:
+            assert r["yoy_ratio"] > 0
+
+    paths = session_path_topk(spark, SF_DIR_SMALL).collect()
+    assert paths and [r["rank"] for r in sorted(paths, key=lambda r: r["rank"])] == list(
+        range(1, len(paths) + 1)
+    )
+    total_tris = sum(
+        max(0, c - 2)
+        for c in [
+            r["cnt"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+        ]
+    )
+    assert sum(r["n_paths"] for r in paths) <= total_tris
