@@ -137,11 +137,15 @@ _NAMES = [
     (similarity, [
         "embedding_quality_audit",  # pre-ANN pathology gate
     ]),
+    (_streaming_pipeline, [
+        "txlog_vacuum_retention",  # VACUUM reclaims history, not present
+    ]),
     (timeseries, [
         "session_path_topk",  # top event-trigram behavior paths
         "yoy_monthly_growth",  # YoY monthly revenue ratio
         "new_vs_returning_daily",  # growth-accounting DAU split
-        "power_user_curve",  # active-days engagement histogram
+        # ---- driver gate boundary (exactly 50: ends here) ----
+        "power_user_curve",  # r9 spill (position 51): leads the r10 gate
     ]),
     # -- 4. r4-evidence remainder (stalest driver evidence; fills the 50
     #    slots — entries past the boundary lead the r10 gate) --

@@ -4446,6 +4446,19 @@ FROM events GROUP BY 1
 """
 
 
+# Vacuum proof: post-vacuum reads must equal the raw aggregate; the
+# lifecycle flags are hard invariants (raised on failure Spark-side).
+ORACLE["txlog_vacuum_retention"] = f"""
+SELECT category,
+       CAST(sum(order_count) AS BIGINT) AS order_count,
+       CAST(sum(CAST(total_revenue AS DECIMAL(25,6))) AS DOUBLE)
+         AS total_revenue,
+       TRUE AS history_beyond_horizon_gone,
+       TRUE AS in_horizon_version_readable
+FROM ({_A1}) GROUP BY 1
+"""
+
+
 # Streaming OHLC: the batch candlestick restricted to finalized days
 # (same append-mode finalize predicate as the windowed rollup).
 ORACLE["stream_ohlc_bars"] = f"""

@@ -858,6 +858,48 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txlog_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM through the driver gate (completing the txlog lifecycle
+    family next to time-travel and the changes feed): 4 appended epochs,
+    then ``vacuum(keep_versions=2)`` — and the proof that vacuum
+    reclaims history WITHOUT touching the present: the post-vacuum read
+    re-aggregates to the exact category totals (oracle-checked against
+    raw events), dirs + old commit files were actually deleted, and
+    time travel beyond the retention horizon is now (correctly)
+    impossible while the newest in-horizon version still reads.
+
+    At 100 TB vacuum is what bounds storage: commits are immutable
+    full-snapshot manifests, so every superseded epoch directory lives
+    until vacuum collects it."""
+    from ..storage import txlog
+
+    events = load_table(spark, sf_dir, "events").persist()
+    try:
+        table = _fresh_rollup_dir("vacuum_proof")
+        for i in range(4):
+            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+            txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+        deleted = txlog.vacuum(spark, table, keep_versions=2)
+        if not deleted:
+            raise RuntimeError("vacuum must reclaim the 2 out-of-horizon epochs")
+        stored = txlog.read_table(spark, table)
+        if stored is None:
+            raise RuntimeError("post-vacuum table unreadable")
+        beyond_horizon_gone = txlog.read_table_at(spark, table, 1) is None
+        in_horizon = txlog.read_table_at(spark, table, 3)
+        return (
+            stored.groupBy("category")
+            .agg(
+                F.sum("order_count").cast("long").alias("order_count"),
+                dsum("total_revenue").alias("total_revenue"),
+            )
+            .withColumn("history_beyond_horizon_gone", F.lit(beyond_horizon_gone))
+            .withColumn("in_horizon_version_readable", F.lit(in_horizon is not None))
+        )
+    finally:
+        events.unpersist(blocking=False)
+
+
 def stream_join_orders_acks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated stream-stream join (SURVEY.md §2.7): ``orders``
     replayed against a DERIVED acknowledgement stream through
