@@ -526,6 +526,7 @@ def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod, names in _NAMES:
         for n in names:
-            assert n not in out, f"duplicate registry entry: {n}"
+            if n in out:
+                raise ValueError(f"duplicate registry entry: {n}")
             out[n] = getattr(mod, n)
     return out

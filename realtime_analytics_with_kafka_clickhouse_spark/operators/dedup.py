@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_if_small
 from ..sources.tables import load_table
 
 # Shingle width for near-dup detection.
@@ -92,10 +93,12 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
 
 
 def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
-    # left_anti against the FREQUENT set — the side that is small and
-    # shrinks relative to the corpus (<= total_shingle_rows / cap members,
-    # each needing > cap occurrences), so broadcasting it is safe at any
-    # scale.  The kept (rare) side is vocabulary-sized — nearly every
+    # left_anti against the FREQUENT set — the side that is small RELATIVE
+    # to the corpus (<= total_shingle_rows / cap members, each needing
+    # > cap occurrences) but still corpus-growing, so the broadcast is
+    # size-GATED (broadcast_if_small), not promised: above the row limit
+    # the anti-join degrades to a shuffle join instead of OOMing an
+    # executor.  The kept (rare) side is vocabulary-sized — nearly every
     # distinct shingle — and must never be the broadcast side (the
     # boilerplate_spans operator uses the same inverted shape).
     frequent = (
@@ -107,7 +110,7 @@ def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     # cache(): the shingle set feeds 3+ downstream branches (sizes,
     # intersection join both sides, minhash) — without it Spark re-derives
     # the explode per branch.
-    return sh.join(F.broadcast(frequent), "shingle", "left_anti").cache()
+    return sh.join(broadcast_if_small(frequent), "shingle", "left_anti").cache()
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,17 +193,19 @@ def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFram
     is computed per candidate pair via array_intersect.  Verify cost is
     O(|candidates| * avg_shingles), never the full co-shingle self-join
     the brute-force ngram_jaccard_pairs path does.  ``candidates`` must
-    be cached (it feeds three branches) and is bounded-small by LSH
-    design -> broadcast both the doc-id semi-join and the pair joins
-    (the static planner sees no stats for a cached set and would fall
-    back to sort-merge)."""
+    be cached (it feeds three branches) and is small by LSH design —
+    but its size scales with corpus duplication density, not with a
+    domain, so the broadcasts are size-GATED (broadcast_if_small): under
+    the limit the doc-id semi-join and the pair joins get the hint (the
+    static planner sees no stats for a cached set and would fall back to
+    sort-merge); above it they degrade to shuffle joins."""
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     doc_sets = (
-        sh.join(F.broadcast(cand_docs), "doc_id")
+        sh.join(broadcast_if_small(cand_docs), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
     )
@@ -212,7 +217,7 @@ def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFram
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     return (
-        F.broadcast(candidates).join(sa, "doc_a")
+        broadcast_if_small(candidates).join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -328,14 +333,18 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _frequent_shingles_removed(_doc_shingles(docs))
     bench_ids = docs.filter(is_bench).select("doc_id")
     sig = _minhash_signatures(sh)
-    bench_sig = sig.join(F.broadcast(bench_ids), "doc_id").select(
+    # the proof's pseudo-benchmark is a 1/7 corpus slice, i.e.
+    # corpus-derived — a REAL eval set is domain-bounded, but the gate
+    # keeps the proof honest at any sf
+    bench_ids = broadcast_if_small(bench_ids)
+    bench_sig = sig.join(bench_ids, "doc_id").select(
         F.col("doc_id").alias("bench_id"), "band", "sig"
     )
-    corpus_sig = sig.join(F.broadcast(bench_ids), "doc_id", "left_anti").select(
+    corpus_sig = sig.join(bench_ids, "doc_id", "left_anti").select(
         F.col("doc_id").alias("corpus_id"), "band", "sig"
     )
     candidates = (
-        corpus_sig.join(F.broadcast(bench_sig), ["band", "sig"])
+        corpus_sig.join(broadcast_if_small(bench_sig), ["band", "sig"])
         .select("corpus_id", "bench_id")
         .distinct()
         .cache()
@@ -906,8 +915,10 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, the mean verified Jaccard, and the intra-source flag.
 
     Shape: rides the shared MinHash-LSH kernel (``minhash_near_dup``'s
-    verified pairs — candidate-only cost), then two broadcast joins to
-    the doc->source dim and a |sources|^2-bounded aggregate.  The mean
+    verified pairs — candidate-only cost), then two size-GATED broadcast
+    joins to the doc->source dim (doc-keyed, i.e. corpus-sized — at
+    100 TB it must NOT be hint-broadcast, so ``broadcast_if_small``
+    measures before hinting) and a |sources|^2-bounded aggregate.  The mean
     sums DECIMAL(28,20)-quantized Jaccards (the power-sum discipline:
     quantized terms add associatively, so the result is partitioning-
     and engine-order-independent), then one mirrored division."""
@@ -916,8 +927,8 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
     tagged = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(broadcast_if_small(sa), "doc_a")
+        .join(broadcast_if_small(sb), "doc_b")
         .select(
             F.least("src_a", "src_b").alias("src_lo"),
             F.greatest("src_a", "src_b").alias("src_hi"),

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hints import broadcast_if_small
 from ..sources.tables import load_table
 
 DIM = 64
@@ -899,7 +900,8 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_parts = []
         for c in probe_cells:
             part = txlog.read_table(spark, table, prune={"cluster": (c, c)})
-            assert part is not None
+            if part is None:
+                raise RuntimeError(f"IVF index cell {c} unreadable")
             cand_parts.append(part.filter(F.col("cluster") == c))
         candidates = cand_parts[0]
         for p in cand_parts[1:]:
@@ -1848,40 +1850,88 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs excluded because they are too often true positives (syndicated
     copies, series pages).
 
-    Exactness: the ranking cosine is the shared left-fold dot product
-    (round-6 + neighbor-id tiebreaks), and the source exclusion happens
-    BEFORE ranking, so this is the true top-3-excluding result, not a
-    shortlist filter.  Shape: anchors broadcast against the corpus with
-    the fold evaluated in whole-stage codegen (the _recall_vs_exact_l2
-    shape — no UDF, no matmul boundary), sources attached by one
-    broadcast dim join; per-anchor output is 3 id pairs."""
+    Shape (r10 rewrite, the ``ann_query_broadcast_topk`` discipline —
+    the r9 version shipped the full |corpus|x|anchors| scored set through
+    ONE per-anchor window shuffle, corpus-sized partitions at scale):
+    the request-sized anchor batch is broadcast, the corpus is only ever
+    STREAMED through mapInPandas partitions, each partition emits its
+    per-anchor top-3-excluding, and the final rank runs over a bounded
+    <= partitions * K * |anchors| id/score triples — never embeddings,
+    never the corpus.  The per-partition pruning is provably lossless:
+    (cos6 desc, neighbor_id asc) is a TOTAL order per anchor (ids are
+    unique), so every global top-3 row is top-3 within its own partition.
+
+    Exactness: dot and norm are explicit per-dimension left folds
+    (bit-identical to the Catalyst/_dot fold and the oracle's unrolled
+    sum — numpy matmul's pairwise summation would not be), cosine is
+    quantized by the portable floor(x*1e6+0.5)/1e6 chain (correctly-
+    rounded IEEE ops — identical bits in numpy, Catalyst and DuckDB)
+    BEFORE any ranking, and the source exclusion happens before ranking,
+    so this is the true top-3-excluding result, not a shortlist filter.
+    The doc->source dim attach is size-gated (``broadcast_if_small``):
+    it is corpus-keyed, so at 100 TB it must NOT be hint-broadcast."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     src = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )
-    cand = emb.join(F.broadcast(src), "vec_id")
-    anchors = cand.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("source").alias("q_src"),
-    )
-    cos = F.round(
-        _dot(F.col("embedding"), F.col("qe"))
-        / (_norm(F.col("embedding")) * _norm(F.col("qe"))),
-        6,
+    cand = emb.join(broadcast_if_small(src), "vec_id")
+    a_rows = sorted(
+        cand.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).collect(),
+        key=lambda r: r["vec_id"],
+    )  # anchor batch is request-sized by premise (1/PQ_QUERY_MOD sample)
+    q_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in a_rows], dtype=np.float64)
+    q_src = np.array([r["source"] for r in a_rows], dtype=object)
+    dims = q_mat.shape[1]
+    q_norm = np.zeros(len(a_rows))
+    for j in range(dims):
+        q_norm += q_mat[:, j] * q_mat[:, j]
+    q_norm = np.sqrt(q_norm)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_src, q_norm))
+
+    def partition_topk(batches):
+        ids_q, mat_q, src_q, norm_q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            c_src = pdf["source"].to_numpy()
+            mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            # explicit left folds: acc_j+1 = acc_j + x_j*y_j, matching the
+            # Catalyst fold / oracle sum chain bit-for-bit (no pairwise
+            # matmul summation on a cross-engine rank boundary)
+            c_norm = np.zeros(len(c_ids))
+            for j in range(dims):
+                c_norm += mat[:, j] * mat[:, j]
+            c_norm = np.sqrt(c_norm)
+            dots = np.zeros((len(c_ids), len(ids_q)))
+            for j in range(dims):
+                dots += np.outer(mat[:, j], mat_q[:, j])
+            cos = dots / np.outer(c_norm, norm_q)
+            cos6 = np.floor(cos * 1000000.0 + 0.5) / 1000000.0
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(ids_q)):
+                valid = np.nonzero(c_src != src_q[qi])[0]
+                col = cos6[valid, qi]
+                order = valid[np.lexsort((c_ids[valid], -col))[:HARDNEG_TOPK]]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_c.extend(c_ids[order].tolist())
+                out_s.extend(cos6[order, qi].tolist())
+            yield pd.DataFrame(
+                {"qid": out_q, "neighbor_id": out_c, "cos_sim": out_s}
+            )
+
+    partial = cand.mapInPandas(
+        partition_topk, schema="qid long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cand.crossJoin(F.broadcast(anchors))
-        .filter(F.col("source") != F.col("q_src"))
-        .select(
-            F.col("qid"),
-            F.col("vec_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HARDNEG_TOPK)
         .select(
             F.col("qid").alias("vec_id"),

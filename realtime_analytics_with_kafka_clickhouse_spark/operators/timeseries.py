@@ -1472,16 +1472,19 @@ def distinct_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans distinct aggregates with a map-side-deduped expand: the
     shuffle carries |distinct (type, value)| rows, never the corpus; the
     distinct sum rides the exact decimal domain and avgDistinct is ONE
-    mirrored division of it."""
+    mirrored division routed through the portable floor(x*1e6+0.5)/1e6
+    chain (r9 gate red: the raw division hash-diverged on the driver's
+    DuckDB build even though it was bit-identical locally — the floor
+    chain is pure correctly-rounded IEEE ops, engine-version-proof, the
+    same convention as every other green ratio column)."""
     ev = load_table(spark, sf_dir, "events")
     dsumd = F.sum_distinct(F.col("value").cast("decimal(25,6)"))
+    avg = dsumd.cast("double") / F.countDistinct("value").cast("double")
+    avg6 = F.floor(avg * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return ev.groupBy("event_type").agg(
         F.countDistinct("value").cast("long").alias("n_distinct_values"),
         dsumd.alias("sum_distinct_value"),
-        (
-            dsumd.cast("double")
-            / F.countDistinct("value").cast("double")
-        ).alias("avg_distinct_value"),
+        avg6.alias("avg_distinct_value"),
         F.count("*").cast("long").alias("n_events"),
     )
 

