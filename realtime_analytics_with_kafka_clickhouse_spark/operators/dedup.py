@@ -945,3 +945,173 @@ def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_intra_source", F.col("src_lo") == F.col("src_hi"))
     )
+
+
+# --- LSH band auto-tuning -------------------------------------------------
+# Every production MinHash deployment tunes (bands, rows) against a target
+# Jaccard threshold; the operator below SELECTS the family instead of
+# assuming one.  All (b, r) with b*r == MINHASH_K are candidates.
+LSH_FAMILIES = [(b, MINHASH_K // b) for b in (1, 2, 3, 4, 6, 12)]
+# Riemann grid resolution for the s-curve error integrals.
+LSH_GRID_N = 200
+# Default target threshold: the engine's verified-near-dup threshold.
+LSH_TARGET_JACCARD = JACCARD_THRESHOLD
+
+
+def _pow_chain(x: str, n: int) -> str:
+    """x^n as a fixed square-and-multiply parenthesization — the portable
+    integer-exponent discipline (never pow(): libm differs across
+    engines; an identical multiply parse tree cannot)."""
+    if n == 1:
+        return x
+    if n % 2 == 0:
+        half = _pow_chain(x, n // 2)
+        return f"({half} * {half})"
+    return f"({_pow_chain(x, n - 1)} * {x})"
+
+
+def _case_pow(x: str, var: str) -> str:
+    """CASE dispatch over the family exponents, each arm a fixed multiply
+    chain.  The SAME string is evaluated by Catalyst (F.expr) and DuckDB,
+    so the parse trees — and therefore the IEEE results — are identical."""
+    arms = " ".join(
+        f"WHEN {var} = {n} THEN {_pow_chain(x, n)}"
+        for n in sorted({r for _, r in LSH_FAMILIES})
+    )
+    return f"CASE {arms} END"
+
+
+def lsh_band_autotune(
+    spark: SparkSession, sf_dir: str, target: float = LSH_TARGET_JACCARD
+) -> DataFrame:
+    """Select the MinHash-LSH banding (b, r) for a target Jaccard
+    threshold, and report every candidate family's theoretical error next
+    to its MEASURED candidate yield on the corpus.
+
+    For each family with b*r == MINHASH_K the collision s-curve is
+    p(s) = 1 - (1 - s^r)^b.  The tuner scores families by the unweighted
+    Riemann error integrals (the datasketch/LSH-textbook objective):
+    fp_area = integral_{0..t} p(s) ds (false-positive mass below the
+    threshold) and fn_area = integral_{t..1} (1 - p(s)) ds (false-negative
+    mass above it); chosen = argmin(total_error, tiebreak smaller b).
+    Next to the theory, n_candidates is the family's actual banded-join
+    yield on the corpus — theory picks the family, the measured yield
+    validates the pick against real signature mass.
+
+    Exactness: the grid probabilities are mirrored multiply chains
+    (integer exponents dispatched by ``_case_pow`` — the identical
+    expression TEXT runs in both engines); each grid term is quantized to
+    an exact integer (picoparts via the floor(x*1e12+0.5) chain — pure
+    correctly-rounded IEEE ops, so quantized terms sum associatively and
+    the integral is partitioning- and engine-order-independent); yields are exact integers; ``chosen`` is a
+    rank over exact decimals.
+
+    Scale shape: theory is a 6x200 domain-bounded literal grid (one
+    broadcast cross join, no corpus involvement); the measured yield rides
+    the shared shingle kernel, one doc-keyed groupBy for the components,
+    then a banded equi self-join per family — candidate-only cost, the
+    same LSH discipline as minhash_near_dup, summed over 6 families
+    (sum(b) = 28 signature rows per doc).  Nothing all-pairs; at 100 TB
+    the tuner costs ~7x one banded index build, still linear in the
+    corpus.  Target behavior: the (b, r) knob every production MinHash
+    pipeline hand-tunes (reference fixes its analytics in DDL; this is
+    the data-curation analog, SURVEY §2 LLM-pipeline family).
+    """
+    # -- theoretical error integrals over the literal grid --
+    fams = spark.createDataFrame(LSH_FAMILIES, "b INT, r INT")
+    grid = spark.range(1, LSH_GRID_N + 1).select(
+        (F.col("id").cast("double") / F.lit(float(LSH_GRID_N))).alias("s")
+    )
+    step = F.lit(1.0) / F.lit(float(LSH_GRID_N))
+    tgt = F.lit(float(target))
+    th = (
+        fams.crossJoin(F.broadcast(grid))  # 6 x 200 literal rows
+        .withColumn("sr", F.expr(_case_pow("s", "r")))
+        .withColumn("q", F.lit(1.0) - F.col("sr"))
+        .withColumn("qb", F.expr(_case_pow("q", "b")))
+        .withColumn("p", F.lit(1.0) - F.col("qb"))
+        # each grid term quantized to an exact INTEGER (picoparts, the
+        # floor chain in pure IEEE doubles — identical bits in both
+        # engines); a double->DECIMAL(_,20) cast would NOT be portable
+        # (Spark converts via the exact binary expansion, DuckDB through
+        # float multiplication — they disagree beyond ~15 digits)
+        .withColumn(
+            "fp_e12",
+            F.when(
+                F.col("s") <= tgt,
+                F.floor(F.col("p") * step * F.lit(1.0e12) + F.lit(0.5)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "fn_e12",
+            F.when(
+                F.col("s") > tgt,
+                F.floor((F.lit(1.0) - F.col("p")) * step * F.lit(1.0e12) + F.lit(0.5)),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    theory = th.groupBy("b", "r").agg(
+        F.sum("fp_e12").cast("long").alias("fp_e12"),
+        F.sum("fn_e12").cast("long").alias("fn_e12"),
+    )
+
+    # -- measured candidate yield per family on the corpus --
+    sh = _frequent_shingles_removed(
+        _doc_shingles(load_table(spark, sf_dir, "documents"))
+    )
+    minh = _minhash_columns(sh)
+    mharr = F.array(*[F.col(f"mh_{i}").cast("string") for i in range(MINHASH_K)])
+    ks = spark.range(0, MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    sigs = (
+        minh.select("doc_id", mharr.alias("mh"))
+        .crossJoin(F.broadcast(fams))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("k") < F.col("b"))
+        .select(
+            "doc_id",
+            "b",
+            "r",
+            "k",
+            F.concat_ws(
+                ":",
+                F.slice("mh", F.col("k") * F.col("r") + F.lit(1), F.col("r")),
+            ).alias("sig"),
+        )
+    )
+    left = sigs.select(F.col("doc_id").alias("doc_a"), "b", "r", "k", "sig")
+    right = sigs.select(F.col("doc_id").alias("doc_b"), "b", "r", "k", "sig")
+    cand = (
+        left.join(right, ["b", "r", "k", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("b", "r", "doc_a", "doc_b")
+        .distinct()
+    )
+    measured = cand.groupBy("b", "r").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tot_e12").asc(), F.col("b").asc())
+    scale = F.lit(1.0e12)
+    return (
+        theory.join(measured, ["b", "r"], "left")
+        .withColumn(
+            "n_candidates", F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+        )
+        # exact-integer picopart sums; the ranking and tiebreak run on
+        # integers, the exposed areas are ONE mirrored division each
+        .withColumn("tot_e12", F.col("fp_e12") + F.col("fn_e12"))
+        # 6-row frame: the single-partition window is domain-bounded
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            F.col("b").cast("long").alias("b"),
+            F.col("r").cast("long").alias("r"),
+            F.lit(float(target)).alias("target_jaccard"),
+            (F.col("fp_e12").cast("double") / scale).alias("fp_area"),
+            (F.col("fn_e12").cast("double") / scale).alias("fn_area"),
+            (F.col("tot_e12").cast("double") / scale).alias("total_error"),
+            "n_candidates",
+            (F.col("rk") == 1).alias("chosen"),
+        )
+    )

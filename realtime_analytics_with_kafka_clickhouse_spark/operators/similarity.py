@@ -749,6 +749,130 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE_RECALL_TARGET = 0.9
+
+
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe auto-tune — the quality/cost knob every IVF deployment
+    hand-sets, selected from measurement instead (the ANN sibling of
+    ``lsh_band_autotune``): for every nprobe in 1..K, micro-averaged
+    recall@k of the trained-quantizer IVF search against the exact cosine
+    ground truth over the bounded query batch, next to the EXACT scanned-
+    row cost (sum of the first-nprobe cell sizes per query); chosen = the
+    smallest nprobe whose recall clears NPROBE_RECALL_TARGET (nprobe = K
+    probes every cell, so recall 1.0 bounds the sweep and a chosen row
+    always exists).
+
+    The sweep needs NO per-nprobe search: an exact-top-k member whose
+    cell is within the query's first nprobe cells is ALWAYS in the IVF
+    top-k (anything ranked above it among candidates is itself an exact
+    top-k member), so recall(nprobe) = #{gt pairs with probe_rank <=
+    nprobe} / |gt| — pure id-pair arithmetic off ONE cell-ranking pass.
+
+    Exactness: probe ranks ride the quantizer's (round-6 sq-dist, cell)
+    total order (identical tiebreaks in both engines); hits and scanned
+    rows are exact integers; both ratios go through the portable
+    floor(x*1e6+0.5)/1e6 chain; ``chosen`` compares those exact doubles.
+
+    Scale shape: one map-side cell-ranking pass over the corpus (the
+    broadcast-quantizer ``_with_ranked_cells`` discipline) + one K-bounded
+    cell-size aggregate; the ground truth is the memoized parquet-backed
+    id-pair set (batch-restricted), and everything after is arithmetic on
+    batch*K-bounded frames — embeddings never ride a shuffle.  At 100 TB
+    the sweep costs one assignment scan, not K searches."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ranked = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
+    members = ranked.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at("ranked", 1)["c"].alias("cell"),
+    )
+    cell_sizes = members.groupBy("cell").agg(
+        F.count("*").cast("long").alias("cell_n")
+    )
+    queries = ranked.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.transform("ranked", lambda s: s["c"]).alias("cells"),
+    )
+    _, exact = _exact_cosine_ground_truth(spark, sf_dir)
+    gt = exact.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).select(
+        F.col("vec_id").alias("qid"), "neighbor_id"
+    )
+    # gt and queries are batch-bounded but corpus-derived -> size-gated
+    gtr = (
+        broadcast_if_small(gt)
+        .join(members, "neighbor_id")
+        .join(broadcast_if_small(queries), "qid")
+        .select(F.array_position("cells", F.col("cell")).alias("probe_rank"))
+    )
+    ns = spark.range(1, KMEANS_K + 1).select(F.col("id").cast("int").alias("nprobe"))
+    rec = (
+        gtr.crossJoin(F.broadcast(ns))
+        .groupBy("nprobe")
+        .agg(
+            F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    csz = (
+        queries.select("qid", F.posexplode("cells").alias("pos", "cell"))
+        .join(F.broadcast(cell_sizes), "cell")  # K rows: domain-bounded
+        .select((F.col("pos") + 1).alias("probe_pos"), "cell_n")
+    )
+    scn = (
+        csz.crossJoin(F.broadcast(ns))
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                F.when(F.col("probe_pos") <= F.col("nprobe"), F.col("cell_n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("scanned_rows")
+        )
+    )
+    tot = gt.agg(
+        F.count("*").cast("long").alias("n_gt"),
+        F.countDistinct("qid").cast("long").alias("n_q"),
+    )
+    nv = emb.agg(F.count("*").cast("long").alias("n_vec"))
+    recall = F.floor(
+        F.col("n_hits").cast("double") / F.col("n_gt").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    frac = F.floor(
+        F.col("scanned_rows").cast("double")
+        / (F.col("n_q") * F.col("n_vec")).cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    w = Window.partitionBy()  # K rows: domain-bounded global window
+    return (
+        rec.join(scn, "nprobe")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_hits",
+            recall.alias("recall_at_k"),
+            "scanned_rows",
+            frac.alias("scanned_frac"),
+        )
+        .withColumn(
+            "chosen",
+            F.col("nprobe")
+            == F.min(
+                F.when(
+                    F.col("recall_at_k") >= F.lit(NPROBE_RECALL_TARGET),
+                    F.col("nprobe"),
+                )
+            ).over(w),
+        )
+    )
+
+
 def ann_query_broadcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-batch ANN serving, corpus-streamed (NEW r6): the INVERSE
     data movement of ``ann_cosine_topk`` — there the query stream flows
@@ -1715,41 +1839,58 @@ def _exact_cosine_ground_truth(spark: SparkSession, sf_dir: str):
     ``ann_ivfpq_recall_at_k``, ``mrl_truncation_recall``,
     ``ann_mrl_adaptive_rerank``) each need the exact baseline; before the
     memo each re-derived it with its own brute-force matmul job (plus a
-    separate n_q count action).  The ground truth is ONLY id pairs —
-    n_q*k longs, driver-bounded exactly like the near-dup edge list —
-    and it is deterministic (round-6 cosine + id tiebreaks), so a
-    collect-once + createDataFrame replay is value-identical to the
-    original frame.  At 100 TB the eval query set is sampled/bounded by
-    construction (recall gates never sweep the corpus as queries), so
-    the collected pair list stays small wherever this runs."""
+    separate n_q count action).  The pair set STAYS DISTRIBUTED: it is
+    written once to a scratch parquet table and replayed as ordinary
+    scans — ``ann_cosine_topk`` uses every vector as a query, so a
+    driver collect of its n_vectors*k pairs would grow with the corpus
+    (the r9 ADVICE finding).  Only two driver scalars ride the memo
+    (n_q, n_pairs).  Determinism (round-6 cosine + id tiebreaks) makes
+    the persisted pair set value-identical to the live derivation."""
     from ._memo import memo_get
 
     def compute():
-        rows = (
-            ann_cosine_topk(spark, sf_dir)
-            .select("vec_id", "neighbor_id")
-            .collect()
+        pairs = ann_cosine_topk(spark, sf_dir).select("vec_id", "neighbor_id")
+        path = _persist_pairs(spark, pairs, "cos")
+        stats = (
+            spark.read.parquet(path)
+            .agg(
+                F.countDistinct("vec_id").alias("n_q"),
+                F.count("*").alias("n_pairs"),
+            )
+            .collect()[0]
         )
-        pairs = [(r[0], r[1]) for r in rows]
-        return {"n_q": len({p[0] for p in pairs}), "pairs": pairs, "dfs": {}}
+        return {"path": path, "n_q": stats[0], "n_pairs": stats[1], "dfs": {}}
 
     state = memo_get("exact_cosine_topk_pairs", sf_dir, ("embeddings",), compute)
     return state["n_q"], _pairs_df(spark, state)
 
 
+def _persist_pairs(spark: SparkSession, pairs: DataFrame, kind: str) -> str:
+    """Write a ground-truth id-pair set to a scratch parquet table and
+    return its path.  The write is a plain distributed job (no driver
+    materialization); a fingerprint eviction simply writes a fresh dir —
+    stale dirs live in tmpdir until the OS sweep, never reread."""
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    path = os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_groundtruth",
+        f"{kind}-{_uuid.uuid4().hex[:8]}",
+    )
+    pairs.write.mode("overwrite").parquet(path)
+    return path
+
+
 def _pairs_df(spark: SparkSession, state: dict) -> DataFrame:
-    """Per-application DataFrame cache inside a ground-truth memo value:
-    the pairs->LocalRelation conversion costs ~0.5 s at sf0.1 per call,
-    so six consumer queries re-converting per call would eat the memo's
-    win.  The df dict lives INSIDE the memo value, so eviction (new
-    fingerprint) drops the cached frames with the pairs; keying on
-    applicationId keeps a df from leaking across SparkSessions."""
+    """Per-application DataFrame handle cache inside a ground-truth memo
+    value.  The handle is a lazy parquet scan (bytes on the driver), so
+    entries for other live sessions are left alone — no cross-session
+    eviction race (the r9 ADVICE finding); the dict lives INSIDE the
+    memo value, so a fingerprint eviction drops every handle with it."""
     app = spark.sparkContext.applicationId
     if app not in state["dfs"]:
-        state["dfs"].clear()  # one app per slot: a dead session's df is useless
-        state["dfs"][app] = spark.createDataFrame(
-            state["pairs"], "vec_id long, neighbor_id long"
-        )
+        state["dfs"][app] = spark.read.parquet(state["path"])
     return state["dfs"][app]
 
 
@@ -1784,9 +1925,10 @@ def _exact_l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= PQ_TOPK)
             .select(F.col("qid").alias("vec_id"), "neighbor_id")
-            .collect()
         )
-        return {"pairs": [(r[0], r[1]) for r in rows], "dfs": {}}
+        path = _persist_pairs(spark, rows, "l2")
+        n_pairs = spark.read.parquet(path).count()
+        return {"path": path, "n_pairs": n_pairs, "dfs": {}}
 
     state = memo_get("exact_l2_topk_pairs", sf_dir, ("embeddings",), compute)
     return _pairs_df(spark, state)

@@ -1010,8 +1010,9 @@ def hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lerp (TimescaleDB ``locf()`` / pandas ``ffill``): a missing hour
     repeats the last present hour's value, the step-function semantics a
     gauge (inventory level, account balance) needs where interpolation
-    would invent readings.  Leading gaps before the first observation
-    stay NULL-flagged, not imputed — LOCF has nothing to carry yet.
+    would invent readings.  Leading gaps are impossible by construction:
+    the dense axis starts at the FIRST observed hour, so every axis row
+    has a prior (or same-row) observation to carry.
 
     Shape: the interpolation op's dense-axis pattern — span-bounded
     sequence explode, one left join, one IGNORE-NULLS running
@@ -1033,11 +1034,7 @@ def hourly_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").isNotNull().alias("observed"),
         F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
     )
-    return filled.select(
-        "hour",
-        "observed",
-        F.coalesce(F.col("revenue_locf"), F.lit(0.0)).alias("revenue_locf"),
-    )
+    return filled
 
 
 AB_VARIANTS = 4  # deterministic hash-assignment arms

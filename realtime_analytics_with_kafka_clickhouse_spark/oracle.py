@@ -1896,6 +1896,87 @@ WHERE rank <= {top_k}"""
 
 ORACLE["ann_ivf_kmeans"] = _ivf_kmeans_sql()
 
+
+def _ivf_nprobe_sweep_sql(dim: int = 64, k_cells: int = 10) -> str:
+    """nprobe sweep: probe ranks off the same trained quantizer CTEs
+    (identical round-6 sq-dist + cell tiebreak total order), recall and
+    scanned cost as pure integer arithmetic, ratios through the portable
+    floor chain — mirrors operators.similarity.ann_ivf_nprobe_sweep."""
+    from .operators.similarity import NPROBE_RECALL_TARGET, PQ_QUERY_MOD
+
+    parts, final_c = _kmeans_parts(dim=dim)
+    chain = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    parts.append(
+        f"""qs AS (
+  SELECT vec_id, cluster, rn FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
+          FROM embeddings e CROSS JOIN {final_c} c
+          WHERE e.vec_id % {PQ_QUERY_MOD} = 0)))"""
+    )
+    parts.append(
+        f"""gt AS (
+  SELECT vec_id AS qid, neighbor_id
+  FROM ({ORACLE['ann_cosine_topk']}) WHERE vec_id % {PQ_QUERY_MOD} = 0)"""
+    )
+    parts.append(
+        """gtr AS (
+  SELECT qs.rn AS probe_rank
+  FROM gt JOIN a3 m ON gt.neighbor_id = m.vec_id
+  JOIN qs ON qs.vec_id = gt.qid AND qs.cluster = m.cluster)"""
+    )
+    parts.append("cellsz AS (SELECT cluster, count(*) AS cell_n FROM a3 GROUP BY 1)")
+    parts.append(
+        "csz AS (SELECT qs.rn AS probe_pos, cell_n FROM qs JOIN cellsz USING (cluster))"
+    )
+    parts.append(
+        f"ns AS (SELECT unnest(generate_series(1, {k_cells})) AS nprobe)"
+    )
+    parts.append(
+        """rec AS (
+  SELECT nprobe,
+         CAST(sum(CASE WHEN probe_rank <= nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM gtr CROSS JOIN ns GROUP BY 1)"""
+    )
+    parts.append(
+        """scn AS (
+  SELECT nprobe,
+         CAST(sum(CASE WHEN probe_pos <= nprobe THEN cell_n ELSE 0 END) AS BIGINT) AS scanned_rows
+  FROM csz CROSS JOIN ns GROUP BY 1)"""
+    )
+    parts.append(
+        """tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gt,
+         CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM gt)"""
+    )
+    parts.append("nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM embeddings)")
+    parts.append(
+        """sel AS (
+  SELECT CAST(rec.nprobe AS BIGINT) AS nprobe, n_hits,
+         floor(CAST(n_hits AS DOUBLE) / CAST(n_gt AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 AS recall_at_k,
+         scanned_rows,
+         floor(CAST(scanned_rows AS DOUBLE) / CAST(n_q * n_vec AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS scanned_frac
+  FROM rec JOIN scn ON rec.nprobe = scn.nprobe CROSS JOIN tot CROSS JOIN nv)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT nprobe, n_hits, recall_at_k, scanned_rows, scanned_frac,
+       nprobe = min(CASE WHEN recall_at_k >= {NPROBE_RECALL_TARGET} THEN nprobe END)
+                  OVER () AS chosen
+FROM sel"""
+    )
+
+
+ORACLE["ann_ivf_nprobe_sweep"] = _ivf_nprobe_sweep_sql()
+
 # Persisted-index IVF serve: identical pairs/ranks as the in-memory IVF,
 # restricted to the deterministic cell-0 query set.
 ORACLE["ann_ivf_persisted"] = f"""
@@ -4195,10 +4276,9 @@ axis AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM span)
 SELECT axis.hour,
        revenue IS NOT NULL AS observed,
-       COALESCE(last_value(revenue IGNORE NULLS)
-                  OVER (ORDER BY axis.hour
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                0.0) AS revenue_locf
+       last_value(revenue IGNORE NULLS)
+         OVER (ORDER BY axis.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
 FROM axis LEFT JOIN hourly ON axis.hour = hourly.hour
 """
 
@@ -5308,6 +5388,77 @@ SELECT CAST(match_count AS BIGINT) AS match_count,
        round(1.0 - ((q * q) * (q * q)), 6) AS collision_prob
 FROM c3
 """.format(shingles=_SHINGLES, mh_cols=_MH_COLS, sigs_union=_SIGS_UNION)
+
+
+# LSH band auto-tuner: the s-curve error integrals ride the SAME
+# expression text as the Spark side (_case_pow multiply chains — identical
+# parse trees, identical IEEE results), each grid term quantized to an
+# exact picopart INTEGER via the floor chain (a double->DECIMAL(_,20)
+# cast is NOT engine-portable beyond ~15 digits); measured yields are
+# exact integers from the per-family banded self-join.
+from .operators.dedup import (  # noqa: E402
+    LSH_FAMILIES,
+    LSH_GRID_N,
+    LSH_TARGET_JACCARD,
+    _case_pow,
+)
+
+_LSH_FAM_VALUES = ", ".join(f"({b}, {r})" for b, r in LSH_FAMILIES)
+_LSH_MH_LIST = ", ".join(f"CAST(mh_{i} AS VARCHAR)" for i in range(MINHASH_K))
+
+ORACLE["lsh_band_autotune"] = f"""
+WITH {{shingles}},
+hashes AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS base FROM sh),
+minh AS (
+  SELECT doc_id,
+         {{mh_cols}}
+  FROM hashes GROUP BY 1),
+fam AS (SELECT * FROM (VALUES {_LSH_FAM_VALUES}) AS f(b, r)),
+mhl AS (SELECT doc_id, list_value({_LSH_MH_LIST}) AS mh FROM minh),
+ks AS (SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS k),
+sigrows AS (
+  SELECT doc_id, b, r, k,
+         array_to_string(mh[(k * r + 1):(k * r + r)], ':') AS sig
+  FROM mhl CROSS JOIN fam CROSS JOIN ks WHERE k < b),
+cand AS (
+  SELECT DISTINCT sa.b, sa.r, sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM sigrows sa JOIN sigrows sb
+    ON sa.b = sb.b AND sa.r = sb.r AND sa.k = sb.k AND sa.sig = sb.sig
+   AND sa.doc_id < sb.doc_id),
+measured AS (
+  SELECT b, r, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(i AS DOUBLE) / {float(LSH_GRID_N)} AS s
+  FROM (SELECT unnest(generate_series(1, {LSH_GRID_N})) AS i)),
+th0 AS (SELECT b, r, s, {_case_pow('s', 'r')} AS sr FROM fam CROSS JOIN grid),
+th1 AS (SELECT *, 1.0 - sr AS q FROM th0),
+th2 AS (SELECT *, {_case_pow('q', 'b')} AS qb FROM th1),
+th3 AS (SELECT *, 1.0 - qb AS p FROM th2),
+th4 AS (
+  SELECT b, r,
+         CASE WHEN s <= {LSH_TARGET_JACCARD}
+              THEN CAST(floor(p * (CAST(1.0 AS DOUBLE) / {float(LSH_GRID_N)})
+                              * 1000000000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS fp_e12,
+         CASE WHEN s > {LSH_TARGET_JACCARD}
+              THEN CAST(floor((1.0 - p) * (CAST(1.0 AS DOUBLE) / {float(LSH_GRID_N)})
+                              * 1000000000000.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS fn_e12
+  FROM th3),
+theory AS (
+  SELECT b, r, CAST(sum(fp_e12) AS BIGINT) AS fp_e12,
+         CAST(sum(fn_e12) AS BIGINT) AS fn_e12
+  FROM th4 GROUP BY 1, 2)
+SELECT CAST(t.b AS BIGINT) AS b, CAST(t.r AS BIGINT) AS r,
+       CAST({LSH_TARGET_JACCARD} AS DOUBLE) AS target_jaccard,
+       CAST(fp_e12 AS DOUBLE) / 1000000000000.0 AS fp_area,
+       CAST(fn_e12 AS DOUBLE) / 1000000000000.0 AS fn_area,
+       CAST(fp_e12 + fn_e12 AS DOUBLE) / 1000000000000.0 AS total_error,
+       COALESCE(m.n_candidates, 0) AS n_candidates,
+       row_number() OVER (ORDER BY fp_e12 + fn_e12, t.b) = 1 AS chosen
+FROM theory t LEFT JOIN measured m ON t.b = m.b AND t.r = m.r
+""".format(shingles=_SHINGLES, mh_cols=_MH_COLS)
 
 # Deliberately the INDEPENDENT construction (brute 7-day range join +
 # COUNT DISTINCT) vs the Spark side's island sweep-line: two algorithms,

@@ -140,12 +140,20 @@ def delete_rows(spark: SparkSession, path: str, predicate: str) -> list[str]:
 
 
 def update_rows(
-    spark: SparkSession, path: str, predicate: str, assignments: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+    partition_col: str = "order_month",
+    sort_cols: tuple[str, ...] = ("order_timestamp", "order_id"),
 ) -> list[str]:
     """Targeted in-place update — the ``ALTER TABLE ... UPDATE col = expr
     WHERE pred`` mutation of ClickHouse MergeTree tables (the sibling of
     ``delete_rows``; reference tables declared in
     /root/reference/clickhouse/init/01_init.sql).
+
+    ``partition_col`` / ``sort_cols`` parameterize the table layout the
+    way ``compact_dir`` does (defaults match the orders layout).
 
     Same mutation model: find partitions containing matching rows
     (predicate pushed to the scan), rewrite ONLY those partitions with
@@ -158,16 +166,16 @@ def update_rows(
     _repair_swaps(spark, path)
     pred = F.expr(predicate)
     affected = [
-        r["order_month"]
+        r[partition_col]
         for r in spark.read.parquet(path)
         .filter(pred)
-        .select("order_month")
+        .select(partition_col)
         .distinct()
         .collect()
     ]
     touched: list[str] = []
     for month in sorted(affected):
-        part_dir = f"{path}/order_month={month}"
+        part_dir = f"{path}/{partition_col}={month}"
         cur = spark.read.parquet(part_dir)
         updated = cur.select(
             *[
@@ -179,12 +187,12 @@ def update_rows(
         )
         tmp = fs.swap_tmp_path(part_dir)
         (
-            updated.sortWithinPartitions("order_timestamp", "order_id")
+            updated.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .parquet(tmp)
         )
         fs.swap_in(spark, part_dir, tmp)
-        touched.append(f"rewrote:order_month={month}")
+        touched.append(f"rewrote:{partition_col}={month}")
     return touched
 
 

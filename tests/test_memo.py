@@ -73,8 +73,8 @@ def test_exact_ann_ground_truth_is_memoized(spark):
     n_q2, _ = similarity._exact_cosine_ground_truth(spark, SF_DIR)
     assert time.perf_counter() - t0 < 0.5  # no Spark job on the hit path
     assert n_q1 == n_q2 and n_q1 > 0
-    assert df1.count() == len(hit["pairs"])
+    assert df1.count() == hit["n_pairs"]
 
     similarity._exact_l2_ground_truth(spark, SF_DIR)
     l2 = _memo.memo_peek("exact_l2_topk_pairs", SF_DIR, ("embeddings",))
-    assert not _memo.is_miss(l2) and len(l2["pairs"]) > 0
+    assert not _memo.is_miss(l2) and l2["n_pairs"] > 0

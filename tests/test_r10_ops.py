@@ -64,3 +64,28 @@ def test_hard_negative_mining_plan_bounded(spark, queries):
     # no embedding array reaches the shuffle.
     window_input = plan.split("Window")[0]
     assert "embedding" not in window_input.split("MapInPandas")[-1], plan
+
+
+def test_lsh_band_autotune_shifts_with_target(spark):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        lsh_band_autotune,
+    )
+
+    rows = lsh_band_autotune(spark, SF_DIR).collect()
+    assert len(rows) == 6
+    assert sum(1 for x in rows if x.chosen) == 1
+    # the default target (0.5, the verified-near-dup threshold) must pick
+    # the engine's own production family b=4, r=3
+    (chosen,) = [x for x in rows if x.chosen]
+    assert (chosen.b, chosen.r) == (4, 3)
+    # measured yield is monotone in band count (more bands -> more
+    # candidates) and every family reports a non-negative integer
+    by_b = {x.b: x.n_candidates for x in rows}
+    assert by_b[12] >= by_b[4] >= by_b[1] >= 0
+
+    # the knob: a low threshold shifts the choice to aggressive banding
+    # (many bands, short rows), a high threshold to conservative banding
+    low = [x for x in lsh_band_autotune(spark, SF_DIR, target=0.2).collect() if x.chosen]
+    high = [x for x in lsh_band_autotune(spark, SF_DIR, target=0.85).collect() if x.chosen]
+    assert (low[0].b, low[0].r) == (12, 1)
+    assert (high[0].b, high[0].r) == (1, 12)
