@@ -61,6 +61,12 @@ _NAMES = [
         "minhash_near_dup",  # kernel representative (broadcast_if_small)
         "near_dup_source_matrix",  # gated corpus-dim broadcasts
     ]),
+    (_storage_layout, [
+        "ttl_move_tiering",  # NEW: TTL ... TO VOLUME metadata-only moves
+    ]),
+    (_streaming_pipeline, [
+        "table_parts_report",  # NEW: system.parts analog off the snapshot
+    ]),
     # -- 2. the r9 spill (position 51 last round, pytest-parity green,
     #    never driver-checked) --
     (timeseries, [

@@ -2322,6 +2322,36 @@ GROUP BY 1, 2
 """
 
 
+# system.parts analog: per appended epoch (event_id % 4 -> commit order),
+# the independent construction of each part's row count, order volume and
+# hour range — all exact integers/timestamps.
+ORACLE["table_parts_report"] = f"""
+WITH p AS (
+  SELECT event_id % 4 AS part0, date_trunc('hour', ts) AS hour,
+         {_CAT} AS category, count(*) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3)
+SELECT CAST(part0 + 1 AS BIGINT) AS part_seq,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS n_orders,
+       min(hour) AS min_hour,
+       max(hour) AS max_hour
+FROM p GROUP BY 1
+"""
+
+
+# TTL ... TO VOLUME tiering: tier = month CASE against the cutoff; the
+# equality proves the metadata-only moves conserved and placed every row.
+ORACLE["ttl_move_tiering"] = f"""
+SELECT CASE WHEN year(o_orderdate) * 100 + month(o_orderdate) < 199901
+            THEN 'cold' ELSE 'hot' END AS tier,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 # GDPR delete audit: the month-partitioned table after erasing the minimum
 # custkey must equal orders minus that customer, month-aggregated.
 ORACLE["gdpr_delete_audit"] = f"""

@@ -44,6 +44,11 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return fs.rename(src_p, dst_p)
 
 
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return fs.mkdirs(p)
+
+
 def list_dir(spark: SparkSession, path: str) -> list[str]:
     """Child names (not full paths) of a directory; [] if missing."""
     fs, p = _fs(spark, path)

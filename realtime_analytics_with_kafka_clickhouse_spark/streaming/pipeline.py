@@ -839,6 +839,42 @@ def _build_txlog_append_table(spark: SparkSession, sf_dir: str) -> str:
     return _APPEND_TABLE_MEMO[key]
 
 
+def table_parts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.parts`` — the ClickHouse introspection surface every
+    MergeTree operator watches (part counts, rows, key ranges per part) —
+    over the engine's txlog tables: the append table's current snapshot
+    is read COMMIT-ORDER (the manifest's dirs list), and each part
+    reports its row count, contained order volume, and hour key range.
+    The oracle derives the same facts independently from raw events per
+    appended epoch (event_id % 4), proving the manifest's parts hold
+    exactly the appended data — no loss, no duplication, correct order.
+
+    Scale shape: the report is one union scan over the snapshot's named
+    directories grouped by a part-sequence literal — O(parts) metadata +
+    one aggregate; no log replay, no full-table sort."""
+    from ..storage import txlog
+
+    table = _build_txlog_append_table(spark, sf_dir)
+    _, commit = txlog.snapshot(spark, table)
+    if commit is None:
+        raise RuntimeError("append table must have a committed snapshot")
+    frames = [
+        spark.read.parquet(f"{table}/{rel}").select(
+            F.lit(i).cast("long").alias("part_seq"), "hour", "order_count"
+        )
+        for i, rel in enumerate(commit["dirs"], 1)
+    ]
+    allp = frames[0]
+    for f2 in frames[1:]:
+        allp = allp.unionByName(f2)
+    return allp.groupBy("part_seq").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("order_count").cast("long").alias("n_orders"),
+        F.min("hour").alias("min_hour"),
+        F.max("hour").alias("max_hour"),
+    )
+
+
 def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (Delta's VERSION AS OF) through the driver
     gate: read the append table AS OF version 2 — when only epochs 0 and 1

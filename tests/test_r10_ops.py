@@ -89,3 +89,29 @@ def test_lsh_band_autotune_shifts_with_target(spark):
     high = [x for x in lsh_band_autotune(spark, SF_DIR, target=0.85).collect() if x.chosen]
     assert (low[0].b, low[0].r) == (12, 1)
     assert (high[0].b, high[0].r) == (1, 12)
+
+
+def test_ttl_move_tiering_places_every_month_once(spark, queries):
+    rows = queries["ttl_move_tiering"](spark, SF_DIR).collect()
+    tiers = {}
+    for x in rows:
+        assert x.order_month not in tiers, "month on both volumes"
+        tiers[x.order_month] = x.tier
+    assert {t for t in tiers.values()} == {"hot", "cold"}
+    for month, tier in tiers.items():
+        assert tier == ("cold" if month < 199901 else "hot")
+    # repeat call audits the already-tiered table identically (memo path)
+    again = {(x.tier, x.order_month, x.n_orders) for x in
+             queries["ttl_move_tiering"](spark, SF_DIR).collect()}
+    assert again == {(x.tier, x.order_month, x.n_orders) for x in rows}
+
+
+def test_table_parts_report_conserves_rows(spark, queries):
+    rows = queries["table_parts_report"](spark, SF_DIR).collect()
+    assert sorted(x.part_seq for x in rows) == [1, 2, 3, 4]
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
+    assert sum(x.n_orders for x in rows) == ev.count()
+    lo = min(x.min_hour for x in rows)
+    assert lo == ev.agg(F.min(F.date_trunc("hour", "ts"))).collect()[0][0]
