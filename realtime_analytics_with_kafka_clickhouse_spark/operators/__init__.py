@@ -51,6 +51,7 @@ _NAMES = [
     #    proves them in the driver env) --
     (timeseries, [
         "distinct_agg_battery",  # r9 red row: portable oracle + floor avg
+        "window_funnel_strict_order",  # NEW: 3rd CH funnel mode
     ]),
     (similarity, [
         "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k
@@ -58,6 +59,7 @@ _NAMES = [
     ]),
     (dedup, [
         "lsh_band_autotune",  # NEW: (b, r) selection for a target threshold
+        "near_dup_threshold_sweep",  # NEW: tau-sensitivity curation card
         "minhash_near_dup",  # kernel representative (broadcast_if_small)
         "near_dup_source_matrix",  # gated corpus-dim broadcasts
     ]),

@@ -1115,3 +1115,81 @@ def lsh_band_autotune(
             (F.col("rk") == 1).alias("chosen"),
         )
     )
+
+
+#: Log-spaced dedup-threshold sweep grid — the production question is
+#: "how much of the corpus is implicated if I dedup at tau", asked at
+#: coarse low thresholds (aggressive dedup) through 0.9 (near-exact).
+NEAR_DUP_SWEEP_THRESHOLDS = (0.01, 0.02, 0.05, 0.1, 0.2, 0.5, 0.9)
+
+
+def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity card: for each candidate Jaccard
+    threshold, the number of co-shingle pairs at or above it, the number
+    of documents implicated, and the implicated corpus fraction — the
+    sweep a curation pipeline runs BEFORE committing to a dedup threshold
+    (pick tau where the implicated-fraction curve elbows; the fixture
+    spans 3,400 pairs at 0.01 down to 25 verified near-dups at 0.9).
+
+    Exactness: pair/doc counts are exact integers off the exact-Jaccard
+    frame (inter/union — one mirrored division; comparisons against the
+    literal grid are identical doubles in both engines); the corpus
+    fraction rides the floor(x*1e6+0.5)/1e6 chain.
+
+    Scale shape: rides the frequency-capped co-shingle equi-join the
+    engine already owns for exact Jaccard (never all-pairs; the cap
+    bounds any shingle's pair contribution at cap^2), then |pairs| x 7
+    bounded threshold rows — the sweep itself adds no corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    v = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .cache()  # feeds the pair-count and doc-count branches
+    )
+    ths = spark.createDataFrame(
+        [(float(t),) for t in NEAR_DUP_SWEEP_THRESHOLDS], "threshold double"
+    )
+    hit = v.crossJoin(F.broadcast(ths)).filter(F.col("jaccard") >= F.col("threshold"))
+    pair_counts = hit.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        hit.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    total = docs.agg(F.count("*").cast("long").alias("n_total"))
+    frac = F.floor(
+        F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return (
+        ths.join(pair_counts, "threshold", "left")
+        .join(doc_counts, "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long"))
+        .withColumn("n_docs", F.coalesce(F.col("n_docs"), F.lit(0)).cast("long"))
+        .select("threshold", "n_pairs", "n_docs", frac.alias("doc_frac"))
+    )

@@ -1716,6 +1716,75 @@ def window_funnel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_order')`` — the third ClickHouse
+    funnel mode (next to the engine's default and strict variants): the
+    chain must advance on CONSECUTIVE events of the user's FULL stream —
+    any interleaved event (including the fixture's ``error`` type, which
+    the other modes never see) kills the chain; a signup anywhere
+    re-anchors a fresh chain; every step must land within the window of
+    its chain's anchor.  Reported per user: the MAX level any chain
+    reached.
+
+    Shape: one user-keyed ordered fold (the window_funnel_default
+    discipline) over the full stream — per-user state is 3 longs
+    (best, current level, anchor); the collected array is bounded by
+    events-per-user (the sessionization bound).  All comparisons are
+    integer epoch-micros.  The DuckDB oracle is an INDEPENDENT
+    construction: strict order makes each anchor's chain FORCED (the
+    next events must be exactly the remaining steps), so per-anchor
+    levels come from three LEAD probes and the user level is their max
+    — provably equal to the fold (the fold's live chain is always the
+    latest anchor's forced run; earlier anchors die at the event that
+    re-anchors or breaks)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    idx = None
+    for i, s in enumerate(FUNNEL_STEPS):
+        branch = F.when(F.col("event_type") == s, F.lit(i))
+        idx = branch if idx is None else idx.when(F.col("event_type") == s, F.lit(i))
+    typed = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.coalesce(idx, F.lit(-9)).cast("long").alias("idx"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "idx")))
+    neg = F.lit(-1).cast("long")
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("best"), zero.alias("cur"), neg.alias("anchor"))
+    w_us = F.lit(FUNNEL_WINDOW_US).cast("long")
+
+    def upd(best, cur, anchor):
+        return F.struct(best.alias("best"), cur.alias("cur"), anchor.alias("anchor"))
+
+    def step(acc, e):
+        one = F.lit(1).cast("long")
+        nxt = acc["cur"] + one
+        return (
+            F.when(
+                e["idx"] == 0,
+                upd(F.greatest(acc["best"], one), one, e["ts_us"]),
+            )
+            .when(
+                (e["idx"] == acc["cur"])
+                & (acc["cur"] >= 1)
+                & (e["ts_us"] <= acc["anchor"] + w_us),
+                upd(F.greatest(acc["best"], nxt), nxt, acc["anchor"]),
+            )
+            .otherwise(upd(acc["best"], zero, neg))
+        )
+
+    folded = typed.groupBy("user_id").agg(
+        F.aggregate(arr, init, step)["best"].alias("lvl")
+    )
+    return (
+        folded.groupBy(F.col("lvl").alias("steps_completed"))
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
 # Sweep-line activity horizon: an order is "active" for this many days.
 ACTIVE_DAYS = 30
 

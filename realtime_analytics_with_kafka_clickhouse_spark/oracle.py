@@ -4085,6 +4085,36 @@ FROM lv GROUP BY 1
 """
 
 
+# strict_order funnel: each anchor's chain is FORCED, so three LEAD
+# probes per signup give the level — independent of the engine's fold.
+ORACLE["window_funnel_strict_order"] = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS k,
+         event_type AS et
+  FROM events),
+s AS (
+  SELECT user_id, t, et,
+         lead(et, 1) OVER w AS e1, lead(t, 1) OVER w AS t1,
+         lead(et, 2) OVER w AS e2, lead(t, 2) OVER w AS t2,
+         lead(et, 3) OVER w AS e3, lead(t, 3) OVER w AS t3
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY k)),
+lvls AS (
+  SELECT user_id,
+         CASE WHEN e1 = 'view' AND t1 <= t + 86400000000 THEN
+           CASE WHEN e2 = 'click' AND t2 <= t + 86400000000 THEN
+             CASE WHEN e3 = 'purchase' AND t3 <= t + 86400000000 THEN 4 ELSE 3 END
+           ELSE 2 END
+         ELSE 1 END AS lvl
+  FROM s WHERE et = 'signup'),
+mx AS (SELECT user_id, max(lvl) AS lvl FROM lvls GROUP BY 1),
+lv AS (SELECT u.user_id, COALESCE(mx.lvl, 0) AS lvl
+       FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN mx USING (user_id))
+SELECT CAST(lvl AS BIGINT) AS steps_completed, CAST(count(*) AS BIGINT) AS n_users
+FROM lv GROUP BY 1
+"""
+
+
 # Sweep-line max-overlap: +1/-1 deltas at DATE grain, per-region running
 # sum, first date attaining the per-region max.
 ORACLE["max_concurrent_intervals"] = """
@@ -5489,6 +5519,36 @@ SELECT CAST(t.b AS BIGINT) AS b, CAST(t.r AS BIGINT) AS r,
        row_number() OVER (ORDER BY fp_e12 + fn_e12, t.b) = 1 AS chosen
 FROM theory t LEFT JOIN measured m ON t.b = m.b AND t.r = m.r
 """.format(shingles=_SHINGLES, mh_cols=_MH_COLS)
+
+# Dedup-threshold sensitivity sweep: exact-Jaccard co-shingle pairs vs
+# a literal threshold grid; counts exact integers, fraction through the
+# portable floor chain.
+ORACLE["near_dup_threshold_sweep"] = """
+WITH {shingles},
+v AS (
+  SELECT doc_a, doc_b, inter / (sa.n + sb.n - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id),
+ths AS (SELECT CAST(unnest([0.01, 0.02, 0.05, 0.1, 0.2, 0.5, 0.9]) AS DOUBLE) AS threshold),
+hit AS (
+  SELECT threshold, doc_a, doc_b FROM v CROSS JOIN ths
+  WHERE jaccard >= threshold),
+pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs FROM hit GROUP BY 1),
+dc AS (
+  SELECT threshold, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS doc_id FROM hit)
+  GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+SELECT ths.threshold,
+       COALESCE(n_pairs, 0) AS n_pairs,
+       COALESCE(n_docs, 0) AS n_docs,
+       floor(CAST(COALESCE(n_docs, 0) AS DOUBLE) / CAST(n_total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS doc_frac
+FROM ths LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+CROSS JOIN tot
+""".format(shingles=_SHINGLES)
+
 
 # Deliberately the INDEPENDENT construction (brute 7-day range join +
 # COUNT DISTINCT) vs the Spark side's island sweep-line: two algorithms,

@@ -115,3 +115,31 @@ def test_table_parts_report_conserves_rows(spark, queries):
     assert sum(x.n_orders for x in rows) == ev.count()
     lo = min(x.min_hour for x in rows)
     assert lo == ev.agg(F.min(F.date_trunc("hour", "ts"))).collect()[0][0]
+
+
+def test_near_dup_threshold_sweep_monotone(spark, queries):
+    rows = sorted(
+        queries["near_dup_threshold_sweep"](spark, SF_DIR).collect(),
+        key=lambda x: x.threshold,
+    )
+    assert len(rows) == 7
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_pairs >= hi.n_pairs
+        assert lo.n_docs >= hi.n_docs
+    # falsifiability: the sweep must actually vary on the fixture
+    assert rows[0].n_pairs > rows[-1].n_pairs
+    assert all(0.0 <= x.doc_frac <= 1.0 for x in rows)
+
+
+def test_window_funnel_strict_order_dominated_by_default(spark, queries):
+    """Any strict_order chain is a valid default-mode chain, so the
+    full-funnel completion count can only shrink; the error-typed events
+    (invisible to default mode) must actually break chains on the
+    fixture (falsifiability: the distributions differ)."""
+    so = {x.steps_completed: x.n_users for x in
+          queries["window_funnel_strict_order"](spark, SF_DIR).collect()}
+    de = {x.steps_completed: x.n_users for x in
+          queries["window_funnel_default"](spark, SF_DIR).collect()}
+    assert sum(so.values()) == sum(de.values())  # every user classified
+    assert so.get(4, 0) <= de.get(4, 0)
+    assert so != de
