@@ -51,7 +51,7 @@ _NAMES = [
     #    proves them in the driver env) --
     (timeseries, [
         "distinct_agg_battery",  # r9 red row: portable oracle + floor avg
-        "window_funnel_strict_order",  # NEW: 3rd CH funnel mode
+        "window_funnel_strict_dedup",  # NEW: 3rd CH funnel mode
     ]),
     (similarity, [
         "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k

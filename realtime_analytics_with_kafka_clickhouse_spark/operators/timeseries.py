@@ -1716,27 +1716,28 @@ def window_funnel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``windowFunnel(24h, 'strict_order')`` — the third ClickHouse
-    funnel mode (next to the engine's default and strict variants): the
-    chain must advance on CONSECUTIVE events of the user's FULL stream —
-    any interleaved event (including the fixture's ``error`` type, which
-    the other modes never see) kills the chain; a signup anywhere
-    re-anchors a fresh chain; every step must land within the window of
-    its chain's anchor.  Reported per user: the MAX level any chain
-    reached.
+def window_funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(24h, 'strict_dedup')`` — completes the ClickHouse
+    funnel-mode family (default: interleaving allowed; strict_order: ANY
+    event breaks the chain — ``window_funnel_strict``; this mode:
+    a REPEAT of an already-satisfied step kills the chain, every other
+    non-chain event — the error type, a later not-yet-reached step — is
+    ignored).  A signup kills the live chain and re-anchors a fresh one;
+    each step must land within the window of its chain's anchor.
+    Reported per user: the MAX level any chain reached.
 
-    Shape: one user-keyed ordered fold (the window_funnel_default
-    discipline) over the full stream — per-user state is 3 longs
-    (best, current level, anchor); the collected array is bounded by
-    events-per-user (the sessionization bound).  All comparisons are
-    integer epoch-micros.  The DuckDB oracle is an INDEPENDENT
-    construction: strict order makes each anchor's chain FORCED (the
-    next events must be exactly the remaining steps), so per-anchor
-    levels come from three LEAD probes and the user level is their max
-    — provably equal to the fold (the fold's live chain is always the
-    latest anchor's forced run; earlier anchors die at the event that
-    re-anchors or breaks)."""
+    Shape: one user-keyed ordered fold over the step-typed slice
+    (non-funnel events pruned at the scan — they are invisible to this
+    mode), per-user state 3 longs (best, level, anchor).  All
+    comparisons are integer epoch-micros.  The DuckDB oracle is an
+    INDEPENDENT construction: under dedup-interrupt the chain is
+    determined by the NEXT RELEVANT event (earliest among the next step
+    and the already-satisfied steps — ``arg_min`` over the relevant
+    subset): the chain advances iff that event is the next step within
+    window, else dies; per-anchor levels max up to the user level —
+    provably equal to the fold (the fold's live chain is the latest
+    anchor's run, and both kill/advance on exactly the relevant-set
+    argmin)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -1744,15 +1745,16 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, s in enumerate(FUNNEL_STEPS):
         branch = F.when(F.col("event_type") == s, F.lit(i))
         idx = branch if idx is None else idx.when(F.col("event_type") == s, F.lit(i))
-    typed = ev.select(
+    typed = ev.filter(F.col("event_type").isin(*FUNNEL_STEPS)).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
-        F.coalesce(idx, F.lit(-9)).cast("long").alias("idx"),
+        idx.cast("long").alias("idx"),
     )
     arr = F.sort_array(F.collect_list(F.struct("ts_us", "event_id", "idx")))
     neg = F.lit(-1).cast("long")
     zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     init = F.struct(zero.alias("best"), zero.alias("cur"), neg.alias("anchor"))
     w_us = F.lit(FUNNEL_WINDOW_US).cast("long")
 
@@ -1760,27 +1762,38 @@ def window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.struct(best.alias("best"), cur.alias("cur"), anchor.alias("anchor"))
 
     def step(acc, e):
-        one = F.lit(1).cast("long")
         nxt = acc["cur"] + one
+        live = acc["cur"] >= 1
         return (
             F.when(
-                e["idx"] == 0,
+                e["idx"] == 0,  # signup: kill + re-anchor
                 upd(F.greatest(acc["best"], one), one, e["ts_us"]),
             )
-            .when(
-                (e["idx"] == acc["cur"])
-                & (acc["cur"] >= 1)
-                & (e["ts_us"] <= acc["anchor"] + w_us),
+            .when(  # next expected step, within the anchor window: advance
+                live & (e["idx"] == acc["cur"]) & (e["ts_us"] <= acc["anchor"] + w_us),
                 upd(F.greatest(acc["best"], nxt), nxt, acc["anchor"]),
             )
-            .otherwise(upd(acc["best"], zero, neg))
+            .when(  # next expected step but window missed: chain dead
+                live & (e["idx"] == acc["cur"]),
+                upd(acc["best"], zero, neg),
+            )
+            .when(  # repeat of an already-satisfied step: dedup interrupt
+                live & (e["idx"] >= 1) & (e["idx"] < acc["cur"]),
+                upd(acc["best"], zero, neg),
+            )
+            .otherwise(acc)  # later not-yet-reached step: ignored
         )
 
     folded = typed.groupBy("user_id").agg(
         F.aggregate(arr, init, step)["best"].alias("lvl")
     )
+    users = ev.select("user_id").distinct()
     return (
-        folded.groupBy(F.col("lvl").alias("steps_completed"))
+        users.join(folded, "user_id", "left")
+        .select(
+            "user_id", F.coalesce(F.col("lvl"), F.lit(0)).cast("long").alias("lvl")
+        )
+        .groupBy(F.col("lvl").alias("steps_completed"))
         .agg(F.count("*").cast("long").alias("n_users"))
     )
 

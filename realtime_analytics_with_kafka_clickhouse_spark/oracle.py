@@ -4085,31 +4085,46 @@ FROM lv GROUP BY 1
 """
 
 
-# strict_order funnel: each anchor's chain is FORCED, so three LEAD
-# probes per signup give the level — independent of the engine's fold.
-ORACLE["window_funnel_strict_order"] = """
+# strict_dedup funnel: under dedup-interrupt each anchor's chain is
+# decided by the NEXT RELEVANT event (arg_min over next-step +
+# satisfied-steps) — independent of the engine's fold.
+ORACLE["window_funnel_strict_dedup"] = """
 WITH f AS (
   SELECT user_id, epoch_us(ts) AS t,
          CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS k,
          event_type AS et
-  FROM events),
-s AS (
-  SELECT user_id, t, et,
-         lead(et, 1) OVER w AS e1, lead(t, 1) OVER w AS t1,
-         lead(et, 2) OVER w AS e2, lead(t, 2) OVER w AS t2,
-         lead(et, 3) OVER w AS e3, lead(t, 3) OVER w AS t3
-  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY k)),
-lvls AS (
+  FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+anch AS (SELECT user_id, k AS k1, t AS a FROM f WHERE et = 'signup'),
+c2 AS (
+  SELECT anch.user_id, anch.k1, anch.a,
+         arg_min(f.et, f.k) AS et2, arg_min(f.t, f.k) AS t2, min(f.k) AS k2
+  FROM anch JOIN f ON f.user_id = anch.user_id AND f.k > anch.k1
+                  AND f.et IN ('signup', 'view')
+  GROUP BY 1, 2, 3),
+a2 AS (SELECT user_id, k1, a, k2 FROM c2 WHERE et2 = 'view' AND t2 <= a + 86400000000),
+c3 AS (
+  SELECT a2.user_id, a2.k1, a2.a,
+         arg_min(f.et, f.k) AS et3, arg_min(f.t, f.k) AS t3, min(f.k) AS k3
+  FROM a2 JOIN f ON f.user_id = a2.user_id AND f.k > a2.k2
+                AND f.et IN ('signup', 'view', 'click')
+  GROUP BY 1, 2, 3),
+a3 AS (SELECT user_id, k1, a, k3 FROM c3 WHERE et3 = 'click' AND t3 <= a + 86400000000),
+c4 AS (
+  SELECT a3.user_id, a3.k1,
+         arg_min(f.et, f.k) AS et4, arg_min(f.t, f.k) AS t4
+  FROM a3 JOIN f ON f.user_id = a3.user_id AND f.k > a3.k3
+  GROUP BY 1, 2),
+a4 AS (SELECT DISTINCT c4.user_id FROM c4 JOIN a3 USING (user_id, k1)
+       WHERE et4 = 'purchase' AND t4 <= a3.a + 86400000000),
+lv AS (
   SELECT user_id,
-         CASE WHEN e1 = 'view' AND t1 <= t + 86400000000 THEN
-           CASE WHEN e2 = 'click' AND t2 <= t + 86400000000 THEN
-             CASE WHEN e3 = 'purchase' AND t3 <= t + 86400000000 THEN 4 ELSE 3 END
-           ELSE 2 END
-         ELSE 1 END AS lvl
-  FROM s WHERE et = 'signup'),
-mx AS (SELECT user_id, max(lvl) AS lvl FROM lvls GROUP BY 1),
-lv AS (SELECT u.user_id, COALESCE(mx.lvl, 0) AS lvl
-       FROM (SELECT DISTINCT user_id FROM events) u LEFT JOIN mx USING (user_id))
+         CASE WHEN user_id IN (SELECT user_id FROM a4) THEN 4
+              WHEN user_id IN (SELECT user_id FROM a3) THEN 3
+              WHEN user_id IN (SELECT user_id FROM a2) THEN 2
+              WHEN user_id IN (SELECT user_id FROM anch) THEN 1
+              ELSE 0 END AS lvl
+  FROM (SELECT DISTINCT user_id FROM events))
 SELECT CAST(lvl AS BIGINT) AS steps_completed, CAST(count(*) AS BIGINT) AS n_users
 FROM lv GROUP BY 1
 """

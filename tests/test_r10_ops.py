@@ -131,15 +131,18 @@ def test_near_dup_threshold_sweep_monotone(spark, queries):
     assert all(0.0 <= x.doc_frac <= 1.0 for x in rows)
 
 
-def test_window_funnel_strict_order_dominated_by_default(spark, queries):
-    """Any strict_order chain is a valid default-mode chain, so the
-    full-funnel completion count can only shrink; the error-typed events
-    (invisible to default mode) must actually break chains on the
-    fixture (falsifiability: the distributions differ)."""
+def test_window_funnel_strict_dedup_between_modes(spark, queries):
+    """Any strict_order chain survives dedup-interrupt (consecutive
+    steps never repeat a satisfied one), and any strict_dedup chain is a
+    valid default-mode chain — so full-funnel completions nest:
+    strict_order <= strict_dedup <= default.  Falsifiability: all three
+    distributions differ on the fixture."""
+    sd = {x.steps_completed: x.n_users for x in
+          queries["window_funnel_strict_dedup"](spark, SF_DIR).collect()}
     so = {x.steps_completed: x.n_users for x in
-          queries["window_funnel_strict_order"](spark, SF_DIR).collect()}
+          queries["window_funnel_strict"](spark, SF_DIR).collect()}
     de = {x.steps_completed: x.n_users for x in
           queries["window_funnel_default"](spark, SF_DIR).collect()}
-    assert sum(so.values()) == sum(de.values())  # every user classified
-    assert so.get(4, 0) <= de.get(4, 0)
-    assert so != de
+    assert sum(sd.values()) == sum(de.values()) == sum(so.values())
+    assert so.get(4, 0) <= sd.get(4, 0) <= de.get(4, 0)
+    assert sd != de and sd != so
