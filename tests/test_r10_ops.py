@@ -146,3 +146,28 @@ def test_window_funnel_strict_dedup_between_modes(spark, queries):
     assert sum(sd.values()) == sum(de.values()) == sum(so.values())
     assert so.get(4, 0) <= sd.get(4, 0) <= de.get(4, 0)
     assert sd != de and sd != so
+
+
+def test_r10_new_ops_no_unbounded_cartesian(spark, queries):
+    """Scale pins for every r10-new op: no CartesianProduct anywhere (the
+    deliberate crossJoins all carry broadcast domain-bounded frames — the
+    literal grid, the 6-family frame, the threshold grid, scalar totals),
+    and the heavy joins stay equi-joins."""
+    for name in (
+        "lsh_band_autotune",
+        "ann_ivf_nprobe_sweep",
+        "near_dup_threshold_sweep",
+        "window_funnel_strict_dedup",
+        "table_parts_report",
+    ):
+        df = queries[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_lsh_band_autotune_sig_join_is_equi(spark, queries):
+    """The per-family banded self-join must plan as a hash/merge EQUI
+    join on (b, r, k, sig) — a nested-loop there would be all-pairs."""
+    df = queries["lsh_band_autotune"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
