@@ -68,6 +68,7 @@ _NAMES = [
     ]),
     (_streaming_pipeline, [
         "table_parts_report",  # NEW: system.parts analog off the snapshot
+        "txlog_restore_version",  # NEW: RESTORE VERSION AS OF rollback
     ]),
     # -- 2. the r9 spill (position 51 last round, pytest-parity green,
     #    never driver-checked) --

@@ -2308,6 +2308,20 @@ FROM f
 ORACLE["hybrid_search_topk"] = _hybrid_search_sql()
 
 
+# RESTORE VERSION AS OF 2: after the rollback commit, the CURRENT read
+# must equal the one-shot A1 aggregation over only epochs 0-1.
+ORACLE["txlog_restore_version"] = f"""
+SELECT date_trunc('hour', ts) AS hour,
+       {_CAT} AS category,
+       count(*) AS order_count,
+       {_dsum('value')} AS total_revenue,
+       CAST(sum({_QTY}) AS BIGINT) AS total_quantity
+FROM events
+WHERE event_type = 'purchase' AND event_id % 4 IN (0, 1)
+GROUP BY 1, 2
+"""
+
+
 # Time travel: the AS-OF-version-2 read must equal the one-shot A1
 # aggregation over ONLY the first two appended epochs.
 ORACLE["txlog_time_travel"] = f"""

@@ -393,6 +393,37 @@ def vacuum(
     return deleted
 
 
+def restore_tx(
+    spark: SparkSession, table: str, version: int, max_attempts: int = 10
+) -> int:
+    """Delta's ``RESTORE TABLE ... VERSION AS OF``: publish a NEW commit
+    whose directory list (and stats/blooms) is version ``version``'s —
+    a metadata-only rollback that preserves history (the bad versions
+    stay readable for forensics until vacuumed; nothing is rewritten or
+    deleted).  Returns the new version number.
+
+    The restore commit carries the old manifest's ``last_merged_batch``
+    so idempotent-replay semantics resume exactly where the restored
+    snapshot's ingest left off — replaying a batch the BAD versions
+    merged re-applies it, which is the point of the rollback."""
+    old = read_commit(spark, table, version)
+    if old is None:
+        raise ValueError(f"version {version} does not exist in {table}")
+    for _ in range(max_attempts):
+        cur, _commit = snapshot(spark, table)
+        if try_commit(
+            spark,
+            table,
+            cur + 1,
+            old["dirs"],
+            old.get("last_merged_batch"),
+            old.get("stats", {}),
+            old.get("blooms", {}),
+        ):
+            return cur + 1
+    raise RuntimeError(f"restore_tx: gave up after {max_attempts} commit races")
+
+
 def merge_rollup_tx(
     spark: SparkSession,
     table: str,

@@ -839,6 +839,50 @@ def _build_txlog_append_table(spark: SparkSession, sf_dir: str) -> str:
     return _APPEND_TABLE_MEMO[key]
 
 
+def txlog_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``RESTORE TABLE ... VERSION AS OF`` end-to-end: build a FRESH
+    4-epoch append table (the shared builder's table must keep its
+    history for the time-travel query, so restore gets its own), roll it
+    back to version 2 via ``txlog.restore_tx`` — a metadata-only commit
+    pointing at version 2's directories; epochs 3-4 stay on disk as
+    history — and return the CURRENT-snapshot rollup after the restore.
+    The oracle is the A1 aggregate over only epochs 0-1's events, so the
+    row proves the rollback made the historical state current (and that
+    the restore commit, not a data rewrite, is what readers see).
+
+    Scale shape: restore cost is one manifest read + one O(1) commit —
+    independent of table size (the Delta RESTORE contract)."""
+    from ..storage import txlog
+
+    key = os.path.abspath(sf_dir)
+    if key not in _RESTORE_TABLE_MEMO:
+        events = load_table(spark, sf_dir, "events").persist()
+        try:
+            table = _fresh_rollup_dir("sales_by_category_hourly_restore")
+            for i in range(4):
+                chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                txlog.append_tx(
+                    spark, table, hourly_rollup_aggregate(chunk), batch_id=i
+                )
+            new_v = txlog.restore_tx(spark, table, 2)
+            if new_v != 5:
+                raise RuntimeError(f"restore must commit version 5, got {new_v}")
+            _RESTORE_TABLE_MEMO[key] = table
+        finally:
+            events.unpersist(blocking=False)
+    out = txlog.read_table(spark, _RESTORE_TABLE_MEMO[key])
+    if out is None:
+        raise RuntimeError("restored table unreadable")
+    return out.groupBy(*ROLLUP_KEYS).agg(
+        F.sum("order_count").alias("order_count"),
+        dsum("total_revenue").alias("total_revenue"),
+        F.sum("total_quantity").alias("total_quantity"),
+    )
+
+
+_RESTORE_TABLE_MEMO: dict[str, str] = {}
+
+
 def table_parts_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``system.parts`` — the ClickHouse introspection surface every
     MergeTree operator watches (part counts, rows, key ranges per part) —

@@ -171,3 +171,33 @@ def test_lsh_band_autotune_sig_join_is_equi(spark, queries):
     df = queries["lsh_band_autotune"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_restore_tx_preserves_history_and_batch_idempotency(spark):
+    """restore_tx: rollback is a NEW commit (history intact, old versions
+    readable), re-publishes the restored dirs verbatim, and resumes the
+    restored snapshot's last_merged_batch so a replay of a rolled-back
+    batch re-applies."""
+    import tempfile, uuid
+    from pyspark.sql import functions as F
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = f"{tempfile.gettempdir()}/spark_graft_restore_t/{uuid.uuid4().hex[:8]}"
+    for i in range(3):
+        df = spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), F.lit(i).alias("epoch")
+        )
+        assert txlog.append_tx(spark, table, df, batch_id=i)
+    v = txlog.restore_tx(spark, table, 2)
+    assert v == 4
+    cur = txlog.read_table(spark, table)
+    assert cur.count() == 20  # epochs 0-1 only
+    # history intact: the rolled-back version 3 still reads
+    assert txlog.read_table_at(spark, table, 3).count() == 30
+    # replaying batch 2 (rolled back) must RE-apply, not skip
+    df2 = spark.range(20, 30).select(F.col("id"), F.lit(2).alias("epoch"))
+    assert txlog.append_tx(spark, table, df2, batch_id=2)
+    assert txlog.read_table(spark, table).count() == 30
+    # replaying an epoch the restored snapshot DID merge still skips
+    df1 = spark.range(10, 20).select(F.col("id"), F.lit(1).alias("epoch"))
+    assert not txlog.append_tx(spark, table, df1, batch_id=1)
