@@ -90,3 +90,21 @@ def memo_get(
 
 def is_miss(value: Any) -> bool:
     return value is _MISS
+
+
+def scratch_persist(df, kind: str) -> str:
+    """Persist a derived DataFrame to a scratch parquet table and return
+    its path — the distributed sibling of the in-memory memo value: the
+    artifact stays on disk (never collected to the driver), and replays
+    are ordinary parquet scans.  A fingerprint eviction simply writes a
+    fresh dir; stale dirs live in tmpdir until the OS sweep."""
+    import tempfile
+    import uuid
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_memo",
+        f"{kind}-{uuid.uuid4().hex[:8]}",
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -230,22 +230,40 @@ def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFram
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline: banded signatures -> bucket join ->
-    exact-Jaccard verification (>= 0.5).  Output: (doc_a, doc_b, jaccard)."""
-    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
-    sig = _minhash_signatures(sh)
-    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    # cache(): the candidate pair set (tiny — LSH's whole job is keeping it
-    # small) feeds three downstream branches (the verify join and both sides
-    # of cand_docs); without it the bucket self-join re-executes per branch.
-    candidates = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .cache()
-    )
-    return _jaccard_verify_candidates(sh, candidates)
+    exact-Jaccard verification (>= 0.5).  Output: (doc_a, doc_b, jaccard).
+
+    The verified pair set is memoized to a scratch parquet table per
+    documents fingerprint (the ANN ground-truth discipline): SIX registry
+    queries consume these pairs (this one, clusters, pagerank, triangles,
+    the source matrix, keep-best/corpus-mix via the cluster labels), and
+    each re-derivation is a full shingle+LSH job.  The artifact stays
+    distributed — written and re-read as parquet, never collected — and
+    it is deterministic (exact Jaccard over md5-derived signatures), so
+    the replay is value-identical to the live derivation."""
+    from ._memo import memo_get, scratch_persist
+
+    def compute():
+        sh = _frequent_shingles_removed(
+            _doc_shingles(load_table(spark, sf_dir, "documents"))
+        )
+        sig = _minhash_signatures(sh)
+        a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        # cache(): the candidate pair set (tiny — LSH's whole job is
+        # keeping it small) feeds three downstream branches (the verify
+        # join and both sides of cand_docs); without it the bucket
+        # self-join re-executes per branch.
+        candidates = (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .cache()
+        )
+        return {"path": scratch_persist(_jaccard_verify_candidates(sh, candidates), "minhash_pairs")}
+
+    state = memo_get("minhash_verified_pairs", sf_dir, ("documents",), compute)
+    return spark.read.parquet(state["path"])
 
 
 #: Arriving-batch selector for the incremental-index proof: doc_id%5==0
