@@ -113,10 +113,31 @@ def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     return sh.join(broadcast_if_small(frequent), "shingle", "left_anti").cache()
 
 
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-capped (doc_id, shingle) kernel, memoized to a
+    scratch parquet table per documents fingerprint: EIGHT registry
+    queries start from this exact frame (near-dup pairs, minhash family,
+    contamination, novelty, s-curve, the threshold sweep, the LSH
+    tuner), and each re-derivation is a full explode + cap anti-join.
+    The artifact is deterministic (distinct word 3-grams under an
+    absolute df cap) and stays distributed — parquet out, parquet in,
+    never collected."""
+    from ._memo import memo_get, scratch_persist
+
+    def compute():
+        sh = _frequent_shingles_removed(
+            _doc_shingles(load_table(spark, sf_dir, "documents"))
+        )
+        return {"path": scratch_persist(sh, "capped_shingles")}
+
+    state = memo_get("capped_shingles", sf_dir, ("documents",), compute)
+    return spark.read.parquet(state["path"])
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 3-gram Jaccard >= 0.5 (shingle equi-join, no cross
     join)."""
-    sh = _frequent_shingles_removed(_doc_shingles(load_table(spark, sf_dir, "documents")))
+    sh = _capped_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -243,9 +264,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._memo import memo_get, scratch_persist
 
     def compute():
-        sh = _frequent_shingles_removed(
-            _doc_shingles(load_table(spark, sf_dir, "documents"))
-        )
+        sh = _capped_shingles(spark, sf_dir)
         sig = _minhash_signatures(sh)
         a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
@@ -296,7 +315,7 @@ def minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import _fresh_rollup_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    sh = _capped_shingles(spark, sf_dir)
     is_batch = F.col("doc_id") % INGEST_BATCH_MOD == 0
     indexed_sigs = _minhash_signatures(sh.filter(~is_batch))
     batch_sigs = _minhash_signatures(sh.filter(is_batch)).cache()
@@ -348,7 +367,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.pmod(stable_hash64(F.col("text")), F.lit(CONTAM_BENCH_MOD)) == 0
-    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    sh = _capped_shingles(spark, sf_dir)
     bench_ids = docs.filter(is_bench).select("doc_id")
     sig = _minhash_signatures(sh)
     # the proof's pseudo-benchmark is a 1/7 corpus slice, i.e.
@@ -840,9 +859,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingle key for document frequency, one join back on the same
     key (exchange reuse), one per-doc aggregate.  No pairwise anything —
     at 100 TB this costs two vocabulary-keyed shuffles."""
-    sh = _frequent_shingles_removed(
-        _doc_shingles(load_table(spark, sf_dir, "documents"))
-    )
+    sh = _capped_shingles(spark, sf_dir)
     df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     per_doc = (
         sh.join(df, "shingle")
@@ -881,9 +898,7 @@ def minhash_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: candidate-only work (the LSH discipline — never
     all-pairs); the k components ride the same one-shuffle groupBy as
     the signatures; the report is |k| rows."""
-    sh = _frequent_shingles_removed(
-        _doc_shingles(load_table(spark, sf_dir, "documents"))
-    )
+    sh = _capped_shingles(spark, sf_dir)
     minh = _minhash_columns(sh)
     sig = _minhash_signatures(sh)
     cand = (
@@ -1074,9 +1089,7 @@ def lsh_band_autotune(
     )
 
     # -- measured candidate yield per family on the corpus --
-    sh = _frequent_shingles_removed(
-        _doc_shingles(load_table(spark, sf_dir, "documents"))
-    )
+    sh = _capped_shingles(spark, sf_dir)
     minh = _minhash_columns(sh)
     mharr = F.array(*[F.col(f"mh_{i}").cast("string") for i in range(MINHASH_K)])
     ks = spark.range(0, MINHASH_K).select(F.col("id").cast("int").alias("k"))
@@ -1159,7 +1172,7 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds any shingle's pair contribution at cap^2), then |pairs| x 7
     bounded threshold rows — the sweep itself adds no corpus pass."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _frequent_shingles_removed(_doc_shingles(docs))
+    sh = _capped_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
