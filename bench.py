@@ -54,6 +54,9 @@ def tier_of(name: str) -> str:
             "aggregating_merge",
             "percentile_merge",
             "hourly_trend_from_rollup",
+            "ttl_move_tiering",
+            "table_parts_report",
+            "order_update_mutation",
         )
     ):
         return "storage_maintenance"

@@ -27,10 +27,24 @@ def test_jaccard_anti_join_broadcasts_frequent_set(spark, queries):
     # The dropped (frequent, df > cap) set is bounded at shingle_rows/cap
     # members and is the ONLY safe broadcast side; the kept rare set is
     # vocabulary-sized.  Pin: the df-cap is applied as a broadcast
-    # LeftAnti with the frequent set on the build side.
-    df = queries["ngram_jaccard_pairs"](spark, SF_DIR)
-    plan = formatted_plan(df)
-    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    # LeftAnti with the frequent set on the build side.  Since r10 the
+    # kernel is memoized to scratch parquet, so the pin targets the LIVE
+    # derivation (what the memo's compute() runs), and the consumer is
+    # separately pinned to replay a plain scan — no shingle re-derivation.
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        _doc_shingles,
+        _frequent_shingles_removed,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    kernel = _frequent_shingles_removed(
+        _doc_shingles(load_table(spark, SF_DIR, "documents"))
+    )
+    assert "BroadcastHashJoin LeftAnti BuildRight" in formatted_plan(kernel)
+    plan = formatted_plan(queries["ngram_jaccard_pairs"](spark, SF_DIR))
+    assert "LeftAnti" not in plan  # consumer replays the memoized scan
 
 
 def test_keyed_merge_rewrites_only_touched_buckets(spark, tmp_path):
