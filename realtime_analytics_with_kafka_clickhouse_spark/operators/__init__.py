@@ -53,6 +53,9 @@ _NAMES = [
         "distinct_agg_battery",  # r9 red row: portable oracle + floor avg
         "window_funnel_strict_dedup",  # NEW: 3rd CH funnel mode
     ]),
+    (windows, [
+        "rolling_median_daily_revenue",  # NEW: quantileExactLow/High window
+    ]),
     (similarity, [
         "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k
         "ann_ivf_nprobe_sweep",  # NEW: recall/cost sweep, chosen nprobe

@@ -325,3 +325,44 @@ def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving3_csv"),
         F.count("*").cast("long").alias("n_orders"),
     )
+
+
+def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling EXACT median of daily purchase revenue, in
+    ClickHouse's ``quantileExactLow`` / ``quantileExactHigh`` conventions
+    — the robust-center sibling of ``moving_avg_daily_revenue`` (a single
+    promo-day spike drags a mean for a week; the median card is what a
+    revenue dashboard wants under spiky traffic).
+
+    Exactness by construction: both medians are pure SELECTION from the
+    sorted window (low = element (n+1) div 2, high = element n div 2 + 1)
+    over exact-decimal daily sums — no interpolation, no float midpoint
+    (a (lo+hi)/2 midpoint would need cross-engine decimal-division scale
+    rules; the Low/High pair is what ClickHouse ships for exactly this
+    reason).  The DuckDB oracle reads the same conventions off
+    ``quantile_disc`` (low directly; high via the negation trick
+    ``-quantile_disc(-x, 0.5)`` — decimal negation is exact).
+
+    Scale shape: the window runs over the DAILY series — O(days) rows
+    regardless of corpus size (the module's unbounded-order exception) —
+    after one day-keyed exact-decimal aggregate of the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("warr", F.sort_array(F.collect_list("revenue").over(w)))
+        .withColumn("n_window", F.size("warr").cast("long"))
+        .withColumn(
+            "median_low",
+            F.expr("element_at(warr, CAST((n_window + 1) DIV 2 AS INT))"),
+        )
+        .withColumn(
+            "median_high",
+            F.expr("element_at(warr, CAST(n_window DIV 2 + 1 AS INT))"),
+        )
+        .select("day", "revenue", "n_window", "median_low", "median_high")
+    )

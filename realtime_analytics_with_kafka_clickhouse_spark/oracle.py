@@ -4144,6 +4144,21 @@ FROM lv GROUP BY 1
 """
 
 
+# Rolling exact median (quantileExactLow/High conventions): selection
+# only — quantile_disc directly for low, the negation trick for high.
+ORACLE["rolling_median_daily_revenue"] = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(25,6))) AS revenue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT day, revenue,
+       CAST(count(*) OVER w AS BIGINT) AS n_window,
+       quantile_disc(revenue, 0.5) OVER w AS median_low,
+       -(quantile_disc(-revenue, 0.5) OVER w) AS median_high
+FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 # Sweep-line max-overlap: +1/-1 deltas at DATE grain, per-region running
 # sum, first date attaining the per-region max.
 ORACLE["max_concurrent_intervals"] = """

@@ -201,3 +201,17 @@ def test_restore_tx_preserves_history_and_batch_idempotency(spark):
     # replaying an epoch the restored snapshot DID merge still skips
     df1 = spark.range(10, 20).select(F.col("id"), F.lit(1).alias("epoch"))
     assert not txlog.append_tx(spark, table, df1, batch_id=1)
+
+
+def test_rolling_median_low_high_bracket(spark, queries):
+    rows = sorted(
+        queries["rolling_median_daily_revenue"](spark, SF_DIR).collect(),
+        key=lambda x: x.day,
+    )
+    assert rows[0].n_window == 1 and rows[-1].n_window == 7
+    for x in rows:
+        assert x.median_low <= x.median_high
+        if x.n_window % 2 == 1:
+            assert x.median_low == x.median_high
+    # falsifiability: an even window where the two conventions differ
+    assert any(x.median_low < x.median_high for x in rows)
