@@ -56,6 +56,9 @@ _NAMES = [
     (windows, [
         "rolling_median_daily_revenue",  # NEW: quantileExactLow/High window
     ]),
+    (curation, [
+        "epoch_mixture_schedule",  # NEW: data-constrained epoch planning
+    ]),
     (similarity, [
         "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k
         "ann_ivf_nprobe_sweep",  # NEW: recall/cost sweep, chosen nprobe

@@ -603,3 +603,72 @@ def quality_linear_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mse_init",
         "mse_final",
     )
+
+
+# Token budget for the epoch schedule: train for 2x the corpus volume
+# (the "2 epochs-equivalent" planning point; any multiplier works, the
+# card's value is the per-source repeat spread under temperature mixing).
+EPOCH_BUDGET_MULT = 2
+
+
+def epoch_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training planning card (the datablations /
+    DoReMi-era question: "how many EPOCHS of each source does my mixture
+    imply?"): per source, its exact token volume, its temperature-0.5
+    mixture weight over TOKENS (sqrt upweights low-resource sources —
+    the ``temperature_mix_weights`` discipline, on token rather than doc
+    counts), the token allocation under a budget of EPOCH_BUDGET_MULT x
+    the corpus volume, and the implied repeat factor (epochs of that
+    source).  Low-resource sources repeat MORE under temperature
+    sampling — exactly the over-repetition the planning card exists to
+    surface before a run commits.
+
+    Exactness: token counts are exact integers; sqrt is correctly
+    rounded everywhere; the weight-sum rides the ordered-window
+    sequential accumulation (bit-identical across engines); allocation
+    uses the portable floor(x + 0.5) convention, the repeat factor the
+    floor(x*1e6+0.5)/1e6 chain, and epochs_ceil exact integer ceiling
+    division.  Shape: one source-keyed corpus aggregate, then windows
+    over the |sources| frame only."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    wf = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sqrt_n = F.sqrt(F.col("n_tokens").cast("double"))
+    staged = counts.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(wf).cast("long").alias("total_tokens"),
+        sqrt_n.alias("w_raw"),
+        F.sum(sqrt_n).over(wf).alias("w_total"),
+    )
+    weight = F.col("w_raw") / F.col("w_total")
+    budget = (F.col("total_tokens") * F.lit(EPOCH_BUDGET_MULT)).cast("long")
+    alloc = F.floor(weight * budget.cast("double") + F.lit(0.5)).cast("long")
+    staged = staged.select(
+        "source",
+        "n_tokens",
+        F.floor(weight * F.lit(1000000.0) + F.lit(0.5)).cast("double").alias("w6"),
+        alloc.alias("allocated_tokens"),
+    )
+    repeat = F.floor(
+        F.col("allocated_tokens").cast("double") / F.col("n_tokens").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    # exact integer ceiling division (a DOUBLE divide + cast truncates
+    # unpredictably at int64 magnitudes)
+    epochs_ceil = F.expr(
+        "CAST((allocated_tokens + n_tokens - 1) DIV n_tokens AS BIGINT)"
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        (F.col("w6") / F.lit(1000000.0)).alias("mix_weight"),
+        "allocated_tokens",
+        repeat.alias("repeat_factor"),
+        epochs_ceil.alias("epochs_ceil"),
+    )

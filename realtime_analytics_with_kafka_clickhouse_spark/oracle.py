@@ -5594,6 +5594,37 @@ CROSS JOIN tot
 """.format(shingles=_SHINGLES)
 
 
+# Epoch mixture schedule: temperature-0.5 weights on exact token
+# volumes, ordered-window sequential sums, floor-chain outputs, exact
+# integer ceiling division.
+ORACLE["epoch_mixture_schedule"] = """
+WITH c AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+s AS (
+  SELECT source, n_tokens,
+         CAST(sum(n_tokens) OVER wf AS BIGINT) AS total_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw,
+         sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER wf AS w_total
+  FROM c
+  WINDOW wf AS (ORDER BY source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+s2 AS (
+  SELECT source, n_tokens,
+         floor(w_raw / w_total * 1000000.0 + 0.5) AS w6,
+         CAST(floor(w_raw / w_total * CAST(total_tokens * 2 AS DOUBLE) + 0.5)
+              AS BIGINT) AS allocated_tokens
+  FROM s)
+SELECT source, n_tokens,
+       w6 / 1000000.0 AS mix_weight,
+       allocated_tokens,
+       floor(CAST(allocated_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS repeat_factor,
+       CAST((allocated_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs_ceil
+FROM s2
+"""
+
+
 # Deliberately the INDEPENDENT construction (brute 7-day range join +
 # COUNT DISTINCT) vs the Spark side's island sweep-line: two algorithms,
 # one exact-integer truth.

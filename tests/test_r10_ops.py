@@ -215,3 +215,22 @@ def test_rolling_median_low_high_bracket(spark, queries):
             assert x.median_low == x.median_high
     # falsifiability: an even window where the two conventions differ
     assert any(x.median_low < x.median_high for x in rows)
+
+
+def test_epoch_mixture_schedule_invariants(spark, queries):
+    rows = queries["epoch_mixture_schedule"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # one per source
+    # allocations track the 2x budget (floor rounding leaves < 1 token
+    # per source of drift)
+    total = sum(x.n_tokens for x in rows)
+    assert abs(sum(x.allocated_tokens for x in rows) - 2 * total) <= len(rows)
+    # temperature < 1 upweights low-resource sources: the smallest source
+    # repeats at least as much as the largest
+    lo = min(rows, key=lambda x: x.n_tokens)
+    hi = max(rows, key=lambda x: x.n_tokens)
+    assert lo.repeat_factor >= hi.repeat_factor
+    # falsifiability: the spread is real on the fixture
+    assert lo.repeat_factor > hi.repeat_factor
+    for x in rows:
+        assert x.epochs_ceil >= 1
+        assert abs(x.repeat_factor - x.allocated_tokens / x.n_tokens) < 5e-7
