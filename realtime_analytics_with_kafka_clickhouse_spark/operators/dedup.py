@@ -392,7 +392,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     doc_sets = (
-        sh.join(F.broadcast(cand_docs), "doc_id")
+        sh.join(broadcast_if_small(cand_docs), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
     )
@@ -408,7 +408,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     pairs = (
-        F.broadcast(candidates)
+        broadcast_if_small(candidates)
         .join(sa, "corpus_id")
         .join(sb, "bench_id")
         .select(

@@ -244,10 +244,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
-    with_a = F.broadcast(pairs).join(va, "vec_a")
+    # LSH pairs scale with duplication density, not a domain: size-gated
+    with_a = broadcast_if_small(pairs).join(va, "vec_a")
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        F.broadcast(with_a)
+        broadcast_if_small(with_a)
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
@@ -1818,7 +1819,8 @@ def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist.join(
             emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
-        .join(F.broadcast(queries), "qid")
+        # the query batch is corpus-derived (1/PQ_QUERY_MOD): size-gated
+        .join(broadcast_if_small(queries), "qid")
         .select("qid", "neighbor_id", dist.alias("l2_dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
@@ -1917,7 +1919,7 @@ def _exact_l2_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").asc(), F.col("neighbor_id").asc()
         )
         rows = (
-            emb.crossJoin(F.broadcast(queries))
+            emb.crossJoin(broadcast_if_small(queries))
             .filter(F.col("vec_id") != F.col("qid"))
             .select(
                 F.col("qid"), F.col("vec_id").alias("neighbor_id"), dist.alias("dist")
@@ -2135,7 +2137,8 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )
     return (
-        codes.crossJoin(F.broadcast(q))
+        # query code batch is corpus-derived (1/PQ_QUERY_MOD): size-gated
+        codes.crossJoin(broadcast_if_small(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             F.col("qid"),
@@ -2185,7 +2188,7 @@ def ann_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").asc(), F.col("neighbor_id").asc()
     )
     short = (
-        codes.crossJoin(F.broadcast(q))
+        codes.crossJoin(broadcast_if_small(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             F.col("qid"),
