@@ -37,11 +37,14 @@ from ..streaming import pipeline as _streaming_pipeline
 # r10 pass: the r9 gate went 49/50 — the one red row
 # (distinct_agg_battery, hash-only, bit-identical locally) leads the
 # gate with its rewritten engine-version-proof oracle, followed by the
-# hard_negative_mining partial-top-k rewrite, the new lsh_band_autotune,
-# and two size-gated-broadcast kernel representatives.  Then the r9
-# spill (power_user_curve), then the r4-evidence remainder — the
-# stalest driver rows in the ledger — fills the gate to exactly 50;
-# its tail past the boundary leads the r11 gate.
+# other r10-changed entries (hard_negative_mining partial-top-k
+# rewrite) and the NINE r10-new operators, plus two representatives of
+# the size-gated-broadcast classes (values verified bit-identical at 3
+# SFs).  Then the r9 spill (power_user_curve), then the r4-evidence
+# remainder — the stalest driver rows — fills the gate to 50.  The r10
+# additions push ~10 r4 entries past the boundary
+# (customer_name_features .. embedding_quantize_int8): those lead the
+# r11 gate, followed by the r7/r5/r6 sections per staleness.
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r10): the one r9-red row (oracle
     #    rewritten: explicit-dedup subquery, floor-chain avg), the
@@ -52,6 +55,7 @@ _NAMES = [
     (timeseries, [
         "distinct_agg_battery",  # r9 red row: portable oracle + floor avg
         "window_funnel_strict_dedup",  # NEW: 3rd CH funnel mode
+        "sequence_match_gap_battery",  # NEW: time-constrained seq match
     ]),
     (windows, [
         "rolling_median_daily_revenue",  # NEW: quantileExactLow/High window

@@ -1798,6 +1798,70 @@ def window_funnel_strict_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gap grid for the time-constrained sequence-match battery: 5 minutes,
+#: 1 hour, 6 hours, 1 day — the activation-latency thresholds a product
+#: funnel is tuned against.
+SEQ_GAP_GRID = (300, 3600, 21600, 86400)
+
+
+def sequence_match_gap_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatch('(?1)(?t<=G)(?2)')`` over a gap grid — ClickHouse's
+    TIME-CONSTRAINED sequence match (the funnel family's missing
+    condition type: not just "signup then view" but "view within G of a
+    signup"), evaluated per user for G in SEQ_GAP_GRID and reported as
+    match counts + corpus fraction per threshold.
+
+    Key identity: the exists-check "ANY view within G after ANY signup"
+    equals "the FIRST view after some signup is within G" (the first
+    following view minimizes the gap), so one reversed running-min
+    window — next_view_ts per signup row — answers every threshold at
+    once; the grid is then a broadcast literal cross join over the
+    bounded (signup rows) frame.  All comparisons are integer
+    epoch-micros; the fraction rides the floor(x*1e6+0.5)/1e6 chain.
+
+    Scale shape: one user-keyed window over the two-type slice
+    (sessionization bound), then |signups| x 4 bounded grid rows — no
+    per-threshold rescan.  Counts vary 0..all across the grid at every
+    SF (falsifiability pinned in pytest)."""
+    ev = load_table(spark, sf_dir, "events")
+    sv = ev.filter(F.col("event_type").isin("signup", "view")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    nv = F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    gaps = (
+        sv.withColumn("nv", nv)
+        .filter((F.col("event_type") == "signup") & F.col("nv").isNotNull())
+        .select("user_id", (F.col("nv") - F.col("t")).alias("gap_us"))
+    )
+    grid = spark.createDataFrame(
+        [(int(g),) for g in SEQ_GAP_GRID], "gap_s long"
+    )
+    matched = (
+        gaps.crossJoin(F.broadcast(grid))
+        .filter(F.col("gap_us") <= F.col("gap_s") * F.lit(1000000).cast("long"))
+        .groupBy("gap_s")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    total = ev.agg(F.countDistinct("user_id").cast("long").alias("n_total"))
+    frac = F.floor(
+        F.col("n_users").cast("double") / F.col("n_total").cast("double")
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return (
+        grid.join(matched, "gap_s", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("long"))
+        .select("gap_s", "n_users", frac.alias("user_frac"))
+    )
+
+
 # Sweep-line activity horizon: an order is "active" for this many days.
 ACTIVE_DAYS = 30
 

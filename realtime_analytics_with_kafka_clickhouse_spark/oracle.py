@@ -4159,6 +4159,35 @@ FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+# Time-constrained sequenceMatch: first-following-view identity makes
+# one reversed running-min window answer the whole gap grid.
+ORACLE["sequence_match_gap_battery"] = """
+WITH f AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type AS et
+  FROM events WHERE event_type IN ('signup', 'view')),
+nx AS (
+  SELECT user_id, t, et,
+         min(CASE WHEN et = 'view' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM f),
+gaps AS (
+  SELECT user_id, nv - t AS gap_us FROM nx
+  WHERE et = 'signup' AND nv IS NOT NULL),
+g AS (SELECT CAST(unnest([300, 3600, 21600, 86400]) AS BIGINT) AS gap_s),
+matched AS (
+  SELECT gap_s, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM gaps CROSS JOIN g
+  WHERE gap_us <= gap_s * CAST(1000000 AS BIGINT)
+  GROUP BY 1),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM events)
+SELECT g.gap_s, COALESCE(m.n_users, 0) AS n_users,
+       floor(CAST(COALESCE(m.n_users, 0) AS DOUBLE) / CAST(n_total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS user_frac
+FROM g LEFT JOIN matched m ON g.gap_s = m.gap_s CROSS JOIN tot
+"""
+
+
 # Sweep-line max-overlap: +1/-1 deltas at DATE grain, per-region running
 # sum, first date attaining the per-region max.
 ORACLE["max_concurrent_intervals"] = """

@@ -234,3 +234,17 @@ def test_epoch_mixture_schedule_invariants(spark, queries):
     for x in rows:
         assert x.epochs_ceil >= 1
         assert abs(x.repeat_factor - x.allocated_tokens / x.n_tokens) < 5e-7
+
+
+def test_sequence_match_gap_battery_monotone(spark, queries):
+    rows = sorted(
+        queries["sequence_match_gap_battery"](spark, SF_DIR).collect(),
+        key=lambda x: x.gap_s,
+    )
+    assert [x.gap_s for x in rows] == [300, 3600, 21600, 86400]
+    # wider windows can only match more users; the fixture must span the
+    # grid (falsifiability: strictly more at 1 day than at 5 minutes)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_users <= hi.n_users
+    assert rows[0].n_users < rows[-1].n_users
+    assert all(0.0 <= x.user_frac <= 1.0 for x in rows)
