@@ -63,6 +63,9 @@ _NAMES = [
     (curation, [
         "epoch_mixture_schedule",  # NEW: data-constrained epoch planning
     ]),
+    (multimodal, [
+        "media_shard_packing",  # NEW: byte-budget WebDataset shard card
+    ]),
     (similarity, [
         "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k
         "ann_ivf_nprobe_sweep",  # NEW: recall/cost sweep, chosen nprobe

@@ -569,3 +569,81 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reclaimable_bytes"
         ),
     )
+
+
+#: Byte budget per media shard (the WebDataset tar-shard planning size,
+#: scaled to the fixture: ~10 shards at sf0.01, ~90 at sf0.1).
+MEDIA_SHARD_BYTES = 16384
+_MSP_DOCS_PER_PART = 250_000
+_MSP_MAX_PARTS = 2048
+
+
+def media_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style media shard planning: pack the multimodal table
+    (in doc_id order) into ~MEDIA_SHARD_BYTES shards by BINARY PAYLOAD
+    size — the bytes-budget sibling of ``curation.pack_training_shards``
+    (token budgets pack text for tokenizer throughput; media shards pack
+    by bytes for IO and tar-archive balance) — and return the per-shard
+    card: item count, total bytes, image/audio mix, and fill fraction
+    (the tail shard underfills — falsifiable).
+
+    Scale shape: the same distributed prefix sum as the token packer
+    (explicit integer bucketing off one min/max/count aggregate,
+    per-bucket totals, one bounded exclusive-prefix window, size-gated
+    broadcast back) — the corpus never serializes through one window —
+    then one shard-keyed aggregate.  Binary content itself never rides
+    a shuffle: only octet lengths do."""
+    from ..functions.hints import broadcast_if_small
+
+    m = media_table(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length(F.col("content")).cast("long").alias("n_bytes"),
+        (F.col("media.format") != "wav").alias("is_image"),
+    )
+    lo, hi, n = m.agg(F.min("doc_id"), F.max("doc_id"), F.count("*")).collect()[0]
+    n_parts = min(_MSP_MAX_PARTS, max(1, int(n) // _MSP_DOCS_PER_PART + 1))
+    bucket_width = (int(hi) - int(lo)) // n_parts + 1
+    base = m.withColumn("pid", F.expr(f"(doc_id - {int(lo)}) DIV {bucket_width}"))
+    per_part = base.groupBy("pid").agg(F.sum("n_bytes").alias("part_bytes"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_part.select(
+        "pid", F.coalesce(F.sum("part_bytes").over(off_w), F.lit(0)).alias("offset")
+    )
+    cum_w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (F.sum("n_bytes").over(cum_w) + F.col("offset")).alias("cum_bytes")
+    packed = (
+        base.join(broadcast_if_small(offsets), "pid")
+        .select("doc_id", "n_bytes", "is_image", cum)
+        .withColumn(
+            "shard_id",
+            F.expr(f"(cum_bytes - n_bytes) DIV {MEDIA_SHARD_BYTES}"),
+        )
+    )
+    fill = F.floor(
+        F.col("total_bytes").cast("double") / F.lit(float(MEDIA_SHARD_BYTES))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("is_image"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_image"),
+            F.sum(F.when(F.col("is_image"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_audio"),
+        )
+        .select(
+            "shard_id",
+            "n_items",
+            "total_bytes",
+            "n_image",
+            "n_audio",
+            fill.alias("fill_frac"),
+        )
+    )

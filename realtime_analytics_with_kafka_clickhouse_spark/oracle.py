@@ -5654,6 +5654,32 @@ FROM s2
 """
 
 
+# Media shard packing: byte-budget prefix-sum sharding over the
+# multimodal layout; per-shard card in exact integers + floor-chain fill.
+ORACLE["media_shard_packing"] = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         (['png','jpeg','wav'])[CAST(doc_id % 3 AS INT) + 1] <> 'wav' AS is_image
+  FROM documents),
+c AS (
+  SELECT doc_id, n_bytes, is_image,
+         sum(n_bytes) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bytes
+  FROM m),
+p AS (SELECT *, (cum_bytes - n_bytes) // 16384 AS shard_id FROM c)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN is_image THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+       CAST(sum(CASE WHEN is_image THEN 0 ELSE 1 END) AS BIGINT) AS n_audio,
+       floor(CAST(sum(n_bytes) AS DOUBLE) / 16384.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS fill_frac
+FROM p GROUP BY 1
+"""
+
+
 # Deliberately the INDEPENDENT construction (brute 7-day range join +
 # COUNT DISTINCT) vs the Spark side's island sweep-line: two algorithms,
 # one exact-integer truth.

@@ -248,3 +248,29 @@ def test_sequence_match_gap_battery_monotone(spark, queries):
         assert lo.n_users <= hi.n_users
     assert rows[0].n_users < rows[-1].n_users
     assert all(0.0 <= x.user_frac <= 1.0 for x in rows)
+
+
+def test_media_shard_packing_conserves_bytes(spark, queries):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.multimodal import (
+        MEDIA_SHARD_BYTES,
+        media_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        queries["media_shard_packing"](spark, SF_DIR).collect(),
+        key=lambda x: x.shard_id,
+    )
+    assert len(rows) > 1  # the budget actually splits the fixture
+    m = media_table(spark, SF_DIR)
+    exp = m.agg(
+        F.sum(F.octet_length("content")), F.count("*")
+    ).collect()[0]
+    assert sum(x.total_bytes for x in rows) == exp[0]
+    assert sum(x.n_items for x in rows) == exp[1]
+    for x in rows:
+        assert x.n_image + x.n_audio == x.n_items
+    # every shard except possibly the last is filled past the budget's
+    # last item boundary; the tail underfills (falsifiable fill curve)
+    assert rows[-1].fill_frac <= 1.0 or rows[-1].total_bytes >= MEDIA_SHARD_BYTES
+    assert any(x.fill_frac != rows[0].fill_frac for x in rows)
