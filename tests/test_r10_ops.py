@@ -274,3 +274,54 @@ def test_media_shard_packing_conserves_bytes(spark, queries):
     # last item boundary; the tail underfills (falsifiable fill curve)
     assert rows[-1].fill_frac <= 1.0 or rows[-1].total_bytes >= MEDIA_SHARD_BYTES
     assert any(x.fill_frac != rows[0].fill_frac for x in rows)
+
+
+def test_broadcast_if_small_empty_frame(spark):
+    """An empty dim is trivially under any limit: hinted, and the join
+    result is simply empty — no probe crash, no planner surprise."""
+    left = spark.range(0, 100).withColumnRenamed("id", "k")
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    gated = broadcast_if_small(empty, limit_rows=10)
+    assert left.join(gated, "k").count() == 0
+
+
+def test_restore_tx_rejects_missing_version(spark):
+    import tempfile, uuid
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    table = f"{tempfile.gettempdir()}/spark_graft_restore_t/{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 5).select(F.col("id"), F.lit(0).alias("epoch"))
+    assert txlog.append_tx(spark, table, df, batch_id=0)
+    with _pytest.raises(ValueError):
+        txlog.restore_tx(spark, table, 7)
+
+
+def test_move_partitions_to_volume_idempotent(spark):
+    """A second tiering pass over an already-tiered hot volume finds no
+    expired partitions left — the move is naturally idempotent, and the
+    union of volumes still conserves every row."""
+    import tempfile, uuid
+    from pyspark.sql import functions as F
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+    from realtime_analytics_with_kafka_clickhouse_spark.storage.layout import (
+        move_partitions_to_volume,
+        write_orders_table,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_timestamp"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    root = f"{tempfile.gettempdir()}/spark_graft_tier_t/{uuid.uuid4().hex[:8]}"
+    hot, cold = f"{root}/hot", f"{root}/cold"
+    write_orders_table(orders, hot)
+    n_total = orders.count()
+    moved = move_partitions_to_volume(spark, hot, cold, "1999-01-01 00:00:00")
+    assert moved
+    assert move_partitions_to_volume(spark, hot, cold, "1999-01-01 00:00:00") == []
+    n_after = spark.read.parquet(hot).count() + spark.read.parquet(cold).count()
+    assert n_after == n_total
