@@ -92,12 +92,18 @@ def is_miss(value: Any) -> bool:
     return value is _MISS
 
 
+_SCRATCH_PATHS: dict[str, str] = {}  # kind -> latest persisted dir
+
+
 def scratch_persist(df, kind: str) -> str:
     """Persist a derived DataFrame to a scratch parquet table and return
     its path — the distributed sibling of the in-memory memo value: the
     artifact stays on disk (never collected to the driver), and replays
-    are ordinary parquet scans.  A fingerprint eviction simply writes a
-    fresh dir; stale dirs live in tmpdir until the OS sweep."""
+    are ordinary parquet scans.  One dir per kind: a fingerprint eviction
+    writes a fresh dir and best-effort deletes the kind's previous one
+    (safe — eviction only happens when the INPUT dataset changed, so any
+    frame still reading the old dir was already serving stale data)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -107,4 +113,8 @@ def scratch_persist(df, kind: str) -> str:
         f"{kind}-{uuid.uuid4().hex[:8]}",
     )
     df.write.mode("overwrite").parquet(path)
+    prev = _SCRATCH_PATHS.get(kind)
+    if prev and prev != path:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SCRATCH_PATHS[kind] = path
     return path

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hints import broadcast_if_small
+from ..functions.hints import broadcast_if_small, runtime_broadcast
 from ..sources.tables import load_table
 
 # Shingle width for near-dup detection.
@@ -96,11 +96,13 @@ def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     # left_anti against the FREQUENT set — the side that is small RELATIVE
     # to the corpus (<= total_shingle_rows / cap members, each needing
     # > cap occurrences) but still corpus-growing, so the broadcast is
-    # size-GATED (broadcast_if_small), not promised: above the row limit
-    # the anti-join degrades to a shuffle join instead of OOMing an
-    # executor.  The kept (rare) side is vocabulary-sized — nearly every
-    # distinct shingle — and must never be the broadcast side (the
-    # boilerplate_spans operator uses the same inverted shape).
+    # size-GATED; and the frame sits above an aggregate barrier, so the
+    # gate is AQE's runtime SMJ->broadcast conversion (runtime_broadcast
+    # — a limit-probe here would re-run the whole explode+agg once per
+    # call).  Above AQE's byte threshold the anti-join stays a shuffle
+    # join instead of OOMing an executor.  The kept (rare) side is
+    # vocabulary-sized — nearly every distinct shingle — and must never
+    # be the broadcast side (boilerplate_spans uses the inverted shape).
     frequent = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -110,7 +112,7 @@ def _frequent_shingles_removed(sh: DataFrame) -> DataFrame:
     # cache(): the shingle set feeds 3+ downstream branches (sizes,
     # intersection join both sides, minhash) — without it Spark re-derives
     # the explode per branch.
-    return sh.join(broadcast_if_small(frequent), "shingle", "left_anti").cache()
+    return sh.join(runtime_broadcast(frequent), "shingle", "left_anti").cache()
 
 
 def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,7 +130,14 @@ def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = _frequent_shingles_removed(
             _doc_shingles(load_table(spark, sf_dir, "documents"))
         )
-        return {"path": scratch_persist(sh, "capped_shingles")}
+        try:
+            return {"path": scratch_persist(sh, "capped_shingles")}
+        finally:
+            # the cache existed to fan the kernel into its 3+ consumer
+            # branches during ONE derivation; after the parquet write all
+            # consumers read the scratch table, so holding the cached RDD
+            # would just pin executor memory for the rest of the session
+            sh.unpersist()
 
     state = memo_get("capped_shingles", sf_dir, ("documents",), compute)
     return spark.read.parquet(state["path"])
@@ -216,17 +225,20 @@ def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFram
     the brute-force ngram_jaccard_pairs path does.  ``candidates`` must
     be cached (it feeds three branches) and is small by LSH design —
     but its size scales with corpus duplication density, not with a
-    domain, so the broadcasts are size-GATED (broadcast_if_small): under
-    the limit the doc-id semi-join and the pair joins get the hint (the
-    static planner sees no stats for a cached set and would fall back to
-    sort-merge); above it they degrade to shuffle joins."""
+    domain, so the broadcasts are size-GATED — via AQE's runtime
+    SMJ->broadcast conversion (``runtime_broadcast``): the candidate set
+    sits above the LSH self-join barrier, so a limit-probe would
+    re-execute that join once per gated call (the r10 bench measured
+    2.1x on ``embedding_near_dup`` from exactly that); AQE instead reads
+    the ACTUAL post-shuffle byte size and converts for free, and above
+    its threshold the joins stay sort-merge instead of OOMing."""
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     doc_sets = (
-        sh.join(broadcast_if_small(cand_docs), "doc_id")
+        sh.join(runtime_broadcast(cand_docs), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
     )
@@ -238,7 +250,7 @@ def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFram
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     return (
-        broadcast_if_small(candidates).join(sa, "doc_a")
+        runtime_broadcast(candidates).join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
@@ -381,7 +393,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"), "band", "sig"
     )
     candidates = (
-        corpus_sig.join(broadcast_if_small(bench_sig), ["band", "sig"])
+        corpus_sig.join(runtime_broadcast(bench_sig), ["band", "sig"])
         .select("corpus_id", "bench_id")
         .distinct()
         .cache()
@@ -392,7 +404,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     doc_sets = (
-        sh.join(broadcast_if_small(cand_docs), "doc_id")
+        sh.join(runtime_broadcast(cand_docs), "doc_id")
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"), F.count("*").alias("n"))
     )
@@ -408,7 +420,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb"))).cast("long")
     pairs = (
-        broadcast_if_small(candidates)
+        runtime_broadcast(candidates)
         .join(sa, "corpus_id")
         .join(sb, "bench_id")
         .select(

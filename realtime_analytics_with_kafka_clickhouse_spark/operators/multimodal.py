@@ -593,7 +593,6 @@ def media_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back) — the corpus never serializes through one window —
     then one shard-keyed aggregate.  Binary content itself never rides
     a shuffle: only octet lengths do."""
-    from ..functions.hints import broadcast_if_small
 
     m = media_table(spark, sf_dir).select(
         "doc_id",
@@ -614,7 +613,8 @@ def media_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = (F.sum("n_bytes").over(cum_w) + F.col("offset")).alias("cum_bytes")
     packed = (
-        base.join(broadcast_if_small(offsets), "pid")
+        # offsets is CONSTANT-bounded (<= _MSP_MAX_PARTS rows): promise-safe
+        base.join(F.broadcast(offsets), "pid")
         .select("doc_id", "n_bytes", "is_image", cum)
         .withColumn(
             "shard_id",

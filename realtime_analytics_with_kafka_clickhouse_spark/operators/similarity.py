@@ -28,7 +28,11 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hints import broadcast_if_small
+from ..functions.hints import (
+    broadcast_if_small,
+    collect_request_sized,
+    runtime_broadcast,
+)
 from ..sources.tables import load_table
 
 DIM = 64
@@ -244,11 +248,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "sig").filter(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
     va = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
     vb = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
-    # LSH pairs scale with duplication density, not a domain: size-gated
-    with_a = broadcast_if_small(pairs).join(va, "vec_a")
+    # LSH pairs scale with duplication density, not a domain, and sit
+    # above the bucket self-join barrier: a limit-probe would re-execute
+    # that join once per gated call (the r10 2.1x regression), so the
+    # size gate is AQE's runtime SMJ->broadcast conversion
+    with_a = runtime_broadcast(pairs).join(va, "vec_a")
     cos = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        broadcast_if_small(with_a)
+        runtime_broadcast(with_a)
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
     )
@@ -895,9 +902,13 @@ def ann_query_broadcast_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = sorted(
-        emb.filter(F.col("label") == 0).select("vec_id", "embedding").collect(),
+        collect_request_sized(
+            emb.filter(F.col("label") == 0).select("vec_id", "embedding"),
+            what="ann_query_broadcast_topk query batch",
+        ),
         key=lambda r: r["vec_id"],
-    )  # request-sized by premise — the ONLY driver materialization
+    )  # request-size premise ENFORCED (raises above the cap) — the ONLY
+    #    driver materialization in this operator
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -2023,9 +2034,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = emb.join(broadcast_if_small(src), "vec_id")
     a_rows = sorted(
-        cand.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0).collect(),
+        collect_request_sized(
+            cand.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0),
+            what="hard_negative_mining anchor batch",
+        ),
         key=lambda r: r["vec_id"],
-    )  # anchor batch is request-sized by premise (1/PQ_QUERY_MOD sample)
+    )  # anchor request-size premise ENFORCED (raises above the cap)
     q_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
     q_mat = np.array([list(r["embedding"]) for r in a_rows], dtype=np.float64)
     q_src = np.array([r["source"] for r in a_rows], dtype=object)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
-from ..functions.hints import broadcast_if_small
+from ..functions.hints import runtime_broadcast
 from ..sources.tables import load_table
 
 _FP_MOD = 1_000_000_007
@@ -425,8 +425,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = exploded.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
     return (
-        # the pseudo-benchmark gram set is a corpus slice: size-gated
-        train.join(broadcast_if_small(bench), "gram")
+        # the pseudo-benchmark gram set is a corpus slice AND sits above
+        # a distinct barrier (a limit-probe would re-run the explode), so
+        # the size gate is AQE's runtime SMJ->broadcast conversion
+        train.join(runtime_broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared_grams"))
     )

@@ -1468,21 +1468,34 @@ def distinct_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark plans distinct aggregates with a map-side-deduped expand: the
     shuffle carries |distinct (type, value)| rows, never the corpus; the
-    distinct sum rides the exact decimal domain and avgDistinct is ONE
-    mirrored division routed through the portable floor(x*1e6+0.5)/1e6
-    chain (r9 gate red: the raw division hash-diverged on the driver's
-    DuckDB build even though it was bit-identical locally — the floor
-    chain is pure correctly-rounded IEEE ops, engine-version-proof, the
-    same convention as every other green ratio column)."""
+    distinct sum rides the exact decimal domain and avgDistinct is
+    emitted as EXACT INTEGER MICROS — ``avg_micros = (2*S6 + n) div
+    (2*n)`` over ``S6 = sum_distinct(value_micros)`` (round-half-up of
+    S6/n in pure int64 arithmetic).  Two prior gate rounds proved that
+    ANY engine-evaluated double on this row's output (the raw division
+    in r9, the decimal->double cast feeding a floor chain in r10) can
+    split across DuckDB builds while being bit-identical locally; exact
+    integer division is bit-equal in every engine, every version (the
+    SURVEY §5 class-4 oracle-portability rule)."""
     ev = load_table(spark, sf_dir, "events")
-    dsumd = F.sum_distinct(F.col("value").cast("decimal(25,6)"))
-    avg = dsumd.cast("double") / F.countDistinct("value").cast("double")
-    avg6 = F.floor(avg * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    return ev.groupBy("event_type").agg(
+    vdec = F.col("value").cast("decimal(25,6)")
+    # decimal(25,6) * 1e6 has an exactly-zero fractional part, so the
+    # long cast is exact — micros are a bijective integer rendering.
+    micros = (vdec * F.lit(1000000)).cast("long")
+    agg = ev.groupBy("event_type").agg(
         F.countDistinct("value").cast("long").alias("n_distinct_values"),
-        dsumd.alias("sum_distinct_value"),
-        avg6.alias("avg_distinct_value"),
+        F.sum_distinct(vdec).alias("sum_distinct_value"),
+        F.sum_distinct(micros).cast("long").alias("_s6"),
         F.count("*").cast("long").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_distinct_values",
+        "sum_distinct_value",
+        F.expr("(2 * _s6 + n_distinct_values) div (2 * n_distinct_values)")
+        .cast("long")
+        .alias("avg_micros"),
+        "n_events",
     )
 
 

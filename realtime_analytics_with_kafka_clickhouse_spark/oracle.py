@@ -4145,17 +4145,27 @@ FROM lv GROUP BY 1
 
 
 # Rolling exact median (quantileExactLow/High conventions): selection
-# only — quantile_disc directly for low, the negation trick for high.
+# only, via the SAME explicit order statistic the engine computes —
+# list_sort of the windowed list indexed at (n+1)//2 and n//2+1.  The
+# r10 gate proved quantile_disc's discrete-index convention drifts
+# across DuckDB builds (bit-exact under local 1.0.0, red in the driver
+# env); explicit sorted-list selection over exact decimals has no
+# engine-owned convention left to drift (SURVEY §5 portability class 4).
 ORACLE["rolling_median_daily_revenue"] = """
 WITH d AS (
   SELECT CAST(ts AS DATE) AS day,
          sum(CAST(value AS DECIMAL(25,6))) AS revenue
-  FROM events WHERE event_type = 'purchase' GROUP BY 1)
-SELECT day, revenue,
-       CAST(count(*) OVER w AS BIGINT) AS n_window,
-       quantile_disc(revenue, 0.5) OVER w AS median_low,
-       -(quantile_disc(-revenue, 0.5) OVER w) AS median_high
-FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+w AS (
+  SELECT day, revenue,
+         CAST(count(*) OVER win AS BIGINT) AS n_window,
+         list_sort(list(revenue) OVER win) AS warr
+  FROM d
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT day, revenue, n_window,
+       warr[CAST((n_window + 1) // 2 AS BIGINT)] AS median_low,
+       warr[CAST(n_window // 2 + 1 AS BIGINT)] AS median_high
+FROM w
 """
 
 
@@ -4702,8 +4712,13 @@ FROM events GROUP BY 1
 # driver gate hash-diverged on a sum(DISTINCT CAST .. DECIMAL) aggregate
 # that was bit-identical under local DuckDB — so no DISTINCT-modified
 # aggregate remains for an engine build to diverge on (plain sum/count
-# over a SELECT DISTINCT frame + a separately-grouped total), and the
-# avg rides the portable floor(x*1e6+0.5)/1e6 chain.
+# over a SELECT DISTINCT frame + a separately-grouped total).  The avg
+# is EXACT INTEGER MICROS, (2*S6 + n) // (2*n) with S6 = sum of the
+# bijective integer micros rendering — r10 proved the decimal->double
+# cast feeding a floor chain still splits across DuckDB builds (two
+# roundings vs Spark's single correctly-rounded BigDecimal conversion);
+# integer division of exact integers is bit-equal in any engine build
+# (SURVEY §5 oracle-portability class 4).
 ORACLE["distinct_agg_battery"] = """
 WITH dv AS (
   SELECT DISTINCT event_type, CAST(value AS DECIMAL(25,6)) AS v
@@ -4711,15 +4726,15 @@ WITH dv AS (
 agg AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_distinct_values,
-         sum(v) AS sum_distinct_value
+         sum(v) AS sum_distinct_value,
+         CAST(sum(CAST(v * 1000000 AS BIGINT)) AS BIGINT) AS s6
   FROM dv GROUP BY 1),
 tot AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1)
 SELECT agg.event_type, n_distinct_values, sum_distinct_value,
-       floor(CAST(sum_distinct_value AS DOUBLE)
-             / CAST(n_distinct_values AS DOUBLE) * 1000000.0 + 0.5)
-         / 1000000.0 AS avg_distinct_value,
+       CAST((2 * s6 + n_distinct_values)
+            // (2 * n_distinct_values) AS BIGINT) AS avg_micros,
        n_events
 FROM agg JOIN tot ON agg.event_type = tot.event_type
 """
