@@ -652,12 +652,11 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to counts -> per-doc mean.  The bigram count table is vocab^2-
     bounded (NOT broadcastable at 100 TB), so the join is an honest
     shuffle on the bigram key — exactly how distributed n-gram LM scoring
-    runs; AQE handles the head-word skew.  The mean uses the decimal-sum
-    convention (exact integer counts, one ordered float divide), so the
-    oracle matches bit-for-bit.  Docs with < 2 tokens have no bigrams and
+    runs; AQE handles the head-word skew.  The mean sums exact INTEGER
+    counts (bigint->double is exact below 2^53 — no decimal->double
+    conversion for an engine build to drift on, SURVEY §5 class 4) and
+    divides once, mirrored.  Docs with < 2 tokens have no bigrams and
     are excluded (matching the oracle's WHERE)."""
-    from ..functions.scalars import dsum
-
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     exploded = (
@@ -670,7 +669,9 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            (dsum("cnt") / F.count("*")).alias("avg_bigram_freq"),
+            (F.sum("cnt").cast("double") / F.count("*")).alias(
+                "avg_bigram_freq"
+            ),
         )
     )
 
@@ -716,25 +717,36 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (
         (F.col("c_all") + 1).cast("double") * (F.col("tot_tgt") + F.col("v")).cast("double")
     )
-    # floor(x*1e6 + 0.5)/1e6 instead of round(): Spark rounds HALF_UP on
+    # floor(x*1e6 + 0.5) instead of round(): Spark rounds HALF_UP on
     # the double's exact decimal expansion while DuckDB rounds a scaled
     # double — at sf0.1 three documents landed within 1 ulp of a .5
-    # boundary and the two conventions split.  The floor chain is pure
-    # correctly-rounded IEEE ops, so both engines produce the identical
-    # bit pattern (same convention as embedding_quantize_int8 /
-    # temperature_mix_weights).
-    r6 = F.floor(ratio * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    # boundary and the two conventions split.  The floor result stays an
+    # exact INTEGER (micros) from here on: the r10/r11 gates proved that
+    # feeding a high-precision decimal sum back through a double (the old
+    # dsum/count floor chain) is a DuckDB-build-dependent conversion
+    # (SURVEY §5 portability class 4), so the per-doc mean is one
+    # mirrored integer division — (2*S6 + n) div (2*n), round-half-up of
+    # exact integers, bit-equal in any engine build — and target-likeness
+    # (avg > 1) is the exact integer comparison S6 > n * 1e6.
+    r_micros = F.floor(ratio * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     scored = (
         tok.join(vocab, "word")
         .crossJoin(F.broadcast(totals))
-        .select("doc_id", r6.alias("r"))
+        .select("doc_id", r_micros.alias("r_micros"))
     )
-    avg = dsum("r") / F.count("*")
-    avg6 = F.floor(avg * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        avg6.alias("avg_importance"),
-        (avg > 1.0).alias("is_target_like"),
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("r_micros").alias("_s6"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(2 * _s6 + n_tokens) div (2 * n_tokens)")
+        .cast("long")
+        .alias("avg_importance_micros"),
+        (F.col("_s6") > F.col("n_tokens") * F.lit(1000000)).alias(
+            "is_target_like"
+        ),
     )
 
 
@@ -924,22 +936,22 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep each document with probability proportional to its importance
     weight, via the deterministic hash-threshold convention (no RNG
     state; the same subset on every engine/run).  Acceptance = clamp the
-    weight to [0, 2], halve (prob <= 1), floor to an integer millionth
-    threshold; keep iff the doc's seeded hash bucket falls under it.
-    Every step is exact or correctly-rounded IEEE in fixed order (the
-    division is by 2.0 — a power of two, exact), so the kept set is
-    bit-identical cross-engine.
+    integer-micros weight to [0, 2e6], halve (prob <= 1) by exact integer
+    division; keep iff the doc's seeded hash bucket falls under it.
+    Every step is exact integer arithmetic, so the kept set is
+    bit-identical cross-engine in any engine build (the class-4 oracle-
+    portability rule — no engine-evaluated double anywhere).
 
     Shape: the score frame is doc-keyed, so the join co-keys on doc_id
     and the threshold filter is map-side — resampling adds no shuffle
     beyond the scoring pass itself."""
     from ..functions.hashing import word_hash_expr
 
-    scores = dsir_importance(spark, sf_dir).select("doc_id", "avg_importance")
+    scores = dsir_importance(spark, sf_dir).select(
+        "doc_id", "avg_importance_micros"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    thr = F.floor(
-        F.least(F.col("avg_importance"), F.lit(2.0)) / F.lit(2.0) * F.lit(1000000.0)
-    ).cast("long")
+    thr = F.expr("least(avg_importance_micros, 2000000) div 2").cast("long")
     bucket = F.pmod(
         word_hash_expr(F.col("doc_id").cast("string"), F.lit("dsir")),
         F.lit(1_000_000),
@@ -947,7 +959,7 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.join(scores, "doc_id")
         .filter(bucket < thr)
-        .select("doc_id", "lang", "avg_importance")
+        .select("doc_id", "lang", "avg_importance_micros")
     )
 
 

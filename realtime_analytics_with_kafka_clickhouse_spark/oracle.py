@@ -1724,7 +1724,7 @@ e AS (
   FROM w),
 c AS (SELECT bigram, count(*) AS cnt FROM e GROUP BY 1)
 SELECT e.doc_id, count(*) AS n_bigrams,
-       CAST(SUM(CAST(cnt AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_bigram_freq
+       CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / count(*) AS avg_bigram_freq
 FROM e JOIN c USING (bigram)
 GROUP BY 1
 """
@@ -1996,14 +1996,14 @@ tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all,
         FROM vocab),
 scored AS (
   SELECT doc_id,
-         floor((CAST(c_tgt + 1 AS DOUBLE) * CAST(tot_all + v AS DOUBLE))
+         CAST(floor((CAST(c_tgt + 1 AS DOUBLE) * CAST(tot_all + v AS DOUBLE))
                / (CAST(c_all + 1 AS DOUBLE) * CAST(tot_tgt + v AS DOUBLE))
-               * 1000000.0 + 0.5) / 1000000.0 AS r
+               * 1000000.0 + 0.5) AS BIGINT) AS r_micros
   FROM tok JOIN vocab USING (word), tot)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       floor(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*)
-             * 1000000.0 + 0.5) / 1000000.0 AS avg_importance,
-       CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*) > 1.0 AS is_target_like
+       CAST((2 * CAST(sum(r_micros) AS BIGINT) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_importance_micros,
+       CAST(sum(r_micros) AS BIGINT) > count(*) * 1000000 AS is_target_like
 FROM scored GROUP BY 1
 """
 
@@ -2642,11 +2642,11 @@ WHERE rn <= 20
 # DSIR resampling: deterministic hash-threshold acceptance under the
 # clamped, halved importance weight.
 ORACLE["dsir_resample"] = f"""
-WITH s AS (SELECT doc_id, avg_importance FROM ({ORACLE['dsir_importance']}))
-SELECT d.doc_id, d.lang, s.avg_importance
+WITH s AS (SELECT doc_id, avg_importance_micros FROM ({ORACLE['dsir_importance']}))
+SELECT d.doc_id, d.lang, s.avg_importance_micros
 FROM documents d JOIN s USING (doc_id)
 WHERE {_h("concat_ws(chr(1), 'dsir', CAST(d.doc_id AS VARCHAR))")} % 1000000
-      < CAST(floor(least(s.avg_importance, 2.0) / 2.0 * 1000000.0) AS BIGINT)
+      < least(s.avg_importance_micros, 2000000) // 2
 """
 
 

@@ -254,14 +254,24 @@ def test_ann_recall_eval_never_exchanges_embeddings(spark, queries):
 
 def test_corpus_mix_report_broadcasts_dup_membership(spark, queries):
     # The near-dup membership frame is candidate-bounded (tiny vs. the
-    # corpus) — the dup flag must be a broadcast lookup, and the raw text
-    # must never ride an exchange (token counts are computed map-side).
+    # corpus) but JOIN-DERIVED, so its size gate is AQE's runtime
+    # SMJ->broadcast conversion (r11: a static limit-probe would re-run
+    # the near-dup pipeline once per call) — the dup flag must come out
+    # of EXECUTION as a broadcast lookup, and the raw text must never
+    # ride an exchange (token counts are computed map-side).
     df = queries["corpus_mix_report"](spark, SF_DIR)
     plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "text#" not in " ".join(
         line for line in plan.splitlines() if "Exchange" in line
     ), "raw text must not ride an exchange"
+    df.collect()
+    executed = (
+        df._jdf.queryExecution().executedPlan().toString()
+    ).split("== Initial Plan ==")[0]
+    assert (
+        "BroadcastHashJoin" in executed
+        or "BroadcastNestedLoopJoin" in executed
+    ), executed
 
 
 def test_dsir_vocab_join_no_cartesian(spark, queries):
