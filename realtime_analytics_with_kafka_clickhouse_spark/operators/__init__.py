@@ -34,102 +34,58 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r10 pass: the r9 gate went 49/50 — the one red row
-# (distinct_agg_battery, hash-only, bit-identical locally) leads the
-# gate with its rewritten engine-version-proof oracle, followed by the
-# other r10-changed entries (hard_negative_mining partial-top-k
-# rewrite) and the NINE r10-new operators, plus two representatives of
-# the size-gated-broadcast classes (values verified bit-identical at 3
-# SFs).  Then the r9 spill (power_user_curve), then the r4-evidence
-# remainder — the stalest driver rows — fills the gate to 50.  The r10
-# additions push ~10 r4 entries past the boundary
-# (customer_name_features .. embedding_quantize_int8): those lead the
-# r11 gate, followed by the r7/r5/r6 sections per staleness.
+# r11 pass: the r10 gate went 48/50 — BOTH red rows were hash-only
+# oracle-portability misses (SURVEY §5 class 4) and lead this gate with
+# engine-build-proof rewrites (distinct_agg_battery -> exact integer
+# micros; rolling_median -> explicit sorted-list order statistic),
+# followed by the class-4 sweep rewrites (dsir family, bigram_fluency),
+# the NEW incremental-IVF op + the refactored persisted serve, the
+# runtime_broadcast representatives (the four r10 probe regressions:
+# embedding_near_dup / ann_lsh_bucketed / minhash_contamination /
+# dedup_keep_best), and the request-size-capped collects.  Then the
+# r4-evidence spill the r10 ledger queued (part_type_stats ..
+# embedding_quantize_int8) and the round-7 section fill the 50 exactly;
+# the r7 remainder (quality_filter_pipeline onward) leads the r12 gate,
+# with r5/r6/r8/r9 behind it and every r10-green row last.
 _NAMES = [
-    # -- 1. CHANGED/NEW this round (r10): the one r9-red row (oracle
-    #    rewritten: explicit-dedup subquery, floor-chain avg), the
-    #    hard_negative_mining partial-top-k rewrite, the new LSH (b, r)
-    #    auto-tuner, and two representatives of the size-gated-broadcast
-    #    dedup kernel (values verified bit-identical at 3 SFs; the gate
-    #    proves them in the driver env) --
+    # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
+    #    engine-build-proof oracles (integer micros / explicit order
+    #    statistic), the class-4 sweep rewrites (dsir family, bigram
+    #    fluency), the NEW incremental-IVF maintenance op + the
+    #    refactored persisted serve it shares, the runtime_broadcast
+    #    representatives (the four r10 probe regressions), and the two
+    #    request-size-capped serving collects --
     (timeseries, [
-        "distinct_agg_battery",  # r9 red row: portable oracle + floor avg
-        "window_funnel_strict_dedup",  # NEW: 3rd CH funnel mode
-        "sequence_match_gap_battery",  # NEW: time-constrained seq match
+        "distinct_agg_battery",
     ]),
     (windows, [
-        "rolling_median_daily_revenue",  # NEW: quantileExactLow/High window
+        "rolling_median_daily_revenue",
     ]),
-    (curation, [
-        "epoch_mixture_schedule",  # NEW: data-constrained epoch planning
-    ]),
-    (multimodal, [
-        "media_shard_packing",  # NEW: byte-budget WebDataset shard card
+    (text, [
+        "dsir_importance",
+        "dsir_resample",
+        "bigram_fluency",
+        "contamination_check",
     ]),
     (similarity, [
-        "hard_negative_mining",  # r10 rewrite: mapInPandas partial top-k
-        "ann_ivf_nprobe_sweep",  # NEW: recall/cost sweep, chosen nprobe
+        "ann_ivf_incremental",
+        "ann_ivf_persisted",
+        "embedding_near_dup",
+        "ann_lsh_bucketed",
+        "hard_negative_mining",
+        "ann_query_broadcast_topk",
     ]),
     (dedup, [
-        "lsh_band_autotune",  # NEW: (b, r) selection for a target threshold
-        "near_dup_threshold_sweep",  # NEW: tau-sensitivity curation card
-        "minhash_near_dup",  # kernel representative (broadcast_if_small)
-        "near_dup_source_matrix",  # gated corpus-dim broadcasts
+        "minhash_contamination",
     ]),
-    (_storage_layout, [
-        "ttl_move_tiering",  # NEW: TTL ... TO VOLUME metadata-only moves
+    (curation, [
+        "dedup_keep_best",
+        "corpus_mix_report",
+        "pack_training_shards",
     ]),
-    (_streaming_pipeline, [
-        "table_parts_report",  # NEW: system.parts analog off the snapshot
-        "txlog_restore_version",  # NEW: RESTORE VERSION AS OF rollback
-    ]),
-    # -- 2. the r9 spill (position 51 last round, pytest-parity green,
-    #    never driver-checked) --
-    (timeseries, [
-        "power_user_curve",
-    ]),
-    # -- 3. r4-evidence remainder (stalest driver evidence; fills the 50
-    #    gate slots exactly — every new r10 op above demotes this block's
-    #    tail past the boundary to lead the r11 gate) --
+    # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
+    #    ledger to lead this gate) --
     (relational, [
-        "q22_idle_rich_customers",
-    ]),
-    (rollups, [
-        "hourly_category_rollup",
-        "daily_region_rollup",
-        "global_totals",
-        "category_revenue_share",
-        "region_revenue_sorted",
-        "hourly_trend",
-    ]),
-    (relational, [
-        "q1_pricing_summary",
-        "q2_min_cost_supplier",
-        "q3_shipping_priority",
-        "q5_region_supplier_volume",
-        "q6_forecast_revenue",
-        "q8_market_share",
-        "q9_product_type_profit",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_ship_channel_priority",
-        "q13_customer_order_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q19_bracket_predicates",
-        "q20_promotion_suppliers",
-        "q21_waiting_suppliers",
-        "market_segment_totals",
-        "customers_with_orders",
-        "top_customers_by_revenue",
-        "distinct_customers_per_nation",
-        "repeat_customers_both_years",
-        "one_year_only_customers",
-        "priority_status_rollup",
-        "status_pivot",
         "part_type_stats",
         "customer_name_features",
         "order_date_features",
@@ -146,7 +102,8 @@ _NAMES = [
     (similarity, [
         "embedding_quantize_int8",
     ]),
-    # -- 5. green in round 7 (the promotion-round gate) --
+    # -- 3. round-7 section (next-stalest; entries past position 50
+    #    spill to lead the r12 gate) --
     (_sources_files, [
         "xml_roundtrip_stats",
     ]),
@@ -174,9 +131,6 @@ _NAMES = [
         "substring_dedup_docs",
         "simhash_fingerprints",
     ]),
-    (curation, [
-        "dedup_keep_best",
-    ]),
     (text, [
         "token_stats",
         "bpe_token_stats",
@@ -190,19 +144,14 @@ _NAMES = [
         "chunk_documents",
         "best_doc_per_source",
         "pii_scrub",
-        "contamination_check",
         "repetition_score",
-        "bigram_fluency",
         "gopher_quality_rules",
         "boilerplate_spans",
-        "dsir_importance",
         "bpe_merge_topk",
     ]),
     (similarity, [
         "ann_cosine_topk",
-        "ann_lsh_bucketed",
         "ann_ivf_topk",
-        "embedding_near_dup",
         "label_centroids",
         "ann_quantized_topk",
     ]),
@@ -213,7 +162,6 @@ _NAMES = [
         "media_phash",
     ]),
     (curation, [
-        "pack_training_shards",
         "lang_balance_resample",
     ]),
     (windows, [
@@ -223,7 +171,7 @@ _NAMES = [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",
     ]),
-    # -- 6. green in round 5 --
+    # -- 4. round-5 section --
     (_streaming_pipeline, [
         "compacted_rollup_txlog",
         "incremental_rollup_txlog",
@@ -275,7 +223,6 @@ _NAMES = [
         "near_dup_triangles",
     ]),
     (curation, [
-        "corpus_mix_report",
         "weighted_sample_aes",
     ]),
     (relational, [
@@ -295,10 +242,9 @@ _NAMES = [
         "bpe_tokenize_stats",
         "split_sentences_udtf",
     ]),
-    # -- 7. green in round 6 --
+    # -- 5. round-6 section --
     (dedup, [
         "ngram_jaccard_pairs",
-        "minhash_contamination",
     ]),
     (_streaming_pipeline, [
         "replacing_merge_latest",
@@ -332,8 +278,6 @@ _NAMES = [
     ]),
     (similarity, [
         "arrow_grouped_label_profile",
-        "ann_ivf_persisted",
-        "ann_query_broadcast_topk",
         "hybrid_search_topk",
         "embedding_prototypicality",
     ]),
@@ -361,7 +305,6 @@ _NAMES = [
     ]),
     (text, [
         "vocab_oov_rate",
-        "dsir_resample",
     ]),
     (multimodal, [
         "media_phash_clusters",
@@ -371,8 +314,7 @@ _NAMES = [
         "revenue_anomaly_days",
         "trailing_30d_revenue",
     ]),
-    # -- 8. green in round 8 (the r8 gate, 48/50 + the 2 fixed above) —
-    #    freshest evidence, last in line --
+    # -- 6. round-8 section --
     (_streaming_pipeline, [
         "incremental_hourly_rollup",
         "incremental_daily_region_rollup",
@@ -457,9 +399,7 @@ _NAMES = [
     (multimodal, [
         "audio_vad_segments",
     ]),
-    # -- 10. green in round 9 (the r9 gate, 49/50; the one red row is
-    #    fixed and leads the r10 gate above) — freshest evidence, last
-    #    in line --
+    # -- 7. round-9 section --
     (timeseries, [
         "summap_event_values",
     ]),
@@ -492,62 +432,131 @@ _NAMES = [
         "seasonal_dow_index",
         "weekday_anova_f",
         "daily_revenue_acf",
-    ]),
-    (timeseries, [
-        "window_funnel_default",  # windowFunnel default mode (CH fold)
-        "topk_weighted_users",  # topKWeighted provably-lossless pruning
+        "window_funnel_default",
+        "topk_weighted_users",
     ]),
     (_streaming_pipeline, [
-        "percentile_kll_mv",  # KLL quantile-sketch MV (tDigest sibling)
+        "percentile_kll_mv",
     ]),
     (similarity, [
-        "ann_hamming_topk",  # 1-bit sign codes, XOR+POPCNT search
-        "ann_hamming_recall_at_k",  # 16x-compression acceptance gate
+        "ann_hamming_topk",
+        "ann_hamming_recall_at_k",
     ]),
     (timeseries, [
-        "minmax_map_event_values",  # minMap/maxMap combinator analog
-        "uniq_upto_battery",  # uniqUpTo(N) capped exact-distinct
-        "quantile_conventions_battery",  # R-6/R-7 exact conventions
+        "minmax_map_event_values",
+        "uniq_upto_battery",
+        "quantile_conventions_battery",
     ]),
     (similarity, [
-        "embedding_source_drift",  # per-source centroid drift monitor
+        "embedding_source_drift",
     ]),
     (timeseries, [
-        "bitwise_agg_battery",  # groupBitAnd/Or/Xor parity
-        "daily_ohlc_bars",  # argMin/argMax candlestick rollup
-        "hourly_gap_fill_locf",  # TimescaleDB locf() step fill
-        "ab_assignment_srm",  # hash-split A/B arms + SRM chi2 audit
-        "k_anonymity_report",  # quasi-identifier privacy gate
-        "conversion_rate_wilson_ci",  # per-arm Wilson score interval
-        "split_gini_gain",  # decision-stump gini split scoring
-        "rfm_segments",  # threshold-quintile RFM segmentation
+        "bitwise_agg_battery",
+        "daily_ohlc_bars",
+        "hourly_gap_fill_locf",
+        "ab_assignment_srm",
+        "k_anonymity_report",
+        "conversion_rate_wilson_ci",
+        "split_gini_gain",
+        "rfm_segments",
     ]),
     (_storage_layout, [
-        "order_update_mutation",  # ALTER TABLE UPDATE, partition-pruned
+        "order_update_mutation",
     ]),
     (_streaming_pipeline, [
-        "stream_ohlc_bars",  # streaming candlestick MV, exact finalize
+        "stream_ohlc_bars",
     ]),
     (similarity, [
-        "ann_hamming_rerank_topk",  # binary shortlist -> exact re-rank
+        "ann_hamming_rerank_topk",
     ]),
     (multimodal, [
-        "media_exact_dedup",  # binary-content md5 dedup report
+        "media_exact_dedup",
     ]),
     (text, [
-        "tokenizer_fertility_by_source",  # bytes/chars per token data card
-        "vocab_growth_curve",  # Heaps'-law vocabulary saturation table
+        "tokenizer_fertility_by_source",
+        "vocab_growth_curve",
     ]),
     (similarity, [
-        "embedding_quality_audit",  # pre-ANN pathology gate
+        "embedding_quality_audit",
     ]),
     (_streaming_pipeline, [
-        "txlog_vacuum_retention",  # VACUUM reclaims history, not present
+        "txlog_vacuum_retention",
     ]),
     (timeseries, [
-        "session_path_topk",  # top event-trigram behavior paths
-        "yoy_monthly_growth",  # YoY monthly revenue ratio
-        "new_vs_returning_daily",  # growth-accounting DAU split
+        "session_path_topk",
+        "yoy_monthly_growth",
+        "new_vs_returning_daily",
+    ]),
+    # -- 8. round-10-green evidence (freshest driver rows: the r10
+    #    gate block incl. the refreshed r4 dashboard/TPC-H family) --
+    (timeseries, [
+        "window_funnel_strict_dedup",
+        "sequence_match_gap_battery",
+    ]),
+    (curation, [
+        "epoch_mixture_schedule",
+    ]),
+    (multimodal, [
+        "media_shard_packing",
+    ]),
+    (similarity, [
+        "ann_ivf_nprobe_sweep",
+    ]),
+    (dedup, [
+        "lsh_band_autotune",
+        "near_dup_threshold_sweep",
+        "minhash_near_dup",
+        "near_dup_source_matrix",
+    ]),
+    (_storage_layout, [
+        "ttl_move_tiering",
+    ]),
+    (_streaming_pipeline, [
+        "table_parts_report",
+        "txlog_restore_version",
+    ]),
+    (timeseries, [
+        "power_user_curve",
+    ]),
+    (relational, [
+        "q22_idle_rich_customers",
+    ]),
+    (rollups, [
+        "hourly_category_rollup",
+        "daily_region_rollup",
+        "global_totals",
+        "category_revenue_share",
+        "region_revenue_sorted",
+        "hourly_trend",
+    ]),
+    (relational, [
+        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q5_region_supplier_volume",
+        "q6_forecast_revenue",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q12_ship_channel_priority",
+        "q13_customer_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_bracket_predicates",
+        "q20_promotion_suppliers",
+        "q21_waiting_suppliers",
+        "market_segment_totals",
+        "customers_with_orders",
+        "top_customers_by_revenue",
+        "distinct_customers_per_nation",
+        "repeat_customers_both_years",
+        "one_year_only_customers",
+        "priority_status_rollup",
+        "status_pivot",
     ]),
 ]
 

@@ -996,17 +996,19 @@ def _build_ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
     return _IVF_INDEX_MEMO[key]
 
 
-def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search served from the PERSISTED index (NEW r6): the query set
+def _ivf_probe_serve(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """Serve IVF queries from a PERSISTED index-as-table: the query set
     is every vector whose argmin cell is 0 (deterministic), their
     IVF_PROBE nearest cells come map-side from the broadcast quantizer,
     and the candidate lists are PRUNED READS of the stored index — one
     ``txlog.read_table(prune={"cluster": (c, c)})`` per probed cell, so
     only the cell-range directories covering the probe set are ever
-    listed (pytest pins the dir count).  Results must equal the in-memory
-    ``ann_ivf_kmeans`` restricted to the cell-0 queries — the proof that
-    an index round-tripped through storage (float32 arrays through
-    parquet) serves bit-identical answers.
+    listed (pytest pins the dir count).  Shared by ``ann_ivf_persisted``
+    (one-shot build) and ``ann_ivf_incremental`` (build + batch append +
+    ranged OPTIMIZE) — both must serve answers identical to the
+    in-memory ``ann_ivf_kmeans`` restricted to the cell-0 queries.
 
     At 100 TB this is the real serving shape: the index is sharded by
     cell on disk, a query touches probe-many shards, and nothing about
@@ -1016,7 +1018,6 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..storage import txlog
 
-    table = _build_ivf_index_table(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
     queries = with_cells.filter(
@@ -1088,6 +1089,101 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         queries.unpersist(blocking=False)
+
+
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search served from the PERSISTED index (NEW r6; serve shape in
+    ``_ivf_probe_serve``): one-shot cell-range-chunked build, then pruned
+    probe reads — the proof that an index round-tripped through storage
+    (float32 arrays through parquet) serves bit-identical answers."""
+    return _ivf_probe_serve(spark, sf_dir, _build_ivf_index_table(spark, sf_dir))
+
+
+#: Arriving-batch selector for the incremental-IVF proof: vectors with
+#: vec_id % IVF_INGEST_MOD == 0 play the new embedding batch.
+IVF_INGEST_MOD = 5
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (NEW r11) — FAISS's
+    add-then-search contract on an IndexIVF (SURVEY §2.9): new embedding
+    batches are assigned MAP-SIDE to the FROZEN quantizer (no retrain)
+    and APPENDED to the index-as-table through the txlog (batch-id
+    idempotent — a replayed ingest is a no-op, pytest-pinned), then the
+    storage layer's ranged OPTIMIZE (``txlog.compact_ranged_tx``)
+    re-clusters the arrival-ordered append into cell-range directories so
+    probe reads prune again.
+
+    Proof run: vectors with vec_id % IVF_INGEST_MOD == 0 play the
+    arriving batch.  Build stage: the already-indexed corpus lands in 4
+    cell-range chunks (batch ids 0-3, cluster zone maps).  Ingest stage:
+    ONE append of the batch's frozen-quantizer assignments (batch id 4 —
+    its zone map spans the whole cell domain, the pruning regression the
+    OPTIMIZE then repairs).  Serve: the shared ``_ivf_probe_serve``
+    pruned probe over the maintained index must equal the in-memory IVF
+    over the UNIONED corpus — the oracle recomputes that from raw
+    parquet, and ``neighbor_is_batch`` flags results that only exist
+    because the ingest is searchable.
+
+    Scale shape: ingest cost is O(batch) — one map-side assignment pass,
+    one append commit; the OPTIMIZE rewrite is O(index), amortized by
+    the ``auto_compact`` pressure policy in production (here run inline
+    so the pruning proof is deterministic).  The corpus is never
+    re-assigned, the quantizer never retrains, embeddings never ride a
+    shuffle."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..storage import txlog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id",
+        F.element_at("ranked", 1)["c"].alias("cluster"),
+        "embedding",
+    ).persist()
+    is_batch = F.col("vec_id") % IVF_INGEST_MOD == 0
+    table = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_ivf_index",
+        f"inc-{_uuid.uuid4().hex[:8]}",
+    )
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+    try:
+        base = assigned.filter(~is_batch)
+        for i in range(4):
+            txlog.append_tx(
+                spark,
+                table,
+                base.filter(
+                    (F.col("cluster") >= bounds[i])
+                    & (F.col("cluster") < bounds[i + 1])
+                ),
+                batch_id=i,
+                stats_cols=["cluster"],
+            )
+        # ingest: ONE arrival-ordered append of the new batch (spans the
+        # whole cell domain); replaying batch_id=4 is a no-op
+        if not txlog.append_tx(
+            spark,
+            table,
+            assigned.filter(is_batch),
+            batch_id=4,
+            stats_cols=["cluster"],
+        ):
+            raise RuntimeError("incremental IVF ingest commit did not apply")
+        # ranged OPTIMIZE: restore cell-range pruning after the append
+        if not txlog.compact_ranged_tx(
+            spark, table, "cluster", bounds, stats_cols=["cluster"]
+        ):
+            raise RuntimeError("ranged OPTIMIZE found an empty index table")
+    finally:
+        assigned.unpersist(blocking=False)
+    return _ivf_probe_serve(spark, sf_dir, table).withColumn(
+        "neighbor_is_batch", F.col("neighbor_id") % IVF_INGEST_MOD == 0
+    )
 
 
 # SemDeDup decision threshold.  Like EMB_NEAR_DUP_THRESHOLD this sits where

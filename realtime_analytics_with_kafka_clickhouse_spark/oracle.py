@@ -1985,6 +1985,21 @@ WHERE vec_id IN (
   SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
 """
 
+# Incremental IVF maintenance: after batch append + ranged OPTIMIZE the
+# served answers must equal the in-memory IVF over the UNIONED corpus —
+# the oracle recomputes exactly that from raw parquet; neighbor_is_batch
+# marks results only searchable because the ingest landed (FAISS's
+# add-then-search contract, mirrored from operators.similarity).
+from .operators.similarity import IVF_INGEST_MOD as _IVF_INGEST_MOD
+
+ORACLE["ann_ivf_incremental"] = f"""
+SELECT vec_id, neighbor_id, cos_sim, rank,
+       neighbor_id % {_IVF_INGEST_MOD} = 0 AS neighbor_is_batch
+FROM ({ORACLE["ann_ivf_kmeans"]})
+WHERE vec_id IN (
+  SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
+"""
+
 ORACLE["dsir_importance"] = """
 WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
 vocab AS (SELECT word, count(*) AS c_all,

@@ -514,6 +514,68 @@ def compact_tx(
     raise RuntimeError(f"compact_tx: gave up after {max_attempts} commit races on {table}")
 
 
+def compact_ranged_tx(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    bounds: list[int],
+    stats_cols: list[str] | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """Ranged OPTIMIZE: rewrite the current snapshot into one data
+    directory PER KEY RANGE ``[bounds[i], bounds[i+1])`` of ``col``,
+    committed atomically — the clustering sibling of ``compact_tx``
+    (Delta's ``OPTIMIZE ... ZORDER BY`` at directory granularity, or
+    ClickHouse re-merging parts so the primary-key index prunes again).
+
+    This is what restores data skipping after arrival-ordered appends:
+    an appended batch spans the whole key domain, so its zone map is
+    ``[min_key, max_key]`` and every ranged read must touch it; after
+    the ranged rewrite each directory's zone map covers exactly its
+    range and ``read_table(prune=...)`` lists only the overlapping
+    directories again.  Same snapshot-isolation/retry contract as
+    ``compact_tx``; rows are preserved exactly (no ``agg``) — callers
+    must pass bounds covering the full key domain.  Returns False when
+    the table is empty."""
+    from pyspark.sql import functions as _F
+
+    if len(bounds) < 2 or any(
+        bounds[i] >= bounds[i + 1] for i in range(len(bounds) - 1)
+    ):
+        raise ValueError(f"bounds must be strictly increasing, got {bounds}")
+    stats_cols = stats_cols or [col]
+    for _ in range(max_attempts):
+        version, commit = snapshot(spark, table)
+        if commit is None or not commit["dirs"]:
+            return False
+        current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+        new_dirs: list[str] = []
+        stats: dict = {}
+        for i in range(len(bounds) - 1):
+            chunk = current.filter(
+                (_F.col(col) >= bounds[i]) & (_F.col(col) < bounds[i + 1])
+            )
+            d = write_data_dir(chunk, table)
+            new_dirs.append(d)
+            zone = dir_zone_map(table, d, stats_cols)
+            if zone:
+                stats[d] = zone
+        if try_commit(
+            spark,
+            table,
+            version + 1,
+            new_dirs,
+            commit.get("last_merged_batch"),
+            stats,
+        ):
+            return True
+        for d in new_dirs:
+            fs.delete(spark, f"{table}/{d}")
+    raise RuntimeError(
+        f"compact_ranged_tx: gave up after {max_attempts} commit races on {table}"
+    )
+
+
 TOO_MANY_PARTS = 8  # data-dir count that triggers an inline OPTIMIZE
 
 

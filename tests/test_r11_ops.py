@@ -101,3 +101,79 @@ def test_distinct_agg_battery_integer_avg(spark, queries):
         got = rows[r["event_type"]]
         assert got["avg_micros"] == expect, (r["event_type"], expect, got)
         assert got["n_distinct_values"] == n
+
+
+def test_ivf_incremental_replay_noop_and_pruning(spark):
+    """The incremental-IVF lifecycle invariants: (1) replaying the ingest
+    batch id is a committed NO-OP (snapshot version and row count
+    unchanged); (2) the arrival-ordered append breaks cell-range pruning
+    (its zone map spans the domain) and the ranged OPTIMIZE restores it
+    (a one-cell probe lists strictly fewer directories than live)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        IVF_INGEST_MOD,
+        KMEANS_K,
+        _kmeans_fit,
+        _with_ranked_cells,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    import tempfile, uuid, os
+
+    sf_dir = SF_DIR
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+    )
+    is_batch = F.col("vec_id") % IVF_INGEST_MOD == 0
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_index", f"t-{uuid.uuid4().hex[:8]}"
+    )
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+    for i in range(4):
+        txlog.append_tx(
+            spark,
+            table,
+            assigned.filter(~is_batch).filter(
+                (F.col("cluster") >= bounds[i]) & (F.col("cluster") < bounds[i + 1])
+            ),
+            batch_id=i,
+            stats_cols=["cluster"],
+        )
+    assert txlog.append_tx(
+        spark, table, assigned.filter(is_batch), batch_id=4, stats_cols=["cluster"]
+    )
+    v_after, _ = txlog.snapshot(spark, table)
+    n_after = txlog.read_table(spark, table).count()
+    # (1) replayed ingest: no new commit, no duplicate rows
+    assert not txlog.append_tx(
+        spark, table, assigned.filter(is_batch), batch_id=4, stats_cols=["cluster"]
+    )
+    v_replay, commit_replay = txlog.snapshot(spark, table)
+    assert v_replay == v_after
+    assert txlog.read_table(spark, table).count() == n_after == emb.count()
+    # (2) pre-OPTIMIZE: the batch dir spans every cell, so a one-cell
+    # probe cannot skip it — 2 dirs listed (its range chunk + the batch)
+    probe = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    pre_dirs = {f.rsplit("/", 2)[-2] for f in probe.inputFiles()}
+    assert len(pre_dirs) == 2, pre_dirs
+    assert txlog.compact_ranged_tx(spark, table, "cluster", bounds)
+    probe2 = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    post_dirs = {f.rsplit("/", 2)[-2] for f in probe2.inputFiles()}
+    assert len(post_dirs) == 1, post_dirs
+    # rows preserved exactly through the ranged rewrite
+    assert txlog.read_table(spark, table).count() == n_after
+
+
+def test_compact_ranged_tx_rejects_bad_bounds(spark):
+    import pytest as _pytest
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    with _pytest.raises(ValueError):
+        txlog.compact_ranged_tx(spark, "/tmp/nonexistent", "c", [5, 5])
