@@ -45,8 +45,10 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (quality_filter_pipeline onward) leads the r12 gate,
-# with r5/r6/r8/r9 behind it and every r10-green row last.
+# the r7 remainder (language_id onward) leads the r12 gate, with
+# r5/r6/r8/r9 behind it and every r10-green row last.  Five more
+# r11-new ops joined section 1 after the rotation was cut (sparkbar,
+# ntile bands, URL battery, power iteration, hopping-window MV).
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
     #    engine-build-proof oracles (integer micros / explicit order
@@ -57,17 +59,21 @@ _NAMES = [
     #    request-size-capped serving collects --
     (timeseries, [
         "distinct_agg_battery",
+        "sparkbar_hourly_revenue",  # NEW r11: ClickHouse sparkbar parity
     ]),
     (windows, [
         "rolling_median_daily_revenue",
+        "ntile_value_bands",  # NEW r11: ntile quartile banding
     ]),
     (text, [
         "dsir_importance",
         "dsir_resample",
         "bigram_fluency",
         "contamination_check",
+        "url_functions_battery",  # NEW r11: URL function-family parity
     ]),
     (similarity, [
+        "embedding_top_pc_power_iter",  # NEW r11: distributed power iteration
         "ann_ivf_incremental",
         "ann_ivf_persisted",
         "embedding_near_dup",
@@ -82,6 +88,9 @@ _NAMES = [
         "dedup_keep_best",
         "corpus_mix_report",
         "pack_training_shards",
+    ]),
+    (_streaming_pipeline, [
+        "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
     #    ledger to lead this gate) --

@@ -2622,3 +2622,78 @@ def embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+PI_EPOCHS = 3  # power-iteration epochs (unrolled in the oracle CTE chain)
+PI_DIM = 64  # embeddings fixture dimensionality
+PI_SCALE = 100000000.0  # per-term octopart quantization (1e8)
+
+
+def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment matrix by
+    DISTRIBUTED POWER ITERATION — the spectral-health probe an embedding
+    pipeline runs before whitening/ANN (a collapsed dominant direction
+    means anisotropic embeddings; its loadings say which dims carry it).
+
+    The iterative-algorithm shape on Spark: each epoch is ONE map-side-
+    combined aggregate over the corpus computing s = sum_x (x.v) x — the
+    matrix-free action of A = sum xx^T on v — with the 64-float iterate v
+    riding into the scan as plan literals; the driver holds only 64 sums
+    per epoch (never a row).  Three epochs unrolled, exactly the
+    ``quality_linear_probe_train`` GD-epochs discipline.
+
+    Cross-engine exactness (SURVEY §5 class 4 by construction): per-row
+    terms are mirrored IEEE chains (left-fold dot, one multiply), each
+    term quantizes to INTEGER octoparts via floor(t*1e8 + 0.5), epochs
+    sum exact int64; the normalization v = S/||S|| recomputes from
+    bigint->double-exact values with the identical textual op order in
+    Python (driver) and SQL (oracle) — no engine-owned conversion
+    anywhere.  Output: per dim, the round-half-up micro-loading of the
+    final direction plus the shared eigenvalue estimate ||S||/(1e8 n).
+
+    Scale shape: EPOCHS passes over the corpus, each one aggregate
+    (partial sums map-side; the shuffle carries 64 longs per partition);
+    embeddings never ride a shuffle, nothing quadratic, driver state is
+    64 floats."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    n = emb.count()
+    v = [1.0 / 8.0] * PI_DIM  # unit-norm uniform start (sqrt(64/64) = 1)
+    s_ints: list[int] = []
+    for _ in range(PI_EPOCHS):
+        d = F.lit(0.0)
+        for j in range(PI_DIM):
+            d = d + F.col("embedding")[j].cast("double") * F.lit(v[j])
+        proj = emb.select(d.alias("d"), "embedding")
+        aggs = [
+            F.sum(
+                F.floor(
+                    F.col("d")
+                    * F.col("embedding")[j].cast("double")
+                    * F.lit(PI_SCALE)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias(f"s{j}")
+            for j in range(PI_DIM)
+        ]
+        row = proj.agg(*aggs).collect()[0]
+        s_ints = [int(row[f"s{j}"]) for j in range(PI_DIM)]
+        q = [float(s) for s in s_ints]  # int64 < 2^53: exact
+        norm2 = 0.0
+        for j in range(PI_DIM):  # left fold, mirrors the oracle's chain
+            norm2 = norm2 + q[j] * q[j]
+        norm = math.sqrt(norm2)
+        v = [q[j] / norm for j in range(PI_DIM)]
+    eig = math.floor(norm / (PI_SCALE * float(n)) * 1000000.0 + 0.5)
+    rows = [
+        (
+            j + 1,
+            int(math.floor(q[j] / norm * 1000000.0 + 0.5)),
+            int(eig),
+        )
+        for j in range(PI_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim long, loading_micros long, eigenvalue_micros long"
+    )

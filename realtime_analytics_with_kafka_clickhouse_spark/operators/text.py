@@ -1347,3 +1347,53 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_total",
         "n_docs_total",
     )
+
+
+def url_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function-family parity (ClickHouse's ``protocol`` / ``domain``
+    / ``topLevelDomain`` / ``path`` / ``queryString`` / ``fragment`` /
+    ``extractURLParameter`` — the web-analytics workhorse functions every
+    clickstream schema leans on): construct a deterministic, well-formed
+    URL per document (the fixture carries no URL column) and decompose it
+    with Spark's JVM-side ``parse_url`` — PROTOCOL/HOST/PATH/QUERY/REF
+    plus keyed QUERY extraction — alongside a string-derived TLD.
+
+    Exactness: the URLs are constructed from exact columns, so every
+    parsed part is a pure string fact; the DuckDB oracle re-derives the
+    same parts with split/regexp over the identically-constructed URL
+    (well-formed by construction — no parser edge semantics in play).
+
+    Scale shape: map-only (construct + parse per row, whole-stage
+    codegen, zero shuffles, zero Python) — the parse happens where the
+    row lives, exactly how a 100 TB clickstream normalizes URLs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#s"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return with_url.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+        host.alias("host"),
+        F.substring_index(host, ".", -1).alias("tld"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("url_path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query_string"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("p")).alias("p_param"),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+    )

@@ -3650,3 +3650,71 @@ def daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: sparkbar block glyphs, level 0..7 (ClickHouse renders the same ramp).
+SPARKBAR_CHARS = "▁▂▃▄▅▆▇█"
+
+
+def sparkbar_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sparkbar`` parity (ClickHouse's inline unicode bar chart —
+    ``sparkbar(24)(toHour(ts), value)``): per event type, the 24-slot
+    hour-of-day revenue profile rendered as one 8-level block-glyph
+    string — the "when does this metric happen" card ClickHouse prints
+    straight into query results.
+
+    Determinism contract (documented convention, exact in any engine):
+    slot values are integer MICROS sums on a DENSE 0..23 grid (missing
+    hours are 0), level = ((v - vmin) * 7) div (vmax - vmin) in pure
+    int64 arithmetic (all slots render the full block when the profile
+    is flat), glyph = the level'th char of SPARKBAR_CHARS
+    (codepoint-indexed substring in both engines).  No doubles anywhere
+    — the string hashes identically under any DuckDB build (SURVEY §5
+    class 4).
+
+    Scale shape: ONE (type, hour) aggregate (map-side combined,
+    |types| x 24 rows), a 24-row-per-type dense-grid join, a per-type
+    min/max window over the 24-row frame, and a 24-element in-row sort —
+    the corpus never rides more than the one rollup shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    micros = (F.col("value").cast("decimal(25,6)") * F.lit(1000000)).cast("long")
+    per = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.sum(micros).alias("v"))
+    grid = (
+        per.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_h"),
+        )
+        .select("event_type", F.col("_h").cast("long").alias("h"))
+    )
+    wt = Window.partitionBy("event_type")
+    dense = (
+        grid.join(per, ["event_type", "h"], "left")
+        .fillna({"v": 0})
+        .withColumn("vmin", F.min("v").over(wt))
+        .withColumn("vmax", F.max("v").over(wt))
+        .withColumn(
+            "lvl",
+            F.expr(
+                "CASE WHEN vmax > vmin THEN ((v - vmin) * 7) div (vmax - vmin)"
+                " ELSE 7 END"
+            ).cast("int"),
+        )
+    )
+    return dense.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("h", "lvl"))),
+                lambda s: F.substring(
+                    F.lit(SPARKBAR_CHARS), s["lvl"].cast("int") + 1, 1
+                ),
+            ),
+            "",
+        ).alias("sparkbar"),
+        F.min("v").cast("long").alias("min_hour_micros"),
+        F.max("v").cast("long").alias("max_hour_micros"),
+        F.sum("v").cast("long").alias("total_micros"),
+    )

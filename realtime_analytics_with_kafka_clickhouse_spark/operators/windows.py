@@ -366,3 +366,36 @@ def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "revenue", "n_window", "median_low", "median_high")
     )
+
+
+def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ntile`` quartile banding — the missing member of the
+    distribution-window family (``value_rank_battery`` covers
+    percent_rank/cume_dist/nth_value): per event type, assign each event
+    to its value quartile and report the band's population and exact
+    value range — the "which quartile is my spend in" card every
+    dashboard derives from banded windows.
+
+    Exactness: the ordering carries an (value, event_id) tiebreak so the
+    partition order is TOTAL — ntile's bucket rule (the first n mod k
+    buckets take ceil(n/k) rows) is then position-determined and
+    identical in Spark and DuckDB (both implement the SQL standard);
+    band edges are exact decimals, the band sum rides the decimal
+    domain.
+
+    Scale shape: one shuffle on event_type, local per-partition sort, a
+    |types| x 4-row aggregate out — no global sort, no driver work.  A
+    skewed type would switch to the salted two-phase shape
+    (``top_orders_per_priority_salted``)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    dec = F.col("value").cast("decimal(25,6)")
+    banded = ev.select(
+        "event_type", dec.alias("v"), F.ntile(4).over(w).alias("band")
+    )
+    return banded.groupBy("event_type", F.col("band").cast("long").alias("band")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("v").alias("band_min"),
+        F.max("v").alias("band_max"),
+        F.sum("v").alias("band_sum"),
+    )

@@ -4166,6 +4166,156 @@ FROM lv GROUP BY 1
 # across DuckDB builds (bit-exact under local 1.0.0, red in the driver
 # env); explicit sorted-list selection over exact decimals has no
 # engine-owned convention left to drift (SURVEY §5 portability class 4).
+# sparkbar: dense 24-slot integer-micros profile, SQL-standard ntile-free
+# level rule in pure int64 (mirrors SPARKBAR_CHARS codepoint indexing).
+ORACLE["sparkbar_hourly_revenue"] = """
+WITH per AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(sum(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT))
+              AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, CAST(g.h AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM per) t
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g),
+dense AS (
+  SELECT grid.event_type, grid.h, coalesce(per.v, 0) AS v
+  FROM grid LEFT JOIN per USING (event_type, h)),
+lv AS (
+  SELECT event_type, h, v,
+         min(v) OVER (PARTITION BY event_type) AS vmin,
+         max(v) OVER (PARTITION BY event_type) AS vmax
+  FROM dense),
+ch AS (
+  SELECT event_type, h, v, vmin, vmax,
+         substr('▁▂▃▄▅▆▇█',
+                CAST(CASE WHEN vmax > vmin
+                          THEN ((v - vmin) * 7) // (vmax - vmin)
+                          ELSE 7 END AS INTEGER) + 1, 1) AS glyph
+  FROM lv)
+SELECT event_type,
+       string_agg(glyph, '' ORDER BY h) AS sparkbar,
+       CAST(min(v) AS BIGINT) AS min_hour_micros,
+       CAST(max(v) AS BIGINT) AS max_hour_micros,
+       CAST(sum(v) AS BIGINT) AS total_micros
+FROM ch GROUP BY 1
+"""
+
+
+# URL battery: the oracle re-derives each part with split/regexp over the
+# identically-constructed well-formed URL (pure string facts).
+ORACLE["url_functions_battery"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&p='
+           || CAST(doc_id % 7 AS VARCHAR) || '#s'
+           || CAST(doc_id % 3 AS VARCHAR) AS url,
+         source, lang
+  FROM documents)
+SELECT doc_id, url,
+       'https' AS protocol,
+       source || '.example.com' AS host,
+       'com' AS tld,
+       '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url_path,
+       'lang=' || lang || '&p=' || CAST(doc_id % 7 AS VARCHAR)
+         AS query_string,
+       lang AS lang_param,
+       CAST(doc_id % 7 AS VARCHAR) AS p_param,
+       's' || CAST(doc_id % 3 AS VARCHAR) AS fragment
+FROM u
+"""
+
+
+# Hopping-window streaming MV: 2-way window explode (each event's two
+# hour-aligned 2h-window starts), finalized set = watermark-passed ends.
+ORACLE["stream_sliding_rollup_events"] = """
+SELECT win_start, category, order_count, total_revenue, total_quantity
+FROM (
+  SELECT win_start,
+         'cat_' || CAST(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) % 5 AS VARCHAR) AS category,
+         count(*) AS order_count,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue,
+         CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS total_quantity
+  FROM (
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, props, value
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT date_trunc('hour', ts) AS win_start, props, value
+    FROM events WHERE event_type = 'purchase')
+  GROUP BY 1, 2
+) a, (SELECT max(ts) AS max_ts FROM events) m
+WHERE a.win_start + INTERVAL 2 HOUR <= m.max_ts - INTERVAL 2 HOUR
+"""
+
+
+def _power_iter_sql(dim: int = 64, epochs: int = 3) -> str:
+    """Unrolled power-iteration epochs mirroring
+    operators.similarity.embedding_top_pc_power_iter: per-epoch projected
+    dot chain (left fold, textual mirror of the Spark/driver arithmetic),
+    integer-octopart term quantization, exact int64 sums, normalization
+    recomputed from bigint->double-exact values with identical op order.
+    """
+    parts = ["v0 AS (SELECT " + ", ".join(f"0.125 AS v{j}" for j in range(dim)) + ")"]
+    for e in range(1, epochs + 1):
+        chain = "0.0 + " + " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * v{j}" for j in range(dim)
+        )
+        parts.append(
+            f"p{e} AS (SELECT ({chain}) AS d, embedding"
+            f" FROM embeddings CROSS JOIN v{e - 1})"
+        )
+        sums = ", ".join(
+            f"CAST(sum(CAST(floor(d * CAST(embedding[{j + 1}] AS DOUBLE)"
+            f" * 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s{j}"
+            for j in range(dim)
+        )
+        parts.append(f"e{e} AS (SELECT {sums} FROM p{e})")
+        if e < epochs:
+            norm = "sqrt(0.0 + " + " + ".join(
+                f"CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)" for j in range(dim)
+            ) + ")"
+            vcols = ", ".join(
+                f"CAST(s{j} AS DOUBLE) / nrm AS v{j}" for j in range(dim)
+            )
+            parts.append(
+                f"v{e} AS (SELECT {vcols} FROM"
+                f" (SELECT *, {norm} AS nrm FROM e{e}))"
+            )
+    norm = "sqrt(0.0 + " + " + ".join(
+        f"CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)" for j in range(dim)
+    ) + ")"
+    parts.append(f"nm AS (SELECT *, {norm} AS nrm FROM e{epochs})")
+    parts.append("cnt AS (SELECT count(*) AS c FROM embeddings)")
+    branches = "\nUNION ALL\n".join(
+        f"SELECT CAST({j + 1} AS BIGINT) AS dim,"
+        f" CAST(floor(CAST(s{j} AS DOUBLE) / nrm * 1000000.0 + 0.5) AS BIGINT)"
+        f" AS loading_micros,"
+        f" CAST(floor(nrm / (100000000.0 * CAST(c AS DOUBLE)) * 1000000.0"
+        f" + 0.5) AS BIGINT) AS eigenvalue_micros FROM nm, cnt"
+        for j in range(dim)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + branches
+
+
+ORACLE["embedding_top_pc_power_iter"] = _power_iter_sql()
+
+
+# ntile quartile banding: total order via the event_id tiebreak makes
+# the SQL-standard bucket rule position-determined in both engines.
+ORACLE["ntile_value_bands"] = """
+WITH b AS (
+  SELECT event_type, CAST(value AS DECIMAL(25,6)) AS v,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS band
+  FROM events)
+SELECT event_type, CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(v) AS band_min, max(v) AS band_max, sum(v) AS band_sum
+FROM b GROUP BY 1, 2
+"""
+
+
 ORACLE["rolling_median_daily_revenue"] = """
 WITH d AS (
   SELECT CAST(ts AS DATE) AS day,

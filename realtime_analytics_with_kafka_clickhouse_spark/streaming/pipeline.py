@@ -2758,3 +2758,56 @@ def percentile_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         events.unpersist(blocking=False)
+
+
+def sliding_stateful_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """HOPPING-window (sliding) engine-state aggregation — the windowed
+    MV variant the tumbling proof doesn't exercise: every event lands in
+    TWO overlapping 2-hour windows (1-hour slide), so cross-batch state
+    holds concurrent open windows per key and the watermark finalizes
+    them one slide apart.  Same measures as the A1 rollup; same
+    bounded-state tradeoff as ``windowed_stateful_rollup``."""
+    from ..operators.rollups import category_key, completed, quantity_key
+
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(completed())
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+            category_key().alias("category"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            dsum("value").alias("total_revenue"),
+            F.sum(quantity_key()).alias("total_quantity"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "category",
+            "order_count",
+            "total_revenue",
+            "total_quantity",
+        )
+    )
+
+
+def stream_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated run of the watermarked HOPPING-window aggregation
+    (window(ts, '2 hours', '1 hour') — ClickHouse's HOP window / the
+    overlapping-window MV): replay events time-ordered through
+    ``sliding_stateful_rollup`` and return the windows the stream
+    FINALIZED.  In append mode a hopping window emits exactly when the
+    watermark passes its end, so the emitted set is batch-predictable:
+    each event belongs to the two hour-aligned starts {trunc(ts,'hour')
+    - 1h, trunc(ts,'hour')}, and a window survives iff win_start + 2h
+    <= max_ts - 2h — the oracle recomputes exactly that with a 2-way
+    window explode.  All measures are count/decimal arithmetic."""
+    name = _replay_events_stream(
+        spark, sf_dir, sliding_stateful_rollup, "slideroll"
+    )
+    return spark.sql(
+        f"SELECT win_start, category, order_count, total_revenue,"
+        f" total_quantity FROM {name}"
+    )

@@ -177,3 +177,71 @@ def test_compact_ranged_tx_rejects_bad_bounds(spark):
 
     with _pytest.raises(ValueError):
         txlog.compact_ranged_tx(spark, "/tmp/nonexistent", "c", [5, 5])
+
+
+def test_sparkbar_shape_and_levels(spark, queries):
+    """24 glyphs per type, all from the 8-char ramp; a flat profile is
+    impossible on the fixture (hourly revenue varies), so at least two
+    distinct levels appear (falsifiability), and min/max slots render the
+    bottom/top glyphs."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        SPARKBAR_CHARS,
+    )
+
+    rows = queries["sparkbar_hourly_revenue"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        bar = r["sparkbar"]
+        assert len(bar) == 24
+        assert set(bar) <= set(SPARKBAR_CHARS)
+        assert r["min_hour_micros"] <= r["max_hour_micros"]
+        if r["max_hour_micros"] > r["min_hour_micros"]:
+            assert SPARKBAR_CHARS[0] in bar and SPARKBAR_CHARS[7] in bar
+            assert len(set(bar)) >= 2
+
+
+def test_ntile_bands_partition_exactly(spark, queries):
+    """Quartile populations per type differ by at most 1 and sum to the
+    type's event count; band value ranges are non-overlapping in band
+    order (the banding is a real ordered partition)."""
+    df = queries["ntile_value_bands"](spark, SF_DIR)
+    by_type = {}
+    for r in df.collect():
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rows in by_type.items():
+        rows.sort(key=lambda r: r["band"])
+        assert [r["band"] for r in rows] == [1, 2, 3, 4]
+        counts = [r["n_events"] for r in rows]
+        assert max(counts) - min(counts) <= 1
+        for a, b in zip(rows, rows[1:]):
+            assert a["band_max"] <= b["band_min"]
+
+
+def test_power_iter_unit_norm_and_determinism(spark, queries):
+    """The emitted loadings are (up to micro-rounding) a unit vector, the
+    eigenvalue estimate is positive, and a re-run is bit-identical (no
+    RNG, no partitioning dependence in the integer sums)."""
+    q = queries["embedding_top_pc_power_iter"]
+    rows = sorted(q(spark, SF_DIR).collect(), key=lambda r: r["dim"])
+    assert len(rows) == 64
+    norm2 = sum((r["loading_micros"] / 1e6) ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3
+    assert rows[0]["eigenvalue_micros"] > 0
+    assert len({r["eigenvalue_micros"] for r in rows}) == 1
+    again = sorted(q(spark, SF_DIR).collect(), key=lambda r: r["dim"])
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_url_battery_map_only(spark, queries):
+    """The URL decomposition must stay map-only: no exchange anywhere in
+    the plan (parse where the row lives)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = queries["url_functions_battery"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    r = {x["doc_id"]: x for x in df.collect()}[3]
+    assert r["protocol"] == "https" and r["tld"] == "com"
+    assert r["p_param"] == "3" and r["fragment"] == "s0"
