@@ -997,7 +997,7 @@ def _build_ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ivf_probe_serve(
-    spark: SparkSession, sf_dir: str, table: str
+    spark: SparkSession, sf_dir: str, table: str, keep=None
 ) -> DataFrame:
     """Serve IVF queries from a PERSISTED index-as-table: the query set
     is every vector whose argmin cell is 0 (deterministic), their
@@ -1019,6 +1019,8 @@ def _ivf_probe_serve(
     from ..storage import txlog
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if keep is not None:
+        emb = emb.filter(keep)
     with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
     queries = with_cells.filter(
         F.element_at("ranked", 1)["c"] == 0
@@ -2697,3 +2699,93 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim long, loading_micros long, eigenvalue_micros long"
     )
+
+
+#: Deletion-request selector for the IVF delete proof: vectors with
+#: vec_id % IVF_DELETE_MOD == IVF_DELETE_REM play the GDPR-style erasure.
+IVF_DELETE_MOD = 10
+IVF_DELETE_REM = 3
+
+
+def ann_ivf_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone DELETE on the persisted IVF index (NEW r11) — the erasure
+    half of the index lifecycle next to ``ann_ivf_incremental``'s
+    add-then-search (the GDPR path FAISS serves with remove_ids, Delta
+    with DELETE + OPTIMIZE): deletion requests land as ONE batch-id-
+    idempotent tombstone append (same schema, ``deleted = true`` — O(batch)
+    commit, nothing rewritten), and the ranged OPTIMIZE applies them
+    physically while re-clustering (``compact_ranged_tx(agg=...)`` — the
+    tombstone collapse is the fold, ClickHouse's OPTIMIZE FINAL on a
+    delete-carrying table).
+
+    Served answers after the maintenance must equal the in-memory IVF
+    over the REMAINING corpus under the FROZEN full-corpus quantizer —
+    deleted vectors are neither queries nor retrievable neighbors (the
+    oracle recomputes exactly that from raw parquet; the pytest pins
+    zero victims and zero tombstones surviving the rewrite, replay
+    no-op, and pruning restored).
+
+    Scale shape: delete cost is O(batch) — one map-side assignment pass
+    over the victims, one append commit; the physical erase rides the
+    OPTIMIZE the table needed anyway; serving prunes by cell exactly as
+    before."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..storage import txlog
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir)).select(
+        "vec_id",
+        F.element_at("ranked", 1)["c"].alias("cluster"),
+        "embedding",
+    ).persist()
+    is_victim = F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REM
+    table = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_ivf_index",
+        f"del-{_uuid.uuid4().hex[:8]}",
+    )
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+    try:
+        base = assigned.withColumn("deleted", F.lit(False))
+        for i in range(4):
+            txlog.append_tx(
+                spark,
+                table,
+                base.filter(
+                    (F.col("cluster") >= bounds[i])
+                    & (F.col("cluster") < bounds[i + 1])
+                ),
+                batch_id=i,
+                stats_cols=["cluster"],
+            )
+        tomb = assigned.filter(is_victim).withColumn("deleted", F.lit(True))
+        if not txlog.append_tx(
+            spark, table, tomb, batch_id=4, stats_cols=["cluster"]
+        ):
+            raise RuntimeError("IVF tombstone commit did not apply")
+        if not txlog.compact_ranged_tx(
+            spark,
+            table,
+            "cluster",
+            bounds,
+            stats_cols=["cluster"],
+            agg=apply_ivf_tombstones,
+        ):
+            raise RuntimeError("ranged OPTIMIZE found an empty index table")
+    finally:
+        assigned.unpersist(blocking=False)
+    return _ivf_probe_serve(spark, sf_dir, table, keep=~is_victim)
+
+
+def apply_ivf_tombstones(df: DataFrame) -> DataFrame:
+    """Tombstone collapse for the delete-carrying IVF index: drop every
+    row of a tombstoned vec_id AND the tombstones themselves (the
+    ``deleted`` column survives for future delete batches).  The victim
+    id set is delete-batch-bounded, join-derived — AQE's runtime
+    conversion is its broadcast gate."""
+    victims = df.filter(F.col("deleted")).select("vec_id")
+    return df.filter(~F.col("deleted")).join(victims, "vec_id", "left_anti")

@@ -3718,3 +3718,53 @@ def sparkbar_hourly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").cast("long").alias("max_hour_micros"),
         F.sum("v").cast("long").alias("total_micros"),
     )
+
+
+def bounding_ratio_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boundingRatio`` parity (ClickHouse's endpoints-slope aggregate —
+    the rate-of-change a monitoring dashboard reads off a counter without
+    storing deltas): per event type, the slope between the value at the
+    EARLIEST and at the LATEST event, (y_last - y_first)/(x_last -
+    x_first).
+
+    Exactness: the endpoint values ride the argminmax struct discipline
+    (min/max over (ts, event_id, value) structs — a total order, so the
+    endpoints are deterministic and the aggregate merge-associative,
+    partial-aggregating map-side); endpoints emit as exact integer micros
+    and the slope goes through the floor chain over bigint->double-exact
+    inputs (SURVEY §5 class 4: the only doubles are exact-integer-derived
+    and mirrored).
+
+    Scale shape: ONE map-side-combined aggregate, |types| rows out."""
+    ev = load_table(spark, sf_dir, "events")
+    by_time = F.struct(
+        "ts", "event_id", F.col("value").cast("decimal(25,6)").alias("v")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.min(by_time).alias("first"),
+        F.max(by_time).alias("last"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    ymic = lambda s: (s["v"] * F.lit(1000000)).cast("long")
+    xus = lambda s: F.unix_micros(s["ts"])
+    dy = (ymic(F.col("last")) - ymic(F.col("first"))).alias("dy_micros")
+    dx = (xus(F.col("last")) - xus(F.col("first"))).alias("dx_us")
+    out = agg.select(
+        "event_type",
+        F.col("first")["ts"].alias("first_ts"),
+        F.col("last")["ts"].alias("last_ts"),
+        ymic(F.col("first")).alias("y_first_micros"),
+        ymic(F.col("last")).alias("y_last_micros"),
+        dy,
+        dx,
+        "n_events",
+    )
+    slope = (
+        F.col("dy_micros").cast("double")
+        / F.col("dx_us").cast("double")
+        * F.lit(1000000000.0)
+    )
+    return out.withColumn(
+        "slope_nanos_per_us",
+        F.floor(slope + F.lit(0.5)).cast("long"),
+    )

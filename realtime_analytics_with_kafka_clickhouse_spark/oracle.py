@@ -1849,10 +1849,15 @@ def _kmeans_sql() -> str:
 ORACLE["kmeans_train"] = _kmeans_sql()
 
 
-def _ivf_kmeans_sql(dim: int = 64, probe: int = 2, top_k: int = 5) -> str:
+def _ivf_kmeans_sql(
+    dim: int = 64, probe: int = 2, top_k: int = 5, src: str = "embeddings"
+) -> str:
     """IVF search over the trained quantizer: index cells = argmin
     assignment (the kmeans CTEs' final a3), probe cells = top-`probe`
-    nearest centroids per query, exact cosine within probed cells."""
+    nearest centroids per query, exact cosine within probed cells.
+    ``src`` restricts the SEARCHED vector set (queries + index members)
+    while the quantizer CTEs stay trained on the full corpus — the
+    frozen-quantizer delete/ingest contract."""
     parts, final_c = _kmeans_parts(dim=dim)
     chain = " + ".join(
         f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
@@ -1865,13 +1870,13 @@ def _ivf_kmeans_sql(dim: int = 64, probe: int = 2, top_k: int = 5) -> str:
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
     FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
-          FROM embeddings e CROSS JOIN {final_c} c))
+          FROM {src} e CROSS JOIN {final_c} c))
   WHERE rn <= {probe})"""
     )
     parts.append(
         f"""v AS (
   SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
-  FROM embeddings)"""
+  FROM {src})"""
     )
     parts.append(
         f"""p AS (
@@ -1998,6 +2003,23 @@ SELECT vec_id, neighbor_id, cos_sim, rank,
 FROM ({ORACLE["ann_ivf_kmeans"]})
 WHERE vec_id IN (
   SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
+"""
+
+# Tombstone DELETE on the IVF index: after the delete-applying ranged
+# OPTIMIZE, answers equal the in-memory IVF over the REMAINING corpus
+# under the frozen full-corpus quantizer.
+from .operators.similarity import IVF_DELETE_MOD as _IVF_DEL_MOD
+from .operators.similarity import IVF_DELETE_REM as _IVF_DEL_REM
+
+_IVF_REMAINING = (
+    f"(SELECT * FROM embeddings WHERE vec_id % {_IVF_DEL_MOD}"
+    f" <> {_IVF_DEL_REM})"
+)
+ORACLE["ann_ivf_delete_vectors"] = f"""
+SELECT * FROM ({_ivf_kmeans_sql(src=_IVF_REMAINING)})
+WHERE vec_id IN (
+  SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
+  AND vec_id % {_IVF_DEL_MOD} <> {_IVF_DEL_REM}
 """
 
 ORACLE["dsir_importance"] = """
@@ -4299,6 +4321,35 @@ def _power_iter_sql(dim: int = 64, epochs: int = 3) -> str:
 
 
 ORACLE["embedding_top_pc_power_iter"] = _power_iter_sql()
+
+
+# boundingRatio: endpoint selection via min/max over (ts, event_id, v)
+# structs mirrored as DuckDB arg_min/arg_max on the composite key; slope
+# through the floor chain over exact-integer-derived doubles.
+ORACLE["bounding_ratio_battery"] = """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(value AS DECIMAL(25,6)) AS v,
+         CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
+  FROM events),
+a AS (
+  SELECT event_type,
+         arg_min(ts, k) AS first_ts, arg_max(ts, k) AS last_ts,
+         CAST(arg_min(v, k) * 1000000 AS BIGINT) AS y_first_micros,
+         CAST(arg_max(v, k) * 1000000 AS BIGINT) AS y_last_micros,
+         CAST(arg_min(epoch_us(ts), k) AS BIGINT) AS x_first_us,
+         CAST(arg_max(epoch_us(ts), k) AS BIGINT) AS x_last_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY 1)
+SELECT event_type, first_ts, last_ts, y_first_micros, y_last_micros,
+       y_last_micros - y_first_micros AS dy_micros,
+       x_last_us - x_first_us AS dx_us,
+       n_events,
+       CAST(floor(CAST(y_last_micros - y_first_micros AS DOUBLE)
+                  / CAST(x_last_us - x_first_us AS DOUBLE)
+                  * 1000000000.0 + 0.5) AS BIGINT) AS slope_nanos_per_us
+FROM a
+"""
 
 
 # ntile quartile banding: total order via the event_id tiebreak makes

@@ -520,6 +520,7 @@ def compact_ranged_tx(
     col: str,
     bounds: list[int],
     stats_cols: list[str] | None = None,
+    agg=None,
     max_attempts: int = 10,
 ) -> bool:
     """Ranged OPTIMIZE: rewrite the current snapshot into one data
@@ -534,7 +535,10 @@ def compact_ranged_tx(
     the ranged rewrite each directory's zone map covers exactly its
     range and ``read_table(prune=...)`` lists only the overlapping
     directories again.  Same snapshot-isolation/retry contract as
-    ``compact_tx``; rows are preserved exactly (no ``agg``) — callers
+    ``compact_tx``.  ``agg`` (optional, DataFrame -> DataFrame) folds
+    rows while rewriting — pass the tombstone-collapse to get ClickHouse
+    ``OPTIMIZE ... FINAL`` on a table carrying deletes; leave None for a
+    pure re-clustering rewrite that preserves rows exactly.  Callers
     must pass bounds covering the full key domain.  Returns False when
     the table is empty."""
     from pyspark.sql import functions as _F
@@ -549,6 +553,8 @@ def compact_ranged_tx(
         if commit is None or not commit["dirs"]:
             return False
         current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+        if agg is not None:
+            current = agg(current)
         new_dirs: list[str] = []
         stats: dict = {}
         for i in range(len(bounds) - 1):

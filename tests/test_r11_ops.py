@@ -245,3 +245,82 @@ def test_url_battery_map_only(spark, queries):
     r = {x["doc_id"]: x for x in df.collect()}[3]
     assert r["protocol"] == "https" and r["tld"] == "com"
     assert r["p_param"] == "3" and r["fragment"] == "s0"
+
+
+def test_ivf_delete_applies_tombstones_physically(spark):
+    """The delete-applying ranged OPTIMIZE: post-compact the index holds
+    zero victim rows and zero tombstone rows, total = corpus - victims,
+    the tombstone replay is a committed no-op, a one-cell probe lists one
+    directory again, and no served neighbor is a deleted vector."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        IVF_DELETE_REM,
+        KMEANS_K,
+        _kmeans_fit,
+        _with_ranked_cells,
+        apply_ivf_tombstones,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    import os, tempfile, uuid
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    assigned = _with_ranked_cells(emb, _kmeans_fit(spark, SF_DIR)).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+    )
+    is_victim = F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REM
+    n_total = emb.count()
+    n_victims = emb.filter(is_victim).count()
+    assert 0 < n_victims < n_total  # both branches real on the fixture
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_index", f"dt-{uuid.uuid4().hex[:8]}"
+    )
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+    base = assigned.withColumn("deleted", F.lit(False))
+    for i in range(4):
+        txlog.append_tx(
+            spark,
+            table,
+            base.filter(
+                (F.col("cluster") >= bounds[i]) & (F.col("cluster") < bounds[i + 1])
+            ),
+            batch_id=i,
+            stats_cols=["cluster"],
+        )
+    tomb = assigned.filter(is_victim).withColumn("deleted", F.lit(True))
+    assert txlog.append_tx(spark, table, tomb, batch_id=4, stats_cols=["cluster"])
+    assert not txlog.append_tx(  # replayed delete batch: committed no-op
+        spark, table, tomb, batch_id=4, stats_cols=["cluster"]
+    )
+    assert txlog.compact_ranged_tx(
+        spark, table, "cluster", bounds, stats_cols=["cluster"],
+        agg=apply_ivf_tombstones,
+    )
+    live = txlog.read_table(spark, table)
+    assert live.count() == n_total - n_victims
+    assert live.filter(F.col("deleted")).count() == 0
+    assert (
+        live.filter(F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REM).count()
+        == 0
+    )
+    probe = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    assert len({f.rsplit("/", 2)[-2] for f in probe.inputFiles()}) == 1
+
+
+def test_ivf_delete_serves_no_victims(spark, queries):
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        IVF_DELETE_MOD,
+        IVF_DELETE_REM,
+    )
+
+    rows = queries["ann_ivf_delete_vectors"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["vec_id"] % IVF_DELETE_MOD != IVF_DELETE_REM
+        assert r["neighbor_id"] % IVF_DELETE_MOD != IVF_DELETE_REM
