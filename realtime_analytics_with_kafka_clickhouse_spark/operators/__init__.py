@@ -45,7 +45,8 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (bpe_token_stats onward) leads the r12 gate, with
+# the r7 remainder (simhash_fingerprints onward) leads the r12 gate,
+# with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
 # ntile bands, URL battery, power iteration, hopping-window MV).
@@ -61,10 +62,12 @@ _NAMES = [
         "distinct_agg_battery",
         "sparkbar_hourly_revenue",  # NEW r11: ClickHouse sparkbar parity
         "bounding_ratio_battery",  # NEW r11: boundingRatio endpoints slope
+        "quantile_timing_battery",  # NEW r11: quantileTiming accuracy contract
     ]),
     (windows, [
         "rolling_median_daily_revenue",
         "ntile_value_bands",  # NEW r11: ntile quartile banding
+        "group_array_moving_avg",  # NEW r11: groupArrayMovingAvg micros CSV
     ]),
     (text, [
         "dsir_importance",

@@ -3768,3 +3768,61 @@ def bounding_ratio_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_nanos_per_us",
         F.floor(slope + F.lit(0.5)).cast("long"),
     )
+
+
+#: quantileTiming accuracy contract (ClickHouse docs): exact below
+#: SMALL ms, BIG_RES-ms resolution up to CAP, clamped at CAP.
+QT_SMALL = 1024
+QT_BIG_RES = 16
+QT_CAP = 30000
+QT_PS = (50, 95, 99)  # percent points (Low-selection convention)
+
+
+def quantile_timing_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantileTiming`` parity (ClickHouse's latency-specialized
+    quantile — the function behind every p95-latency dashboard card):
+    per event type, p50/p95/p99 over millisecond timings under the
+    documented accuracy contract — EXACT below 1024 ms, 16 ms resolution
+    from 1024 ms to 30 s, clamped at 30 s — with the Low selection
+    convention (k = ceil(p*n), pure integer rank arithmetic).
+
+    Timings are value*10 floored to integer ms (the fixture's value
+    spans ~0..4900 so BOTH accuracy regimes fire — the exact/bucketed
+    split is reported and pytest-pinned falsifiable).  Everything is
+    integer selection off the value-frequency table: ONE map-side-
+    combined (type, bucket) aggregate, a cumulative window over the
+    bucket-bounded frame, one conditional-min aggregate pulling all
+    three order statistics (the weighted-percentiles shape — no global
+    sort, no per-row rank).  SURVEY §5 class-4-proof: no doubles
+    anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.floor(F.col("value").cast("decimal(25,6)") * 10).cast("long")
+    capped = F.least(ms, F.lit(QT_CAP))
+    bucket = F.when(ms < QT_SMALL, ms).otherwise(
+        F.lit(QT_SMALL)
+        + ((capped - QT_SMALL) - F.pmod(capped - QT_SMALL, F.lit(QT_BIG_RES)))
+    )
+    vf = ev.groupBy(
+        "event_type", bucket.cast("long").alias("b")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(ms < QT_SMALL, 1).otherwise(0)).alias("n_exact_part"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        vf.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+    aggs = [
+        F.max("n").cast("long").alias("n_events"),
+        F.sum("n_exact_part").cast("long").alias("n_exact_regime"),
+    ]
+    for p in QT_PS:
+        k = F.expr(f"({p} * n + 99) div 100")  # ceil(p*n/100), exact ints
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k, F.col("b"))).cast("long").alias(f"p{p}_ms")
+        )
+    return cum.groupBy("event_type").agg(*aggs)

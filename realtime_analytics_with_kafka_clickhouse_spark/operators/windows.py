@@ -399,3 +399,46 @@ def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("band_max"),
         F.sum("v").alias("band_sum"),
     )
+
+
+def group_array_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupArrayMovingAvg`` analog (the mean sibling of
+    ``group_array_moving_sum``): per customer, the time-ordered array of
+    trailing-3 moving AVERAGES of order totals — the smoothed spend
+    trajectory a churn model consumes.
+
+    Exactness (SURVEY §5 class 4 by construction): the frame sum rides
+    the decimal domain, quantizes to integer micros (decimal(25,6)*1e6
+    has a zero fractional part), and each element is ONE exact integer
+    division — avg_micros = (2*S6 + k) div (2*k) over the ACTUAL frame
+    row count k (1, 2 or 3 at the partition head: ClickHouse's
+    MovingAvg divides by the window size; dividing by k keeps the head
+    elements honest means, the convention documented here and mirrored
+    in the oracle).  CSV of longs — no doubles, no decimal renderings.
+
+    One customer-key shuffle shared by the frame window, the count
+    window and the sorted-struct collect; array length is bounded by
+    orders-per-customer, never the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(25,6)")
+    w3 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(-2, 0)
+    s6 = (F.sum(dec).over(w3) * F.lit(1000000)).cast("long")
+    k = F.count("*").over(w3)
+    base = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        (F.lit(2) * s6 + k).alias("_num"),
+        (F.lit(2) * k).alias("_den"),
+    ).withColumn("avg3_micros", F.expr("_num div _den").cast("long"))
+    kv = F.sort_array(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey", "avg3_micros"))
+    )
+    return base.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(kv, lambda x: x["avg3_micros"].cast("string")), ","
+        ).alias("moving_avg3_micros_csv"),
+        F.count("*").cast("long").alias("n_orders"),
+    )

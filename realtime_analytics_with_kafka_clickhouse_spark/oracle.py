@@ -4352,6 +4352,68 @@ FROM a
 """
 
 
+# quantileTiming: the documented accuracy contract (exact < 1024 ms,
+# 16 ms resolution to 30 s, clamped) + Low selection (k = ceil(p*n)) —
+# all integer arithmetic off the value-frequency table.
+ORACLE["quantile_timing_battery"] = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DECIMAL(25,6)) * 10) AS BIGINT) AS ms
+  FROM events),
+bk AS (
+  SELECT event_type, ms,
+         CASE WHEN ms < 1024 THEN ms
+              ELSE 1024 + ((least(ms, 30000) - 1024)
+                           - ((least(ms, 30000) - 1024) % 16)) END AS b
+  FROM t),
+vf AS (
+  SELECT event_type, b, count(*) AS cnt,
+         sum(CASE WHEN ms < 1024 THEN 1 ELSE 0 END) AS n_exact_part
+  FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, cnt, n_exact_part,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM vf)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(sum(n_exact_part) AS BIGINT) AS n_exact_regime,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN b END) AS BIGINT)
+         AS p50_ms,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN b END) AS BIGINT)
+         AS p95_ms,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS BIGINT)
+         AS p99_ms
+FROM cum GROUP BY 1
+"""
+
+
+# groupArrayMovingAvg: frame sums quantize to integer micros, each
+# element ONE mirrored exact integer division by the ACTUAL frame size.
+ORACLE["group_array_moving_avg"] = """
+WITH b AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+              OVER w * 1000000 AS BIGINT) AS s6,
+         CAST(count(*) OVER w AS BIGINT) AS k
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST((2 * s6 + k) // (2 * k) AS BIGINT) AS avg3_micros
+  FROM b)
+SELECT o_custkey,
+       array_to_string(
+         list(CAST(avg3_micros AS VARCHAR) ORDER BY o_orderdate, o_orderkey),
+         ',') AS moving_avg3_micros_csv,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM m GROUP BY 1
+"""
+
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """

@@ -324,3 +324,55 @@ def test_ivf_delete_serves_no_victims(spark, queries):
     for r in rows:
         assert r["vec_id"] % IVF_DELETE_MOD != IVF_DELETE_REM
         assert r["neighbor_id"] % IVF_DELETE_MOD != IVF_DELETE_REM
+
+
+def test_r11_new_ops_plan_shapes(spark, queries):
+    """Plan pins for the r11 batch: ntile banding runs ONE exchange
+    (partition by type; the band aggregate reuses or follows it, never a
+    global sort); sparkbar's corpus pass is the single rollup aggregate
+    (no second corpus exchange — the window runs over the 24-row dense
+    grid); bounding_ratio partial-aggregates its endpoint structs
+    map-side."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    ntile = formatted_plan(queries["ntile_value_bands"](spark, SF_DIR))
+    assert "CartesianProduct" not in ntile
+    assert ntile.count("(") > 0 and "Window" in ntile
+    n_exch = sum(
+        1 for line in ntile.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_exch <= 2, ntile  # type-hash for the window + band rollup
+
+    br = formatted_plan(queries["bounding_ratio_battery"](spark, SF_DIR))
+    assert "partial_min" in br and "partial_max" in br, br
+
+    sb = formatted_plan(queries["sparkbar_hourly_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in sb
+    # exactly one scan of events feeds everything (grid derives from it)
+    scans = sum(
+        1 for line in sb.splitlines()
+        if line.strip().startswith("(") and "Scan parquet" in line
+        and "events" in line
+    )
+    assert scans <= 2, sb
+
+
+def test_quantile_timing_regimes_and_monotonicity(spark, queries):
+    """Both accuracy regimes fire on the fixture (exact < 1024 ms AND
+    bucketed >= 1024 ms), bucketed quantiles land on the 16 ms grid, and
+    p50 <= p95 <= p99."""
+    rows = queries["quantile_timing_battery"](spark, SF_DIR).collect()
+    assert rows
+    saw_bucketed_stat = False
+    for r in rows:
+        assert 0 < r["n_exact_regime"] < r["n_events"]
+        assert r["p50_ms"] <= r["p95_ms"] <= r["p99_ms"]
+        for p in ("p50_ms", "p95_ms", "p99_ms"):
+            v = r[p]
+            if v >= 1024:
+                saw_bucketed_stat = True
+                assert (v - 1024) % 16 == 0, (p, v)
+    assert saw_bucketed_stat
