@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (simhash_fingerprints onward) leads the r12 gate,
+# the r7 remainder (substring_dedup_docs onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -93,6 +93,7 @@ _NAMES = [
         "dedup_keep_best",
         "corpus_mix_report",
         "pack_training_shards",
+        "span_corruption_plan",  # NEW r11: T5 denoising span plan
     ]),
     (_streaming_pipeline, [
         "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof

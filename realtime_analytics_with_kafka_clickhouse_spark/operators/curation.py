@@ -680,3 +680,78 @@ def epoch_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         repeat.alias("repeat_factor"),
         epochs_ceil.alias("epochs_ceil"),
     )
+
+
+SPAN_MEAN_LEN = 3  # T5 span-corruption mean span length
+SPAN_RATIO_PCT = 15  # percent of tokens to corrupt
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020, public paper —
+    the denoising objective's data-prep step): for every document, pick
+    the token spans to mask — 15% of tokens in spans of length 3 — as a
+    deterministic, seeded-hash plan (no RNG state: the same spans on any
+    engine, any run, any partitioning — reproducible pretraining).
+
+    Plan rule (documented convention): n_spans = max(1, floor(n * 15 /
+    100) div 3); the document splits into n_spans equal segments and span
+    i starts at segment_start + h(doc_id, i) % jitter_room (the seeded
+    hash keeps spans spread out but non-periodic); spans truncate at the
+    document end.  Everything is integer/hash arithmetic — exact in any
+    engine (SURVEY §5 class 4).
+
+    Scale shape: one map-side token count, a sequence explode bounded by
+    n_spans-per-doc (~n/20 elements), a per-doc integer rollup — no
+    shuffle wider than the doc-keyed aggregate, no Python."""
+    from ..functions.hashing import word_hash_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_spans = F.greatest(
+        F.lit(1), F.expr(f"(n_tokens * {SPAN_RATIO_PCT} div 100) div {SPAN_MEAN_LEN}")
+    )
+    base = docs.select("doc_id", n_tok.alias("n_tokens")).withColumn(
+        "n_spans", n_spans.cast("long")
+    )
+    ex = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("i"),
+    )
+    gap = F.expr("n_tokens div n_spans")
+    room = F.greatest(F.lit(1), gap - F.lit(SPAN_MEAN_LEN))
+    jitter = F.pmod(
+        word_hash_expr(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("i").cast("string")),
+            F.lit("span"),
+        ),
+        room,
+    )
+    spans = ex.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        (F.col("i") * gap + jitter).cast("long").alias("start"),
+    ).withColumn(
+        "span_len",
+        F.least(F.lit(SPAN_MEAN_LEN), F.col("n_tokens") - F.col("start")).cast(
+            "long"
+        ),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_spans").alias("n_spans"),
+        F.sum("span_len").cast("long").alias("n_corrupted"),
+        F.expr(
+            "(2 * sum(span_len) * 1000000 + max(n_tokens))"
+            " div (2 * max(n_tokens))"
+        ).cast("long").alias("corruption_micros"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("start")),
+                lambda s: s.cast("string"),
+            ),
+            ",",
+        ).alias("span_starts_csv"),
+    )

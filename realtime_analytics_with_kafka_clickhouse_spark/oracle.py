@@ -4414,6 +4414,42 @@ FROM m GROUP BY 1
 """
 
 
+# T5 span-corruption plan: deterministic seeded-hash span placement,
+# all integer/hash arithmetic (the dsir_resample hash convention).
+ORACLE["span_corruption_plan"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         greatest(1, (n_tokens * 15 // 100) // 3) AS n_spans
+  FROM d),
+ex AS (
+  SELECT doc_id, n_tokens, n_spans,
+         CAST(unnest(range(0, n_spans)) AS BIGINT) AS i
+  FROM b),
+s AS (
+  SELECT doc_id, n_tokens, n_spans,
+         i * (n_tokens // n_spans)
+           + ({_h("concat_ws(chr(1), 'span', concat_ws(':', CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR)))")}
+              % greatest(1, n_tokens // n_spans - 3)) AS start
+  FROM ex),
+sl AS (
+  SELECT doc_id, n_tokens, n_spans, start,
+         least(3, n_tokens - start) AS span_len
+  FROM s)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(span_len) AS BIGINT) AS n_corrupted,
+       CAST((2 * CAST(sum(span_len) AS BIGINT) * 1000000 + max(n_tokens))
+            // (2 * max(n_tokens)) AS BIGINT) AS corruption_micros,
+       array_to_string(list(CAST(start AS VARCHAR) ORDER BY start), ',')
+         AS span_starts_csv
+FROM sl GROUP BY 1
+"""
+
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """

@@ -376,3 +376,28 @@ def test_quantile_timing_regimes_and_monotonicity(spark, queries):
                 saw_bucketed_stat = True
                 assert (v - 1024) % 16 == 0, (p, v)
     assert saw_bucketed_stat
+
+
+def test_span_corruption_plan_invariants(spark, queries):
+    """Spans are within bounds, non-overlapping (segment spread + len-3
+    spans under gap ~20), full-length except a possible truncated tail,
+    and the plan is deterministic across runs."""
+    q = queries["span_corruption_plan"]
+    rows = {r["doc_id"]: r for r in q(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        starts = [int(s) for s in r["span_starts_csv"].split(",")]
+        assert len(starts) == r["n_spans"]
+        assert all(0 <= s < r["n_tokens"] for s in starts)
+        for a, b in zip(starts, starts[1:]):
+            assert b - a >= 3  # non-overlapping
+        assert r["n_corrupted"] <= 3 * r["n_spans"]
+        assert r["n_corrupted"] >= 3 * (r["n_spans"] - 1) + 1
+        # ~15% on normal docs; tiny docs are floored at one 3-token span
+        n = r["n_tokens"]
+        one_span_micros = (2 * 3 * 1000000 + n) // (2 * n)
+        assert 0 < r["corruption_micros"] <= max(160000, one_span_micros)
+    again = {r["doc_id"]: r for r in q(spark, SF_DIR).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
