@@ -57,6 +57,7 @@ def tier_of(name: str) -> str:
             "ttl_move_tiering",
             "table_parts_report",
             "order_update_mutation",
+            "optimize_deduplicate",
         )
     ):
         return "storage_maintenance"

@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (substring_dedup_docs onward) leads the r12 gate,
+# the r7 remainder (dedup_exact onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -63,6 +63,7 @@ _NAMES = [
         "sparkbar_hourly_revenue",  # NEW r11: ClickHouse sparkbar parity
         "bounding_ratio_battery",  # NEW r11: boundingRatio endpoints slope
         "quantile_timing_battery",  # NEW r11: quantileTiming accuracy contract
+        "ip_functions_battery",  # NEW r11: IPv4 family, hash-spread fleet
     ]),
     (windows, [
         "rolling_median_daily_revenue",
@@ -97,6 +98,7 @@ _NAMES = [
     ]),
     (_streaming_pipeline, [
         "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
+        "optimize_deduplicate_rollup",  # NEW r11: OPTIMIZE ... DEDUPLICATE
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
     #    ledger to lead this gate) --

@@ -1156,13 +1156,17 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         base = assigned.filter(~is_batch)
         for i in range(4):
+            # coalesce: each range chunk is corpus/4 rows of (id, cell,
+            # vector) — a handful of parquet files beats 32 splinters
+            # (at 100 TB the writer parallelism comes from the data size,
+            # not from splitting a small chunk across every core)
             txlog.append_tx(
                 spark,
                 table,
                 base.filter(
                     (F.col("cluster") >= bounds[i])
                     & (F.col("cluster") < bounds[i + 1])
-                ),
+                ).coalesce(4),
                 batch_id=i,
                 stats_cols=["cluster"],
             )
@@ -1171,7 +1175,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not txlog.append_tx(
             spark,
             table,
-            assigned.filter(is_batch),
+            assigned.filter(is_batch).coalesce(4),
             batch_id=4,
             stats_cols=["cluster"],
         ):
@@ -2758,13 +2762,13 @@ def ann_ivf_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                 base.filter(
                     (F.col("cluster") >= bounds[i])
                     & (F.col("cluster") < bounds[i + 1])
-                ),
+                ).coalesce(4),
                 batch_id=i,
                 stats_cols=["cluster"],
             )
         tomb = assigned.filter(is_victim).withColumn("deleted", F.lit(True))
         if not txlog.append_tx(
-            spark, table, tomb, batch_id=4, stats_cols=["cluster"]
+            spark, table, tomb.coalesce(4), batch_id=4, stats_cols=["cluster"]
         ):
             raise RuntimeError("IVF tombstone commit did not apply")
         if not txlog.compact_ranged_tx(

@@ -3826,3 +3826,87 @@ def quantile_timing_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("cum") >= k, F.col("b"))).cast("long").alias(f"p{p}_ms")
         )
     return cum.groupBy("event_type").agg(*aggs)
+
+
+def ip_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 function-family parity (ClickHouse's ``IPv4NumToString`` /
+    ``IPv4StringToNum`` / CIDR membership — the fleet/abuse-analytics
+    functions every clickstream with client IPs leans on): derive a
+    deterministic IPv4 per event by seeded-hashing the (user, event) pair
+    (raw user ids are dense small ints — hashing spreads the fleet over
+    the full address space so every branch below actually fires), render
+    it, round-trip it back through string parsing (the inverse is
+    computed, not assumed — a render/parse bug breaks the battery), mask
+    to the /24 network, and classify RFC-1918 private ranges; report per
+    /8 block.
+
+    Exactness: pure integer bit arithmetic (shifts and masks — exact in
+    any engine) and string concatenation; the round-trip equality is an
+    output column, so the oracle enforces the inverse too.
+
+    Scale shape: map-side derivation, ONE <=256-row rollup."""
+    from ..functions.hashing import word_hash_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    ip = (
+        word_hash_expr(
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("event_id").cast("string"),
+            ),
+            F.lit("ip"),
+        )
+        .bitwiseAND(F.lit(4294967295))
+        .alias("ip")
+    )
+    o = [
+        (F.shiftright(F.col("ip"), s).bitwiseAND(F.lit(255))).cast("long")
+        for s in (24, 16, 8, 0)
+    ]
+    base = ev.select("event_type", ip).select(
+        "event_type",
+        "ip",
+        o[0].alias("o1"),
+        o[1].alias("o2"),
+        o[2].alias("o3"),
+        o[3].alias("o4"),
+    )
+    ip_str = F.concat_ws(
+        ".",
+        F.col("o1").cast("string"),
+        F.col("o2").cast("string"),
+        F.col("o3").cast("string"),
+        F.col("o4").cast("string"),
+    )
+    parts = F.split(ip_str, "\\.")
+    reparsed = (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+    is_private = (
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168))
+    )
+    rows = base.select(
+        "event_type",
+        "o1",
+        "ip",
+        (reparsed == F.col("ip")).alias("roundtrip_ok"),
+        (F.col("ip") - F.col("o4")).alias("net24"),
+        is_private.alias("is_private"),
+    )
+    return rows.groupBy(F.col("o1").alias("block8")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("ip").cast("long").alias("n_distinct_ips"),
+        F.countDistinct("net24").cast("long").alias("n_distinct_nets24"),
+        F.sum(F.when(F.col("is_private"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_private"),
+        F.min("ip").cast("long").alias("min_ip"),
+        F.max("ip").cast("long").alias("max_ip"),
+        F.min(F.when(~F.col("roundtrip_ok"), 1)).isNull().alias("all_roundtrip_ok"),
+    )

@@ -4450,6 +4450,48 @@ FROM sl GROUP BY 1
 """
 
 
+# IPv4 battery: pure integer bit arithmetic + string round-trip, per-/8
+# rollup; the oracle recomputes the render AND the reparse.
+ORACLE["ip_functions_battery"] = f"""
+WITH h AS (
+  SELECT event_type,
+         {_h("concat_ws(chr(1), 'ip', concat_ws(':', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))")}
+           & 4294967295 AS ip
+  FROM events),
+b AS (
+  SELECT event_type, ip,
+         (ip >> 24) & 255 AS o1, (ip >> 16) & 255 AS o2,
+         (ip >> 8) & 255 AS o3, ip & 255 AS o4
+  FROM h),
+r AS (
+  SELECT event_type, o1, ip,
+         CAST(string_split(s, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(s, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(s, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(s, '.')[4] AS BIGINT) = ip AS roundtrip_ok,
+         ip - o4 AS net24,
+         (o1 = 10) OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+           OR (o1 = 192 AND o2 = 168) AS is_private
+  FROM (SELECT *, concat_ws('.', CAST(o1 AS VARCHAR), CAST(o2 AS VARCHAR),
+                            CAST(o3 AS VARCHAR), CAST(o4 AS VARCHAR)) AS s
+        FROM b))
+SELECT CAST(o1 AS BIGINT) AS block8,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_distinct_ips,
+       CAST(count(DISTINCT net24) AS BIGINT) AS n_distinct_nets24,
+       CAST(sum(CASE WHEN is_private THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_private,
+       CAST(min(ip) AS BIGINT) AS min_ip,
+       CAST(max(ip) AS BIGINT) AS max_ip,
+       min(CASE WHEN NOT roundtrip_ok THEN 1 END) IS NULL AS all_roundtrip_ok
+FROM r GROUP BY 1
+"""
+
+
+# OPTIMIZE ... DEDUPLICATE: full-row dedup must restore exactly one
+# copy of every rollup row — the oracle is the plain A1 rollup.
+ORACLE["optimize_deduplicate_rollup"] = ORACLE["hourly_category_rollup"]
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """

@@ -2811,3 +2811,41 @@ def stream_sliding_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT win_start, category, order_count, total_revenue,"
         f" total_quantity FROM {name}"
     )
+
+
+def optimize_deduplicate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE TABLE ... DEDUPLICATE`` (ClickHouse's full-row dedup
+    merge — the cleanup for a loader that double-appended WITHOUT batch
+    ids, where the Replacing family's key-based collapse doesn't apply
+    because every column, not a version key, decides identity): build an
+    append table where a retried epoch re-wrote the even-hour rollup rows
+    verbatim, then run the OPTIMIZE with a full-row ``dropDuplicates``
+    fold (``compact_tx(agg=...)``) and return the post-merge table.
+
+    The oracle is the plain A1 hourly rollup — dedup must restore exactly
+    one copy of every row (the pre/post row-count drop and the
+    no-batch-id premise are pytest-pinned).  Full-row identity includes
+    the decimal-derived revenue double: bit-stable within the engine, so
+    duplicates are exact.
+
+    Scale shape: the rewrite is the OPTIMIZE the table needed anyway;
+    dropDuplicates shuffles rollup rows (key-bounded), never events."""
+    from ..storage import txlog
+
+    full = hourly_rollup_aggregate(load_table(spark, sf_dir, "events"))
+    table = _fresh_rollup_dir("sales_hourly_dedup_optimize")
+    txlog.append_tx(spark, table, full)  # epoch 0: the honest load
+    txlog.append_tx(  # epoch 1: a retry re-appended even hours VERBATIM
+        spark, table, full.filter(F.hour("hour") % 2 == 0)
+    )
+    before = txlog.read_table(spark, table).count()
+    if not txlog.compact_tx(
+        spark, table, agg=lambda df: df.dropDuplicates()
+    ):
+        raise RuntimeError("OPTIMIZE DEDUPLICATE found nothing to rewrite")
+    out = txlog.read_table(spark, table)
+    if out is None or out.count() >= before:
+        raise RuntimeError("DEDUPLICATE did not shrink the table")
+    return out.select(
+        "hour", "category", "order_count", "total_revenue", "total_quantity"
+    )

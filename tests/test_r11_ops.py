@@ -401,3 +401,34 @@ def test_span_corruption_plan_invariants(spark, queries):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_ip_battery_branches_fire(spark, queries):
+    """Falsifiability: the hash-spread fleet covers (nearly) all /8
+    blocks, the RFC-1918 branch matches a nonzero count, and every
+    render/parse round-trip holds."""
+    rows = queries["ip_functions_battery"](spark, SF_DIR).collect()
+    assert len(rows) >= 200
+    assert sum(r["n_private"] for r in rows) > 0
+    assert all(r["all_roundtrip_ok"] for r in rows)
+    assert sum(r["n_events"] for r in rows) == spark.read.parquet(
+        f"{SF_DIR}/events.parquet"
+    ).count()
+
+
+def test_optimize_deduplicate_shrinks_and_restores(spark):
+    """The duplicated even-hour rows are really present pre-OPTIMIZE and
+    really gone post — equal to the one-shot rollup."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        hourly_rollup_aggregate,
+        optimize_deduplicate_rollup,
+    )
+
+    out = optimize_deduplicate_rollup(spark, SF_DIR)
+    expect = hourly_rollup_aggregate(load_table(spark, SF_DIR, "events"))
+    assert out.count() == expect.count()
+    assert out.exceptAll(expect).count() == 0
+    assert expect.exceptAll(out).count() == 0
