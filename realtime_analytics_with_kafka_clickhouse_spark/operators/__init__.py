@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (dedup_exact onward) leads the r12 gate,
+# the r7 remainder (approx_distinct_users onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -69,6 +69,7 @@ _NAMES = [
         "rolling_median_daily_revenue",
         "ntile_value_bands",  # NEW r11: ntile quartile banding
         "group_array_moving_avg",  # NEW r11: groupArrayMovingAvg micros CSV
+        "array_transform_battery",  # NEW r11: arrayCumSum/Difference/Compact
     ]),
     (text, [
         "dsir_importance",
@@ -76,6 +77,7 @@ _NAMES = [
         "bigram_fluency",
         "contamination_check",
         "url_functions_battery",  # NEW r11: URL function-family parity
+        "token_diversity_simpson",  # NEW r11: log-free lexical diversity
     ]),
     (similarity, [
         "embedding_top_pc_power_iter",  # NEW r11: distributed power iteration
@@ -99,6 +101,9 @@ _NAMES = [
     (_streaming_pipeline, [
         "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
         "optimize_deduplicate_rollup",  # NEW r11: OPTIMIZE ... DEDUPLICATE
+    ]),
+    (rollups, [
+        "status_unpivot_roundtrip",  # NEW r11: melt/UNPIVOT surface
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
     #    ledger to lead this gate) --

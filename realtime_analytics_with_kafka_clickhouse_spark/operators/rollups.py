@@ -266,3 +266,33 @@ def conditional_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_urgent_price"
         ),
     )
+
+
+def status_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface (Spark's ``DataFrame.melt`` / SQL UNPIVOT — the
+    inverse of the ``status_pivot`` wide table): pivot order counts wide
+    by status, then melt back to long form.  The round-trip must land
+    exactly on the plain (priority, status) GROUP BY — which is the
+    oracle, so the melt's id/value/variable semantics are value-checked,
+    not just type-checked.
+
+    Scale shape: the wide frame is |priorities| x |statuses| (tiny); the
+    pivot is the only corpus aggregate, map-side combined."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .fillna(0)
+    )
+    long = wide.melt(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="order_status",
+        valueColumnName="n_orders",
+    )
+    return long.filter(F.col("n_orders") > 0).select(
+        F.col("o_orderpriority").alias("priority"),
+        "order_status",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )

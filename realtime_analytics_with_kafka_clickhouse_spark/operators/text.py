@@ -1397,3 +1397,41 @@ def url_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("p")).alias("p_param"),
         F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
     )
+
+
+def token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity card via the Gini–Simpson index — the
+    log-free diversity metric (Shannon entropy needs ``log``, which is
+    not ulp-portable cross-engine; Simpson's 1 - sum(p_i^2) needs only
+    exact integer power sums): repetitive/boilerplate sources score low
+    diversity and a curation run down-weights them.
+
+    Everything is exact integers until ONE mirrored floor chain:
+    N = tokens, V = distinct tokens, S2 = sum of squared token counts
+    (int64 — counts are corpus-bounded), HHI = S2/N^2 in micros,
+    simpson_micros = 1e6 - HHI.  Shape: one (source, token) count
+    (map-side combined, vocabulary-bounded), one per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vf = tok.groupBy("source", "word").agg(F.count("*").alias("c"))
+    agg = vf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct_tokens"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+    )
+    hhi = (
+        F.col("_s2").cast("double")
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens").cast("double"))
+        * F.lit(1000000.0)
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.floor(hhi + F.lit(0.5)).cast("long").alias("hhi_micros"),
+        (F.lit(1000000) - F.floor(hhi + F.lit(0.5)).cast("long")).alias(
+            "simpson_micros"
+        ),
+    )

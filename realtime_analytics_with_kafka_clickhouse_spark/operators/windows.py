@@ -442,3 +442,51 @@ def group_array_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg3_micros_csv"),
         F.count("*").cast("long").alias("n_orders"),
     )
+
+
+def array_transform_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function-family parity (ClickHouse's ``arrayCumSum`` /
+    ``arrayDifference`` / ``arrayCompact`` over a groupArray — the
+    order-history feature transforms recommendation pipelines export):
+    per customer, the time-ordered price array (integer micros)
+    alongside its cumulative-sum array, consecutive-difference array,
+    and the arrayCompact length (consecutive-duplicate collapse).
+
+    The transforms run as WINDOW functions BEFORE collection (cumsum =
+    running sum, difference = value - lag, compact = count of rows
+    where value <> lag), so every element is exact int64 arithmetic on
+    the same one customer-key exchange the collect uses; arrays emit as
+    CSV of longs (no doubles, no decimal renderings — SURVEY §5 class
+    4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    micros = (F.col("o_totalprice").cast("decimal(25,6)") * F.lit(1000000)).cast(
+        "long"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    base = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", micros.alias("p")
+    ).select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "p",
+        F.sum("p").over(wc).alias("cum"),
+        (F.col("p") - F.coalesce(F.lag("p").over(w), F.lit(0))).alias("diff"),
+        F.when(F.lag("p").over(w).isNull() | (F.lag("p").over(w) != F.col("p")), 1)
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    kv = F.sort_array(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey", "p", "cum", "diff"))
+    )
+    csv = lambda field: F.array_join(
+        F.transform(kv, lambda x: x[field].cast("string")), ","
+    )
+    return base.groupBy("o_custkey").agg(
+        csv("p").alias("prices_micros_csv"),
+        csv("cum").alias("cumsum_csv"),
+        csv("diff").alias("difference_csv"),
+        F.sum("is_new_run").cast("long").alias("compact_len"),
+        F.count("*").cast("long").alias("n_orders"),
+    )

@@ -4492,6 +4492,75 @@ FROM r GROUP BY 1
 # copy of every rollup row — the oracle is the plain A1 rollup.
 ORACLE["optimize_deduplicate_rollup"] = ORACLE["hourly_category_rollup"]
 
+# arrayCumSum/arrayDifference/arrayCompact: window transforms before
+# collection, CSV of exact int64 — element order pinned by the unique
+# (orderdate, orderkey) sort in both engines.
+ORACLE["array_transform_battery"] = """
+WITH b AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS p
+  FROM orders),
+t AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, p,
+         sum(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         p - coalesce(lag(p) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey), 0)
+           AS diff,
+         CASE WHEN lag(p) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL
+                   OR lag(p) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) <> p
+              THEN 1 ELSE 0 END AS is_new_run
+  FROM b)
+SELECT o_custkey,
+       array_to_string(list(CAST(p AS VARCHAR)
+                            ORDER BY o_orderdate, o_orderkey), ',')
+         AS prices_micros_csv,
+       array_to_string(list(CAST(cum AS VARCHAR)
+                            ORDER BY o_orderdate, o_orderkey), ',')
+         AS cumsum_csv,
+       array_to_string(list(CAST(diff AS VARCHAR)
+                            ORDER BY o_orderdate, o_orderkey), ',')
+         AS difference_csv,
+       CAST(sum(is_new_run) AS BIGINT) AS compact_len,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM t GROUP BY 1
+"""
+
+
+# Gini-Simpson diversity: exact integer power sums, one floor chain.
+ORACLE["token_diversity_simpson"] = """
+WITH vf AS (
+  SELECT source, word, count(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY 1, 2),
+a AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM vf GROUP BY 1)
+SELECT source, n_tokens, n_distinct_tokens,
+       CAST(floor(CAST(s2 AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS hhi_micros,
+       1000000 - CAST(floor(CAST(s2 AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                  * 1000000.0 + 0.5) AS BIGINT) AS simpson_micros
+FROM a
+"""
+
+
+# UNPIVOT round-trip: melt(pivot(x)) == the plain GROUP BY.
+ORACLE["status_unpivot_roundtrip"] = """
+SELECT o_orderpriority AS priority, o_orderstatus AS order_status,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """
