@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (approx_distinct_users onward) leads the r12 gate,
+# the r7 remainder (revenue_union_ledger onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -82,6 +82,7 @@ _NAMES = [
     (similarity, [
         "embedding_top_pc_power_iter",  # NEW r11: distributed power iteration
         "ann_ivf_delete_vectors",  # NEW r11: tombstone delete + OPTIMIZE FINAL
+        "stream_ivf_index_ingest",  # NEW r11: foreachBatch epoch-id appends
         "ann_ivf_incremental",
         "ann_ivf_persisted",
         "embedding_near_dup",

@@ -2793,3 +2793,70 @@ def apply_ivf_tombstones(df: DataFrame) -> DataFrame:
     conversion is its broadcast gate."""
     victims = df.filter(F.col("deleted")).select("vec_id")
     return df.filter(~F.col("deleted")).join(victims, "vec_id", "left_anti")
+
+
+def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF index maintenance (NEW r11) — the online closing of
+    the add-then-search loop: embedding micro-batches arrive on a file
+    stream, and each ``foreachBatch`` epoch assigns them MAP-SIDE to the
+    frozen quantizer and appends to the index-as-table with the EPOCH id
+    as the txlog batch id — so a checkpoint-restart replay of any epoch
+    is a committed no-op (exactly-once index maintenance from an
+    at-least-once stream, the same contract the rollup MERGE path keeps;
+    pytest re-runs the drained stream and pins zero new commits).
+
+    After the stream drains: ranged OPTIMIZE (restores cell pruning over
+    the arrival-ordered epochs), then the shared pruned-probe serve —
+    answers must equal the in-memory IVF over the full corpus (the
+    ``ann_ivf_persisted`` oracle, recomputed from raw parquet).
+
+    Scale shape: per-epoch cost is O(batch) — one map-side assignment,
+    one O(1) append commit; the stream never holds engine state (the
+    index IS the state, exactly how a production vector store ingests)."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..storage import txlog
+
+    run = _uuid.uuid4().hex[:8]
+    root = _os.path.join(_tempfile.gettempdir(), "spark_graft_ivf_stream")
+    src = _os.path.join(root, f"src-{run}")
+    ckpt = _os.path.join(root, f"ckpt-{run}")
+    table = _os.path.join(root, f"idx-{run}")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for half in (0, 1):  # two arrival chunks -> two micro-batch epochs
+        emb.filter(F.pmod("vec_id", F.lit(2)) == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cent = _kmeans_fit(spark, sf_dir)
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+
+    def ingest_epoch(batch: DataFrame, epoch_id: int) -> None:
+        assigned = _with_ranked_cells(batch, cent).select(
+            "vec_id",
+            F.element_at("ranked", 1)["c"].alias("cluster"),
+            "embedding",
+        )
+        txlog.append_tx(
+            spark, table, assigned.coalesce(4),
+            batch_id=int(epoch_id), stats_cols=["cluster"],
+        )
+
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ingest_epoch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not txlog.compact_ranged_tx(
+        spark, table, "cluster", bounds, stats_cols=["cluster"]
+    ):
+        raise RuntimeError("streaming IVF ingest produced an empty index")
+    return _ivf_probe_serve(spark, sf_dir, table)

@@ -1990,6 +1990,10 @@ WHERE vec_id IN (
   SELECT vec_id FROM ({ORACLE["kmeans_train"]}) WHERE cluster = 0)
 """
 
+# Streaming IVF ingest: after the epochs drain + ranged OPTIMIZE, the
+# serve must equal the same full-corpus IVF the persisted index serves.
+ORACLE["stream_ivf_index_ingest"] = ORACLE["ann_ivf_persisted"]
+
 # Incremental IVF maintenance: after batch append + ranged OPTIMIZE the
 # served answers must equal the in-memory IVF over the UNIONED corpus —
 # the oracle recomputes exactly that from raw parquet; neighbor_is_batch

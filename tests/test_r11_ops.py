@@ -432,3 +432,74 @@ def test_optimize_deduplicate_shrinks_and_restores(spark):
     assert out.count() == expect.count()
     assert out.exceptAll(expect).count() == 0
     assert expect.exceptAll(out).count() == 0
+
+
+def test_stream_ivf_ingest_restart_noop(spark):
+    """Exactly-once index maintenance from an at-least-once stream: after
+    the availableNow stream drains, re-starting it on the same source +
+    checkpoint commits NOTHING new (no new epochs to process), and a
+    manual replay of a drained epoch id is refused by the txlog."""
+    import os, tempfile, uuid
+
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _kmeans_fit,
+        _with_ranked_cells,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    run = uuid.uuid4().hex[:8]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_stream")
+    src = os.path.join(root, f"tsrc-{run}")
+    ckpt = os.path.join(root, f"tckpt-{run}")
+    table = os.path.join(root, f"tidx-{run}")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for half in (0, 1):
+        emb.filter(F.pmod("vec_id", F.lit(2)) == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cent = _kmeans_fit(spark, SF_DIR)
+
+    def ingest(batch, epoch_id):
+        assigned = _with_ranked_cells(batch, cent).select(
+            "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+        )
+        txlog.append_tx(
+            spark, table, assigned.coalesce(2),
+            batch_id=int(epoch_id), stats_cols=["cluster"],
+        )
+
+    schema = spark.read.parquet(src).schema
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    v1, _ = txlog.snapshot(spark, table)
+    n1 = txlog.read_table(spark, table).count()
+    assert n1 == emb.count()
+    run_stream()  # restart on the drained checkpoint: nothing to do
+    v2, _ = txlog.snapshot(spark, table)
+    assert v2 == v1
+    assert txlog.read_table(spark, table).count() == n1
+    # a raw at-least-once replay of epoch 0 is refused by the batch id
+    batch0 = emb.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    assigned0 = _with_ranked_cells(batch0, cent).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+    )
+    assert not txlog.append_tx(
+        spark, table, assigned0, batch_id=0, stats_cols=["cluster"]
+    )
