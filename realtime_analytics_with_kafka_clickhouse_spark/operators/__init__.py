@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (revenue_union_ledger onward) leads the r12 gate,
+# the r7 remainder (decode_features onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -64,6 +64,8 @@ _NAMES = [
         "bounding_ratio_battery",  # NEW r11: boundingRatio endpoints slope
         "quantile_timing_battery",  # NEW r11: quantileTiming accuracy contract
         "ip_functions_battery",  # NEW r11: IPv4 family, hash-spread fleet
+        "l_diversity_report",  # NEW r11: homogeneity-attack privacy gate
+        "prometheus_histogram_quantile",  # NEW r11: le-bucket interpolation
     ]),
     (windows, [
         "rolling_median_daily_revenue",
@@ -105,6 +107,9 @@ _NAMES = [
     ]),
     (rollups, [
         "status_unpivot_roundtrip",  # NEW r11: melt/UNPIVOT surface
+    ]),
+    (relational, [
+        "dq_expectations_report",  # NEW r11: GE-style trust card, FK edges
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
     #    ledger to lead this gate) --

@@ -1273,3 +1273,88 @@ def customer_blocking_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_distance",
         )
     )
+
+
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations-style trust
+    card a pipeline gates ingestion on — the reference trusts its
+    producer blindly; a 100 TB lake cannot): one row per expectation
+    with checked/violation counts and the pass flag.  Null checks, range
+    checks, uniqueness, and the two referential-integrity edges
+    (orders -> customer, lineitem -> orders).
+
+    Shape: ONE aggregate pass per fact table computes all its in-row
+    checks map-side (count + conditional sums, no shuffle beyond the
+    1-row agg); uniqueness rides countDistinct; the two FK edges are
+    anti-join counts against broadcastable key sets (at 100 TB the FK
+    probe becomes a shuffle anti-join — the expression is the same).
+    All counts are exact integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    o = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_keys"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01"))
+                | (F.col("o_orderdate") > F.lit("2005-12-31")),
+                1,
+            ).otherwise(0)
+        ).alias("date_oob"),
+        # deliberately-tight freshness SLA that the fixture VIOLATES
+        # (orders run to 1998-08): keeps the failing branch falsifiable —
+        # a report that can only ever say "passed" proves nothing
+        F.sum(
+            F.when(F.col("o_orderdate") > F.lit("1997-12-31"), 1).otherwise(0)
+        ).alias("stale_sla"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+    ).collect()[0]
+    c_dup = cust.agg(
+        F.count("*").alias("n"), F.countDistinct("c_custkey").alias("nd")
+    ).collect()[0]
+    l_qty = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+        ).alias("qty_oob"),
+    ).collect()[0]
+    fk_cust = (
+        orders.select("o_custkey")
+        .join(cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .count()
+    )
+    fk_ord = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(orders.select(F.col("o_orderkey").alias("k")), "k", "left_anti")
+        .count()
+    )
+    rows = [
+        ("orders.o_orderkey not_null", int(o["n"]), int(o["null_keys"])),
+        ("orders.o_totalprice positive", int(o["n"]), int(o["nonpos_price"])),
+        ("orders.o_orderdate in_range", int(o["n"]), int(o["date_oob"])),
+        ("orders.o_orderdate sla_1997", int(o["n"]), int(o["stale_sla"])),
+        (
+            "orders.o_orderkey unique",
+            int(o["n"]),
+            int(o["n"]) - int(o["n_distinct_keys"]),
+        ),
+        (
+            "customer.c_custkey unique",
+            int(c_dup["n"]),
+            int(c_dup["n"]) - int(c_dup["nd"]),
+        ),
+        ("lineitem.l_quantity in_1_50", int(l_qty["n"]), int(l_qty["qty_oob"])),
+        ("orders.o_custkey fk_customer", int(o["n"]), int(fk_cust)),
+        ("lineitem.l_orderkey fk_orders", int(l_qty["n"]), int(fk_ord)),
+    ]
+    return spark.createDataFrame(
+        [(n, c, v, v == 0) for n, c, v in rows],
+        "check_name string, n_checked long, n_violations long, passed boolean",
+    )

@@ -3910,3 +3910,114 @@ def ip_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ip").cast("long").alias("max_ip"),
         F.min(F.when(~F.col("roundtrip_ok"), 1)).isNull().alias("all_roundtrip_ok"),
     )
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, public paper — the
+    companion gate to ``k_anonymity_report``): k-anonymity alone leaks
+    when every member of a quasi-identifier group shares the SAME
+    sensitive value; l-diversity requires >= l distinct sensitive values
+    per group.  Quasi-identifier: customer nation; sensitive attribute:
+    market segment.
+
+    Output per nation: group size, distinct sensitive values (its l),
+    the dominant segment's share in micros (homogeneity-attack exposure
+    — exact integer division), and the 3-diverse flag.  Pure integer
+    arithmetic; |nations|-bounded output off one map-side-combined
+    aggregate pair."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("cnt").cast("long").alias("group_size"),
+        F.count("*").cast("long").alias("l_distinct_sensitive"),
+        F.max("cnt").cast("long").alias("dominant_count"),
+        F.expr(
+            "(2 * max(cnt) * 1000000 + sum(cnt)) div (2 * sum(cnt))"
+        ).cast("long").alias("dominant_share_micros"),
+        (F.count("*") >= 3).alias("is_3_diverse"),
+    )
+
+
+#: Prometheus-style le-bucket boundaries for the value histogram; the
+#: last slot is +Inf (quantiles landing there clamp to the highest
+#: finite bound, exactly histogram_quantile's documented behavior).
+PROM_LE = [10.0, 25.0, 50.0, 100.0, 150.0, 200.0]
+
+
+def prometheus_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``histogram_quantile`` parity (Prometheus' bucket-interpolated
+    quantile — the p90/p99 every SRE dashboard computes from cumulative
+    le-buckets rather than raw samples): per event type, q50/q90/q99
+    from the 6-bucket le histogram of value, with Prometheus' documented
+    linear interpolation within the chosen bucket and the +Inf clamp to
+    the highest finite bound.
+
+    Exactness: bucket counts are exact integers; rank = n * phi and the
+    interpolation lo + (hi - lo) * (rank - cum_prev) / cnt are mirrored
+    IEEE compositions of exact-integer-derived doubles (SURVEY §5: safe
+    class), rounded by the floor chain.  The +Inf branch genuinely fires
+    (~1.5-2%% of values exceed the 200 top bound, so q99 clamps to 200 —
+    pytest-pinned; q90 stays interpolated).
+
+    Shape: ONE (type, bucket) aggregate (map-side combined, |types| x 7
+    rows), a bucket-bounded cumulative window, one conditional-min per
+    quantile — the same weighted-percentiles skeleton, Prometheus
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    b = F.lit(len(PROM_LE))
+    for i in range(len(PROM_LE) - 1, -1, -1):
+        b = F.when(v <= PROM_LE[i], F.lit(i)).otherwise(b)
+    vf = ev.groupBy("event_type", b.cast("int").alias("b")).agg(
+        F.count("*").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        vf.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+    lo_arr = F.array(*[F.lit(x) for x in [0.0] + PROM_LE[:-1]])
+    hi_arr = F.array(*[F.lit(x) for x in PROM_LE])
+    aggs = [F.max("n").cast("long").alias("n_events")]
+    for name, phi in (("q50", 0.5), ("q90", 0.9), ("q99", 0.99)):
+        rank = F.col("n").cast("double") * F.lit(phi)
+        chosen = F.min(
+            F.when(
+                F.col("cum").cast("double") >= rank,
+                F.struct("b", "cum_prev", "cnt"),
+            )
+        )
+        aggs.append(chosen.alias(f"_{name}"))
+        aggs.append(F.max(rank).alias(f"_{name}_rank"))
+    agg = cum.groupBy("event_type").agg(*aggs)
+    out_cols = [F.col("event_type"), F.col("n_events")]
+    for name in ("q50", "q90", "q99"):
+        ch = F.col(f"_{name}")
+        rank = F.col(f"_{name}_rank")
+        lo = F.element_at(lo_arr, ch["b"] + 1)
+        hi = F.element_at(hi_arr, ch["b"] + 1)
+        interp = lo + (hi - lo) * (
+            rank - ch["cum_prev"].cast("double")
+        ) / ch["cnt"].cast("double")
+        val = F.when(ch["b"] >= len(PROM_LE), F.lit(PROM_LE[-1])).otherwise(
+            interp
+        )
+        out_cols.append(
+            (F.floor(val * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                name
+            )
+        )
+    return agg.select(*out_cols)

@@ -4565,6 +4565,106 @@ FROM orders GROUP BY 1, 2
 """
 
 
+# l-diversity: integer counts + one mirrored integer division.
+ORACLE["l_diversity_report"] = """
+WITH per AS (
+  SELECT n_name, c_mktsegment, count(*) AS cnt
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name AS nation,
+       CAST(sum(cnt) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS l_distinct_sensitive,
+       CAST(max(cnt) AS BIGINT) AS dominant_count,
+       CAST((2 * max(cnt) * 1000000 + sum(cnt)) // (2 * sum(cnt)) AS BIGINT)
+         AS dominant_share_micros,
+       count(*) >= 3 AS is_3_diverse
+FROM per GROUP BY 1
+"""
+
+
+# DQ expectation suite: every check recomputed independently in SQL.
+ORACLE["dq_expectations_report"] = """
+WITH o AS (SELECT count(*) AS n,
+                  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
+                  sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN o_orderdate < DATE '1990-01-01'
+                            OR o_orderdate > DATE '2005-12-31'
+                           THEN 1 ELSE 0 END) AS dob,
+                  sum(CASE WHEN o_orderdate > DATE '1997-12-31'
+                           THEN 1 ELSE 0 END) AS stale,
+                  count(DISTINCT o_orderkey) AS ndk
+           FROM orders),
+c AS (SELECT count(*) AS n, count(DISTINCT c_custkey) AS nd FROM customer),
+l AS (SELECT count(*) AS n,
+             sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                      THEN 1 ELSE 0 END) AS qob
+      FROM lineitem),
+fkc AS (SELECT count(*) AS v FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+fko AS (SELECT count(*) AS v FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+SELECT * FROM (
+  SELECT 'orders.o_orderkey not_null' AS check_name,
+         CAST(n AS BIGINT) AS n_checked, CAST(nk AS BIGINT) AS n_violations,
+         nk = 0 AS passed FROM o
+  UNION ALL SELECT 'orders.o_totalprice positive', CAST(n AS BIGINT),
+         CAST(np AS BIGINT), np = 0 FROM o
+  UNION ALL SELECT 'orders.o_orderdate in_range', CAST(n AS BIGINT),
+         CAST(dob AS BIGINT), dob = 0 FROM o
+  UNION ALL SELECT 'orders.o_orderdate sla_1997', CAST(n AS BIGINT),
+         CAST(stale AS BIGINT), stale = 0 FROM o
+  UNION ALL SELECT 'orders.o_orderkey unique', CAST(n AS BIGINT),
+         CAST(n - ndk AS BIGINT), n = ndk FROM o
+  UNION ALL SELECT 'customer.c_custkey unique', CAST(n AS BIGINT),
+         CAST(n - nd AS BIGINT), n = nd FROM c
+  UNION ALL SELECT 'lineitem.l_quantity in_1_50', CAST(n AS BIGINT),
+         CAST(qob AS BIGINT), qob = 0 FROM l
+  UNION ALL SELECT 'orders.o_custkey fk_customer',
+         CAST((SELECT n FROM o) AS BIGINT), CAST(v AS BIGINT), v = 0 FROM fkc
+  UNION ALL SELECT 'lineitem.l_orderkey fk_orders',
+         CAST((SELECT n FROM l) AS BIGINT), CAST(v AS BIGINT), v = 0 FROM fko)
+"""
+
+
+# Prometheus histogram_quantile: le-bucket interpolation, mirrored.
+ORACLE["prometheus_histogram_quantile"] = """
+WITH bk AS (
+  SELECT event_type, CASE WHEN v <= 10.0 THEN 0 WHEN v <= 25.0 THEN 1 WHEN v <= 50.0 THEN 2 WHEN v <= 100.0 THEN 3 WHEN v <= 150.0 THEN 4 WHEN v <= 200.0 THEN 5 ELSE 6 END AS b
+  FROM (SELECT event_type, value AS v FROM events)),
+vf AS (SELECT event_type, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - cnt AS cum_prev,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM vf),
+q AS (
+  SELECT event_type, max(n) AS n,
+         min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.5 THEN b END) AS b50,
+         min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.9 THEN b END) AS b90,
+         min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(n AS DOUBLE) * 0.99 THEN b END) AS b99
+  FROM cum GROUP BY 1),
+j50 AS (SELECT q.event_type, cum.cum_prev AS cp, cum.cnt AS c
+        FROM q JOIN cum ON cum.event_type = q.event_type AND cum.b = q.b50),
+j90 AS (SELECT q.event_type, cum.cum_prev AS cp, cum.cnt AS c
+        FROM q JOIN cum ON cum.event_type = q.event_type AND cum.b = q.b90),
+j99 AS (SELECT q.event_type, cum.cum_prev AS cp, cum.cnt AS c
+        FROM q JOIN cum ON cum.event_type = q.event_type AND cum.b = q.b99)
+SELECT q.event_type, CAST(q.n AS BIGINT) AS n_events,
+       floor((CASE WHEN q.b50 >= 6 THEN 200.0 ELSE ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b50 + 1] + (([10.0, 25.0, 50.0, 100.0, 150.0, 200.0])[q.b50 + 1] - ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b50 + 1]) * (CAST(q.n AS DOUBLE) * 0.5 - CAST(j50.cp AS DOUBLE)) / CAST(j50.c AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS q50,
+       floor((CASE WHEN q.b90 >= 6 THEN 200.0 ELSE ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b90 + 1] + (([10.0, 25.0, 50.0, 100.0, 150.0, 200.0])[q.b90 + 1] - ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b90 + 1]) * (CAST(q.n AS DOUBLE) * 0.9 - CAST(j90.cp AS DOUBLE)) / CAST(j90.c AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS q90,
+       floor((CASE WHEN q.b99 >= 6 THEN 200.0 ELSE ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b99 + 1] + (([10.0, 25.0, 50.0, 100.0, 150.0, 200.0])[q.b99 + 1] - ([0.0, 10.0, 25.0, 50.0, 100.0, 150.0])[q.b99 + 1]) * (CAST(q.n AS DOUBLE) * 0.99 - CAST(j99.cp AS DOUBLE)) / CAST(j99.c AS DOUBLE) END) * 1000000.0 + 0.5) / 1000000.0 AS q99
+FROM q
+JOIN j50 ON j50.event_type = q.event_type
+JOIN j90 ON j90.event_type = q.event_type
+JOIN j99 ON j99.event_type = q.event_type
+"""
+
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """

@@ -503,3 +503,33 @@ def test_stream_ivf_ingest_restart_noop(spark):
     assert not txlog.append_tx(
         spark, table, assigned0, batch_id=0, stats_cols=["cluster"]
     )
+
+
+def test_dq_report_failing_branch_real(spark, queries):
+    rows = {r["check_name"]: r for r in queries["dq_expectations_report"](spark, SF_DIR).collect()}
+    assert rows["orders.o_orderdate sla_1997"]["passed"] is False
+    assert rows["orders.o_orderdate sla_1997"]["n_violations"] > 0
+    assert rows["orders.o_orderkey unique"]["passed"] is True
+    assert rows["lineitem.l_orderkey fk_orders"]["n_violations"] == 0
+
+
+def test_prometheus_clamp_and_interpolation(spark, queries):
+    """The +Inf clamp genuinely fires for at least one type (q99 == the
+    top finite bound) while q90 stays interpolated below it; quantiles
+    are monotone."""
+    rows = queries["prometheus_histogram_quantile"](spark, SF_DIR).collect()
+    assert rows
+    assert any(r["q99"] == 200.0 for r in rows)
+    for r in rows:
+        assert r["q50"] <= r["q90"] <= r["q99"] <= 200.0
+        assert r["q90"] < 200.0
+
+
+def test_l_diversity_share_and_flag(spark, queries):
+    rows = queries["l_diversity_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dominant_count"] <= r["group_size"]
+        lo = r["dominant_count"] * 1000000 // r["group_size"] - 1
+        assert lo <= r["dominant_share_micros"] <= lo + 2
+        assert r["is_3_diverse"] == (r["l_distinct_sensitive"] >= 3)
