@@ -45,7 +45,7 @@ from ..streaming import pipeline as _streaming_pipeline
 # dedup_keep_best), and the request-size-capped collects.  Then the
 # r4-evidence spill the r10 ledger queued (part_type_stats ..
 # embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (decode_features onward) leads the r12 gate,
+# the r7 remainder (customer_order_rank onward) leads the r12 gate,
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
@@ -66,6 +66,7 @@ _NAMES = [
         "ip_functions_battery",  # NEW r11: IPv4 family, hash-spread fleet
         "l_diversity_report",  # NEW r11: homogeneity-attack privacy gate
         "prometheus_histogram_quantile",  # NEW r11: le-bucket interpolation
+        "date_functions_battery",  # NEW r11: ISO week/quarter/month-age keys
     ]),
     (windows, [
         "rolling_median_daily_revenue",

@@ -4021,3 +4021,43 @@ def prometheus_histogram_quantile(
             )
         )
     return agg.select(*out_cols)
+
+
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function-family parity (ClickHouse's ``toStartOfWeek`` /
+    ``toISOWeek`` / ``toQuarter`` / ``age('month', ...)`` — the calendar
+    keys every report groups by): per order date, the ISO-Monday week
+    start, ISO week-of-year, quarter, day-of-year, and the integer
+    month age to a fixed anchor — then ONE rollup per (week_start)
+    proving the keys group consistently.
+
+    Exactness: all pure calendar arithmetic on DATE values (both engines
+    implement ISO week/Monday-truncation identically); the month age is
+    explicit integer arithmetic (y*12 + m deltas — no fractional
+    months_between, whose day-fraction convention is engine-specific).
+
+    Shape: map-side derivation + one |weeks|-bounded rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    age_months = (F.year(F.lit("2000-01-01")) * 12 + F.month(F.lit("2000-01-01"))) - (
+        F.year(d) * 12 + F.month(d)
+    )
+    base = orders.select(
+        d.alias("order_date"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.dayofyear(d).cast("long").alias("day_of_year"),
+        age_months.cast("long").alias("age_months_to_y2k"),
+    )
+    return base.groupBy("week_start").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("order_date").alias("first_date"),
+        F.max("order_date").alias("last_date"),
+        F.min("iso_week").cast("long").alias("iso_week_min"),
+        F.max("iso_week").cast("long").alias("iso_week_max"),
+        F.min("quarter").cast("long").alias("q_min"),
+        F.max("quarter").cast("long").alias("q_max"),
+        F.min("day_of_year").cast("long").alias("doy_min"),
+        F.max("age_months_to_y2k").cast("long").alias("age_months_max"),
+    )

@@ -4665,6 +4665,33 @@ JOIN j99 ON j99.event_type = q.event_type
 """
 
 
+# Date battery: ISO-Monday week truncation, ISO week, quarter, integer
+# month age — pure calendar arithmetic in both engines.
+ORACLE["date_functions_battery"] = """
+WITH b AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+         CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+         CAST(dayofyear(o_orderdate) AS BIGINT) AS day_of_year,
+         CAST((2000 * 12 + 1)
+              - (year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT)
+           AS age_months_to_y2k
+  FROM orders)
+SELECT week_start,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(order_date) AS first_date,
+       max(order_date) AS last_date,
+       CAST(min(iso_week) AS BIGINT) AS iso_week_min,
+       CAST(max(iso_week) AS BIGINT) AS iso_week_max,
+       CAST(min(quarter) AS BIGINT) AS q_min,
+       CAST(max(quarter) AS BIGINT) AS q_max,
+       CAST(min(day_of_year) AS BIGINT) AS doy_min,
+       CAST(max(age_months_to_y2k) AS BIGINT) AS age_months_max
+FROM b GROUP BY 1
+"""
+
+
 # ntile quartile banding: total order via the event_id tiebreak makes
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """
