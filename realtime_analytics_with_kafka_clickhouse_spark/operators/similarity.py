@@ -2668,23 +2668,38 @@ def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [1.0 / 8.0] * PI_DIM  # unit-norm uniform start (sqrt(64/64) = 1)
     s_ints: list[int] = []
     for _ in range(PI_EPOCHS):
-        d = F.lit(0.0)
-        for j in range(PI_DIM):
-            d = d + F.col("embedding")[j].cast("double") * F.lit(v[j])
-        proj = emb.select(d.alias("d"), "embedding")
-        aggs = [
-            F.sum(
-                F.floor(
-                    F.col("d")
-                    * F.col("embedding")[j].cast("double")
-                    * F.lit(PI_SCALE)
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias(f"s{j}")
-            for j in range(PI_DIM)
-        ]
-        row = proj.agg(*aggs).collect()[0]
-        s_ints = [int(row[f"s{j}"]) for j in range(PI_DIM)]
+        # d = left-fold dot(embedding, v) starting at 0.0 — one aggregate
+        # over the zipped products, so the 64-term chain appears ONCE in
+        # the plan.  (The naive 64 separate agg expressions each inline
+        # the whole d-chain under CollapseProject — a 64x64-node tree
+        # that dominated wall-clock with codegen, not data.)
+        d = F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(v[j]) for j in range(PI_DIM)]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        # per-dim integer octopart terms, exploded so the epoch sum is a
+        # 64-group map-side-combined aggregate (shuffle carries 64 longs
+        # per partition) instead of 64 wide agg expressions
+        terms = F.transform(
+            "embedding",
+            lambda x: F.floor(
+                F.col("d") * x.cast("double") * F.lit(PI_SCALE) + F.lit(0.5)
+            ).cast("long"),
+        )
+        per_dim = (
+            emb.select(d.alias("d"), "embedding")
+            .select(F.posexplode(terms).alias("j", "t"))
+            .groupBy("j")
+            .agg(F.sum("t").alias("s"))
+            .collect()
+        )
+        by_j = {int(r["j"]): int(r["s"]) for r in per_dim}
+        s_ints = [by_j[j] for j in range(PI_DIM)]
         q = [float(s) for s in s_ints]  # int64 < 2^53: exact
         norm2 = 0.0
         for j in range(PI_DIM):  # left fold, mirrors the oracle's chain
