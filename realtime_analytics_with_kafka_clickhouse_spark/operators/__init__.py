@@ -49,7 +49,11 @@ from ..streaming import pipeline as _streaming_pipeline
 # with
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
-# ntile bands, URL battery, power iteration, hopping-window MV).
+# ntile bands, URL battery, power iteration, hopping-window MV), then
+# five late r11 ops (-Resample, proportions z-test, min-sample-size,
+# PASTE JOIN, ANY JOIN) — that overflow pushes the r4-spill tail
+# (value_percentiles, embedding_quantize_int8) past position 50; they
+# lead the r12 gate ahead of the r7 section.
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
     #    engine-build-proof oracles (integer micros / explicit order
@@ -67,6 +71,9 @@ _NAMES = [
         "l_diversity_report",  # NEW r11: homogeneity-attack privacy gate
         "prometheus_histogram_quantile",  # NEW r11: le-bucket interpolation
         "date_functions_battery",  # NEW r11: ISO week/quarter/month-age keys
+        "resample_combinator_battery",  # NEW r11: -Resample banded aggregates
+        "proportions_ztest_cohorts",  # NEW r11: two-proportion z + CI
+        "min_sample_size_conversion",  # NEW r11: A/B sample-size planning
     ]),
     (windows, [
         "rolling_median_daily_revenue",
@@ -111,6 +118,8 @@ _NAMES = [
     ]),
     (relational, [
         "dq_expectations_report",  # NEW r11: GE-style trust card, FK edges
+        "paste_join_battery",  # NEW r11: positional PASTE JOIN
+        "any_join_battery",  # NEW r11: LEFT ANY strictness, min-tiebreak
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
     #    ledger to lead this gate) --

@@ -1358,3 +1358,107 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, c, v, v == 0) for n, c, v in rows],
         "check_name string, n_checked long, n_violations long, passed boolean",
     )
+
+
+def paste_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``PASTE JOIN`` analog (NEW r11): positional join of two
+    independently ordered result sets — row i of the left pasted next to
+    row i of the right.  ClickHouse pastes in block order (documented as
+    non-deterministic under concurrency); the reproducible equivalent is
+    an EXPLICIT total order on each side, which is also the only form a
+    distributed engine can honor.  The card it serves here is the Q-Q
+    alignment every pricing audit draws: the i-th largest order total
+    next to the i-th largest single-line gross price, top 100 positions.
+
+    Spark shape: each side is a TakeOrderedAndProject (top-k, never a
+    global sort of the table), then a row_number over the 100-row result
+    (single-partition window over k rows — bounded by construction) and
+    an equi-join on the position.  At 100 TB both sides stay top-k
+    selections; the paste itself touches 2k rows.
+
+    The reference's engine would express this as
+    ``SELECT ... PASTE JOIN ...`` over two ORDER BY subqueries; no
+    reference query uses it (no joins at all there — see module
+    docstring), so this is general-surface parity."""
+    from pyspark.sql import Window as _W
+
+    k = 100
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_top = orders.orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).limit(k).select(
+        F.col("o_totalprice").cast("decimal(25,6)").alias("order_total"),
+        "o_orderkey",
+    )
+    l_top = li.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).limit(k).select(
+        F.col("l_extendedprice").cast("decimal(25,6)").alias("line_price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # the positional window repeats the FULL tiebreak — price ties must
+    # land on the same pos in any partitioning
+    ow = _W.orderBy(F.desc("order_total"), F.asc("o_orderkey"))
+    lw = _W.orderBy(F.desc("line_price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    left = o_top.select(
+        "order_total", F.row_number().over(ow).cast("long").alias("pos")
+    )
+    right = l_top.select(
+        "line_price", F.row_number().over(lw).cast("long").alias("pos")
+    )
+    return left.join(right, "pos").select(
+        "pos",
+        "order_total",
+        "line_price",
+        (F.col("order_total") - F.col("line_price")).alias("total_minus_line"),
+    )
+
+
+def any_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ANY JOIN`` analog (NEW r11): join strictness
+    ANY keeps AT MOST ONE right-side row per key — ClickHouse grabs
+    whichever match it meets first (block-order dependent); the
+    reproducible equivalent is the explicit min-tiebreak first match,
+    the only definition a shuffle-partitioned engine can promise.
+
+    Card: for every order of 1997-03, its FIRST RETURNED line
+    (l_returnflag = 'R', earliest (l_shipdate, l_linenumber)) — orders
+    with no returned line survive with NULLs (the LEFT half of the
+    strictness; both branches fire on the fixture, pytest-pinned).
+
+    Spark shape: the right side reduces to one row per key with a
+    row_number over (key | shipdate, linenumber) BEFORE the join — the
+    dedup shuffle is on the join key, so the join itself never sees a
+    multi-match explosion; the bounded left month then joins in one
+    exchange (AQE converts to broadcast when the month is small).  At
+    100 TB the window and the join share the l_orderkey partitioning."""
+    from pyspark.sql import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    w = _W.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    first_ret = (
+        returned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_shipdate").alias("first_ret_shipdate"),
+            F.col("l_linenumber").cast("long").alias("first_ret_linenumber"),
+            F.col("l_extendedprice").cast("decimal(25,6)").alias("first_ret_price"),
+        )
+    )
+    return orders.join(first_ret, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "first_ret_shipdate",
+        "first_ret_linenumber",
+        "first_ret_price",
+        F.col("first_ret_linenumber").isNotNull().alias("has_return"),
+    )

@@ -4061,3 +4061,162 @@ def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_of_year").cast("long").alias("doy_min"),
         F.max("age_months_to_y2k").cast("long").alias("age_months_max"),
     )
+
+
+def resample_combinator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-Resample`` combinator analog (NEW r11):
+    ``countResample(0, 400000, 100000)(o_totalprice)`` /
+    ``sumResample(...)`` per order priority — the aggregate is split into
+    fixed resample-key bands [start, start+step), one array element per
+    band, and keys OUTSIDE [start, end) are DISCARDED (ClickHouse
+    semantics; ~20% of orders sit above 400k on the fixture, so the
+    discard branch is live — pytest-pinned).  Empty bands emit zero, the
+    way the combinator pads its result array.
+
+    Output canon: the band arrays ride as CSV strings (the registry's
+    no-top-level-array rule); counts are longs, sums exact
+    decimal(25,6)-domain strings, so the canon is engine-portable.
+
+    Spark shape: one partial-agg shuffle on (priority, band); the
+    zero-fill grid is |priorities| x 4 rows built from a range() cross
+    join (never a scan); the final per-priority fold is a sort_array +
+    transform over <= 4 elements.  At 100 TB the only corpus-sized pass
+    is the first aggregate."""
+    start, end, step, nband = 0.0, 400000.0, 100000.0, 4
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / F.lit(step)).cast("long").alias("band"),
+        F.col("o_totalprice").cast("decimal(25,6)").alias("v"),
+    )
+    per = (
+        o.filter((F.col("band") >= 0) & (F.col("band") < nband))
+        .groupBy("o_orderpriority", "band")
+        .agg(F.count("*").cast("long").alias("cnt"), F.sum("v").alias("s"))
+    )
+    grid = (
+        o.select("o_orderpriority")
+        .distinct()
+        .crossJoin(spark.range(nband).select(F.col("id").alias("band")))
+    )
+    full = grid.join(per, ["o_orderpriority", "band"], "left").select(
+        "o_orderpriority",
+        "band",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        F.coalesce(F.col("s"), F.lit(0).cast("decimal(25,6)")).alias("s"),
+    )
+    packed = full.groupBy("o_orderpriority").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("band", "cnt"))),
+                lambda e: e["cnt"].cast("string"),
+            ),
+        ).alias("count_resample_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("band", "s"))),
+                lambda e: e["s"].cast("string"),
+            ),
+        ).alias("sum_resample_csv"),
+        F.sum("cnt").cast("long").alias("n_in_range"),
+    )
+    return packed
+
+
+#: Two-sided 95% normal quantile and 80%-power quantile — the textbook
+#: constants ClickHouse's minSampleSize* family hard-codes; literals so no
+#: engine evaluates an inverse-CDF.
+Z_ALPHA_9750 = 1.9599639845400545
+Z_POWER_8000 = 0.8416212335729143
+
+
+def proportions_ztest_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``proportionsZTest`` analog (ClickHouse's two-sample proportion
+    test): each user cohort (user_id % 5; real conversion variance on
+    the fixture) against cohort 0 as control — pooled-variance z
+    statistic plus the unpooled 95% CI on the rate difference, the
+    standard A/B readout.  The p-value leg is deliberately omitted:
+    it needs erf/erfc, engine-libm territory the exactness discipline
+    bans (same reasoning as the squared-loss probe trainer).
+
+    Exactness: successes/trials are exact integer aggregates; the
+    descent to double happens once and every +,-,*,/ and sqrt after it
+    is textually mirrored in the oracle (the welch_ttest_values
+    precedent); outputs round-6.
+
+    Scale shape: one partial-agg shuffle over events into 5 rows, a
+    broadcast of the control row, scalar arithmetic out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).cast("long").alias("cohort"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    per = ev.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    ctrl = per.filter(F.col("cohort") == 0).select(
+        F.col("n").alias("ctl_n"), F.col("x").alias("ctl_x")
+    )
+    j = per.filter(F.col("cohort") != 0).join(F.broadcast(ctrl))
+    n1, x1 = F.col("n").cast("double"), F.col("x").cast("double")
+    n0, x0 = F.col("ctl_n").cast("double"), F.col("ctl_x").cast("double")
+    p1, p0 = x1 / n1, x0 / n0
+    pool = (x1 + x0) / (n1 + n0)
+    se_pool = F.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n0))
+    se_raw = F.sqrt(p1 * (1 - p1) / n1 + p0 * (1 - p0) / n0)
+    z = (p1 - p0) / se_pool
+    return j.select(
+        "cohort",
+        F.col("n").alias("n_sample"),
+        F.col("x").alias("conversions"),
+        F.round(p1, 6).alias("p_sample"),
+        F.round(p0, 6).alias("p_control"),
+        F.round(z, 6).alias("z_stat"),
+        F.round((p1 - p0) - F.lit(Z_ALPHA_9750) * se_raw, 6).alias("ci_low"),
+        F.round((p1 - p0) + F.lit(Z_ALPHA_9750) * se_raw, 6).alias("ci_high"),
+    )
+
+
+def min_sample_size_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minSampleSizeConversion`` analog (ClickHouse's A/B planning
+    family): for each cohort's MEASURED baseline conversion rate and a
+    grid of minimum detectable effects (absolute +1/+2/+5 points), the
+    per-variant sample size the two-proportion normal approximation
+    requires at alpha = 0.05 (two-sided) and power = 0.80:
+
+        n = (z_a * sqrt(2 pbar (1-pbar)) + z_b * sqrt(p1(1-p1) + p2(1-p2)))^2
+            / (mde * mde),   p2 = p1 + mde, pbar = (p1+p2)/2
+
+    — the exact formula the ClickHouse function documents, with the
+    normal quantiles as shared literals (no engine evaluates an
+    inverse CDF).  The square is an explicit self-multiply (pow is
+    banned); every double op after the integer aggregate is textually
+    mirrored in the oracle; outputs round-6.
+
+    Scale shape: the corpus pass is one 5-row aggregate; the MDE grid
+    is a 3-literal cross join; everything after is scalar arithmetic
+    on 15 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).cast("long").alias("cohort"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    per = ev.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    mdes = spark.createDataFrame([(0.01,), (0.02,), (0.05,)], "mde double")
+    j = per.crossJoin(F.broadcast(mdes))
+    p1 = F.col("x").cast("double") / F.col("n").cast("double")
+    p2 = p1 + F.col("mde")
+    pbar = (p1 + p2) / 2
+    root = F.lit(Z_ALPHA_9750) * F.sqrt(2 * pbar * (1 - pbar)) + F.lit(
+        Z_POWER_8000
+    ) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    n_req = root * root / (F.col("mde") * F.col("mde"))
+    return j.select(
+        "cohort",
+        "mde",
+        F.round(p1, 6).alias("p_baseline"),
+        F.round(n_req, 6).alias("min_n_per_variant"),
+    )

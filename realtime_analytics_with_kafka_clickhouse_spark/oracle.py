@@ -6755,3 +6755,133 @@ SELECT CAST(7 AS BIGINT) AS lag,
        round(CAST(num7.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
 FROM num7, den
 """
+
+
+# PASTE JOIN: positional join of two explicitly ordered top-k selections
+# (ClickHouse pastes block-order; the reproducible equivalent is the
+# explicit total order mirrored here).
+ORACLE["paste_join_battery"] = """
+WITH o AS (
+  SELECT CAST(o_totalprice AS DECIMAL(25,6)) AS order_total,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+  FROM orders),
+l AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(25,6)) AS line_price,
+         row_number() OVER (
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS pos
+  FROM lineitem)
+SELECT CAST(o.pos AS BIGINT) AS pos, order_total, line_price,
+       order_total - line_price AS total_minus_line
+FROM o JOIN l ON o.pos = l.pos
+WHERE o.pos <= 100
+"""
+
+
+# LEFT ANY JOIN: at most one right row per key, first = explicit
+# (shipdate, linenumber) min-tiebreak; unmatched left rows survive.
+ORACLE["any_join_battery"] = """
+WITH first_ret AS (
+  SELECT l_orderkey AS o_orderkey,
+         l_shipdate AS first_ret_shipdate,
+         CAST(l_linenumber AS BIGINT) AS first_ret_linenumber,
+         CAST(l_extendedprice AS DECIMAL(25,6)) AS first_ret_price,
+         row_number() OVER (
+           PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM lineitem WHERE l_returnflag = 'R')
+SELECT o.o_orderkey, o.o_orderstatus,
+       f.first_ret_shipdate, f.first_ret_linenumber, f.first_ret_price,
+       f.first_ret_linenumber IS NOT NULL AS has_return
+FROM orders o
+LEFT JOIN (SELECT * FROM first_ret WHERE rn = 1) f USING (o_orderkey)
+WHERE o.o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+"""
+
+
+# -Resample combinator: fixed bands [0, 400000) step 100000, out-of-range
+# keys discarded, empty bands zero-padded, arrays canonicalized as CSV.
+ORACLE["resample_combinator_battery"] = """
+WITH banded AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS band,
+         CAST(o_totalprice AS DECIMAL(25,6)) AS v
+  FROM orders),
+per AS (
+  SELECT o_orderpriority, band, count(*) AS cnt, sum(v) AS s
+  FROM banded WHERE band >= 0 AND band < 4 GROUP BY 1, 2),
+grid AS (
+  SELECT p.o_orderpriority, gs.band
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+       (SELECT unnest(generate_series(0, 3)) AS band) gs),
+filled AS (
+  SELECT g.o_orderpriority, g.band,
+         coalesce(p.cnt, 0) AS cnt,
+         coalesce(p.s, CAST(0 AS DECIMAL(25,6))) AS s
+  FROM grid g LEFT JOIN per p
+    ON g.o_orderpriority = p.o_orderpriority AND g.band = p.band)
+SELECT o_orderpriority,
+       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY band) AS count_resample_csv,
+       string_agg(CAST(s AS VARCHAR), ',' ORDER BY band) AS sum_resample_csv,
+       CAST(sum(cnt) AS BIGINT) AS n_in_range
+FROM filled GROUP BY 1
+"""
+
+
+# proportionsZTest: pooled z + unpooled 95% CI, mirrored double chain
+# after exact integer aggregates (p-value omitted: erf is engine libm).
+ORACLE["proportions_ztest_cohorts"] = """
+WITH per AS (
+  SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1),
+c AS (
+  SELECT p.cohort, CAST(p.n AS BIGINT) AS n, CAST(p.x AS BIGINT) AS x,
+         CAST(p.n AS DOUBLE) AS n1, CAST(p.x AS DOUBLE) AS x1,
+         CAST(ctl.n AS DOUBLE) AS n0, CAST(ctl.x AS DOUBLE) AS x0
+  FROM per p, (SELECT n, x FROM per WHERE cohort = 0) ctl
+  WHERE p.cohort <> 0)
+SELECT cohort, n AS n_sample, x AS conversions,
+       round(x1 / n1, 6) AS p_sample,
+       round(x0 / n0, 6) AS p_control,
+       round((x1 / n1 - x0 / n0)
+             / sqrt((x1 + x0) / (n1 + n0) * (1 - (x1 + x0) / (n1 + n0))
+                    * (1 / n1 + 1 / n0)), 6) AS z_stat,
+       round((x1 / n1 - x0 / n0)
+             - 1.9599639845400545
+               * sqrt(x1 / n1 * (1 - x1 / n1) / n1
+                      + x0 / n0 * (1 - x0 / n0) / n0), 6) AS ci_low,
+       round((x1 / n1 - x0 / n0)
+             + 1.9599639845400545
+               * sqrt(x1 / n1 * (1 - x1 / n1) / n1
+                      + x0 / n0 * (1 - x0 / n0) / n0), 6) AS ci_high
+FROM c
+"""
+
+
+# minSampleSizeConversion: the documented two-proportion normal-approx
+# formula with literal quantiles; square = explicit self-multiply.
+ORACLE["min_sample_size_conversion"] = """
+WITH per AS (
+  SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1),
+g AS (SELECT unnest([0.01, 0.02, 0.05]) AS mde),
+c AS (
+  SELECT cohort, CAST(mde AS DOUBLE) AS mde,
+         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+  FROM per, g)
+SELECT cohort, mde,
+       round(p1, 6) AS p_baseline,
+       round((1.9599639845400545
+                * sqrt(2 * ((p1 + (p1 + mde)) / 2) * (1 - (p1 + (p1 + mde)) / 2))
+              + 0.8416212335729143
+                * sqrt(p1 * (1 - p1) + (p1 + mde) * (1 - (p1 + mde))))
+             * (1.9599639845400545
+                * sqrt(2 * ((p1 + (p1 + mde)) / 2) * (1 - (p1 + (p1 + mde)) / 2))
+              + 0.8416212335729143
+                * sqrt(p1 * (1 - p1) + (p1 + mde) * (1 - (p1 + mde))))
+             / (mde * mde), 6) AS min_n_per_variant
+FROM c
+"""

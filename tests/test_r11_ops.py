@@ -533,3 +533,101 @@ def test_l_diversity_share_and_flag(spark, queries):
         lo = r["dominant_count"] * 1000000 // r["group_size"] - 1
         assert lo <= r["dominant_share_micros"] <= lo + 2
         assert r["is_3_diverse"] == (r["l_distinct_sensitive"] >= 3)
+
+
+def test_paste_join_positions_and_order(spark, queries):
+    """PASTE JOIN card: exactly 100 positions, both pasted series
+    non-increasing (each side really is its own top-k order)."""
+    rows = sorted(
+        queries["paste_join_battery"](spark, SF_DIR).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["pos"] for r in rows] == list(range(1, 101))
+    totals = [r["order_total"] for r in rows]
+    prices = [r["line_price"] for r in rows]
+    assert all(a >= b for a, b in zip(totals, prices))  # orders sum their lines
+    assert totals == sorted(totals, reverse=True)
+    assert prices == sorted(prices, reverse=True)
+    for r in rows:
+        assert r["total_minus_line"] == r["order_total"] - r["line_price"]
+
+
+def test_any_join_both_branches_and_first_match(spark, queries):
+    """LEFT ANY strictness: at most one right row per order (key-unique
+    output), BOTH matched and unmatched branches fire on the fixture,
+    and the kept match is the true (shipdate, linenumber) minimum."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    df = queries["any_join_battery"](spark, SF_DIR)
+    rows = df.collect()
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))  # ANY = at most one right row
+    matched = [r for r in rows if r["has_return"]]
+    unmatched = [r for r in rows if not r["has_return"]]
+    assert matched and unmatched, (len(matched), len(unmatched))
+    assert all(
+        r["first_ret_shipdate"] is None and r["first_ret_price"] is None
+        for r in unmatched
+    )
+    # spot-check the min-tiebreak on the order with the most returned lines
+    some = matched[0]["o_orderkey"]
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter((F.col("l_orderkey") == some) & (F.col("l_returnflag") == "R"))
+        .orderBy("l_shipdate", "l_linenumber")
+        .collect()
+    )
+    got = next(r for r in matched if r["o_orderkey"] == some)
+    assert got["first_ret_shipdate"] == li[0]["l_shipdate"]
+    assert got["first_ret_linenumber"] == li[0]["l_linenumber"]
+
+
+def test_resample_discards_out_of_range(spark, queries):
+    """-Resample semantics: keys outside [0, 400000) are DISCARDED (the
+    branch must fire — the fixture has orders above 400k), every band
+    array has exactly 4 elements, and the count CSV re-sums to
+    n_in_range."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = queries["resample_combinator_battery"](spark, SF_DIR).collect()
+    total_orders = load_table(spark, SF_DIR, "orders").count()
+    in_range = sum(r["n_in_range"] for r in rows)
+    assert in_range < total_orders  # discard branch fired
+    for r in rows:
+        counts = r["count_resample_csv"].split(",")
+        sums = r["sum_resample_csv"].split(",")
+        assert len(counts) == 4 and len(sums) == 4
+        assert sum(int(c) for c in counts) == r["n_in_range"]
+
+
+def test_proportions_ztest_shape(spark, queries):
+    """Four treatment cohorts vs control: z sign agrees with the rate
+    difference and the unpooled CI brackets it."""
+    rows = queries["proportions_ztest_cohorts"](spark, SF_DIR).collect()
+    assert sorted(r["cohort"] for r in rows) == [1, 2, 3, 4]
+    for r in rows:
+        diff = r["p_sample"] - r["p_control"]
+        assert (r["z_stat"] > 0) == (diff > 0) or diff == 0
+        assert r["ci_low"] <= diff + 5e-6
+        assert diff <= r["ci_high"] + 5e-6
+
+
+def test_min_sample_size_monotone(spark, queries):
+    """Planning card invariant: within a cohort a LARGER detectable
+    effect needs a SMALLER sample (n ~ 1/mde^2 dominates)."""
+    rows = queries["min_sample_size_conversion"](spark, SF_DIR).collect()
+    assert len(rows) == 15
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["mde"], r["min_n_per_variant"]))
+    for pairs in by_cohort.values():
+        pairs.sort()
+        ns = [n for _, n in pairs]
+        assert ns == sorted(ns, reverse=True), ns
+        assert all(n > 0 for n in ns)
