@@ -74,6 +74,10 @@ _NAMES = [
         "resample_combinator_battery",  # NEW r11: -Resample banded aggregates
         "proportions_ztest_cohorts",  # NEW r11: two-proportion z + CI
         "min_sample_size_conversion",  # NEW r11: A/B sample-size planning
+        "contingency_coefficients",  # NEW r11: contingency C + Tschuprow T
+        "derivative_battery",  # NEW r11: runningDifference / nonNegDerivative
+        "asof_tolerance_enrich",  # NEW r11: merge_asof tolerance semantics
+        "limit_with_ties_card",  # NEW r11: FETCH FIRST ... WITH TIES peers
     ]),
     (windows, [
         "rolling_median_daily_revenue",

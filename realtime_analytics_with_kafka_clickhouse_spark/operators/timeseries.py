@@ -2570,24 +2570,15 @@ def skew_kurt_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``cramersV`` / ``cramersVBiasCorrected`` analog: the chi-square
-    association between event type and user region over the events
-    contingency table — ClickHouse's categorical-dependence aggregates
-    as a one-row report.
-
-    Exactness: every contingency count is bigint; the per-cell term
-    (o*n - r*c)^2 / (r*c*n) uses bigint cross-products that stay under
-    2^53 (exact as doubles) and the 35-term sum folds LEFT-TO-RIGHT in
-    (event_type, region) order — Spark ``aggregate`` over a sorted
-    collect vs DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``,
-    the same fold, so chi2 is bit-identical (a new use of the ordered-
-    fold discipline on a DOMAIN-BOUNDED array, the summap shape).  The
-    bias-corrected variant mirrors greatest/least textually.
-
-    Scale shape: one partial-agg shuffle to the |type|x|region| cell
-    grid; window totals and the fold run on 35 rows."""
-    ev = load_table(spark, sf_dir, "events")
+def _chi2_contingency_agg(ev: DataFrame) -> DataFrame:
+    """Shared (event_type x region) contingency chi-square: the bigint
+    cell/marginal counts, per-cell terms exact-as-doubles under 2^53,
+    and the ordered LEFT-TO-RIGHT fold over the domain-bounded cell
+    array (Spark ``aggregate`` over a sorted collect == DuckDB
+    ``list_reduce`` over ``list(... ORDER BY ...)``) — used by
+    ``cramers_v_assoc`` and ``contingency_coefficients`` so both
+    coefficient families price the identical chi2.  One partial-agg
+    shuffle to the |type| x |region| grid; the fold runs on 35 rows."""
     cells = ev.groupBy(
         "event_type",
         F.concat(F.lit("region_"), (F.col("user_id") % 7).cast("string")).alias(
@@ -2605,7 +2596,7 @@ def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     numd = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
     dend = (F.col("r") * F.col("c") * F.col("n")).cast("double")
     c2 = c2.withColumn("term", (numd * numd) / dend)
-    agg = c2.groupBy().agg(
+    return c2.groupBy().agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("event_type", "region", "term"))),
             F.lit(0.0),
@@ -2615,6 +2606,26 @@ def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("region").alias("c_levels"),
         F.max("n").alias("n_total"),
     )
+
+
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cramersV`` / ``cramersVBiasCorrected`` analog: the chi-square
+    association between event type and user region over the events
+    contingency table — ClickHouse's categorical-dependence aggregates
+    as a one-row report.
+
+    Exactness: every contingency count is bigint; the per-cell term
+    (o*n - r*c)^2 / (r*c*n) uses bigint cross-products that stay under
+    2^53 (exact as doubles) and the 35-term sum folds LEFT-TO-RIGHT in
+    (event_type, region) order — Spark ``aggregate`` over a sorted
+    collect vs DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``,
+    the same fold, so chi2 is bit-identical (a new use of the ordered-
+    fold discipline on a DOMAIN-BOUNDED array, the summap shape).  The
+    bias-corrected variant mirrors greatest/least textually.
+
+    Scale shape: one partial-agg shuffle to the |type|x|region| cell
+    grid; window totals and the fold run on 35 rows."""
+    agg = _chi2_contingency_agg(load_table(spark, sf_dir, "events"))
     nd = F.col("n_total").cast("double")
     rd = F.col("r_levels").cast("double")
     cd = F.col("c_levels").cast("double")
@@ -4219,4 +4230,157 @@ def min_sample_size_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mde",
         F.round(p1, 6).alias("p_baseline"),
         F.round(n_req, 6).alias("min_n_per_variant"),
+    )
+
+
+def contingency_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contingency`` / Tschuprow-T analogs (ClickHouse's remaining
+    chi-square association aggregates next to ``cramersV`` — ``theilsU``
+    stays out deliberately: it needs log, engine-libm territory):
+    Pearson's contingency coefficient C = sqrt(chi2 / (chi2 + n)) and
+    Tschuprow's T = sqrt(phi2 / sqrt((r-1)(c-1))) over the shared
+    (event_type x region) table — the one-row dependence report read
+    next to ``cramers_v_assoc``.
+
+    Exactness: chi2 comes bit-identical from the shared ordered-fold
+    helper; the coefficient chains are +,-,*,/ and sqrt with the op
+    order textually mirrored in the oracle; round-6 outputs.
+
+    Scale shape: identical to cramers_v_assoc — one partial-agg shuffle
+    to the cell grid, scalar arithmetic on one row."""
+    agg = _chi2_contingency_agg(load_table(spark, sf_dir, "events"))
+    nd = F.col("n_total").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    phi2 = F.col("chi2") / nd
+    return agg.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + nd)), 6).alias(
+            "contingency_c"
+        ),
+        F.round(
+            F.sqrt(phi2 / F.sqrt((rd - F.lit(1.0)) * (cd - F.lit(1.0)))), 6
+        ).alias("tschuprow_t"),
+    )
+
+
+def derivative_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``runningDifference`` / ``nonNegativeDerivative`` analogs over the
+    per-type DAILY revenue series (the gauge-derivative sibling of the
+    per-user counter fold in ``delta_sum_counters``): per (type, day)
+    with a predecessor — the exact decimal delta vs the previous
+    OBSERVED day, the day gap, the per-day rate (delta normalized by the
+    gap, ClickHouse's derivative-with-units convention at day
+    granularity), and its non-negative clamp (monitoring's
+    reset-suppressing rate).
+
+    Exactness (SURVEY §5 class 4 by construction): daily sums and their
+    deltas ride the decimal domain; delta quantizes to exact integer
+    micros (scale-6 decimal * 1e6 has zero fractional part); the rate is
+    ONE round-half-up division computed through the floor chain over
+    bigint->double-exact operands — floor((2*d + g) / (2*g)) — mirrored
+    textually (negative deltas floor identically in both engines: same
+    IEEE divide, same floor).  Zero raw doubles in the output.
+
+    Scale shape: one (type, day) partial-agg shuffle, then a lag window
+    on the O(types x days) rollup — never the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lag("day").over(w).alias("prev_day"),
+    ).filter(F.col("prev_rev").isNotNull())
+    delta_micros = ((F.col("rev") - F.col("prev_rev")) * F.lit(1000000)).cast(
+        "long"
+    )
+    gap = F.datediff(F.col("day"), F.col("prev_day")).cast("long")
+    rate = F.floor(
+        (F.lit(2) * delta_micros + gap).cast("double")
+        / (F.lit(2) * gap).cast("double")
+    ).cast("long")
+    return d.select(
+        "event_type",
+        "day",
+        delta_micros.alias("delta_micros"),
+        gap.alias("gap_days"),
+        rate.alias("rate_micros_per_day"),
+        F.greatest(rate, F.lit(0).cast("long")).alias("nonneg_rate_micros"),
+    )
+
+
+#: merge_asof tolerance for the bounded as-of enrich: 1 day (the events
+#: fixture spans ~30 days, so within/beyond/no-prior all fire).
+ASOF_TOLERANCE_US = 86_400_000_000
+
+
+def asof_tolerance_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``,
+    QuestDB/kdb's bounded asof): every event enriched with the user's
+    most recent strictly-prior purchase ONLY if it is at most 1 day old
+    — older matches null out, exactly the "stale features are worse
+    than no features" rule online feature stores enforce.  Because the
+    as-of candidate is the NEAREST prior, filtering it by the tolerance
+    is the complete semantics (any other prior is older still).
+
+    Three output branches all live on the fixture (pytest-pinned):
+    no prior purchase / prior within tolerance / prior too old.
+
+    Scale shape: identical to ``last_purchase_asof`` — one user-key
+    shuffle, a running last-ignore-nulls window, per-row arithmetic;
+    the tolerance adds zero passes.  Gap is exact integer micros."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_p = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(last_p)
+    within = last_p.isNotNull() & (gap <= F.lit(ASOF_TOLERANCE_US))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(within, last_p).alias("asof_purchase_ts"),
+        F.when(within, gap).alias("asof_gap_us"),
+        F.when(last_p.isNull(), F.lit("no_prior"))
+        .when(within, F.lit("matched"))
+        .otherwise(F.lit("too_old"))
+        .alias("asof_state"),
+    )
+
+
+def limit_with_ties_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FETCH FIRST 1 ROWS WITH TIES`` (SQL:2008; ClickHouse ``LIMIT 1
+    WITH TIES``) materialized per return flag: the whole PEER GROUP of
+    the top row by quantity — distinct from ``argminmax_battery``,
+    which keeps ONE argument per extremum; WITH TIES keeps every tied
+    row (hundreds per flag on the integer-grained quantity domain,
+    pytest-pinned), summarized as a bounded card (tied rowcount +
+    their exact revenue).
+
+    Scale shape: the boundary value is a map-side-combined max per
+    flag (3 rows), broadcast back; the peer filter is a scan-level
+    predicate after the join — never a global sort or a rank window
+    over the corpus (the threshold-then-filter shape WITH TIES takes
+    at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.groupBy("l_returnflag").agg(F.max("l_quantity").alias("top_q"))
+    tied = li.join(F.broadcast(mx), "l_returnflag").filter(
+        F.col("l_quantity") == F.col("top_q")
+    )
+    return tied.groupBy("l_returnflag").agg(
+        F.max(F.col("top_q").cast("long")).alias("top_quantity"),
+        F.count("*").cast("long").alias("n_tied"),
+        dsum("l_extendedprice").alias("tied_revenue"),
     )

@@ -6885,3 +6885,115 @@ SELECT cohort, mde,
              / (mde * mde), 6) AS min_n_per_variant
 FROM c
 """
+
+
+# contingency / Tschuprow T: the same ordered-fold chi2 as cramers_v,
+# new coefficient chains mirrored textually.
+ORACLE["contingency_coefficients"] = """
+WITH cells AS (
+  SELECT event_type, 'region_' || CAST(user_id % 7 AS VARCHAR) AS region,
+         count(*) AS o
+  FROM events GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, region, o,
+         CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY region) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+t AS (
+  SELECT event_type, region, n,
+         (numd * numd) / dend AS term
+  FROM (SELECT event_type, region, n,
+               CAST(o * n - r * c AS DOUBLE) AS numd,
+               CAST(r * c * n AS DOUBLE) AS dend
+        FROM c2)),
+a AS (
+  SELECT list_reduce(list(term ORDER BY event_type, region),
+                     (x, y) -> x + y) AS chi2,
+         count(DISTINCT event_type) AS r_levels,
+         count(DISTINCT region) AS c_levels,
+         max(n) AS n_total
+  FROM t),
+f AS (
+  SELECT chi2, n_total,
+         CAST(n_total AS DOUBLE) AS ndd,
+         CAST(r_levels AS DOUBLE) AS rd,
+         CAST(c_levels AS DOUBLE) AS cd
+  FROM a)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (chi2 + ndd)), 6) AS contingency_c,
+       round(sqrt((chi2 / ndd) / sqrt((rd - 1.0) * (cd - 1.0))), 6)
+         AS tschuprow_t
+FROM f
+"""
+
+
+# runningDifference / nonNegativeDerivative at daily grain: exact decimal
+# deltas quantized to integer micros; the rate is the floor-chain
+# round-half-up division over bigint->double-exact operands.
+ORACLE["derivative_battery"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(25,6))) AS rev
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, day, rev,
+         lag(rev) OVER (PARTITION BY event_type ORDER BY day) AS prev_rev,
+         lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+  FROM daily),
+d AS (
+  SELECT event_type, day,
+         CAST((rev - prev_rev) * 1000000 AS BIGINT) AS delta_micros,
+         CAST(date_diff('day', prev_day, day) AS BIGINT) AS gap_days
+  FROM lagged WHERE prev_rev IS NOT NULL)
+SELECT event_type, day, delta_micros, gap_days,
+       CAST(floor(CAST(2 * delta_micros + gap_days AS DOUBLE)
+                  / CAST(2 * gap_days AS DOUBLE)) AS BIGINT)
+         AS rate_micros_per_day,
+       greatest(CAST(floor(CAST(2 * delta_micros + gap_days AS DOUBLE)
+                           / CAST(2 * gap_days AS DOUBLE)) AS BIGINT),
+                CAST(0 AS BIGINT)) AS nonneg_rate_micros
+FROM d
+"""
+
+
+# merge_asof tolerance: the nearest-prior candidate filtered by the 1-day
+# bound (complete semantics: any other prior is older still).
+ORACLE["asof_tolerance_enrich"] = """
+WITH lp AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_p
+  FROM events),
+g AS (
+  SELECT event_id, user_id, ts, event_type, last_p,
+         epoch_us(ts) - epoch_us(last_p) AS gap
+  FROM lp)
+SELECT event_id, user_id, ts, event_type,
+       CASE WHEN last_p IS NOT NULL AND gap <= 86400000000
+            THEN last_p END AS asof_purchase_ts,
+       CASE WHEN last_p IS NOT NULL AND gap <= 86400000000
+            THEN gap END AS asof_gap_us,
+       CASE WHEN last_p IS NULL THEN 'no_prior'
+            WHEN gap <= 86400000000 THEN 'matched'
+            ELSE 'too_old' END AS asof_state
+FROM g
+"""
+
+
+# FETCH FIRST 1 ROWS WITH TIES, materialized as the per-flag peer-group
+# card: boundary max broadcast back, peers counted + summed exactly.
+ORACLE["limit_with_ties_card"] = """
+WITH mx AS (
+  SELECT l_returnflag, max(l_quantity) AS top_q FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag,
+       CAST(m.top_q AS BIGINT) AS top_quantity,
+       CAST(count(*) AS BIGINT) AS n_tied,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+         AS tied_revenue
+FROM lineitem l JOIN mx m
+  ON l.l_returnflag = m.l_returnflag AND l.l_quantity = m.top_q
+GROUP BY 1, 2
+"""

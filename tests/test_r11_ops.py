@@ -631,3 +631,57 @@ def test_min_sample_size_monotone(spark, queries):
         ns = [n for _, n in pairs]
         assert ns == sorted(ns, reverse=True), ns
         assert all(n > 0 for n in ns)
+
+
+def test_contingency_coefficients_bounds(spark, queries):
+    """C and T live in [0, 1); C < 1 strictly; chi2 equals the shared
+    cramers_v chi2 bit-for-bit (same helper, same fold)."""
+    row = queries["contingency_coefficients"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["contingency_c"] < 1.0
+    assert 0.0 <= row["tschuprow_t"] < 1.0
+    cram = queries["cramers_v_assoc"](spark, SF_DIR).collect()[0]
+    assert row["chi2"] == cram["chi2"]
+    assert row["n_total"] == cram["n_total"]
+
+
+def test_derivative_battery_branches(spark, queries):
+    """Both derivative signs fire (daily revenue is non-monotone), the
+    clamp zeroes exactly the negative rates, and gaps are >= 1 day."""
+    rows = queries["derivative_battery"](spark, SF_DIR).collect()
+    assert any(r["delta_micros"] < 0 for r in rows)
+    assert any(r["delta_micros"] > 0 for r in rows)
+    for r in rows:
+        assert r["gap_days"] >= 1
+        if r["rate_micros_per_day"] >= 0:
+            assert r["nonneg_rate_micros"] == r["rate_micros_per_day"]
+        else:
+            assert r["nonneg_rate_micros"] == 0
+
+
+def test_asof_tolerance_three_branches(spark, queries):
+    """no_prior / matched / too_old all live; matched gaps bound by the
+    tolerance; nulls exactly on the unmatched states."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.timeseries import (
+        ASOF_TOLERANCE_US,
+    )
+
+    rows = queries["asof_tolerance_enrich"](spark, SF_DIR).collect()
+    states = {r["asof_state"] for r in rows}
+    assert states == {"no_prior", "matched", "too_old"}
+    for r in rows:
+        if r["asof_state"] == "matched":
+            assert 0 <= r["asof_gap_us"] <= ASOF_TOLERANCE_US
+            assert r["asof_purchase_ts"] is not None
+        else:
+            assert r["asof_gap_us"] is None and r["asof_purchase_ts"] is None
+
+
+def test_limit_with_ties_peers(spark, queries):
+    """WITH TIES must return the whole peer group: every flag's tied
+    count is far above the 1 row a plain LIMIT keeps."""
+    rows = queries["limit_with_ties_card"](spark, SF_DIR).collect()
+    assert sorted(r["l_returnflag"] for r in rows) == ["A", "N", "R"]
+    for r in rows:
+        assert r["top_quantity"] == 50
+        assert r["n_tied"] > 1  # the ties branch is the whole point
+        assert r["tied_revenue"] > 0
