@@ -78,6 +78,8 @@ _NAMES = [
         "derivative_battery",  # NEW r11: runningDifference / nonNegDerivative
         "asof_tolerance_enrich",  # NEW r11: merge_asof tolerance semantics
         "limit_with_ties_card",  # NEW r11: FETCH FIRST ... WITH TIES peers
+        "bitmap_set_algebra",  # NEW r11: groupBitmapAnd/Or/Xor pair algebra
+        "array_set_ops_battery",  # NEW r11: arrayIntersect/Union/Except
     ]),
     (windows, [
         "rolling_median_daily_revenue",

@@ -4384,3 +4384,102 @@ def limit_with_ties_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_tied"),
         dsum("l_extendedprice").alias("tied_revenue"),
     )
+
+
+def bitmap_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBitmapAnd/Or/Xor`` analogs (ClickHouse's roaring-bitmap
+    segment algebra): for the three audience pairs among purchase /
+    view / click, the exact cardinalities of A, B, A AND B, A OR B and
+    A XOR B over user-id sets — the segment-overlap report
+    ``user_overlap_matrix`` (intersections only) doesn't cover.
+
+    The bitmap identity that makes it ONE pass: materialize per-user
+    membership FLAGS (three 0/1 columns, one user-key partial agg), then
+    every pair statistic is an integer sum — and = sum(a*b),
+    or = sum(max(a,b)), xor = sum(a + b - 2ab).  No per-pair joins, no
+    set materialization; at 100 TB the flags frame is |users| rows and
+    the algebra is a one-row aggregate.
+
+    All-integer output; the oracle mirrors the identical CASE sums."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def _flag(t: str):
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    flags = ev.groupBy("user_id").agg(
+        _flag("purchase").alias("p"), _flag("view").alias("v"), _flag("click").alias("c")
+    )
+
+    def _pair(a, b):
+        return (
+            F.sum(F.col(a)).cast("long"),
+            F.sum(F.col(b)).cast("long"),
+            F.sum(F.col(a) * F.col(b)).cast("long"),
+            F.sum(F.greatest(F.col(a), F.col(b))).cast("long"),
+            F.sum(F.col(a) + F.col(b) - 2 * F.col(a) * F.col(b)).cast("long"),
+        )
+
+    aggs = []
+    for a, b in (("p", "v"), ("p", "c"), ("v", "c")):
+        ca, cb, i_, u_, x_ = _pair(a, b)
+        aggs += [
+            ca.alias(f"card_{a}_{b}_a"), cb.alias(f"card_{a}_{b}_b"),
+            i_.alias(f"and_{a}_{b}"), u_.alias(f"or_{a}_{b}"), x_.alias(f"xor_{a}_{b}"),
+        ]
+    one = flags.agg(*aggs)
+    names = {"p": "purchase", "v": "view", "c": "click"}
+    pairs = F.array(*[
+        F.struct(
+            F.lit(f"{names[a]}|{names[b]}").alias("pair"),
+            F.col(f"card_{a}_{b}_a").alias("card_a"),
+            F.col(f"card_{a}_{b}_b").alias("card_b"),
+            F.col(f"and_{a}_{b}").alias("and_card"),
+            F.col(f"or_{a}_{b}").alias("or_card"),
+            F.col(f"xor_{a}_{b}").alias("xor_card"),
+        )
+        for a, b in (("p", "v"), ("p", "c"), ("v", "c"))
+    ])
+    return one.select(F.explode(pairs).alias("s")).select("s.*")
+
+
+def array_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayIntersect`` / ``arrayUnion`` / ``arrayExcept`` /
+    ``arrayDistinct`` parity (ClickHouse's array set functions, Spark's
+    array_intersect/union/except/distinct): per user, the distinct
+    event-type sets of the FIRST and SECOND halves of their activity
+    (split at rn*2 <= cnt on the (ts, event_id) order) and the set
+    algebra between them — the "did behavior change" card.  CSVs sort
+    ascending (the canon rule); a user whose half is empty exercises the
+    empty-array legs (cnt=1 users put everything in the second half).
+
+    Oracle discipline: INDEPENDENT construction — the oracle never
+    touches list functions; it recomputes per-(user, type) membership
+    flags relationally and string_aggs the qualifying types, so the
+    Spark array kernels are checked against a different algorithm.
+
+    Scale shape: one user-key shuffle shared by the rank windows and the
+    collect_set aggregate; per-user state is bounded by the 5-type
+    domain."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    halves = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w) * 2 <= F.count("*").over(wc)).alias("in_first"),
+    )
+    sets = halves.groupBy("user_id").agg(
+        F.collect_set(F.when(F.col("in_first"), F.col("event_type"))).alias("fs"),
+        F.collect_set(F.when(~F.col("in_first"), F.col("event_type"))).alias("ss"),
+    )
+    return sets.select(
+        "user_id",
+        F.concat_ws(",", F.array_sort(F.array_intersect("fs", "ss"))).alias(
+            "intersect_csv"
+        ),
+        F.concat_ws(",", F.array_sort(F.array_union("fs", "ss"))).alias("union_csv"),
+        F.concat_ws(",", F.array_sort(F.array_except("fs", "ss"))).alias(
+            "except_csv"
+        ),
+        F.size(F.array_distinct(F.concat("fs", "ss"))).cast("long").alias("n_types"),
+    )

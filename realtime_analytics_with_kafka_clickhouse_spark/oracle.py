@@ -6997,3 +6997,62 @@ FROM lineitem l JOIN mx m
   ON l.l_returnflag = m.l_returnflag AND l.l_quantity = m.top_q
 GROUP BY 1, 2
 """
+
+
+# groupBitmapAnd/Or/Xor: per-user membership flags, pair algebra as
+# integer sums (and = a*b, or = max, xor = a + b - 2ab).
+ORACLE["bitmap_set_algebra"] = """
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY 1),
+a AS (
+  SELECT CAST(sum(p) AS BIGINT) AS card_p, CAST(sum(v) AS BIGINT) AS card_v,
+         CAST(sum(c) AS BIGINT) AS card_c,
+         CAST(sum(p * v) AS BIGINT) AS and_pv,
+         CAST(sum(greatest(p, v)) AS BIGINT) AS or_pv,
+         CAST(sum(p + v - 2 * p * v) AS BIGINT) AS xor_pv,
+         CAST(sum(p * c) AS BIGINT) AS and_pc,
+         CAST(sum(greatest(p, c)) AS BIGINT) AS or_pc,
+         CAST(sum(p + c - 2 * p * c) AS BIGINT) AS xor_pc,
+         CAST(sum(v * c) AS BIGINT) AS and_vc,
+         CAST(sum(greatest(v, c)) AS BIGINT) AS or_vc,
+         CAST(sum(v + c - 2 * v * c) AS BIGINT) AS xor_vc
+  FROM flags)
+SELECT 'purchase|view' AS pair, card_p AS card_a, card_v AS card_b,
+       and_pv AS and_card, or_pv AS or_card, xor_pv AS xor_card FROM a
+UNION ALL
+SELECT 'purchase|click', card_p, card_c, and_pc, or_pc, xor_pc FROM a
+UNION ALL
+SELECT 'view|click', card_v, card_c, and_vc, or_vc, xor_vc FROM a
+"""
+
+
+# array set functions: INDEPENDENT relational construction — membership
+# flags per (user, type), string_agg of the qualifying types.
+ORACLE["array_set_ops_battery"] = """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events),
+f AS (
+  SELECT user_id, event_type,
+         max(CASE WHEN rn * 2 <= cnt THEN 1 ELSE 0 END) AS in_first,
+         max(CASE WHEN rn * 2 > cnt THEN 1 ELSE 0 END) AS in_second
+  FROM r GROUP BY 1, 2)
+SELECT user_id,
+       coalesce(string_agg(CASE WHEN in_first = 1 AND in_second = 1
+                                THEN event_type END, ',' ORDER BY event_type),
+                '') AS intersect_csv,
+       coalesce(string_agg(CASE WHEN in_first = 1 OR in_second = 1
+                                THEN event_type END, ',' ORDER BY event_type),
+                '') AS union_csv,
+       coalesce(string_agg(CASE WHEN in_first = 1 AND in_second = 0
+                                THEN event_type END, ',' ORDER BY event_type),
+                '') AS except_csv,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM f GROUP BY 1
+"""

