@@ -118,6 +118,7 @@ _NAMES = [
     (_streaming_pipeline, [
         "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
         "optimize_deduplicate_rollup",  # NEW r11: OPTIMIZE ... DEDUPLICATE
+        "explain_estimate_scan",  # NEW r11: metadata-only planner card
     ]),
     (rollups, [
         "status_unpivot_roundtrip",  # NEW r11: melt/UNPIVOT surface

@@ -7056,3 +7056,49 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_types
 FROM f GROUP BY 1
 """
+
+
+# EXPLAIN ESTIMATE: the oracle reproduces the metadata-only estimate
+# independently — deterministic quarter chunking, per-chunk zone maps,
+# the same integer predicate bounds.
+ORACLE["explain_estimate_scan"] = f"""
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS hour, {_CAT} AS category,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS he
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2, 3),
+b AS (
+  SELECT min(he) AS mn, max(he) AS mx,
+         max(he) - min(he) + 1 AS span
+  FROM a),
+ch AS (
+  SELECT he,
+         CASE WHEN he < mn + span * 1 // 4 THEN 0
+              WHEN he < mn + span * 2 // 4 THEN 1
+              WHEN he < mn + span * 3 // 4 THEN 2
+              ELSE 3 END AS chunk
+  FROM a, b),
+zs AS (
+  SELECT chunk, min(he) AS zmin, max(he) AS zmax, count(*) AS nrows
+  FROM ch GROUP BY 1),
+preds AS (
+  SELECT 'q2' AS predicate, mn + span * 1 // 4 AS lo,
+         mn + span * 2 // 4 - 1 AS hi FROM b
+  UNION ALL
+  SELECT 'mid_straddle',
+         (mn + span * 1 // 4 + mn + span * 2 // 4) // 2,
+         mn + span * 2 // 4
+           + (mn + span * 2 // 4 - (mn + span * 1 // 4)) // 2 FROM b
+  UNION ALL
+  SELECT 'all', mn, mx FROM b),
+est AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS est_dirs,
+         CAST(sum(nrows) AS BIGINT) AS est_rows
+  FROM preds JOIN zs ON zmax >= lo AND zmin <= hi GROUP BY 1),
+ex AS (
+  SELECT predicate, CAST(count(*) AS BIGINT) AS exact_rows
+  FROM preds JOIN ch ON he >= lo AND he <= hi GROUP BY 1)
+SELECT est.predicate, est_dirs, est_rows, exact_rows,
+       est_rows >= exact_rows AS est_is_superset
+FROM est JOIN ex ON est.predicate = ex.predicate
+"""

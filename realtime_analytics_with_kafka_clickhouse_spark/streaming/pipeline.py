@@ -1105,6 +1105,71 @@ def txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def explain_estimate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``EXPLAIN ESTIMATE`` analog (NEW r11): the parts/rows
+    a range query WOULD touch, answered METADATA-ONLY — commit-recorded
+    zone maps pick the directories, parquet footers supply their row
+    counts; no data file is opened for the estimate (the planner card a
+    100 TB operator reads before running anything).  ``exact_rows``
+    rides the proven pruned read next to it, so every card row also
+    re-proves estimate >= exact (containment) — and the deliberately
+    UNALIGNED ``mid_straddle`` predicate makes the overshoot branch
+    falsifiable: it clips two chunks mid-range, so its estimate must
+    exceed its exact count (pytest-pinned), while the chunk-aligned
+    ``q2`` estimate is tight.
+
+    The oracle reproduces the estimate INDEPENDENTLY from raw events:
+    the chunk assignment is the deterministic quarter arithmetic of
+    ``_build_time_chunked_txlog``, chunk zone maps are per-chunk
+    min/max, and the same integer predicate bounds are derived in SQL.
+
+    Scale shape: the estimate is O(dirs) driver metadata; the exact
+    legs are 3 bounded pruned reads of the rollup table."""
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from ..storage import txlog
+
+    table, b1, b2 = _build_time_chunked_txlog(spark, sf_dir)
+    _, commit = txlog.snapshot(spark, table)
+    stats = commit["stats"]
+    dirs = []
+    for d in commit["dirs"]:
+        zm = stats.get(d, {}).get("hour_epoch")
+        filesystem, fs_path = pafs.FileSystem.from_uri(f"{table}/{d}")
+        rows = 0
+        for info in filesystem.get_file_info(
+            pafs.FileSelector(fs_path, recursive=True)
+        ):
+            if info.path.endswith(".parquet"):
+                rows += pq.read_metadata(
+                    info.path, filesystem=filesystem
+                ).num_rows
+        dirs.append((int(zm[0]), int(zm[1]), rows))
+    mn = min(z[0] for z in dirs)
+    mx = max(z[1] for z in dirs)
+    preds = [
+        ("q2", b1, b2 - 1),  # chunk-aligned: estimate is tight
+        ("mid_straddle", (b1 + b2) // 2, b2 + (b2 - b1) // 2),  # clips 2 chunks
+        ("all", mn, mx),
+    ]
+    out = []
+    for label, lo, hi in preds:
+        hit = [(zmin, zmax, r) for zmin, zmax, r in dirs if zmax >= lo and zmin <= hi]
+        exact = (
+            txlog.read_table(spark, table, prune={"hour_epoch": (lo, hi)})
+            .filter((F.col("hour_epoch") >= lo) & (F.col("hour_epoch") <= hi))
+            .count()
+        )
+        est_rows = sum(r for _, _, r in hit)
+        out.append((label, len(hit), est_rows, exact, est_rows >= exact))
+    return spark.createDataFrame(
+        out,
+        "predicate string, est_dirs long, est_rows long,"
+        " exact_rows long, est_is_superset boolean",
+    )
+
+
 # Z-ordered orders txlog per (session-run, sf_dir): table path memo.
 _ZORDER_TABLE_MEMO: dict[str, str] = {}
 

@@ -715,3 +715,21 @@ def test_array_set_ops_laws(spark, queries):
         if not inter and not exc and union:
             saw_empty_leg = True  # empty first half: everything 2nd-half-only
     assert rows and any(r["n_types"] >= 2 for r in rows)
+
+
+def test_explain_estimate_branches(spark, queries):
+    """The chunk-aligned predicate's estimate is TIGHT (== exact), the
+    straddling predicate's estimate OVERSHOOTS (> exact — zone maps
+    can't see inside a chunk), containment holds everywhere, and 'all'
+    touches all 4 dirs."""
+    rows = {r["predicate"]: r for r in
+            queries["explain_estimate_scan"](spark, SF_DIR).collect()}
+    assert set(rows) == {"q2", "mid_straddle", "all"}
+    for r in rows.values():
+        assert r["est_is_superset"]
+        assert r["est_rows"] >= r["exact_rows"] > 0
+    assert rows["q2"]["est_rows"] == rows["q2"]["exact_rows"]
+    assert rows["q2"]["est_dirs"] == 1
+    assert rows["mid_straddle"]["est_rows"] > rows["mid_straddle"]["exact_rows"]
+    assert rows["mid_straddle"]["est_dirs"] == 2
+    assert rows["all"]["est_dirs"] == 4
