@@ -80,6 +80,7 @@ _NAMES = [
         "limit_with_ties_card",  # NEW r11: FETCH FIRST ... WITH TIES peers
         "bitmap_set_algebra",  # NEW r11: groupBitmapAnd/Or/Xor pair algebra
         "array_set_ops_battery",  # NEW r11: arrayIntersect/Union/Except
+        "group_array_intersect",  # NEW r11: per-user every-day type fold
     ]),
     (windows, [
         "rolling_median_daily_revenue",
@@ -94,6 +95,7 @@ _NAMES = [
         "contamination_check",
         "url_functions_battery",  # NEW r11: URL function-family parity
         "token_diversity_simpson",  # NEW r11: log-free lexical diversity
+        "string_functions_battery",  # NEW r11: countSubstrings/multiSearch/...
     ]),
     (similarity, [
         "embedding_top_pc_power_iter",  # NEW r11: distributed power iteration

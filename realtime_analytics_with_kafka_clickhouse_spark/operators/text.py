@@ -1435,3 +1435,49 @@ def token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_micros"
         ),
     )
+
+
+def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-function parity sweep over documents:
+    ``countSubstrings`` (replace-length arithmetic — exact integers, no
+    regex engine in the loop), ``multiSearchAny`` (two-needle contains),
+    ``position`` (1-based, 0 when absent — both branches live: 'dup'
+    appears in ~5% of docs), ``splitByChar`` token count, and
+    ``formatReadableQuantity`` of the text BIT count (8 * n_chars — the
+    fixture's docs never reach 1000 CHARS, so chars would leave the
+    'thousand' branch dead; bits straddle 1000 at every SF) in exact
+    integer centiparts (round-half-up (200q+1000)//2000 — no doubles,
+    so the rendered string hashes under any engine build).
+
+    Map-only: every leg is JVM-side string arithmetic on the row where
+    it lives — no exchange anywhere in the plan (pytest pins it), the
+    same whole-stage-codegen shape as ``url_functions_battery``."""
+    d = load_table(spark, sf_dir, "documents")
+    n_table = (
+        (F.length("text") - F.length(F.expr("replace(text, 'table', '')")))
+        / F.lit(5)
+    ).cast("long")
+    bits = F.col("n_chars") * 8
+    centi = F.floor(
+        (bits * 200 + 1000).cast("double") / F.lit(2000.0)
+    ).cast("long")
+    readable = F.when(
+        bits < 1000, F.concat(bits.cast("string"))
+    ).otherwise(
+        F.concat(
+            (centi / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((centi % 100).cast("string"), 2, "0"),
+            F.lit(" thousand"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_table.alias("n_table_substr"),
+        (F.col("text").contains("spark") | F.col("text").contains("vector")).alias(
+            "multi_hit"
+        ),
+        F.instr("text", "dup").cast("long").alias("dup_pos"),
+        (F.size(F.split("text", " ", -1))).cast("long").alias("n_tokens"),
+        readable.alias("readable_bits"),
+    )

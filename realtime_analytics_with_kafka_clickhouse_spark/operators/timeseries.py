@@ -4483,3 +4483,41 @@ def array_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_distinct(F.concat("fs", "ss"))).cast("long").alias("n_types"),
     )
+
+
+def group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupArrayIntersect`` analog (ClickHouse 24.x): per user, the
+    event types present in EVERY one of their active ISO weeks — the
+    "consistent behavior" card.  WEEK grain is deliberate: the fixture's
+    users are active 21-30 of 30 days, so a DAILY intersection is
+    always empty (vacuous — falsifiability rule); weekly sets span the
+    full 0..5 range at every SF (both the empty and the full-domain
+    branch fire, pytest-pinned).  The Spark side genuinely folds
+    ``array_intersect`` over the per-week type sets (a Catalyst HOF
+    ``aggregate`` seeded with the full 5-type domain literal); the
+    oracle is an INDEPENDENT relational construction (types whose
+    distinct-week presence equals the user's active-week count) — two
+    algorithms, one exact answer.
+
+    Scale shape: one (user, week) partial-agg shuffle builds the week
+    sets, one user-key aggregate folds them; per-user state is bounded
+    by weeks x 5 types."""
+    ev = load_table(spark, sf_dir, "events")
+    week_sets = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.collect_set("event_type").alias("types"))
+    domain = F.array(
+        *[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")]
+    )
+    per_user = week_sets.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_active_weeks"),
+        F.aggregate(
+            F.collect_list("types"), domain, lambda acc, s: F.array_intersect(acc, s)
+        ).alias("common"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_active_weeks",
+        F.concat_ws(",", F.array_sort("common")).alias("common_csv"),
+        F.size("common").cast("long").alias("n_common"),
+    )

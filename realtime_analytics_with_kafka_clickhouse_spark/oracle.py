@@ -7102,3 +7102,50 @@ SELECT est.predicate, est_dirs, est_rows, exact_rows,
        est_rows >= exact_rows AS est_is_superset
 FROM est JOIN ex ON est.predicate = ex.predicate
 """
+
+
+# String-function battery: replace-length substring counting, two-needle
+# contains, 1-based position (0 absent), split token count, and
+# formatReadableQuantity in exact integer centiparts.
+ORACLE["string_functions_battery"] = """
+WITH d AS (
+  SELECT doc_id, text, n_chars * 8 AS bits,
+         CAST((n_chars * 8 * 200 + 1000) AS BIGINT) AS num
+  FROM documents),
+c AS (
+  SELECT doc_id, text, bits,
+         CAST(floor(CAST(num AS DOUBLE) / 2000.0) AS BIGINT) AS centi
+  FROM d)
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT)
+         AS n_table_substr,
+       (text LIKE '%spark%' OR text LIKE '%vector%') AS multi_hit,
+       CAST(strpos(text, 'dup') AS BIGINT) AS dup_pos,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CASE WHEN bits < 1000 THEN CAST(bits AS VARCHAR)
+            ELSE CAST(centi // 100 AS VARCHAR) || '.'
+                 || lpad(CAST(centi % 100 AS VARCHAR), 2, '0') || ' thousand'
+       END AS readable_bits
+FROM c
+"""
+
+
+# groupArrayIntersect: independent relational construction — a type is
+# common iff its distinct-day presence equals the user's active days.
+ORACLE["group_array_intersect"] = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk, event_type
+  FROM events),
+ad AS (SELECT user_id, count(DISTINCT wk) AS n_w FROM ud GROUP BY 1),
+tp AS (
+  SELECT user_id, event_type, count(DISTINCT wk) AS wpres
+  FROM ud GROUP BY 1, 2)
+SELECT a.user_id,
+       CAST(a.n_w AS BIGINT) AS n_active_weeks,
+       coalesce(string_agg(CASE WHEN t.wpres = a.n_w THEN t.event_type END,
+                           ',' ORDER BY t.event_type), '') AS common_csv,
+       CAST(count(CASE WHEN t.wpres = a.n_w THEN 1 END) AS BIGINT)
+         AS n_common
+FROM ad a JOIN tp t ON a.user_id = t.user_id
+GROUP BY 1, 2
+"""

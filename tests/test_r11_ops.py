@@ -733,3 +733,35 @@ def test_explain_estimate_branches(spark, queries):
     assert rows["mid_straddle"]["est_rows"] > rows["mid_straddle"]["exact_rows"]
     assert rows["mid_straddle"]["est_dirs"] == 2
     assert rows["all"]["est_dirs"] == 4
+
+
+def test_string_battery_map_only_and_branches(spark, queries):
+    """Map-only plan (no exchange) and every leg's both branches live:
+    dup_pos 0 and >0, multi_hit true and false, readable in both the
+    plain and the 'thousand' rendering."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    df = queries["string_functions_battery"](spark, SF_DIR)
+    assert "Exchange" not in formatted_plan(df)
+    rows = df.collect()
+    assert any(r["dup_pos"] == 0 for r in rows) and any(r["dup_pos"] > 0 for r in rows)
+    assert any(r["multi_hit"] for r in rows) and any(not r["multi_hit"] for r in rows)
+    assert any("thousand" in r["readable_bits"] for r in rows)
+    assert any("thousand" not in r["readable_bits"] for r in rows)
+    for r in rows:
+        assert r["n_tokens"] >= 1 and r["n_table_substr"] >= 0
+
+
+def test_group_array_intersect_fold(spark, queries):
+    """Both fold outcomes live at week grain (some user keeps a
+    nonempty every-week set, some intersects to zero), and n_common
+    always equals the CSV's type count."""
+    rows = queries["group_array_intersect"](spark, SF_DIR).collect()
+    assert any(r["n_common"] >= 1 for r in rows)
+    assert any(r["n_common"] == 0 for r in rows)
+    for r in rows:
+        assert r["n_active_weeks"] >= 1
+        got = [t for t in r["common_csv"].split(",") if t]
+        assert len(got) == r["n_common"]
