@@ -50,10 +50,16 @@ from ..streaming import pipeline as _streaming_pipeline
 # r5/r6/r8/r9 behind it and every r10-green row last.  Five more
 # r11-new ops joined section 1 after the rotation was cut (sparkbar,
 # ntile bands, URL battery, power iteration, hopping-window MV), then
-# five late r11 ops (-Resample, proportions z-test, min-sample-size,
-# PASTE JOIN, ANY JOIN) — that overflow pushes the r4-spill tail
-# (value_percentiles, embedding_quantize_int8) past position 50; they
-# lead the r12 gate ahead of the r7 section.
+# twelve late r11 ops (-Resample, proportions z-test, min-sample-size,
+# PASTE/ANY JOIN, chi2 coefficients, derivative battery, asof
+# tolerance, WITH TIES, bitmap algebra, array set ops,
+# groupArrayIntersect, string battery, EXPLAIN ESTIMATE) — the
+# overflow fills the gate with changed/new entries, so the queued
+# r4-evidence spill could not ALL fit: two low-fragility section-1
+# entries are demoted (ann_ivf_persisted, ann_query_broadcast_topk —
+# their changed code paths are gated through sharing ops) to pull the
+# two stalest r4 rows (part_type_stats, customer_name_features) into
+# positions 49-50; the r4 remainder + r7 section lead the r12 gate.
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
     #    engine-build-proof oracles (integer micros / explicit order
@@ -102,11 +108,16 @@ _NAMES = [
         "ann_ivf_delete_vectors",  # NEW r11: tombstone delete + OPTIMIZE FINAL
         "stream_ivf_index_ingest",  # NEW r11: foreachBatch epoch-id appends
         "ann_ivf_incremental",
-        "ann_ivf_persisted",
+        # ann_ivf_persisted demoted below position 50: its changed serve
+        # path (_ivf_probe_serve) is gated through ann_ivf_incremental /
+        # ann_ivf_delete_vectors, which exercise the same code plus the
+        # maintenance legs — low fragility, r6+r10 green history.
         "embedding_near_dup",
         "ann_lsh_bucketed",
         "hard_negative_mining",
-        "ann_query_broadcast_topk",
+        # ann_query_broadcast_topk demoted below position 50: its change
+        # is the same collect_request_sized cap hard_negative_mining
+        # gates, with a dedicated oversized-batch pytest.
     ]),
     (dedup, [
         "minhash_contamination",
@@ -197,6 +208,8 @@ _NAMES = [
         "bpe_merge_topk",
     ]),
     (similarity, [
+        "ann_ivf_persisted",  # demoted from the r11 gate (see section 1)
+        "ann_query_broadcast_topk",  # demoted from the r11 gate (see section 1)
         "ann_cosine_topk",
         "ann_ivf_topk",
         "label_centroids",
