@@ -149,6 +149,10 @@ _NAMES = [
         "order_date_features",
         "price_band_join",
         "priority_status_cube",
+        # NEW r11 but deliberately parked past position 50: metadata-only
+        # catalog card (no data job), pytest + 3-SF local parity on
+        # arrival; the gate slots go to changed engine paths first.
+        "schema_introspection_card",
     ]),
     (timeseries, [
         "session_window_rollup",

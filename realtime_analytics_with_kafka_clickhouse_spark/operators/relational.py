@@ -1462,3 +1462,43 @@ def any_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ret_price",
         F.col("first_ret_linenumber").isNotNull().alias("has_return"),
     )
+
+
+def schema_introspection_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.columns`` / information_schema analog (NEW r11) — the
+    catalog card next to ``table_parts_report``: every fixture table's
+    columns with their engine-NEUTRAL type class (integer / float /
+    string / timestamp / date / array), the form a cross-engine catalog
+    must expose (raw type names differ: Spark ``bigint`` vs DuckDB
+    ``BIGINT``, and the events fixture has drifted between parquet
+    TIMESTAMP(NANOS) and timestamp[us] across driver generations — the
+    class column is stable under both, the raw name is not).
+
+    Metadata-only: schemas come from the loaders (parquet footers), no
+    data job; the oracle reads DuckDB's information_schema over the
+    same registered views with the mirrored class mapping."""
+    from ..schemas import TESTDATA_TABLES
+
+    def _cls(dt: str) -> str:
+        if dt in ("bigint", "int", "smallint", "tinyint"):
+            return "integer"
+        if dt in ("double", "float"):
+            return "float"
+        if dt == "string":
+            return "string"
+        if dt.startswith("timestamp"):
+            return "timestamp"
+        if dt == "date":
+            return "date"
+        if dt.startswith("array"):
+            return "array"
+        return dt
+
+    rows = [
+        (t, f.name, _cls(f.dataType.simpleString()))
+        for t in TESTDATA_TABLES
+        for f in load_table(spark, sf_dir, t).schema.fields
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, type_class string"
+    )

@@ -7149,3 +7149,21 @@ SELECT a.user_id,
 FROM ad a JOIN tp t ON a.user_id = t.user_id
 GROUP BY 1, 2
 """
+
+
+# system.columns analog: DuckDB information_schema over the registered
+# views, mapped to the same engine-neutral type classes.
+ORACLE["schema_introspection_card"] = """
+SELECT table_name, column_name,
+       CASE WHEN data_type IN ('BIGINT', 'INTEGER', 'SMALLINT', 'TINYINT')
+              THEN 'integer'
+            WHEN data_type IN ('DOUBLE', 'FLOAT', 'REAL') THEN 'float'
+            WHEN data_type = 'VARCHAR' THEN 'string'
+            WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+            WHEN data_type = 'DATE' THEN 'date'
+            WHEN data_type LIKE '%[]' THEN 'array'
+            ELSE lower(data_type) END AS type_class
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+"""

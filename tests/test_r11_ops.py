@@ -765,3 +765,41 @@ def test_group_array_intersect_fold(spark, queries):
         assert r["n_active_weeks"] >= 1
         got = [t for t in r["common_csv"].split(",") if t]
         assert len(got) == r["n_common"]
+
+
+def test_schema_introspection_card(spark, queries):
+    """All 10 tables present, classes restricted to the neutral set,
+    and the drift-prone events.ts lands on 'timestamp' (the class is
+    stable across fixture generations where the raw name is not)."""
+    rows = queries["schema_introspection_card"](spark, SF_DIR).collect()
+    tables = {r["table_name"] for r in rows}
+    assert len(tables) == 10
+    allowed = {"integer", "float", "string", "timestamp", "date", "array"}
+    assert {r["type_class"] for r in rows} <= allowed
+    ts = [r for r in rows if r["table_name"] == "events" and r["column_name"] == "ts"]
+    assert ts and ts[0]["type_class"] == "timestamp"
+    emb = [r for r in rows
+           if r["table_name"] == "embeddings" and r["column_name"] == "embedding"]
+    assert emb and emb[0]["type_class"] == "array"
+
+
+def test_paste_join_plan_topk(spark, queries):
+    """Each PASTE JOIN side must stay a top-k selection — two
+    TakeOrderedAndProject nodes, never a global table sort."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(queries["paste_join_battery"](spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_limit_with_ties_plan_broadcast(spark, queries):
+    """The WITH TIES peer filter joins the 3-row boundary maxima by
+    BROADCAST — the corpus never shuffles for the threshold."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(queries["limit_with_ties_card"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
