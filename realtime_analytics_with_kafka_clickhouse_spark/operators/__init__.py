@@ -58,8 +58,10 @@ from ..streaming import pipeline as _streaming_pipeline
 # r4-evidence spill could not ALL fit: two low-fragility section-1
 # entries are demoted (ann_ivf_persisted, ann_query_broadcast_topk —
 # their changed code paths are gated through sharing ops) to pull the
-# two stalest r4 rows (part_type_stats, customer_name_features) into
-# positions 49-50; the r4 remainder + r7 section lead the r12 gate.
+# stalest r4 rows into the gate tail; after the final addition
+# (bag_set_ops_battery) one slot remains — part_type_stats takes it,
+# customer_name_features and the r4 remainder + r7 section lead the
+# r12 gate.
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
     #    engine-build-proof oracles (integer micros / explicit order
@@ -86,7 +88,8 @@ _NAMES = [
         "limit_with_ties_card",  # NEW r11: FETCH FIRST ... WITH TIES peers
         "bitmap_set_algebra",  # NEW r11: groupBitmapAnd/Or/Xor pair algebra
         "array_set_ops_battery",  # NEW r11: arrayIntersect/Union/Except
-        "group_array_intersect",  # NEW r11: per-user every-day type fold
+        "group_array_intersect",  # NEW r11: per-user every-week type fold
+        "bag_set_ops_battery",  # NEW r11: INTERSECT ALL / EXCEPT ALL
     ]),
     (windows, [
         "rolling_median_daily_revenue",

@@ -4521,3 +4521,48 @@ def group_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.array_sort("common")).alias("common_csv"),
         F.size("common").cast("long").alias("n_common"),
     )
+
+
+def bag_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INTERSECT ALL`` / ``EXCEPT ALL`` — the MULTISET set operations
+    (SQL bag semantics: per value, min / truncated-difference of
+    multiplicities) the r5 distinct-semantics legs don't cover, over a
+    domain where the two genuinely differ (the view-vs-click bags of
+    the 100-value props key carry ~20x multiplicities: INTERSECT ALL
+    keeps ~1700 rows where INTERSECT keeps 100).
+
+    The Spark side exercises the real ``intersectAll`` / ``exceptAll``
+    operators and aggregates their outputs per key; the oracle is the
+    INDEPENDENT multiset identity — least(cv, cc) and
+    greatest(cv - cc, 0) off plain count tables — two algorithms, one
+    exact answer.  Output frame: every key of the LEFT bag, zero-filled
+    (bag ops are left-anchored: keys only in the right bag appear in
+    neither result).
+
+    Scale shape: intersectAll/exceptAll hash-partition both bags by the
+    full row once (Spark plans them as aggregate+join on the row
+    value); the per-key rollups reuse that partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(0)
+    ).alias("k")
+    v = ev.filter(F.col("event_type") == "view").select(k)
+    c = ev.filter(F.col("event_type") == "click").select(k)
+    inter = v.intersectAll(c).groupBy("k").agg(
+        F.count("*").cast("long").alias("n_intersect_all")
+    )
+    exc = v.exceptAll(c).groupBy("k").agg(
+        F.count("*").cast("long").alias("n_except_all")
+    )
+    base = v.distinct()
+    return (
+        base.join(inter, "k", "left")
+        .join(exc, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_intersect_all", F.lit(0)).cast("long").alias(
+                "n_intersect_all"
+            ),
+            F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
+        )
+    )

