@@ -191,6 +191,11 @@ _NAMES = [
         "moving_avg_daily_revenue",
     ]),
     (dedup, [
+        # NEW r11 but parked past position 50 (same rationale as
+        # schema_introspection_card): its candidate kernel is the
+        # gate-resident capped-shingle path; pytest + 3-SF local parity
+        # on arrival.
+        "dedup_audit_sample",
         "dedup_exact",
         "simhash_near_dup",
         "substring_dedup_docs",

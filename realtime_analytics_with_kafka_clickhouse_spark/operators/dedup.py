@@ -1236,3 +1236,83 @@ def near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_docs", F.coalesce(F.col("n_docs"), F.lit(0)).cast("long"))
         .select("threshold", "n_pairs", "n_docs", frac.alias("doc_frac"))
     )
+
+
+#: Audit-queue depth per jaccard band.
+AUDIT_SAMPLE_K = 5
+
+
+def dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HUMAN-AUDIT queue for the near-dup pipeline (NEW
+    r11) — the "label these pairs before trusting the threshold" sample
+    every production dedup run schedules: per jaccard band, the
+    AUDIT_SAMPLE_K candidate pairs with the lowest engine-portable
+    pick-hash (an unbiased, reproducible draw — same queue on any
+    engine, any run, any partitioning; a random() sample would be
+    neither auditable nor oracle-checkable).
+
+    Band edges are integer-exact comparisons (10*inter < union |
+    2*inter < union | else), so no division decides membership; the
+    reported jaccard is integer micros through the floor chain.  The
+    fixture's co-shingle jaccard is BIMODAL (~0.0x and >=0.9 — the r10
+    ledger note), so the middle band may legitimately be empty; the
+    pytest pins the two live bands and the hash-rank determinism.
+
+    Scale shape: candidate pairs come from the memoized capped-shingle
+    kernel (banded equi-join, never all-pairs); the per-band top-K is
+    a rank window over a 3-band partitioning."""
+    from pyspark.sql import Window as _W
+
+    from ..functions.hashing import stable_hash64
+
+    sh = _capped_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    un = (F.col("na") + F.col("nb") - F.col("inter")).cast("long")
+    banded = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("n_shared"),
+            un.alias("n_union"),
+            F.when(10 * F.col("inter") < un, "lt_0.1")
+            .when(2 * F.col("inter") < un, "lt_0.5")
+            .otherwise("ge_0.5")
+            .alias("band"),
+            stable_hash64(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"),
+                )
+            ).alias("pick_hash"),
+        )
+    )
+    w = _W.partitionBy("band").orderBy("pick_hash", "doc_a", "doc_b")
+    return (
+        banded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AUDIT_SAMPLE_K)
+        .select(
+            "band",
+            "rank",
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_union",
+            F.floor(
+                (2000000 * F.col("n_shared") + F.col("n_union")).cast("double")
+                / (2 * F.col("n_union")).cast("double")
+            ).cast("long").alias("jaccard_micros"),
+        )
+    )

@@ -7188,3 +7188,34 @@ SELECT k,
        CAST(greatest(cv - cc, 0) AS BIGINT) AS n_except_all
 FROM j
 """
+
+
+# Dedup audit queue: per jaccard band (integer-exact edges), the K
+# lowest-pick-hash pairs — same engine-portable md5 hash, same tiebreak.
+ORACLE["dedup_audit_sample"] = f"""
+WITH {_SHINGLES},
+j AS (
+  SELECT doc_a, doc_b, inter,
+         CAST(sa.n + sb.n - inter AS BIGINT) AS un
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id),
+banded AS (
+  SELECT doc_a, doc_b, inter, un,
+         CASE WHEN 10 * inter < un THEN 'lt_0.1'
+              WHEN 2 * inter < un THEN 'lt_0.5'
+              ELSE 'ge_0.5' END AS band,
+         CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '|'
+                                 || CAST(doc_b AS VARCHAR)), 1, 15) AS BIGINT)
+           AS pick_hash
+  FROM j),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY band ORDER BY pick_hash, doc_a, doc_b) AS rank
+  FROM banded)
+SELECT band, CAST(rank AS BIGINT) AS rank, doc_a, doc_b,
+       CAST(inter AS BIGINT) AS n_shared, un AS n_union,
+       CAST(floor(CAST(2000000 * inter + un AS DOUBLE)
+                  / CAST(2 * un AS DOUBLE)) AS BIGINT) AS jaccard_micros
+FROM ranked WHERE rank <= 5
+"""

@@ -818,3 +818,26 @@ def test_bag_set_ops_multiset_semantics(spark, queries):
     assert total_inter > n_keys
     assert any(r["n_except_all"] == 0 for r in rows)
     assert any(r["n_except_all"] > 0 for r in rows)
+
+
+def test_dedup_audit_sample_queue(spark, queries):
+    """The audit queue: per band at most K rows with ranks 1..n, the
+    two live bimodal bands present, band edges honored by the reported
+    integer evidence, and a re-run is bit-identical (hash draw, not
+    random)."""
+    q = queries["dedup_audit_sample"]
+    rows = sorted(q(spark, SF_DIR).collect(), key=lambda r: (r["band"], r["rank"]))
+    bands = {}
+    for r in rows:
+        bands.setdefault(r["band"], []).append(r)
+    assert "lt_0.1" in bands and "ge_0.5" in bands
+    for band, rs in bands.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for r in rs:
+            if band == "lt_0.1":
+                assert 10 * r["n_shared"] < r["n_union"]
+            elif band == "ge_0.5":
+                assert 2 * r["n_shared"] >= r["n_union"]
+    again = sorted(q(spark, SF_DIR).collect(), key=lambda r: (r["band"], r["rank"]))
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
