@@ -163,6 +163,9 @@ _NAMES = [
         "median_value_grouped_udf",
         "dashboard_cards_sql",
         "value_percentiles",
+        # NEW r11, parked past the gate (schema_introspection_card
+        # rationale): the Map-family mean — siblings hold gate history.
+        "avg_map_event_values",
     ]),
     (similarity, [
         "embedding_quantize_int8",
@@ -202,6 +205,9 @@ _NAMES = [
         "simhash_fingerprints",
     ]),
     (text, [
+        # NEW r11, parked past the gate: map-only Unicode battery
+        # (pytest + 3-SF local parity on arrival).
+        "unicode_functions_battery",
         "token_stats",
         "bpe_token_stats",
         "quality_score",

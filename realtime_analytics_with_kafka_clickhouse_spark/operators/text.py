@@ -1481,3 +1481,32 @@ def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.split("text", " ", -1))).cast("long").alias("n_tokens"),
         readable.alias("readable_bits"),
     )
+
+
+def unicode_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-cleanliness battery — the reference ships Thai product
+    text end-to-end with ``ensure_ascii=False``
+    (/root/reference/producers/sales_producer.py:21,38-66,162), so the
+    engine must keep CHARACTER and BYTE semantics distinct everywhere.
+    The fixture corpus is ASCII-only (character length == octet length
+    would make the distinction vacuous), so odd-keyed customers get a
+    deterministic Thai suffix appended IN the query: per customer,
+    char_length vs octet_length (UTF-8 Thai is 3 bytes/char — the gap
+    is the falsifiable branch), upper-case roundtrip stability of the
+    ASCII half, and the suffix-carrying flag.
+
+    Map-only JVM string ops, no exchange; the oracle mirrors with
+    DuckDB's length (characters) and strlen (bytes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    thai = "สินค้า"  # "product" — 6 Thai chars, 18 UTF-8 bytes
+    name2 = F.when(
+        F.col("c_custkey") % 2 == 1, F.concat(F.col("c_name"), F.lit(" "), F.lit(thai))
+    ).otherwise(F.col("c_name"))
+    return cust.select(
+        "c_custkey",
+        name2.alias("display_name"),
+        F.length(name2).cast("long").alias("n_chars"),
+        F.octet_length(name2).cast("long").alias("n_bytes"),
+        (F.octet_length(name2) > F.length(name2)).alias("is_multibyte"),
+        F.upper(F.col("c_name")).alias("ascii_upper"),
+    )

@@ -4566,3 +4566,37 @@ def bag_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
         )
     )
+
+
+def avg_map_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``avgMap`` combinator analog — the MEAN member that completes the
+    Map aggregation family (sumMap/countMap r9, minMap/maxMap r9): per
+    day, the sorted event-type key list with positionally-aligned
+    per-key average values as exact integer micros — each element ONE
+    round-half-up integer division of the decimal-domain key sum by the
+    key count ((2*S6 + n) via the floor chain, the
+    ``group_array_moving_avg`` convention), so the CSV is
+    engine-build-proof (zero doubles anywhere).
+
+    Shape: identical to the siblings — (day, key) partial+final
+    aggregate, then a per-day collect over at most |key-domain| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    s6 = (F.col("s") * 1000000).cast("long")
+    avg_micros = F.floor(
+        (2 * s6 + F.col("n")).cast("double") / (2 * F.col("n")).cast("double")
+    ).cast("long")
+    kv = F.sort_array(
+        F.collect_list(F.struct("event_type", avg_micros.alias("am")))
+    )
+    return per.groupBy("day").agg(
+        F.array_join(F.transform(kv, lambda x: x["event_type"]), ",").alias(
+            "keys_csv"
+        ),
+        F.array_join(
+            F.transform(kv, lambda x: x["am"].cast("string")), ","
+        ).alias("avgs_micros_csv"),
+    )

@@ -7219,3 +7219,43 @@ SELECT band, CAST(rank AS BIGINT) AS rank, doc_a, doc_b,
                   / CAST(2 * un AS DOUBLE)) AS BIGINT) AS jaccard_micros
 FROM ranked WHERE rank <= 5
 """
+
+
+# avgMap: per-key decimal sum quantized to micros, one mirrored
+# round-half-up integer division per element, CSV canon.
+ORACLE["avg_map_event_values"] = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT) AS s6,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT day, event_type,
+         CAST(floor(CAST(2 * s6 + n AS DOUBLE)
+                    / CAST(2 * n AS DOUBLE)) AS BIGINT) AS am
+  FROM per)
+SELECT day,
+       string_agg(event_type, ',' ORDER BY event_type) AS keys_csv,
+       string_agg(CAST(am AS VARCHAR), ',' ORDER BY event_type)
+         AS avgs_micros_csv
+FROM m GROUP BY 1
+"""
+
+
+# Unicode battery: character vs byte length over the Thai-suffixed
+# names (DuckDB length = characters, strlen = bytes).
+ORACLE["unicode_functions_battery"] = """
+WITH d AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 1
+              THEN c_name || ' ' || 'สินค้า'
+              ELSE c_name END AS display_name,
+         c_name
+  FROM customer)
+SELECT c_custkey, display_name,
+       CAST(length(display_name) AS BIGINT) AS n_chars,
+       CAST(strlen(display_name) AS BIGINT) AS n_bytes,
+       strlen(display_name) > length(display_name) AS is_multibyte,
+       upper(c_name) AS ascii_upper
+FROM d
+"""

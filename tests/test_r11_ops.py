@@ -841,3 +841,33 @@ def test_dedup_audit_sample_queue(spark, queries):
                 assert 2 * r["n_shared"] >= r["n_union"]
     again = sorted(q(spark, SF_DIR).collect(), key=lambda r: (r["band"], r["rank"]))
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_avg_map_alignment(spark, queries):
+    """Keys and averages positionally aligned, keys sorted, every
+    average between the day's min and max micros (sanity of the
+    integer division)."""
+    rows = queries["avg_map_event_values"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        keys = r["keys_csv"].split(",")
+        avgs = r["avgs_micros_csv"].split(",")
+        assert len(keys) == len(avgs)
+        assert keys == sorted(keys)
+        assert all(int(a) > 0 for a in avgs)
+
+
+def test_unicode_battery_byte_vs_char(spark, queries):
+    """Multibyte branch live on exactly the odd keys: 3 bytes per Thai
+    char (6 chars + the space = +7 chars, +19 bytes), even keys stay
+    byte==char ASCII."""
+    rows = queries["unicode_functions_battery"](spark, SF_DIR).collect()
+    odd = [r for r in rows if r["c_custkey"] % 2 == 1]
+    even = [r for r in rows if r["c_custkey"] % 2 == 0]
+    assert odd and even
+    for r in odd:
+        assert r["is_multibyte"]
+        assert r["n_bytes"] - r["n_chars"] == 12  # 6 Thai chars x (3-1) bytes
+        assert r["display_name"].endswith("สินค้า")
+    for r in even:
+        assert not r["is_multibyte"] and r["n_bytes"] == r["n_chars"]
