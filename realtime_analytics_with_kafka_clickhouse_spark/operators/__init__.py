@@ -58,10 +58,13 @@ from ..streaming import pipeline as _streaming_pipeline
 # r4-evidence spill could not ALL fit: two low-fragility section-1
 # entries are demoted (ann_ivf_persisted, ann_query_broadcast_topk —
 # their changed code paths are gated through sharing ops) to pull the
-# stalest r4 rows into the gate tail; after the final addition
-# (bag_set_ops_battery) one slot remains — part_type_stats takes it,
-# customer_name_features and the r4 remainder + r7 section lead the
-# r12 gate.
+# stalest r4 rows toward the gate tail; the final two additions
+# (bag_set_ops_battery, and the stream_curation_ingest lifecycle proof
+# — a streaming op whose evidence MUST be a driver row) fill the last
+# slots, so the whole r4 spill (part_type_stats onward) plus the r7
+# section leads the r12 gate.  Late metadata-only/low-fragility ops
+# (schema_introspection_card, dedup_audit_sample, avg_map,
+# unicode battery) are parked past 50 by the same priority rule.
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
     #    engine-build-proof oracles (integer micros / explicit order
@@ -135,6 +138,7 @@ _NAMES = [
         "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
         "optimize_deduplicate_rollup",  # NEW r11: OPTIMIZE ... DEDUPLICATE
         "explain_estimate_scan",  # NEW r11: metadata-only planner card
+        "stream_curation_ingest",  # NEW r11: gate->DLQ->dedup-on-ingest
     ]),
     (rollups, [
         "status_unpivot_roundtrip",  # NEW r11: melt/UNPIVOT surface

@@ -7259,3 +7259,35 @@ SELECT c_custkey, display_name,
        upper(c_name) AS ascii_upper
 FROM d
 """
+
+
+# Streaming curation ingest: the whole lifecycle recomputed in plain SQL
+# (integer-exact gate -> min-doc_id representative -> per-source ledger).
+ORACLE["stream_curation_ingest"] = """
+WITH f AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS nw,
+         len(list_distinct(string_split(text, ' '))) AS nd
+  FROM documents),
+fl AS (
+  SELECT doc_id, source, text,
+         (nw >= 5 AND 10 * nd >= 4 * nw) AS passed
+  FROM f),
+reps AS (
+  SELECT text, min(doc_id) AS keep_id FROM fl WHERE passed GROUP BY text),
+kept AS (
+  SELECT fl.source, count(*) AS n_kept
+  FROM reps r JOIN fl ON fl.doc_id = r.keep_id GROUP BY 1),
+quar AS (SELECT source, count(*) AS n_q FROM fl WHERE NOT passed GROUP BY 1),
+pass AS (SELECT source, count(*) AS n_p FROM fl WHERE passed GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM documents)
+SELECT s.source,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(q.n_q, 0) AS BIGINT) AS n_quarantined,
+       CAST(coalesce(p.n_p, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+         AS n_dup_collapsed
+FROM srcs s
+LEFT JOIN kept k ON s.source = k.source
+LEFT JOIN quar q ON s.source = q.source
+LEFT JOIN pass p ON s.source = p.source
+"""

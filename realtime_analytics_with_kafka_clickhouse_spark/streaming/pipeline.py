@@ -2914,3 +2914,99 @@ def optimize_deduplicate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "hour", "category", "order_count", "total_revenue", "total_quantity"
     )
+
+
+def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CURATION ingest (NEW r11) — the LLM-data
+    front door assembled from the proven pieces as ONE lifecycle proof:
+    documents arrive as 4 out-of-order micro-batches; each batch splits
+    at an integer-exact quality gate (n_words >= 5 AND
+    10*distinct_words >= 4*n_words — the word-soup fixture splits
+    ~65/35 at every SF, both branches live); REJECTS land in a
+    batch-id-idempotent quarantine txlog (the DLQ a re-run must not
+    double-count — replay no-op pytest-pinned), ACCEPTS upsert into the
+    Replacing curated table keyed by content hash with version =
+    -doc_id, so the FIRST copy of each distinct text wins regardless of
+    arrival order (dedup-on-ingest, the ReplacingMergeTree idiom of
+    /root/reference/clickhouse/init/01_init.sql's MergeTree family).
+
+    The driver row is the per-source curation ledger: kept docs,
+    quarantined docs, and duplicate copies collapsed by the merge —
+    the card a data-governance dashboard shows per ingest source.  The
+    oracle recomputes the whole lifecycle from raw parquet in plain
+    SQL (gate -> min-doc_id representative -> per-source counts).
+
+    Scale shape: per batch O(batch + touched hash buckets) via the
+    bucket-pruned Replacing merge; the quarantine append is O(rejects);
+    nothing ever rewrites the corpus."""
+    from ..functions.hashing import stable_hash64
+    from ..storage import txlog
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    nw = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    flagged = docs.select(
+        "doc_id",
+        "source",
+        stable_hash64(F.col("text")).alias("content_key"),
+        (-F.col("doc_id")).alias("version"),
+        ((nw >= 5) & (10 * nd >= 4 * nw)).alias("passed"),
+    ).persist()
+    try:
+        curated = _fresh_rollup_dir("documents_curated_ingest")
+        quarantine = _fresh_rollup_dir("documents_quarantine")
+        epoch = F.pmod(F.col("doc_id"), F.lit(4))
+        accepts = flagged.filter(F.col("passed"))
+        em = _epoch_bucket_map(accepts, epoch, ["content_key"])
+        # batch ids are monotone in ARRIVAL order (the txlog replay
+        # contract), while the epochs themselves arrive out of order —
+        # an epoch-numbered id would read as an already-merged replay
+        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
+            txlog.append_tx(
+                spark,
+                quarantine,
+                flagged.filter(~F.col("passed") & (epoch == i)).select(
+                    "doc_id", "source"
+                ).coalesce(2),
+                batch_id=bi,
+            )
+            merge_replacing(
+                spark,
+                curated,
+                accepts.filter(epoch == i).select(
+                    "content_key", "version", "doc_id", "source"
+                ),
+                key="content_key",
+                version="version",
+                batch_id=None,
+                touched=em.get(i, []),
+            )
+        kept = spark.read.parquet(curated).groupBy("source").agg(
+            F.count("*").cast("long").alias("n_kept")
+        )
+        quar = txlog.read_table(spark, quarantine).groupBy("source").agg(
+            F.count("*").cast("long").alias("n_quarantined")
+        )
+        passed = flagged.filter(F.col("passed")).groupBy("source").agg(
+            F.count("*").cast("long").alias("n_pass")
+        )
+        return (
+            docs.select("source")
+            .distinct()
+            .join(kept, "source", "left")
+            .join(quar, "source", "left")
+            .join(passed, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                F.coalesce("n_quarantined", F.lit(0)).cast("long").alias(
+                    "n_quarantined"
+                ),
+                (
+                    F.coalesce("n_pass", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+                ).cast("long").alias("n_dup_collapsed"),
+            )
+        )
+    finally:
+        flagged.unpersist(blocking=False)

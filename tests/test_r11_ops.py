@@ -871,3 +871,34 @@ def test_unicode_battery_byte_vs_char(spark, queries):
         assert r["display_name"].endswith("สินค้า")
     for r in even:
         assert not r["is_multibyte"] and r["n_bytes"] == r["n_chars"]
+
+
+def test_stream_curation_ingest_ledger(spark, queries):
+    """The curation ledger: both gate branches live per the fixture
+    split, duplicates actually collapsed somewhere, totals conserve
+    (kept + collapsed + quarantined == corpus), and a re-run is
+    identical (fresh tables per call, deterministic lifecycle)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    q = queries["stream_curation_ingest"]
+    rows = q(spark, SF_DIR).collect()
+    total_docs = load_table(spark, SF_DIR, "documents").count()
+    kept = sum(r["n_kept"] for r in rows)
+    quar = sum(r["n_quarantined"] for r in rows)
+    dup = sum(r["n_dup_collapsed"] for r in rows)
+    assert kept > 0 and quar > 0
+    # exact-duplicate texts exist only at sf0.1 in the fixture — pin the
+    # collapse branch exactly when the corpus carries passing duplicates
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected_dups = docs.count() - docs.select("text").distinct().count()
+    if expected_dups > 0:
+        assert dup > 0
+    else:
+        assert dup == 0
+    assert kept + quar + dup == total_docs
+    again = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    assert sorted(map(tuple, rows)) == again
