@@ -170,6 +170,9 @@ _NAMES = [
         # NEW r11, parked past the gate (schema_introspection_card
         # rationale): the Map-family mean — siblings hold gate history.
         "avg_map_event_values",
+        # NEW r11, parked past the gate: SQL-standard NULL wiring proof
+        # (both engines implement the standard; low build fragility).
+        "null_semantics_battery",
     ]),
     (similarity, [
         "embedding_quantize_int8",

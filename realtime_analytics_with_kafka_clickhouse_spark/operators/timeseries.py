@@ -4600,3 +4600,44 @@ def avg_map_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kv, lambda x: x["am"].cast("string")), ","
         ).alias("avgs_micros_csv"),
     )
+
+
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery — the fixture carries NO NULLs anywhere
+    (SURVEY §1.3: every field defaulted at parse), so the engine's
+    NULL aggregate contract was untested end-to-end; a deterministic
+    15% of values are nulled here (props key % 7 == 0) to pin it:
+    count(*) vs count(col) (null-skipping), null-skipping sum/min/max,
+    the exact-integer-micros mean over the NONNULL count, the
+    grouping-treats-NULLs-as-one-group cardinality
+    (count distinct + null-group flag), and a coalesce-sentinel sum
+    whose difference from the plain sum is EXACTLY the null count —
+    every leg falsifiable arithmetic, all decimal/integer exact.
+
+    One map-side-combined aggregate per event type; the oracle mirrors
+    each SQL-standard rule (both engines implement the standard — the
+    battery proves the ENGINE WIRING, e.g. that no normalize/default
+    step resurrects a NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("long"), F.lit(0))
+    v = F.when(k % 7 != 0, F.col("value").cast("decimal(25,6)"))
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(v).cast("long").alias("n_nonnull"),
+        (F.count("*") - F.count(v)).cast("long").alias("n_null"),
+        F.sum(v).cast("double").alias("sum_nonnull"),
+        F.min(v).cast("string").alias("min_nonnull"),
+        F.max(v).cast("string").alias("max_nonnull"),
+        F.floor(
+            ((F.sum(v) * 1000000).cast("long") * 2 + F.count(v)).cast("double")
+            / (2 * F.count(v)).cast("double")
+        ).cast("long").alias("avg_micros_nonnull"),
+        (
+            F.countDistinct(v)
+            + F.max(F.when(v.isNull(), 1).otherwise(0))
+        ).cast("long").alias("n_value_groups"),
+        F.sum(F.coalesce(v, F.lit(-1).cast("decimal(25,6)"))).cast("double").alias(
+            "sum_sentinel"
+        ),
+    )
+    return per

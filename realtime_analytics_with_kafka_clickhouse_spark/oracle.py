@@ -7291,3 +7291,32 @@ LEFT JOIN kept k ON s.source = k.source
 LEFT JOIN quar q ON s.source = q.source
 LEFT JOIN pass p ON s.source = p.source
 """
+
+
+# NULL-semantics battery: SQL-standard null-skipping aggregates over a
+# deterministically nulled column, mirrored leg for leg.
+ORACLE["null_semantics_battery"] = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT),
+                            0) % 7 <> 0
+              THEN CAST(value AS DECIMAL(25,6)) END AS v
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(sum(v) AS DOUBLE) AS sum_nonnull,
+       CAST(min(v) AS VARCHAR) AS min_nonnull,
+       CAST(max(v) AS VARCHAR) AS max_nonnull,
+       CAST(floor(CAST(CAST(sum(v) * 1000000 AS BIGINT) * 2 + count(v)
+                       AS DOUBLE)
+                  / CAST(2 * count(v) AS DOUBLE)) AS BIGINT)
+         AS avg_micros_nonnull,
+       CAST(count(DISTINCT v)
+            + max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_value_groups,
+       CAST(sum(coalesce(v, CAST(-1 AS DECIMAL(25,6)))) AS DOUBLE)
+         AS sum_sentinel
+FROM e GROUP BY 1
+"""

@@ -902,3 +902,16 @@ def test_stream_curation_ingest_ledger(spark, queries):
     assert kept + quar + dup == total_docs
     again = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_null_semantics_identities(spark, queries):
+    """NULL wiring identities: n_rows = n_nonnull + n_null with both
+    sides live, the sentinel-sum difference is exactly -n_null, and the
+    null group adds exactly one to the value-group count."""
+    rows = queries["null_semantics_battery"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rows"] == r["n_nonnull"] + r["n_null"]
+        assert r["n_null"] > 0 and r["n_nonnull"] > 0
+        assert abs((r["sum_nonnull"] - r["sum_sentinel"]) - r["n_null"]) < 1e-6
+        assert r["avg_micros_nonnull"] > 0
