@@ -160,6 +160,9 @@ _NAMES = [
         # catalog card (no data job), pytest + 3-SF local parity on
         # arrival; the gate slots go to changed engine paths first.
         "schema_introspection_card",
+        # NEW r11, parked past the gate: per-group pagination window —
+        # same shape class as the gate-resident rank windows.
+        "limit_by_battery",
     ]),
     (timeseries, [
         "session_window_rollup",
@@ -215,6 +218,9 @@ _NAMES = [
         # NEW r11, parked past the gate: map-only Unicode battery
         # (pytest + 3-SF local parity on arrival).
         "unicode_functions_battery",
+        # NEW r11, parked past the gate: eval card over the gate-resident
+        # language_id chain.
+        "langid_confusion_matrix",
         "token_stats",
         "bpe_token_stats",
         "quality_score",

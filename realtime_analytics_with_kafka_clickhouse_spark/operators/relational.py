@@ -1502,3 +1502,33 @@ def schema_introspection_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "table_name string, column_name string, type_class string"
     )
+
+
+def limit_by_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n OFFSET m BY col`` analog (NEW r11): per-group
+    pagination — for every order priority, SKIP the top-2 orders by
+    total price and keep the NEXT 3 (the "page 2 of each section"
+    query; distinct from plain per-group top-k, which the engine has
+    had since r4).  Total order via the (price desc, orderkey)
+    tiebreak so the page boundary is deterministic in any engine.
+
+    Scale shape: one rank window partitioned on the 5-value priority
+    domain — the standard per-group selection exchange; a skewed group
+    would switch to the salted two-phase shape
+    (``top_orders_per_priority_salted``)."""
+    from pyspark.sql import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = _W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("pos_in_group", F.row_number().over(w).cast("long"))
+        .filter((F.col("pos_in_group") >= 3) & (F.col("pos_in_group") <= 5))
+        .select(
+            "o_orderpriority",
+            "pos_in_group",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(25,6)").alias("order_total"),
+        )
+    )

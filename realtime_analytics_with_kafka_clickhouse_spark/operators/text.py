@@ -1510,3 +1510,39 @@ def unicode_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.octet_length(name2) > F.length(name2)).alias("is_multibyte"),
         F.upper(F.col("c_name")).alias("ascii_upper"),
     )
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION card — the confusion matrix between the
+    corpus-vote predictor (``language_id``) and the fixture's labeled
+    ``lang`` column, with per-cell share of the label's documents in
+    exact integer micros.  On this fixture the card honestly reports a
+    predictor COLLAPSE: the word-soup vocabulary is shared across
+    languages, so the document-frequency vote crowns 'en' for ~every
+    doc (recall 1.0 for en, 0.0 elsewhere) — exactly the failure a
+    langid eval card exists to surface before the filter ships; both
+    the correct and incorrect branches are live at every SF.
+
+    Scale shape: one aggregate over language_id's per-doc output
+    (|langs|^2-bounded cells), label totals by a second tiny aggregate
+    joined back."""
+    per_doc = language_id(spark, sf_dir)
+    cells = per_doc.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("label_total")
+    )
+    j = cells.join(totals, "lang")
+    share = F.floor(
+        (2000000 * F.col("n_docs") + F.col("label_total")).cast("double")
+        / (2 * F.col("label_total")).cast("double")
+    ).cast("long")
+    return j.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        "label_total",
+        share.alias("share_micros"),
+        (F.col("lang") == F.col("predicted_lang")).alias("is_diagonal"),
+    )

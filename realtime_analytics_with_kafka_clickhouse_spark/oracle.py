@@ -7320,3 +7320,36 @@ SELECT event_type,
          AS sum_sentinel
 FROM e GROUP BY 1
 """
+
+
+# langid confusion matrix: the language_id chain aggregated to cells +
+# label totals, share as the floor-chain micros.
+ORACLE["langid_confusion_matrix"] = f"""
+WITH per_doc AS ({ORACLE["language_id"]}),
+cells AS (
+  SELECT lang, predicted_lang, count(*) AS n_docs
+  FROM per_doc GROUP BY 1, 2),
+totals AS (SELECT lang, count(*) AS label_total FROM per_doc GROUP BY 1)
+SELECT c.lang, c.predicted_lang,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(t.label_total AS BIGINT) AS label_total,
+       CAST(floor(CAST(2000000 * c.n_docs + t.label_total AS DOUBLE)
+                  / CAST(2 * t.label_total AS DOUBLE)) AS BIGINT)
+         AS share_micros,
+       c.lang = c.predicted_lang AS is_diagonal
+FROM cells c JOIN totals t ON c.lang = t.lang
+"""
+
+
+# LIMIT n OFFSET m BY: per-priority page 2 (skip 2, take 3) with the
+# deterministic (price desc, orderkey) tiebreak.
+ORACLE["limit_by_battery"] = """
+SELECT o_orderpriority, CAST(pos_in_group AS BIGINT) AS pos_in_group,
+       o_orderkey, CAST(o_totalprice AS DECIMAL(25,6)) AS order_total
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS pos_in_group
+  FROM orders)
+WHERE pos_in_group >= 3 AND pos_in_group <= 5
+"""

@@ -915,3 +915,34 @@ def test_null_semantics_identities(spark, queries):
         assert r["n_null"] > 0 and r["n_nonnull"] > 0
         assert abs((r["sum_nonnull"] - r["sum_sentinel"]) - r["n_null"]) < 1e-6
         assert r["avg_micros_nonnull"] > 0
+
+
+def test_langid_confusion_card(spark, queries):
+    """Both branches live (diagonal and off-diagonal cells), per-label
+    shares sum to ~1e6, and the documented collapse is visible: every
+    prediction is the corpus-majority language."""
+    rows = queries["langid_confusion_matrix"](spark, SF_DIR).collect()
+    assert any(r["is_diagonal"] for r in rows)
+    assert any(not r["is_diagonal"] for r in rows)
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["lang"], []).append(r)
+    for rs in by_label.values():
+        assert sum(r["n_docs"] for r in rs) == rs[0]["label_total"]
+        total_share = sum(r["share_micros"] for r in rs)
+        assert abs(total_share - 1_000_000) <= len(rs)  # rounding slack
+
+
+def test_limit_by_pagination(spark, queries):
+    """LIMIT 3 OFFSET 2 BY priority: exactly positions 3..5 per group,
+    5 groups, and each group's page is sorted by its own order."""
+    rows = queries["limit_by_battery"](spark, SF_DIR).collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["o_orderpriority"], []).append(r)
+    assert len(by_g) == 5
+    for rs in by_g.values():
+        rs.sort(key=lambda r: r["pos_in_group"])
+        assert [r["pos_in_group"] for r in rs] == [3, 4, 5]
+        totals = [r["order_total"] for r in rs]
+        assert totals == sorted(totals, reverse=True)
