@@ -176,6 +176,9 @@ _NAMES = [
         # NEW r11, parked past the gate: SQL-standard NULL wiring proof
         # (both engines implement the standard; low build fragility).
         "null_semantics_battery",
+        # NEW r11, parked past the gate: 15-min/30-min/time-of-day
+        # bucket grains — one integer epoch chain, low fragility.
+        "time_bucket_battery",
     ]),
     (similarity, [
         "embedding_quantize_int8",

@@ -4641,3 +4641,36 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per
+
+
+def time_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse time-bucketing function family beyond the hour/day
+    grains the rollups already prove: ``toStartOfInterval(ts, INTERVAL
+    15 MINUTE)``, ``timeSlot`` (the 30-minute slot), and ``toTime``'s
+    time-of-day component (seconds since midnight — emitted as the
+    integer it is; re-attaching ClickHouse's fake 1970-01-02 date adds
+    nothing).  All three derive from ONE integer epoch division chain
+    (epoch_s DIV grain * grain), so bucket identity is exact in any
+    engine; revenue rides the decimal domain.
+
+    Scale shape: one map-side-combined aggregate to the 15-minute
+    grain (|buckets| bounded by the fixture's 30-day span x 96);
+    the coarser keys are derived FROM the fine bucket, never a second
+    pass over events."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    epoch = F.unix_seconds(F.col("ts"))
+    q15 = (epoch - (epoch % 900)).alias("q15_epoch")
+    per = ev.groupBy(q15).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("revenue"),
+    )
+    e15 = F.col("q15_epoch")
+    return per.select(
+        F.timestamp_seconds(e15).alias("bucket_15m"),
+        F.timestamp_seconds(e15 - (e15 % 1800)).alias("time_slot_30m"),
+        (e15 % 86400).cast("long").alias("secs_since_midnight"),
+        "n_events",
+        "revenue",
+    )

@@ -7353,3 +7353,22 @@ FROM (
   FROM orders)
 WHERE pos_in_group >= 3 AND pos_in_group <= 5
 """
+
+
+# Time-bucket family: one integer epoch division chain for the 15-min
+# bucket; the 30-min slot and time-of-day derive from it.
+ORACLE["time_bucket_battery"] = """
+WITH per AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+           - (CAST(floor(epoch(ts)) AS BIGINT) % 900) AS q15_epoch,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(25,6))) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1)
+SELECT to_timestamp(q15_epoch) AS bucket_15m,
+       to_timestamp(q15_epoch - (q15_epoch % 1800)) AS time_slot_30m,
+       CAST(q15_epoch % 86400 AS BIGINT) AS secs_since_midnight,
+       CAST(n_events AS BIGINT) AS n_events,
+       revenue
+FROM per
+"""

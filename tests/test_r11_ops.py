@@ -946,3 +946,19 @@ def test_limit_by_pagination(spark, queries):
         assert [r["pos_in_group"] for r in rs] == [3, 4, 5]
         totals = [r["order_total"] for r in rs]
         assert totals == sorted(totals, reverse=True)
+
+
+def test_time_bucket_battery_grains(spark, queries):
+    """Bucket identities: every 15-min bucket aligns to 900s, the
+    30-min slot contains it, time-of-day in [0, 86400), and counts are
+    positive."""
+    rows = queries["time_bucket_battery"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        b = r["bucket_15m"]
+        assert (b.minute % 15 == 0) and b.second == 0
+        slot = r["time_slot_30m"]
+        assert slot <= b and slot.minute in (0, 30)
+        assert 0 <= r["secs_since_midnight"] < 86400
+        assert r["secs_since_midnight"] % 900 == 0
+        assert r["n_events"] > 0 and r["revenue"] > 0
