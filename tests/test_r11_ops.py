@@ -962,3 +962,39 @@ def test_time_bucket_battery_grains(spark, queries):
         assert 0 <= r["secs_since_midnight"] < 86400
         assert r["secs_since_midnight"] % 900 == 0
         assert r["n_events"] > 0 and r["revenue"] > 0
+
+
+def test_bitmap_algebra_single_corpus_scan(spark, queries):
+    """The one-pass identity must hold in the plan: exactly one events
+    scan feeds the whole pair algebra (flags once, sums after)."""
+    df = queries["bitmap_set_algebra"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Scan parquet") <= 2  # events scan (+ a reused exchange)
+
+
+def test_string_battery_pushdown_schema(spark, queries):
+    """Column pruning reaches the scan: only doc_id/text/n_chars ride
+    the read schema (lang/source pruned)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(queries["string_functions_battery"](spark, SF_DIR))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("lang" not in ln and "source" not in ln for ln in read), read
+
+
+def test_derivative_battery_single_window_exchange(spark, queries):
+    """The rollup aggregate and the lag window must not shuffle the
+    corpus twice: the window runs on the |types x days| rollup."""
+    from realtime_analytics_with_kafka_clickhouse_spark.plans.inspect import (
+        formatted_plan,
+    )
+
+    plan = formatted_plan(queries["derivative_battery"](spark, SF_DIR))
+    # one corpus scan only
+    assert plan.count("Scan parquet") <= 2
+    assert "Window" in plan
