@@ -119,22 +119,43 @@ def main() -> None:
     # Two iterations per query, report the best: the first run of a plan pays
     # one-time whole-stage-codegen compilation (seconds), which on a real
     # cluster amortizes to zero; steady-state is the honest throughput number.
+    # Variance control (r12, judge directive): same-code ops were observed
+    # swinging 3.5x BETWEEN runs at fixed best-of-2, large enough to hide a
+    # real +8% regression.  Controls: (1) when the two runs disagree by more
+    # than max(0.3s, 20%) the query gets a THIRD run before taking the best —
+    # the extra repeat only where noise was actually observed; (2) per-query
+    # spread (max-min over its runs) is published next to the timing, and
+    # spread_total next to value, so a round-over-round delta can be judged
+    # against the measured noise floor instead of assumed attributable;
+    # (3) a JVM full-GC every 50 queries bounds old-gen growth across the
+    # 343-query session (heap creep was a prime drift suspect).
     import gc
 
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
+    spreads: dict[str, float] = {}
+    for qi, name in enumerate(names):
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             materialize(queries[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        if abs(runs[0] - runs[1]) > max(0.3, 0.2 * min(runs)):
+            t0 = time.perf_counter()
+            materialize(queries[name](spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
         # Isolation between queries: drop cached/checkpointed blocks the
         # query built (their build cost was inside the timing; letting 76
         # queries' blocks accumulate distorts the later ones via memory
         # pressure and eviction churn).
         spark.catalog.clearCache()
         gc.collect()
+        if (qi + 1) % 50 == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -195,6 +216,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spreads": spreads,
+        "spread_total": round(sum(spreads.values()), 4),
         "tier_totals": tier_totals,
         "delta_vs_prior": deltas,
         "prior_total": prior_total,
@@ -214,6 +237,7 @@ def main() -> None:
                 "value": detail["value"],
                 "unit": "sec",
                 "n_queries": len(timings),
+                "spread_total": detail["spread_total"],
                 "tier_totals": tier_totals,
                 "queries": slowest,
                 "top_regressions_vs_prior": top_regressions,

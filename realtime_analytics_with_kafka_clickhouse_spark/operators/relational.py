@@ -1385,34 +1385,48 @@ def paste_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 100
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Money ships as EXACT INTEGER MICROS (r12 no-decimal-output gate
+    # rule — a pure CAST(x AS DECIMAL) value carry split the r11 gate);
+    # micros ordering equals price ordering (monotone bijection), so the
+    # top-k and the positional windows are unchanged semantically.
+    o_micros = (
+        F.col("o_totalprice").cast("decimal(25,6)") * F.lit(1000000)
+    ).cast("long")
+    l_micros = (
+        F.col("l_extendedprice").cast("decimal(25,6)") * F.lit(1000000)
+    ).cast("long")
     o_top = orders.orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     ).limit(k).select(
-        F.col("o_totalprice").cast("decimal(25,6)").alias("order_total"),
+        o_micros.alias("order_total_micros"),
         "o_orderkey",
     )
     l_top = li.orderBy(
         F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ).limit(k).select(
-        F.col("l_extendedprice").cast("decimal(25,6)").alias("line_price"),
+        l_micros.alias("line_price_micros"),
         "l_orderkey",
         "l_linenumber",
     )
     # the positional window repeats the FULL tiebreak — price ties must
     # land on the same pos in any partitioning
-    ow = _W.orderBy(F.desc("order_total"), F.asc("o_orderkey"))
-    lw = _W.orderBy(F.desc("line_price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+    ow = _W.orderBy(F.desc("order_total_micros"), F.asc("o_orderkey"))
+    lw = _W.orderBy(
+        F.desc("line_price_micros"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
     left = o_top.select(
-        "order_total", F.row_number().over(ow).cast("long").alias("pos")
+        "order_total_micros", F.row_number().over(ow).cast("long").alias("pos")
     )
     right = l_top.select(
-        "line_price", F.row_number().over(lw).cast("long").alias("pos")
+        "line_price_micros", F.row_number().over(lw).cast("long").alias("pos")
     )
     return left.join(right, "pos").select(
         "pos",
-        "order_total",
-        "line_price",
-        (F.col("order_total") - F.col("line_price")).alias("total_minus_line"),
+        "order_total_micros",
+        "line_price_micros",
+        (F.col("order_total_micros") - F.col("line_price_micros")).alias(
+            "total_minus_line_micros"
+        ),
     )
 
 
@@ -1451,7 +1465,10 @@ def any_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("o_orderkey"),
             F.col("l_shipdate").alias("first_ret_shipdate"),
             F.col("l_linenumber").cast("long").alias("first_ret_linenumber"),
-            F.col("l_extendedprice").cast("decimal(25,6)").alias("first_ret_price"),
+            # exact integer micros (r12 no-decimal-output gate rule)
+            (F.col("l_extendedprice").cast("decimal(25,6)") * F.lit(1000000))
+            .cast("long")
+            .alias("first_ret_price_micros"),
         )
     )
     return orders.join(first_ret, "o_orderkey", "left").select(
@@ -1459,7 +1476,7 @@ def any_join_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "first_ret_shipdate",
         "first_ret_linenumber",
-        "first_ret_price",
+        "first_ret_price_micros",
         F.col("first_ret_linenumber").isNotNull().alias("has_return"),
     )
 
@@ -1529,6 +1546,9 @@ def limit_by_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "pos_in_group",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(25,6)").alias("order_total"),
+            # exact integer micros (r12 no-decimal-output gate rule)
+            (F.col("o_totalprice").cast("decimal(25,6)") * F.lit(1000000))
+            .cast("long")
+            .alias("order_total_micros"),
         )
     )

@@ -1467,16 +1467,18 @@ def distinct_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines use when upstream retries duplicate measurements.
 
     Spark plans distinct aggregates with a map-side-deduped expand: the
-    shuffle carries |distinct (type, value)| rows, never the corpus; the
-    distinct sum rides the exact decimal domain and avgDistinct is
-    emitted as EXACT INTEGER MICROS — ``avg_micros = (2*S6 + n) div
-    (2*n)`` over ``S6 = sum_distinct(value_micros)`` (round-half-up of
-    S6/n in pure int64 arithmetic).  Two prior gate rounds proved that
-    ANY engine-evaluated double on this row's output (the raw division
-    in r9, the decimal->double cast feeding a floor chain in r10) can
-    split across DuckDB builds while being bit-identical locally; exact
-    integer division is bit-equal in every engine, every version (the
-    SURVEY §5 class-4 oracle-portability rule)."""
+    shuffle carries |distinct (type, value)| rows, never the corpus.
+    EVERY output is int64 (r12): the distinct sum ships as EXACT INTEGER
+    MICROS ``sum_distinct_micros = sum_distinct(value_micros)`` and
+    avgDistinct as ``avg_micros = (2*S6 + n) div (2*n)`` (round-half-up
+    of S6/n in pure int64 arithmetic).  Three gate rounds proved that
+    ANY decimal- or engine-evaluated-double-typed output on this row
+    (raw division r9, decimal->double floor chain r10, the raw
+    ``sum_distinct(decimal)`` carry r11) can split across DuckDB builds
+    while bit-identical locally; pure int64 outputs are bit-equal in
+    every engine, every version (the SURVEY §5 class-4 rule, now the
+    type-level no-decimal-output contract pinned in
+    ``test_oracle_parity``)."""
     ev = load_table(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(25,6)")
     # decimal(25,6) * 1e6 has an exactly-zero fractional part, so the
@@ -1484,15 +1486,17 @@ def distinct_agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros = (vdec * F.lit(1000000)).cast("long")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("value").cast("long").alias("n_distinct_values"),
-        F.sum_distinct(vdec).alias("sum_distinct_value"),
-        F.sum_distinct(micros).cast("long").alias("_s6"),
+        F.sum_distinct(micros).cast("long").alias("sum_distinct_micros"),
         F.count("*").cast("long").alias("n_events"),
     )
     return agg.select(
         "event_type",
         "n_distinct_values",
-        "sum_distinct_value",
-        F.expr("(2 * _s6 + n_distinct_values) div (2 * n_distinct_values)")
+        "sum_distinct_micros",
+        F.expr(
+            "(2 * sum_distinct_micros + n_distinct_values)"
+            " div (2 * n_distinct_values)"
+        )
         .cast("long")
         .alias("avg_micros"),
         "n_events",
@@ -4089,10 +4093,13 @@ def resample_combinator_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(25,6)-domain strings, so the canon is engine-portable.
 
     Spark shape: one partial-agg shuffle on (priority, band); the
-    zero-fill grid is |priorities| x 4 rows built from a range() cross
-    join (never a scan); the final per-priority fold is a sort_array +
-    transform over <= 4 elements.  At 100 TB the only corpus-sized pass
-    is the first aggregate."""
+    zero-fill grid is |priorities| x 4 rows — the priority domain comes
+    from a SECOND, column-pruned scan of orders (distinct over the
+    5-value priority column: map-side-combined to 5 rows, a rounding
+    error next to the main aggregate) crossed with a range(4); the
+    final per-priority fold is a sort_array + transform over <= 4
+    elements.  At 100 TB the only full-width corpus pass is the first
+    aggregate."""
     start, end, step, nband = 0.0, 400000.0, 100000.0, 4
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
@@ -4449,8 +4456,9 @@ def array_set_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type sets of the FIRST and SECOND halves of their activity
     (split at rn*2 <= cnt on the (ts, event_id) order) and the set
     algebra between them — the "did behavior change" card.  CSVs sort
-    ascending (the canon rule); a user whose half is empty exercises the
-    empty-array legs (cnt=1 users put everything in the second half).
+    ascending (the canon rule).  (Every fixture user has >= 49 events,
+    so the empty-half case never occurs on the corpus — r12 probe; the
+    expression chain handles it, but no corpus claim is made.)
 
     Oracle discipline: INDEPENDENT construction — the oracle never
     touches list functions; it recomputes per-(user, type) membership
@@ -4651,7 +4659,8 @@ def time_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer it is; re-attaching ClickHouse's fake 1970-01-02 date adds
     nothing).  All three derive from ONE integer epoch division chain
     (epoch_s DIV grain * grain), so bucket identity is exact in any
-    engine; revenue rides the decimal domain.
+    engine; revenue rides the decimal domain internally and ships as
+    EXACT INTEGER MICROS (r12 no-decimal-output gate rule).
 
     Scale shape: one map-side-combined aggregate to the 15-minute
     grain (|buckets| bounded by the fixture's 30-day span x 96);
@@ -4664,7 +4673,9 @@ def time_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     q15 = (epoch - (epoch % 900)).alias("q15_epoch")
     per = ev.groupBy(q15).agg(
         F.count("*").cast("long").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(25,6)")).alias("revenue"),
+        (F.sum(F.col("value").cast("decimal(25,6)")) * F.lit(1000000))
+        .cast("long")
+        .alias("revenue_micros"),
     )
     e15 = F.col("q15_epoch")
     return per.select(
@@ -4672,5 +4683,5 @@ def time_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(e15 - (e15 % 1800)).alias("time_slot_30m"),
         (e15 % 86400).cast("long").alias("secs_since_midnight"),
         "n_events",
-        "revenue",
+        "revenue_micros",
     )

@@ -339,9 +339,17 @@ def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact-decimal daily sums — no interpolation, no float midpoint
     (a (lo+hi)/2 midpoint would need cross-engine decimal-division scale
     rules; the Low/High pair is what ClickHouse ships for exactly this
-    reason).  The DuckDB oracle reads the same conventions off
-    ``quantile_disc`` (low directly; high via the negation trick
-    ``-quantile_disc(-x, 0.5)`` — decimal negation is exact).
+    reason).  The DuckDB oracle reads the same conventions off the same
+    sorted-list order statistics.
+
+    Outputs are EXACT INTEGER MICROS (r12): daily revenue quantizes to
+    ``(sum(decimal(25,6)) * 1e6).cast(long)`` — a bijective, order-
+    preserving integer rendering — BEFORE the window, so the sorted
+    window, both medians and every emitted column are pure int64.  Two
+    rounds of driver-gate evidence (VERDICT r11 "What's wrong" #1)
+    established that ANY decimal-typed output column can hash-split
+    across DuckDB builds while bit-exact locally; integer micros are
+    the repo's proven fix (the ``group_array_moving_avg`` precedent).
 
     Scale shape: the window runs over the DAILY series — O(days) rows
     regardless of corpus size (the module's unbounded-order exception) —
@@ -350,21 +358,33 @@ def rolling_median_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("revenue"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(25,6)")) * F.lit(1000000))
+            .cast("long")
+            .alias("revenue_micros")
+        )
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return (
-        daily.withColumn("warr", F.sort_array(F.collect_list("revenue").over(w)))
+        daily.withColumn(
+            "warr", F.sort_array(F.collect_list("revenue_micros").over(w))
+        )
         .withColumn("n_window", F.size("warr").cast("long"))
         .withColumn(
-            "median_low",
+            "median_low_micros",
             F.expr("element_at(warr, CAST((n_window + 1) DIV 2 AS INT))"),
         )
         .withColumn(
-            "median_high",
+            "median_high_micros",
             F.expr("element_at(warr, CAST(n_window DIV 2 + 1 AS INT))"),
         )
-        .select("day", "revenue", "n_window", "median_low", "median_high")
+        .select(
+            "day",
+            "revenue_micros",
+            "n_window",
+            "median_low_micros",
+            "median_high_micros",
+        )
     )
 
 
@@ -380,8 +400,11 @@ def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition order is TOTAL — ntile's bucket rule (the first n mod k
     buckets take ceil(n/k) rows) is then position-determined and
     identical in Spark and DuckDB (both implement the SQL standard);
-    band edges are exact decimals, the band sum rides the decimal
-    domain.
+    band edges and the band sum are EXACT INTEGER MICROS (r12 — the
+    no-decimal-output gate rule, VERDICT r11 #1): values quantize via
+    the decimal(25,6) domain to int64 before the aggregate, so min/max/
+    sum are pure integer ops and micros ordering equals value ordering
+    (a monotone bijection).
 
     Scale shape: one shuffle on event_type, local per-partition sort, a
     |types| x 4-row aggregate out — no global sort, no driver work.  A
@@ -389,15 +412,15 @@ def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``top_orders_per_priority_salted``)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    dec = F.col("value").cast("decimal(25,6)")
+    micros = (F.col("value").cast("decimal(25,6)") * F.lit(1000000)).cast("long")
     banded = ev.select(
-        "event_type", dec.alias("v"), F.ntile(4).over(w).alias("band")
+        "event_type", micros.alias("v"), F.ntile(4).over(w).alias("band")
     )
     return banded.groupBy("event_type", F.col("band").cast("long").alias("band")).agg(
         F.count("*").cast("long").alias("n_events"),
-        F.min("v").alias("band_min"),
-        F.max("v").alias("band_max"),
-        F.sum("v").alias("band_sum"),
+        F.min("v").alias("band_min_micros"),
+        F.max("v").alias("band_max_micros"),
+        F.sum("v").cast("long").alias("band_sum_micros"),
     )
 
 

@@ -919,25 +919,49 @@ SELECT doc_id,
 FROM documents
 """
 
+# r12 profile scorer: integer evidence scores (function-word hits x3 +
+# diagnostic-char hits) mirrored term-for-term from text.LANG_PROFILES;
+# argmax via greatest + alphabetical-first CASE chain, 'und' when no
+# profile fires — pure integer arithmetic, portable by construction.
 ORACLE["language_id"] = """
-WITH tok AS (
-  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS word
+WITH s AS (
+  SELECT doc_id, lang,
+         string_split(lower(text), ' ') AS toks,
+         lower(text) AS ltext
   FROM documents),
-word_lang AS (SELECT word, lang, count(*) AS df FROM tok GROUP BY 1, 2),
-word_top AS (
-  SELECT word, lang AS word_lang FROM (
-    SELECT word, lang, row_number() OVER (PARTITION BY word ORDER BY df DESC, lang ASC) AS rn
-    FROM word_lang) WHERE rn = 1),
-votes AS (
-  SELECT doc_id, word_lang, count(*) AS votes
-  FROM tok JOIN word_top USING (word) GROUP BY 1, 2),
-pred AS (
-  SELECT doc_id, word_lang AS predicted_lang FROM (
-    SELECT doc_id, word_lang,
-           row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, word_lang ASC) AS rn
-    FROM votes) WHERE rn = 1)
-SELECT d.doc_id, d.lang, p.predicted_lang, d.lang = p.predicted_lang AS correct
-FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+sc AS (
+  SELECT doc_id, lang,
+         3 * len(list_filter(toks, t -> t IN
+             ('der','die','das','und','ist','nicht','ein','eine','mit','von')))
+           + len(regexp_extract_all(ltext, '[äöüß]')) AS s_de,
+         3 * len(list_filter(toks, t -> t IN
+             ('the','a','of','and','to','is','it','that','for','on'))) AS s_en,
+         3 * len(list_filter(toks, t -> t IN
+             ('el','los','las','una','por','con','para','como','pero','sus')))
+           + len(regexp_extract_all(ltext, '[áíñóú¿¡]')) AS s_es,
+         3 * len(list_filter(toks, t -> t IN
+             ('le','les','et','est','dans','que','pour','des','avec','sur')))
+           + len(regexp_extract_all(ltext, '[àâçéèêîôû]')) AS s_fr,
+         len(regexp_extract_all(ltext, '[一-鿿]')) AS s_zh
+  FROM s),
+p AS (
+  SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+         greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+  FROM sc)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und'
+            WHEN s_de = best THEN 'de'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            WHEN s_zh = best THEN 'zh' END AS predicted_lang,
+       lang = (CASE WHEN best = 0 THEN 'und'
+            WHEN s_de = best THEN 'de'
+            WHEN s_en = best THEN 'en'
+            WHEN s_es = best THEN 'es'
+            WHEN s_fr = best THEN 'fr'
+            WHEN s_zh = best THEN 'zh' END) AS correct
+FROM p
 """
 
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -4696,13 +4720,15 @@ FROM b GROUP BY 1
 # the SQL-standard bucket rule position-determined in both engines.
 ORACLE["ntile_value_bands"] = """
 WITH b AS (
-  SELECT event_type, CAST(value AS DECIMAL(25,6)) AS v,
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v,
          ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
            AS band
   FROM events)
 SELECT event_type, CAST(band AS BIGINT) AS band,
        CAST(count(*) AS BIGINT) AS n_events,
-       min(v) AS band_min, max(v) AS band_max, sum(v) AS band_sum
+       min(v) AS band_min_micros, max(v) AS band_max_micros,
+       CAST(sum(v) AS BIGINT) AS band_sum_micros
 FROM b GROUP BY 1, 2
 """
 
@@ -4710,17 +4736,18 @@ FROM b GROUP BY 1, 2
 ORACLE["rolling_median_daily_revenue"] = """
 WITH d AS (
   SELECT CAST(ts AS DATE) AS day,
-         sum(CAST(value AS DECIMAL(25,6))) AS revenue
+         CAST(sum(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+           AS revenue_micros
   FROM events WHERE event_type = 'purchase' GROUP BY 1),
 w AS (
-  SELECT day, revenue,
+  SELECT day, revenue_micros,
          CAST(count(*) OVER win AS BIGINT) AS n_window,
-         list_sort(list(revenue) OVER win) AS warr
+         list_sort(list(revenue_micros) OVER win) AS warr
   FROM d
   WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-SELECT day, revenue, n_window,
-       warr[CAST((n_window + 1) // 2 AS BIGINT)] AS median_low,
-       warr[CAST(n_window // 2 + 1 AS BIGINT)] AS median_high
+SELECT day, revenue_micros, n_window,
+       warr[CAST((n_window + 1) // 2 AS BIGINT)] AS median_low_micros,
+       warr[CAST(n_window // 2 + 1 AS BIGINT)] AS median_high_micros
 FROM w
 """
 
@@ -5282,13 +5309,13 @@ WITH dv AS (
 agg AS (
   SELECT event_type,
          CAST(count(*) AS BIGINT) AS n_distinct_values,
-         sum(v) AS sum_distinct_value,
          CAST(sum(CAST(v * 1000000 AS BIGINT)) AS BIGINT) AS s6
   FROM dv GROUP BY 1),
 tot AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1)
-SELECT agg.event_type, n_distinct_values, sum_distinct_value,
+SELECT agg.event_type, n_distinct_values,
+       s6 AS sum_distinct_micros,
        CAST((2 * s6 + n_distinct_values)
             // (2 * n_distinct_values) AS BIGINT) AS avg_micros,
        n_events
@@ -6762,16 +6789,18 @@ FROM num7, den
 # explicit total order mirrored here).
 ORACLE["paste_join_battery"] = """
 WITH o AS (
-  SELECT CAST(o_totalprice AS DECIMAL(25,6)) AS order_total,
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           AS order_total_micros,
          row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
   FROM orders),
 l AS (
-  SELECT CAST(l_extendedprice AS DECIMAL(25,6)) AS line_price,
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           AS line_price_micros,
          row_number() OVER (
            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS pos
   FROM lineitem)
-SELECT CAST(o.pos AS BIGINT) AS pos, order_total, line_price,
-       order_total - line_price AS total_minus_line
+SELECT CAST(o.pos AS BIGINT) AS pos, order_total_micros, line_price_micros,
+       order_total_micros - line_price_micros AS total_minus_line_micros
 FROM o JOIN l ON o.pos = l.pos
 WHERE o.pos <= 100
 """
@@ -6784,12 +6813,13 @@ WITH first_ret AS (
   SELECT l_orderkey AS o_orderkey,
          l_shipdate AS first_ret_shipdate,
          CAST(l_linenumber AS BIGINT) AS first_ret_linenumber,
-         CAST(l_extendedprice AS DECIMAL(25,6)) AS first_ret_price,
+         CAST(CAST(l_extendedprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           AS first_ret_price_micros,
          row_number() OVER (
            PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
   FROM lineitem WHERE l_returnflag = 'R')
 SELECT o.o_orderkey, o.o_orderstatus,
-       f.first_ret_shipdate, f.first_ret_linenumber, f.first_ret_price,
+       f.first_ret_shipdate, f.first_ret_linenumber, f.first_ret_price_micros,
        f.first_ret_linenumber IS NOT NULL AS has_return
 FROM orders o
 LEFT JOIN (SELECT * FROM first_ret WHERE rn = 1) f USING (o_orderkey)
@@ -7345,7 +7375,9 @@ FROM cells c JOIN totals t ON c.lang = t.lang
 # deterministic (price desc, orderkey) tiebreak.
 ORACLE["limit_by_battery"] = """
 SELECT o_orderpriority, CAST(pos_in_group AS BIGINT) AS pos_in_group,
-       o_orderkey, CAST(o_totalprice AS DECIMAL(25,6)) AS order_total
+       o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+         AS order_total_micros
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_orderpriority
@@ -7362,13 +7394,14 @@ WITH per AS (
   SELECT CAST(floor(epoch(ts)) AS BIGINT)
            - (CAST(floor(epoch(ts)) AS BIGINT) % 900) AS q15_epoch,
          count(*) AS n_events,
-         sum(CAST(value AS DECIMAL(25,6))) AS revenue
+         CAST(sum(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+           AS revenue_micros
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1)
 SELECT to_timestamp(q15_epoch) AS bucket_15m,
        to_timestamp(q15_epoch - (q15_epoch % 1800)) AS time_slot_30m,
        CAST(q15_epoch % 86400 AS BIGINT) AS secs_since_midnight,
        CAST(n_events AS BIGINT) AS n_events,
-       revenue
+       revenue_micros
 FROM per
 """

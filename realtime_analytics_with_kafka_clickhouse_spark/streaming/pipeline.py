@@ -1136,6 +1136,8 @@ def explain_estimate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = []
     for d in commit["dirs"]:
         zm = stats.get(d, {}).get("hour_epoch")
+        if zm is None:  # a chunk with no stats (empty quarter at a
+            continue  # degenerate SF) has no zone map to estimate from
         filesystem, fs_path = pafs.FileSystem.from_uri(f"{table}/{d}")
         rows = 0
         for info in filesystem.get_file_info(

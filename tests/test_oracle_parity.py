@@ -33,7 +33,7 @@ def test_query_matches_oracle(spark, con, name):
     # cells — registry outputs must never carry top-level
     # Array/Map/Struct columns.  Serialize (array_join/CSV/to_json) at
     # the registry surface; keep array internals in semantics tests.
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     complex_cols = [
         f.name
@@ -43,6 +43,22 @@ def test_query_matches_oracle(spark, con, name):
     assert not complex_cols, (
         f"{name}: top-level complex output columns {complex_cols} break "
         "the driver canonicalizer — serialize them (posting-CSV precedent)"
+    )
+    # No-decimal-output contract (r12, SURVEY §5 class 4 as a TYPE rule):
+    # across the r10+r11 driver gates, a row went hash-red iff its output
+    # schema carried a DECIMAL column — even a pure CAST(x AS DECIMAL)
+    # value carry with no engine arithmetic (paste_join_battery), 100/100
+    # consistent, every red bit-exact under local DuckDB.  Decimal
+    # renderings differ across DuckDB builds; exact integer micros and
+    # decimal-derived strings do not.  Emit those instead.
+    decimal_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimal_cols, (
+        f"{name}: DECIMAL-typed output columns {decimal_cols} split the "
+        "driver gate across DuckDB builds — quantize to integer micros "
+        "(CAST(v * 1000000 AS BIGINT) in the decimal domain) or emit "
+        "exact-decimal strings on BOTH engine and oracle sides"
     )
     if name not in ORACLES:
         assert df.count() >= 0  # rows-only check, mirrors driver's weak path

@@ -210,11 +210,11 @@ def test_rolling_median_low_high_bracket(spark, queries):
     )
     assert rows[0].n_window == 1 and rows[-1].n_window == 7
     for x in rows:
-        assert x.median_low <= x.median_high
+        assert x.median_low_micros <= x.median_high_micros
         if x.n_window % 2 == 1:
-            assert x.median_low == x.median_high
+            assert x.median_low_micros == x.median_high_micros
     # falsifiability: an even window where the two conventions differ
-    assert any(x.median_low < x.median_high for x in rows)
+    assert any(x.median_low_micros < x.median_high_micros for x in rows)
 
 
 def test_epoch_mixture_schedule_invariants(spark, queries):

@@ -214,7 +214,7 @@ def test_ntile_bands_partition_exactly(spark, queries):
         counts = [r["n_events"] for r in rows]
         assert max(counts) - min(counts) <= 1
         for a, b in zip(rows, rows[1:]):
-            assert a["band_max"] <= b["band_min"]
+            assert a["band_max_micros"] <= b["band_min_micros"]
 
 
 def test_power_iter_unit_norm_and_determinism(spark, queries):
@@ -543,13 +543,16 @@ def test_paste_join_positions_and_order(spark, queries):
         key=lambda r: r["pos"],
     )
     assert [r["pos"] for r in rows] == list(range(1, 101))
-    totals = [r["order_total"] for r in rows]
-    prices = [r["line_price"] for r in rows]
+    totals = [r["order_total_micros"] for r in rows]
+    prices = [r["line_price_micros"] for r in rows]
     assert all(a >= b for a, b in zip(totals, prices))  # orders sum their lines
     assert totals == sorted(totals, reverse=True)
     assert prices == sorted(prices, reverse=True)
     for r in rows:
-        assert r["total_minus_line"] == r["order_total"] - r["line_price"]
+        assert (
+            r["total_minus_line_micros"]
+            == r["order_total_micros"] - r["line_price_micros"]
+        )
 
 
 def test_any_join_both_branches_and_first_match(spark, queries):
@@ -570,7 +573,7 @@ def test_any_join_both_branches_and_first_match(spark, queries):
     unmatched = [r for r in rows if not r["has_return"]]
     assert matched and unmatched, (len(matched), len(unmatched))
     assert all(
-        r["first_ret_shipdate"] is None and r["first_ret_price"] is None
+        r["first_ret_shipdate"] is None and r["first_ret_price_micros"] is None
         for r in unmatched
     )
     # spot-check the min-tiebreak on the order with the most returned lines
@@ -701,10 +704,11 @@ def test_bitmap_algebra_identities(spark, queries):
 
 def test_array_set_ops_laws(spark, queries):
     """Set laws on the CSVs: intersect ⊆ union, except ∩ intersect = ∅,
-    |union| == n_types, and the empty-half leg fires (some user has an
-    empty first half)."""
+    |union| == n_types.  (No empty-half claim: every fixture user has
+    >= 49 events across 5 types at every SF — probed r12 — so an empty
+    half never occurs on the corpus; ADVICE r11 #1 resolved by dropping
+    the vacuous claim rather than asserting an inert flag.)"""
     rows = queries["array_set_ops_battery"](spark, SF_DIR).collect()
-    saw_empty_leg = False
     for r in rows:
         inter = set(r["intersect_csv"].split(",")) - {""}
         union = set(r["union_csv"].split(",")) - {""}
@@ -712,8 +716,6 @@ def test_array_set_ops_laws(spark, queries):
         assert inter <= union and exc <= union
         assert not (inter & exc)
         assert len(union) == r["n_types"]
-        if not inter and not exc and union:
-            saw_empty_leg = True  # empty first half: everything 2nd-half-only
     assert rows and any(r["n_types"] >= 2 for r in rows)
 
 
@@ -893,12 +895,16 @@ def test_stream_curation_ingest_ledger(spark, queries):
     # collapse branch exactly when the corpus carries passing duplicates
     from pyspark.sql import functions as F
 
+    # ... among gate-PASSING docs only: a duplicated text whose copies
+    # all fail the gate is quarantined, never collapsed (ADVICE r11 #2)
     docs = load_table(spark, SF_DIR, "documents")
-    expected_dups = docs.count() - docs.select("text").distinct().count()
-    if expected_dups > 0:
-        assert dup > 0
-    else:
-        assert dup == 0
+    words = F.split(F.col("text"), " ", -1)
+    passing = docs.filter(
+        (F.size(words) >= 5)
+        & (10 * F.size(F.array_distinct(words)) >= 4 * F.size(words))
+    )
+    expected_dups = passing.count() - passing.select("text").distinct().count()
+    assert dup == expected_dups
     assert kept + quar + dup == total_docs
     again = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert sorted(map(tuple, rows)) == again
@@ -919,11 +925,14 @@ def test_null_semantics_identities(spark, queries):
 
 def test_langid_confusion_card(spark, queries):
     """Both branches live (diagonal and off-diagonal cells), per-label
-    shares sum to ~1e6, and the documented collapse is visible: every
-    prediction is the corpus-majority language."""
+    shares sum to ~1e6, and the documented r12 diagnosis is visible:
+    every prediction over the uniformly-English fixture is 'en' or
+    'und' (the honest answers — real-language recall is pinned on
+    constructed texts in test_r12_ops)."""
     rows = queries["langid_confusion_matrix"](spark, SF_DIR).collect()
     assert any(r["is_diagonal"] for r in rows)
     assert any(not r["is_diagonal"] for r in rows)
+    assert {r["predicted_lang"] for r in rows} <= {"en", "und"}
     by_label = {}
     for r in rows:
         by_label.setdefault(r["lang"], []).append(r)
@@ -944,7 +953,7 @@ def test_limit_by_pagination(spark, queries):
     for rs in by_g.values():
         rs.sort(key=lambda r: r["pos_in_group"])
         assert [r["pos_in_group"] for r in rs] == [3, 4, 5]
-        totals = [r["order_total"] for r in rs]
+        totals = [r["order_total_micros"] for r in rs]
         assert totals == sorted(totals, reverse=True)
 
 
@@ -961,7 +970,7 @@ def test_time_bucket_battery_grains(spark, queries):
         assert slot <= b and slot.minute in (0, 30)
         assert 0 <= r["secs_since_midnight"] < 86400
         assert r["secs_since_midnight"] % 900 == 0
-        assert r["n_events"] > 0 and r["revenue"] > 0
+        assert r["n_events"] > 0 and r["revenue_micros"] > 0
 
 
 def test_bitmap_algebra_single_corpus_scan(spark, queries):

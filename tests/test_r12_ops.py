@@ -1,0 +1,114 @@
+"""Round-12 additions: the profile language-ID scorer's real-language
+recall, and the fixture-probe facts the r12 langid decision rests on."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+# One short REAL text per language — ordinary prose, not cherry-picked
+# profile soup.  The 5/5 recall here is the acceptance gate the r11
+# verdict asked for; the fixture itself carries no language signal
+# (uniformly English word-soup under synthetic labels — probed r12),
+# so recall is pinned where a signal exists.
+REAL_TEXTS = [
+    ("de", "die Katze ist nicht mit dem Hund in der Küche und das weiß jeder"),
+    ("en", "the cat sat on the mat and it was hard to say that for sure"),
+    ("es", "los gatos duermen con las ventanas abiertas pero sus dueños no lo saben"),
+    ("fr", "le chat dort dans la cuisine avec les fenêtres ouvertes pour la nuit"),
+    ("zh", "猫在厨房里睡觉 窗户开着 晚上很安静"),
+]
+
+
+def test_profile_langid_real_language_recall(spark):
+    """The r12 scorer classifies real text in all five profile languages
+    correctly (the corpus-vote scorer it replaced could not beat the
+    majority-label prior on ANY corpus with shared vocabulary)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        classify_language,
+    )
+
+    df = spark.createDataFrame(REAL_TEXTS, "lang string, text string")
+    got = {r["lang"]: r["predicted_lang"] for r in classify_language(df).collect()}
+    assert got == {lang: lang for lang, _ in REAL_TEXTS}, got
+
+
+def test_profile_langid_und_branch(spark):
+    """Profile-free text must answer 'und' (ISO 639-3 undetermined), not
+    guess; and the branch is live on the fixture (some word-soup docs
+    carry no English function word)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        classify_language,
+        language_id,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "42 17 99 +++ ---",), ("y", "spark hash join merge scan",)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in classify_language(df).collect()}
+    assert got == {"x": "und", "y": "und"}
+    preds = {
+        r["predicted_lang"] for r in language_id(spark, SF_DIR).collect()
+    }
+    assert preds == {"en", "und"}  # the fixture diagnosis, both branches live
+
+
+def test_profile_langid_map_only_plan(spark):
+    """Scale pin: the r12 scorer is map-only — zero exchanges (the r1
+    corpus-vote needed two vocabulary shuffles plus a join)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        language_id,
+    )
+
+    df = language_id(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan, plan
+
+
+def test_fixture_lang_labels_carry_no_text_signal(spark):
+    """The probe fact the r12 langid decision rests on, pinned so a
+    future fixture regeneration that ADDS real per-language text flips
+    this test and re-opens the recall directive: per-label mean word
+    counts are within 20% of each other, and the word-presence profile
+    of the most common token is uniform across labels."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.avg(F.size(F.split("text", " ", -1))).alias("mw"))
+        .collect()
+    )
+    mws = [r["mw"] for r in per]
+    assert len(mws) == 5
+    assert max(mws) / min(mws) < 1.2, mws
+    the_rate = (
+        docs.groupBy("lang")
+        .agg(
+            F.avg(
+                F.array_contains(F.split("text", " ", -1), "the").cast("double")
+            ).alias("p")
+        )
+        .collect()
+    )
+    ps = [r["p"] for r in the_rate]
+    assert max(ps) - min(ps) < 0.2, ps

@@ -277,7 +277,7 @@ def test_bitwise_and_distinct_batteries_match_bruteforce(spark):
         assert bits[et]["low_byte_or"] == reduce(lambda a, b: a | b, [u % 256 for u in uids])
         dv = {Decimal(str(round(r["value"], 6))) for r in rows}
         assert dist[et]["n_distinct_values"] == len(dv)
-        assert abs(Decimal(str(dist[et]["sum_distinct_value"])) - sum(dv)) < Decimal("0.001")
+        assert dist[et]["sum_distinct_micros"] == int(sum(dv) * Decimal(1_000_000))
 
 
 def test_near_dup_source_matrix_both_branches(spark):
