@@ -7291,35 +7291,79 @@ FROM d
 """
 
 
-# Streaming curation ingest: the whole lifecycle recomputed in plain SQL
-# (integer-exact gate -> min-doc_id representative -> per-source ledger).
-ORACLE["stream_curation_ingest"] = """
-WITH f AS (
+# Streaming curation ingest (r12: exact + fuzzy dedup-on-arrival): the
+# whole lifecycle recomputed in plain SQL — integer-exact gate, the
+# full-corpus banded-LSH verified pair set, the 4-epoch acceptance
+# recursion unrolled as chained CTEs (a doc is near-dup-quarantined iff
+# it edges to a doc ACCEPTED by a strictly earlier arrival epoch; only
+# accepted docs enter the index), min-doc_id representative among the
+# clean accepts, per-source ledger.  Arrival order is the engine's
+# deliberate out-of-order permutation (epochs 2,0,3,1 -> positions
+# 0,1,2,3 on doc_id % 4).
+ORACLE["stream_curation_ingest"] = f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLE["minhash_near_dup"]})),
+meta AS MATERIALIZED (
   SELECT doc_id, source, text,
-         len(string_split(text, ' ')) AS nw,
-         len(list_distinct(string_split(text, ' '))) AS nd
+         (len(string_split(text, ' ')) >= 5
+          AND 10 * len(list_distinct(string_split(text, ' ')))
+              >= 4 * len(string_split(text, ' '))) AS passed,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 2 THEN 0 WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 3 END AS pos
   FROM documents),
-fl AS (
-  SELECT doc_id, source, text,
-         (nw >= 5 AND 10 * nd >= 4 * nw) AS passed
-  FROM f),
+ed AS MATERIALIZED (
+  SELECT s.doc_id AS s, t.doc_id AS t, s.pos AS spos
+  FROM (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs) e
+  JOIN meta s ON e.a = s.doc_id
+  JOIN meta t ON e.b = t.doc_id
+  WHERE s.passed AND t.passed AND s.text <> t.text),
+acc0 AS MATERIALIZED (SELECT doc_id FROM meta WHERE passed AND pos = 0),
+nd1 AS MATERIALIZED (SELECT DISTINCT s AS doc_id FROM ed
+        JOIN acc0 ON ed.t = acc0.doc_id WHERE ed.spos = 1),
+acc1 AS MATERIALIZED (SELECT doc_id FROM acc0
+         UNION ALL
+         SELECT doc_id FROM meta WHERE passed AND pos = 1
+           AND doc_id NOT IN (SELECT doc_id FROM nd1)),
+nd2 AS MATERIALIZED (SELECT DISTINCT s AS doc_id FROM ed
+        JOIN acc1 ON ed.t = acc1.doc_id WHERE ed.spos = 2),
+acc2 AS MATERIALIZED (SELECT doc_id FROM acc1
+         UNION ALL
+         SELECT doc_id FROM meta WHERE passed AND pos = 2
+           AND doc_id NOT IN (SELECT doc_id FROM nd2)),
+nd3 AS MATERIALIZED (SELECT DISTINCT s AS doc_id FROM ed
+        JOIN acc2 ON ed.t = acc2.doc_id WHERE ed.spos = 3),
+acc3 AS MATERIALIZED (SELECT doc_id FROM acc2
+         UNION ALL
+         SELECT doc_id FROM meta WHERE passed AND pos = 3
+           AND doc_id NOT IN (SELECT doc_id FROM nd3)),
+ndall AS MATERIALIZED (SELECT doc_id FROM nd1
+          UNION ALL SELECT doc_id FROM nd2
+          UNION ALL SELECT doc_id FROM nd3),
 reps AS (
-  SELECT text, min(doc_id) AS keep_id FROM fl WHERE passed GROUP BY text),
+  SELECT m.text, min(m.doc_id) AS keep_id
+  FROM meta m JOIN acc3 a ON m.doc_id = a.doc_id GROUP BY m.text),
 kept AS (
-  SELECT fl.source, count(*) AS n_kept
-  FROM reps r JOIN fl ON fl.doc_id = r.keep_id GROUP BY 1),
-quar AS (SELECT source, count(*) AS n_q FROM fl WHERE NOT passed GROUP BY 1),
-pass AS (SELECT source, count(*) AS n_p FROM fl WHERE passed GROUP BY 1),
+  SELECT m.source, count(*) AS n_kept
+  FROM reps r JOIN meta m ON m.doc_id = r.keep_id GROUP BY 1),
+quar AS (SELECT source, count(*) AS n_q FROM meta WHERE NOT passed GROUP BY 1),
+ndq AS (
+  SELECT m.source, count(*) AS n_nd
+  FROM ndall n JOIN meta m ON m.doc_id = n.doc_id GROUP BY 1),
+cln AS (
+  SELECT m.source, count(*) AS n_c
+  FROM acc3 a JOIN meta m ON m.doc_id = a.doc_id GROUP BY 1),
 srcs AS (SELECT DISTINCT source FROM documents)
 SELECT s.source,
        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(coalesce(q.n_q, 0) AS BIGINT) AS n_quarantined,
-       CAST(coalesce(p.n_p, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+       CAST(coalesce(n.n_nd, 0) AS BIGINT) AS n_near_dup_quarantined,
+       CAST(coalesce(c.n_c, 0) - coalesce(k.n_kept, 0) AS BIGINT)
          AS n_dup_collapsed
 FROM srcs s
 LEFT JOIN kept k ON s.source = k.source
 LEFT JOIN quar q ON s.source = q.source
-LEFT JOIN pass p ON s.source = p.source
+LEFT JOIN ndq n ON s.source = n.source
+LEFT JOIN cln c ON s.source = c.source
 """
 
 

@@ -889,8 +889,10 @@ def test_stream_curation_ingest_ledger(spark, queries):
     total_docs = load_table(spark, SF_DIR, "documents").count()
     kept = sum(r["n_kept"] for r in rows)
     quar = sum(r["n_quarantined"] for r in rows)
+    ndup = sum(r["n_near_dup_quarantined"] for r in rows)
     dup = sum(r["n_dup_collapsed"] for r in rows)
     assert kept > 0 and quar > 0
+    assert ndup > 0  # the r12 fuzzy-dedup-on-arrival branch fires
     # exact-duplicate texts exist only at sf0.1 in the fixture — pin the
     # collapse branch exactly when the corpus carries passing duplicates
     from pyspark.sql import functions as F
@@ -903,9 +905,14 @@ def test_stream_curation_ingest_ledger(spark, queries):
         (F.size(words) >= 5)
         & (10 * F.size(F.array_distinct(words)) >= 4 * F.size(words))
     )
+    # clean accepts = passing minus near-dup-quarantined; identical texts
+    # are classified uniformly only per-copy (the epoch recursion), so
+    # bound the collapse by the passing-dup count instead of equating it
     expected_dups = passing.count() - passing.select("text").distinct().count()
-    assert dup == expected_dups
-    assert kept + quar + dup == total_docs
+    assert 0 <= dup <= expected_dups
+    if expected_dups > 0 and ndup == 0:
+        assert dup == expected_dups
+    assert kept + quar + ndup + dup == total_docs
     again = sorted(map(tuple, q(spark, SF_DIR).collect()))
     assert sorted(map(tuple, rows)) == again
 

@@ -80,6 +80,64 @@ def test_profile_langid_map_only_plan(spark):
     assert "Exchange" not in plan, plan
 
 
+ARRIVAL_POS = {2: 0, 0: 1, 3: 2, 1: 3}  # epoch (doc_id % 4) -> arrival order
+
+
+def test_curation_near_dup_quarantine_lifecycle(spark, queries):
+    """The r12 fuzzy-dedup-on-arrival invariants, read off the proof
+    tables: (1) quarantine reasons split quality/near_dup with
+    matched_doc_id null exactly on the quality rows; (2) every near-dup
+    hit's matched doc ARRIVED in a strictly earlier epoch and is itself
+    in the LSH index (only accepted docs are indexed); (3) no
+    quarantined doc reached the curated table or the index; (4) an
+    at-least-once replay of an already-committed quarantine batch id is
+    a committed no-op."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        stream_curation_ingest,
+    )
+
+    queries["stream_curation_ingest"](spark, SF_DIR).collect()
+    tables = stream_curation_ingest.last_tables
+    qt = txlog.read_table(spark, tables["quarantine"]).collect()
+    assert {r["reason"] for r in qt} == {"quality", "near_dup"}
+    for r in qt:
+        assert (r["matched_doc_id"] is None) == (r["reason"] == "quality")
+    indexed = {
+        r["doc_id"]
+        for r in txlog.read_table(spark, tables["lsh_index"])
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    near_dups = [r for r in qt if r["reason"] == "near_dup"]
+    assert near_dups
+    for r in near_dups:
+        assert (
+            ARRIVAL_POS[r["matched_doc_id"] % 4] < ARRIVAL_POS[r["doc_id"] % 4]
+        ), (r["doc_id"], r["matched_doc_id"])
+        assert r["matched_doc_id"] in indexed
+    quarantined = {r["doc_id"] for r in qt}
+    curated_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(tables["curated"]).select("doc_id").collect()
+    }
+    assert not (quarantined & curated_ids)
+    assert not (quarantined & indexed)
+    # replay: batch id 1 (epoch 0's near-dup append) was committed —
+    # re-appending under the same id must refuse and change nothing
+    v_before, _ = txlog.snapshot(spark, tables["quarantine"])
+    probe = spark.createDataFrame(
+        [(999_999, "srcX", "near_dup", 1)],
+        "doc_id long, source string, reason string, matched_doc_id long",
+    )
+    assert not txlog.append_tx(spark, tables["quarantine"], probe, batch_id=1)
+    v_after, _ = txlog.snapshot(spark, tables["quarantine"])
+    assert v_after == v_before
+
+
 def test_fixture_lang_labels_carry_no_text_signal(spark):
     """The probe fact the r12 langid decision rests on, pinned so a
     future fixture regeneration that ADDS real per-language text flips
