@@ -34,135 +34,62 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r11 pass: the r10 gate went 48/50 — BOTH red rows were hash-only
-# oracle-portability misses (SURVEY §5 class 4) and lead this gate with
-# engine-build-proof rewrites (distinct_agg_battery -> exact integer
-# micros; rolling_median -> explicit sorted-list order statistic),
-# followed by the class-4 sweep rewrites (dsir family, bigram_fluency),
-# the NEW incremental-IVF op + the refactored persisted serve, the
-# runtime_broadcast representatives (the four r10 probe regressions:
-# embedding_near_dup / ann_lsh_bucketed / minhash_contamination /
-# dedup_keep_best), and the request-size-capped collects.  Then the
-# r4-evidence spill the r10 ledger queued (part_type_stats ..
-# embedding_quantize_int8) and the round-7 section fill the 50 exactly;
-# the r7 remainder (customer_order_rank onward) leads the r12 gate,
-# with
-# r5/r6/r8/r9 behind it and every r10-green row last.  Five more
-# r11-new ops joined section 1 after the rotation was cut (sparkbar,
-# ntile bands, URL battery, power iteration, hopping-window MV), then
-# twelve late r11 ops (-Resample, proportions z-test, min-sample-size,
-# PASTE/ANY JOIN, chi2 coefficients, derivative battery, asof
-# tolerance, WITH TIES, bitmap algebra, array set ops,
-# groupArrayIntersect, string battery, EXPLAIN ESTIMATE) — the
-# overflow fills the gate with changed/new entries, so the queued
-# r4-evidence spill could not ALL fit: two low-fragility section-1
-# entries are demoted (ann_ivf_persisted, ann_query_broadcast_topk —
-# their changed code paths are gated through sharing ops) to pull the
-# stalest r4 rows toward the gate tail; the final two additions
-# (bag_set_ops_battery, and the stream_curation_ingest lifecycle proof
-# — a streaming op whose evidence MUST be a driver row) fill the last
-# slots, so the whole r4 spill (part_type_stats onward) plus the r7
-# section leads the r12 gate.  Late metadata-only/low-fragility ops
-# (schema_introspection_card, dedup_audit_sample, avg_map,
-# unicode battery) are parked past 50 by the same priority rule.
+# r12 pass: the r11 gate went 45/50 — ALL FIVE reds (and only they,
+# among the 50 gated) emitted DECIMAL-typed output columns while being
+# bit-exact under local DuckDB; the r11 verdict sharpened SURVEY §5
+# class 4 to a TYPE rule (no registry output may carry a DecimalType —
+# now pinned in test_oracle_parity).  Section 1: the two repeat reds
+# FIRST (verdict directive #8), the other five decimal rewrites
+# (including limit_by/time_bucket, pulled from the park BEFORE rotation
+# gated them red), the rewritten profile langid + its eval card, and
+# the near-dup-on-arrival curation lifecycle (streaming op: evidence
+# must be a driver row).  Then the r4-evidence spill (queued two rounds
+# running) and the r7 section fill the 50 exactly (boilerplate_spans =
+# position 50), per verdict directive #5.  The r7 remainder and the
+# never-gated r11 parked ops (dedup_audit_sample, unicode battery,
+# schema card, avg_map, null battery) lead the r13 gate; r5/r6/r8/r9
+# sections follow; r10-green then r11-green rows sit last (freshest
+# evidence rotates to the tail).
+#
 _NAMES = [
-    # -- 1. CHANGED/NEW this round (r11): the two r10-red rows with
-    #    engine-build-proof oracles (integer micros / explicit order
-    #    statistic), the class-4 sweep rewrites (dsir family, bigram
-    #    fluency), the NEW incremental-IVF maintenance op + the
-    #    refactored persisted serve it shares, the runtime_broadcast
-    #    representatives (the four r10 probe regressions), and the two
-    #    request-size-capped serving collects --
+    # -- 1. CHANGED/NEW this round (r12): the 7 decimal-output rewrites
+    #    (every gate red of r10/r11 traced to DECIMAL-typed output
+    #    columns — all now exact integer micros, with the no-DecimalType
+    #    rule pinned in test_oracle_parity), the two directive-#8 repeat
+    #    reds FIRST, the rewritten profile langid + its eval card, and
+    #    the near-dup-on-arrival curation front door (streaming op:
+    #    evidence must be a driver row) --
     (timeseries, [
-        "distinct_agg_battery",
-        "sparkbar_hourly_revenue",  # NEW r11: ClickHouse sparkbar parity
-        "bounding_ratio_battery",  # NEW r11: boundingRatio endpoints slope
-        "quantile_timing_battery",  # NEW r11: quantileTiming accuracy contract
-        "ip_functions_battery",  # NEW r11: IPv4 family, hash-spread fleet
-        "l_diversity_report",  # NEW r11: homogeneity-attack privacy gate
-        "prometheus_histogram_quantile",  # NEW r11: le-bucket interpolation
-        "date_functions_battery",  # NEW r11: ISO week/quarter/month-age keys
-        "resample_combinator_battery",  # NEW r11: -Resample banded aggregates
-        "proportions_ztest_cohorts",  # NEW r11: two-proportion z + CI
-        "min_sample_size_conversion",  # NEW r11: A/B sample-size planning
-        "contingency_coefficients",  # NEW r11: contingency C + Tschuprow T
-        "derivative_battery",  # NEW r11: runningDifference / nonNegDerivative
-        "asof_tolerance_enrich",  # NEW r11: merge_asof tolerance semantics
-        "limit_with_ties_card",  # NEW r11: FETCH FIRST ... WITH TIES peers
-        "bitmap_set_algebra",  # NEW r11: groupBitmapAnd/Or/Xor pair algebra
-        "array_set_ops_battery",  # NEW r11: arrayIntersect/Union/Except
-        "group_array_intersect",  # NEW r11: per-user every-week type fold
-        "bag_set_ops_battery",  # NEW r11: INTERSECT ALL / EXCEPT ALL
+        "distinct_agg_battery",  # r12: sum_distinct ships as micros
     ]),
     (windows, [
-        "rolling_median_daily_revenue",
-        "ntile_value_bands",  # NEW r11: ntile quartile banding
-        "group_array_moving_avg",  # NEW r11: groupArrayMovingAvg micros CSV
-        "array_transform_battery",  # NEW r11: arrayCumSum/Difference/Compact
-    ]),
-    (text, [
-        "dsir_importance",
-        "dsir_resample",
-        "bigram_fluency",
-        "contamination_check",
-        "url_functions_battery",  # NEW r11: URL function-family parity
-        "token_diversity_simpson",  # NEW r11: log-free lexical diversity
-        "string_functions_battery",  # NEW r11: countSubstrings/multiSearch/...
-    ]),
-    (similarity, [
-        "embedding_top_pc_power_iter",  # NEW r11: distributed power iteration
-        "ann_ivf_delete_vectors",  # NEW r11: tombstone delete + OPTIMIZE FINAL
-        "stream_ivf_index_ingest",  # NEW r11: foreachBatch epoch-id appends
-        "ann_ivf_incremental",
-        # ann_ivf_persisted demoted below position 50: its changed serve
-        # path (_ivf_probe_serve) is gated through ann_ivf_incremental /
-        # ann_ivf_delete_vectors, which exercise the same code plus the
-        # maintenance legs — low fragility, r6+r10 green history.
-        "embedding_near_dup",
-        "ann_lsh_bucketed",
-        "hard_negative_mining",
-        # ann_query_broadcast_topk demoted below position 50: its change
-        # is the same collect_request_sized cap hard_negative_mining
-        # gates, with a dedicated oversized-batch pytest.
-    ]),
-    (dedup, [
-        "minhash_contamination",
-    ]),
-    (curation, [
-        "dedup_keep_best",
-        "corpus_mix_report",
-        "pack_training_shards",
-        "span_corruption_plan",  # NEW r11: T5 denoising span plan
-    ]),
-    (_streaming_pipeline, [
-        "stream_sliding_rollup_events",  # NEW r11: hopping-window MV proof
-        "optimize_deduplicate_rollup",  # NEW r11: OPTIMIZE ... DEDUPLICATE
-        "explain_estimate_scan",  # NEW r11: metadata-only planner card
-        "stream_curation_ingest",  # NEW r11: gate->DLQ->dedup-on-ingest
-    ]),
-    (rollups, [
-        "status_unpivot_roundtrip",  # NEW r11: melt/UNPIVOT surface
+        "rolling_median_daily_revenue",  # r12: revenue/medians as micros
+        "ntile_value_bands",  # r12: band min/max/sum as micros
     ]),
     (relational, [
-        "dq_expectations_report",  # NEW r11: GE-style trust card, FK edges
-        "paste_join_battery",  # NEW r11: positional PASTE JOIN
-        "any_join_battery",  # NEW r11: LEFT ANY strictness, min-tiebreak
+        "paste_join_battery",  # r12: order/line prices as micros
+        "any_join_battery",  # r12: first_ret_price as micros
+        "limit_by_battery",  # r12: order_total as micros (was parked)
+    ]),
+    (timeseries, [
+        "time_bucket_battery",  # r12: revenue as micros (was parked)
+    ]),
+    (text, [
+        "language_id",  # r12 REWRITE: per-language profile scorer
+        "langid_confusion_matrix",  # consumer of the rewrite
+    ]),
+    (_streaming_pipeline, [
+        "stream_curation_ingest",  # r12: + near-dup-on-arrival lifecycle
     ]),
     # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
-    #    ledger to lead this gate) --
+    #    AND r11 ledgers, displaced twice by op influx — gated now per
+    #    the r11 verdict directive #5) --
     (relational, [
         "part_type_stats",
         "customer_name_features",
         "order_date_features",
         "price_band_join",
         "priority_status_cube",
-        # NEW r11 but deliberately parked past position 50: metadata-only
-        # catalog card (no data job), pytest + 3-SF local parity on
-        # arrival; the gate slots go to changed engine paths first.
-        "schema_introspection_card",
-        # NEW r11, parked past the gate: per-group pagination window —
-        # same shape class as the gate-resident rank windows.
-        "limit_by_battery",
     ]),
     (timeseries, [
         "session_window_rollup",
@@ -170,21 +97,13 @@ _NAMES = [
         "median_value_grouped_udf",
         "dashboard_cards_sql",
         "value_percentiles",
-        # NEW r11, parked past the gate (schema_introspection_card
-        # rationale): the Map-family mean — siblings hold gate history.
-        "avg_map_event_values",
-        # NEW r11, parked past the gate: SQL-standard NULL wiring proof
-        # (both engines implement the standard; low build fragility).
-        "null_semantics_battery",
-        # NEW r11, parked past the gate: 15-min/30-min/time-of-day
-        # bucket grains — one integer epoch chain, low fragility.
-        "time_bucket_battery",
     ]),
     (similarity, [
         "embedding_quantize_int8",
     ]),
-    # -- 3. round-7 section (next-stalest; entries past position 50
-    #    spill to lead the r12 gate) --
+    # -- 3. round-7 section (next-stalest; the first 29 entries fill the
+    #    gate to exactly 50 — boilerplate_spans is position 50; the
+    #    remainder leads the r13 gate below) --
     (_sources_files, [
         "xml_roundtrip_stats",
     ]),
@@ -207,27 +126,15 @@ _NAMES = [
         "moving_avg_daily_revenue",
     ]),
     (dedup, [
-        # NEW r11 but parked past position 50 (same rationale as
-        # schema_introspection_card): its candidate kernel is the
-        # gate-resident capped-shingle path; pytest + 3-SF local parity
-        # on arrival.
-        "dedup_audit_sample",
         "dedup_exact",
         "simhash_near_dup",
         "substring_dedup_docs",
         "simhash_fingerprints",
     ]),
     (text, [
-        # NEW r11, parked past the gate: map-only Unicode battery
-        # (pytest + 3-SF local parity on arrival).
-        "unicode_functions_battery",
-        # NEW r11, parked past the gate: eval card over the gate-resident
-        # language_id chain.
-        "langid_confusion_matrix",
         "token_stats",
         "bpe_token_stats",
         "quality_score",
-        "language_id",
         "doc_fingerprint",
         "deterministic_sample",
         "stratified_sample",
@@ -238,12 +145,36 @@ _NAMES = [
         "pii_scrub",
         "repetition_score",
         "gopher_quality_rules",
-        "boilerplate_spans",
+        "boilerplate_spans",  # position 50 — gate boundary
+    ]),
+    # -- r13 queue: the r7-section remainder, then the r11 ops parked
+    #    without driver evidence (metadata-only / low-fragility — the
+    #    park rationale from the r11 ledger stands, but zero driver rows
+    #    means they promote ahead of re-gated sections next round) --
+    (text, [
         "bpe_merge_topk",
     ]),
+    (dedup, [
+        # NEW r11, parked past the gate twice (metadata-only audit over
+        # the gate-resident capped-shingle path); r13 candidate.
+        "dedup_audit_sample",
+    ]),
+    (text, [
+        # NEW r11, parked: map-only Unicode battery; r13 candidate.
+        "unicode_functions_battery",
+    ]),
+    (relational, [
+        # NEW r11, parked: metadata-only catalog card; r13 candidate.
+        "schema_introspection_card",
+    ]),
+    (timeseries, [
+        # NEW r11, parked: Map-family mean / NULL wiring; r13 candidates.
+        "avg_map_event_values",
+        "null_semantics_battery",
+    ]),
     (similarity, [
-        "ann_ivf_persisted",  # demoted from the r11 gate (see section 1)
-        "ann_query_broadcast_topk",  # demoted from the r11 gate (see section 1)
+        "ann_ivf_persisted",  # demoted from the r11 gate (serve path
+        "ann_query_broadcast_topk",  # gated through sharing ops)
         "ann_cosine_topk",
         "ann_ivf_topk",
         "label_centroids",
@@ -651,6 +582,71 @@ _NAMES = [
         "one_year_only_customers",
         "priority_status_rollup",
         "status_pivot",
+    ]),
+    # -- 9. round-11-green evidence (freshest driver rows: the r11
+    #    section-1 block, rotated to the tail after earning its rows;
+    #    the re-gated r12 entries stay in section 1 above) --
+    (timeseries, [
+        "sparkbar_hourly_revenue",
+        "bounding_ratio_battery",
+        "quantile_timing_battery",
+        "ip_functions_battery",
+        "l_diversity_report",
+        "prometheus_histogram_quantile",
+        "date_functions_battery",
+        "resample_combinator_battery",
+        "proportions_ztest_cohorts",
+        "min_sample_size_conversion",
+        "contingency_coefficients",
+        "derivative_battery",
+        "asof_tolerance_enrich",
+        "limit_with_ties_card",
+        "bitmap_set_algebra",
+        "array_set_ops_battery",
+        "group_array_intersect",
+        "bag_set_ops_battery",
+    ]),
+    (windows, [
+        "group_array_moving_avg",
+        "array_transform_battery",
+    ]),
+    (text, [
+        "dsir_importance",
+        "dsir_resample",
+        "bigram_fluency",
+        "contamination_check",
+        "url_functions_battery",
+        "token_diversity_simpson",
+        "string_functions_battery",
+    ]),
+    (similarity, [
+        "embedding_top_pc_power_iter",
+        "ann_ivf_delete_vectors",
+        "stream_ivf_index_ingest",
+        "ann_ivf_incremental",
+        "embedding_near_dup",
+        "ann_lsh_bucketed",
+        "hard_negative_mining",
+    ]),
+    (dedup, [
+        "minhash_contamination",
+    ]),
+    (curation, [
+        "dedup_keep_best",
+        "corpus_mix_report",
+        "pack_training_shards",
+        "span_corruption_plan",
+    ]),
+    (_streaming_pipeline, [
+        "stream_sliding_rollup_events",
+        "optimize_deduplicate_rollup",
+        "explain_estimate_scan",
+    ]),
+    (rollups, [
+        "status_unpivot_roundtrip",
+    ]),
+    (relational, [
+        "dq_expectations_report",
     ]),
 ]
 
