@@ -151,6 +151,12 @@ _NAMES = [
     #    without driver evidence (metadata-only / low-fragility — the
     #    park rationale from the r11 ledger stands, but zero driver rows
     #    means they promote ahead of re-gated sections next round) --
+    (timeseries, [
+        # NEW r12, parked past the gate (r12 gate composition pinned by
+        # the verdict's directive #5; same shape class as the three
+        # gate-proven asof siblings): nearest-direction as-of.
+        "asof_nearest_battery",
+    ]),
     (text, [
         "bpe_merge_topk",
     ]),

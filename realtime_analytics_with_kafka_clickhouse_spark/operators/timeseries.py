@@ -4367,6 +4367,97 @@ def asof_tolerance_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_nearest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with ``direction='nearest'`` (NEW r12 — completes the
+    merge_asof direction triple: backward = ``last_purchase_asof``,
+    forward = ``error_recovery_asof``, bounded = ``asof_tolerance_enrich``):
+    each signup paired with the user's CLOSEST purchase by absolute time
+    gap, either side.  Tie rule (documented, deterministic): equal gaps
+    take the PRIOR purchase — the rule matters for the contract even
+    though integer-microsecond timestamps make corpus ties nonexistent
+    (probed r12: zero at every SF; no corpus claim made).  Signups whose
+    user has no purchase at all drop (inner semantics; also empty on the
+    fixture — every signup user purchases).
+
+    Spark shape: ONE user-key shuffle — running max-of-prior /
+    min-of-following purchase-ts window frames over the per-user event
+    order (ts ascends inside the frame, so frame max IS the nearest
+    prior without IGNORE NULLS machinery), then one equi-join back on
+    (user_id, matched ts) for the matched event id (purchase (user, ts)
+    pairs are collision-free at every SF — probed r12).  Gap is exact
+    integer micros; everything else is ids/strings — class-4 by type.
+
+    The oracle is an INDEPENDENT construction (the dau_wau precedent):
+    a per-user conditional-extrema join instead of ordered windows —
+    exact-integer outputs make the cross-algorithm equality a strong
+    check."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = F.unix_micros(F.col("ts"))
+    base = ev.select(
+        "user_id", "event_id", "event_type", tu.alias("tu")
+    )
+    order = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    p_tu = F.when(F.col("event_type") == "purchase", F.col("tu"))
+    prev_tu = F.max(p_tu).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    next_tu = F.min(p_tu).over(order.rowsBetween(1, Window.unboundedFollowing))
+    picked = (
+        base.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "tu",
+            prev_tu.alias("prev_tu"),
+            next_tu.alias("next_tu"),
+        )
+        .filter(F.col("event_type") == "signup")
+        .filter(F.col("prev_tu").isNotNull() | F.col("next_tu").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "tu",
+            F.when(
+                F.col("prev_tu").isNotNull()
+                & (
+                    F.col("next_tu").isNull()
+                    | (F.col("tu") - F.col("prev_tu") <= F.col("next_tu") - F.col("tu"))
+                ),
+                F.lit("prior"),
+            )
+            .otherwise(F.lit("next"))
+            .alias("direction"),
+            F.when(
+                F.col("prev_tu").isNotNull()
+                & (
+                    F.col("next_tu").isNull()
+                    | (F.col("tu") - F.col("prev_tu") <= F.col("next_tu") - F.col("tu"))
+                ),
+                F.col("prev_tu"),
+            )
+            .otherwise(F.col("next_tu"))
+            .alias("matched_tu"),
+        )
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("tu").alias("p_tu"),
+        F.col("event_id").alias("matched_event_id"),
+    )
+    # join on user_id alone + residual ts-equality filter: the join key
+    # matches the window's partitioning (one exchange reused), and the
+    # pre-filter blowup is bounded by purchases-per-user, never the corpus
+    return (
+        picked.join(purchases, "user_id")
+        .filter(F.col("matched_tu") == F.col("p_tu"))
+        .select(
+            "user_id",
+            "event_id",
+            "direction",
+            F.abs(F.col("tu") - F.col("matched_tu")).cast("long").alias("gap_micros"),
+            F.col("matched_event_id").cast("long").alias("matched_event_id"),
+        )
+    )
+
+
 def limit_with_ties_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``FETCH FIRST 1 ROWS WITH TIES`` (SQL:2008; ClickHouse ``LIMIT 1
     WITH TIES``) materialized per return flag: the whole PEER GROUP of

@@ -7013,6 +7013,39 @@ FROM g
 """
 
 
+# Nearest-direction as-of: INDEPENDENT construction (conditional extrema
+# over a per-user join, vs the engine's ordered-window frames) — exact
+# integer micros make the cross-algorithm equality a strong check.
+# Tie rule mirrored: equal gaps take the PRIOR purchase (<=).
+ORACLE["asof_nearest_battery"] = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu
+  FROM events WHERE event_type = 'signup'),
+p AS (
+  SELECT user_id, event_id AS matched_event_id, epoch_us(ts) AS tu
+  FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT s.user_id, s.event_id, s.tu,
+         max(CASE WHEN p.tu <= s.tu THEN p.tu END) AS prev_tu,
+         min(CASE WHEN p.tu > s.tu THEN p.tu END) AS next_tu
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+  GROUP BY 1, 2, 3),
+pick AS (
+  SELECT user_id, event_id, tu,
+         CASE WHEN prev_tu IS NOT NULL
+                   AND (next_tu IS NULL OR tu - prev_tu <= next_tu - tu)
+              THEN 'prior' ELSE 'next' END AS direction,
+         CASE WHEN prev_tu IS NOT NULL
+                   AND (next_tu IS NULL OR tu - prev_tu <= next_tu - tu)
+              THEN prev_tu ELSE next_tu END AS matched_tu
+  FROM g WHERE prev_tu IS NOT NULL OR next_tu IS NOT NULL)
+SELECT k.user_id, k.event_id, k.direction,
+       CAST(abs(k.tu - k.matched_tu) AS BIGINT) AS gap_micros,
+       CAST(p.matched_event_id AS BIGINT) AS matched_event_id
+FROM pick k JOIN p ON k.user_id = p.user_id AND k.matched_tu = p.tu
+"""
+
+
 # FETCH FIRST 1 ROWS WITH TIES, materialized as the per-flag peer-group
 # card: boundary max broadcast back, peers counted + summed exactly.
 ORACLE["limit_with_ties_card"] = """

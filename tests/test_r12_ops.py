@@ -80,6 +80,57 @@ def test_profile_langid_map_only_plan(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_asof_nearest_branches_and_correct_pick(spark, queries):
+    """Both directions fire on the fixture, and every matched gap really
+    is the minimum over the user's purchases (independently recomputed
+    for a sample of users).  The equal-gap tie rule (prior wins) is
+    documented contract only — corpus ties are nonexistent at every SF
+    (r12 probe), so no corpus claim is made for that branch."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    df = queries["asof_nearest_battery"](spark, SF_DIR)
+    rows = df.collect()
+    dirs = {r["direction"] for r in rows}
+    assert dirs == {"prior", "next"}
+    assert all(r["gap_micros"] >= 0 for r in rows)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tu")
+    )
+    sample_users = sorted({r["user_id"] for r in rows})[:5]
+    evs = [r for r in ev.collect() if r["user_id"] in sample_users]
+    purch = {}
+    signup_tu = {}
+    for r in evs:
+        if r["event_type"] == "purchase":
+            purch.setdefault(r["user_id"], []).append(r["tu"])
+        elif r["event_type"] == "signup":
+            signup_tu[r["event_id"]] = (r["user_id"], r["tu"])
+    for r in rows:
+        if r["user_id"] not in sample_users:
+            continue
+        u, tu = signup_tu[r["event_id"]]
+        assert r["gap_micros"] == min(abs(p - tu) for p in purch[u])
+
+
+def test_asof_nearest_plan_shape(spark, queries):
+    """Scale pin: the window pays the single user-key hash exchange and
+    the match-back join rides it — at most 2 hash exchanges total (the
+    purchase side pays its own at scale; AQE broadcasts it at fixture
+    size and lifts the residual ts-equality into the join keys), and
+    the purchase filter reaches the scan."""
+    df = queries["asof_nearest_battery"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert 1 <= plan.count("Exchange hashpartitioning(") <= 2, plan
+    assert "EqualTo(event_type,purchase)" in plan  # pushed to the scan
+
+
 ARRIVAL_POS = {2: 0, 0: 1, 3: 2, 1: 3}  # epoch (doc_id % 4) -> arrival order
 
 
