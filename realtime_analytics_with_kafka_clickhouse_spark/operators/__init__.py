@@ -158,6 +158,10 @@ _NAMES = [
         "asof_nearest_battery",
     ]),
     (text, [
+        # NEW r12, parked (same rationale): retrieval recall@k eval
+        # against the verified near-dup ground truth, integer-exact
+        # tf-cosine ranking.
+        "retrieval_eval_card",
         "bpe_merge_topk",
     ]),
     (dedup, [

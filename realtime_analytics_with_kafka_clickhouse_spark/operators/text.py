@@ -914,6 +914,122 @@ def _term_tf(words, term: str):
     return F.size(F.filter(words, lambda x: x == F.lit(term))).cast("long")
 
 
+RETRIEVAL_EVAL_K = 10  # retrieval depth for the eval card
+
+
+def retrieval_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION card (NEW r12) — recall@k / first-hit rank of
+    a lexical retriever against the engine's own verified near-dup
+    ground truth: for every doc with at least one LSH-verified near-dup
+    partner, retrieve the top-10 corpus docs by tf-cosine and score how
+    many true partners were found.  This is the eval loop an IR/dedup
+    stack runs before trusting a retriever as a dedup candidate source —
+    the cross-system sibling of ``ann_recall_at_k`` (which evaluates ANN
+    against exact-cosine truth).
+
+    Integer-exact ranking (class-4 by construction): tf-cosine order is
+    decided by the EXACT integer quotient
+    ``(num^2 * 1e10) div (||q||^2 * ||c||^2)`` over int64 term-frequency
+    sums — no float sum-order dependence, identical ranking in any
+    engine (quotient collisions share a bucket under the doc_id
+    tiebreak, the same deterministic convention both sides).  Fixture
+    bounds probed r12: num <= 447, num^2 * 1e10 ~ 2e15 << 2^63; an
+    open-vocabulary corpus would scale the quotient down or ride
+    DECIMAL(38).
+
+    Fixture liveness (probed r12): recall@10 = 1.0 but recall@1 < 1 at
+    sf0.01/0.1 — multi-partner queries can't fit every partner at rank
+    1, so the miss branch is structurally live.
+
+    Scale shape: postings (doc, term, tf) are one map-side-combined
+    aggregate; candidate scoring is the postings equi-join on term
+    restricted to the QUERY side (queries are bounded by duplication
+    density, never the corpus).  On an open-vocabulary corpus the term
+    join takes the df-cap/WAND pruning the dedup kernel already uses;
+    on this 31-word fixture every term is common, which is exactly the
+    worst case the card still completes under."""
+    from ..functions.hints import runtime_broadcast
+    from .dedup import minhash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    rel = pairs.select(
+        F.col("doc_a").alias("q"), F.col("doc_b").alias("r")
+    ).union(pairs.select(F.col("doc_b").alias("q"), F.col("doc_a").alias("r")))
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    norm = post.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    qs = rel.select(F.col("q").alias("doc_id")).distinct()
+    qpost = post.join(runtime_broadcast(qs), "doc_id")
+    scored = (
+        qpost.select(
+            F.col("doc_id").alias("q"), "word", F.col("tf").alias("qtf")
+        )
+        .join(
+            post.select(F.col("doc_id").alias("cand"), "word", "tf"),
+            "word",
+        )
+        .filter(F.col("q") != F.col("cand"))
+        .groupBy("q", "cand")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("long").alias("num"))
+    )
+    ranked = (
+        scored.join(
+            norm.select(F.col("doc_id").alias("q"), F.col("n2").alias("qn2")), "q"
+        )
+        .join(
+            norm.select(F.col("doc_id").alias("cand"), F.col("n2").alias("cn2")),
+            "cand",
+        )
+        .select(
+            "q",
+            "cand",
+            F.expr(
+                "(num * num * CAST(10000000000 AS BIGINT)) div (qn2 * cn2)"
+            ).alias("quot"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("quot"), F.asc("cand"))
+    topk = (
+        ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= RETRIEVAL_EVAL_K)
+        .select("q", "cand", "rk")
+    )
+    hit = topk.join(rel, (topk["q"] == rel["q"]) & (topk["cand"] == rel["r"])).select(
+        topk["q"].alias("hq"), "rk"
+    )
+    hits = hit.groupBy("hq").agg(
+        F.count("*").cast("long").alias("hits_at_10"),
+        F.sum((F.col("rk") <= 1).cast("long")).cast("long").alias("hits_at_1"),
+        F.sum((F.col("rk") <= 3).cast("long")).cast("long").alias("hits_at_3"),
+        F.min("rk").cast("long").alias("first_rank"),
+    )
+    relcnt = rel.groupBy("q").agg(F.count("*").cast("long").alias("n_relevant"))
+    return (
+        relcnt.join(hits, relcnt["q"] == hits["hq"], "left")
+        .select(
+            F.col("q").alias("doc_id"),
+            "n_relevant",
+            F.coalesce("hits_at_1", F.lit(0)).cast("long").alias("hits_at_1"),
+            F.coalesce("hits_at_3", F.lit(0)).cast("long").alias("hits_at_3"),
+            F.coalesce("hits_at_10", F.lit(0)).cast("long").alias("hits_at_10"),
+            "first_rank",
+            F.expr("1000000 div first_rank").cast("long").alias("rr_micros"),
+            F.expr(
+                "(1000000 * coalesce(hits_at_10, CAST(0 AS BIGINT)))"
+                " div n_relevant"
+            )
+            .cast("long")
+            .alias("recall_at_10_micros"),
+        )
+    )
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 document ranking for a fixed query (Robertson/Sparck Jones;
     k1=1.5, b=0.75) — the lexical-retrieval scorer next to

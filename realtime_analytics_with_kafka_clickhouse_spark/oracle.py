@@ -7013,6 +7013,64 @@ FROM g
 """
 
 
+# Retrieval eval card: tf-cosine ranking decided by the exact integer
+# quotient (num^2 * 1e10) // (|q|^2 * |c|^2) — no float sum-order
+# dependence; ground truth is the memoized verified LSH pair set
+# (minhash_near_dup CTE).  MATERIALIZED everywhere: inlined CTE chains
+# re-evaluate exponentially in DuckDB (the curation-oracle lesson).
+ORACLE["retrieval_eval_card"] = f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({{mnd}})),
+rel AS MATERIALIZED (
+  SELECT doc_a AS q, doc_b AS r FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs),
+post AS MATERIALIZED (
+  SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+norm AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM post GROUP BY 1),
+qpost AS MATERIALIZED (
+  SELECT * FROM post WHERE doc_id IN (SELECT DISTINCT q FROM rel)),
+scored AS MATERIALIZED (
+  SELECT a.doc_id AS q, b.doc_id AS cand,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+  FROM qpost a JOIN post b ON a.word = b.word AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+topk AS MATERIALIZED (
+  SELECT q, cand, rk FROM (
+    SELECT s.q, s.cand,
+           CAST(row_number() OVER (PARTITION BY s.q
+             ORDER BY (s.num * s.num * 10000000000) // (nq.n2 * nc.n2) DESC,
+                      s.cand) AS BIGINT) AS rk
+    FROM scored s
+    JOIN norm nq ON s.q = nq.doc_id
+    JOIN norm nc ON s.cand = nc.doc_id)
+  WHERE rk <= 10),
+hits AS MATERIALIZED (
+  SELECT t.q AS hq,
+         CAST(count(*) AS BIGINT) AS hits_at_10,
+         CAST(count(*) FILTER (t.rk <= 1) AS BIGINT) AS hits_at_1,
+         CAST(count(*) FILTER (t.rk <= 3) AS BIGINT) AS hits_at_3,
+         min(t.rk) AS first_rank
+  FROM topk t JOIN rel ON t.q = rel.q AND t.cand = rel.r
+  GROUP BY 1),
+relcnt AS MATERIALIZED (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1)
+SELECT rc.q AS doc_id, rc.n_relevant,
+       CAST(coalesce(h.hits_at_1, 0) AS BIGINT) AS hits_at_1,
+       CAST(coalesce(h.hits_at_3, 0) AS BIGINT) AS hits_at_3,
+       CAST(coalesce(h.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       h.first_rank,
+       CAST(1000000 // h.first_rank AS BIGINT) AS rr_micros,
+       CAST((1000000 * coalesce(h.hits_at_10, 0)) // rc.n_relevant AS BIGINT)
+         AS recall_at_10_micros
+FROM relcnt rc LEFT JOIN hits h ON rc.q = h.hq
+"""
+ORACLE["retrieval_eval_card"] = ORACLE["retrieval_eval_card"].replace(
+    "{mnd}", ORACLE["minhash_near_dup"]
+)
+
+
 # Nearest-direction as-of: INDEPENDENT construction (conditional extrema
 # over a per-user join, vs the engine's ordered-window frames) — exact
 # integer micros make the cross-algorithm equality a strong check.

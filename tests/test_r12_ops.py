@@ -131,6 +131,36 @@ def test_asof_nearest_plan_shape(spark, queries):
     assert "EqualTo(event_type,purchase)" in plan  # pushed to the scan
 
 
+def test_retrieval_eval_card_laws(spark, queries):
+    """Card laws: hits are monotone in k and bounded by n_relevant and
+    k; first_rank within [1, 10] exactly when a hit exists; rr and
+    recall micros re-derive from their integer definitions; the query
+    set is exactly the docs carrying a verified near-dup partner."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.dedup import (
+        minhash_near_dup,
+    )
+
+    rows = queries["retrieval_eval_card"](spark, SF_DIR).collect()
+    assert rows
+    pairs = minhash_near_dup(spark, SF_DIR).collect()
+    expected_qs = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert {r["doc_id"] for r in rows} == expected_qs
+    assert any(r["hits_at_10"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["hits_at_1"] <= r["hits_at_3"] <= r["hits_at_10"]
+        assert r["hits_at_10"] <= min(r["n_relevant"], 10)
+        assert r["hits_at_1"] <= 1 and r["hits_at_3"] <= 3
+        if r["hits_at_10"] > 0:
+            assert 1 <= r["first_rank"] <= 10
+            assert r["rr_micros"] == 1_000_000 // r["first_rank"]
+        else:
+            assert r["first_rank"] is None and r["rr_micros"] is None
+        assert (
+            r["recall_at_10_micros"]
+            == 1_000_000 * r["hits_at_10"] // r["n_relevant"]
+        )
+
+
 ARRIVAL_POS = {2: 0, 0: 1, 3: 2, 1: 3}  # epoch (doc_id % 4) -> arrival order
 
 
