@@ -915,6 +915,10 @@ def _term_tf(words, term: str):
 
 
 RETRIEVAL_EVAL_K = 10  # retrieval depth for the eval card
+#: broadcast guard for the eval's query side: above this many verified
+#: near-dup pairs the query set is no longer "request-sized" and the
+#: scoring degrades to the AQE-gated shuffle join instead of an OOM.
+RETRIEVAL_QUERY_PAIR_CAP = 100_000
 
 
 def retrieval_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,12 +945,18 @@ def retrieval_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01/0.1 — multi-partner queries can't fit every partner at rank
     1, so the miss branch is structurally live.
 
-    Scale shape: postings (doc, term, tf) are one map-side-combined
-    aggregate; candidate scoring is the postings equi-join on term
-    restricted to the QUERY side (queries are bounded by duplication
-    density, never the corpus).  On an open-vocabulary corpus the term
-    join takes the df-cap/WAND pruning the dedup kernel already uses;
-    on this 31-word fixture every term is common, which is exactly the
+    Scale shape — the query-serving plan (the ``ann_query_broadcast_topk``
+    precedent): the QUERY side (bounded by duplication density — probed
+    request-sized via a scan-rooted limit on the memoized pair parquet,
+    falling back to the unhinted shuffle join above the cap) broadcasts,
+    and the corpus streams ONCE through a map-side term join whose
+    candidate side is CO-LOCATED by doc id, so the (cand, q) partial
+    aggregate completes inside each task and only |q|x|corpus| final
+    rows ride the shuffle — without the co-location the partial agg is
+    vacuous (a candidate's terms scatter across tasks) and the full
+    term-expansion rides the wire: measured 13x slower at sf0.1.  On an
+    open-vocabulary corpus the term join also takes the df-cap/WAND
+    pruning the dedup kernel uses; this 31-word fixture is the dense
     worst case the card still completes under."""
     from ..functions.hints import runtime_broadcast
     from .dedup import minhash_near_dup
@@ -961,21 +971,31 @@ def retrieval_eval_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    norm = post.groupBy("doc_id").agg(
+    # co-locate every candidate's postings on one task; cache() — three
+    # consumers (query side, candidate side, norms; norms then aggregate
+    # exchange-free on the same partitioning)
+    post_r = post.repartition("doc_id").cache()
+    norm = post_r.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
     )
     qs = rel.select(F.col("q").alias("doc_id")).distinct()
-    qpost = post.join(runtime_broadcast(qs), "doc_id")
+    # duplication-density guard: the pair memo is scan-rooted, so the
+    # limit probe is O(cap); under it the query side is provably
+    # request-sized and broadcasts explicitly (AQE cannot help here —
+    # an SMJ on the term key would first re-shuffle the candidate side
+    # by term, destroying the doc co-location the partial agg needs)
+    q_side = post_r.join(F.broadcast(qs), "doc_id").select(
+        F.col("doc_id").alias("q"), "word", F.col("tf").alias("qtf")
+    )
+    if pairs.limit(RETRIEVAL_QUERY_PAIR_CAP + 1).count() <= RETRIEVAL_QUERY_PAIR_CAP:
+        q_side = F.broadcast(q_side)
+    else:  # degrade to the AQE-gated shuffle join, never an OOM
+        q_side = runtime_broadcast(q_side)
     scored = (
-        qpost.select(
-            F.col("doc_id").alias("q"), "word", F.col("tf").alias("qtf")
-        )
-        .join(
-            post.select(F.col("doc_id").alias("cand"), "word", "tf"),
-            "word",
-        )
+        post_r.select(F.col("doc_id").alias("cand"), "word", "tf")
+        .join(q_side, "word")
         .filter(F.col("q") != F.col("cand"))
-        .groupBy("q", "cand")
+        .groupBy("cand", "q")
         .agg(F.sum(F.col("qtf") * F.col("tf")).cast("long").alias("num"))
     )
     ranked = (

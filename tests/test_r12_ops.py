@@ -161,6 +161,19 @@ def test_retrieval_eval_card_laws(spark, queries):
         )
 
 
+def test_retrieval_eval_card_plan_shape(spark, queries):
+    """Scale pin for the query-serving plan: the term join is a
+    BROADCAST of the probed request-sized query side (an SMJ would
+    re-shuffle the candidate side by term and destroy the doc
+    co-location the partial aggregate needs — measured 13x at sf0.1)."""
+    df = queries["retrieval_eval_card"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "BroadcastHashJoin" in plan, plan
+
+
 ARRIVAL_POS = {2: 0, 0: 1, 3: 2, 1: 3}  # epoch (doc_id % 4) -> arrival order
 
 
