@@ -2946,10 +2946,11 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
        so the probe set is exactly "docs accepted by strictly earlier
        epochs" (the recursion the oracle unrolls epoch by epoch).
 
-    Every state mutation is a batch-id-idempotent txlog commit
-    (quarantine ids 2*bi / 2*bi+1, index id bi — monotone in ARRIVAL
-    order, the txlog replay contract), so an at-least-once replay of
-    any epoch is a committed no-op (pytest-pinned).
+    Every state mutation is a batch-id-idempotent txlog commit (ONE
+    quarantine commit per epoch carrying both reject reasons, one index
+    commit — ids monotone in ARRIVAL order, the txlog replay contract),
+    so an at-least-once replay of any epoch is a committed no-op
+    (pytest-pinned).
 
     The driver row is the per-source curation ledger: kept docs,
     quality-quarantined docs, near-dup-quarantined docs, and duplicate
@@ -3057,26 +3058,17 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an epoch-numbered id would read as an already-merged replay
         for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
             batch = flagged.filter(epoch == i)
-            txlog.append_tx(
-                spark,
-                quarantine,
-                batch.filter(~F.col("passed")).select(
-                    "doc_id",
-                    "source",
-                    F.lit("quality").alias("reason"),
-                    F.lit(None).cast("long").alias("matched_doc_id"),
-                ).coalesce(2),
-                batch_id=2 * bi,
+            quality_rows = batch.filter(~F.col("passed")).select(
+                "doc_id",
+                "source",
+                F.lit("quality").alias("reason"),
+                F.lit(None).cast("long").alias("matched_doc_id"),
             )
             acc = batch.filter(F.col("passed"))
             batch_sigs = acc_sigs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
             if bi == 0:  # first arrival: the index is empty by definition
                 nd_docs = None
-                ndq_rows = spark.createDataFrame(
-                    [],
-                    "doc_id long, source string, reason string,"
-                    " matched_doc_id long",
-                )
+                ndq_rows = None
             else:
                 index = txlog.read_table(spark, lsh_index)
                 candidates = (
@@ -3116,8 +3108,17 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "source",
                     F.lit("near_dup").alias("reason"),
                     "matched_doc_id",
-                ).coalesce(2)
-            txlog.append_tx(spark, quarantine, ndq_rows, batch_id=2 * bi + 1)
+                )
+            # ONE quarantine commit per epoch (quality + near-dup rows,
+            # reason-tagged): the epoch's rejects are one atomic batch,
+            # and halving the commit count saves ~2s of txlog machinery
+            # per run at sf0.1
+            epoch_rejects = (
+                quality_rows if ndq_rows is None else quality_rows.union(ndq_rows)
+            )
+            txlog.append_tx(
+                spark, quarantine, epoch_rejects.coalesce(2), batch_id=bi
+            )
             if nd_docs is None:
                 clean, clean_sigs = acc, batch_sigs
             else:

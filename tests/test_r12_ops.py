@@ -220,8 +220,9 @@ def test_curation_near_dup_quarantine_lifecycle(spark, queries):
     }
     assert not (quarantined & curated_ids)
     assert not (quarantined & indexed)
-    # replay: batch id 1 (epoch 0's near-dup append) was committed —
-    # re-appending under the same id must refuse and change nothing
+    # replay: batch id 1 (the second arrival's combined reject commit)
+    # was committed — re-appending under the same id must refuse and
+    # change nothing
     v_before, _ = txlog.snapshot(spark, tables["quarantine"])
     probe = spark.createDataFrame(
         [(999_999, "srcX", "near_dup", 1)],
