@@ -7533,8 +7533,9 @@ WITH per AS (
            AS revenue_micros
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1)
-SELECT to_timestamp(q15_epoch) AS bucket_15m,
-       to_timestamp(q15_epoch - (q15_epoch % 1800)) AS time_slot_30m,
+SELECT CAST(to_timestamp(q15_epoch) AS TIMESTAMP) AS bucket_15m,
+       CAST(to_timestamp(q15_epoch - (q15_epoch % 1800)) AS TIMESTAMP)
+         AS time_slot_30m,
        CAST(q15_epoch % 86400 AS BIGINT) AS secs_since_midnight,
        CAST(n_events AS BIGINT) AS n_events,
        revenue_micros

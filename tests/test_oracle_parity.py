@@ -67,6 +67,24 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, "\n".join(problems)
 
 
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_schema_not_tz_aware(con, name):
+    # No-tz-aware-oracle contract (r13, sibling of the r12 decimal pin):
+    # the one r12 gate red (time_bucket_battery) was a DuckDB oracle whose
+    # to_timestamp(...) column types as TIMESTAMP WITH TIME ZONE
+    # (timestamp[us, tz=Etc/UTC] in arrow) while Spark emits naive
+    # TimestampType — value-exact locally, schema+hash red in the driver
+    # env.  DESCRIBE is a plan-only probe: no oracle output column may be
+    # tz-aware; wrap epoch->timestamp conversions in CAST(.. AS TIMESTAMP).
+    rows = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+    tz_cols = [(r[0], r[1]) for r in rows if "TIME ZONE" in str(r[1]).upper()]
+    assert not tz_cols, (
+        f"{name}: tz-aware oracle output columns {tz_cols} split the "
+        "driver gate (DuckDB TIMESTAMPTZ vs Spark naive timestamp) — "
+        "CAST(... AS TIMESTAMP) in the oracle SQL"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
