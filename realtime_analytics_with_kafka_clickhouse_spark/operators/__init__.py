@@ -34,157 +34,63 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r12 pass: the r11 gate went 45/50 — ALL FIVE reds (and only they,
-# among the 50 gated) emitted DECIMAL-typed output columns while being
-# bit-exact under local DuckDB; the r11 verdict sharpened SURVEY §5
-# class 4 to a TYPE rule (no registry output may carry a DecimalType —
-# now pinned in test_oracle_parity).  Section 1: the two repeat reds
-# FIRST (verdict directive #8), the other five decimal rewrites
-# (including limit_by/time_bucket, pulled from the park BEFORE rotation
-# gated them red), the rewritten profile langid + its eval card, and
-# the near-dup-on-arrival curation lifecycle (streaming op: evidence
-# must be a driver row).  Then the r4-evidence spill (queued two rounds
-# running) and the r7 section fill the 50 exactly (boilerplate_spans =
-# position 50), per verdict directive #5.  The r7 remainder and the
-# never-gated r11 parked ops (dedup_audit_sample, unicode battery,
-# schema card, avg_map, null battery) lead the r13 gate; r5/r6/r8/r9
-# sections follow; r10-green then r11-green rows sit last (freshest
-# evidence rotates to the tail).
+# r13 pass: the r12 gate went 49/50 — the one red (time_bucket_battery)
+# was an ORACLE portability artifact (DuckDB to_timestamp yields
+# TIMESTAMPTZ vs Spark's naive timestamp; value-exact locally), fixed by
+# CAST(.. AS TIMESTAMP) and retired as a CLASS by the tz-aware sweep in
+# test_oracle_parity (sibling of the r12 decimal pin).  Section 1:
+# time_bucket_battery re-gates with its fixed oracle, the two NEW r12
+# ops that shipped without driver rows (asof_nearest_battery — also
+# ADVICE-hardened for signup/purchase ts collisions; retrieval_eval_card
+# — de-risked per verdict #4: df-cap + partial top-k + broadcast guard +
+# unpersist), ntile_value_bands (ADVICE overflow fix: decimal-domain
+# band sum), and this round's new ops.  Section 2: the never-gated r11
+# parks.  Section 3: the r7 remainder.  The r5 section fills the gate to
+# 50.  Per verdict #6 the re-gated r12 veterans (distinct_agg_battery,
+# rolling_median_daily_revenue and the whole r12-green block) rotate to
+# the tail — the r13 gate contains zero rows whose latest green is r12.
+# STANDING RULE (verdict #2): a NEW op's first driver row lands the
+# round it is born; park only metadata-only ops, never two rounds
+# running.
 #
 _NAMES = [
-    # -- 1. CHANGED/NEW this round (r12): the 7 decimal-output rewrites
-    #    (every gate red of r10/r11 traced to DECIMAL-typed output
-    #    columns — all now exact integer micros, with the no-DecimalType
-    #    rule pinned in test_oracle_parity), the two directive-#8 repeat
-    #    reds FIRST, the rewritten profile langid + its eval card, and
-    #    the near-dup-on-arrival curation front door (streaming op:
-    #    evidence must be a driver row) --
+    # -- 1. CHANGED/NEW this round (r13) --
     (timeseries, [
-        "distinct_agg_battery",  # r12: sum_distinct ships as micros
-    ]),
-    (windows, [
-        "rolling_median_daily_revenue",  # r12: revenue/medians as micros
-        "ntile_value_bands",  # r12: band min/max/sum as micros
-    ]),
-    (relational, [
-        "paste_join_battery",  # r12: order/line prices as micros
-        "any_join_battery",  # r12: first_ret_price as micros
-        "limit_by_battery",  # r12: order_total as micros (was parked)
-    ]),
-    (timeseries, [
-        "time_bucket_battery",  # r12: revenue as micros (was parked)
+        "time_bucket_battery",  # r13: oracle tz fix (the one r12 red)
+        "asof_nearest_battery",  # NEW r12 (no driver row yet) + r13
+        # ADVICE fix: value-based prior/next boundary on signup/purchase
+        # ts ties
     ]),
     (text, [
-        "language_id",  # r12 REWRITE: per-language profile scorer
-        "langid_confusion_matrix",  # consumer of the rewrite
-    ]),
-    (_streaming_pipeline, [
-        "stream_curation_ingest",  # r12: + near-dup-on-arrival lifecycle
-    ]),
-    # -- 2. r4-evidence spill (stalest driver rows; queued by the r10
-    #    AND r11 ledgers, displaced twice by op influx — gated now per
-    #    the r11 verdict directive #5) --
-    (relational, [
-        "part_type_stats",
-        "customer_name_features",
-        "order_date_features",
-        "price_band_join",
-        "priority_status_cube",
-    ]),
-    (timeseries, [
-        "session_window_rollup",
-        "sliding_hourly_trend",
-        "median_value_grouped_udf",
-        "dashboard_cards_sql",
-        "value_percentiles",
-    ]),
-    (similarity, [
-        "embedding_quantize_int8",
-    ]),
-    # -- 3. round-7 section (next-stalest; the first 29 entries fill the
-    #    gate to exactly 50 — boilerplate_spans is position 50; the
-    #    remainder leads the r13 gate below) --
-    (_sources_files, [
-        "xml_roundtrip_stats",
+        "retrieval_eval_card",  # NEW r12 (no driver row yet) + r13
+        # de-risk per verdict #4: df-cap, partial top-k, q-side
+        # broadcast guard, unpersist-in-finally
     ]),
     (windows, [
-        "cumulative_daily_revenue",
-        "order_gaps_per_customer",
-        "customer_order_rank",
+        "ntile_value_bands",  # r13 ADVICE fix: decimal-domain band sum
     ]),
-    (multimodal, [
-        "decode_features",
-    ]),
-    (timeseries, [
-        "events_props_normalize",
-        "event_feature_map",
-        "revenue_union_ledger",
-        "approx_distinct_users",
-    ]),
-    (windows, [
-        "top_parts_per_brand",
-        "moving_avg_daily_revenue",
-    ]),
+    # -- 2. never-gated r11 parks (zero driver rows; promoted per the
+    #    standing rule — a new op's first driver row lands by birth+1) --
     (dedup, [
-        "dedup_exact",
-        "simhash_near_dup",
-        "substring_dedup_docs",
-        "simhash_fingerprints",
-    ]),
-    (text, [
-        "token_stats",
-        "bpe_token_stats",
-        "quality_score",
-        "doc_fingerprint",
-        "deterministic_sample",
-        "stratified_sample",
-        "tfidf_top_terms",
-        "quality_filter_pipeline",
-        "chunk_documents",
-        "best_doc_per_source",
-        "pii_scrub",
-        "repetition_score",
-        "gopher_quality_rules",
-        "boilerplate_spans",  # position 50 — gate boundary
-    ]),
-    # -- r13 queue: the r7-section remainder, then the r11 ops parked
-    #    without driver evidence (metadata-only / low-fragility — the
-    #    park rationale from the r11 ledger stands, but zero driver rows
-    #    means they promote ahead of re-gated sections next round) --
-    (timeseries, [
-        # NEW r12, parked past the gate (r12 gate composition pinned by
-        # the verdict's directive #5; same shape class as the three
-        # gate-proven asof siblings): nearest-direction as-of.
-        "asof_nearest_battery",
-    ]),
-    (text, [
-        # NEW r12, parked (same rationale): retrieval recall@k eval
-        # against the verified near-dup ground truth, integer-exact
-        # tf-cosine ranking.
-        "retrieval_eval_card",
-        "bpe_merge_topk",
-    ]),
-    (dedup, [
-        # NEW r11, parked past the gate twice (metadata-only audit over
-        # the gate-resident capped-shingle path); r13 candidate.
         "dedup_audit_sample",
     ]),
     (text, [
-        # NEW r11, parked: map-only Unicode battery; r13 candidate.
         "unicode_functions_battery",
     ]),
     (relational, [
-        # NEW r11, parked: metadata-only catalog card; r13 candidate.
         "schema_introspection_card",
     ]),
     (timeseries, [
-        # NEW r11, parked: Map-family mean / NULL wiring; r13 candidates.
         "avg_map_event_values",
         "null_semantics_battery",
     ]),
+    # -- 3. round-7 section remainder (stalest driver rows; r7-green) --
+    (text, [
+        "bpe_merge_topk",
+    ]),
     (similarity, [
-        "ann_ivf_persisted",  # demoted from the r11 gate (serve path
-        "ann_query_broadcast_topk",  # gated through sharing ops)
+        "ann_ivf_persisted",
+        "ann_query_broadcast_topk",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "label_centroids",
@@ -206,7 +112,8 @@ _NAMES = [
         "q4_late_shipment_priority",
         "q7_nation_volume_shipping",
     ]),
-    # -- 4. round-5 section --
+    # -- 4. round-5 section (next-stalest; fills the gate to 50 —
+    #    re-run the position-50 boundary check after any r13 op lands) --
     (_streaming_pipeline, [
         "compacted_rollup_txlog",
         "incremental_rollup_txlog",
@@ -657,6 +564,88 @@ _NAMES = [
     ]),
     (relational, [
         "dq_expectations_report",
+    ]),
+    # -- 10. round-12-green evidence (freshest driver rows: the entire
+    #    r12 gate minus time_bucket_battery — which re-gates with its
+    #    fixed oracle — and ntile_value_bands — changed again r13;
+    #    rotated to the tail after earning its rows, verdict #6) --
+    (timeseries, [
+        "distinct_agg_battery",
+    ]),
+    (windows, [
+        "rolling_median_daily_revenue",
+    ]),
+    (relational, [
+        "paste_join_battery",
+        "any_join_battery",
+        "limit_by_battery",
+    ]),
+    (text, [
+        "language_id",
+        "langid_confusion_matrix",
+    ]),
+    (_streaming_pipeline, [
+        "stream_curation_ingest",
+    ]),
+    (relational, [
+        "part_type_stats",
+        "customer_name_features",
+        "order_date_features",
+        "price_band_join",
+        "priority_status_cube",
+    ]),
+    (timeseries, [
+        "session_window_rollup",
+        "sliding_hourly_trend",
+        "median_value_grouped_udf",
+        "dashboard_cards_sql",
+        "value_percentiles",
+    ]),
+    (similarity, [
+        "embedding_quantize_int8",
+    ]),
+    (_sources_files, [
+        "xml_roundtrip_stats",
+    ]),
+    (windows, [
+        "cumulative_daily_revenue",
+        "order_gaps_per_customer",
+        "customer_order_rank",
+    ]),
+    (multimodal, [
+        "decode_features",
+    ]),
+    (timeseries, [
+        "events_props_normalize",
+        "event_feature_map",
+        "revenue_union_ledger",
+        "approx_distinct_users",
+    ]),
+    (windows, [
+        "top_parts_per_brand",
+        "moving_avg_daily_revenue",
+    ]),
+    (dedup, [
+        "dedup_exact",
+        "simhash_near_dup",
+        "substring_dedup_docs",
+        "simhash_fingerprints",
+    ]),
+    (text, [
+        "token_stats",
+        "bpe_token_stats",
+        "quality_score",
+        "doc_fingerprint",
+        "deterministic_sample",
+        "stratified_sample",
+        "tfidf_top_terms",
+        "quality_filter_pipeline",
+        "chunk_documents",
+        "best_doc_per_source",
+        "pii_scrub",
+        "repetition_score",
+        "gopher_quality_rules",
+        "boilerplate_spans",
     ]),
 ]
 
