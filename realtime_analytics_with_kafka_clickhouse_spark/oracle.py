@@ -7027,15 +7027,27 @@ post AS MATERIALIZED (
   SELECT doc_id, w AS word, CAST(count(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  -- two-tier impact-ordered index (mirrors RETRIEVAL_SCORE_DF_CAP /
+  -- RETRIEVAL_GEN_DF_CAP): postings ranked per term by (tf desc,
+  -- doc_id), cut to the scoring tier; the generation tier nominates
+  SELECT doc_id, word, tf, prn FROM (
+    SELECT doc_id, word, tf,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY tf DESC, doc_id) AS prn
+    FROM post)
+  WHERE prn <= 65536),
 norm AS MATERIALIZED (
-  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM post GROUP BY 1),
-qpost AS MATERIALIZED (
-  SELECT * FROM post WHERE doc_id IN (SELECT DISTINCT q FROM rel)),
+  -- index-consistent norms: the scoring tier IS the indexed vector
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM idx GROUP BY 1),
 scored AS MATERIALIZED (
   SELECT a.doc_id AS q, b.doc_id AS cand,
          CAST(sum(a.tf * b.tf) AS BIGINT) AS num
-  FROM qpost a JOIN post b ON a.word = b.word AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2),
+  FROM (SELECT * FROM idx
+        WHERE doc_id IN (SELECT DISTINCT q FROM rel)) a
+  JOIN idx b ON a.word = b.word AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+  HAVING max(CASE WHEN b.prn <= 2048 THEN 1 ELSE 0 END) = 1),
 topk AS MATERIALIZED (
   SELECT q, cand, rk FROM (
     SELECT s.q, s.cand,

@@ -162,16 +162,35 @@ def test_retrieval_eval_card_laws(spark, queries):
 
 
 def test_retrieval_eval_card_plan_shape(spark, queries):
-    """Scale pin for the query-serving plan: the term join is a
-    BROADCAST of the probed request-sized query side (an SMJ would
-    re-shuffle the candidate side by term and destroy the doc
-    co-location the partial aggregate needs — measured 13x at sf0.1)."""
-    df = queries["retrieval_eval_card"](spark, SF_DIR)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString().split(
-        "== Initial Plan =="
-    )[0]
-    assert "BroadcastHashJoin" in plan, plan
+    """Scale pins for the query-serving plan (r13, verdict #4): the term
+    join is a BROADCAST of the guarded request-sized query side (an SMJ
+    would re-shuffle the candidate side by term and destroy the doc
+    co-location the partial aggregate needs — measured 13x at sf0.1);
+    the per-q top-k is the lossless two-phase rank — the slice window
+    partitions by (q, salt), so no window task ever sees a corpus-sized
+    candidate list; candidate generation rides the impact-ordered
+    per-term cap window (partitioned by word)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        _retrieval_eval_card_plan,
+    )
+
+    df, post_r = _retrieval_eval_card_plan(spark, SF_DIR)
+    try:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "BroadcastHashJoin" in plan, plan
+        # the salted slice window precedes the per-q survivor rank
+        assert "salt" in plan, plan
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert any("salt" in s and "q#" in s for s in specs), specs
+        # the generation cap window partitions by word
+        assert any("word#" in s for s in specs), specs
+    finally:
+        post_r.unpersist()
 
 
 ARRIVAL_POS = {2: 0, 0: 1, 3: 2, 1: 3}  # epoch (doc_id % 4) -> arrival order
