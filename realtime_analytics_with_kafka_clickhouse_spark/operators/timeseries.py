@@ -4384,8 +4384,16 @@ def asof_nearest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (ts ascends inside the frame, so frame max IS the nearest
     prior without IGNORE NULLS machinery), then one equi-join back on
     (user_id, matched ts) for the matched event id (purchase (user, ts)
-    pairs are collision-free at every SF — probed r12).  Gap is exact
-    integer micros; everything else is ids/strings — class-4 by type.
+    pairs are collision-free at every SF — probed r12).  The frames are
+    VALUE-based RANGE frames on the epoch-micros key (r13, ADVICE): a
+    purchase sharing a signup's exact timestamp is PRIOR by the
+    ``p_tu <= s_tu`` rule regardless of how its event_id happens to
+    sort — a ROWS frame over (tu, event_id) would classify it 'next'
+    whenever its id sorts after the signup's, diverging from the rule
+    (edge pinned in ``test_r12_ops.py`` on a constructed collision;
+    corpus collisions are zero at every SF, so the fixture could not
+    catch it).  Gap is exact integer micros; everything else is
+    ids/strings — class-4 by type.
 
     The oracle is an INDEPENDENT construction (the dau_wau precedent):
     a per-user conditional-extrema join instead of ordered windows —
@@ -4396,10 +4404,11 @@ def asof_nearest_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         "user_id", "event_id", "event_type", tu.alias("tu")
     )
-    order = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    order = Window.partitionBy("user_id").orderBy("tu")
     p_tu = F.when(F.col("event_type") == "purchase", F.col("tu"))
-    prev_tu = F.max(p_tu).over(order.rowsBetween(Window.unboundedPreceding, -1))
-    next_tu = F.min(p_tu).over(order.rowsBetween(1, Window.unboundedFollowing))
+    # RANGE frames: prior = p_tu <= tu (ties included), next = p_tu > tu
+    prev_tu = F.max(p_tu).over(order.rangeBetween(Window.unboundedPreceding, 0))
+    next_tu = F.min(p_tu).over(order.rangeBetween(1, Window.unboundedFollowing))
     picked = (
         base.select(
             "user_id",

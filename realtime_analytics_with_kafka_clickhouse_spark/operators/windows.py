@@ -412,15 +412,25 @@ def ntile_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``top_orders_per_priority_salted``)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    micros = (F.col("value").cast("decimal(25,6)") * F.lit(1000000)).cast("long")
+    dec = F.col("value").cast("decimal(25,6)")
+    micros = (dec * F.lit(1000000)).cast("long")
     banded = ev.select(
-        "event_type", micros.alias("v"), F.ntile(4).over(w).alias("band")
+        "event_type",
+        micros.alias("v"),
+        dec.alias("vdec"),
+        F.ntile(4).over(w).alias("band"),
     )
+    # band sum rides the DECIMAL domain and quantizes AFTER the
+    # aggregate (r13 ADVICE): sum(long micros) wraps silently in Spark
+    # while DuckDB sums into HUGEINT and errors on the BIGINT cast — a
+    # cross-engine divergence class at large SF; sum(decimal) is exact
+    # in both engines and the single post-agg *1e6 stays in int64 as
+    # long as the TOTAL fits, the same bound the oracle enforces.
     return banded.groupBy("event_type", F.col("band").cast("long").alias("band")).agg(
         F.count("*").cast("long").alias("n_events"),
         F.min("v").alias("band_min_micros"),
         F.max("v").alias("band_max_micros"),
-        F.sum("v").cast("long").alias("band_sum_micros"),
+        (F.sum("vdec") * F.lit(1000000)).cast("long").alias("band_sum_micros"),
     )
 
 

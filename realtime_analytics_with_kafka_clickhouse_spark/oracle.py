@@ -4722,13 +4722,14 @@ ORACLE["ntile_value_bands"] = """
 WITH b AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS v,
+         CAST(value AS DECIMAL(25,6)) AS vdec,
          ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
            AS band
   FROM events)
 SELECT event_type, CAST(band AS BIGINT) AS band,
        CAST(count(*) AS BIGINT) AS n_events,
        min(v) AS band_min_micros, max(v) AS band_max_micros,
-       CAST(sum(v) AS BIGINT) AS band_sum_micros
+       CAST(sum(vdec) * 1000000 AS BIGINT) AS band_sum_micros
 FROM b GROUP BY 1, 2
 """
 

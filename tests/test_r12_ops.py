@@ -116,6 +116,48 @@ def test_asof_nearest_branches_and_correct_pick(spark, queries):
         assert r["gap_micros"] == min(abs(p - tu) for p in purch[u])
 
 
+def test_asof_nearest_ts_collision_is_prior(spark, queries, tmp_path):
+    """r13 ADVICE edge: a purchase sharing a signup's EXACT timestamp is
+    'prior' (p_tu <= s_tu) no matter how its event_id sorts — the ROWS
+    frame this replaced put an after-sorting id in the FOLLOWING frame.
+    Also pins the equal-gap tie (prior wins) on a constructed frame;
+    both edges have zero corpus instances at every SF (r12 probe), so
+    only a constructed fixture can falsify them."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2000, 1, 1, 12, 0, 0)
+
+    def at(seconds):
+        return t0 + datetime.timedelta(seconds=seconds)
+
+    rows = [
+        # user 1: purchase at the signup's exact ts, id sorting AFTER
+        (10, at(0), 1, "signup", 1.0, "{}"),
+        (20, at(0), 1, "purchase", 1.0, "{}"),
+        (30, at(100), 1, "purchase", 1.0, "{}"),
+        # user 2: equal gaps either side — prior wins
+        (40, at(0), 2, "signup", 1.0, "{}"),
+        (35, at(-50), 2, "purchase", 1.0, "{}"),
+        (45, at(50), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in queries["asof_nearest_battery"](spark, str(tmp_path)).collect()
+    }
+    assert got[10]["direction"] == "prior"
+    assert got[10]["gap_micros"] == 0
+    assert got[10]["matched_event_id"] == 20
+    assert got[40]["direction"] == "prior"
+    assert got[40]["gap_micros"] == 50_000_000
+    assert got[40]["matched_event_id"] == 35
+
+
 def test_asof_nearest_plan_shape(spark, queries):
     """Scale pin: the window pays the single user-key hash exchange and
     the match-back join rides it — at most 2 hash exchanges total (the
