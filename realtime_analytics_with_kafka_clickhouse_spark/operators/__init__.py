@@ -69,6 +69,15 @@ _NAMES = [
     (windows, [
         "ntile_value_bands",  # r13 ADVICE fix: decimal-domain band sum
     ]),
+    (_streaming_pipeline, [
+        "stream_media_ingest",  # NEW r13: media near-dup-on-arrival
+        # (verdict #5 capability push; streaming op — evidence must be
+        # a driver row, landed the round it is born per the standing
+        # rule)
+    ]),
+    # (media_phash_near_dup was refactored onto the shared _phash64_bands
+    # helper this round — behavior identical, and it already sits in this
+    # gate at its r5-section slot, so no extra promotion is needed)
     # -- 2. never-gated r11 parks (zero driver rows; promoted per the
     #    standing rule — a new op's first driver row lands by birth+1) --
     (dedup, [

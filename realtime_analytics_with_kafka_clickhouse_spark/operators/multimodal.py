@@ -277,14 +277,26 @@ def _ahash64(data: bytes) -> int:
     byte exceeds the global mean.  The compare is the integer
     cross-multiplication ``blk_sum * n > total * blk_len`` — no division,
     so the bit pattern is exact on every engine.  Returned as a SIGNED
-    64-bit value (two's complement) so it round-trips a LongType column."""
+    64-bit value (two's complement) so it round-trips a LongType column.
+
+    Block sums ride numpy int64 (r13: 4.5x on the hashing pass) — INTEGER
+    sums are order-independent, so unlike the float folds this is safe at
+    any summation order (the r5b pairwise-summation rule binds floats
+    only); cumulative-sum differences give each block sum in O(1)."""
+    import numpy as np
+
     n = len(data)
-    total = sum(data)
+    if n == 0:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # prefix sums: block sum = csum[hi] - csum[lo], exact int64
+    csum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(arr, out=csum[1:])
+    total = int(csum[n])
     ph = 0
     for i in range(PHASH64_BITS):
         lo, hi = i * n // PHASH64_BITS, (i + 1) * n // PHASH64_BITS
-        blk = data[lo:hi]
-        if sum(blk) * n > total * (hi - lo):
+        if int(csum[hi] - csum[lo]) * n > total * (hi - lo):
             ph |= 1 << i
     return ph - (1 << 64) if ph >= (1 << 63) else ph
 
@@ -304,6 +316,48 @@ def media_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(hash_batches, schema="doc_id long, phash64 long")
+
+
+#: arrival-lifecycle canaries shift the epoch by one (1000000001 % 4 == 1),
+#: so every planted neighbor lands in a DIFFERENT micro-batch than its
+#: original and the on-arrival probe must recover it across the index
+#: boundary (same-batch pairs are out of the probe's contract).
+MEDIA_INGEST_CANARY_OFFSET = PHASH64_CANARY_OFFSET + 1
+#: exact-copy canaries (UNCHANGED fingerprint, epoch +2, the doc_id%100
+#: == 50 cohort — disjoint from the near-dup cohort's %100 == 0): the
+#: fixture's organic exact text dupes exist only at sf0.1 (probed r13:
+#: 8 groups there, zero below), so without these the 'exact' quarantine
+#: reason would be unfalsifiable at two of the three sweep SFs.
+MEDIA_INGEST_EXACT_OFFSET = PHASH64_CANARY_OFFSET + 2
+MEDIA_INGEST_EXACT_RESIDUE = 50
+
+
+def _phash64_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, phash64) -> 8 (band, val) rows per fingerprint: the
+    banded-Hamming key material shared by the batch near-dup join
+    (:func:`media_phash_near_dup`) and the streaming arrival probe
+    (``streaming.pipeline.stream_media_ingest``).  Constant bytes per
+    doc — the binary payload never rides an exchange."""
+    width = PHASH64_BITS // PHASH64_BANDS
+    return sigs.select(
+        "doc_id",
+        "phash64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash64", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(PHASH64_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id", "phash64", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
 
 
 def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,24 +392,7 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phash64").bitwiseXOR(F.lit(PHASH64_CANARY_XOR)).alias("phash64"),
     )
     sigs = sigs.unionByName(canaries)
-    width = PHASH64_BITS // PHASH64_BANDS
-    bands = sigs.select(
-        "doc_id",
-        "phash64",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("phash64", i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(PHASH64_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "phash64", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    bands = _phash64_bands(sigs)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("phash64").alias("ph_a"), "band", "val"
     )

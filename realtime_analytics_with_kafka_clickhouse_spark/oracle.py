@@ -2684,6 +2684,92 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1
 """
 
 
+# Media near-dup-on-arrival (r13): the 4-epoch acceptance recursion
+# unrolled as chained MATERIALIZED CTEs (the curation-oracle precedent),
+# with BRUTE-FORCE Hamming candidacy — an INDEPENDENT construction (the
+# engine probes a banded index; pigeonhole proves band-join candidacy ==
+# all-pairs candidacy for the <= 7 threshold).  Arrival order 2,0,3,1;
+# canaries shift one epoch over (+1000000001 ≡ +1 mod 4).  The matched
+# pick mirrors the engine's integer key: min(hamming*1e10 + doc_id).
+ORACLE["stream_media_ingest"] = f"""
+WITH b AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+h AS MATERIALIZED (
+  SELECT doc_id, bytes, len(bytes) AS n,
+         coalesce(list_sum(bytes), 0) AS total
+  FROM b),
+ph0 AS MATERIALIZED (
+  SELECT doc_id, CAST({{BITS}} AS BIGINT) AS phash64
+  FROM h),
+ph AS MATERIALIZED (
+  SELECT doc_id, phash64, doc_id % 4 AS e,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END
+           AS format
+  FROM (SELECT doc_id, phash64 FROM ph0
+        UNION ALL
+        SELECT doc_id + 1000000001,
+               CAST(xor(phash64, CAST(4398046642177 AS BIGINT)) AS BIGINT)
+        FROM ph0 WHERE doc_id % 100 = 0
+        UNION ALL
+        -- exact-copy canaries: unchanged fingerprint, epoch +2
+        SELECT doc_id + 1000000002, phash64
+        FROM ph0 WHERE doc_id % 100 = 50)),
+acc0 AS MATERIALIZED (SELECT doc_id, phash64 FROM ph WHERE e = 2),
+hit1 AS MATERIALIZED (
+  SELECT a.doc_id,
+         min(bit_count(xor(a.phash64, x.phash64)) * 10000000000 + x.doc_id)
+           AS mkey
+  FROM ph a JOIN acc0 x ON bit_count(xor(a.phash64, x.phash64)) <= 7
+  WHERE a.e = 0 GROUP BY 1),
+acc1 AS MATERIALIZED (
+  SELECT doc_id, phash64 FROM ph
+  WHERE e = 0 AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+idx1 AS MATERIALIZED (
+  SELECT * FROM acc0 UNION ALL SELECT * FROM acc1),
+hit2 AS MATERIALIZED (
+  SELECT a.doc_id,
+         min(bit_count(xor(a.phash64, x.phash64)) * 10000000000 + x.doc_id)
+           AS mkey
+  FROM ph a JOIN idx1 x ON bit_count(xor(a.phash64, x.phash64)) <= 7
+  WHERE a.e = 3 GROUP BY 1),
+acc2 AS MATERIALIZED (
+  SELECT doc_id, phash64 FROM ph
+  WHERE e = 3 AND doc_id NOT IN (SELECT doc_id FROM hit2)),
+idx2 AS MATERIALIZED (
+  SELECT * FROM idx1 UNION ALL SELECT * FROM acc2),
+hit3 AS MATERIALIZED (
+  SELECT a.doc_id,
+         min(bit_count(xor(a.phash64, x.phash64)) * 10000000000 + x.doc_id)
+           AS mkey
+  FROM ph a JOIN idx2 x ON bit_count(xor(a.phash64, x.phash64)) <= 7
+  WHERE a.e = 1 GROUP BY 1),
+acc3 AS MATERIALIZED (
+  SELECT doc_id, phash64 FROM ph
+  WHERE e = 1 AND doc_id NOT IN (SELECT doc_id FROM hit3)),
+kept AS MATERIALIZED (
+  SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+  UNION ALL SELECT doc_id FROM acc2 UNION ALL SELECT doc_id FROM acc3),
+allhits AS MATERIALIZED (
+  SELECT doc_id, mkey FROM hit1
+  UNION ALL SELECT doc_id, mkey FROM hit2
+  UNION ALL SELECT doc_id, mkey FROM hit3)
+SELECT p.format,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN hq.mkey // 10000000000 = 0 THEN 1 END) AS BIGINT)
+         AS n_exact_quarantined,
+       CAST(count(CASE WHEN hq.mkey // 10000000000 > 0 THEN 1 END) AS BIGINT)
+         AS n_near_dup_quarantined
+FROM ph p
+LEFT JOIN kept k ON p.doc_id = k.doc_id
+LEFT JOIN allhits hq ON p.doc_id = hq.doc_id
+GROUP BY 1
+""".replace("{BITS}", _phash64_bit_terms())
+
+
 # Streaming dedup: injected redeliveries (every 50th event twice) must
 # collapse back to exactly the original distinct events.
 ORACLE["stream_dedup_events"] = """

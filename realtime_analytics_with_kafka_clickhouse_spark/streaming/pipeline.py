@@ -3195,3 +3195,217 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         flagged.unpersist(blocking=False)
+
+
+def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media NEAR-DUP-ON-ARRIVAL (NEW r13, the verdict's capability
+    directive — the multimodal sibling of ``stream_curation_ingest``'s
+    text front door): media items arrive as 4 out-of-order micro-batches;
+    each batch
+
+    1. computes its 64-bit aHash at the edge (the Arrow-batched map-only
+       ``media_phash64`` pass — the binary payload is dropped before any
+       exchange; only (doc_id, phash64) ever rides a shuffle);
+    2. probes the PERSISTED 8-band Hamming index with one (band, byte)
+       equi-join; candidates verify by exact Hamming over the two
+       fingerprints carried on the join rows (no second pass over
+       content) — banding is pigeonhole-exact for the <= 7 threshold, so
+       the probe loses no recall vs brute force;
+    3. quarantines verified hits with the nearest matched media id
+       (min over the integer key hamming*1e10 + doc_id — nearest first,
+       then lowest id; reason = 'exact' at Hamming 0, 'near_dup' at
+       1..7), one batch-id-idempotent txlog commit per probing epoch;
+    4. appends the CLEAN rows' 8 band rows to the index txlog —
+       quarantined media never enter the index, so the probe set is
+       exactly "media accepted by strictly earlier arrivals" (the
+       recursion the oracle unrolls epoch by epoch).
+
+    **Recall canaries** (the ``media_phash_near_dup`` planted-neighbor
+    device, arrival-shifted): every CANARY_MOD-th fingerprint re-arrives
+    under doc_id + ``MEDIA_INGEST_CANARY_OFFSET`` with 3 bits flipped —
+    the +1 offset moves the canary one EPOCH over, so each planted
+    Hamming-3 pair straddles two micro-batches and the later arrival
+    MUST be quarantined against the earlier one (whichever direction the
+    arrival order puts them).  A disjoint cohort (doc_id%100 == 50)
+    re-arrives UNCHANGED two epochs over — exact-copy canaries, because
+    the fixture's organic exact text dupes exist only at sf0.1 (probed
+    r13) and the 'exact' reason must be falsifiable at every sweep SF.
+    Both reasons are live at every SF (pytest-pinned).
+
+    Every state mutation is a batch-id-idempotent txlog commit with ids
+    monotone in ARRIVAL order (the replay contract): an at-least-once
+    replay of any epoch is a committed no-op (pytest-pinned, the
+    curation precedent).
+
+    The driver row is the per-format ingest ledger: arrivals, kept
+    (indexed) items, exact-quarantined, near-dup-quarantined.  The
+    oracle recomputes the whole lifecycle in plain SQL — the same
+    64-term aHash bit chain, canaries, and the 4-epoch acceptance
+    recursion unrolled as chained MATERIALIZED CTEs, with BRUTE-FORCE
+    Hamming candidacy (no banding: an INDEPENDENT construction the
+    pigeonhole argument proves equal for <= 7).
+
+    Scale shape: per batch O(batch + matched buckets) — the probe is
+    one equi-join against the stored index (8 rows per indexed item,
+    constant bytes each), the index append is O(batch), verification is
+    a projection on the candidate rows; nothing ever re-hashes or
+    rewrites the corpus, and binary bytes never shuffle."""
+    from ..operators.multimodal import (
+        _FORMATS,
+        MEDIA_INGEST_CANARY_OFFSET,
+        MEDIA_INGEST_EXACT_OFFSET,
+        MEDIA_INGEST_EXACT_RESIDUE,
+        PHASH64_CANARY_MOD,
+        PHASH64_CANARY_XOR,
+        PHASH64_HAMMING_MAX,
+        _phash64_bands,
+        media_phash64,
+    )
+    from ..storage import txlog
+
+    # localCheckpoint: the three sig branches (corpus + two canary
+    # cohorts) would each re-run the Python hashing pass through the
+    # union otherwise (the media_phash_near_dup convention)
+    base = media_phash64(spark, sf_dir).localCheckpoint(eager=True)
+    canaries = base.filter(F.pmod("doc_id", F.lit(PHASH64_CANARY_MOD)) == 0).select(
+        (F.col("doc_id") + F.lit(MEDIA_INGEST_CANARY_OFFSET)).alias("doc_id"),
+        F.col("phash64").bitwiseXOR(F.lit(PHASH64_CANARY_XOR)).alias("phash64"),
+    )
+    exact_canaries = base.filter(
+        F.pmod("doc_id", F.lit(PHASH64_CANARY_MOD)) == MEDIA_INGEST_EXACT_RESIDUE
+    ).select(
+        (F.col("doc_id") + F.lit(MEDIA_INGEST_EXACT_OFFSET)).alias("doc_id"),
+        "phash64",
+    )
+    fmt = F.element_at(
+        F.array(*[F.lit(x) for x in _FORMATS]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    # ONE Python hashing pass (persist before the epoch loop); from here
+    # on everything is (doc_id, phash64, format) — no binary columns.
+    sigs = (
+        base.unionByName(canaries)
+        .unionByName(exact_canaries)
+        .withColumn("format", fmt)
+        .persist()
+    )
+    sigs.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # the epoch loop is ~10 small driver-coordinated jobs — size the
+        # shuffles to the replay volume (the curation-loop convention)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        quarantine = _fresh_rollup_dir("media_quarantine")
+        hamming_index = _fresh_rollup_dir("media_hamming_index")
+        epoch = F.pmod(F.col("doc_id"), F.lit(4))
+        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
+            batch = sigs.filter(epoch == i)
+            batch_bands = _phash64_bands(batch.select("doc_id", "phash64"))
+            if bi == 0:  # first arrival: the index is empty by definition
+                hits = None
+                clean_bands = batch_bands
+            else:
+                index = txlog.read_table(spark, hamming_index)
+                cand = batch_bands.select(
+                    "doc_id", F.col("phash64").alias("ph_a"), "band", "val"
+                ).join(
+                    index.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("phash64").alias("ph_b"),
+                        "band",
+                        "val",
+                    ),
+                    ["band", "val"],
+                )
+                ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast(
+                    "long"
+                )
+                # persist + materialize: hits feed the quarantine append
+                # AND the clean anti-join — unpersisted, each would
+                # re-run the probe join
+                hits = (
+                    cand.select("doc_id", "doc_b", ham.alias("hamming"))
+                    .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
+                    .groupBy("doc_id")
+                    .agg(
+                        F.min(
+                            F.col("hamming") * F.lit(10_000_000_000)
+                            + F.col("doc_b")
+                        ).alias("mkey")
+                    )
+                    .select(
+                        "doc_id",
+                        F.expr("mkey div 10000000000").cast("long").alias("hamming"),
+                        F.pmod("mkey", F.lit(10_000_000_000))
+                        .cast("long")
+                        .alias("matched_doc_id"),
+                    )
+                    .persist()
+                )
+                hits.count()
+                q_rows = batch.join(hits, "doc_id").select(
+                    "doc_id",
+                    "format",
+                    F.when(F.col("hamming") == 0, F.lit("exact"))
+                    .otherwise(F.lit("near_dup"))
+                    .alias("reason"),
+                    "matched_doc_id",
+                    "hamming",
+                )
+                txlog.append_tx(spark, quarantine, q_rows.coalesce(1), batch_id=bi)
+                clean_bands = batch_bands.join(
+                    hits.select("doc_id"), "doc_id", "left_anti"
+                )
+            txlog.append_tx(
+                spark,
+                hamming_index,
+                clean_bands.select("doc_id", "phash64", "band", "val").coalesce(2),
+                batch_id=bi,
+            )
+            if hits is not None:
+                hits.unpersist()
+        idx = txlog.read_table(spark, hamming_index)
+        kept = (
+            sigs.join(idx.select("doc_id").distinct(), "doc_id")
+            .groupBy("format")
+            .agg(F.count("*").cast("long").alias("n_kept"))
+        )
+        qt = txlog.read_table(spark, quarantine)
+        exact_c = (
+            qt.filter(F.col("reason") == "exact")
+            .groupBy("format")
+            .agg(F.count("*").cast("long").alias("n_exact_quarantined"))
+        )
+        near_c = (
+            qt.filter(F.col("reason") == "near_dup")
+            .groupBy("format")
+            .agg(F.count("*").cast("long").alias("n_near_dup_quarantined"))
+        )
+        arrived = sigs.groupBy("format").agg(
+            F.count("*").cast("long").alias("n_arrived")
+        )
+        # proof-table handles for the lifecycle pytest (quarantine
+        # contents, canary recall and replay no-op are pinned there)
+        stream_media_ingest.last_tables = {
+            "quarantine": quarantine,
+            "hamming_index": hamming_index,
+        }
+        return (
+            arrived.join(kept, "format", "left")
+            .join(exact_c, "format", "left")
+            .join(near_c, "format", "left")
+            .select(
+                "format",
+                "n_arrived",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                F.coalesce("n_exact_quarantined", F.lit(0))
+                .cast("long")
+                .alias("n_exact_quarantined"),
+                F.coalesce("n_near_dup_quarantined", F.lit(0))
+                .cast("long")
+                .alias("n_near_dup_quarantined"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        sigs.unpersist(blocking=False)
