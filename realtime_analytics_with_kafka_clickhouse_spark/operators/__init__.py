@@ -75,6 +75,13 @@ _NAMES = [
         # a driver row, landed the round it is born per the standing
         # rule)
     ]),
+    (timeseries, [
+        "t_closeness_report",  # NEW r13: completes the k-anon/l-div
+        # privacy triple (TV-distance audit)
+    ]),
+    (text, [
+        "encoding_functions_battery",  # NEW r13: base64/hex/bin codecs
+    ]),
     # (media_phash_near_dup was refactored onto the shared _phash64_bands
     # helper this round — behavior identical, and it already sits in this
     # gate at its r5-section slot, so no extra promotion is needed)

@@ -1823,3 +1823,41 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share_micros"),
         (F.col("lang") == F.col("predicted_lang")).alias("is_diagonal"),
     )
+
+
+ENC_B64_CHARS = 24  # base64 sample width (multiple of 3: no padding drift)
+ENC_HEX_CHARS = 8
+
+
+def encoding_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalar family (ClickHouse ``base64Encode`` /
+    ``base64Decode`` / ``hex`` / ``unhex`` / ``bin`` / ``ascii`` — the
+    byte-codec leg the string battery doesn't cover; reference behavior:
+    the payload-encoding helpers a Kafka wire format needs,
+    ``consumers/kafka_to_clickhouse.py``'s JSON-bytes decode path):
+    per document, base64 of the first 24 text bytes, uppercase hex of
+    the first 8, a decode(unbase64(base64(x))) == x round-trip proof,
+    the binary rendering of the doc id, and the first code point.
+
+    Exactness: every output is a deterministic string/boolean/integer
+    codec of exact bytes — RFC 4648 base64 (the 24-char sample is a
+    multiple of 3, so no padding-rendering drift), uppercase hex in both
+    engines, ``bin`` without leading zeros in both (probed r13), and the
+    fixture text is pure ASCII word-soup so substr-by-chars ==
+    substr-by-bytes (the Unicode battery owns the multibyte cases).
+
+    Shape: map-only whole-stage codegen over the documents scan — zero
+    exchanges (plan-pinned), the decode round-trip never leaves the JVM."""
+    docs = load_table(spark, sf_dir, "documents")
+    head24 = F.substring("text", 1, ENC_B64_CHARS)
+    b64 = F.base64(F.encode(head24, "UTF-8"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64_head"),
+        F.hex(F.encode(F.substring("text", 1, ENC_HEX_CHARS), "UTF-8")).alias(
+            "hex_head"
+        ),
+        (F.decode(F.unbase64(b64), "UTF-8") == head24).alias("b64_roundtrip_ok"),
+        F.bin("doc_id").alias("doc_id_bin"),
+        F.ascii("text").cast("long").alias("first_code_point"),
+    )

@@ -3960,6 +3960,89 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t-closeness threshold t = TCLOSE_TAU_NUM / TCLOSE_TAU_DEN = 0.05 —
+#: probed r13 against the fixture's per-nation TV distances (sf0.001
+#: 0.13-0.53, sf0.01 0.02-0.20, sf0.1 0.017-0.062): both flag branches
+#: fire at sf0.01 AND sf0.1; at sf0.001 sampling noise puts every
+#: nation above t (all-violating — the one-branch SF, documented).
+TCLOSE_TAU_NUM = 1
+TCLOSE_TAU_DEN = 20
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007, public paper —
+    the third member of the privacy-gate family after
+    ``k_anonymity_report`` and ``l_diversity_report``): l-diversity
+    still leaks when a group's sensitive-value DISTRIBUTION diverges
+    from the corpus-wide one (skewness/similarity attacks); t-closeness
+    bounds the distance between the two.  Same attributes as the
+    l-diversity gate for family coherence — quasi-identifier: customer
+    nation; sensitive attribute: market segment (categorical, so the
+    distance is TOTAL VARIATION: half the L1 gap between the cohort and
+    global segment distributions).
+
+    Exactness (class 4 by construction): with cohort counts c_i (size
+    nc) and global counts g_i (size ng), TV = sum|c_i*ng - g_i*nc| /
+    (2*nc*ng) — the numerator is an exact int64 sum (max term ~2.2e8 at
+    sf0.1), the output is ONE mirrored integer division to micros, and
+    the t <= 0.05 flag is the cross-multiplied integer compare
+    ``10 * num <= nc * ng`` (no rational ever materializes).
+
+    Shape: one (nation, segment) count aggregate (map-side combined,
+    |nations| x |segments| rows); everything after is arithmetic over
+    that bounded frame — global counts and the total broadcast back,
+    a dense nation x segment grid via cross join so ABSENT cells count
+    as c_i = 0 (a cohort missing a segment is exactly the skew the
+    audit must see).  At 100 TB the only corpus-sized work is the first
+    aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cell = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    coh = cell.groupBy("n_name").agg(
+        F.sum("c").cast("long").alias("nc"),
+        F.count("*").cast("long").alias("n_segments_present"),
+    )
+    gd = cell.groupBy("c_mktsegment").agg(F.sum("c").cast("long").alias("g"))
+    tot = cell.agg(F.sum("c").cast("long").alias("tot_ng"))
+    grid = (
+        coh.crossJoin(F.broadcast(gd))
+        .crossJoin(F.broadcast(tot))
+        .join(cell, ["n_name", "c_mktsegment"], "left")
+        .select(
+            "n_name",
+            "nc",
+            "n_segments_present",
+            "tot_ng",
+            F.abs(
+                F.coalesce("c", F.lit(0)) * F.col("tot_ng")
+                - F.col("g") * F.col("nc")
+            ).alias("gap"),
+        )
+    )
+    return grid.groupBy(
+        F.col("n_name").alias("nation"), "nc", "n_segments_present", "tot_ng"
+    ).agg(
+        F.sum("gap").cast("long").alias("num"),
+    ).select(
+        "nation",
+        F.col("nc").alias("group_size"),
+        "n_segments_present",
+        F.expr("(1000000 * num) div (2 * nc * tot_ng)")
+        .cast("long")
+        .alias("tv_micros"),
+        (
+            F.lit(TCLOSE_TAU_DEN) * F.col("num")
+            <= F.lit(2 * TCLOSE_TAU_NUM) * F.col("nc") * F.col("tot_ng")
+        ).alias("t_close"),
+    )
+
+
 #: Prometheus-style le-bucket boundaries for the value histogram; the
 #: last slot is +Inf (quantiles landing there clamp to the highest
 #: finite bound, exactly histogram_quantile's documented behavior).

@@ -7640,3 +7640,45 @@ SELECT CAST(to_timestamp(q15_epoch) AS TIMESTAMP) AS bucket_15m,
        revenue_micros
 FROM per
 """
+
+
+# t-closeness (r13): dense nation x segment grid so absent cells count 0;
+# TV = sum|c*ng - g*nc| / (2*nc*ng) in exact integers, one mirrored
+# division to micros, flag by cross-multiplied compare.
+ORACLE["t_closeness_report"] = """
+WITH cell AS (
+  SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+coh AS (
+  SELECT n_name, CAST(sum(c) AS BIGINT) AS nc,
+         CAST(count(*) AS BIGINT) AS n_segments_present
+  FROM cell GROUP BY 1),
+gd AS (SELECT c_mktsegment, CAST(sum(c) AS BIGINT) AS g FROM cell GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM cell),
+grid AS (
+  SELECT coh.n_name, coh.nc, coh.n_segments_present, tot.ng,
+         abs(coalesce(cell.c, 0) * tot.ng - gd.g * coh.nc) AS gap
+  FROM coh CROSS JOIN gd CROSS JOIN tot
+  LEFT JOIN cell ON cell.n_name = coh.n_name
+                AND cell.c_mktsegment = gd.c_mktsegment)
+SELECT n_name AS nation, nc AS group_size, n_segments_present,
+       CAST((1000000 * sum(gap)) // (2 * nc * ng) AS BIGINT) AS tv_micros,
+       20 * sum(gap) <= 2 * nc * ng AS t_close
+FROM grid GROUP BY n_name, nc, n_segments_present, ng
+"""
+
+
+# Encoding scalar family (r13): RFC 4648 base64 (24-byte sample = no
+# padding drift), uppercase hex both engines, bin without leading
+# zeros (probed), ASCII-only fixture text.
+ORACLE["encoding_functions_battery"] = """
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 24))) AS b64_head,
+       hex(encode(substr(text, 1, 8))) AS hex_head,
+       decode(from_base64(to_base64(encode(substr(text, 1, 24)))))
+         = substr(text, 1, 24) AS b64_roundtrip_ok,
+       bin(doc_id) AS doc_id_bin,
+       CAST(ascii(text) AS BIGINT) AS first_code_point
+FROM documents
+"""

@@ -127,3 +127,76 @@ def test_media_hashing_pass_is_map_only(spark):
         "== Initial Plan =="
     )[0]
     assert "Exchange" not in plan, plan
+
+
+def test_t_closeness_invariants(spark, queries):
+    """TV-distance laws at the leanest SF: micros within [0, 1e6];
+    sampling noise at sf0.001 puts EVERY nation above t = 0.05 (the
+    probed one-branch SF — both branches fire at sf0.01/sf0.1, covered
+    by the oracle sweep); one nation's TV re-derived in pure Python."""
+    from collections import defaultdict
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = queries["t_closeness_report"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tv_micros"] <= 1_000_000
+        assert r["t_close"] is False  # sf0.001: all-violating (probed)
+        assert 1 <= r["n_segments_present"] <= 5
+    cust = load_table(spark, SF_DIR, "customer").collect()
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_DIR, "nation").collect()
+    }
+    cell = defaultdict(int)
+    for c in cust:
+        cell[(nation[c["c_nationkey"]], c["c_mktsegment"])] += 1
+    target = rows[0]["nation"]
+    nc = sum(v for (n, _), v in cell.items() if n == target)
+    ng = sum(cell.values())
+    segs = {s for (_, s) in cell}
+    num = sum(
+        abs(cell.get((target, s), 0) * ng
+            - sum(v for (n2, s2), v in cell.items() if s2 == s) * nc)
+        for s in segs
+    )
+    assert rows[0]["tv_micros"] == (1_000_000 * num) // (2 * nc * ng)
+    assert rows[0]["group_size"] == nc
+
+
+def test_encoding_battery_laws(spark, queries):
+    """Codec laws: every round-trip holds, hex is uppercase hex of the
+    8-char head, bin re-parses to the doc id, and the first code point
+    matches Python's ord() on a sampled doc."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = queries["encoding_functions_battery"](spark, SF_DIR).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    import base64 as b64mod
+
+    for r in rows[:50]:
+        t = texts[r["doc_id"]]
+        assert r["b64_roundtrip_ok"] is True
+        assert r["b64_head"] == b64mod.b64encode(t[:24].encode()).decode()
+        assert r["hex_head"] == t[:8].encode().hex().upper()
+        assert int(r["doc_id_bin"], 2) == r["doc_id"]
+        assert r["first_code_point"] == ord(t[0])
+
+
+def test_encoding_battery_map_only(spark, queries):
+    """Scale pin: the codec battery is map-only — zero exchanges."""
+    df = queries["encoding_functions_battery"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan, plan
