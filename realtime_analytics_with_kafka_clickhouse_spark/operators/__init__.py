@@ -75,16 +75,26 @@ _NAMES = [
         # a driver row, landed the round it is born per the standing
         # rule)
     ]),
+    (_streaming_pipeline, [
+        "stream_semantic_ingest",  # NEW r13: embedding dedup-on-arrival
+        # (completes the arrival-lifecycle triple: text r12, media r13,
+        # embeddings r13)
+    ]),
     (timeseries, [
         "t_closeness_report",  # NEW r13: completes the k-anon/l-div
         # privacy triple (TV-distance audit)
     ]),
     (text, [
         "encoding_functions_battery",  # NEW r13: base64/hex/bin codecs
+        "quality_score_calibration",  # NEW r13: reliability diagram of
+        # the cheap score vs the Gopher rule verdict
     ]),
-    # (media_phash_near_dup was refactored onto the shared _phash64_bands
-    # helper this round — behavior identical, and it already sits in this
-    # gate at its r5-section slot, so no extra promotion is needed)
+    (multimodal, [
+        "media_phash_near_dup",  # r13 kernel change: numpy _ahash64 +
+        # shared _phash64_bands helper (values identical, 3-SF parity
+        # green — but a changed kernel takes a gate slot; its r5-section
+        # slot was displaced past 50 by the new-op influx)
+    ]),
     # -- 2. never-gated r11 parks (zero driver rows; promoted per the
     #    standing rule — a new op's first driver row lands by birth+1) --
     (dedup, [
@@ -164,7 +174,7 @@ _NAMES = [
         "customers_without_orders",
     ]),
     (multimodal, [
-        "media_phash_near_dup",
+        # media_phash_near_dup promoted to section 1 (r13 kernel change)
         "scene_change_flags",
     ]),
     (similarity, [

@@ -1861,3 +1861,48 @@ def encoding_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bin("doc_id").alias("doc_id_bin"),
         F.ascii("text").cast("long").alias("first_code_point"),
     )
+
+
+QCAL_BANDS = 10  # reliability-diagram bins over the [0,1] score
+
+
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the heuristic quality score (NEW r13 —
+    the calibration eval next to ``quality_pr_sweep``'s threshold
+    sweep): bin the cheap score into 10 bands and report, per band, how
+    often the expensive Gopher rule set actually passes — the check a
+    pipeline runs before trusting the fast scorer as a proxy for the
+    full rule battery.  Probed r13 at sf0.01: 4 bands live with real
+    spread (pass rates 0.0 / 0.40 / 0.85 / 0.77 — the band-7 dip is a
+    real non-monotonicity the card exists to expose, not noise).
+
+    One scan, zero joins: both the score and the pass flag are shared
+    map-only Column programs (``_quality_score_expr`` /
+    ``_gopher_passes_expr`` — one formula, one truth with the ops they
+    come from), so the card is a single map-side-combined aggregate.
+
+    Exactness: the band is floor(round6_score * 10) clamped to 9 — the
+    score is a mirrored IEEE composition, identical doubles in both
+    engines, so the floor is identical; per-band means ride exact
+    integer micros with the half-up (2S + n) div (2n) convention; sums
+    stay in int64 up to ~4.6e12 docs per band (score_micros <= 1e6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = _quality_score_expr()
+    band = F.least(
+        F.floor(score * F.lit(QCAL_BANDS)).cast("long"), F.lit(QCAL_BANDS - 1)
+    )
+    per = docs.select(
+        band.alias("band"),
+        (score.cast("decimal(25,6)") * F.lit(1000000)).cast("long").alias("sm"),
+        _gopher_passes_expr().cast("long").alias("p"),
+    )
+    n = F.count("*")
+    return per.groupBy("band").agg(
+        n.cast("long").alias("n_docs"),
+        F.expr("(2 * sum(sm) + count(*)) div (2 * count(*))")
+        .cast("long")
+        .alias("mean_score_micros"),
+        F.expr("(2000000 * sum(p) + count(*)) div (2 * count(*))")
+        .cast("long")
+        .alias("gopher_pass_rate_micros"),
+    )

@@ -7682,3 +7682,118 @@ SELECT doc_id,
        CAST(ascii(text) AS BIGINT) AS first_code_point
 FROM documents
 """
+
+
+# Quality-score reliability diagram (r13): band = floor(round6_score*10)
+# clamp 9 (mirrored IEEE score -> identical floor); means via the
+# half-up (2S+n)//(2n) convention; composes the two audited oracles.
+ORACLE["quality_score_calibration"] = f"""
+WITH q AS MATERIALIZED ({ORACLE['quality_score']}),
+g AS MATERIALIZED ({ORACLE['gopher_quality_rules']}),
+per AS (
+  SELECT least(CAST(floor(q.quality_score * 10) AS BIGINT), 9) AS band,
+         CAST(CAST(q.quality_score AS DECIMAL(25,6)) * 1000000 AS BIGINT)
+           AS sm,
+         CASE WHEN g.passes_gopher THEN 1 ELSE 0 END AS p
+  FROM q JOIN g ON q.doc_id = g.doc_id)
+SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((2 * sum(sm) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_score_micros,
+       CAST((2000000 * sum(p) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS gopher_pass_rate_micros
+FROM per GROUP BY 1
+"""
+
+
+def _semantic_ingest_sql() -> str:
+    """Semantic dedup-on-arrival (r13): the shared unrolled-Lloyd
+    quantizer CTEs, assignment of the arrival union (corpus + exact-copy
+    canaries, +1000001 ≡ +1 mod 4) against the FINAL centroids, then the
+    4-epoch acceptance recursion with within-cell round-6 cosine
+    candidacy.  The matched pick mirrors the engine's integer key
+    min((1e6 - cos_micros)*1e10 + vec_id); a batch vector is hit iff its
+    BEST candidate clears the threshold — equivalent to 'exists a
+    candidate >= t' since best = max cosine.  Every dot is the per-row
+    list_reduce left fold (never a grouped fold — the r9 DuckDB rule)."""
+    parts, final_c = _kmeans_parts()
+    chain_u = " + ".join(
+        f"(CAST(u.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(u.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, 65)
+    )
+    cos = (
+        f"round({_dot_sql('a.embedding', 'x.embedding')} / (a.nrm * x.nrm), 6)"
+    )
+    cm = f"CAST(CAST({cos} AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
+
+    def hit(n: int, e: int, idx: str) -> str:
+        return f"""hit{n} AS MATERIALIZED (
+  SELECT a.vec_id,
+         min((1000000 - {cm}) * 10000000000 + x.vec_id) AS mkey
+  FROM vv a JOIN {idx} x ON a.cluster = x.cluster
+  WHERE a.e = {e} AND {cos} >= 0.3
+  GROUP BY 1)"""
+
+    def acc(n: int, e: int) -> str:
+        return f"""acc{n} AS MATERIALIZED (
+  SELECT vec_id, cluster, embedding, nrm FROM vv
+  WHERE e = {e} AND vec_id NOT IN (SELECT vec_id FROM hit{n}))"""
+
+    parts.append("""uni AS MATERIALIZED (
+  SELECT vec_id, embedding, label, vec_id % 4 AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000001, embedding, label, (vec_id + 1000001) % 4
+  FROM embeddings WHERE vec_id % 100 = 0)""")
+    parts.append(f"""asg AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT u.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY u.vec_id
+                              ORDER BY round({chain_u}, 6) ASC, c.cluster ASC)
+             AS rn
+    FROM uni u CROSS JOIN {final_c} c)
+  WHERE rn = 1)""")
+    parts.append(f"""vv AS MATERIALIZED (
+  SELECT u.vec_id, u.label, u.e, a.cluster, u.embedding,
+         sqrt({_dot_sql('u.embedding', 'u.embedding')}) AS nrm
+  FROM uni u JOIN asg a USING (vec_id))""")
+    parts.append(
+        "acc0 AS MATERIALIZED (SELECT vec_id, cluster, embedding, nrm"
+        " FROM vv WHERE e = 2)"
+    )
+    parts.append(hit(1, 0, "acc0"))
+    parts.append(acc(1, 0))
+    parts.append(
+        "idx1 AS MATERIALIZED (SELECT * FROM acc0 UNION ALL SELECT * FROM acc1)"
+    )
+    parts.append(hit(2, 3, "idx1"))
+    parts.append(acc(2, 3))
+    parts.append(
+        "idx2 AS MATERIALIZED (SELECT * FROM idx1 UNION ALL SELECT * FROM acc2)"
+    )
+    parts.append(hit(3, 1, "idx2"))
+    parts.append(acc(3, 1))
+    parts.append("""kept AS MATERIALIZED (
+  SELECT vec_id FROM acc0 UNION ALL SELECT vec_id FROM acc1
+  UNION ALL SELECT vec_id FROM acc2 UNION ALL SELECT vec_id FROM acc3)""")
+    parts.append("""allhits AS MATERIALIZED (
+  SELECT vec_id, mkey FROM hit1
+  UNION ALL SELECT vec_id, mkey FROM hit2
+  UNION ALL SELECT vec_id, mkey FROM hit3)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT CAST(p.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(count(k.vec_id) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN hq.mkey // 10000000000 = 0 THEN 1 END)
+            AS BIGINT) AS n_exact_quarantined,
+       CAST(count(CASE WHEN hq.mkey // 10000000000 > 0 THEN 1 END)
+            AS BIGINT) AS n_semantic_quarantined
+FROM vv p
+LEFT JOIN kept k ON p.vec_id = k.vec_id
+LEFT JOIN allhits hq ON p.vec_id = hq.vec_id
+GROUP BY 1"""
+    )
+
+
+ORACLE["stream_semantic_ingest"] = _semantic_ingest_sql()

@@ -3409,3 +3409,205 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sigs.unpersist(blocking=False)
+
+
+#: arrival offset for the semantic-ingest exact-copy canaries: +1000001
+#: is ≡ +1 (mod 4), so every planted copy lands one micro-batch over
+#: and must be recovered across the index boundary (the media-ingest
+#: device; organic near-identical embeddings don't exist in the fixture
+#: — max within-cell cosine 0.471, probed r13 — so without canaries the
+#: exact regime would be unfalsifiable).
+SEMANTIC_INGEST_CANARY_OFFSET = 1_000_001
+SEMANTIC_INGEST_CANARY_MOD = 100
+
+
+def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding) DEDUP-ON-ARRIVAL (NEW r13 — completes the
+    arrival-lifecycle triple: text MinHash-LSH r12, media pHash r13,
+    embeddings now): vectors arrive as 4 out-of-order micro-batches;
+    each batch
+
+    1. is assigned its k-means cell MAP-SIDE against the memoized
+       broadcast quantizer (the ``semantic_dedup`` / ``ann_ivf_kmeans``
+       shared quantizer — the DEPLOYED quantizer of a production ingest,
+       trained once, never refit per batch);
+    2. probes the PERSISTED cell index: candidates are the indexed
+       vectors in the SAME cell (the SemDeDup blocking trick — never an
+       all-pairs join), verified by exact round-6 cosine >=
+       ``SEMDEDUP_THRESHOLD`` in one grouped Arrow pass per touched
+       cell (the ``semantic_dedup`` kernel's numpy convention, shared
+       parity precedent);
+    3. quarantines verified hits with the closest matched vector id
+       (min over the integer key (1e6 - cos_micros)*1e10 + vec_id —
+       highest cosine first, then lowest id; reason = 'exact' at
+       cos_micros == 1e6, 'semantic' below), one batch-id-idempotent
+       txlog commit per probing epoch;
+    4. appends the CLEAN rows (vec_id, cluster, embedding) to the index
+       txlog — quarantined vectors never enter it, so the probe set is
+       exactly "vectors accepted by strictly earlier arrivals" (the
+       recursion the oracle unrolls).
+
+    Every CANARY_MOD-th vector re-arrives UNCHANGED one epoch over
+    (cos exactly 1.0 after round-6 — the planted recall evidence; see
+    ``SEMANTIC_INGEST_CANARY_OFFSET``).  The ledger is per label:
+    arrivals, kept, exact-quarantined, semantic-quarantined.
+
+    The oracle recomputes the lifecycle in plain SQL: the shared
+    unrolled-Lloyd quantizer CTEs, assignment of the arrival union
+    against the FINAL centroids, and the 4-epoch acceptance recursion
+    with within-cell round-6 cosine candidacy (MATERIALIZED CTEs).
+
+    Scale shape: per batch O(batch + touched-cell candidates) — cell
+    size is n/K, bounded in production by K ~ sqrt(n) (the SemDeDup
+    paper's 50k cells for LAION); the quantizer is a broadcast row;
+    embeddings ride ONE grouped exchange per epoch (batch + touched
+    index cells), never an all-pairs expansion; every commit is
+    batch-id-idempotent with ids monotone in arrival order (replay
+    no-op pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _kmeans_fit,
+        _with_ranked_cells,
+    )
+    from ..storage import txlog
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    canary = emb.filter(
+        F.pmod("vec_id", F.lit(SEMANTIC_INGEST_CANARY_MOD)) == 0
+    ).select(
+        (F.col("vec_id") + F.lit(SEMANTIC_INGEST_CANARY_OFFSET)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    uni = emb.unionByName(canary)
+    quantizer = _kmeans_fit(spark, sf_dir)  # memoized; trained on originals
+    assigned = _with_ranked_cells(uni.select("vec_id", "embedding"), quantizer).select(
+        "vec_id", "embedding", F.element_at("ranked", 1)["c"].alias("cluster")
+    )
+    sigs = assigned.join(uni.select("vec_id", "label"), "vec_id").persist()
+    sigs.count()  # one assignment pass, before the epoch loop
+
+    def probe_cells(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bx = pdf[pdf["side"] == "b"].sort_values("vec_id")
+        ix = pdf[pdf["side"] == "x"].sort_values("vec_id")
+        if bx.empty or ix.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "matched_vec_id": [], "cos_micros": []}
+            ).astype({"vec_id": "int64", "matched_vec_id": "int64", "cos_micros": "int64"})
+        bm = np.asarray(bx["embedding"].tolist(), dtype=np.float64)
+        im = np.asarray(ix["embedding"].tolist(), dtype=np.float64)
+        bu = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        iu = im / np.linalg.norm(im, axis=1, keepdims=True)
+        cos = np.round(bu @ iu.T, 6)  # the semantic_dedup kernel convention
+        micros = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
+        ids = ix["vec_id"].to_numpy()
+        # closest-first pick: min over (1e6 - micros)*1e10 + id per row
+        key = (1_000_000 - micros) * 10_000_000_000 + ids[None, :]
+        best = key.argmin(axis=1)
+        bids = bx["vec_id"].to_numpy()
+        bestm = micros[np.arange(len(bids)), best]
+        hit = cos[np.arange(len(bids)), best] >= SEMDEDUP_THRESHOLD
+        return pd.DataFrame(
+            {
+                "vec_id": bids[hit],
+                "matched_vec_id": ids[best[hit]],
+                "cos_micros": bestm[hit],
+            }
+        )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        quarantine = _fresh_rollup_dir("semantic_quarantine")
+        sem_index = _fresh_rollup_dir("semantic_cell_index")
+        epoch = F.pmod(F.col("vec_id"), F.lit(4))
+        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
+            batch = sigs.filter(epoch == i)
+            if bi == 0:  # first arrival: the index is empty by definition
+                hits = None
+                clean = batch
+            else:
+                index = txlog.read_table(spark, sem_index)
+                both = batch.select(
+                    "cluster", F.lit("b").alias("side"), "vec_id", "embedding"
+                ).unionByName(
+                    index.select(
+                        "cluster", F.lit("x").alias("side"), "vec_id", "embedding"
+                    )
+                )
+                hits = (
+                    both.groupBy("cluster")
+                    .applyInPandas(
+                        probe_cells,
+                        schema="vec_id long, matched_vec_id long, cos_micros long",
+                    )
+                    .persist()  # feeds the quarantine append + anti-join
+                )
+                hits.count()
+                q_rows = batch.join(hits, "vec_id").select(
+                    "vec_id",
+                    "label",
+                    F.when(F.col("cos_micros") == 1_000_000, F.lit("exact"))
+                    .otherwise(F.lit("semantic"))
+                    .alias("reason"),
+                    "matched_vec_id",
+                    "cos_micros",
+                )
+                txlog.append_tx(spark, quarantine, q_rows.coalesce(1), batch_id=bi)
+                clean = batch.join(hits.select("vec_id"), "vec_id", "left_anti")
+            txlog.append_tx(
+                spark,
+                sem_index,
+                clean.select("vec_id", "cluster", "embedding").coalesce(2),
+                batch_id=bi,
+            )
+            if hits is not None:
+                hits.unpersist()
+        idx = txlog.read_table(spark, sem_index)
+        kept = (
+            sigs.join(idx.select("vec_id"), "vec_id")
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_kept"))
+        )
+        qt = txlog.read_table(spark, quarantine)
+        exact_c = (
+            qt.filter(F.col("reason") == "exact")
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_exact_quarantined"))
+        )
+        sem_c = (
+            qt.filter(F.col("reason") == "semantic")
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_semantic_quarantined"))
+        )
+        arrived = sigs.groupBy("label").agg(
+            F.count("*").cast("long").alias("n_arrived")
+        )
+        stream_semantic_ingest.last_tables = {
+            "quarantine": quarantine,
+            "sem_index": sem_index,
+        }
+        return (
+            arrived.join(kept, "label", "left")
+            .join(exact_c, "label", "left")
+            .join(sem_c, "label", "left")
+            .select(
+                F.col("label").cast("long").alias("label"),
+                "n_arrived",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                F.coalesce("n_exact_quarantined", F.lit(0))
+                .cast("long")
+                .alias("n_exact_quarantined"),
+                F.coalesce("n_semantic_quarantined", F.lit(0))
+                .cast("long")
+                .alias("n_semantic_quarantined"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        sigs.unpersist(blocking=False)

@@ -200,3 +200,122 @@ def test_encoding_battery_map_only(spark, queries):
         "== Initial Plan =="
     )[0]
     assert "Exchange" not in plan, plan
+
+
+def test_quality_calibration_laws(spark, queries):
+    """Reliability-diagram laws at the leanest SF: >= 3 live bands with
+    REAL pass-rate spread (the card is not a constant), per-band doc
+    counts conserve the corpus, mean score sits inside its band's
+    nominal range, and one band re-derives in pure Python."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        gopher_quality_rules,
+        quality_score,
+    )
+
+    rows = {r["band"]: r for r in queries["quality_score_calibration"](spark, SF_DIR).collect()}
+    assert len(rows) >= 3
+    rates = {r["gopher_pass_rate_micros"] for r in rows.values()}
+    assert len(rates) >= 3  # real spread, not a constant card
+    qs = {r["doc_id"]: r["quality_score"] for r in quality_score(spark, SF_DIR).collect()}
+    gp = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_quality_rules(spark, SF_DIR).collect()
+    }
+    assert sum(r["n_docs"] for r in rows.values()) == len(qs)
+    import math
+
+    band_docs = {}
+    for d, s in qs.items():
+        band_docs.setdefault(min(int(math.floor(s * 10)), 9), []).append(d)
+    for b, r in rows.items():
+        docs = band_docs[b]
+        assert r["n_docs"] == len(docs)
+        n_pass = sum(1 for d in docs if gp[d])
+        assert r["gopher_pass_rate_micros"] == (2_000_000 * n_pass + len(docs)) // (
+            2 * len(docs)
+        )
+        sm = sum(int(round(qs[d] * 1_000_000)) for d in docs)
+        assert r["mean_score_micros"] == (2 * sm + len(docs)) // (2 * len(docs))
+
+
+def test_semantic_ingest_lifecycle(spark, queries):
+    """Embedding dedup-on-arrival invariants (the media-test siblings):
+    ledger conservation per label; reasons split exact/semantic on
+    cos_micros == 1e6 with every hit >= the SemDeDup threshold; every
+    matched vector arrived strictly earlier and is indexed; quarantined
+    vectors never entered the index; every planted exact-copy canary
+    pair has its later-arriving member quarantined at cosine exactly
+    1.0; a replayed batch id is a committed no-op."""
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        SEMANTIC_INGEST_CANARY_MOD,
+        SEMANTIC_INGEST_CANARY_OFFSET,
+        stream_semantic_ingest,
+    )
+
+    ledger = queries["stream_semantic_ingest"](spark, SF_DIR).collect()
+    for r in ledger:
+        assert (
+            r["n_arrived"]
+            == r["n_kept"] + r["n_exact_quarantined"] + r["n_semantic_quarantined"]
+        ), r
+    assert sum(r["n_exact_quarantined"] for r in ledger) > 0
+    assert sum(r["n_semantic_quarantined"] for r in ledger) > 0
+
+    tables = stream_semantic_ingest.last_tables
+    qt = txlog.read_table(spark, tables["quarantine"]).collect()
+    indexed = {
+        r["vec_id"]
+        for r in txlog.read_table(spark, tables["sem_index"])
+        .select("vec_id")
+        .collect()
+    }
+    assert qt
+    for r in qt:
+        assert r["reason"] in ("exact", "semantic")
+        assert (r["cos_micros"] == 1_000_000) == (r["reason"] == "exact")
+        assert r["cos_micros"] >= 300_000  # the SemDeDup threshold
+        assert (
+            ARRIVAL_POS[r["matched_vec_id"] % 4] < ARRIVAL_POS[r["vec_id"] % 4]
+        ), (r["vec_id"], r["matched_vec_id"])
+        assert r["matched_vec_id"] in indexed
+    quarantined = {r["vec_id"] for r in qt}
+    assert not (quarantined & indexed)
+
+    by_id = {r["vec_id"]: r for r in qt}
+    vec_ids = {
+        r["vec_id"]
+        for r in load_table(spark, SF_DIR, "embeddings").select("vec_id").collect()
+    }
+    exact_seen = 0
+    for orig in vec_ids:
+        if orig % SEMANTIC_INGEST_CANARY_MOD != 0:
+            continue
+        canary = orig + SEMANTIC_INGEST_CANARY_OFFSET
+        late = max(orig, canary, key=lambda d: ARRIVAL_POS[d % 4])
+        early = min(orig, canary, key=lambda d: ARRIVAL_POS[d % 4])
+        # the late member is ALWAYS quarantined: either its exact copy is
+        # indexed (cos 1.0), or the early member was itself quarantined
+        # against some indexed m with cos >= t — and cos(late, m) equals
+        # cos(early, m) since the vectors are identical, so m catches the
+        # late member too
+        assert late in by_id, (orig, canary)
+        if early in indexed:
+            assert by_id[late]["cos_micros"] == 1_000_000, by_id[late]
+            assert by_id[late]["matched_vec_id"] == early, by_id[late]
+            exact_seen += 1
+        else:
+            assert early in by_id, (orig, canary)
+    assert exact_seen > 0  # the cos-1.0 branch really fires
+
+    v_before, _ = txlog.snapshot(spark, tables["quarantine"])
+    probe = spark.createDataFrame(
+        [(999_999, 1, "semantic", 1, 500_000)],
+        "vec_id long, label int, reason string, matched_vec_id long, cos_micros long",
+    )
+    assert not txlog.append_tx(spark, tables["quarantine"], probe, batch_id=1)
+    v_after, _ = txlog.snapshot(spark, tables["quarantine"])
+    assert v_after == v_before
