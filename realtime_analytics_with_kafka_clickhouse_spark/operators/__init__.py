@@ -38,17 +38,24 @@ from ..streaming import pipeline as _streaming_pipeline
 # was an ORACLE portability artifact (DuckDB to_timestamp yields
 # TIMESTAMPTZ vs Spark's naive timestamp; value-exact locally), fixed by
 # CAST(.. AS TIMESTAMP) and retired as a CLASS by the tz-aware sweep in
-# test_oracle_parity (sibling of the r12 decimal pin).  Section 1:
-# time_bucket_battery re-gates with its fixed oracle, the two NEW r12
-# ops that shipped without driver rows (asof_nearest_battery — also
+# test_oracle_parity (sibling of the r12 decimal pin).  Section 1 (10
+# rows): time_bucket_battery re-gates with its fixed oracle; the two NEW
+# r12 ops that shipped without driver rows (asof_nearest_battery — also
 # ADVICE-hardened for signup/purchase ts collisions; retrieval_eval_card
-# — de-risked per verdict #4: df-cap + partial top-k + broadcast guard +
-# unpersist), ntile_value_bands (ADVICE overflow fix: decimal-domain
-# band sum), and this round's new ops.  Section 2: the never-gated r11
-# parks.  Section 3: the r7 remainder.  The r5 section fills the gate to
-# 50.  Per verdict #6 the re-gated r12 veterans (distinct_agg_battery,
-# rolling_median_daily_revenue and the whole r12-green block) rotate to
-# the tail — the r13 gate contains zero rows whose latest green is r12.
+# — de-risked per verdict #4: two-tier impact index + lossless salted
+# top-k + payload-row broadcast guard + unpersist); ntile_value_bands
+# (ADVICE overflow fix: decimal-domain band sum); the five ops BORN this
+# round (stream_media_ingest, stream_semantic_ingest — the arrival-
+# lifecycle triple's media/embedding legs — t_closeness_report,
+# encoding_functions_battery, quality_score_calibration); and
+# media_phash_near_dup (numpy _ahash64 kernel change).  Section 2: the
+# never-gated r11 parks.  Section 3: the r7 remainder.  The r5 section
+# fills the gate to 50 (position 50 = top_orders_per_priority_salted;
+# the five r5 rows the influx displaced past 50 — user_sessionization,
+# last_purchase_asof, customers_without_orders, scene_change_flags,
+# kmeans_train + the rest of the r5/r6 sections — lead the r14 gate).
+# Per verdict #6 the re-gated r12 veterans rotate to the tail — the r13
+# gate contains zero rows whose latest green is r12.
 # STANDING RULE (verdict #2): a NEW op's first driver row lands the
 # round it is born; park only metadata-only ops, never two rounds
 # running.
