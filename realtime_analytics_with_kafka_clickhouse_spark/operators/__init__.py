@@ -95,6 +95,8 @@ _NAMES = [
         "encoding_functions_battery",  # NEW r13: base64/hex/bin codecs
         "quality_score_calibration",  # NEW r13: reliability diagram of
         # the cheap score vs the Gopher rule verdict
+        "quality_score_auc",  # NEW r13: tie-corrected ROC-AUC of the
+        # same pair via the integer midrank trick (arrayAUC analog)
     ]),
     (multimodal, [
         "media_phash_near_dup",  # r13 kernel change: numpy _ahash64 +

@@ -1906,3 +1906,64 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gopher_pass_rate_micros"),
     )
+
+
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic quality score against the Gopher rule
+    verdict (ClickHouse ``arrayAUC`` analog; NEW r13 — the ranking-power
+    eval next to ``quality_score_calibration``'s calibration view: AUC
+    asks "does a higher score mean more likely to pass", calibration
+    asks "is the band's pass rate what the score claims").
+
+    Integer-exact via the midrank trick (the ``mann_whitney_u``
+    precedent — AUC IS the Mann-Whitney U normalized by n1*n0): ranks
+    are never assigned per row; the round-6 score domain collapses to a
+    value-frequency table where 2*midrank = 2*(#smaller) + cnt + 1 is an
+    INTEGER, the positives' rank sum is one integer aggregate, and
+    AUC_micros = (1e6 * (S2 - n1*(n1+1))) div (2*n1*n0) — tie-corrected
+    AUC with zero float arithmetic anywhere.  Gini = 2*AUC - 1 derives
+    from the already-floored micros (deterministic).
+
+    Shape: one map-side-combined (score -> cnt, pos) aggregate; the one
+    unpartitioned window walks the DISTINCT-score frame (the sweep-line
+    discipline — bounded by the score's round-6 domain, never the
+    corpus); one-row output.  int64-safe while 1e6 * S2 < 2^63
+    (S2 <= n*(2n+1): fine past 1e6 docs; at 100 TB the rank sum rides
+    the decimal fold like mann_whitney's tie term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        _quality_score_expr().alias("score"),
+        _gopher_passes_expr().cast("long").alias("y"),
+    )
+    freq = per.groupBy("score").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    wv = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = freq.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+    ).withColumn(
+        "rank2", (2 * F.col("cum_less") + F.col("cnt") + 1).cast("long")
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * F.col("rank2")).cast("long").alias("s2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(1000000 * (s2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"
+        )
+        .cast("long")
+        .alias("auc_micros"),
+        (
+            F.lit(2)
+            * F.expr(
+                "(1000000 * (s2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"
+            )
+            - F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("gini_micros"),
+    )

@@ -7797,3 +7797,33 @@ GROUP BY 1"""
 
 
 ORACLE["stream_semantic_ingest"] = _semantic_ingest_sql()
+
+
+# ROC-AUC of score vs Gopher verdict (r13): the midrank identity —
+# AUC = (R1 - n1(n1+1)/2)/(n1*n0) with 2*midrank integers, zero floats.
+ORACLE["quality_score_auc"] = f"""
+WITH q AS MATERIALIZED ({ORACLE['quality_score']}),
+g AS MATERIALIZED ({ORACLE['gopher_quality_rules']}),
+per AS (
+  SELECT q.quality_score AS score,
+         CASE WHEN g.passes_gopher THEN 1 ELSE 0 END AS y
+  FROM q JOIN g ON q.doc_id = g.doc_id),
+freq AS (
+  SELECT score, count(*) AS cnt, sum(y) AS pos FROM per GROUP BY 1),
+ranked AS (
+  SELECT cnt, pos,
+         coalesce(sum(cnt) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+  FROM freq),
+agg AS (
+  SELECT CAST(sum(pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS s2,
+         CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(cnt - pos) AS BIGINT) AS n_neg
+  FROM ranked)
+SELECT n_pos, n_neg,
+       CAST((1000000 * (s2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+            AS BIGINT) AS auc_micros,
+       CAST(2 * ((1000000 * (s2 - n_pos * (n_pos + 1)))
+                 // (2 * n_pos * n_neg)) - 1000000 AS BIGINT) AS gini_micros
+FROM agg
+"""

@@ -319,3 +319,30 @@ def test_semantic_ingest_lifecycle(spark, queries):
     assert not txlog.append_tx(spark, tables["quarantine"], probe, batch_id=1)
     v_after, _ = txlog.snapshot(spark, tables["quarantine"])
     assert v_after == v_before
+
+
+def test_quality_auc_matches_bruteforce(spark, queries):
+    """AUC laws: the midrank aggregate equals the brute-force pairwise
+    definition (P(score_pos > score_neg) + 0.5*P(tie)) recomputed in
+    pure Python, and the score genuinely ranks (AUC well above 0.5)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.text import (
+        gopher_quality_rules,
+        quality_score,
+    )
+
+    row = queries["quality_score_auc"](spark, SF_DIR).collect()[0]
+    qs = {r["doc_id"]: r["quality_score"] for r in quality_score(spark, SF_DIR).collect()}
+    gp = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in gopher_quality_rules(spark, SF_DIR).collect()
+    }
+    pos = [qs[d] for d in qs if gp[d]]
+    neg = [qs[d] for d in qs if not gp[d]]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    # brute force in exact integers: AUC = (2*wins + ties) / (2*n1*n0)
+    expect = (1_000_000 * (2 * wins + ties)) // (2 * len(pos) * len(neg))
+    assert row["auc_micros"] == expect
+    assert row["gini_micros"] == 2 * row["auc_micros"] - 1_000_000
+    assert row["auc_micros"] > 600_000  # the score genuinely ranks
