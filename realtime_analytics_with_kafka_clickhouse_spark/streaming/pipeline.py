@@ -3533,6 +3533,11 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 clean = batch
             else:
                 index = txlog.read_table(spark, sem_index)
+                # touched-cell pruning: only index rows in cells the batch
+                # actually probes ride the grouped exchange — the probe is
+                # O(batch + touched-cell candidates), never O(index)
+                touched = batch.select("cluster").distinct()
+                index = index.join(F.broadcast(touched), "cluster")
                 both = batch.select(
                     "cluster", F.lit("b").alias("side"), "vec_id", "embedding"
                 ).unionByName(
