@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -282,15 +283,16 @@ def _ahash64(data: bytes) -> int:
     Block sums ride numpy int64 (r13: 4.5x on the hashing pass) — INTEGER
     sums are order-independent, so unlike the float folds this is safe at
     any summation order (the r5b pairwise-summation rule binds floats
-    only); cumulative-sum differences give each block sum in O(1)."""
-    import numpy as np
-
+    only); cumulative-sum differences give each block sum in O(1).
+    numpy rides the module import (ADVICE r13: no per-call import/zeros
+    in the per-row batch loop)."""
     n = len(data)
     if n == 0:
         return 0
     arr = np.frombuffer(data, dtype=np.uint8)
     # prefix sums: block sum = csum[hi] - csum[lo], exact int64
-    csum = np.zeros(n + 1, dtype=np.int64)
+    csum = np.empty(n + 1, dtype=np.int64)
+    csum[0] = 0
     np.cumsum(arr, out=csum[1:])
     total = int(csum[n])
     ph = 0

@@ -1949,18 +1949,23 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
     )
+    # nullif guard: a single-class verdict (n_pos or n_neg = 0) must
+    # degrade to NULL auc identically in both engines, not crash the
+    # oracle's // with a division-by-zero (ADVICE r13).
     return agg.select(
         "n_pos",
         "n_neg",
         F.expr(
-            "(1000000 * (s2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"
+            "(1000000 * (s2 - n_pos * (n_pos + 1)))"
+            " div nullif(2 * n_pos * n_neg, 0)"
         )
         .cast("long")
         .alias("auc_micros"),
         (
             F.lit(2)
             * F.expr(
-                "(1000000 * (s2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"
+                "(1000000 * (s2 - n_pos * (n_pos + 1)))"
+                " div nullif(2 * n_pos * n_neg, 0)"
             )
             - F.lit(1_000_000)
         )

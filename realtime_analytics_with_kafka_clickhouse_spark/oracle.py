@@ -2690,7 +2690,10 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1
 # engine probes a banded index; pigeonhole proves band-join candidacy ==
 # all-pairs candidacy for the <= 7 threshold).  Arrival order 2,0,3,1;
 # canaries shift one epoch over (+1000000001 ≡ +1 mod 4).  The matched
-# pick mirrors the engine's integer key: min(hamming*1e10 + doc_id).
+# pick is the packed key min(hamming*1e10 + doc_id) — equal to the
+# engine's struct-extrema argmin over (hamming, doc_id) BECAUSE fixture
+# doc ids (incl. canary offsets ~2e9) are < 1e10 at every SF; the
+# engine itself no longer packs (r14, no id-width bound there).
 ORACLE["stream_media_ingest"] = f"""
 WITH b AS MATERIALIZED (
   SELECT doc_id,
@@ -7100,6 +7103,12 @@ FROM g
 """
 
 
+from .operators.text import (  # noqa: E402
+    RETRIEVAL_GEN_DF_CAP as _RETR_GEN_CAP,
+    RETRIEVAL_SCORE_DF_CAP as _RETR_SCORE_CAP,
+)
+
+
 # Retrieval eval card: tf-cosine ranking decided by the exact integer
 # quotient (num^2 * 1e10) // (|q|^2 * |c|^2) — no float sum-order
 # dependence; ground truth is the memoized verified LSH pair set
@@ -7123,7 +7132,7 @@ idx AS MATERIALIZED (
            row_number() OVER (PARTITION BY word
                               ORDER BY tf DESC, doc_id) AS prn
     FROM post)
-  WHERE prn <= 65536),
+  WHERE prn <= {_RETR_SCORE_CAP}),
 norm AS MATERIALIZED (
   -- index-consistent norms: the scoring tier IS the indexed vector
   SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM idx GROUP BY 1),
@@ -7134,7 +7143,7 @@ scored AS MATERIALIZED (
         WHERE doc_id IN (SELECT DISTINCT q FROM rel)) a
   JOIN idx b ON a.word = b.word AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
-  HAVING max(CASE WHEN b.prn <= 2048 THEN 1 ELSE 0 END) = 1),
+  HAVING max(CASE WHEN b.prn <= {_RETR_GEN_CAP} THEN 1 ELSE 0 END) = 1),
 topk AS MATERIALIZED (
   SELECT q, cand, rk FROM (
     SELECT s.q, s.cand,
@@ -7642,10 +7651,16 @@ FROM per
 """
 
 
+from .operators.timeseries import (  # noqa: E402
+    TCLOSE_TAU_DEN as _TCLOSE_TAU_DEN,
+    TCLOSE_TAU_NUM as _TCLOSE_TAU_NUM,
+)
+
+
 # t-closeness (r13): dense nation x segment grid so absent cells count 0;
 # TV = sum|c*ng - g*nc| / (2*nc*ng) in exact integers, one mirrored
 # division to micros, flag by cross-multiplied compare.
-ORACLE["t_closeness_report"] = """
+ORACLE["t_closeness_report"] = f"""
 WITH cell AS (
   SELECT n_name, c_mktsegment, CAST(count(*) AS BIGINT) AS c
   FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -7664,7 +7679,8 @@ grid AS (
                 AND cell.c_mktsegment = gd.c_mktsegment)
 SELECT n_name AS nation, nc AS group_size, n_segments_present,
        CAST((1000000 * sum(gap)) // (2 * nc * ng) AS BIGINT) AS tv_micros,
-       20 * sum(gap) <= 2 * nc * ng AS t_close
+       {_TCLOSE_TAU_DEN} * sum(gap)
+         <= 2 * {_TCLOSE_TAU_NUM} * nc * ng AS t_close
 FROM grid GROUP BY n_name, nc, n_segments_present, ng
 """
 
@@ -7710,8 +7726,11 @@ def _semantic_ingest_sql() -> str:
     quantizer CTEs, assignment of the arrival union (corpus + exact-copy
     canaries, +1000001 ≡ +1 mod 4) against the FINAL centroids, then the
     4-epoch acceptance recursion with within-cell round-6 cosine
-    candidacy.  The matched pick mirrors the engine's integer key
-    min((1e6 - cos_micros)*1e10 + vec_id); a batch vector is hit iff its
+    candidacy.  The matched pick is the packed key
+    min((1e6 - cos_micros)*1e10 + vec_id) — equal to the engine's
+    lexicographic argmin over (-cos_micros, vec_id) BECAUSE fixture
+    vec ids (incl. canary offsets ~1e6) are < 1e10 at every SF; the
+    engine itself no longer packs (r14).  A batch vector is hit iff its
     BEST candidate clears the threshold — equivalent to 'exists a
     candidate >= t' since best = max cosine.  Every dot is the per-row
     list_reduce left fold (never a grouped fold — the r9 DuckDB rule)."""
@@ -7821,9 +7840,11 @@ agg AS (
          CAST(sum(cnt - pos) AS BIGINT) AS n_neg
   FROM ranked)
 SELECT n_pos, n_neg,
-       CAST((1000000 * (s2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+       CAST((1000000 * (s2 - n_pos * (n_pos + 1)))
+            // nullif(2 * n_pos * n_neg, 0)
             AS BIGINT) AS auc_micros,
        CAST(2 * ((1000000 * (s2 - n_pos * (n_pos + 1)))
-                 // (2 * n_pos * n_neg)) - 1000000 AS BIGINT) AS gini_micros
+                 // nullif(2 * n_pos * n_neg, 0)) - 1000000
+            AS BIGINT) AS gini_micros
 FROM agg
 """

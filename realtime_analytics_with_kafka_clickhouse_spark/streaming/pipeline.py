@@ -3212,7 +3212,7 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
        content) — banding is pigeonhole-exact for the <= 7 threshold, so
        the probe loses no recall vs brute force;
     3. quarantines verified hits with the nearest matched media id
-       (min over the integer key hamming*1e10 + doc_id — nearest first,
+       (struct-extrema argmin over (hamming, doc_id) — nearest first,
        then lowest id; reason = 'exact' at Hamming 0, 'near_dup' at
        1..7), one batch-id-idempotent txlog commit per probing epoch;
     4. appends the CLEAN rows' 8 band rows to the index txlog —
@@ -3327,18 +3327,24 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cand.select("doc_id", "doc_b", ham.alias("hamming"))
                     .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
                     .groupBy("doc_id")
+                    # struct-extrema argmin (the argminmax_battery
+                    # discipline, r14): lexicographic min over
+                    # (hamming, doc_b) — nearest first, doc-id
+                    # tiebreak — with NO id-width bound, unlike the
+                    # retired hamming*1e10+doc_b pack (safe only for
+                    # ids < 1e10; the oracle keeps the packed form as
+                    # an INDEPENDENT construction, fixture-bounded)
                     .agg(
                         F.min(
-                            F.col("hamming") * F.lit(10_000_000_000)
-                            + F.col("doc_b")
-                        ).alias("mkey")
+                            F.struct(
+                                F.col("hamming"), F.col("doc_b")
+                            )
+                        ).alias("mk")
                     )
                     .select(
                         "doc_id",
-                        F.expr("mkey div 10000000000").cast("long").alias("hamming"),
-                        F.pmod("mkey", F.lit(10_000_000_000))
-                        .cast("long")
-                        .alias("matched_doc_id"),
+                        F.col("mk.hamming").cast("long").alias("hamming"),
+                        F.col("mk.doc_b").cast("long").alias("matched_doc_id"),
                     )
                     .persist()
                 )
@@ -3438,7 +3444,7 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
        cell (the ``semantic_dedup`` kernel's numpy convention, shared
        parity precedent);
     3. quarantines verified hits with the closest matched vector id
-       (min over the integer key (1e6 - cos_micros)*1e10 + vec_id —
+       (lexicographic argmin over (-cos_micros, vec_id) —
        highest cosine first, then lowest id; reason = 'exact' at
        cos_micros == 1e6, 'semantic' below), one batch-id-idempotent
        txlog commit per probing epoch;
@@ -3506,9 +3512,16 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos = np.round(bu @ iu.T, 6)  # the semantic_dedup kernel convention
         micros = np.floor(cos * 1_000_000 + 0.5).astype(np.int64)
         ids = ix["vec_id"].to_numpy()
-        # closest-first pick: min over (1e6 - micros)*1e10 + id per row
-        key = (1_000_000 - micros) * 10_000_000_000 + ids[None, :]
-        best = key.argmin(axis=1)
+        # closest-first pick per row: lexicographic argmin over
+        # (-cos_micros, vec_id) — highest cosine, id tiebreak — done as
+        # row-max micros then min id among the ties (r14: retires the
+        # (1e6-micros)*1e10+id pack, which silently mispicked above
+        # 10-digit ids; this form has NO id-width bound)
+        rowmax = micros.max(axis=1, keepdims=True)
+        masked_ids = np.where(
+            micros == rowmax, ids[None, :], np.iinfo(np.int64).max
+        )
+        best = masked_ids.argmin(axis=1)
         bids = bx["vec_id"].to_numpy()
         bestm = micros[np.arange(len(bids)), best]
         hit = cos[np.arange(len(bids)), best] >= SEMDEDUP_THRESHOLD

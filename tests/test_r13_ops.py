@@ -88,6 +88,22 @@ def test_media_ingest_lifecycle(spark, queries):
                 continue
             canary = orig + offset
             late = max(orig, canary, key=lambda d: ARRIVAL_POS[d % 4])
+            early = min(orig, canary, key=lambda d: ARRIVAL_POS[d % 4])
+            # PRECONDITION (fixture probe, pinned per ADVICE r13): the
+            # EARLY member of every planted pair is itself INDEXED, not
+            # organically quarantined against some other doc.  Only then
+            # do the strong bounds below follow (flipped: hamming <= 3
+            # against the pair; exact: hamming == 0).  If the early
+            # member were quarantined at hamming h, the Hamming triangle
+            # bounds the late member only by 3 + h (<= 10) and it could
+            # legitimately be KEPT.  A failure HERE means the fixture
+            # regenerated and the canary plant needs re-probing — it is
+            # NOT a product bug.
+            assert early in indexed, (
+                "fixture precondition broke: canary early member "
+                f"{early} (pair {orig}/{canary}) was organically "
+                "quarantined; the recall bound no longer follows"
+            )
             assert late in by_id, (orig, canary)
             assert by_id[late]["hamming"] <= expect_h, by_id[late]
             # the flipped cohort is a >= Hamming-3 neighbor of ITS pair;
