@@ -64,6 +64,46 @@ def tier_of(name: str) -> str:
     return "analytic"
 
 
+def resolve_health(ingest_rate, ingest_prior, remeasure):
+    """Host-health gate decision (r14): a CPU-bound canary >2x below the
+    committed clean-run history gets ONE re-measure; still >2x below ->
+    the run is stamped "throttled".  No history -> trivially "ok".
+    Returns (final_rate, health)."""
+    if ingest_prior and ingest_rate < 0.5 * float(ingest_prior):
+        ingest_rate = max(ingest_rate, remeasure())
+        if ingest_rate < 0.5 * float(ingest_prior):
+            return ingest_rate, "throttled"
+    return ingest_rate, "ok"
+
+
+def prior_snapshot():
+    """The frozen prior-round detail snapshot (highest BENCH_DETAIL_r<N>),
+    for the health gate's ingest history and round-over-round deltas."""
+    import glob as _glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def snap_round(p: str) -> int | None:
+        # Basename only: an absolute path containing '_r<digits>' must
+        # not leak into the round key.
+        m = _re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
+    snaps = sorted(
+        (p for p in _glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+         if snap_round(p) is not None),
+        key=snap_round,
+    )
+    for p in reversed(snaps):
+        try:
+            with open(p) as f:
+                return json.load(f), p
+        except (OSError, ValueError):
+            continue
+    return {}, None
+
+
 def main() -> None:
     from realtime_analytics_with_kafka_clickhouse_spark.session import get_spark
 
@@ -108,13 +148,34 @@ def main() -> None:
     # amortizes all of this to zero; steady state is the honest claim.
     n_ingest = 200_000
     wire = to_wire(generate_orders(spark, n_ingest))
-    ingest_best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ok, _dlq = parse_wire_with_dlq(wire)
-        materialize(normalize_orders(ok))
-        ingest_best = min(ingest_best, time.perf_counter() - t0)
-    ingest_rate = round(n_ingest / ingest_best, 1)
+
+    def measure_ingest() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ok, _dlq = parse_wire_with_dlq(wire)
+            materialize(normalize_orders(ok))
+            best = min(best, time.perf_counter() - t0)
+        return round(n_ingest / best, 1)
+
+    ingest_rate = measure_ingest()
+
+    # HOST-HEALTH GATE (r14, judge directive): the ingest canary is pure
+    # CPU-bound codegen — on a healthy host it repeats within ~±15%, so a
+    # >2x shortfall vs the committed clean-run history means the HOST is
+    # throttled (three of four r13 bench runs were stall-contaminated;
+    # the committed BENCH_r13.json carried a 5x-collapsed canary and
+    # 478s/351 without any machine-readable signal).  Policy: re-measure
+    # once; if still >2x below history, the whole run is stamped
+    # health="throttled" so the official record self-adjudicates instead
+    # of relying on after-the-fact BENCH_NOTES forensics.  History = the
+    # frozen prior-round snapshot's ingest_orders_per_sec (the same
+    # snapshot the delta baseline uses).
+    _prior_snap, _ = prior_snapshot()
+    ingest_prior = _prior_snap.get("ingest_orders_per_sec")
+    ingest_rate, health = resolve_health(
+        ingest_rate, ingest_prior, measure_ingest
+    )
 
     # Two iterations per query, report the best: the first run of a plan pays
     # one-time whole-stage-codegen compilation (seconds), which on a real
@@ -174,33 +235,21 @@ def main() -> None:
     # queries new this round have no delta.
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.path.join(here, "BENCH_DETAIL.json")
-    import glob as _glob
-    import re as _re
-
-    def snap_round(p: str) -> int | None:
-        # Basename only: an absolute path containing '_r<digits>' (e.g.
-        # /tmp/build_r2/repo) must not leak into the round key.
-        m = _re.search(r"_r(\d+)", os.path.basename(p))
-        return int(m.group(1)) if m else None
-
-    snaps = sorted(
-        (p for p in _glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
-         if snap_round(p) is not None),
-        key=snap_round,
-    )
-    prior_path = snaps[-1] if snaps else detail_path
+    prior, prior_path = prior_snapshot()
+    if prior_path is None:
+        prior_path = detail_path
+        try:
+            with open(prior_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = {}
     prior_queries: dict[str, float] = {}
     prior_total = None
     prior_ref = None
-    try:
-        with open(prior_path) as f:
-            prior = json.load(f)
-        if prior.get("sf") == sf:
-            prior_queries = prior.get("queries", {})
-            prior_total = prior.get("value")
-            prior_ref = os.path.basename(prior_path)
-    except (OSError, ValueError):
-        pass
+    if prior.get("sf") == sf:
+        prior_queries = prior.get("queries", {})
+        prior_total = prior.get("value")
+        prior_ref = os.path.basename(prior_path)
     deltas = {
         n: round(t - prior_queries[n], 4)
         for n, t in timings.items()
@@ -223,6 +272,8 @@ def main() -> None:
         "prior_total": prior_total,
         "prior_ref": prior_ref,
         "ingest_orders_per_sec": ingest_rate,
+        "ingest_prior": ingest_prior,
+        "health": health,
         "sf": sf,
     }
     with open(detail_path, "w") as f:
@@ -243,6 +294,8 @@ def main() -> None:
                 "top_regressions_vs_prior": top_regressions,
                 "prior_total": prior_total,
                 "ingest_orders_per_sec": ingest_rate,
+                "ingest_prior": ingest_prior,
+                "health": health,
                 "sf": sf,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -34,145 +34,35 @@ from ..streaming import pipeline as _streaming_pipeline
 # green rows rotate to the tail; the stalest promote into the gate, so
 # no entry goes 2 rounds unchecked.
 #
-# r13 pass: the r12 gate went 49/50 — the one red (time_bucket_battery)
-# was an ORACLE portability artifact (DuckDB to_timestamp yields
-# TIMESTAMPTZ vs Spark's naive timestamp; value-exact locally), fixed by
-# CAST(.. AS TIMESTAMP) and retired as a CLASS by the tz-aware sweep in
-# test_oracle_parity (sibling of the r12 decimal pin).  Section 1 (10
-# rows): time_bucket_battery re-gates with its fixed oracle; the two NEW
-# r12 ops that shipped without driver rows (asof_nearest_battery — also
-# ADVICE-hardened for signup/purchase ts collisions; retrieval_eval_card
-# — de-risked per verdict #4: two-tier impact index + lossless salted
-# top-k + payload-row broadcast guard + unpersist); ntile_value_bands
-# (ADVICE overflow fix: decimal-domain band sum); the five ops BORN this
-# round (stream_media_ingest, stream_semantic_ingest — the arrival-
-# lifecycle triple's media/embedding legs — t_closeness_report,
-# encoding_functions_battery, quality_score_calibration); and
-# media_phash_near_dup (numpy _ahash64 kernel change).  Section 2: the
-# never-gated r11 parks.  Section 3: the r7 remainder.  The r5 section
-# fills the gate to 50 (position 50 = top_orders_per_priority_salted;
-# the five r5 rows the influx displaced past 50 — user_sessionization,
+# r14 pass: the r13 gate went 50/50 (the first all-green round).  Per
+# verdict #2 those 50 rows rotate to the tail (section 11) and the gate
+# refills with the STALEST evidence: the r5/r6 rows the r13 new-op
+# influx displaced past position 50 (user_sessionization,
 # last_purchase_asof, customers_without_orders, scene_change_flags,
-# kmeans_train + the rest of the r5/r6 sections — lead the r14 gate).
-# Per verdict #6 the re-gated r12 veterans rotate to the tail — the r13
-# gate contains zero rows whose latest green is r12.
+# kmeans_train + the rest of the old r5 section, all r5-green) lead,
+# then the round-6 section fills to 50.  Section 1 holds the ops BORN
+# or CHANGED this round (r14) — each takes a gate slot the day it
+# lands, sliding the r6 fill out; re-run the position-50 boundary
+# check after every addition.
 # STANDING RULE (verdict #2): a NEW op's first driver row lands the
 # round it is born; park only metadata-only ops, never two rounds
 # running.
 #
 _NAMES = [
-    # -- 1. CHANGED/NEW this round (r13) --
-    (timeseries, [
-        "time_bucket_battery",  # r13: oracle tz fix (the one r12 red)
-        "asof_nearest_battery",  # NEW r12 (no driver row yet) + r13
-        # ADVICE fix: value-based prior/next boundary on signup/purchase
-        # ts ties
-    ]),
-    (text, [
-        "retrieval_eval_card",  # NEW r12 (no driver row yet) + r13
-        # de-risk per verdict #4: df-cap, partial top-k, q-side
-        # broadcast guard, unpersist-in-finally
-    ]),
-    (windows, [
-        "ntile_value_bands",  # r13 ADVICE fix: decimal-domain band sum
-    ]),
-    (_streaming_pipeline, [
-        "stream_media_ingest",  # NEW r13: media near-dup-on-arrival
-        # (verdict #5 capability push; streaming op — evidence must be
-        # a driver row, landed the round it is born per the standing
-        # rule)
-    ]),
-    (_streaming_pipeline, [
-        "stream_semantic_ingest",  # NEW r13: embedding dedup-on-arrival
-        # (completes the arrival-lifecycle triple: text r12, media r13,
-        # embeddings r13)
-    ]),
-    (timeseries, [
-        "t_closeness_report",  # NEW r13: completes the k-anon/l-div
-        # privacy triple (TV-distance audit)
-    ]),
-    (text, [
-        "encoding_functions_battery",  # NEW r13: base64/hex/bin codecs
-        "quality_score_calibration",  # NEW r13: reliability diagram of
-        # the cheap score vs the Gopher rule verdict
-        "quality_score_auc",  # NEW r13: tie-corrected ROC-AUC of the
-        # same pair via the integer midrank trick (arrayAUC analog)
-    ]),
-    (multimodal, [
-        "media_phash_near_dup",  # r13 kernel change: numpy _ahash64 +
-        # shared _phash64_bands helper (values identical, 3-SF parity
-        # green — but a changed kernel takes a gate slot; its r5-section
-        # slot was displaced past 50 by the new-op influx)
-    ]),
-    # -- 2. never-gated r11 parks (zero driver rows; promoted per the
-    #    standing rule — a new op's first driver row lands by birth+1) --
-    (dedup, [
-        "dedup_audit_sample",
-    ]),
-    (text, [
-        "unicode_functions_battery",
-    ]),
-    (relational, [
-        "schema_introspection_card",
-    ]),
-    (timeseries, [
-        "avg_map_event_values",
-        "null_semantics_battery",
-    ]),
-    # -- 3. round-7 section remainder (stalest driver rows; r7-green) --
-    (text, [
-        "bpe_merge_topk",
-    ]),
+    # -- 1. CHANGED/NEW this round (r14) --
+    # (ops added as they are built this round; each lands with oracle +
+    # 3-SF parity + edge pytest + SURVEY row, and takes a gate slot the
+    # day it is born)
     (similarity, [
-        "ann_ivf_persisted",
-        "ann_query_broadcast_topk",
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-        "label_centroids",
-        "ann_quantized_topk",
+        "ann_ivf_quantizer_refresh",  # NEW r14: drift RESPONSE (verdict
+        # #4) — refit quantizer on index ∪ drifted batch, re-cluster the
+        # persisted index via one re-assigning ranged OPTIMIZE, serve
+        # under the new quantizer; closes the last ANN production loop
     ]),
-    (multimodal, [
-        "media_metadata_stats",
-        "frame_sample_features",
-        "resize_thumbnail",
-        "media_phash",
-    ]),
-    (curation, [
-        "lang_balance_resample",
-    ]),
-    (windows, [
-        "order_value_distribution",
-    ]),
-    (relational, [
-        "q4_late_shipment_priority",
-        "q7_nation_volume_shipping",
-    ]),
-    # -- 4. round-5 section (next-stalest; fills the gate to 50 —
-    #    re-run the position-50 boundary check after any r13 op lands) --
-    (_streaming_pipeline, [
-        "compacted_rollup_txlog",
-        "incremental_rollup_txlog",
-        "hourly_trend_from_rollup",
-        "stream_sessionize_events",
-        "txlog_time_travel",
-        "stream_windowed_rollup_events",
-        "stream_join_orders_acks",
-        "stream_join_orders_acks_outer",
-        "txlog_pruned_read",
-        "stream_dedup_events",
-        "stream_running_totals_events",
-        "incremental_nation_rollup",
-        "txlog_schema_evolution",
-        "txlog_bloom_pruned_read",
-        "stream_static_enrich",
-        "aggregating_merge_sketch_mv",
-        "txlog_changes_feed",
-    ]),
-    (_storage_layout, [
-        "gdpr_delete_audit",
-    ]),
+    # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
+    #    rows displaced past 50 by the r13 influx (all r5-green; zero
+    #    driver rows since) --
     (_storage_bucketing, [
-        "bucketed_orders_lineitem_join",
         "top_orders_per_priority_salted",
     ]),
     (timeseries, [
@@ -183,7 +73,6 @@ _NAMES = [
         "customers_without_orders",
     ]),
     (multimodal, [
-        # media_phash_near_dup promoted to section 1 (r13 kernel change)
         "scene_change_flags",
     ]),
     (similarity, [
@@ -681,6 +570,98 @@ _NAMES = [
         "repetition_score",
         "gopher_quality_rules",
         "boilerplate_spans",
+    ]),
+    # -- 11. round-13-green evidence (the entire 50/50 r13 gate,
+    #    rotated to the tail after earning its rows, verdict #6) --
+    (timeseries, [
+        "time_bucket_battery",
+        "asof_nearest_battery",
+    ]),
+    (text, [
+        "retrieval_eval_card",
+    ]),
+    (windows, [
+        "ntile_value_bands",
+    ]),
+    (_streaming_pipeline, [
+        "stream_media_ingest",
+        "stream_semantic_ingest",
+    ]),
+    (timeseries, [
+        "t_closeness_report",
+    ]),
+    (text, [
+        "encoding_functions_battery",
+        "quality_score_calibration",
+        "quality_score_auc",
+    ]),
+    (multimodal, [
+        "media_phash_near_dup",
+    ]),
+    (dedup, [
+        "dedup_audit_sample",
+    ]),
+    (text, [
+        "unicode_functions_battery",
+    ]),
+    (relational, [
+        "schema_introspection_card",
+    ]),
+    (timeseries, [
+        "avg_map_event_values",
+        "null_semantics_battery",
+    ]),
+    (text, [
+        "bpe_merge_topk",
+    ]),
+    (similarity, [
+        "ann_ivf_persisted",
+        "ann_query_broadcast_topk",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "label_centroids",
+        "ann_quantized_topk",
+    ]),
+    (multimodal, [
+        "media_metadata_stats",
+        "frame_sample_features",
+        "resize_thumbnail",
+        "media_phash",
+    ]),
+    (curation, [
+        "lang_balance_resample",
+    ]),
+    (windows, [
+        "order_value_distribution",
+    ]),
+    (relational, [
+        "q4_late_shipment_priority",
+        "q7_nation_volume_shipping",
+    ]),
+    (_streaming_pipeline, [
+        "compacted_rollup_txlog",
+        "incremental_rollup_txlog",
+        "hourly_trend_from_rollup",
+        "stream_sessionize_events",
+        "txlog_time_travel",
+        "stream_windowed_rollup_events",
+        "stream_join_orders_acks",
+        "stream_join_orders_acks_outer",
+        "txlog_pruned_read",
+        "stream_dedup_events",
+        "stream_running_totals_events",
+        "incremental_nation_rollup",
+        "txlog_schema_evolution",
+        "txlog_bloom_pruned_read",
+        "stream_static_enrich",
+        "aggregating_merge_sketch_mv",
+        "txlog_changes_feed",
+    ]),
+    (_storage_layout, [
+        "gdpr_delete_audit",
+    ]),
+    (_storage_bucketing, [
+        "bucketed_orders_lineitem_join",
     ]),
 ]
 

@@ -628,6 +628,15 @@ def _kmeans_fit_uncached(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, list[float]]]:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _kmeans_fit_frame(emb)
+
+
+def _kmeans_fit_frame(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Lloyd fit over an arbitrary (vec_id, embedding) frame — the seam
+    the drift RESPONSE needs (``ann_ivf_quantizer_refresh`` refits on
+    index ∪ drifted batch), factored out of the corpus fit so both run
+    the identical deterministic recipe: init = K lowest vec_ids, round-6
+    argmin assignment with cluster tiebreak, exact decimal-sum means."""
     init = sorted(
         emb.orderBy("vec_id").limit(KMEANS_K).collect(), key=lambda r: r["vec_id"]
     )
@@ -997,7 +1006,13 @@ def _build_ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ivf_probe_serve(
-    spark: SparkSession, sf_dir: str, table: str, keep=None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    keep=None,
+    quantizer=None,
+    corpus=None,
+    query_pred=None,
 ) -> DataFrame:
     """Serve IVF queries from a PERSISTED index-as-table: the query set
     is every vector whose argmin cell is 0 (deterministic), their
@@ -1018,12 +1033,25 @@ def _ivf_probe_serve(
 
     from ..storage import txlog
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quantizer/corpus seams (r14): the refresh serve assigns queries
+    # with the REFIT quantizer over the UNION corpus; defaults keep the
+    # frozen-quantizer full-corpus contract for every prior caller.
+    emb = (
+        corpus
+        if corpus is not None
+        else load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
     if keep is not None:
         emb = emb.filter(keep)
-    with_cells = _with_ranked_cells(emb, _kmeans_fit(spark, sf_dir))
+    with_cells = _with_ranked_cells(
+        emb, quantizer if quantizer is not None else _kmeans_fit(spark, sf_dir)
+    )
     queries = with_cells.filter(
-        F.element_at("ranked", 1)["c"] == 0
+        query_pred(with_cells)
+        if query_pred is not None
+        else F.element_at("ranked", 1)["c"] == 0
     ).select(
         "vec_id",
         "embedding",
@@ -2875,3 +2903,227 @@ def stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         raise RuntimeError("streaming IVF ingest produced an empty index")
     return _ivf_probe_serve(spark, sf_dir, table)
+
+
+#: Drift-response proof cohorts (``ann_ivf_quantizer_refresh``).  Two
+#: re-arriving batches derived from the fixture: the PLAIN cohort
+#: (vec_id % DRIFT_INGEST_MOD == DRIFT_PLAIN_RESIDUE, unchanged vectors,
+#: ids + DRIFT_PLAIN_OFFSET) and the SHIFTED cohort (DRIFT_SHIFT_RESIDUE,
+#: +1.0 on the first DRIFT_SHIFT_DIMS dims, ids + DRIFT_SHIFT_OFFSET).
+#: Probed falsifiability (DuckDB, all 3 SFs): centroid dist^2 to the
+#: index is ~0.005-0.02 for the plain cohort (pure sampling noise) and
+#: ~8.0 for the shifted one — DRIFT_REFRESH_TAU_MICROS = 1.0 in micros
+#: separates them by 2 orders of magnitude on BOTH sides, so engine and
+#: oracle always take the same branch.
+DRIFT_INGEST_MOD = 10
+DRIFT_PLAIN_RESIDUE = 7
+DRIFT_SHIFT_RESIDUE = 4
+DRIFT_PLAIN_OFFSET = 2_000_007
+DRIFT_SHIFT_OFFSET = 3_000_004
+DRIFT_SHIFT_DIMS = 8
+DRIFT_REFRESH_TAU_MICROS = 1_000_000
+
+
+def _centroid_dist2_micros(index: DataFrame, batch: DataFrame) -> int:
+    """Squared L2 distance between two frames' centroids, in round-6
+    micros — the drift score that gates the quantizer refresh.  Per-dim
+    sums ride the DECIMAL(38,15) fold (exact — the kmeans discipline),
+    one double divide per centroid dim, then a driver-side left fold
+    over the 64 sorted dims (64 rows — driver-bounded by the embedding
+    dimension, never by the corpus)."""
+    import math
+
+    def cent(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.select(F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                (
+                    F.sum(
+                        F.col("x").cast("double").cast("decimal(38,15)")
+                    ).cast("double")
+                    / F.count("*")
+                ).alias(alias)
+            )
+        )
+
+    rows = (
+        cent(index, "ci").join(cent(batch, "cb"), "dim").orderBy("dim").collect()
+    )
+    d2 = 0.0
+    for r in rows:
+        diff = r["ci"] - r["cb"]
+        d2 += diff * diff
+    return int(math.floor(d2 * 1_000_000 + 0.5))
+
+
+def ann_ivf_quantizer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer refresh + index re-cluster — the drift RESPONSE that
+    closes the ANN production loop (NEW r14, verdict #4).  Detection has
+    existed since r9 (``embedding_source_drift``); this op is what fires
+    when it trips: re-fit the coarse quantizer on what the index now
+    holds and re-cluster the persisted index under it, then keep serving.
+
+    Lifecycle (one fresh index table per run, like
+    ``ann_ivf_incremental``):
+
+    1. BUILD: the corpus indexes under the FROZEN quantizer
+       (``_kmeans_fit``) in 4 cell-range chunks (batch ids 0-3).
+    2. Two batches then arrive (batch ids 4, 5 — monotone in arrival
+       order).  Each batch is scored by ``_centroid_dist2_micros``
+       against the CURRENT index before it lands; the arrival append is
+       always committed first (batch-id idempotent: a replayed append is
+       a no-op, and a skipped append skips the refresh too — the whole
+       refresh rides the arrival commit).
+       - the PLAIN cohort scores ~0.02 -> below tau: frozen-quantizer
+         map-side assignment, plain append (the ``ann_ivf_incremental``
+         path — no refit, no rewrite);
+       - the SHIFTED cohort scores ~8.0 -> drift: REFRESH.  The new
+         quantizer is ``_kmeans_fit_frame`` over the index's current
+         contents (corpus ∪ both batches; memoized per dataset — the
+         serve and any replay recompute the identical K*dim doubles),
+         and the re-cluster is ONE ranged OPTIMIZE
+         (``txlog.compact_ranged_tx(agg=reassign)``) whose fold
+         re-assigns every row map-side against the new centroid
+         broadcast while rewriting into cell-range directories — the
+         same machinery that collapses tombstones, so pruning is
+         restored under the NEW cell ids in the same atomic commit.
+    3. SERVE: the shared pruned-probe serve (``_ivf_probe_serve``) under
+       the NEW quantizer over the union corpus — answers must equal the
+       in-memory IVF re-derived from raw parquet under the refit
+       quantizer (the oracle recomputes exactly that, unrolled Lloyd on
+       the union); ``neighbor_is_drifted`` flags results only servable
+       because the drifted batch is searchable under cells that did not
+       exist before the refresh.
+
+    Scale shape: drift scoring is one 64-row centroid aggregate per
+    batch (O(batch) + O(index) column-pruned scan of vectors only);
+    refit is KMEANS_ITERS map-side assignment passes + K*64-decimal
+    aggregates; the rewrite is O(index) — amortized in production by
+    firing only when drift actually trips (detection is the cheap
+    always-on monitor).  Embeddings never ride an unbounded shuffle; the
+    driver only ever holds K*dim doubles and the 64-dim centroid rows."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..storage import txlog
+    from ._memo import memo_get
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    plain = emb.filter(
+        F.pmod("vec_id", F.lit(DRIFT_INGEST_MOD)) == DRIFT_PLAIN_RESIDUE
+    ).select(
+        (F.col("vec_id") + F.lit(DRIFT_PLAIN_OFFSET)).alias("vec_id"),
+        "embedding",
+    )
+    shifted = emb.filter(
+        F.pmod("vec_id", F.lit(DRIFT_INGEST_MOD)) == DRIFT_SHIFT_RESIDUE
+    ).select(
+        (F.col("vec_id") + F.lit(DRIFT_SHIFT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.transform(
+                F.slice("embedding", 1, DRIFT_SHIFT_DIMS),
+                lambda x: x + F.lit(1.0),
+            ),
+            F.transform(
+                F.slice("embedding", DRIFT_SHIFT_DIMS + 1, DIM - DRIFT_SHIFT_DIMS),
+                lambda x: x,
+            ),
+        ).alias("embedding"),
+    )
+
+    old_q = _kmeans_fit(spark, sf_dir)
+    table = _os.path.join(
+        _tempfile.gettempdir(),
+        "spark_graft_ivf_index",
+        f"refresh-{_uuid.uuid4().hex[:8]}",
+    )
+    bounds = [KMEANS_K * i // 4 for i in range(5)]
+    bounds[4] = KMEANS_K
+    assigned = _with_ranked_cells(emb, old_q).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+    ).persist()
+    try:
+        for i in range(4):
+            txlog.append_tx(
+                spark,
+                table,
+                assigned.filter(
+                    (F.col("cluster") >= bounds[i])
+                    & (F.col("cluster") < bounds[i + 1])
+                ).coalesce(4),
+                batch_id=i,
+                stats_cols=["cluster"],
+            )
+    finally:
+        assigned.unpersist(blocking=False)
+
+    current_q = old_q
+    ledger: list[dict] = []
+    for batch, bid, tag in ((plain, 4, "plain"), (shifted, 5, "shifted")):
+        index_now = txlog.read_table(spark, table).select("vec_id", "embedding")
+        d2 = _centroid_dist2_micros(index_now, batch)
+        asg = _with_ranked_cells(batch, current_q).select(
+            "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
+        )
+        applied = txlog.append_tx(
+            spark, table, asg.coalesce(4), batch_id=bid, stats_cols=["cluster"]
+        )
+        refreshed = False
+        if d2 > DRIFT_REFRESH_TAU_MICROS:
+            # drift fired: refit on what the index holds NOW (corpus +
+            # every arrived batch), then ONE re-assigning ranged OPTIMIZE
+            current_q = memo_get(
+                "kmeans_refresh_fit",
+                sf_dir,
+                ("embeddings",),
+                lambda: _kmeans_fit_frame(
+                    txlog.read_table(spark, table).select("vec_id", "embedding")
+                ),
+            )
+            if applied:  # a replayed arrival skips the rewrite too
+                nq = current_q
+
+                def reassign(df: DataFrame) -> DataFrame:
+                    return _with_ranked_cells(
+                        df.select("vec_id", "embedding"), nq
+                    ).select(
+                        "vec_id",
+                        F.element_at("ranked", 1)["c"].alias("cluster"),
+                        "embedding",
+                    )
+
+                if not txlog.compact_ranged_tx(
+                    spark, table, "cluster", bounds,
+                    agg=reassign, stats_cols=["cluster"],
+                ):
+                    raise RuntimeError("quantizer refresh found an empty index")
+                refreshed = True
+        ledger.append(
+            {"batch": tag, "drift_micros": d2, "applied": applied,
+             "refreshed": refreshed}
+        )
+
+    uni = emb.unionByName(plain).unionByName(shifted)
+    ann_ivf_quantizer_refresh.last_state = {
+        "table": table, "ledger": ledger,
+        "old_quantizer": old_q, "new_quantizer": current_q,
+        "bounds": bounds,
+    }
+    # query set: the usual deterministic cell-0 vectors PLUS every
+    # drifted arrival — the production check "the refreshed index serves
+    # the new data"; drifted queries find drifted neighbors (the shifted
+    # cloud is mutually close), so neighbor_is_drifted fires at every SF
+    # while staying false for the corpus queries (both branches live).
+    return _ivf_probe_serve(
+        spark, sf_dir, table, quantizer=current_q, corpus=uni,
+        query_pred=lambda wc: (F.element_at("ranked", 1)["c"] == 0)
+        | (F.col("vec_id") >= F.lit(DRIFT_SHIFT_OFFSET)),
+    ).withColumn(
+        "neighbor_is_drifted",
+        F.col("neighbor_id") >= F.lit(DRIFT_SHIFT_OFFSET),
+    )

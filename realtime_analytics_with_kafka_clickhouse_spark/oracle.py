@@ -1816,11 +1816,14 @@ FROM agg
 """
 
 
-def _kmeans_parts(k: int = 10, iters: int = 2, dim: int = 64) -> tuple[list[str], str]:
+def _kmeans_parts(
+    k: int = 10, iters: int = 2, dim: int = 64, src: str = "embeddings"
+) -> tuple[list[str], str]:
     """Unrolled Lloyd-iteration CTEs; returns (parts, final_centroid_cte).
     The distance chain is explicit `t1 + t2 + ... + t64` (left-assoc, same
     IEEE order as the Spark fold); centroid means are exact decimal sums +
-    one double divide (dsum convention)."""
+    one double divide (dsum convention).  ``src`` (r14) selects the
+    training set — the quantizer-REFRESH oracle fits on the union CTE."""
     chain = " + ".join(
         f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
         f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
@@ -1839,21 +1842,21 @@ def _kmeans_parts(k: int = 10, iters: int = 2, dim: int = 64) -> tuple[list[str]
     SELECT vec_id, cluster, dist,
            row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
     FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
-          FROM embeddings e CROSS JOIN {prev} c))
+          FROM {src} e CROSS JOIN {prev} c))
   WHERE rn = 1)"""
 
     def update(n: int) -> str:
         return f"""c{n} AS (
   SELECT cluster, {clist} AS centroid FROM (
     SELECT a.cluster, {means}
-    FROM a{n} a JOIN embeddings e USING (vec_id)
+    FROM a{n} a JOIN {src} e USING (vec_id)
     GROUP BY a.cluster))"""
 
     parts = [
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+  FROM (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {k}))"""
     ]
     for it in range(1, iters + 1):
         parts.append(assign(it, f"c{it - 1}"))
@@ -7848,3 +7851,92 @@ SELECT n_pos, n_neg,
             AS BIGINT) AS gini_micros
 FROM agg
 """
+
+
+def _quantizer_refresh_sql(dim: int = 64, probe: int = 2, top_k: int = 5) -> str:
+    """Drift-response serve (r14): recomputes the WHOLE lifecycle's end
+    state from raw parquet — the union corpus (base + plain re-ingest +
+    shifted cohort), the REFIT quantizer (unrolled Lloyd trained on that
+    union — mirrors ``_kmeans_fit_frame`` over the refreshed index's
+    contents), and the pruned-probe serve under it: queries are the
+    cell-0 vectors plus every drifted arrival, candidates the vectors
+    sharing a probed cell, exact round-6 cosine, (cos desc, id asc)
+    top-5.  The drift DECISION is implicit but binding: had the engine
+    not refreshed, the served cells would still be the old quantizer's
+    and the ranks would not match."""
+    from .operators.similarity import (
+        DRIFT_INGEST_MOD,
+        DRIFT_PLAIN_OFFSET,
+        DRIFT_PLAIN_RESIDUE,
+        DRIFT_SHIFT_DIMS,
+        DRIFT_SHIFT_OFFSET,
+        DRIFT_SHIFT_RESIDUE,
+    )
+
+    uni = f"""uni AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DRIFT_PLAIN_OFFSET},
+         list_transform(embedding, x -> CAST(x AS DOUBLE))
+  FROM embeddings WHERE vec_id % {DRIFT_INGEST_MOD} = {DRIFT_PLAIN_RESIDUE}
+  UNION ALL
+  SELECT vec_id + {DRIFT_SHIFT_OFFSET},
+         list_concat(
+           list_transform(embedding[1:{DRIFT_SHIFT_DIMS}],
+                          x -> CAST(x AS DOUBLE) + 1.0),
+           list_transform(embedding[{DRIFT_SHIFT_DIMS + 1}:{dim}],
+                          x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id % {DRIFT_INGEST_MOD} = {DRIFT_SHIFT_RESIDUE})"""
+    parts, final_c = _kmeans_parts(dim=dim, src="uni")
+    parts.insert(0, uni)
+    chain = " + ".join(
+        f"(CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        f" * (CAST(e.embedding[{i}] AS DOUBLE) - c.centroid[{i}])"
+        for i in range(1, dim + 1)
+    )
+    parts.append(
+        f"""s AS (
+  SELECT vec_id, cluster, rn FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (SELECT e.vec_id, c.cluster, round({chain}, 6) AS dist
+          FROM uni e CROSS JOIN {final_c} c))
+  WHERE rn <= {probe})"""
+    )
+    parts.append(
+        f"""v AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM uni)"""
+    )
+    parts.append(
+        f"""qset AS (
+  SELECT vec_id FROM s WHERE rn = 1 AND cluster = 0
+  UNION
+  SELECT vec_id FROM uni WHERE vec_id >= {DRIFT_SHIFT_OFFSET})"""
+    )
+    parts.append(
+        f"""p AS (
+  SELECT q.vec_id AS vec_id, i.vec_id AS neighbor_id,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM (SELECT vec_id, cluster FROM s
+        WHERE rn <= {probe} AND vec_id IN (SELECT vec_id FROM qset)) q
+  JOIN (SELECT vec_id, cluster FROM s WHERE rn = 1) i
+    ON q.cluster = i.cluster AND q.vec_id <> i.vec_id
+  JOIN v a ON a.vec_id = q.vec_id
+  JOIN v b ON b.vec_id = i.vec_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vec_id, neighbor_id, cos_sim, rank,
+       neighbor_id >= {DRIFT_SHIFT_OFFSET} AS neighbor_is_drifted
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM p)
+WHERE rank <= {top_k}"""
+    )
+
+
+ORACLE["ann_ivf_quantizer_refresh"] = _quantizer_refresh_sql()

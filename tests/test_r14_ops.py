@@ -1,0 +1,129 @@
+"""Round-14 additions: the quantizer-refresh drift response
+(``ann_ivf_quantizer_refresh`` — verdict #4's capability push) and its
+lifecycle invariants beyond the DuckDB-parity oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_quantizer_refresh_lifecycle(spark, queries):
+    """Drift-response invariants: (1) the ledger records NO refresh for
+    the plain cohort and ONE for the shifted cohort, with drift scores
+    on the correct sides of tau by an order of magnitude each way;
+    (2) the refreshed quantizer differs from the frozen one; (3) the
+    refresh conserves rows (corpus + both batches, nothing lost or
+    duplicated by the re-assigning rewrite); (4) replaying the drifted
+    batch's arrival id is a committed no-op (version + rows unchanged);
+    (5) post-refresh, a one-cell probe prunes to a single ranged dir —
+    the re-cluster restored data skipping under the NEW cell ids;
+    (6) drifted arrivals are served (every drifted query returns top-k)
+    and both neighbor_is_drifted branches fire."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        DRIFT_REFRESH_TAU_MICROS,
+        DRIFT_SHIFT_OFFSET,
+        TOP_K,
+        ann_ivf_quantizer_refresh,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+
+    rows = queries["ann_ivf_quantizer_refresh"](spark, SF_DIR).collect()
+    st = ann_ivf_quantizer_refresh.last_state
+    ledger = {e["batch"]: e for e in st["ledger"]}
+
+    # (1) branch decisions, with margin
+    assert not ledger["plain"]["refreshed"]
+    assert ledger["shifted"]["refreshed"]
+    assert ledger["plain"]["drift_micros"] * 10 < DRIFT_REFRESH_TAU_MICROS
+    assert ledger["shifted"]["drift_micros"] > 2 * DRIFT_REFRESH_TAU_MICROS
+    assert ledger["plain"]["applied"] and ledger["shifted"]["applied"]
+
+    # (2) the refit actually moved the quantizer
+    assert st["old_quantizer"] != st["new_quantizer"]
+    assert len(st["new_quantizer"]) == len(st["old_quantizer"])
+
+    # (3) conservation through the re-assigning rewrite
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    n_batches = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.pmod("vec_id", F.lit(10)).isin(7, 4))
+        .count()
+    )
+    table = st["table"]
+    assert txlog.read_table(spark, table).count() == n_corpus + n_batches
+    ids = txlog.read_table(spark, table).select("vec_id").distinct().count()
+    assert ids == n_corpus + n_batches  # no duplicates either
+
+    # (4) replayed arrival: committed no-op
+    v_before, _ = txlog.snapshot(spark, table)
+    probe = spark.createDataFrame(
+        [(99_999_999, 0, [0.0] * 64)],
+        "vec_id long, cluster int, embedding array<double>",
+    )
+    assert not txlog.append_tx(
+        spark, table, probe, batch_id=5, stats_cols=["cluster"]
+    )
+    v_after, _ = txlog.snapshot(spark, table)
+    assert v_after == v_before
+
+    # (5) pruning restored under the NEW cells: one-cell probe -> 1 dir
+    pr = txlog.read_table(spark, table, prune={"cluster": (0, 0)})
+    dirs = {f.rsplit("/", 2)[-2] for f in pr.inputFiles()}
+    assert len(dirs) == 1, dirs
+
+    # (6) the refreshed index serves the new data
+    drifted_q = {r["vec_id"] for r in rows if r["vec_id"] >= DRIFT_SHIFT_OFFSET}
+    n_drifted = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.pmod("vec_id", F.lit(10)) == 4)
+        .count()
+    )
+    assert len(drifted_q) == n_drifted
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["vec_id"], []).append(r)
+    for q in drifted_q:
+        assert len(per_q[q]) == TOP_K
+    assert any(r["neighbor_is_drifted"] for r in rows)
+    assert any(not r["neighbor_is_drifted"] for r in rows)
+
+
+def test_quantizer_refresh_assignment_is_map_side(spark):
+    """Scale pin: the re-assignment fold used by the refresh rewrite is
+    shuffle-free — the ONLY exchange is the one-row quantizer broadcast
+    (IdentityBroadcastMode); the embeddings themselves never ride a
+    ShuffleExchange."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _kmeans_fit,
+        _with_ranked_cells,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    df = _with_ranked_cells(emb, _kmeans_fit(spark, SF_DIR)).select(
+        "vec_id", F.element_at("ranked", 1)["c"].alias("cluster")
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "ShuffleExchange" not in plan, plan
+    assert plan.count("BroadcastExchange IdentityBroadcastMode") == 1, plan
