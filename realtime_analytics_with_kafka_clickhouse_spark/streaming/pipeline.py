@@ -2918,6 +2918,94 @@ def optimize_deduplicate_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The arrival-lifecycle schedule shared by every dedup-on-arrival op:
+#: epoch = id % 4, epochs deliberately arrive OUT OF ORDER, and txlog
+#: batch ids are monotone in ARRIVAL order (the replay contract — an
+#: epoch-numbered id would read as an already-merged replay).
+ARRIVAL_ORDER = (2, 0, 3, 1)
+
+
+def run_arrival_lifecycle(
+    spark: SparkSession,
+    *,
+    arrivals: DataFrame,
+    epoch_of,
+    quarantine: str,
+    index: str,
+    probe_kernel,
+    quarantine_rows,
+    index_rows,
+    after_epoch=None,
+    ledger=None,
+    shuffle_partitions: str = "8",
+):
+    """Shared arrival-lifecycle harness (r14, verdict #5): the epoch
+    scaffold that was ~200 near-identical lines in each of
+    ``stream_curation_ingest`` / ``stream_media_ingest`` /
+    ``stream_semantic_ingest`` — a fourth modality now costs a kernel,
+    not a copy.  The harness owns:
+
+    - the out-of-order ``ARRIVAL_ORDER`` epoch loop with batch ids
+      monotone in ARRIVAL order (the txlog replay contract);
+    - the first-arrival branch (the index is empty by definition — no
+      probe, ``hits is None``);
+    - persist+count of each probing epoch's hits before they fan out to
+      the quarantine append AND the clean anti-join (unpersisted, each
+      consumer would re-run the probe join — the r12 lesson), and the
+      unpersist at epoch end;
+    - the batch-id-idempotent quarantine + index commits (an
+      at-least-once replay of any epoch is a committed no-op);
+    - the shuffle-partition sizing for the ~10-20 small
+      driver-coordinated jobs per run (sized to the replay volume, the
+      ``_replay_events_stream`` convention; restored in the finally).
+
+    Injected per modality (each also receives the EPOCH number, for
+    kernels that slice a pre-materialized signature memo by epoch):
+
+    - ``probe_kernel(batch, index_df, epoch) -> hits | None`` —
+      candidacy + verification against the persisted index (MinHash-LSH
+      equi-join, Hamming band probe, within-cell Arrow cosine, ...);
+    - ``quarantine_rows(batch, hits, epoch) -> rows | None`` — this
+      epoch's reason-tagged rejects (None commits nothing; curation
+      returns quality rejects even on the first arrival);
+    - ``index_rows(batch, hits, epoch) -> rows | None`` — the clean
+      rows the index learns (quarantined arrivals never enter it, so
+      the probe set stays "accepted by strictly earlier epochs" — the
+      recursion every oracle unrolls);
+    - ``after_epoch(bi, epoch, batch, hits)`` — optional extra state
+      mutation (curation's Replacing merge into the curated table);
+    - ``ledger() -> DataFrame`` — the driver row, assembled while the
+      tuned shuffle sizing is still in effect.
+    """
+    from ..storage import txlog
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        for bi, i in enumerate(ARRIVAL_ORDER):
+            batch = arrivals.filter(epoch_of == i)
+            if bi == 0:  # first arrival: the index is empty by definition
+                hits = None
+            else:
+                hits = probe_kernel(batch, txlog.read_table(spark, index), i)
+                if hits is not None:
+                    hits = hits.persist()
+                    hits.count()
+            q = quarantine_rows(batch, hits, i)
+            if q is not None:
+                txlog.append_tx(spark, quarantine, q, batch_id=bi)
+            ir = index_rows(batch, hits, i)
+            if ir is not None:
+                txlog.append_tx(spark, index, ir, batch_id=bi)
+            if after_epoch is not None:
+                after_epoch(bi, i, batch, hits)
+            if hits is not None:
+                hits.unpersist()
+        return ledger() if ledger is not None else None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming CURATION ingest (NEW r11; near-dup-on-arrival
     added r12 per the verdict's capability directive) — the LLM-data
@@ -2991,11 +3079,10 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch = F.pmod(F.col("doc_id"), F.lit(4))
         accepts = flagged.filter(F.col("passed"))
         em = _epoch_bucket_map(accepts, epoch, ["content_key"])
-        # The epoch loop runs ~20 SMALL driver-coordinated jobs (probe,
-        # verify, three txlog commits, merge per epoch); at 32 shuffle
-        # partitions the fixed per-task overhead dominates them — size
-        # the shuffles to the replay volume (the _replay_events_stream
-        # convention; restored in the finally).
+        # The pre-loop materializations below run ~small shuffles too —
+        # size them to the replay volume like the epoch loop itself (the
+        # _replay_events_stream convention; restored in the finally, and
+        # the harness re-applies it around the loop).
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         # Signatures for every gate-passing doc in ONE shuffle, persisted
         # and FILTERED per epoch below.  The per-doc work is identical to
@@ -3053,79 +3140,76 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         verified.count()
         all_cands.unpersist()
-        # batch ids are monotone in ARRIVAL order (the txlog replay
-        # contract), while the epochs themselves arrive out of order —
-        # an epoch-numbered id would read as an already-merged replay
-        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
-            batch = flagged.filter(epoch == i)
+        def probe_kernel(batch: DataFrame, index: DataFrame, i: int) -> DataFrame:
+            batch_sigs = acc_sigs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            candidates = (
+                batch_sigs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("content_key").alias("ck_a"),
+                    "band",
+                    "sig",
+                )
+                .join(
+                    index.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("content_key").alias("ck_b"),
+                        "band",
+                        "sig",
+                    ),
+                    ["band", "sig"],
+                )
+                .filter(F.col("ck_a") != F.col("ck_b"))
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            # hits (nd_docs) feed THREE consumers (near-dup append,
+            # curated merge's anti-join, index append's anti-join) —
+            # the harness persists them before the fan-out
+            return (
+                candidates.join(verified, ["doc_a", "doc_b"])
+                .groupBy("doc_a")
+                .agg(F.min("doc_b").alias("matched_doc_id"))
+                .withColumnRenamed("doc_a", "doc_id")
+            )
+
+        def quarantine_rows(batch: DataFrame, hits, i: int) -> DataFrame:
+            # ONE quarantine commit per epoch (quality + near-dup rows,
+            # reason-tagged): the epoch's rejects are one atomic batch,
+            # and halving the commit count saves ~2s of txlog machinery
+            # per run at sf0.1
             quality_rows = batch.filter(~F.col("passed")).select(
                 "doc_id",
                 "source",
                 F.lit("quality").alias("reason"),
                 F.lit(None).cast("long").alias("matched_doc_id"),
             )
+            if hits is None:
+                return quality_rows.coalesce(2)
+            ndq_rows = batch.filter(F.col("passed")).join(hits, "doc_id").select(
+                "doc_id",
+                "source",
+                F.lit("near_dup").alias("reason"),
+                "matched_doc_id",
+            )
+            return quality_rows.union(ndq_rows).coalesce(2)
+
+        def index_rows(batch: DataFrame, hits, i: int) -> DataFrame:
+            clean_sigs = acc_sigs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+            if hits is not None:
+                clean_sigs = clean_sigs.join(
+                    hits.select("doc_id"), "doc_id", "left_anti"
+                )
+            return clean_sigs.select(
+                "doc_id", "content_key", "band", "sig"
+            ).coalesce(2)
+
+        def after_epoch(bi: int, i: int, batch: DataFrame, hits) -> None:
             acc = batch.filter(F.col("passed"))
-            batch_sigs = acc_sigs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
-            if bi == 0:  # first arrival: the index is empty by definition
-                nd_docs = None
-                ndq_rows = None
-            else:
-                index = txlog.read_table(spark, lsh_index)
-                candidates = (
-                    batch_sigs.select(
-                        F.col("doc_id").alias("doc_a"),
-                        F.col("content_key").alias("ck_a"),
-                        "band",
-                        "sig",
-                    )
-                    .join(
-                        index.select(
-                            F.col("doc_id").alias("doc_b"),
-                            F.col("content_key").alias("ck_b"),
-                            "band",
-                            "sig",
-                        ),
-                        ["band", "sig"],
-                    )
-                    .filter(F.col("ck_a") != F.col("ck_b"))
-                    .select("doc_a", "doc_b")
-                    .distinct()
-                )
-                # persist + materialize: nd_docs feeds THREE consumers
-                # (near-dup append, curated merge's anti-join, index
-                # append's anti-join) — unpersisted, each would re-run
-                # the probe join
-                nd_docs = (
-                    candidates.join(verified, ["doc_a", "doc_b"])
-                    .groupBy("doc_a")
-                    .agg(F.min("doc_b").alias("matched_doc_id"))
-                    .withColumnRenamed("doc_a", "doc_id")
-                    .persist()
-                )
-                nd_docs.count()
-                ndq_rows = acc.join(nd_docs, "doc_id").select(
-                    "doc_id",
-                    "source",
-                    F.lit("near_dup").alias("reason"),
-                    "matched_doc_id",
-                )
-            # ONE quarantine commit per epoch (quality + near-dup rows,
-            # reason-tagged): the epoch's rejects are one atomic batch,
-            # and halving the commit count saves ~2s of txlog machinery
-            # per run at sf0.1
-            epoch_rejects = (
-                quality_rows if ndq_rows is None else quality_rows.union(ndq_rows)
+            clean = (
+                acc
+                if hits is None
+                else acc.join(hits.select("doc_id"), "doc_id", "left_anti")
             )
-            txlog.append_tx(
-                spark, quarantine, epoch_rejects.coalesce(2), batch_id=bi
-            )
-            if nd_docs is None:
-                clean, clean_sigs = acc, batch_sigs
-            else:
-                clean = acc.join(nd_docs.select("doc_id"), "doc_id", "left_anti")
-                clean_sigs = batch_sigs.join(
-                    nd_docs.select("doc_id"), "doc_id", "left_anti"
-                )
             merge_replacing(
                 spark,
                 curated,
@@ -3135,35 +3219,50 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_id=None,
                 touched=em.get(i, []),
             )
-            txlog.append_tx(
-                spark,
-                lsh_index,
-                clean_sigs.select("doc_id", "content_key", "band", "sig").coalesce(2),
-                batch_id=bi,
+
+        def ledger() -> DataFrame:
+            kept = spark.read.parquet(curated).groupBy("source").agg(
+                F.count("*").cast("long").alias("n_kept")
             )
-            if nd_docs is not None:
-                nd_docs.unpersist()
-        verified.unpersist()
-        acc_sigs.unpersist()
-        kept = spark.read.parquet(curated).groupBy("source").agg(
-            F.count("*").cast("long").alias("n_kept")
-        )
-        qt = txlog.read_table(spark, quarantine)
-        quar = qt.filter(F.col("reason") == "quality").groupBy("source").agg(
-            F.count("*").cast("long").alias("n_quarantined")
-        )
-        ndq = qt.filter(F.col("reason") == "near_dup").groupBy("source").agg(
-            F.count("*").cast("long").alias("n_near_dup_quarantined")
-        )
-        clean_counts = (
-            accepts.join(
-                qt.filter(F.col("reason") == "near_dup").select("doc_id"),
-                "doc_id",
-                "left_anti",
+            qt = txlog.read_table(spark, quarantine)
+            quar = qt.filter(F.col("reason") == "quality").groupBy("source").agg(
+                F.count("*").cast("long").alias("n_quarantined")
             )
-            .groupBy("source")
-            .agg(F.count("*").cast("long").alias("n_clean"))
-        )
+            ndq = qt.filter(F.col("reason") == "near_dup").groupBy("source").agg(
+                F.count("*").cast("long").alias("n_near_dup_quarantined")
+            )
+            clean_counts = (
+                accepts.join(
+                    qt.filter(F.col("reason") == "near_dup").select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+                .groupBy("source")
+                .agg(F.count("*").cast("long").alias("n_clean"))
+            )
+            return (
+                docs.select("source")
+                .distinct()
+                .join(kept, "source", "left")
+                .join(quar, "source", "left")
+                .join(ndq, "source", "left")
+                .join(clean_counts, "source", "left")
+                .select(
+                    "source",
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    F.coalesce("n_quarantined", F.lit(0)).cast("long").alias(
+                        "n_quarantined"
+                    ),
+                    F.coalesce("n_near_dup_quarantined", F.lit(0))
+                    .cast("long")
+                    .alias("n_near_dup_quarantined"),
+                    (
+                        F.coalesce("n_clean", F.lit(0))
+                        - F.coalesce("n_kept", F.lit(0))
+                    ).cast("long").alias("n_dup_collapsed"),
+                )
+            )
+
         # proof-table handles for the lifecycle pytest (quarantine
         # contents + replay no-op are pinned there, not in the ledger)
         stream_curation_ingest.last_tables = {
@@ -3171,27 +3270,21 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quarantine": quarantine,
             "lsh_index": lsh_index,
         }
-        return (
-            docs.select("source")
-            .distinct()
-            .join(kept, "source", "left")
-            .join(quar, "source", "left")
-            .join(ndq, "source", "left")
-            .join(clean_counts, "source", "left")
-            .select(
-                "source",
-                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-                F.coalesce("n_quarantined", F.lit(0)).cast("long").alias(
-                    "n_quarantined"
-                ),
-                F.coalesce("n_near_dup_quarantined", F.lit(0)).cast("long").alias(
-                    "n_near_dup_quarantined"
-                ),
-                (
-                    F.coalesce("n_clean", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
-                ).cast("long").alias("n_dup_collapsed"),
-            )
+        result = run_arrival_lifecycle(
+            spark,
+            arrivals=flagged,
+            epoch_of=epoch,
+            quarantine=quarantine,
+            index=lsh_index,
+            probe_kernel=probe_kernel,
+            quarantine_rows=quarantine_rows,
+            index_rows=index_rows,
+            after_epoch=after_epoch,
+            ledger=ledger,
         )
+        verified.unpersist()
+        acc_sigs.unpersist()
+        return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         flagged.unpersist(blocking=False)
@@ -3290,86 +3383,60 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     sigs.count()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        # the epoch loop is ~10 small driver-coordinated jobs — size the
-        # shuffles to the replay volume (the curation-loop convention)
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        quarantine = _fresh_rollup_dir("media_quarantine")
-        hamming_index = _fresh_rollup_dir("media_hamming_index")
-        epoch = F.pmod(F.col("doc_id"), F.lit(4))
-        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
-            batch = sigs.filter(epoch == i)
-            batch_bands = _phash64_bands(batch.select("doc_id", "phash64"))
-            if bi == 0:  # first arrival: the index is empty by definition
-                hits = None
-                clean_bands = batch_bands
-            else:
-                index = txlog.read_table(spark, hamming_index)
-                cand = batch_bands.select(
-                    "doc_id", F.col("phash64").alias("ph_a"), "band", "val"
-                ).join(
-                    index.select(
-                        F.col("doc_id").alias("doc_b"),
-                        F.col("phash64").alias("ph_b"),
-                        "band",
-                        "val",
-                    ),
-                    ["band", "val"],
-                )
-                ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast(
-                    "long"
-                )
-                # persist + materialize: hits feed the quarantine append
-                # AND the clean anti-join — unpersisted, each would
-                # re-run the probe join
-                hits = (
-                    cand.select("doc_id", "doc_b", ham.alias("hamming"))
-                    .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
-                    .groupBy("doc_id")
-                    # struct-extrema argmin (the argminmax_battery
-                    # discipline, r14): lexicographic min over
-                    # (hamming, doc_b) — nearest first, doc-id
-                    # tiebreak — with NO id-width bound, unlike the
-                    # retired hamming*1e10+doc_b pack (safe only for
-                    # ids < 1e10; the oracle keeps the packed form as
-                    # an INDEPENDENT construction, fixture-bounded)
-                    .agg(
-                        F.min(
-                            F.struct(
-                                F.col("hamming"), F.col("doc_b")
-                            )
-                        ).alias("mk")
-                    )
-                    .select(
-                        "doc_id",
-                        F.col("mk.hamming").cast("long").alias("hamming"),
-                        F.col("mk.doc_b").cast("long").alias("matched_doc_id"),
-                    )
-                    .persist()
-                )
-                hits.count()
-                q_rows = batch.join(hits, "doc_id").select(
-                    "doc_id",
-                    "format",
-                    F.when(F.col("hamming") == 0, F.lit("exact"))
-                    .otherwise(F.lit("near_dup"))
-                    .alias("reason"),
-                    "matched_doc_id",
-                    "hamming",
-                )
-                txlog.append_tx(spark, quarantine, q_rows.coalesce(1), batch_id=bi)
-                clean_bands = batch_bands.join(
-                    hits.select("doc_id"), "doc_id", "left_anti"
-                )
-            txlog.append_tx(
-                spark,
-                hamming_index,
-                clean_bands.select("doc_id", "phash64", "band", "val").coalesce(2),
-                batch_id=bi,
+    quarantine = _fresh_rollup_dir("media_quarantine")
+    hamming_index = _fresh_rollup_dir("media_hamming_index")
+
+    def probe_kernel(batch: DataFrame, index: DataFrame, _e: int) -> DataFrame:
+        cand = _phash64_bands(batch.select("doc_id", "phash64")).select(
+            "doc_id", F.col("phash64").alias("ph_a"), "band", "val"
+        ).join(
+            index.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("phash64").alias("ph_b"),
+                "band",
+                "val",
+            ),
+            ["band", "val"],
+        )
+        ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+        return (
+            cand.select("doc_id", "doc_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= PHASH64_HAMMING_MAX)
+            .groupBy("doc_id")
+            # struct-extrema argmin (the argminmax_battery discipline,
+            # r14): lexicographic min over (hamming, doc_b) — nearest
+            # first, doc-id tiebreak — with NO id-width bound, unlike
+            # the retired hamming*1e10+doc_b pack (safe only for ids
+            # < 1e10; the oracle keeps the packed form as an
+            # INDEPENDENT construction, fixture-bounded)
+            .agg(F.min(F.struct(F.col("hamming"), F.col("doc_b"))).alias("mk"))
+            .select(
+                "doc_id",
+                F.col("mk.hamming").cast("long").alias("hamming"),
+                F.col("mk.doc_b").cast("long").alias("matched_doc_id"),
             )
-            if hits is not None:
-                hits.unpersist()
+        )
+
+    def quarantine_rows(batch: DataFrame, hits, _e: int) -> DataFrame | None:
+        if hits is None:
+            return None
+        return batch.join(hits, "doc_id").select(
+            "doc_id",
+            "format",
+            F.when(F.col("hamming") == 0, F.lit("exact"))
+            .otherwise(F.lit("near_dup"))
+            .alias("reason"),
+            "matched_doc_id",
+            "hamming",
+        ).coalesce(1)
+
+    def index_rows(batch: DataFrame, hits, _e: int) -> DataFrame:
+        bands = _phash64_bands(batch.select("doc_id", "phash64"))
+        if hits is not None:
+            bands = bands.join(hits.select("doc_id"), "doc_id", "left_anti")
+        return bands.select("doc_id", "phash64", "band", "val").coalesce(2)
+
+    def ledger() -> DataFrame:
         idx = txlog.read_table(spark, hamming_index)
         kept = (
             sigs.join(idx.select("doc_id").distinct(), "doc_id")
@@ -3390,12 +3457,6 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrived = sigs.groupBy("format").agg(
             F.count("*").cast("long").alias("n_arrived")
         )
-        # proof-table handles for the lifecycle pytest (quarantine
-        # contents, canary recall and replay no-op are pinned there)
-        stream_media_ingest.last_tables = {
-            "quarantine": quarantine,
-            "hamming_index": hamming_index,
-        }
         return (
             arrived.join(kept, "format", "left")
             .join(exact_c, "format", "left")
@@ -3412,8 +3473,26 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_near_dup_quarantined"),
             )
         )
+
+    # proof-table handles for the lifecycle pytest (quarantine contents,
+    # canary recall and replay no-op are pinned there)
+    stream_media_ingest.last_tables = {
+        "quarantine": quarantine,
+        "hamming_index": hamming_index,
+    }
+    try:
+        return run_arrival_lifecycle(
+            spark,
+            arrivals=sigs,
+            epoch_of=F.pmod(F.col("doc_id"), F.lit(4)),
+            quarantine=quarantine,
+            index=hamming_index,
+            probe_kernel=probe_kernel,
+            quarantine_rows=quarantine_rows,
+            index_rows=index_rows,
+            ledger=ledger,
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sigs.unpersist(blocking=False)
 
 
@@ -3533,59 +3612,47 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        quarantine = _fresh_rollup_dir("semantic_quarantine")
-        sem_index = _fresh_rollup_dir("semantic_cell_index")
-        epoch = F.pmod(F.col("vec_id"), F.lit(4))
-        for bi, i in enumerate((2, 0, 3, 1)):  # deliberately out of order
-            batch = sigs.filter(epoch == i)
-            if bi == 0:  # first arrival: the index is empty by definition
-                hits = None
-                clean = batch
-            else:
-                index = txlog.read_table(spark, sem_index)
-                # touched-cell pruning: only index rows in cells the batch
-                # actually probes ride the grouped exchange — the probe is
-                # O(batch + touched-cell candidates), never O(index)
-                touched = batch.select("cluster").distinct()
-                index = index.join(F.broadcast(touched), "cluster")
-                both = batch.select(
-                    "cluster", F.lit("b").alias("side"), "vec_id", "embedding"
-                ).unionByName(
-                    index.select(
-                        "cluster", F.lit("x").alias("side"), "vec_id", "embedding"
-                    )
-                )
-                hits = (
-                    both.groupBy("cluster")
-                    .applyInPandas(
-                        probe_cells,
-                        schema="vec_id long, matched_vec_id long, cos_micros long",
-                    )
-                    .persist()  # feeds the quarantine append + anti-join
-                )
-                hits.count()
-                q_rows = batch.join(hits, "vec_id").select(
-                    "vec_id",
-                    "label",
-                    F.when(F.col("cos_micros") == 1_000_000, F.lit("exact"))
-                    .otherwise(F.lit("semantic"))
-                    .alias("reason"),
-                    "matched_vec_id",
-                    "cos_micros",
-                )
-                txlog.append_tx(spark, quarantine, q_rows.coalesce(1), batch_id=bi)
-                clean = batch.join(hits.select("vec_id"), "vec_id", "left_anti")
-            txlog.append_tx(
-                spark,
-                sem_index,
-                clean.select("vec_id", "cluster", "embedding").coalesce(2),
-                batch_id=bi,
+    quarantine = _fresh_rollup_dir("semantic_quarantine")
+    sem_index = _fresh_rollup_dir("semantic_cell_index")
+
+    def probe_kernel(batch: DataFrame, index: DataFrame, _e: int) -> DataFrame:
+        # touched-cell pruning: only index rows in cells the batch
+        # actually probes ride the grouped exchange — the probe is
+        # O(batch + touched-cell candidates), never O(index)
+        touched = batch.select("cluster").distinct()
+        index = index.join(F.broadcast(touched), "cluster")
+        both = batch.select(
+            "cluster", F.lit("b").alias("side"), "vec_id", "embedding"
+        ).unionByName(
+            index.select(
+                "cluster", F.lit("x").alias("side"), "vec_id", "embedding"
             )
-            if hits is not None:
-                hits.unpersist()
+        )
+        return both.groupBy("cluster").applyInPandas(
+            probe_cells,
+            schema="vec_id long, matched_vec_id long, cos_micros long",
+        )
+
+    def quarantine_rows(batch: DataFrame, hits, _e: int) -> DataFrame | None:
+        if hits is None:
+            return None
+        return batch.join(hits, "vec_id").select(
+            "vec_id",
+            "label",
+            F.when(F.col("cos_micros") == 1_000_000, F.lit("exact"))
+            .otherwise(F.lit("semantic"))
+            .alias("reason"),
+            "matched_vec_id",
+            "cos_micros",
+        ).coalesce(1)
+
+    def index_rows(batch: DataFrame, hits, _e: int) -> DataFrame:
+        clean = batch
+        if hits is not None:
+            clean = batch.join(hits.select("vec_id"), "vec_id", "left_anti")
+        return clean.select("vec_id", "cluster", "embedding").coalesce(2)
+
+    def ledger() -> DataFrame:
         idx = txlog.read_table(spark, sem_index)
         kept = (
             sigs.join(idx.select("vec_id"), "vec_id")
@@ -3606,10 +3673,6 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrived = sigs.groupBy("label").agg(
             F.count("*").cast("long").alias("n_arrived")
         )
-        stream_semantic_ingest.last_tables = {
-            "quarantine": quarantine,
-            "sem_index": sem_index,
-        }
         return (
             arrived.join(kept, "label", "left")
             .join(exact_c, "label", "left")
@@ -3626,6 +3689,22 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_semantic_quarantined"),
             )
         )
+
+    stream_semantic_ingest.last_tables = {
+        "quarantine": quarantine,
+        "sem_index": sem_index,
+    }
+    try:
+        return run_arrival_lifecycle(
+            spark,
+            arrivals=sigs,
+            epoch_of=F.pmod(F.col("vec_id"), F.lit(4)),
+            quarantine=quarantine,
+            index=sem_index,
+            probe_kernel=probe_kernel,
+            quarantine_rows=quarantine_rows,
+            index_rows=index_rows,
+            ledger=ledger,
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         sigs.unpersist(blocking=False)
