@@ -59,6 +59,10 @@ _NAMES = [
         # persisted index via one re-assigning ranged OPTIMIZE, serve
         # under the new quantizer; closes the last ANN production loop
     ]),
+    (relational, [
+        "dict_get_battery",  # NEW r14: ClickHouse dictionary family
+        # (dictGet/OrDefault/Has/Hierarchy/IsIn) as literal in-plan maps
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -1552,3 +1552,78 @@ def limit_by_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("order_total_micros"),
         )
     )
+
+
+def dict_get_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-DICTIONARY battery — dictGet / dictGetOrDefault
+    / dictHas / dictGetHierarchy / dictIsIn over a hierarchical
+    geography dictionary (NEW r14; no prior coverage of the dictionary
+    feature family, a flagship ClickHouse enrichment path).
+
+    Dictionary model (the flat/hashed layout): node ids in ONE space —
+    nations keep ``n_nationkey`` (0-24), regions live at
+    ``100 + r_regionkey``; ``parent(nation) = 100 + its region``,
+    regions are roots.  A deliberately PARTIAL name dictionary covers
+    only regions 0-2's nations (15 of 25 — the realistic
+    partial-reference scenario), so ``dictGetOrDefault`` exercises BOTH
+    branches at every SF (customers exist in all 25 nations, probed).
+
+    Per nation key the battery emits: the defaulted name lookup
+    (dictGetOrDefault -> 'UNKNOWN'), membership (dictHas), the region
+    name through the hierarchy (chained dictGet), the full hierarchy
+    path as CSV (dictGetHierarchy), subtree membership under region 1
+    (dictIsIn), and the customer count — the enrich is a real query
+    over the customer table, not a metadata walk.
+
+    Scale shape: the dictionaries are literal in-plan MAPS built from a
+    driver-collected 30-row reference set — exactly ClickHouse's
+    in-RAM dictionary contract (reference data is small by definition;
+    a dimension too big to pin in RAM is a broadcast JOIN, the
+    ``broadcast(dim)`` path every TPC-H query here already uses).  Every
+    lookup is MAP-SIDE (zero joins, zero shuffles beyond the one
+    customer-count aggregate); the hierarchy walk is literal-folded."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n_rows = sorted(
+        nation.collect(), key=lambda r: r["n_nationkey"]
+    )  # 25 rows — driver-bounded reference data
+    r_rows = sorted(region.collect(), key=lambda r: r["r_regionkey"])
+
+    # partial name dict: nations of regions 0-2 only (dictGetOrDefault's
+    # miss branch stays live — 10 of 25 nations are absent)
+    name_pairs = [
+        x
+        for r in n_rows
+        if r["n_regionkey"] <= 2
+        for x in (F.lit(r["n_nationkey"]), F.lit(r["n_name"]))
+    ]
+    name_dict = F.create_map(*name_pairs)
+    parent_pairs = [
+        x
+        for r in n_rows
+        for x in (F.lit(r["n_nationkey"]), F.lit(100 + r["n_regionkey"]))
+    ]
+    parent_dict = F.create_map(*parent_pairs)
+    region_pairs = [
+        x for r in r_rows for x in (F.lit(100 + r["r_regionkey"]), F.lit(r["r_name"]))
+    ]
+    region_dict = F.create_map(*region_pairs)
+
+    cust = load_table(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(F.count("*").cast("long").alias("n_customers"))
+    key = F.col("nationkey")
+    parent = parent_dict[key]
+    return cust.select(
+        key.cast("long").alias("nationkey"),
+        F.coalesce(name_dict[key], F.lit("UNKNOWN")).alias("dict_name"),
+        name_dict[key].isNotNull().alias("dict_has"),
+        region_dict[parent].alias("region_name"),
+        F.concat_ws(
+            ",", key.cast("string"), parent.cast("string")
+        ).alias("hierarchy_path"),
+        (parent == F.lit(101)).alias("in_region_1"),
+        "n_customers",
+    )

@@ -7940,3 +7940,25 @@ WHERE rank <= {top_k}"""
 
 
 ORACLE["ann_ivf_quantizer_refresh"] = _quantizer_refresh_sql()
+
+
+# ClickHouse dictionary battery (r14): the dictionaries ARE the nation/
+# region tables — the oracle recomputes every dictGet* lookup with plain
+# joins + CASE (partial name dict = regions 0-2 only; hierarchy node ids
+# = nationkey and 100 + regionkey).
+ORACLE["dict_get_battery"] = """
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY 1)
+SELECT CAST(c.nationkey AS BIGINT) AS nationkey,
+       CASE WHEN n.n_regionkey <= 2 THEN n.n_name ELSE 'UNKNOWN' END AS dict_name,
+       n.n_regionkey <= 2 AS dict_has,
+       r.r_name AS region_name,
+       CAST(c.nationkey AS VARCHAR) || ',' ||
+         CAST(100 + n.n_regionkey AS VARCHAR) AS hierarchy_path,
+       n.n_regionkey = 1 AS in_region_1,
+       c.n_customers
+FROM cust c
+JOIN nation n ON n.n_nationkey = c.nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+"""

@@ -127,3 +127,34 @@ def test_quantizer_refresh_assignment_is_map_side(spark):
     )[0]
     assert "ShuffleExchange" not in plan, plan
     assert plan.count("BroadcastExchange IdentityBroadcastMode") == 1, plan
+
+
+def test_dict_get_battery_branches_and_plan(spark, queries):
+    """Dictionary battery invariants: both dictGetOrDefault branches fire
+    (15 hits / 10 UNKNOWN — the partial dict covers regions 0-2 only),
+    the hierarchy path is key,parent, in_region_1 marks exactly region
+    1's five nations, and the lookups are MAP-SIDE: the only exchange in
+    the plan is the customer-count aggregate's (no join exchanges — the
+    dictionaries are literal in-plan maps)."""
+    df = queries["dict_get_battery"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 25
+    hits = [r for r in rows if r["dict_has"]]
+    misses = [r for r in rows if not r["dict_has"]]
+    assert len(hits) == 15 and len(misses) == 10
+    assert all(r["dict_name"] == "UNKNOWN" for r in misses)
+    assert all(r["dict_name"] != "UNKNOWN" for r in hits)
+    assert sum(1 for r in rows if r["in_region_1"]) == 5
+    for r in rows:
+        k, p = r["hierarchy_path"].split(",")
+        assert int(k) == r["nationkey"] and 100 <= int(p) <= 104
+        assert r["n_customers"] > 0
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # one aggregate exchange (customer count), zero join operators
+    n_exch = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exch == 1, plan
+    assert "Join" not in plan, plan
