@@ -63,6 +63,10 @@ _NAMES = [
         "dict_get_battery",  # NEW r14: ClickHouse dictionary family
         # (dictGet/OrDefault/Has/Hierarchy/IsIn) as literal in-plan maps
     ]),
+    (_streaming_pipeline, [
+        "projection_auto_route",  # NEW r14: ClickHouse PROJECTION —
+        # per-insert partial-agg maintenance + transparent query routing
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

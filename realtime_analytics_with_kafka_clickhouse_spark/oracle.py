@@ -7962,3 +7962,25 @@ FROM cust c
 JOIN nation n ON n.n_nationkey = c.nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 """
+
+
+# ClickHouse PROJECTION + auto-routing (r14): values must equal the
+# plain aggregates over raw orders regardless of which physical path
+# served them; the routing decision itself is deterministic on (keys ⊆
+# projection dims), mirrored here as literals — the physical claim (the
+# projection path never touches the base table) is pytest-pinned.
+ORACLE["projection_auto_route"] = """
+SELECT 'by_priority' AS query, o_orderpriority AS key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT))
+            AS BIGINT) AS revenue_micros,
+       'projection' AS served_from
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'by_status', o_orderstatus,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT))
+            AS BIGINT),
+       'base'
+FROM orders GROUP BY o_orderstatus
+"""

@@ -3708,3 +3708,91 @@ def stream_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         sigs.unpersist(blocking=False)
+
+
+def projection_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse PROJECTION — per-part pre-aggregation maintained AT
+    INSERT plus automatic query routing (NEW r14; the projection feature
+    had no analog here: the MV family materializes into separate tables
+    a query must NAME, while a projection is picked transparently when
+    the query's keys are covered).
+
+    Build: orders land in 4 arrival-ordered base appends; EVERY append
+    also commits that batch's partial (priority, month) aggregate to the
+    projection table under the SAME batch id — exactly ClickHouse
+    materializing a projection per inserted part (both commits are
+    batch-id idempotent, so an at-least-once replay repairs or no-ops
+    both tables).
+
+    Route: a query spec (group keys + mergeable measures) is served from
+    the projection iff its keys are a subset of the projection dims —
+    re-aggregating the per-part partials (count/sum merge exactly like
+    the MergeTree partial-agg family); anything else falls back to the
+    base scan.  The battery runs one covered query (by priority — reads
+    ~20 partial rows per month-priority cell instead of every order) and
+    one uncovered (by status — base scan), both labeled with the routing
+    decision; the pytest pins the projection path's inputFiles never
+    touch the base table.
+
+    Scale shape: the projection table is |dims domain| x parts rows —
+    re-aggregation cost is independent of the order count (the whole
+    point at 100 TB: a dashboard group-by reads megabytes of partials,
+    not the fact table); maintenance is one map-side-combined aggregate
+    per insert batch."""
+    from ..storage import txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias(
+            "month_key"
+        ),
+        (F.col("o_totalprice").cast("decimal(25,6)") * F.lit(1_000_000))
+        .cast("long")
+        .alias("price_micros"),
+    )
+    base = _fresh_rollup_dir("orders_projected_base")
+    proj = _fresh_rollup_dir("orders_projection_prio_month")
+    for bi in range(4):
+        b = orders.filter(F.pmod("o_orderkey", F.lit(4)) == bi)
+        txlog.append_tx(spark, base, b.coalesce(2), batch_id=bi)
+        part = b.groupBy("o_orderpriority", "month_key").agg(
+            F.count("*").cast("long").alias("n_part"),
+            F.sum("price_micros").cast("long").alias("rev_part"),
+        )
+        txlog.append_tx(spark, proj, part.coalesce(1), batch_id=bi)
+
+    PROJ_DIMS = {"o_orderpriority", "month_key"}
+
+    def route(keys: list[str], label: str) -> DataFrame:
+        if set(keys) <= PROJ_DIMS:
+            src = txlog.read_table(spark, proj)
+            out = src.groupBy(*keys).agg(
+                F.sum("n_part").cast("long").alias("n_orders"),
+                F.sum("rev_part").cast("long").alias("revenue_micros"),
+            )
+            served = "projection"
+        else:
+            src = txlog.read_table(spark, base)
+            out = src.groupBy(*keys).agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum("price_micros").cast("long").alias("revenue_micros"),
+            )
+            served = "base"
+        projection_auto_route.last_routes[label] = (served, out)
+        return out.select(
+            F.lit(label).alias("query"),
+            F.concat_ws(
+                ",", *[F.col(k).cast("string") for k in keys]
+            ).alias("key"),
+            "n_orders",
+            "revenue_micros",
+            F.lit(served).alias("served_from"),
+        )
+
+    projection_auto_route.last_routes = {}
+    projection_auto_route.last_tables = {"base": base, "projection": proj}
+    q1 = route(["o_orderpriority"], "by_priority")
+    q2 = route(["o_orderstatus"], "by_status")
+    return q1.unionByName(q2)

@@ -158,3 +158,48 @@ def test_dict_get_battery_branches_and_plan(spark, queries):
     )
     assert n_exch == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_projection_route_physical_paths(spark, queries):
+    """Projection-routing invariants: the covered query's scan touches
+    ONLY the projection table (inputFiles pinned — never the base), the
+    uncovered query reads the base, replaying a projection-maintenance
+    batch id is a committed no-op on BOTH tables, and the projection is
+    smaller than the base (the 100-TB point: re-aggregation cost is
+    independent of the fact-table size)."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        projection_auto_route,
+    )
+
+    queries["projection_auto_route"](spark, SF_DIR).collect()
+    tables = projection_auto_route.last_tables
+    routes = projection_auto_route.last_routes
+    assert routes["by_priority"][0] == "projection"
+    assert routes["by_status"][0] == "base"
+    prio_files = set(routes["by_priority"][1].inputFiles())
+    stat_files = set(routes["by_status"][1].inputFiles())
+    assert prio_files and all(tables["projection"] in f for f in prio_files)
+    assert not any(tables["base"] in f for f in prio_files)
+    assert stat_files and all(tables["base"] in f for f in stat_files)
+
+    # replay: both maintenance commits refuse the same batch id
+    vb, _ = txlog.snapshot(spark, tables["base"])
+    vp, _ = txlog.snapshot(spark, tables["projection"])
+    probe_b = spark.createDataFrame(
+        [(1, "X", "X", 199501, 1)],
+        "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " month_key long, price_micros long",
+    )
+    probe_p = spark.createDataFrame(
+        [("X", 199501, 1, 1)],
+        "o_orderpriority string, month_key long, n_part long, rev_part long",
+    )
+    assert not txlog.append_tx(spark, tables["base"], probe_b, batch_id=3)
+    assert not txlog.append_tx(spark, tables["projection"], probe_p, batch_id=3)
+    assert txlog.snapshot(spark, tables["base"])[0] == vb
+    assert txlog.snapshot(spark, tables["projection"])[0] == vp
+
+    n_base = txlog.read_table(spark, tables["base"]).count()
+    n_proj = txlog.read_table(spark, tables["projection"]).count()
+    assert 0 < n_proj < n_base
