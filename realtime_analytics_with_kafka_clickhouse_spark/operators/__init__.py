@@ -67,6 +67,10 @@ _NAMES = [
         "projection_auto_route",  # NEW r14: ClickHouse PROJECTION —
         # per-insert partial-agg maintenance + transparent query routing
     ]),
+    (timeseries, [
+        "rounding_functions_battery",  # NEW r14: roundToExp2/roundDown/
+        # roundAge/roundDuration ladders (bit-trick exp2, no log2)
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -4868,3 +4868,86 @@ def time_bucket_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "revenue_micros",
     )
+
+
+def rounding_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse rounding-function family — ``roundToExp2`` /
+    ``roundDown`` / ``roundAge`` / ``roundDuration`` (NEW r14; the one
+    scalar family of the reference engine's math page with no analog
+    here; round/floor/ceil/bround live in the date/round batteries).
+
+    Inputs are real fixture signals so every ladder branch is
+    falsifiable (probed at sf0.01): event values (cents 1..49002 ->
+    exp2 buckets spread 1..32768), per-user inter-event gaps (8 s ..
+    ~4 days, median ~26 ks -> the full roundDuration ladder fires),
+    and event_id % 100 as the age proxy (0..99 at every SF -> every
+    roundAge band; user_id tops out at ~19 at sf0.001, probed).
+
+    Semantics mirrored from ClickHouse docs:
+    - roundToExp2(x): 0 for x < 1, else the largest power of two <= x —
+      computed EXACTLY as ``1 << (bit_length(x) - 1)`` via the bin()
+      string both engines render without leading zeros (no log2, which
+      is engine-libm and banned by the oracle discipline);
+    - roundDown(x, set): the greatest element <= x, else the SMALLEST
+      element (ClickHouse returns the first element below range);
+    - roundAge / roundDuration: the documented CASE ladders.
+
+    Output: (kind, bucket, n) counts — exact integers, one grouped
+    aggregate per kind unioned map-side; the only corpus-shaped work is
+    the per-user lag window for gaps (one user-keyed exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # F.shiftleft takes a literal shift only — the column-shift form
+    # rides a SQL expr (both engines: 1 << (bit_length - 1))
+    exp2 = F.when(
+        cents >= 1,
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            " CAST(length(bin(CAST(floor(value * 100 + 0.5) AS BIGINT))) - 1"
+            " AS INT))"
+        ),
+    ).otherwise(F.lit(0)).cast("long")
+    down_set = [1000, 5000, 10000, 20000, 40000]
+    down = F.when(cents >= down_set[-1], F.lit(down_set[-1]))
+    for b in reversed(down_set[:-1]):
+        down = down.when(cents >= b, F.lit(b))
+    down = down.otherwise(F.lit(down_set[0])).cast("long")
+    age = F.pmod(F.col("event_id"), F.lit(100))
+    r_age = (
+        F.when(age < 1, F.lit(0))
+        .when(age < 18, F.lit(17))
+        .when(age < 25, F.lit(18))
+        .when(age < 35, F.lit(25))
+        .when(age < 45, F.lit(35))
+        .when(age < 55, F.lit(45))
+        .otherwise(F.lit(55))
+        .cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_seconds("ts") - F.lag(F.unix_seconds("ts")).over(w)
+    ).cast("long")
+    dur_bounds = [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+                  3600, 7200, 18000, 36000]
+    # each user's first event has no gap: keep it NULL so the isNotNull
+    # filter drops it (it must not pollute the <1 s bucket)
+    r_dur = F.when(gap.isNull(), F.lit(None))
+    for b in [dur_bounds[-1]] + list(reversed(dur_bounds[:-1])):
+        r_dur = r_dur.when(gap >= b, F.lit(b))
+    r_dur = r_dur.otherwise(F.lit(0)).cast("long")
+
+    def counts(col, kind: str) -> DataFrame:
+        return (
+            ev.select(col.alias("bucket"))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit(kind).alias("kind"), "bucket", "n")
+        )
+
+    return (
+        counts(exp2, "exp2_cents")
+        .unionByName(counts(down, "down_cents"))
+        .unionByName(counts(r_age, "age"))
+        .unionByName(counts(r_dur, "duration"))
+    )

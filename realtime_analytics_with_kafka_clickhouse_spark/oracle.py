@@ -7984,3 +7984,66 @@ SELECT 'by_status', o_orderstatus,
        'base'
 FROM orders GROUP BY o_orderstatus
 """
+
+
+# ClickHouse rounding family (r14): the ladders as CASE chains, exp2 via
+# the bin()-length bit trick (both engines render bin without leading
+# zeros, probed), gaps per the floor(epoch) rule with first-event NULLs
+# excluded.
+ORACLE["rounding_functions_battery"] = """
+WITH base AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id % 100 AS age,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+k1 AS (
+  SELECT 'exp2_cents' AS kind,
+         CAST(CASE WHEN cents >= 1
+                   THEN 1::BIGINT << (length(bin(cents)) - 1)
+                   ELSE 0 END AS BIGINT) AS bucket
+  FROM base),
+k2 AS (
+  SELECT 'down_cents' AS kind,
+         CAST(CASE WHEN cents >= 40000 THEN 40000
+                   WHEN cents >= 20000 THEN 20000
+                   WHEN cents >= 10000 THEN 10000
+                   WHEN cents >= 5000 THEN 5000
+                   ELSE 1000 END AS BIGINT) AS bucket
+  FROM base),
+k3 AS (
+  SELECT 'age' AS kind,
+         CAST(CASE WHEN age < 1 THEN 0
+                   WHEN age < 18 THEN 17
+                   WHEN age < 25 THEN 18
+                   WHEN age < 35 THEN 25
+                   WHEN age < 45 THEN 35
+                   WHEN age < 55 THEN 45
+                   ELSE 55 END AS BIGINT) AS bucket
+  FROM base),
+k4 AS (
+  SELECT 'duration' AS kind,
+         CAST(CASE WHEN gap >= 36000 THEN 36000
+                   WHEN gap >= 18000 THEN 18000
+                   WHEN gap >= 7200 THEN 7200
+                   WHEN gap >= 3600 THEN 3600
+                   WHEN gap >= 1800 THEN 1800
+                   WHEN gap >= 1200 THEN 1200
+                   WHEN gap >= 600 THEN 600
+                   WHEN gap >= 300 THEN 300
+                   WHEN gap >= 240 THEN 240
+                   WHEN gap >= 180 THEN 180
+                   WHEN gap >= 120 THEN 120
+                   WHEN gap >= 60 THEN 60
+                   WHEN gap >= 30 THEN 30
+                   WHEN gap >= 10 THEN 10
+                   WHEN gap >= 1 THEN 1
+                   ELSE 0 END AS BIGINT) AS bucket
+  FROM base WHERE gap IS NOT NULL),
+uni AS (
+  SELECT * FROM k1 UNION ALL SELECT * FROM k2
+  UNION ALL SELECT * FROM k3 UNION ALL SELECT * FROM k4)
+SELECT kind, bucket, CAST(count(*) AS BIGINT) AS n
+FROM uni GROUP BY kind, bucket
+"""

@@ -203,3 +203,31 @@ def test_projection_route_physical_paths(spark, queries):
     n_base = txlog.read_table(spark, tables["base"]).count()
     n_proj = txlog.read_table(spark, tables["projection"]).count()
     assert 0 < n_proj < n_base
+
+
+def test_rounding_battery_ladders_fire(spark, queries):
+    """Every ladder has multiple live buckets at the leanest SF, exp2
+    buckets are exact powers of two, and the duration kind excludes
+    first-event NULL gaps (total duration rows == events - users)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = queries["rounding_functions_battery"](spark, SF_DIR).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], {})[r["bucket"]] = r["n"]
+    assert set(by_kind) == {"exp2_cents", "down_cents", "age", "duration"}
+    for kind, buckets in by_kind.items():
+        assert len(buckets) >= 3, (kind, buckets)
+    for b in by_kind["exp2_cents"]:
+        assert b == 0 or (b & (b - 1)) == 0, b
+    assert set(by_kind["down_cents"]) <= {1000, 5000, 10000, 20000, 40000}
+    assert set(by_kind["age"]) <= {0, 17, 18, 25, 35, 45, 55}
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(by_kind["duration"].values()) == n_events - n_users
+    assert sum(by_kind["age"].values()) == n_events
