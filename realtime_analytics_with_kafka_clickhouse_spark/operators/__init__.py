@@ -71,6 +71,10 @@ _NAMES = [
         "rounding_functions_battery",  # NEW r14: roundToExp2/roundDown/
         # roundAge/roundDuration ladders (bit-trick exp2, no log2)
     ]),
+    (_streaming_pipeline, [
+        "atomic_publish_consistent_serve",  # NEW r14: cross-table atomic
+        # publish via one group commit; crash-sim staged batch excluded
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

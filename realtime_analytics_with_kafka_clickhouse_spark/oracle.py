@@ -8047,3 +8047,21 @@ uni AS (
 SELECT kind, bucket, CAST(count(*) AS BIGINT) AS n
 FROM uni GROUP BY kind, bucket
 """
+
+
+# Atomic multi-table publish (r14): the group-pinned serve must exclude
+# the staged-but-unpublished batch (o_orderkey % 5 = 4) entirely; both
+# legs re-derive from raw orders restricted to the published batches.
+ORACLE["atomic_publish_consistent_serve"] = """
+WITH pub AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS m
+  FROM orders WHERE o_orderkey % 5 <= 3)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(m) AS BIGINT) AS revenue_micros,
+       CAST(count(*) AS BIGINT) AS n_orders_fact,
+       CAST(sum(m) AS BIGINT) AS revenue_micros_fact,
+       TRUE AS consistent
+FROM pub GROUP BY o_orderpriority
+"""

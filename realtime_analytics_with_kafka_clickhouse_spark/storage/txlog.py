@@ -840,3 +840,60 @@ def compact_tx_zorder(
     raise RuntimeError(
         f"compact_tx_zorder: gave up after {max_attempts} commit races on {table}"
     )
+
+
+def publish_group(
+    spark: SparkSession,
+    group: str,
+    tables: dict[str, tuple[str, int]],
+    batch_id: int | None = None,
+    max_attempts: int = 10,
+) -> bool:
+    """Atomic MULTI-TABLE publish (r14): one exclusive-create group
+    commit pins ``{name: (table path, table version)}`` — the
+    commit-coordinator layer the per-table logs compose under (Delta's
+    multi-table transactions / an Iceberg catalog transaction).  Group
+    readers resolve every member table AT ITS PINNED VERSION
+    (``read_group_table``), so a writer that crashes AFTER its per-table
+    commits but BEFORE the publish leaves the previous CONSISTENT pair
+    visible — cross-table atomicity from the same single primitive
+    (atomic create-if-absent) the per-table log already relies on.
+    Same replay contract as ``append_tx``: a ``batch_id`` at or below
+    ``last_published_batch`` refuses (returns False)."""
+    for _ in range(max_attempts):
+        gv, gc = snapshot(spark, group)
+        if (
+            batch_id is not None
+            and gc is not None
+            and gc.get("last_published_batch") is not None
+            and batch_id <= gc["last_published_batch"]
+        ):
+            return False
+        payload = json.dumps(
+            {
+                "version": gv + 1,
+                "tables": {
+                    n: {"path": p, "version": v} for n, (p, v) in tables.items()
+                },
+                "last_published_batch": batch_id,
+            }
+        )
+        if fs.create_exclusive(spark, _commit_path(group, gv + 1), payload):
+            return True
+    raise RuntimeError(
+        f"publish_group: gave up after {max_attempts} commit races on {group}"
+    )
+
+
+def read_group_table(
+    spark: SparkSession, group: str, name: str
+) -> DataFrame | None:
+    """A member table AT THE VERSION the current group commit pins —
+    the consistent-snapshot read path for multi-table publishes.  Never
+    reads a member's HEAD: staged-but-unpublished versions are invisible
+    by construction."""
+    _, gc = snapshot(spark, group)
+    if gc is None or name not in gc.get("tables", {}):
+        return None
+    t = gc["tables"][name]
+    return read_table_at(spark, t["path"], t["version"])

@@ -3796,3 +3796,90 @@ def projection_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1 = route(["o_orderpriority"], "by_priority")
     q2 = route(["o_orderstatus"], "by_status")
     return q1.unionByName(q2)
+
+
+def atomic_publish_consistent_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC publish + consistent serve (NEW r14): a fact
+    table and its rollup commit independently per batch, but become
+    visible TOGETHER through one group commit
+    (``txlog.publish_group`` — the commit-coordinator layer; Delta
+    multi-table transactions / Iceberg catalog transactions).  Without
+    it, a reader between the fact append and the rollup append sees a
+    fact/aggregate mismatch — the classic eventually-consistent-MV
+    anomaly this op retires.
+
+    Proof run: 4 batches (o_orderkey % 5 == 0..3) each append to BOTH
+    tables and then publish one group commit pinning both new versions.
+    A 5th batch (residue 4) then CRASH-SIMS the window the group commit
+    exists to close: it lands in both member tables' HEADs but the
+    publish never happens.  The serve reads ONLY through the group
+    (``read_group_table`` → ``read_table_at`` pinned versions), so its
+    output must exclude the staged batch entirely — the oracle
+    recomputes both legs from raw orders WHERE o_orderkey % 5 <= 3, and
+    an engine that leaked a member HEAD read mismatches immediately.
+    Output: per priority, the rollup leg and the re-aggregated fact leg
+    side by side with a consistency flag (always true — conservation
+    through the atomic boundary).
+
+    Scale shape: the group commit is ONE O(1) file create naming (path,
+    version) pairs — publish cost is independent of table and batch
+    size; pinned-version reads are O(1) metadata (immutable full-
+    snapshot manifests).  Replay: a published batch id refuses at the
+    GROUP level too (pytest-pinned with the staged-batch exclusion)."""
+    from ..storage import txlog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(25,6)") * F.lit(1_000_000))
+        .cast("long")
+        .alias("price_micros"),
+    )
+    fact = _fresh_rollup_dir("publish_fact")
+    roll = _fresh_rollup_dir("publish_rollup")
+    group = _fresh_rollup_dir("publish_group")
+    for bi in range(5):
+        b = orders.filter(F.pmod("o_orderkey", F.lit(5)) == bi)
+        txlog.append_tx(spark, fact, b.coalesce(2), batch_id=bi)
+        part = b.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_part"),
+            F.sum("price_micros").cast("long").alias("rev_part"),
+        )
+        txlog.append_tx(spark, roll, part.coalesce(1), batch_id=bi)
+        if bi < 4:
+            txlog.publish_group(
+                spark,
+                group,
+                {
+                    "fact": (fact, txlog.latest_version(spark, fact)),
+                    "rollup": (roll, txlog.latest_version(spark, roll)),
+                },
+                batch_id=bi,
+            )
+        # bi == 4: CRASH between the member commits and the publish —
+        # both HEADs now carry a batch the group must never surface
+
+    f = txlog.read_group_table(spark, group, "fact")
+    r = txlog.read_group_table(spark, group, "rollup")
+    atomic_publish_consistent_serve.last_tables = {
+        "fact": fact, "rollup": roll, "group": group,
+    }
+    fact_agg = f.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders_fact"),
+        F.sum("price_micros").cast("long").alias("revenue_micros_fact"),
+    )
+    roll_agg = r.groupBy("o_orderpriority").agg(
+        F.sum("n_part").cast("long").alias("n_orders"),
+        F.sum("rev_part").cast("long").alias("revenue_micros"),
+    )
+    return roll_agg.join(fact_agg, "o_orderpriority").select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "revenue_micros",
+        "n_orders_fact",
+        "revenue_micros_fact",
+        (
+            (F.col("n_orders") == F.col("n_orders_fact"))
+            & (F.col("revenue_micros") == F.col("revenue_micros_fact"))
+        ).alias("consistent"),
+    )

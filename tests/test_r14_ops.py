@@ -231,3 +231,60 @@ def test_rounding_battery_ladders_fire(spark, queries):
     n_users = ev.select("user_id").distinct().count()
     assert sum(by_kind["duration"].values()) == n_events - n_users
     assert sum(by_kind["age"].values()) == n_events
+
+
+def test_atomic_publish_group_invariants(spark, queries):
+    """Group-commit invariants: (1) the ledger says consistent
+    everywhere; (2) the staged batch really exists in both member HEADs
+    (the crash sim staged data) yet the group serve excluded it —
+    head counts exceed group counts by exactly the residue-4 batch;
+    (3) a replayed publish of a published batch id refuses at the group
+    level; (4) publishing the staged batch id 4 DOES apply (the repair
+    path), after which the group serve includes it."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        atomic_publish_consistent_serve,
+    )
+
+    rows = queries["atomic_publish_consistent_serve"](spark, SF_DIR).collect()
+    assert rows and all(r["consistent"] for r in rows)
+    t = atomic_publish_consistent_serve.last_tables
+    n_all = load_table(spark, SF_DIR, "orders").count()
+    n_staged = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.pmod("o_orderkey", F.lit(5)) == 4)
+        .count()
+    )
+    assert n_staged > 0  # the crash sim is non-vacuous
+    assert txlog.read_table(spark, t["fact"]).count() == n_all
+    assert txlog.read_group_table(spark, t["group"], "fact").count() == (
+        n_all - n_staged
+    )
+    assert sum(r["n_orders"] for r in rows) == n_all - n_staged
+
+    # (3) replay refusal at the group level
+    gv_before, _ = txlog.snapshot(spark, t["group"])
+    assert not txlog.publish_group(
+        spark,
+        t["group"],
+        {"fact": (t["fact"], 1), "rollup": (t["rollup"], 1)},
+        batch_id=3,
+    )
+    assert txlog.snapshot(spark, t["group"])[0] == gv_before
+
+    # (4) the repair path: publishing batch 4 pins the staged versions
+    assert txlog.publish_group(
+        spark,
+        t["group"],
+        {
+            "fact": (t["fact"], txlog.latest_version(spark, t["fact"])),
+            "rollup": (t["rollup"], txlog.latest_version(spark, t["rollup"])),
+        },
+        batch_id=4,
+    )
+    assert txlog.read_group_table(spark, t["group"], "fact").count() == n_all
