@@ -58,6 +58,8 @@ def tier_of(name: str) -> str:
             "table_parts_report",
             "order_update_mutation",
             "optimize_deduplicate",
+            "projection_auto_route",
+            "atomic_publish",
         )
     ):
         return "storage_maintenance"

@@ -75,6 +75,10 @@ _NAMES = [
         "atomic_publish_consistent_serve",  # NEW r14: cross-table atomic
         # publish via one group commit; crash-sim staged batch excluded
     ]),
+    (text, [
+        "multisearch_functions_battery",  # NEW r14: position/multiSearch
+        # family (leftmost-needle first-index, countSubstrings identity)
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -1972,3 +1972,50 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_micros"),
     )
+
+
+def multisearch_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse position / multiSearch family — ``position``,
+    ``multiSearchAny``, ``multiSearchFirstIndex``, ``countSubstrings``
+    (NEW r14; the string battery covers transforms, this one covers the
+    SUBSTRING-SEARCH surface).  Needles probed for live branches at
+    every SF: 'dup' hits ~5% of docs, 'data' ~76%, 'zzz' never — so
+    found/not-found, any, and every first-index value are all exercised
+    (case-insensitive variants are deliberately absent: the fixture text
+    is all-lowercase, a CI battery would be vacuous — the
+    falsifiability rule).
+
+    multiSearchFirstIndex = the 1-based index of the needle whose
+    occurrence is LEFTMOST (0 when none match), via a mirrored CASE over
+    sentinel-maxed positions with a lower-index tiebreak;
+    countSubstrings via the exact length-difference identity
+    (non-overlapping count, ClickHouse semantics).  Map-only — zero
+    exchanges (plan-pinned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = F.locate("dup", F.col("text")).cast("long")
+    p2 = F.locate("data", F.col("text")).cast("long")
+    p3 = F.locate("zzz", F.col("text")).cast("long")
+    big = F.lit(1_000_000_000)
+    q1 = F.when(p1 > 0, p1).otherwise(big)
+    q2 = F.when(p2 > 0, p2).otherwise(big)
+    q3 = F.when(p3 > 0, p3).otherwise(big)
+    first_index = (
+        F.when((p1 == 0) & (p2 == 0) & (p3 == 0), F.lit(0))
+        .when((q1 <= q2) & (q1 <= q3), F.lit(1))
+        .when(q2 <= q3, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+    n_data = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("data"), F.lit(""))))
+        / F.lit(4)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        p1.alias("pos_dup"),
+        p2.alias("pos_data"),
+        p3.alias("pos_zzz"),
+        first_index.alias("first_index"),
+        n_data.alias("n_data"),
+        ((p1 > 0) | (p2 > 0) | (p3 > 0)).alias("any_found"),
+    )

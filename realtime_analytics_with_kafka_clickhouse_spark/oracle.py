@@ -8065,3 +8065,32 @@ SELECT o_orderpriority AS priority,
        TRUE AS consistent
 FROM pub GROUP BY o_orderpriority
 """
+
+
+# position / multiSearch family (r14): strpos mirrors locate (1-based,
+# 0 = absent); first-index via the identical sentinel-maxed CASE with
+# the lower-index tiebreak; countSubstrings by the length identity.
+ORACLE["multisearch_functions_battery"] = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(strpos(text, 'dup') AS BIGINT) AS p1,
+         CAST(strpos(text, 'data') AS BIGINT) AS p2,
+         CAST(strpos(text, 'zzz') AS BIGINT) AS p3,
+         CAST((length(text) - length(replace(text, 'data', ''))) / 4
+              AS BIGINT) AS n_data
+  FROM documents),
+q AS (
+  SELECT *,
+         CASE WHEN p1 > 0 THEN p1 ELSE 1000000000 END AS q1,
+         CASE WHEN p2 > 0 THEN p2 ELSE 1000000000 END AS q2,
+         CASE WHEN p3 > 0 THEN p3 ELSE 1000000000 END AS q3
+  FROM p)
+SELECT doc_id, p1 AS pos_dup, p2 AS pos_data, p3 AS pos_zzz,
+       CAST(CASE WHEN p1 = 0 AND p2 = 0 AND p3 = 0 THEN 0
+                 WHEN q1 <= q2 AND q1 <= q3 THEN 1
+                 WHEN q2 <= q3 THEN 2
+                 ELSE 3 END AS BIGINT) AS first_index,
+       n_data,
+       p1 > 0 OR p2 > 0 OR p3 > 0 AS any_found
+FROM q
+"""

@@ -288,3 +288,32 @@ def test_atomic_publish_group_invariants(spark, queries):
         batch_id=4,
     )
     assert txlog.read_group_table(spark, t["group"], "fact").count() == n_all
+
+
+def test_multisearch_battery_branches_and_plan(spark, queries):
+    """Every branch fires at the leanest SF (dup hits, zzz never, docs
+    with no needle at all exist or any_found is still both-valued via
+    dup-only docs), first_index is consistent with the raw positions,
+    and the battery is map-only (zero exchanges)."""
+    df = queries["multisearch_functions_battery"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r["pos_zzz"] == 0 for r in rows)
+    assert any(r["pos_dup"] > 0 for r in rows)
+    assert any(r["first_index"] == 1 for r in rows)
+    assert any(r["first_index"] == 2 for r in rows)
+    for r in rows:
+        if not r["any_found"]:
+            assert r["first_index"] == 0
+        else:
+            cands = [
+                (p, i)
+                for i, p in ((1, r["pos_dup"]), (2, r["pos_data"]))
+                if p > 0
+            ]
+            assert r["first_index"] == min(cands)[1], r
+        assert r["n_data"] >= (1 if r["pos_data"] > 0 else 0)
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan, plan
