@@ -79,6 +79,10 @@ _NAMES = [
         "multisearch_functions_battery",  # NEW r14: position/multiSearch
         # family (leftmost-needle first-index, countSubstrings identity)
     ]),
+    (dedup, [
+        "exact_span_scrub",  # NEW r14: Lee-et-al span REMOVAL — excise
+        # cross-doc duplicated 4-gram spans, reconstruct surviving text
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -1316,3 +1316,80 @@ def dedup_audit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("jaccard_micros"),
         )
     )
+
+
+def exact_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SCRUB — the removal half of Lee et al. 2021
+    (NEW r14): ``substring_dedup_docs`` FLAGS documents carrying
+    cross-doc duplicated 4-gram spans; this op actually EXCISES those
+    spans and reconstructs the surviving text, the C4-style cleaning
+    pass a training-data pipeline runs before tokenization.  Policy
+    mirrors the flagging op exactly: a span occurrence is removed iff
+    its 4-gram also occurs in a LOWER-doc_id document (the lowest-id
+    copy is canonical and keeps its text; within-doc repeats are NOT
+    removed — that is ``repetition_score``'s signal, not dedup).
+
+    Every word position covered by ANY duplicated span is dropped
+    (overlapping spans union their cover), and the cleaned text is the
+    uncovered words re-joined in order — so partially-boilerplate
+    documents survive with their novel content intact instead of being
+    dropped whole.
+
+    Shape: positions and spans are posexplode projections; ownership is
+    the same one min-doc_id hash aggregate as the flagging op (the
+    suffix array re-expressed as hash aggregation — distributes
+    linearly); cover expansion is a 4x bounded explode of DUP spans
+    only; reconstruction is one per-doc sorted-struct collect.  All
+    shuffles are keyed by span or doc_id — no pairwise anything."""
+    from .text import _word_ngrams  # local import avoids a module cycle
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    toks = docs.select(
+        "doc_id", F.posexplode(words).alias("pos", "word")
+    )
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(words, SUBSTR_NGRAM)).alias("p0", "span"),
+    )
+    owners = (
+        spans.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    dup = (
+        spans.join(owners, "span")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select("doc_id", "p0")
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("p0"), F.col("p0") + F.lit(SUBSTR_NGRAM - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select("doc_id", F.size(words).cast("long").alias("n_words"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -8094,3 +8094,47 @@ SELECT doc_id, p1 AS pos_dup, p2 AS pos_data, p3 AS pos_zzz,
        p1 > 0 OR p2 > 0 OR p3 > 0 AS any_found
 FROM q
 """
+
+
+# Exact-span scrub (r14): spans via the lead-window construction (an
+# INDEPENDENT build vs the engine's zip_with n-gram fold — byte-equal
+# spans), ownership = min doc_id over distinct (doc, span), cover =
+# bounded 4x expansion of dup spans, reconstruction = ordered string_agg.
+ORACLE["exact_span_scrub"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents),
+sp AS MATERIALIZED (
+  SELECT doc_id, pos AS p0,
+         word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w
+              || ' ' || lead(word, 3) OVER w AS span,
+         lead(word, 3) OVER w IS NOT NULL AS is_full
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+spans AS MATERIALIZED (SELECT doc_id, p0, span FROM sp WHERE is_full),
+owners AS MATERIALIZED (
+  SELECT span, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, span FROM spans) GROUP BY 1),
+dup AS MATERIALIZED (
+  SELECT DISTINCT s.doc_id, s.p0
+  FROM spans s JOIN owners o USING (span) WHERE o.owner < s.doc_id),
+covered AS MATERIALIZED (
+  SELECT DISTINCT doc_id, p0 + k AS pos
+  FROM dup CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)),
+kept AS MATERIALIZED (
+  SELECT t.doc_id, t.pos, t.word
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL),
+clean AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY 1)
+SELECT d.doc_id,
+       CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       coalesce(c.n_kept, 0) AS n_kept,
+       CAST(length(string_split(d.text, ' ')) - coalesce(c.n_kept, 0)
+            AS BIGINT) AS n_removed,
+       coalesce(c.cleaned_text, '') AS cleaned_text
+FROM documents d LEFT JOIN clean c USING (doc_id)
+"""

@@ -317,3 +317,24 @@ def test_multisearch_battery_branches_and_plan(spark, queries):
         "== Initial Plan =="
     )[0]
     assert "Exchange" not in plan, plan
+
+
+def test_exact_span_scrub_consistency(spark, queries):
+    """Cross-op consistency: exactly the docs substring_dedup_docs FLAGS
+    lose words here (one policy, two views); the canonical lowest-id doc
+    is never scrubbed; cleaned_text's word count equals n_kept; both
+    scrubbed and intact docs exist at the leanest SF."""
+    rows = {r["doc_id"]: r for r in queries["exact_span_scrub"](spark, SF_DIR).collect()}
+    flags = {
+        r["doc_id"]: r["is_substring_dup"]
+        for r in queries["substring_dedup_docs"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(flags)
+    for did, r in rows.items():
+        assert (r["n_removed"] > 0) == flags[did], did
+        n_txt = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert n_txt == r["n_kept"], did
+        assert r["n_kept"] + r["n_removed"] == r["n_words"]
+    assert rows[min(rows)]["n_removed"] == 0
+    assert any(r["n_removed"] > 0 for r in rows.values())
+    assert any(r["n_removed"] == 0 for r in rows.values())
