@@ -83,6 +83,10 @@ _NAMES = [
         "exact_span_scrub",  # NEW r14: Lee-et-al span REMOVAL — excise
         # cross-doc duplicated 4-gram spans, reconstruct surviving text
     ]),
+    (timeseries, [
+        "sample_factor_estimate",  # NEW r14: SAMPLE k + _sample_factor
+        # (portable-hash user cohort, x5 scale-up next to exact + ppm err)
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -4951,3 +4951,51 @@ def rounding_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(counts(r_age, "age"))
         .unionByName(counts(r_dur, "duration"))
     )
+
+
+def sample_factor_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE k`` + ``_sample_factor`` — hash-sampled
+    approximate analytics with scale-up correction (NEW r14).  The
+    sampling key is the engine-portable md5-derived user hash
+    (``stable_hash64 % 5 == 0`` -> a deterministic ~20% USER cohort —
+    2/22/295 users at the three SFs, probed live everywhere; sampling
+    whole users, not rows, is what keeps per-user analytics valid
+    inside a sample, exactly ClickHouse's SAMPLE BY intHash32(UserID)
+    discipline).  Estimates = sample aggregates x the integer factor 5
+    (`_sample_factor`), reported NEXT TO the exact values with an
+    integer-ppm error — the honest accuracy card for a dashboard that
+    trades 5x less scan for approximate counts.
+
+    Scale shape: the sample filter is a map-side hash predicate the
+    scan applies before any shuffle (at 100 TB with data CLUSTERED by
+    the sample key this is a physical 5x read reduction; here it prunes
+    rows, not files — the clustering note is the honest gap); one
+    grouped aggregate over the event-type domain."""
+    from ..functions.hashing import stable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    in_sample = (
+        F.pmod(stable_hash64(F.col("user_id").cast("string")), F.lit(5)) == 0
+    )
+    micros = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    per = ev.groupBy("event_type").agg(
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(in_sample, micros).otherwise(0))
+        .cast("long")
+        .alias("rev_sampled_micros"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(micros).cast("long").alias("rev_exact_micros"),
+    )
+    est_n = (F.col("n_sampled") * 5).cast("long")
+    est_rev = (F.col("rev_sampled_micros") * 5).cast("long")
+    return per.select(
+        "event_type",
+        "n_sampled",
+        est_n.alias("est_n_events"),
+        "n_exact",
+        est_rev.alias("est_revenue_micros"),
+        "rev_exact_micros",
+        F.expr(
+            "CAST(abs(n_sampled * 5 - n_exact) * 1000000 div n_exact AS BIGINT)"
+        ).alias("count_err_ppm"),
+    )

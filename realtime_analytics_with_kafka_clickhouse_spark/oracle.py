@@ -8138,3 +8138,31 @@ SELECT d.doc_id,
        coalesce(c.cleaned_text, '') AS cleaned_text
 FROM documents d LEFT JOIN clean c USING (doc_id)
 """
+
+
+# SAMPLE + _sample_factor (r14): the portable md5 hash mirror picks the
+# identical ~20% user cohort; estimates are integer x5 scale-ups next to
+# the exact values, error as integer ppm.
+ORACLE["sample_factor_estimate"] = """
+WITH per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled,
+         CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 5 = 0
+                       THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS rev_sampled_micros,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_exact_micros
+  FROM events GROUP BY 1)
+SELECT event_type, n_sampled,
+       CAST(n_sampled * 5 AS BIGINT) AS est_n_events,
+       n_exact,
+       CAST(rev_sampled_micros * 5 AS BIGINT) AS est_revenue_micros,
+       rev_exact_micros,
+       CAST(abs(n_sampled * 5 - n_exact) * 1000000 // n_exact AS BIGINT)
+         AS count_err_ppm
+FROM per
+"""

@@ -338,3 +338,22 @@ def test_exact_span_scrub_consistency(spark, queries):
     assert rows[min(rows)]["n_removed"] == 0
     assert any(r["n_removed"] > 0 for r in rows.values())
     assert any(r["n_removed"] == 0 for r in rows.values())
+
+
+def test_sample_factor_estimate_invariants(spark, queries):
+    """Sampling invariants: the cohort is non-empty at the leanest SF,
+    estimates are exact multiples of the factor, err_ppm matches the
+    published estimate/exact pair, and the estimate is within 5x of
+    exact on every type (a 20% user cohort can't drift further on this
+    fixture's near-uniform per-user event rates)."""
+    rows = queries["sample_factor_estimate"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["n_sampled"] for r in rows) > 0
+    for r in rows:
+        assert r["est_n_events"] == 5 * r["n_sampled"]
+        assert r["est_revenue_micros"] % 5 == 0
+        assert (
+            r["count_err_ppm"]
+            == abs(r["est_n_events"] - r["n_exact"]) * 1_000_000 // r["n_exact"]
+        )
+        assert r["est_n_events"] <= 5 * r["n_exact"]
