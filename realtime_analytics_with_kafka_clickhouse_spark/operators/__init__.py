@@ -87,6 +87,11 @@ _NAMES = [
         "sample_factor_estimate",  # NEW r14: SAMPLE k + _sample_factor
         # (portable-hash user cohort, x5 scale-up next to exact + ppm err)
     ]),
+    (_streaming_pipeline, [
+        "stream_exact_ingest",  # NEW r14: the FOURTH arrival-lifecycle
+        # modality — exact content-key dedup, proving the harness claim
+        # (a new modality costs a kernel); closed-form window oracle
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

@@ -8166,3 +8166,42 @@ SELECT event_type, n_sampled,
          AS count_err_ppm
 FROM per
 """
+
+
+# Exact dedup-on-arrival (r14): the one lifecycle whose 4-epoch
+# acceptance recursion has a CLOSED FORM — kept iff my arrival position
+# is minimal for my content key (same-batch copies all kept) — so the
+# oracle is one window over the arrival union instead of unrolled CTEs,
+# pinning the harness semantics from an independent angle.  Arrival
+# position of epoch e (= id % 4) under ARRIVAL_ORDER (2,0,3,1).
+from .streaming.pipeline import (  # noqa: E402
+    EXACT_INGEST_CANARY_MOD as _XI_MOD,
+    EXACT_INGEST_CANARY_OFFSET as _XI_OFF,
+    EXACT_INGEST_CANARY_RESIDUE as _XI_RES,
+)
+
+ORACLE["stream_exact_ingest"] = f"""
+WITH uni AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_key
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_XI_OFF}, source,
+         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+  FROM documents WHERE doc_id % {_XI_MOD} = {_XI_RES}),
+pos AS MATERIALIZED (
+  SELECT doc_id, source, content_key,
+         CASE doc_id % 4 WHEN 2 THEN 0 WHEN 0 THEN 1 WHEN 3 THEN 2
+                         ELSE 3 END AS apos
+  FROM uni),
+dec AS MATERIALIZED (
+  SELECT doc_id, source,
+         apos = min(apos) OVER (PARTITION BY content_key) AS kept
+  FROM pos)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_arrived,
+       CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT)
+         AS n_exact_quarantined
+FROM dec GROUP BY source
+"""

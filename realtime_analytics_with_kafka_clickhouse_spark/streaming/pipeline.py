@@ -3883,3 +3883,131 @@ def atomic_publish_consistent_serve(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("revenue_micros") == F.col("revenue_micros_fact"))
         ).alias("consistent"),
     )
+
+
+#: Exact-ingest canaries: every doc with doc_id % 100 == 25 re-arrives
+#: as an EXACT COPY under doc_id + 4_000_001 (≡ +2 mod 4 here: 25 % 4 =
+#: 1 arrives LAST in ARRIVAL_ORDER, the canary lands FIRST — so the
+#: planted pair always straddles the index boundary in the direction
+#: that quarantines the ORIGINAL, the reverse of the media canaries).
+#: Organic exact text dupes exist only at sf0.1 (probed r13) — without
+#: canaries the op would be vacuous at the sweep SFs.
+EXACT_INGEST_CANARY_MOD = 100
+EXACT_INGEST_CANARY_RESIDUE = 25
+EXACT_INGEST_CANARY_OFFSET = 4_000_001
+
+
+def stream_exact_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-key dedup-on-arrival — the FOURTH arrival-lifecycle
+    modality (NEW r14), and the executable proof of the r13 verdict's
+    harness directive: text MinHash-LSH, media pHash and embedding
+    SemDeDup each cost ~200 scaffold lines before
+    ``run_arrival_lifecycle``; this one is EXACTLY a kernel — a
+    content-hash equi-join probe and two row builders — plus canary
+    constants.
+
+    Semantics (the exact regime isolated from any fuzzy verify): a
+    batch doc is quarantined iff an indexed doc from a strictly earlier
+    arrival carries the same ``stable_hash64(text)`` key, matched to
+    the lowest such doc id; same-batch copies are all kept (they cannot
+    see each other — the same contract as the other three lifecycles).
+    The acceptance recursion therefore COLLAPSES: kept == "my arrival
+    position is the minimal one for my key", which is what the oracle
+    computes with one window — the one lifecycle whose 4-epoch
+    recursion has a closed form, pinning the harness semantics from an
+    independent angle.
+
+    Scale shape: per batch O(batch + matched keys) — one equi-join
+    against the stored (key, doc_id) index, O(batch) appends; the
+    kernel ships (doc_id, source, key) triples only, text never rides
+    a shuffle past the map-side hashing."""
+    from ..functions.hashing import stable_hash64
+    from ..storage import txlog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", stable_hash64(F.col("text")).alias("content_key")
+    )
+    canaries = docs.filter(
+        F.pmod("doc_id", F.lit(EXACT_INGEST_CANARY_MOD))
+        == EXACT_INGEST_CANARY_RESIDUE
+    ).select(
+        (F.col("doc_id") + F.lit(EXACT_INGEST_CANARY_OFFSET)).alias("doc_id"),
+        "source",
+        "content_key",
+    )
+    sigs = docs.unionByName(canaries).persist()
+    sigs.count()
+    quarantine = _fresh_rollup_dir("exact_quarantine")
+    key_index = _fresh_rollup_dir("exact_key_index")
+
+    def probe_kernel(batch: DataFrame, index: DataFrame, _e: int) -> DataFrame:
+        return (
+            batch.select("doc_id", "content_key")
+            .join(
+                index.select(
+                    F.col("doc_id").alias("doc_b"), "content_key"
+                ),
+                "content_key",
+            )
+            .groupBy("doc_id")
+            .agg(F.min("doc_b").cast("long").alias("matched_doc_id"))
+        )
+
+    def quarantine_rows(batch: DataFrame, hits, _e: int) -> DataFrame | None:
+        if hits is None:
+            return None
+        return batch.join(hits, "doc_id").select(
+            "doc_id", "source", F.lit("exact").alias("reason"), "matched_doc_id"
+        ).coalesce(1)
+
+    def index_rows(batch: DataFrame, hits, _e: int) -> DataFrame:
+        clean = batch
+        if hits is not None:
+            clean = batch.join(hits.select("doc_id"), "doc_id", "left_anti")
+        return clean.select("doc_id", "content_key").coalesce(2)
+
+    def ledger() -> DataFrame:
+        idx = txlog.read_table(spark, key_index)
+        kept = (
+            sigs.join(idx.select("doc_id"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_kept"))
+        )
+        qt = txlog.read_table(spark, quarantine)
+        quar = qt.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_exact_quarantined")
+        )
+        arrived = sigs.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_arrived")
+        )
+        return (
+            arrived.join(kept, "source", "left")
+            .join(quar, "source", "left")
+            .select(
+                "source",
+                "n_arrived",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                F.coalesce("n_exact_quarantined", F.lit(0))
+                .cast("long")
+                .alias("n_exact_quarantined"),
+            )
+        )
+
+    stream_exact_ingest.last_tables = {
+        "quarantine": quarantine,
+        "key_index": key_index,
+    }
+    try:
+        return run_arrival_lifecycle(
+            spark,
+            arrivals=sigs,
+            epoch_of=F.pmod(F.col("doc_id"), F.lit(4)),
+            quarantine=quarantine,
+            index=key_index,
+            probe_kernel=probe_kernel,
+            quarantine_rows=quarantine_rows,
+            index_rows=index_rows,
+            ledger=ledger,
+        )
+    finally:
+        sigs.unpersist(blocking=False)

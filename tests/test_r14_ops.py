@@ -357,3 +357,49 @@ def test_sample_factor_estimate_invariants(spark, queries):
             == abs(r["est_n_events"] - r["n_exact"]) * 1_000_000 // r["n_exact"]
         )
         assert r["est_n_events"] <= 5 * r["n_exact"]
+
+
+def test_exact_ingest_lifecycle(spark, queries):
+    """Fourth-modality lifecycle pins: conservation per source; every
+    canary ORIGINAL (doc_id%100==25) is quarantined against its
+    earlier-arriving copy (the reverse-direction plant); quarantined
+    docs never enter the index; replaying a committed batch id is a
+    committed no-op."""
+    from realtime_analytics_with_kafka_clickhouse_spark.storage import txlog
+    from realtime_analytics_with_kafka_clickhouse_spark.streaming.pipeline import (
+        EXACT_INGEST_CANARY_MOD,
+        EXACT_INGEST_CANARY_OFFSET,
+        EXACT_INGEST_CANARY_RESIDUE,
+        stream_exact_ingest,
+    )
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    ledger = queries["stream_exact_ingest"](spark, SF_DIR).collect()
+    for r in ledger:
+        assert r["n_arrived"] == r["n_kept"] + r["n_exact_quarantined"], r
+    assert sum(r["n_exact_quarantined"] for r in ledger) > 0
+
+    t = stream_exact_ingest.last_tables
+    qt = {r["doc_id"]: r for r in txlog.read_table(spark, t["quarantine"]).collect()}
+    indexed = {
+        r["doc_id"] for r in txlog.read_table(spark, t["key_index"]).collect()
+    }
+    assert not (set(qt) & indexed)
+    originals = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+        if r["doc_id"] % EXACT_INGEST_CANARY_MOD == EXACT_INGEST_CANARY_RESIDUE
+    ]
+    assert originals
+    for o in originals:
+        assert o in qt, o  # the original arrives LAST -> quarantined
+        assert qt[o]["matched_doc_id"] in indexed
+
+    v, _ = txlog.snapshot(spark, t["key_index"])
+    probe = spark.createDataFrame(
+        [(123456789, 42)], "doc_id long, content_key long"
+    )
+    assert not txlog.append_tx(spark, t["key_index"], probe, batch_id=2)
+    assert txlog.snapshot(spark, t["key_index"])[0] == v
