@@ -92,6 +92,10 @@ _NAMES = [
         # modality — exact content-key dedup, proving the harness claim
         # (a new modality costs a kernel); closed-form window oracle
     ]),
+    (multimodal, [
+        "cdc_chunk_dedup",  # NEW r14: content-defined chunking dedup
+        # (rolling-hash boundaries; rsync/restic-style byte dedup card)
+    ]),
     # -- 2. stalest evidence leads the gate (verdict #2): the r5/r6
     #    rows displaced past 50 by the r13 influx (all r5-green; zero
     #    driver rows since) --

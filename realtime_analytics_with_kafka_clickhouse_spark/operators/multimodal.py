@@ -686,3 +686,106 @@ def media_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill.alias("fill_frac"),
         )
     )
+
+
+#: Content-defined chunking constants (``cdc_chunk_dedup``): window-8
+#: polynomial boundary hash mod 2^32, a boundary BEFORE byte i whenever
+#: hash % CDC_AVG == 0 (expected chunk ~32 bytes); chunk identity =
+#: (31-polynomial of the chunk bytes mod the Mersenne prime 2^31-1,
+#: length) — contributions b * 31^(end-1-pos) stay < 2^39 so int64 sums
+#: are exact in both engines.  Probed organic dedup signal: 9.1% of
+#: bytes at sf0.001, 12.9% at sf0.1 — live at every SF, no canaries.
+CDC_WINDOW = 8
+CDC_AVG = 32
+CDC_MOD32 = 1 << 32
+CDC_PRIME = (1 << 31) - 1
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup over binary payloads (NEW r14) —
+    the rsync/LBFS/restic storage technique next to the document-level
+    fingerprints: boundaries are set by the CONTENT (a rolling window
+    hash), so a shared span deduplicates even when its byte offset
+    shifts between payloads — exactly what offset-fixed blocks cannot
+    do, and the reason backup stores and blob caches chunk this way.
+
+    Pipeline: one Arrow-batched map-only pass computes each payload's
+    boundary candidates (window-8 polynomial, vectorized numpy sliding
+    dot mod 2^32) and chunk records (offset, length, 31-polynomial
+    identity mod 2^31-1 — integer-exact, engine-portable); the corpus
+    report is one per-format aggregate over distinct (hash, len) chunk
+    identities: chunks, distinct chunks, bytes before/after dedup, and
+    the saved-bytes ratio in integer ppm.
+
+    Scale shape: hashing is map-only over the binary column (payload
+    bytes never shuffle — only (format, hash, len) triples ride the
+    exchange, the media-ingest discipline); the dedup aggregate is
+    keyed by chunk identity, linear at any corpus size.  The oracle
+    recomputes boundaries and identities byte-by-byte in SQL (windowed
+    dot for candidates, a cumulative boundary count to assign chunk
+    numbers — NO sequential recurrence, the boundary rule is
+    deliberately closed-form — and a powers-table recursive CTE for
+    the identity polynomial)."""
+    m = media_table(spark, sf_dir).select(
+        "doc_id", "content", F.col("media.format").alias("format")
+    )
+    pw = [pow(31, k, CDC_MOD32) for k in range(CDC_WINDOW - 1, -1, -1)]
+
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pwv = np.array(pw, dtype=np.int64)
+        for pdf in batches:
+            out_fmt, out_hash, out_len = [], [], []
+            for fmt, payload in zip(pdf["format"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n == 0:
+                    continue
+                if n >= CDC_WINDOW:
+                    win = np.lib.stride_tricks.sliding_window_view(b, CDC_WINDOW)
+                    # windows ending at byte i-1 -> boundary BEFORE i:
+                    # candidate positions are i in [CDC_WINDOW, n)
+                    h = (win[:-1] @ pwv) % CDC_MOD32
+                    cands = np.nonzero(h % CDC_AVG == 0)[0] + CDC_WINDOW
+                else:
+                    cands = np.array([], dtype=np.int64)
+                bounds = [0] + cands.tolist() + [n]
+                for s, e in zip(bounds, bounds[1:]):
+                    if e <= s:
+                        continue
+                    hh = 0
+                    for x in b[s:e]:
+                        hh = (hh * 31 + int(x)) % CDC_PRIME
+                    out_fmt.append(fmt)
+                    out_hash.append(hh)
+                    out_len.append(e - s)
+            yield pd.DataFrame(
+                {"format": out_fmt, "chunk_hash": out_hash, "chunk_len": out_len}
+            ).astype({"chunk_hash": "int64", "chunk_len": "int64"})
+
+    chunks = m.mapInPandas(
+        chunk_batches, schema="format string, chunk_hash long, chunk_len long"
+    )
+    per = chunks.groupBy("format").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("chunk_len").cast("long").alias("bytes_total"),
+    )
+    dis = (
+        chunks.select("format", "chunk_hash", "chunk_len")
+        .distinct()
+        .groupBy("format")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum("chunk_len").cast("long").alias("bytes_after_dedup"),
+        )
+    )
+    return per.join(dis, "format").select(
+        "format",
+        "n_chunks",
+        "n_distinct_chunks",
+        "bytes_total",
+        "bytes_after_dedup",
+        F.expr(
+            "CAST((bytes_total - bytes_after_dedup) * 1000000"
+            " div bytes_total AS BIGINT)"
+        ).alias("saved_ppm"),
+    )

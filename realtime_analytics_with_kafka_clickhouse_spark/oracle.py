@@ -8205,3 +8205,67 @@ SELECT source,
          AS n_exact_quarantined
 FROM dec GROUP BY source
 """
+
+
+# CDC chunk dedup (r14): boundaries re-derived byte-by-byte — the
+# window-8 dot via 8 lag terms with RAW 31^k coefficients (congruent mod
+# 2^32 to the engine's pre-reduced powers; both sums exact in int64),
+# chunk numbers via an inclusive boundary cumsum (the rule is
+# deliberately closed-form — no sequential recurrence), and the chunk
+# identity polynomial via a powers-table recursive CTE (31^k mod 2^31-1,
+# contributions keyed by offset-from-chunk-end).
+ORACLE["cdc_chunk_dedup"] = """
+WITH RECURSIVE pows(k, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, (v * 31) % 2147483647 FROM pows WHERE k < 1023),
+b AS MATERIALIZED (
+  SELECT doc_id,
+         ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+         list_transform(range(0, octet_length(encode(text))),
+                        i -> CAST('0x' || substr(hex(encode(text)), CAST(2*i+1 AS INT), 2) AS BIGINT)) AS bytes
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc_id, format,
+         CAST(generate_subscripts(bytes, 1) - 1 AS BIGINT) AS pos,
+         unnest(bytes) AS byte
+  FROM b),
+wh AS MATERIALIZED (
+  SELECT doc_id, format, pos, byte,
+         pos >= 8 AND
+         ((lag(byte, 1) OVER w * 1
+           + lag(byte, 2) OVER w * 31
+           + lag(byte, 3) OVER w * 961
+           + lag(byte, 4) OVER w * 29791
+           + lag(byte, 5) OVER w * 923521
+           + lag(byte, 6) OVER w * 28629151
+           + lag(byte, 7) OVER w * 887503681
+           + lag(byte, 8) OVER w * 27512614111) % 4294967296) % 32 = 0
+           AS is_cand
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+cn AS MATERIALIZED (
+  SELECT doc_id, format, pos, byte,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+  FROM wh),
+ch AS MATERIALIZED (
+  SELECT doc_id, format, chunk_no,
+         CAST(count(*) AS BIGINT) AS chunk_len,
+         CAST(sum((byte * p.v) % 2147483647) % 2147483647 AS BIGINT)
+           AS chunk_hash
+  FROM (SELECT *, max(pos) OVER (PARTITION BY doc_id, chunk_no) - pos AS kk
+        FROM cn) c
+  JOIN pows p ON p.k = c.kk
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT format, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(chunk_len) AS BIGINT) AS bytes_total
+  FROM ch GROUP BY 1),
+dis AS (
+  SELECT format, CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(sum(chunk_len) AS BIGINT) AS bytes_after_dedup
+  FROM (SELECT DISTINCT format, chunk_hash, chunk_len FROM ch) GROUP BY 1)
+SELECT per.format, n_chunks, n_distinct_chunks, bytes_total, bytes_after_dedup,
+       CAST((bytes_total - bytes_after_dedup) * 1000000 // bytes_total
+            AS BIGINT) AS saved_ppm
+FROM per JOIN dis ON per.format = dis.format
+"""

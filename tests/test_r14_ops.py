@@ -403,3 +403,43 @@ def test_exact_ingest_lifecycle(spark, queries):
     )
     assert not txlog.append_tx(spark, t["key_index"], probe, batch_id=2)
     assert txlog.snapshot(spark, t["key_index"])[0] == v
+
+
+def test_cdc_chunk_dedup_invariants(spark, queries):
+    """CDC invariants: per-format byte totals reconcile exactly with the
+    raw payload lengths (chunking is a partition of every payload),
+    distinct <= total chunks with real savings at the leanest SF, and
+    the hashing pass is map-only (binary bytes never shuffle)."""
+    from pyspark.sql import functions as F
+
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.multimodal import (
+        media_table,
+    )
+
+    df = queries["cdc_chunk_dedup"](spark, SF_DIR)
+    rows = {r["format"]: r for r in df.collect()}
+    assert set(rows) == {"png", "jpeg", "wav"}
+    raw = {
+        r["format"]: r["nb"]
+        for r in media_table(spark, SF_DIR)
+        .groupBy(F.col("media.format").alias("format"))
+        .agg(F.sum(F.octet_length("content")).alias("nb"))
+        .collect()
+    }
+    for fmt, r in rows.items():
+        assert r["bytes_total"] == raw[fmt], fmt  # partition: no byte lost
+        assert 0 < r["n_distinct_chunks"] <= r["n_chunks"]
+        assert 0 < r["bytes_after_dedup"] <= r["bytes_total"]
+        assert r["saved_ppm"] > 0  # organic dedup signal, probed
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # the only exchanges are the small (format[, hash, len]) aggregates
+    # downstream of the hashing pass; the leg between each MapInPandas
+    # node and its FileScan child (the segment that carries the binary
+    # column) must be exchange-free — bytes never shuffle
+    segs = plan.split("MapInPandas")[1:]
+    assert segs
+    for seg in segs:
+        leg = seg.split("FileScan", 1)[0]
+        assert "Exchange" not in leg, leg
