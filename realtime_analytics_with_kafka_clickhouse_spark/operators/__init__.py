@@ -48,6 +48,13 @@ from ..streaming import pipeline as _streaming_pipeline
 # round it is born; park only metadata-only ops, never two rounds
 # running.
 #
+# r14 FINAL gate composition (position check run at close): 10 new r14
+# ops + the 24 displaced r5 rows + the r6 section through
+# cohort_retention (position 50); zero gate rows whose latest green is
+# r13.  The r6 remainder from value_quantity_correlation onward (r6
+# section tail + r8 section) is next-stalest and leads the r15 refill
+# after any r15 births.
+#
 _NAMES = [
     # -- 1. CHANGED/NEW this round (r14) --
     # (ops added as they are built this round; each lands with oracle +
