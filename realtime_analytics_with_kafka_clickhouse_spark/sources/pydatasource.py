@@ -245,17 +245,18 @@ def _make_sink_datasource_class():
 
             _os.makedirs(f"{self.path}/files", exist_ok=True)
             out = f"{self.path}/files/part-{_uuid.uuid4().hex}.jsonl"
-            n = 0
+            # Hot per-row loop (r14 optimization): the schema is three
+            # int64 columns, so the JSON line is a fixed template —
+            # f-string formatting emits byte-identical output to
+            # json.dumps at ~4x the throughput, and one writelines of a
+            # prebuilt list beats 50k tiny write() calls.
+            lines = [
+                f'{{"id": {row[0]}, "bucket": {row[1]}, "amount": {row[2]}}}\n'
+                for row in iterator
+            ]
             with open(out, "w") as f:
-                for row in iterator:
-                    f.write(
-                        _json.dumps(
-                            {"id": row[0], "bucket": row[1], "amount": row[2]}
-                        )
-                        + "\n"
-                    )
-                    n += 1
-            return _FileCommit(out, n)
+                f.writelines(lines)
+            return _FileCommit(out, len(lines))
 
         def commit(self, messages, batchId) -> None:
             # Driver-side publish: REPLACE this batchId's entry (a replay

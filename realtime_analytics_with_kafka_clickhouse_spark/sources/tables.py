@@ -13,13 +13,43 @@ from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
 
+# Fingerprint-keyed parquet schema memo (r14 optimization): a bench/oracle
+# session calls ``load_table`` thousands of times over the same few files,
+# and every bare ``spark.read.parquet`` re-infers the schema (driver-side
+# footer read + file listing).  Caching the *inferred StructType* — keyed on
+# (sf_dir, table, max-mtime+bytes fingerprint, session id) — lets repeat
+# loads pass an explicit schema and skip the footer pass entirely.  This is
+# metadata, never data: a rewritten fixture at the same path changes the
+# fingerprint and misses; an unfingerprintable path degrades to plain
+# inference.  The session id is in the key because a schema inferred under
+# one session's conf (e.g. nanosAsLong) must not leak into another's.
+_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+
+
+def _read_with_schema_memo(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..operators._memo import table_fingerprint
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (sf_dir, name, table_fingerprint(sf_dir, name), id(spark))
+    except Exception:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_MEMO) > 256:  # bound: a few fixtures x tables
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Must hold for ANY caller-provided session (the driver builds its own):
     # events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark 4 without
     # this runtime conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_with_schema_memo(spark, sf_dir, name)
     # events.ts has drifted across driver fixture generations:
     #   * TIMESTAMP(NANOS) → (with nanosAsLong=true) a long of epoch-nanos;
     #   * timestamp[us] with no tz → Spark 4 reads TIMESTAMP_NTZ, which

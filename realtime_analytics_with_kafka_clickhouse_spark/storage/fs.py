@@ -231,19 +231,18 @@ def mtime_ms(spark: SparkSession, path: str) -> int:
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:
-    """Small-file read (markers); None if missing."""
+    """Small-file read (markers); None if missing.
+
+    One ``readAllBytes`` py4j call (r14 optimization): the previous
+    byte-at-a-time ``stream.read()`` loop paid one JVM round trip PER BYTE
+    — ~200 ms for a 20 KB commit manifest; the bulk read is ~1 ms and is
+    plain java.io.InputStream API, so it works on any Hadoop FileSystem."""
     fs, p = _fs(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
-        out = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            out.append(b)
-        return out.decode("utf-8")
+        return bytes(stream.readAllBytes()).decode("utf-8")
     finally:
         stream.close()
 

@@ -54,9 +54,27 @@ def latest_version(spark: SparkSession, table: str) -> int:
     return max(versions, default=0)
 
 
+# Commit manifests are WRITE-ONCE (``fs.create_exclusive`` is the only
+# writer), so a (table, version) that has been read successfully can be
+# served from driver memory forever — the only invalidation is ``vacuum``,
+# which deletes old commit files and purges their entries below.  This is
+# metadata (dir lists + zone maps + blooms), never query results; the
+# first read of every version still hits storage.  (r14 optimization: the
+# arrival lifecycles re-read the same snapshot manifest 10+ times per run.)
+_COMMIT_MEMO: dict[tuple[str, int], dict] = {}
+
+
 def read_commit(spark: SparkSession, table: str, version: int) -> dict | None:
-    text = fs.read_text(spark, _commit_path(table, version))
-    return json.loads(text) if text else None
+    key = (table, version)
+    commit = _COMMIT_MEMO.get(key)
+    if commit is None:
+        text = fs.read_text(spark, _commit_path(table, version))
+        commit = json.loads(text) if text else None
+        if commit is not None:
+            if len(_COMMIT_MEMO) > 8192:  # bound: sessions touch ~100s of versions
+                _COMMIT_MEMO.clear()
+            _COMMIT_MEMO[key] = commit
+    return commit
 
 
 def snapshot(spark: SparkSession, table: str) -> tuple[int, dict | None]:
@@ -159,14 +177,39 @@ def read_table(
         if _ranges_overlap(stats.get(d), prune)
         and _bloom_may_contain(blooms.get(d), prune_eq)
     ]
-    reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
     if not dirs:
         # Empty result must still carry the RIGHT schema: under
         # merge_schema the union of every directory's schema (a single
         # dir could predate later-added columns), otherwise any one dir.
         src = commit["dirs"] if merge_schema else commit["dirs"][:1]
-        return reader.parquet(*[f"{table}/{d}" for d in src]).limit(0)
-    return reader.parquet(*[f"{table}/{d}" for d in dirs])
+        return _read_dirs(spark, table, src, merge_schema).limit(0)
+    return _read_dirs(spark, table, dirs, merge_schema)
+
+
+# Schema memo for data-directory reads: a (table, exact dir set,
+# merge_schema) key maps to the schema a previous inference over those
+# SAME immutable files produced, so repeat reads of one snapshot skip the
+# footer pass (r14 optimization — read_table runs 5-12x per lifecycle op
+# on an unchanged snapshot).  An explicit schema also serves the
+# merge_schema read: additive evolution surfaces missing columns as NULL
+# either way, and the memoized schema IS the merged one for that dir set.
+_DIRS_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _read_dirs(spark: SparkSession, table: str, dirs: list[str], merge_schema: bool):
+    paths = [f"{table}/{d}" for d in dirs]
+    key = (table, tuple(dirs), merge_schema)
+    schema = _DIRS_SCHEMA_MEMO.get(key)
+    if schema is None:
+        reader = (
+            spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+        )
+        df = reader.parquet(*paths)
+        if len(_DIRS_SCHEMA_MEMO) > 8192:
+            _DIRS_SCHEMA_MEMO.clear()
+        _DIRS_SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def read_table_at(
@@ -181,7 +224,7 @@ def read_table_at(
     commit = read_commit(spark, table, version)
     if commit is None:
         return None
-    return spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
+    return _read_dirs(spark, table, commit["dirs"], False)
 
 
 def _jsonable(v):
@@ -390,6 +433,9 @@ def vacuum(
         if name.endswith(".json") and int(name[:-5]) < keep.start:
             fs.delete(spark, f"{table}/{TXLOG_DIR}/{name}")
             deleted.append(f"{TXLOG_DIR}/{name}")
+            # vacuum is the ONE writer that removes commit files: drop the
+            # memoized manifest so read_table_at honestly returns None
+            _COMMIT_MEMO.pop((table, int(name[:-5])), None)
     return deleted
 
 

@@ -749,7 +749,8 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str, op, prefix: str) -> 
     d = os.path.join(_INC_ROLLUP_ROOT, f"{prefix}-{run}")
     ckpt, name = os.path.join(d, "ckpt"), f"{prefix}_{run}"
     key = os.path.abspath(sf_dir)
-    src = _REPLAY_SRC_MEMO.get(key)
+    memo = _REPLAY_SRC_MEMO.get(key)
+    src = memo["src"] if memo else None
     if src is None:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "value", "props", "event_type"
@@ -765,9 +766,17 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str, op, prefix: str) -> 
                 chunk.coalesce(1).write.mode("append").parquet(src)
         finally:
             events.unpersist(blocking=False)
-        _REPLAY_SRC_MEMO[key] = src
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).option(
+        # Memoize schema + row count WITH the path (r14 optimization):
+        # they are properties of the just-written immutable chunk files,
+        # and re-deriving them per call costs a schema inference plus a
+        # count job for every streaming proof in the session.
+        memo = {
+            "src": src,
+            "schema": spark.read.parquet(src).schema,
+            "n_events": spark.read.parquet(src).count(),
+        }
+        _REPLAY_SRC_MEMO[key] = memo
+    stream = spark.readStream.schema(memo["schema"]).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
     # State-partition count is fixed at stream START (it shapes the state
@@ -776,7 +785,7 @@ def _replay_events_stream(spark: SparkSession, sf_dir: str, op, prefix: str) -> 
     # PER MICRO-BATCH, and 32 partitions for a bounded replay pays ~2x the
     # stream time in fixed overhead (measured).  A production deployment
     # makes exactly this sizing call when provisioning the job.
-    n_events = spark.read.parquet(src).count()  # metadata-only row count
+    n_events = memo["n_events"]
     parts = str(max(8, n_events // 50_000))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -1278,9 +1287,10 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunk.coalesce(1).write.mode("append").parquet(src)
         finally:
             events.unpersist(blocking=False)
-        _REPLAY_SRC_MEMO[key] = src
-    src = _REPLAY_SRC_MEMO[key]
-    schema = spark.read.parquet(src).schema
+        # schema memoized with the path: immutable chunk files, and the
+        # per-call re-inference is a driver footer pass (r14 optimization)
+        _REPLAY_SRC_MEMO[key] = (src, spark.read.parquet(src).schema)
+    src, schema = _REPLAY_SRC_MEMO[key]
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]

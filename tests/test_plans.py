@@ -233,13 +233,29 @@ def test_boilerplate_and_substring_no_text_in_exchange(spark, queries):
 def test_kmeans_assignment_broadcasts_centroids(spark, queries):
     # The quantizer rides in as ONE broadcast row (BroadcastNestedLoopJoin
     # with no row multiplication) and the argmin is computed map-side —
-    # the assignment must be exchange-free apart from that broadcast.
-    plan = formatted_plan(queries["kmeans_train"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
-        "centroid side must broadcast"
+    # the DERIVATION must be exchange-free apart from that broadcast.
+    # (r14: the registry query serves the scratch-memoized ranking, so the
+    # derivation shape is pinned on the underlying frame and the served
+    # plan is separately pinned exchange-free below.)
+    from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
+        _kmeans_fit,
+        _with_ranked_cells,
     )
-    assert "Exchange hashpartitioning" not in plan, (
+    from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    derivation = formatted_plan(_with_ranked_cells(emb, _kmeans_fit(spark, SF_DIR)))
+    assert (
+        "BroadcastNestedLoopJoin" in derivation or "BroadcastExchange" in derivation
+    ), "centroid side must broadcast"
+    assert "Exchange hashpartitioning" not in derivation, (
         "map-side assignment must not shuffle"
+    )
+    served = formatted_plan(queries["kmeans_train"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in served, (
+        "served assignment (memoized ranking scan) must not shuffle"
     )
 
 
@@ -302,11 +318,11 @@ def test_vocab_oov_scoring_pass_map_only(spark, queries):
 
 def test_semantic_dedup_single_cell_shuffle(spark, queries):
     df = queries["semantic_dedup"](spark, SF_DIR)
-    plan = formatted_plan(df)
-    # one groupBy(cluster) exchange; assignment itself is the broadcast
-    # quantizer row (BroadcastNestedLoopJoin over ONE row, no multiplication)
+    # one groupBy(cluster) exchange; the assignment is served from the
+    # scratch-memoized ranking (r14), whose own derivation shape is pinned
+    # by test_kmeans_assignment_broadcasts_centroids — here the contract
+    # is that the cell-blocked dedup adds exactly ONE exchange on top.
     assert count_shuffles(df) == 1
-    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_prototypicality_exchanges_triples_only(spark, queries):
