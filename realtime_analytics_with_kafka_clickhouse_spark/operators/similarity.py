@@ -1658,12 +1658,14 @@ def _pq_src(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame:
     is the portability convention: sums of round-6 doubles are exact
     DECIMAL(25,6) folds in both engines, so codebook means and ADC sums
     stay order-independent and value-identical cross-engine."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if not residual:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         return emb.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("vecd"),
         )
+    # residual branch: the corpus rides the memoized cell ranking (r14) —
+    # no separate embeddings load needed
     cents = _kmeans_fit(spark, sf_dir)
     cent_df = spark.createDataFrame(
         list(cents), "cell int, centroid array<double>"

@@ -249,7 +249,11 @@ def _make_sink_datasource_class():
             # int64 columns, so the JSON line is a fixed template —
             # f-string formatting emits byte-identical output to
             # json.dumps at ~4x the throughput, and one writelines of a
-            # prebuilt list beats 50k tiny write() calls.
+            # prebuilt list beats 50k tiny write() calls.  Contract: the
+            # only producer is the ledger stream source, whose rows are
+            # non-null ints by construction — a null would render as
+            # Python's "None", so any future nullable producer must
+            # route through a real JSON encoder.
             lines = [
                 f'{{"id": {row[0]}, "bucket": {row[1]}, "amount": {row[2]}}}\n'
                 for row in iterator

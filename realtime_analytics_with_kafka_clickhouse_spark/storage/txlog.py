@@ -61,6 +61,12 @@ def latest_version(spark: SparkSession, table: str) -> int:
 # metadata (dir lists + zone maps + blooms), never query results; the
 # first read of every version still hits storage.  (r14 optimization: the
 # arrival lifecycles re-read the same snapshot manifest 10+ times per run.)
+# Scope notes: (1) the cache is per-PROCESS — a vacuum run by ANOTHER
+# process is not seen here, same single-writer/maintainer assumption the
+# bucketed-merge path documents (multi-writer maintenance belongs to one
+# owner); (2) callers receive the SHARED dict — treat it as immutable
+# (read_table's bloom ``_bitset`` hydration is the one sanctioned
+# in-place enrichment, and ``try_commit`` strips it before serializing).
 _COMMIT_MEMO: dict[tuple[str, int], dict] = {}
 
 
