@@ -114,6 +114,25 @@ def _load_candidate_matrix(path: str):
     return _cand_cache_get("float64", path, load)
 
 
+def _load_raw_matrix(path: str):
+    """(ids, raw float64 matrix) — the UN-normalized sibling of
+    ``_load_candidate_matrix`` for kernels that re-rank with the raw
+    left-fold cosine (norms must be folded per vector, not divided out
+    up front).  Executor-memoized per dataset fingerprint like every
+    candidate loader."""
+
+    def load(filesystem, fs_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(fs_path, filesystem=filesystem, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        raw = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        return ids, raw
+
+    return _cand_cache_get("raw_float64", path, load)
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product over dims 1..64 (double math).
 
@@ -2601,47 +2620,84 @@ def ann_mrl_adaptive_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     report.  This is how truncated embeddings are actually deployed:
     the full-precision work drops from n to the shortlist size.
 
-    Exactness: the re-rank cosine is a LEFT-FOLD dot product
-    (``F.aggregate`` over ``zip_with``) with round-6 + id tiebreaks —
-    textually mirrored by the DuckDB fold, so no matmul-vs-fold
-    boundary risk on the final ranking; recall is integer hits over one
-    division.  Scale shape: the only embedding-carrying shuffle is the
-    shortlist join (50 pairs/query, bounded), after which the window
-    ranks 50 rows per query."""
-    import numpy as np  # noqa: F401  (the shortlist stage uses the matmul helper)
+    Exactness: the re-rank cosine is a LEFT-FOLD dot product with
+    round-6 + id tiebreaks — textually mirrored by the DuckDB fold, so
+    no matmul-vs-fold boundary risk on the final ranking; recall is
+    integer hits over one division.  The fold now runs as an explicit
+    per-dimension numpy accumulation loop (``acc += q[d] * c[d]`` in
+    index order — the ``_load_rp_candidate_matrix`` discipline: each
+    step is the same IEEE mul+add the interpreted ``F.aggregate``
+    ladder performed, so the raw sums are bit-identical; r15 §4
+    rewrite of the hottest interpreted-HOF path, parity-pinned in
+    ``tests/test_r15_parity.py``), fused into the SAME ``mapInPandas``
+    pass that computes the shortlist — the round-6 and the ranking
+    window stay in Spark, unchanged.  Scale shape: the shortlist join
+    and its two embedding-carrying probes are gone entirely; the pass
+    emits 50 (qid, cand, raw fold sums) rows per query and nothing
+    else ever shuffles embeddings."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
 
     emb = load_table(spark, sf_dir, "embeddings")
-    short = _truncated_cosine_pairs(spark, sf_dir, MRL_COARSE_DIM, k=MRL_SHORTLIST)
-    a = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("q_emb"))
-    b = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm_q = F.sqrt(
-        F.aggregate(
-            F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nrm_c = F.sqrt(
-        F.aggregate(
-            F.transform("c_emb", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    cand_path = os.path.join(sf_dir, "embeddings.parquet")
+    dim, k = MRL_COARSE_DIM, MRL_SHORTLIST
+
+    def shortlist_rerank(batches):
+        ids_b, unit_b = _load_candidate_matrix(cand_path)
+        ids_r, raw_b = _load_raw_matrix(cand_path)
+        sorter = np.argsort(ids_r)
+        sub = unit_b[:, :dim]
+        sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        # Per-candidate norm² as the same left fold the old plan ran per
+        # pair row: acc += c[d] * c[d] in dimension order (a candidate's
+        # fold is pair-independent, so folding once per vector is
+        # value-identical to folding per pair).
+        cn2 = np.zeros(len(ids_r), dtype=np.float64)
+        for d in range(DIM):
+            cn2 += raw_b[:, d] * raw_b[:, d]
+        nrm_c = np.sqrt(cn2)
+        for pdf in batches:
+            qraw = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qc = qraw[:, :dim]
+            q_unit = qc / np.linalg.norm(qc, axis=1, keepdims=True)
+            cos = np.round(q_unit @ sub.T, 6)
+            qn2 = np.zeros(len(qraw), dtype=np.float64)
+            for d in range(DIM):
+                qn2 += qraw[:, d] * qraw[:, d]
+            nrm_q = np.sqrt(qn2)
+            qidx_l, cid_l, cidx_l = [], [], []
+            ids = pdf["vec_id"].to_numpy()
+            for qi, vid in enumerate(ids):
+                row = cos[qi]
+                mask = ids_b != vid
+                order = np.lexsort((ids_b[mask], -row[mask]))[:k]
+                sel = ids_b[mask][order]
+                qidx_l.append(np.full(len(sel), qi, dtype=np.int64))
+                cid_l.append(sel)
+                cidx_l.append(sorter[np.searchsorted(ids_r, sel, sorter=sorter)])
+            qidx = np.concatenate(qidx_l) if qidx_l else np.empty(0, np.int64)
+            cid = np.concatenate(cid_l) if cid_l else np.empty(0, np.int64)
+            cidx = np.concatenate(cidx_l) if cidx_l else np.empty(0, np.int64)
+            # The rerank dot, one vectorized left-fold step per dimension.
+            dot = np.zeros(len(qidx), dtype=np.float64)
+            qm, cm = qraw[qidx], raw_b[cidx]
+            for d in range(DIM):
+                dot += qm[:, d] * cm[:, d]
+            cos_raw = dot / (nrm_q[qidx] * nrm_c[cidx])
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[qidx],
+                    "neighbor_id": cid,
+                    "cos_raw": cos_raw,
+                }
+            )
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        shortlist_rerank, "vec_id long, neighbor_id long, cos_raw double"
     )
     ranked = (
-        short.join(a, "vec_id")
-        .join(b, "neighbor_id")
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(dot / (nrm_q * nrm_c), 6).alias("cos_sim"),
+        pairs.select(
+            "vec_id", "neighbor_id", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
         .withColumn(
             "rank",

