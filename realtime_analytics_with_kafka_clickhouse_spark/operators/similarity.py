@@ -597,31 +597,67 @@ def _with_ranked_cells(
 ) -> DataFrame:
     """Adds ``ranked``: an ``array<struct<d,c>>`` of (round-6 sq-dist,
     cluster id) sorted ascending by (d, c) — the full argmin/probe ranking
-    computed MAP-SIDE.  The quantizer (K*dim doubles — tiny at any corpus
-    size) rides in as ONE broadcast row, so the "join" is a
-    BroadcastNestedLoopJoin with no row multiplication, no per-vector
-    argmin shuffle, and no join-back — the sort is over K in-row structs,
-    not rows.  Keeping the centroids as data (not plan literals) also
-    keeps the generated code identical across Lloyd rounds, so the
-    whole-stage-codegen JIT cache hits on every round after the first.
+    computed MAP-SIDE.
+
+    r15 (§4 rewrite of the hottest interpreted-HOF ladder): the K x DIM
+    squared-distance folds run as an explicit per-dimension numpy
+    accumulation loop inside ONE ``mapInPandas`` pass — each step is the
+    same IEEE ``(x - c) * (x - c)`` then left-fold add the interpreted
+    ``zip_with``/``aggregate`` ladder performed per row, so the RAW sums
+    are bit-identical (the ``_load_rp_candidate_matrix`` discipline;
+    parity-pinned old-vs-new in ``tests/test_r15_parity.py``).  The
+    round-6 and the (d, c) struct sort stay in Spark, so every
+    engine-boundary value is produced by the same Catalyst expressions
+    as before.  The quantizer (K*dim doubles — tiny at any corpus size)
+    rides into the kernel as a closure constant; nothing shuffles.
     Struct ordering is lexicographic (d first, then c), identical to a
     ``min(struct(d, c))`` tiebreak."""
-    qrow = emb.sparkSession.createDataFrame(
-        [([c for c, _ in cent_rows], [v for _, v in cent_rows])],
-        "cell_ids array<int>, cell_centroids array<array<double>>",
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    cell_ids = [int(c) for c, _ in cent_rows]
+    cents = [list(map(float, v)) for _, v in cent_rows]
+    out_schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("_cell_d2", T.ArrayType(T.DoubleType(), False), False)]
     )
-    dc = F.zip_with(
-        F.col("cell_centroids"),
-        F.col("cell_ids"),
-        lambda cent, cid: F.struct(
-            F.round(_sq_dist(F.col("embedding"), cent), 6).alias("d"),
-            cid.alias("c"),
-        ),
-    )
+
+    def dists(batches):
+        C = np.asarray(cents, dtype=np.float64)  # K x DIM closure constant
+        n_cells, ndim = C.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            D = np.empty((len(pdf), n_cells), dtype=np.float64)
+            for ki in range(n_cells):
+                crow = C[ki]
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(ndim):
+                    diff = X[:, d] - crow[d]
+                    acc += diff * diff
+                D[:, ki] = acc
+            out = pdf.copy()
+            out["_cell_d2"] = list(D)
+            yield out
+
+    ids_lit = F.array(*[F.lit(c).cast("int") for c in cell_ids])
     return (
-        emb.crossJoin(F.broadcast(qrow))
-        .withColumn("ranked", F.array_sort(dc))
-        .drop("cell_ids", "cell_centroids")
+        emb.mapInPandas(dists, out_schema)
+        .withColumn(
+            "ranked",
+            F.array_sort(
+                F.zip_with(
+                    F.col("_cell_d2"),
+                    ids_lit,
+                    lambda d, cid: F.struct(
+                        F.round(d, 6).alias("d"), cid.alias("c")
+                    ),
+                )
+            ),
+        )
+        .drop("_cell_d2")
     )
 
 
@@ -1035,13 +1071,22 @@ def _build_ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
         try:
             bounds = [KMEANS_K * i // 4 for i in range(5)]
             bounds[4] = KMEANS_K
-            for i in range(4):
-                chunk = assigned.filter(
-                    (F.col("cluster") >= bounds[i]) & (F.col("cluster") < bounds[i + 1])
-                )
-                txlog.append_tx(
-                    spark, table, chunk, batch_id=i, stats_cols=["cluster"]
-                )
+            assigned.count()  # materialize the cache before the writers fan out
+            txlog.append_many_tx(
+                spark,
+                table,
+                [
+                    (
+                        assigned.filter(
+                            (F.col("cluster") >= bounds[i])
+                            & (F.col("cluster") < bounds[i + 1])
+                        ),
+                        i,
+                    )
+                    for i in range(4)
+                ],
+                stats_cols=["cluster"],
+            )
         finally:
             assigned.unpersist(blocking=False)
         _IVF_INDEX_MEMO[key] = table
@@ -3157,17 +3202,22 @@ def ann_ivf_quantizer_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.element_at("ranked", 1)["c"].alias("cluster"), "embedding"
     ).persist()
     try:
-        for i in range(4):
-            txlog.append_tx(
-                spark,
-                table,
-                assigned.filter(
-                    (F.col("cluster") >= bounds[i])
-                    & (F.col("cluster") < bounds[i + 1])
-                ).coalesce(4),
-                batch_id=i,
-                stats_cols=["cluster"],
-            )
+        assigned.count()  # materialize the cache before the writers fan out
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    assigned.filter(
+                        (F.col("cluster") >= bounds[i])
+                        & (F.col("cluster") < bounds[i + 1])
+                    ).coalesce(4),
+                    i,
+                )
+                for i in range(4)
+            ],
+            stats_cols=["cluster"],
+        )
     finally:
         assigned.unpersist(blocking=False)
 

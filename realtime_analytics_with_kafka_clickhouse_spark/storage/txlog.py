@@ -344,6 +344,7 @@ def append_tx(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     max_attempts: int = 10,
+    _staged: tuple[str, dict, dict] | None = None,
 ) -> bool:
     """Transactional APPEND: the add-file commit shape (vs. the full-
     snapshot rewrite of ``merge_rollup_tx``) — the new directory joins the
@@ -352,8 +353,17 @@ def append_tx(
     parquet footers, and ``bloom_cols`` a per-directory bloom filter for
     equality probes — both feed ``read_table``'s data skipping.  Replayed
     ``batch_id``s skip, same idempotency contract as the MERGE paths.
-    Returns True if appended, False if skipped."""
+    Returns True if appended, False if skipped.
+
+    ``_staged`` (internal, ``append_many_tx``): a pre-written
+    (data dir, zone map, bloom) for ``df`` — the commit loop then runs
+    write-free.  A staged dir for a replayed batch id is deleted exactly
+    like a dir written here would be."""
     new_dir: str | None = None
+    zone: dict = {}
+    bloom: dict = {}
+    if _staged is not None:
+        new_dir, zone, bloom = _staged
     for _ in range(max_attempts):
         version, commit = snapshot(spark, table)
         if (
@@ -380,6 +390,49 @@ def append_tx(
             return True
     fs.delete(spark, f"{table}/{new_dir}")
     raise RuntimeError(f"append_tx: gave up after {max_attempts} commit races on {table}")
+
+
+def append_many_tx(
+    spark: SparkSession,
+    table: str,
+    batches: list[tuple[DataFrame, int | None]],
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> list[bool]:
+    """Append several INDEPENDENT batches: data directories are written
+    CONCURRENTLY (a data dir is invisible until a commit names it, so
+    overlapping the write jobs is pure §2.6 back-fill — the tail of one
+    write job's tasks no longer serializes the next), then committed one
+    version per batch in list order through the ordinary ``append_tx``
+    loop.  The commit sequence — versions, dir lists, batch ids, zone
+    maps, blooms — is identical to calling ``append_tx`` per batch.
+
+    Note the write-before-replay-check ordering: a batch whose id turns
+    out already merged has its staged dir deleted (same terminal state as
+    ``append_tx``, which checks first and never writes).  Callers on
+    fresh tables (the index builders) never hit that branch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage(df: DataFrame) -> tuple[str, dict, dict]:
+        rel = write_data_dir(df, table)
+        zone = dir_zone_map(table, rel, stats_cols) if stats_cols else {}
+        bloom = dir_bloom(spark, table, rel, bloom_cols) if bloom_cols else {}
+        return rel, zone, bloom
+
+    with ThreadPoolExecutor(max_workers=min(4, max(len(batches), 1))) as pool:
+        staged = list(pool.map(stage, (df for df, _ in batches)))
+    return [
+        append_tx(
+            spark,
+            table,
+            df,
+            batch_id=bid,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            _staged=st,
+        )
+        for (df, bid), st in zip(batches, staged)
+    ]
 
 
 #: Default vacuum retention for never-committed data directories.  A dir
@@ -607,17 +660,24 @@ def compact_ranged_tx(
         current = spark.read.parquet(*[f"{table}/{d}" for d in commit["dirs"]])
         if agg is not None:
             current = agg(current)
-        new_dirs: list[str] = []
-        stats: dict = {}
-        for i in range(len(bounds) - 1):
+
+        # The per-range rewrites are independent jobs over the same
+        # snapshot — overlap them (§2.6) so one range's task tail
+        # back-fills with the next range's tasks; the commit below still
+        # publishes all ranges atomically, in range order.
+        def _rewrite_range(i: int) -> tuple[str, dict]:
             chunk = current.filter(
                 (_F.col(col) >= bounds[i]) & (_F.col(col) < bounds[i + 1])
             )
             d = write_data_dir(chunk, table)
-            new_dirs.append(d)
-            zone = dir_zone_map(table, d, stats_cols)
-            if zone:
-                stats[d] = zone
+            return d, dir_zone_map(table, d, stats_cols)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(bounds) - 1)) as pool:
+            staged = list(pool.map(_rewrite_range, range(len(bounds) - 1)))
+        new_dirs = [d for d, _ in staged]
+        stats = {d: zone for d, zone in staged if zone}
         if try_commit(
             spark,
             table,

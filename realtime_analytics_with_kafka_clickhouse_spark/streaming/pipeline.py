@@ -3001,14 +3001,36 @@ def run_arrival_lifecycle(
                 if hits is not None:
                     hits = hits.persist()
                     hits.count()
+            # The epoch's three state mutations hit three DIFFERENT tables
+            # (quarantine txlog, index txlog, the after_epoch merge) from
+            # inputs that are all pinned (hits is persisted+counted) — so
+            # they are independent jobs and run OVERLAPPED (§2.6): one
+            # commit's write-job tail back-fills with the next one's
+            # tasks.  Each table's own commit order and batch ids are
+            # untouched; the next epoch's probe starts only after all
+            # three have committed, exactly as before.
             q = quarantine_rows(batch, hits, i)
-            if q is not None:
-                txlog.append_tx(spark, quarantine, q, batch_id=bi)
             ir = index_rows(batch, hits, i)
+            jobs = []
+            if q is not None:
+                jobs.append(
+                    lambda q=q: txlog.append_tx(spark, quarantine, q, batch_id=bi)
+                )
             if ir is not None:
-                txlog.append_tx(spark, index, ir, batch_id=bi)
+                jobs.append(
+                    lambda ir=ir: txlog.append_tx(spark, index, ir, batch_id=bi)
+                )
             if after_epoch is not None:
-                after_epoch(bi, i, batch, hits)
+                jobs.append(lambda: after_epoch(bi, i, batch, hits))
+            if len(jobs) <= 1:
+                for job in jobs:
+                    job()
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                    for f in [pool.submit(job) for job in jobs]:
+                        f.result()
             if hits is not None:
                 hits.unpersist()
         return ledger() if ledger is not None else None

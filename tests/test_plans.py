@@ -231,9 +231,11 @@ def test_boilerplate_and_substring_no_text_in_exchange(spark, queries):
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark, queries):
-    # The quantizer rides in as ONE broadcast row (BroadcastNestedLoopJoin
-    # with no row multiplication) and the argmin is computed map-side —
-    # the DERIVATION must be exchange-free apart from that broadcast.
+    # The argmin is computed map-side: the quantizer is a closure constant
+    # of the vectorized assignment kernel (r15 — one MapInPandas pass; the
+    # K x DIM fold no longer runs as an interpreted HOF ladder behind a
+    # BroadcastNestedLoopJoin), round-6 + the (d, c) sort stay Catalyst
+    # expressions, and the DERIVATION must not shuffle.
     # (r14: the registry query serves the scratch-memoized ranking, so the
     # derivation shape is pinned on the underlying frame and the served
     # plan is separately pinned exchange-free below.)
@@ -247,15 +249,16 @@ def test_kmeans_assignment_broadcasts_centroids(spark, queries):
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     derivation = formatted_plan(_with_ranked_cells(emb, _kmeans_fit(spark, SF_DIR)))
-    assert (
-        "BroadcastNestedLoopJoin" in derivation or "BroadcastExchange" in derivation
-    ), "centroid side must broadcast"
+    assert "MapInPandas" in derivation, "vectorized assignment kernel missing"
     assert "Exchange hashpartitioning" not in derivation, (
         "map-side assignment must not shuffle"
     )
     served = formatted_plan(queries["kmeans_train"](spark, SF_DIR))
     assert "Exchange hashpartitioning" not in served, (
         "served assignment (memoized ranking scan) must not shuffle"
+    )
+    assert "spark_graft_memo" in served, (
+        "kmeans_train must serve the scratch-memoized ranking artifact"
     )
 
 

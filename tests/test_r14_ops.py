@@ -104,9 +104,10 @@ def test_quantizer_refresh_lifecycle(spark, queries):
 
 def test_quantizer_refresh_assignment_is_map_side(spark):
     """Scale pin: the re-assignment fold used by the refresh rewrite is
-    shuffle-free — the ONLY exchange is the one-row quantizer broadcast
-    (IdentityBroadcastMode); the embeddings themselves never ride a
-    ShuffleExchange."""
+    shuffle-free — the quantizer is a closure constant of the vectorized
+    assignment kernel (r15: one MapInPandas pass; no broadcast row, no
+    BroadcastNestedLoopJoin), and the embeddings never ride any
+    Exchange."""
     from pyspark.sql import functions as F
 
     from realtime_analytics_with_kafka_clickhouse_spark.operators.similarity import (
@@ -126,7 +127,8 @@ def test_quantizer_refresh_assignment_is_map_side(spark):
         "== Initial Plan =="
     )[0]
     assert "ShuffleExchange" not in plan, plan
-    assert plan.count("BroadcastExchange IdentityBroadcastMode") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
 
 
 def test_dict_get_battery_branches_and_plan(spark, queries):

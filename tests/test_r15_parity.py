@@ -98,6 +98,57 @@ def test_mrl_rerank_fold_parity_full_corpus(spark):
     assert len(old) == n_q * S.MRL_SHORTLIST  # the shortlist shape held
 
 
+def _old_with_ranked_cells(emb, cent_rows):
+    """The pre-r15 interpreted derivation: broadcast quantizer row +
+    zip_with/aggregate HOF ladder, verbatim."""
+    qrow = emb.sparkSession.createDataFrame(
+        [([c for c, _ in cent_rows], [v for _, v in cent_rows])],
+        "cell_ids array<int>, cell_centroids array<array<double>>",
+    )
+    dc = F.zip_with(
+        F.col("cell_centroids"),
+        F.col("cell_ids"),
+        lambda cent, cid: F.struct(
+            F.round(S._sq_dist(F.col("embedding"), cent), 6).alias("d"),
+            cid.alias("c"),
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(qrow))
+        .withColumn("ranked", F.array_sort(dc))
+        .drop("cell_ids", "cell_centroids")
+    )
+
+
+def test_ranked_cells_fold_parity_full_corpus(spark):
+    """The vectorized cell-assignment kernel emits the SAME full ranked
+    array (every (round-6 d, c) struct, all K cells) as the interpreted
+    ladder — full corpus, float AND double embedding inputs, exact."""
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    q = S._kmeans_fit(spark, SF_DIR)
+    for frame in (
+        emb,
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        ),
+    ):
+        old = {
+            r["vec_id"]: [(x["d"], x["c"]) for x in r["ranked"]]
+            for r in _old_with_ranked_cells(frame, q).collect()
+        }
+        new = {
+            r["vec_id"]: [(x["d"], x["c"]) for x in r["ranked"]]
+            for r in S._with_ranked_cells(frame, q).collect()
+        }
+        assert old == new
+    # schema must be unchanged too (persisted artifacts, struct ordering)
+    assert (
+        S._with_ranked_cells(emb, q).schema["ranked"].dataType.simpleString()
+        == _old_with_ranked_cells(emb, q).schema["ranked"].dataType.simpleString()
+    )
+
+
 def test_mrl_rerank_plan_has_no_pair_join(spark):
     """The rerank stage must stay fused: no SortMergeJoin re-attaching
     embeddings to the shortlist (the pre-r15 shape shuffled 50 pairs/query
