@@ -333,8 +333,9 @@ def minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_sigs = _minhash_signatures(sh.filter(is_batch)).cache()
 
     index_dir = _fresh_rollup_dir("minhash_lsh_index")
-    txlog.append_tx(spark, index_dir, indexed_sigs, batch_id=0)
-    txlog.append_tx(spark, index_dir, batch_sigs, batch_id=1)
+    txlog.append_many_tx(
+        spark, index_dir, [(indexed_sigs, 0), (batch_sigs, 1)]
+    )
     index = txlog.read_table(spark, index_dir)
 
     candidates = (

@@ -245,9 +245,21 @@ def compacted_rollup_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").persist()
     try:
         table = _fresh_rollup_dir("sales_by_category_hourly_opt")
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+        # 4 independent arrival epochs: stage the data dirs concurrently,
+        # commit one version per batch in order (§2.6; identical commits)
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    hourly_rollup_aggregate(
+                        events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                    ),
+                    i,
+                )
+                for i in range(4)
+            ],
+        )
         compacted = txlog.compact_tx(spark, table, agg=resum)
         if not compacted:
             raise RuntimeError("4 appended epochs must leave >1 dir to compact")
@@ -839,9 +851,19 @@ def _build_txlog_append_table(spark: SparkSession, sf_dir: str) -> str:
         events = load_table(spark, sf_dir, "events").persist()
         try:
             table = _fresh_rollup_dir("sales_by_category_hourly_hist")
-            for i in range(4):
-                chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-                txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+            txlog.append_many_tx(
+                spark,
+                table,
+                [
+                    (
+                        hourly_rollup_aggregate(
+                            events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                        ),
+                        i,
+                    )
+                    for i in range(4)
+                ],
+            )
             _APPEND_TABLE_MEMO[key] = table
         finally:
             events.unpersist(blocking=False)
@@ -868,11 +890,19 @@ def txlog_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events").persist()
         try:
             table = _fresh_rollup_dir("sales_by_category_hourly_restore")
-            for i in range(4):
-                chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-                txlog.append_tx(
-                    spark, table, hourly_rollup_aggregate(chunk), batch_id=i
-                )
+            txlog.append_many_tx(
+                spark,
+                table,
+                [
+                    (
+                        hourly_rollup_aggregate(
+                            events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                        ),
+                        i,
+                    )
+                    for i in range(4)
+                ],
+            )
             new_v = txlog.restore_tx(spark, table, 2)
             if new_v != 5:
                 raise RuntimeError(f"restore must commit version 5, got {new_v}")
@@ -969,9 +999,19 @@ def txlog_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").persist()
     try:
         table = _fresh_rollup_dir("vacuum_proof")
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            txlog.append_tx(spark, table, hourly_rollup_aggregate(chunk), batch_id=i)
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    hourly_rollup_aggregate(
+                        events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                    ),
+                    i,
+                )
+                for i in range(4)
+            ],
+        )
         deleted = txlog.vacuum(spark, table, keep_versions=2)
         if not deleted:
             raise RuntimeError("vacuum must reclaim the 2 out-of-horizon epochs")
@@ -1085,11 +1125,21 @@ def _build_time_chunked_txlog(spark: SparkSession, sf_dir: str) -> tuple[str, in
             bounds = [int(mn) + span * i // 4 for i in range(5)]
             bounds[4] = int(mx) + 1
             table = _fresh_rollup_dir("sales_hourly_timechunked")
-            for i in range(4):
-                chunk = agg.filter(
-                    (F.col("hour_epoch") >= bounds[i]) & (F.col("hour_epoch") < bounds[i + 1])
-                )
-                txlog.append_tx(spark, table, chunk, batch_id=i, stats_cols=["hour_epoch"])
+            txlog.append_many_tx(
+                spark,
+                table,
+                [
+                    (
+                        agg.filter(
+                            (F.col("hour_epoch") >= bounds[i])
+                            & (F.col("hour_epoch") < bounds[i + 1])
+                        ),
+                        i,
+                    )
+                    for i in range(4)
+                ],
+                stats_cols=["hour_epoch"],
+            )
             _PRUNED_TABLE_MEMO[key] = (table, bounds[1], bounds[2])
         finally:
             agg.unpersist(blocking=False)
@@ -1204,14 +1254,15 @@ def _build_zorder_txlog(spark: SparkSession, sf_dir: str) -> str:
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
         table = _fresh_rollup_dir("orders_zorder")
-        for i in range(2):
-            txlog.append_tx(
-                spark,
-                table,
-                orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i),
-                batch_id=i,
-                stats_cols=["o_custkey", "o_totalprice"],
-            )
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i), i)
+                for i in range(2)
+            ],
+            stats_cols=["o_custkey", "o_totalprice"],
+        )
         txlog.compact_tx_zorder(
             spark, table, ["o_custkey", "o_totalprice"], n_buckets=8, levels=8
         )
@@ -2038,13 +2089,15 @@ def txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").persist()
     try:
         table = _fresh_rollup_dir("sales_hourly_evolving")
+        epochs = []
         for i in range(4):
             agg = hourly_rollup_aggregate(
                 events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
             )
             if i < 2:
                 agg = agg.drop("total_quantity")
-            txlog.append_tx(spark, table, agg, batch_id=i)
+            epochs.append((agg, i))
+        txlog.append_many_tx(spark, table, epochs)
         merged = txlog.read_table(spark, table, merge_schema=True)
         if merged is None:
             raise RuntimeError("schema-evolved txlog table unreadable")
@@ -2081,13 +2134,21 @@ def _build_user_chunked_txlog(spark: SparkSession, sf_dir: str) -> tuple[str, in
             bounds = [int(lo) + span * i // 4 for i in range(5)]
             bounds[4] = int(hi) + 1
             table = _fresh_rollup_dir("events_by_user_bloom")
-            for i in range(4):
-                chunk = events.filter(
-                    (F.col("user_id") >= bounds[i]) & (F.col("user_id") < bounds[i + 1])
-                )
-                txlog.append_tx(
-                    spark, table, chunk, batch_id=i, bloom_cols=["user_id"]
-                )
+            txlog.append_many_tx(
+                spark,
+                table,
+                [
+                    (
+                        events.filter(
+                            (F.col("user_id") >= bounds[i])
+                            & (F.col("user_id") < bounds[i + 1])
+                        ),
+                        i,
+                    )
+                    for i in range(4)
+                ],
+                bloom_cols=["user_id"],
+            )
             _BLOOM_TABLE_MEMO[key] = (table, int(lo))
         finally:
             events.unpersist(blocking=False)
@@ -2312,12 +2373,19 @@ def aggregating_merge_sketch_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.to_date("ts").alias("day")
     try:
         table = _fresh_rollup_dir("uniques_hourly_states")
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            states = chunk.groupBy(
-                day, F.date_trunc("hour", "ts").alias("hour")
-            ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
-            txlog.append_tx(spark, table, states, batch_id=i)
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                    .groupBy(day, F.date_trunc("hour", "ts").alias("hour"))
+                    .agg(F.hll_sketch_agg("user_id", 14).alias("sk")),
+                    i,
+                )
+                for i in range(4)
+            ],
+        )
         # OPTIMIZE FINAL: equal (day, hour) states from different epochs
         # union into one row per key — the background merge.
         if not txlog.compact_tx(
@@ -2724,12 +2792,19 @@ def percentile_kll_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").persist()
     try:
         table = _fresh_rollup_dir("value_kll_states")
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            states = chunk.groupBy("event_type").agg(
-                F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("sk")
-            )
-            txlog.append_tx(spark, table, states, batch_id=i)
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                    .groupBy("event_type")
+                    .agg(F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("sk")),
+                    i,
+                )
+                for i in range(4)
+            ],
+        )
         if not txlog.compact_tx(
             spark,
             table,
@@ -2800,10 +2875,19 @@ def percentile_merge_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         table = _fresh_rollup_dir("value_hist_states")
-        for i in range(4):
-            chunk = events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
-            states = chunk.groupBy(day, bucket).agg(F.count("*").alias("n"))
-            txlog.append_tx(spark, table, states, batch_id=i)
+        txlog.append_many_tx(
+            spark,
+            table,
+            [
+                (
+                    events.filter(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                    .groupBy(day, bucket)
+                    .agg(F.count("*").alias("n")),
+                    i,
+                )
+                for i in range(4)
+            ],
+        )
         if not txlog.compact_tx(
             spark,
             table,
@@ -3786,14 +3870,41 @@ def projection_auto_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _fresh_rollup_dir("orders_projected_base")
     proj = _fresh_rollup_dir("orders_projection_prio_month")
-    for bi in range(4):
-        b = orders.filter(F.pmod("o_orderkey", F.lit(4)) == bi)
-        txlog.append_tx(spark, base, b.coalesce(2), batch_id=bi)
-        part = b.groupBy("o_orderpriority", "month_key").agg(
-            F.count("*").cast("long").alias("n_part"),
-            F.sum("price_micros").cast("long").alias("rev_part"),
+    # The 4 base batches (and their 4 projection partials) are independent
+    # frames over disjoint key residues: stage all dirs concurrently and
+    # commit each table's versions in batch order — identical commit
+    # sequences per table, minus the serialized write wall-clock (§2.6).
+    batches = [
+        orders.filter(F.pmod("o_orderkey", F.lit(4)) == bi) for bi in range(4)
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_base = pool.submit(
+            txlog.append_many_tx,
+            spark,
+            base,
+            [(b.coalesce(2), bi) for bi, b in enumerate(batches)],
         )
-        txlog.append_tx(spark, proj, part.coalesce(1), batch_id=bi)
+        f_proj = pool.submit(
+            txlog.append_many_tx,
+            spark,
+            proj,
+            [
+                (
+                    b.groupBy("o_orderpriority", "month_key")
+                    .agg(
+                        F.count("*").cast("long").alias("n_part"),
+                        F.sum("price_micros").cast("long").alias("rev_part"),
+                    )
+                    .coalesce(1),
+                    bi,
+                )
+                for bi, b in enumerate(batches)
+            ],
+        )
+        f_base.result()
+        f_proj.result()
 
     PROJ_DIMS = {"o_orderpriority", "month_key"}
 
@@ -3870,14 +3981,26 @@ def atomic_publish_consistent_serve(spark: SparkSession, sf_dir: str) -> DataFra
     fact = _fresh_rollup_dir("publish_fact")
     roll = _fresh_rollup_dir("publish_rollup")
     group = _fresh_rollup_dir("publish_group")
+    from concurrent.futures import ThreadPoolExecutor
+
     for bi in range(5):
         b = orders.filter(F.pmod("o_orderkey", F.lit(5)) == bi)
-        txlog.append_tx(spark, fact, b.coalesce(2), batch_id=bi)
         part = b.groupBy("o_orderpriority").agg(
             F.count("*").cast("long").alias("n_part"),
             F.sum("price_micros").cast("long").alias("rev_part"),
         )
-        txlog.append_tx(spark, roll, part.coalesce(1), batch_id=bi)
+        # the two member appends are independent (different tables);
+        # overlap their write jobs — the group publish below still runs
+        # strictly after BOTH commits, preserving the atomic boundary
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ff = pool.submit(
+                txlog.append_tx, spark, fact, b.coalesce(2), batch_id=bi
+            )
+            fr = pool.submit(
+                txlog.append_tx, spark, roll, part.coalesce(1), batch_id=bi
+            )
+            ff.result()
+            fr.result()
         if bi < 4:
             txlog.publish_group(
                 spark,
