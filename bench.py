@@ -262,10 +262,22 @@ def main() -> None:
         bucket = tier_totals.setdefault(tier_of(n), {"sec": 0.0, "n": 0})
         bucket["sec"] = round(bucket["sec"] + t, 4)
         bucket["n"] += 1
+    # One-time artifact builds (r14 VERDICT #6, addition-only): the memoized
+    # index/ground-truth builds run INSIDE the first paying query's timed
+    # region but best-of-N reports that query's warm run — publish the build
+    # wall-clock per artifact kind so the amortized cost stays visible.
+    from realtime_analytics_with_kafka_clickhouse_spark.operators._memo import (
+        BUILD_SEC,
+    )
+
     detail = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "artifact_build_sec": {
+            "total": round(sum(BUILD_SEC.values()), 4),
+            **dict(sorted(BUILD_SEC.items())),
+        },
         "queries": timings,
         "spreads": spreads,
         "spread_total": round(sum(spreads.values()), 4),

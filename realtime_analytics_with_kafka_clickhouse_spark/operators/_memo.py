@@ -79,12 +79,25 @@ def memo_put(kind: str, sf_dir: str, tables: tuple[str, ...], value: Any) -> Any
     return value
 
 
+#: Wall-clock spent building each memoized artifact this process (kind ->
+#: cumulative seconds).  Observability only (r14 VERDICT #6): the bench
+#: publishes it as ``artifact_build_sec`` so the one-time index builds that
+#: best-of-N amortizes away stay visible in the official record.
+BUILD_SEC: dict[str, float] = {}
+
+
 def memo_get(
     kind: str, sf_dir: str, tables: tuple[str, ...], compute: Callable[[], Any]
 ) -> Any:
     hit = memo_peek(kind, sf_dir, tables)
     if hit is _MISS:
+        import time
+
+        t0 = time.perf_counter()
         hit = memo_put(kind, sf_dir, tables, compute())
+        BUILD_SEC[kind] = round(
+            BUILD_SEC.get(kind, 0.0) + time.perf_counter() - t0, 4
+        )
     return hit
 
 
@@ -92,29 +105,53 @@ def is_miss(value: Any) -> bool:
     return value is _MISS
 
 
-_SCRATCH_PATHS: dict[str, str] = {}  # kind -> latest persisted dir
+def _scratch_root() -> str:
+    """Per-PID scratch root (r15 hygiene, r14 VERDICT #4 / ADVICE #3):
+    this process's artifacts live under one pid-suffixed directory that an
+    atexit hook removes, so a normal exit leaves nothing behind; roots
+    orphaned by KILLED processes are swept at exit by whichever later
+    process finds their owner pid dead.  Dirs are never deleted DURING the
+    process's lifetime anymore — a lazy DataFrame handed out before a
+    fingerprint eviction keeps reading its (now unreferenced) dir instead
+    of failing mid-query; the handful of evicted dirs is bounded by
+    fixture switches and dies with the root."""
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_memo-{os.getpid()}")
+
+
+def _sweep_scratch_roots() -> None:
+    """Remove this process's scratch root and any root whose owner pid is
+    gone (registered atexit)."""
+    import glob
+    import shutil
+    import tempfile
+
+    shutil.rmtree(_scratch_root(), ignore_errors=True)
+    for p in glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_memo-*")):
+        try:
+            pid = int(p.rsplit("-", 1)[1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_sweep_scratch_roots)
 
 
 def scratch_persist(df, kind: str) -> str:
     """Persist a derived DataFrame to a scratch parquet table and return
     its path — the distributed sibling of the in-memory memo value: the
     artifact stays on disk (never collected to the driver), and replays
-    are ordinary parquet scans.  One dir per kind: a fingerprint eviction
-    writes a fresh dir and best-effort deletes the kind's previous one
-    (safe — eviction only happens when the INPUT dataset changed, so any
-    frame still reading the old dir was already serving stale data)."""
-    import shutil
-    import tempfile
+    are ordinary parquet scans.  Dirs live under the per-PID root (see
+    ``_scratch_root``); superseded dirs are left until process exit so
+    earlier lazy frames stay readable."""
     import uuid
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_memo",
-        f"{kind}-{uuid.uuid4().hex[:8]}",
-    )
+    path = os.path.join(_scratch_root(), f"{kind}-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(path)
-    prev = _SCRATCH_PATHS.get(kind)
-    if prev and prev != path:
-        shutil.rmtree(prev, ignore_errors=True)
-    _SCRATCH_PATHS[kind] = path
     return path
