@@ -1882,42 +1882,100 @@ def _pq_codes_src(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame
     return spark.read.parquet(state["path"])
 
 
-def _pq_luts_df(src: DataFrame, cb_row: DataFrame) -> DataFrame:
+def _pq_luts_df(src: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
     """(qid [+ carried cols], luts): per-query PQ_M x PQ_K table of
-    round-6 subspace distances of ``vecd`` to every codeword."""
+    round-6 subspace distances of ``vecd`` to every codeword.
+
+    r15 (§4, the T2/T3 discipline): the PQ_M x PQ_K x PQ_SUB distance
+    folds run as explicit per-dimension numpy accumulation inside one
+    ``mapInPandas`` pass (each step the same IEEE ``(x-c)*(x-c)`` then
+    left-fold add the interpreted ladder performed — raw sums
+    bit-identical; parity-pinned in ``tests/test_r15_parity.py``), with
+    the codebook as a closure constant; the round-6 stays a Catalyst
+    expression so every engine-boundary value is unchanged."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    cb_const = [[list(map(float, cw)) for cw in cb_m] for cb_m in cbs]
+    carried_in = [c for c in src.columns if c != "vecd"]
+    out_schema = T.StructType(
+        [f for f in src.schema.fields if f.name != "vecd"]
+        + [
+            T.StructField(
+                "_luts_raw",
+                T.ArrayType(T.ArrayType(T.DoubleType(), False), False),
+                False,
+            )
+        ]
+    )
+
+    def kernel(batches):
+        cb = np.asarray(cb_const, dtype=np.float64)  # (M, K, SUB)
+        m_n, k_n, s_n = cb.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["vecd"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            out = np.empty((n, m_n, k_n), dtype=np.float64)
+            for m in range(m_n):
+                sub = V[:, m * s_n : (m + 1) * s_n]
+                for k in range(k_n):
+                    crow = cb[m, k]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(s_n):
+                        diff = sub[:, d] - crow[d]
+                        acc += diff * diff
+                    out[:, m, k] = acc
+            res = pdf[carried_in].copy()
+            res["_luts_raw"] = [[r.tolist() for r in row] for row in out]
+            yield res
+
     carried = [
         F.col("vec_id").alias("qid") if c == "vec_id" else F.col(c)
-        for c in src.columns
-        if c != "vecd"
+        for c in carried_in
     ]
-    return src.crossJoin(F.broadcast(cb_row)).select(
+    return src.mapInPandas(kernel, out_schema).select(
         *carried,
         F.transform(
-            F.col("cb"),
-            lambda cb_m, m: F.transform(
-                cb_m,
-                lambda cent: _sq_subdist(
-                    F.slice(F.col("vecd"), m * PQ_SUB + F.lit(1), PQ_SUB), cent
-                ),
-            ),
+            "_luts_raw", lambda arr: F.transform(arr, lambda d: F.round(d, 6))
         ).alias("luts"),
     )
 
 
-def _pq_adc_col() -> Column:
-    """ADC distance from (codes, luts): PQ_M lookups summed through an
-    exact DECIMAL(25,6) fold (each lookup is round-6, so the decimal is
-    exact and the sum order-independent across engines)."""
-    dec = "decimal(25,6)"
-    return F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.col("luts"),
-            lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1)),
+def _pq_lut_micros_col() -> Column:
+    """``luts`` (round-6 doubles) -> exact int64 micros, derived ONCE per
+    query row (the broadcast side) so the pair scan can sum integers in
+    pure codegen.  ``round(d * 1e6, 0)`` recovers the true integer k of a
+    round-6 value k*1e-6 exactly: the double product is within an ulp of
+    k, far inside the half-up window."""
+    return F.transform(
+        F.col("luts"),
+        lambda arr: F.transform(
+            arr, lambda d: F.round(d * F.lit(1000000.0), 0).cast("long")
         ),
-        F.lit(0).cast(dec),
-        lambda a, t: (a + t.cast(dec)).cast(dec),
-    ).cast("double")
+    )
+
+
+def _pq_adc_col() -> Column:
+    """ADC distance from (codes, lut_micros): PQ_M int64 lookups summed by
+    an UNROLLED codegen expression chain (r15 §4 — retires the interpreted
+    per-pair decimal fold).  Value-identical: the micros are the exact
+    round-6 integers, int64 addition is exact in any order, and the final
+    ``micros / 1e6`` double division is the same correctly-rounded value
+    the old DECIMAL(25,6)->double cast produced."""
+    terms = [
+        F.element_at(
+            F.element_at(F.col("lut_micros"), m + 1),
+            F.element_at(F.col("codes"), m + 1).cast("int") + F.lit(1),
+        )
+        for m in range(PQ_M)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total.cast("double") / F.lit(1000000.0)
 
 
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,11 +2001,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform fixture; training is what a production fit runs."""
     src = _pq_src(spark, sf_dir, residual=False)
     cbs = _pq_fit(spark, sf_dir, residual=False)
-    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
     codes = _pq_codes_src(spark, sf_dir, residual=False)
     luts = _pq_luts_df(
-        src.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cb_row
-    )
+        src.filter(F.pmod("vec_id", F.lit(PQ_QUERY_MOD)) == 0), cbs
+    ).select("qid", _pq_lut_micros_col().alias("lut_micros"))
     pairs = (
         codes.crossJoin(F.broadcast(luts))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1996,7 +2053,6 @@ def ann_ivfpq_topk(
     ranked = _ranked_cells_src(spark, sf_dir)
     cent_df = spark.createDataFrame(list(cents), "cell int, centroid array<double>")
     cbs = _pq_fit(spark, sf_dir, residual=True)
-    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
     # Member side: own-cell residual codes (vec_id, cell, codes).
     codes = _pq_codes_src(spark, sf_dir, residual=True).withColumnRenamed(
         "vec_id", "neighbor_id"
@@ -2022,7 +2078,9 @@ def ann_ivfpq_topk(
             ).alias("vecd"),
         )
     )
-    luts = _pq_luts_df(probe_src, cb_row)
+    luts = _pq_luts_df(probe_src, cbs).select(
+        "qid", "cell", _pq_lut_micros_col().alias("lut_micros")
+    )
     cand = (
         codes.join(F.broadcast(luts), "cell")
         .filter(F.col("qid") != F.col("neighbor_id"))

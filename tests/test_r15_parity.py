@@ -149,6 +149,82 @@ def test_ranked_cells_fold_parity_full_corpus(spark):
     )
 
 
+def _old_pq_luts_df(src, cb_row):
+    """The pre-r15 interpreted LUT ladder, verbatim."""
+    carried = [
+        F.col("vec_id").alias("qid") if c == "vec_id" else F.col(c)
+        for c in src.columns
+        if c != "vecd"
+    ]
+    return src.crossJoin(F.broadcast(cb_row)).select(
+        *carried,
+        F.transform(
+            F.col("cb"),
+            lambda cb_m, m: F.transform(
+                cb_m,
+                lambda cent: S._sq_subdist(
+                    F.slice(F.col("vecd"), m * S.PQ_SUB + F.lit(1), S.PQ_SUB), cent
+                ),
+            ),
+        ).alias("luts"),
+    )
+
+
+def _old_pq_adc_col():
+    """The pre-r15 interpreted DECIMAL(25,6) ADC fold, verbatim."""
+    dec = "decimal(25,6)"
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda c, lut: F.element_at(lut, c.cast("int") + F.lit(1)),
+        ),
+        F.lit(0).cast(dec),
+        lambda a, t: (a + t.cast(dec)).cast(dec),
+    ).cast("double")
+
+
+def test_pq_lut_and_adc_parity_full_query_set(spark):
+    """The vectorized LUT kernel and the unrolled int64-micros ADC chain
+    are value-identical to the interpreted ladders they replaced — every
+    query's full PQ_M x PQ_K LUT (raw and residual codebooks) and every
+    ADC pair distance, exact."""
+    for residual in (False, True):
+        cbs = S._pq_fit(spark, SF_DIR, residual=residual)
+        cb_row = spark.createDataFrame(
+            [(cbs,)], "cb array<array<array<double>>>"
+        )
+        src = S._pq_src(spark, SF_DIR, residual=residual).filter(
+            F.pmod("vec_id", F.lit(S.PQ_QUERY_MOD)) == 0
+        ).select("vec_id", "vecd")
+        old = {r["qid"]: r["luts"] for r in _old_pq_luts_df(src, cb_row).collect()}
+        new = {r["qid"]: r["luts"] for r in S._pq_luts_df(src, cbs).collect()}
+        assert old == new
+    # ADC over the full pair set (raw codebook path)
+    cbs = S._pq_fit(spark, SF_DIR, residual=False)
+    cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
+    src = S._pq_src(spark, SF_DIR, residual=False).filter(
+        F.pmod("vec_id", F.lit(S.PQ_QUERY_MOD)) == 0
+    )
+    codes = S._pq_codes_src(spark, SF_DIR, residual=False)
+    oldp = (
+        codes.crossJoin(F.broadcast(_old_pq_luts_df(src, cb_row)))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("n"), _old_pq_adc_col().alias("d"))
+    )
+    newl = S._pq_luts_df(src, cbs).select(
+        "qid", S._pq_lut_micros_col().alias("lut_micros")
+    )
+    newp = (
+        codes.crossJoin(F.broadcast(newl))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("n"), S._pq_adc_col().alias("d"))
+    )
+    om = {(r[0], r[1]): r[2] for r in oldp.collect()}
+    nm = {(r[0], r[1]): r[2] for r in newp.collect()}
+    assert om == nm
+
+
 def test_mrl_rerank_plan_has_no_pair_join(spark):
     """The rerank stage must stay fused: no SortMergeJoin re-attaching
     embeddings to the shortlist (the pre-r15 shape shuffled 50 pairs/query
