@@ -3141,30 +3141,34 @@ def _centroid_dist2_micros(index: DataFrame, batch: DataFrame) -> int:
     micros — the drift score that gates the quantizer refresh.  Per-dim
     sums ride the DECIMAL(38,15) fold (exact — the kmeans discipline),
     one double divide per centroid dim, then a driver-side left fold
-    over the 64 sorted dims (64 rows — driver-bounded by the embedding
-    dimension, never by the corpus)."""
+    over the 64 sorted dims (2 x 64 rows — driver-bounded by the
+    embedding dimension, never by the corpus).  r15: both centroids ride
+    ONE side-tagged aggregate job instead of two jobs + a join — the
+    per-(side, dim) decimal sums are the identical exact folds, so the
+    score is value-unchanged."""
     import math
 
-    def cent(df: DataFrame, alias: str) -> DataFrame:
-        return (
-            df.select(F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("dim")
-            .agg(
-                (
-                    F.sum(
-                        F.col("x").cast("double").cast("decimal(38,15)")
-                    ).cast("double")
-                    / F.count("*")
-                ).alias(alias)
-            )
-        )
-
-    rows = (
-        cent(index, "ci").join(cent(batch, "cb"), "dim").orderBy("dim").collect()
+    tagged = index.select(F.lit("i").alias("side"), "embedding").unionByName(
+        batch.select(F.lit("b").alias("side"), "embedding")
     )
+    rows = (
+        tagged.select("side", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("side", "dim")
+        .agg(
+            (
+                F.sum(
+                    F.col("x").cast("double").cast("decimal(38,15)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        .collect()
+    )
+    ci = {r["dim"]: r["c"] for r in rows if r["side"] == "i"}
+    cb = {r["dim"]: r["c"] for r in rows if r["side"] == "b"}
     d2 = 0.0
-    for r in rows:
-        diff = r["ci"] - r["cb"]
+    for dim in sorted(ci):
+        diff = ci[dim] - cb[dim]
         d2 += diff * diff
     return int(math.floor(d2 * 1_000_000 + 0.5))
 
