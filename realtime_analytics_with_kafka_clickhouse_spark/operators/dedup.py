@@ -216,6 +216,30 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_sigs_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus banded signatures ``(doc_id, band, sig)``, memoized to
+    a scratch parquet table per documents fingerprint (the
+    ``_capped_shingles`` discipline, r15): the signature table IS the
+    LSH index every deployment persists — five callers re-derived it per
+    call (a shingle scan + the k-column min groupBy each time).  A
+    per-doc signature depends only on the doc's own shingles, so any
+    doc-subset consumer (curation accepts, the ingest batch split) can
+    filter this table instead of re-signing its slice — value-identical
+    by construction."""
+    from ._memo import memo_get, scratch_persist
+
+    def compute():
+        return {
+            "path": scratch_persist(
+                _minhash_signatures(_capped_shingles(spark, sf_dir)),
+                "minhash_sigs",
+            )
+        }
+
+    state = memo_get("minhash_sigs", sf_dir, ("documents",), compute)
+    return spark.read.parquet(state["path"])
+
+
 def _jaccard_verify_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     """Candidate-only verification — the whole point of LSH.  Shingle
     sets are materialized ONLY for docs that appear in some candidate
@@ -277,7 +301,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def compute():
         sh = _capped_shingles(spark, sf_dir)
-        sig = _minhash_signatures(sh)
+        sig = _minhash_sigs_src(spark, sf_dir)
         a = sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         b = sig.select(F.col("doc_id").alias("doc_b"), "band", "sig")
         # cache(): the candidate pair set (tiny — LSH's whole job is
@@ -329,8 +353,12 @@ def minhash_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _capped_shingles(spark, sf_dir)
     is_batch = F.col("doc_id") % INGEST_BATCH_MOD == 0
-    indexed_sigs = _minhash_signatures(sh.filter(~is_batch))
-    batch_sigs = _minhash_signatures(sh.filter(is_batch)).cache()
+    # per-doc signatures are independent of corpus slicing, so both the
+    # indexed corpus and the arriving batch filter the memoized signature
+    # table instead of re-signing their slice (r15; value-identical)
+    all_sigs = _minhash_sigs_src(spark, sf_dir)
+    indexed_sigs = all_sigs.filter(~is_batch)
+    batch_sigs = all_sigs.filter(is_batch).cache()
 
     index_dir = _fresh_rollup_dir("minhash_lsh_index")
     txlog.append_many_tx(
@@ -382,7 +410,7 @@ def minhash_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.pmod(stable_hash64(F.col("text")), F.lit(CONTAM_BENCH_MOD)) == 0
     sh = _capped_shingles(spark, sf_dir)
     bench_ids = docs.filter(is_bench).select("doc_id")
-    sig = _minhash_signatures(sh)
+    sig = _minhash_sigs_src(spark, sf_dir)
     # the proof's pseudo-benchmark is a 1/7 corpus slice, i.e.
     # corpus-derived — a REAL eval set is domain-bounded, but the gate
     # keeps the proof honest at any sf
@@ -913,7 +941,7 @@ def minhash_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signatures; the report is |k| rows."""
     sh = _capped_shingles(spark, sf_dir)
     minh = _minhash_columns(sh)
-    sig = _minhash_signatures(sh)
+    sig = _minhash_sigs_src(spark, sf_dir)
     cand = (
         sig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
         .join(sig.select(F.col("doc_id").alias("doc_b"), "band", "sig"), ["band", "sig"])
