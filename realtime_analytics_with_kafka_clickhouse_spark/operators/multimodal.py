@@ -320,6 +320,27 @@ def media_phash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(hash_batches, schema="doc_id long, phash64 long")
 
 
+def _phash64_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus ``(doc_id, phash64)`` fingerprint table, memoized
+    to a scratch parquet table per documents fingerprint (r15, the
+    ``_capped_shingles`` discipline): three consumers (the batch near-dup
+    join, the cluster walk, the streaming arrival probe) each re-ran the
+    Python hashing pass per call (~0.4 s warm at sf0.1).  The fingerprint
+    table IS the perceptual index a deployment persists; values are a
+    pure function of the stored bytes, so the replay is value-identical
+    and the old per-op ``localCheckpoint`` pinning becomes a plain
+    parquet scan."""
+    from ._memo import memo_get, scratch_persist
+
+    def compute():
+        return {
+            "path": scratch_persist(media_phash64(spark, sf_dir), "media_phash64")
+        }
+
+    state = memo_get("media_phash64", sf_dir, ("documents",), compute)
+    return spark.read.parquet(state["path"])
+
+
 #: arrival-lifecycle canaries shift the epoch by one (1000000001 % 4 == 1),
 #: so every planted neighbor lands in a DIFFERENT micro-batch than its
 #: original and the on-arrival probe must recover it across the index
@@ -371,8 +392,9 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle discipline mirrors ``dedup.simhash_near_dup``: each row ships 8
     (band, byte) keys plus its 64-bit fingerprint — constant bytes per doc,
     the binary payload never rides an exchange.  The fingerprint frame is
-    localCheckpoint-ed so the Python hashing pass runs once, not once per
-    self-join side, and repartitioned so pairing gets full parallelism.
+    the memoized ``_phash64_src`` artifact (r15 — the Python hashing pass
+    runs once per corpus fingerprint, every consumer scans parquet), and
+    repartitioned so pairing gets full parallelism.
     Banding is pigeonhole-exact for the <= 7 threshold, so the oracle's
     identical band join loses no recall.
 
@@ -384,10 +406,8 @@ def media_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST recover (3 flipped bits touch <= 3 of the 8 bands; >= 5 collide).
     The oracle derives the identical canaries, so the rows carry positive
     recall evidence instead of 0 == 0."""
-    sigs = (
-        media_phash64(spark, sf_dir)
-        .localCheckpoint(eager=True)
-        .repartition(spark.sparkContext.defaultParallelism)
+    sigs = _phash64_src(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
     canaries = sigs.filter(F.pmod("doc_id", F.lit(PHASH64_CANARY_MOD)) == 0).select(
         (F.col("doc_id") + F.lit(PHASH64_CANARY_OFFSET)).alias("doc_id"),

@@ -3485,14 +3485,14 @@ def stream_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         PHASH64_CANARY_XOR,
         PHASH64_HAMMING_MAX,
         _phash64_bands,
-        media_phash64,
+        _phash64_src,
     )
     from ..storage import txlog
 
-    # localCheckpoint: the three sig branches (corpus + two canary
-    # cohorts) would each re-run the Python hashing pass through the
-    # union otherwise (the media_phash_near_dup convention)
-    base = media_phash64(spark, sf_dir).localCheckpoint(eager=True)
+    # the memoized fingerprint artifact replaces the per-call Python
+    # hashing pass + localCheckpoint (r15): every sig branch (corpus +
+    # two canary cohorts) is now a scan of the same scratch parquet
+    base = _phash64_src(spark, sf_dir)
     canaries = base.filter(F.pmod("doc_id", F.lit(PHASH64_CANARY_MOD)) == 0).select(
         (F.col("doc_id") + F.lit(MEDIA_INGEST_CANARY_OFFSET)).alias("doc_id"),
         F.col("phash64").bitwiseXOR(F.lit(PHASH64_CANARY_XOR)).alias("phash64"),
