@@ -726,6 +726,34 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_NGRAM = 4  # exact-substring span width (words)
 
 
+def _span_owner_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring ownership index — doc-distinct
+    ``(doc_id, span, owner)`` rows where ``owner`` is the lowest doc_id
+    carrying the 4-gram — memoized to a scratch parquet table per
+    documents fingerprint (r15, the ``_capped_shingles`` discipline).
+    This IS the suffix-array analog of Lee et al.'s exact-substring
+    dedup re-expressed as a table: the flagging op aggregates it
+    directly, and the scrub op recovers the pure ``(span, owner)`` map
+    with a map-only ``doc_id == owner`` filter (every span's owner row
+    is present by construction)."""
+    from ._memo import memo_get, scratch_persist
+    from .text import _word_ngrams  # local import avoids a module cycle
+
+    def compute():
+        docs = load_table(spark, sf_dir, "documents")
+        words = F.split(F.col("text"), " ")
+        spans = docs.select(
+            "doc_id", F.explode(_word_ngrams(words, SUBSTR_NGRAM)).alias("span")
+        ).distinct()
+        owners = spans.groupBy("span").agg(F.min("doc_id").alias("owner"))
+        return {
+            "path": scratch_persist(spans.join(owners, "span"), "span_owner_index")
+        }
+
+    state = memo_get("span_owner_index", sf_dir, ("documents",), compute)
+    return spark.read.parquet(state["path"])
+
+
 def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup at document granularity (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better" — public
@@ -742,16 +770,8 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded by the span key; no pairwise comparison anywhere, so cost is
     linear in corpus size at any scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    from .text import _word_ngrams  # local import avoids a module cycle
-
-    words = F.split(F.col("text"), " ")
-    spans = docs.select(
-        "doc_id", F.explode(_word_ngrams(words, SUBSTR_NGRAM)).alias("span")
-    ).distinct()
-    owners = spans.groupBy("span").agg(F.min("doc_id").alias("owner"))
     return (
-        spans.join(owners, "span")
+        _span_owner_src(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -1381,11 +1401,12 @@ def exact_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(_word_ngrams(words, SUBSTR_NGRAM)).alias("p0", "span"),
     )
+    # (span -> owner) from the memoized ownership index: the owner's own
+    # row has doc_id == owner, so this filter IS the distinct owner map
     owners = (
-        spans.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.min("doc_id").alias("owner"))
+        _span_owner_src(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("owner"))
+        .select("span", "owner")
     )
     dup = (
         spans.join(owners, "span")
