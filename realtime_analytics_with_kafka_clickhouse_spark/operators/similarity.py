@@ -1819,15 +1819,9 @@ def _pq_fit_uncached(
         for i in range(PQ_SUB)
     ]
     for _ in range(PQ_ITERS):
-        cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
         rows = (
-            src.crossJoin(F.broadcast(cb_row))
-            .select(
-                "vecd",
-                F.posexplode(_pq_encode_expr(F.col("cb"), F.col("vecd"))).alias(
-                    "m", "code"
-                ),
-            )
+            _pq_sub_d2_df(src.select("vecd"), cbs, keep_vecd=True)
+            .select("vecd", F.posexplode(_pq_codes_expr()).alias("m", "code"))
             .select(
                 "m",
                 "code",
@@ -1848,12 +1842,13 @@ def _pq_fit_uncached(
     return cbs
 
 
-def _pq_codes_df(src: DataFrame, cb_row: DataFrame) -> DataFrame:
+def _pq_codes_df(src: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
     """(vec_id [+ carried cols], codes): argmin codeword per subspace of
-    ``vecd`` — round-6 subspace distance, codeword-id tiebreak."""
+    ``vecd`` — round-6 subspace distance, codeword-id tiebreak (the
+    vectorized distance kernel + the same Catalyst round/sort argmin)."""
     carried = [c for c in src.columns if c != "vecd"]
-    return src.crossJoin(F.broadcast(cb_row)).select(
-        *carried, _pq_encode_expr(F.col("cb"), F.col("vecd")).alias("codes")
+    return _pq_sub_d2_df(src, cbs).select(
+        *carried, _pq_codes_expr().alias("codes")
     )
 
 
@@ -1875,35 +1870,37 @@ def _pq_codes_src(spark: SparkSession, sf_dir: str, residual: bool) -> DataFrame
     def compute():
         src = _pq_src(spark, sf_dir, residual)
         cbs = _pq_fit(spark, sf_dir, residual)
-        cb_row = spark.createDataFrame([(cbs,)], "cb array<array<array<double>>>")
-        return {"path": scratch_persist(_pq_codes_df(src, cb_row), kind)}
+        return {"path": scratch_persist(_pq_codes_df(src, cbs), kind)}
 
     state = memo_get(kind, sf_dir, ("embeddings",), compute)
     return spark.read.parquet(state["path"])
 
 
-def _pq_luts_df(src: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
-    """(qid [+ carried cols], luts): per-query PQ_M x PQ_K table of
-    round-6 subspace distances of ``vecd`` to every codeword.
+def _pq_sub_d2_df(
+    src: DataFrame, cbs: list[list[list[float]]], keep_vecd: bool = False
+) -> DataFrame:
+    """(carried cols [+ vecd], ``_sub_d2``): the RAW PQ_M x PQ_K table of
+    subspace squared-distance sums of ``vecd`` to every codeword — the
+    shared kernel under both the query-side LUTs and the corpus encode.
 
     r15 (§4, the T2/T3 discipline): the PQ_M x PQ_K x PQ_SUB distance
     folds run as explicit per-dimension numpy accumulation inside one
     ``mapInPandas`` pass (each step the same IEEE ``(x-c)*(x-c)`` then
     left-fold add the interpreted ladder performed — raw sums
     bit-identical; parity-pinned in ``tests/test_r15_parity.py``), with
-    the codebook as a closure constant; the round-6 stays a Catalyst
-    expression so every engine-boundary value is unchanged."""
+    the codebook as a closure constant; round-6 / argmin stay Catalyst
+    expressions downstream so every engine-boundary value is unchanged."""
     import numpy as np
     import pandas as pd  # noqa: F401
     from pyspark.sql import types as T
 
     cb_const = [[list(map(float, cw)) for cw in cb_m] for cb_m in cbs]
-    carried_in = [c for c in src.columns if c != "vecd"]
+    carried_in = [c for c in src.columns if c != "vecd" or keep_vecd]
     out_schema = T.StructType(
-        [f for f in src.schema.fields if f.name != "vecd"]
+        [f for f in src.schema.fields if f.name != "vecd" or keep_vecd]
         + [
             T.StructField(
-                "_luts_raw",
+                "_sub_d2",
                 T.ArrayType(T.ArrayType(T.DoubleType(), False), False),
                 False,
             )
@@ -1929,17 +1926,48 @@ def _pq_luts_df(src: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
                         acc += diff * diff
                     out[:, m, k] = acc
             res = pdf[carried_in].copy()
-            res["_luts_raw"] = [[r.tolist() for r in row] for row in out]
+            res["_sub_d2"] = [[r.tolist() for r in row] for row in out]
             yield res
 
+    return src.mapInPandas(kernel, out_schema)
+
+
+def _pq_codes_expr() -> Column:
+    """``array<int>`` argmin codeword per subspace from ``_sub_d2`` —
+    round-6 distance, codeword-id tiebreak, both as the SAME Catalyst
+    round/array_sort the old interpreted encode ladder used (only the
+    K x SUB distance folds moved into the vectorized kernel)."""
+    ids = F.array(*[F.lit(c).cast("int") for c in range(PQ_K)])
+    return F.transform(
+        F.col("_sub_d2"),
+        lambda arr: F.element_at(
+            F.array_sort(
+                F.zip_with(
+                    arr,
+                    ids,
+                    lambda d, cid: F.struct(
+                        F.round(d, 6).alias("d"), cid.alias("c")
+                    ),
+                )
+            ),
+            1,
+        )["c"],
+    )
+
+
+def _pq_luts_df(src: DataFrame, cbs: list[list[list[float]]]) -> DataFrame:
+    """(qid [+ carried cols], luts): per-query PQ_M x PQ_K table of
+    round-6 subspace distances of ``vecd`` to every codeword (the
+    vectorized ``_pq_sub_d2_df`` kernel + Catalyst round-6)."""
     carried = [
         F.col("vec_id").alias("qid") if c == "vec_id" else F.col(c)
-        for c in carried_in
+        for c in src.columns
+        if c != "vecd"
     ]
-    return src.mapInPandas(kernel, out_schema).select(
+    return _pq_sub_d2_df(src, cbs).select(
         *carried,
         F.transform(
-            "_luts_raw", lambda arr: F.transform(arr, lambda d: F.round(d, 6))
+            "_sub_d2", lambda arr: F.transform(arr, lambda d: F.round(d, 6))
         ).alias("luts"),
     )
 

@@ -225,6 +225,32 @@ def test_pq_lut_and_adc_parity_full_query_set(spark):
     assert om == nm
 
 
+def test_pq_codes_parity_full_corpus(spark):
+    """The vectorized encode (kernel distances + Catalyst round/argmin)
+    emits the SAME codes as the interpreted ``_pq_encode_expr`` ladder —
+    full corpus, raw and residual codebooks, exact."""
+    for residual in (False, True):
+        cbs = S._pq_fit(spark, SF_DIR, residual=residual)
+        cb_row = spark.createDataFrame(
+            [(cbs,)], "cb array<array<array<double>>>"
+        )
+        src = S._pq_src(spark, SF_DIR, residual=residual).select("vec_id", "vecd")
+        old = {
+            r["vec_id"]: list(r["codes"])
+            for r in src.crossJoin(F.broadcast(cb_row))
+            .select(
+                "vec_id",
+                S._pq_encode_expr(F.col("cb"), F.col("vecd")).alias("codes"),
+            )
+            .collect()
+        }
+        new = {
+            r["vec_id"]: list(r["codes"])
+            for r in S._pq_codes_df(src, cbs).collect()
+        }
+        assert old == new
+
+
 def test_mrl_rerank_plan_has_no_pair_join(spark):
     """The rerank stage must stay fused: no SortMergeJoin re-attaching
     embeddings to the shortlist (the pre-r15 shape shuffled 50 pairs/query
